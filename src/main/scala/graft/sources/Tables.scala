@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (repo TESTDATA.md).
+  *
+  * All queries go through here so scale-dependent reading concerns live
+  * in one place:
+  *   - `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+  *     by default; we flip `spark.sql.legacy.parquet.nanosAsLong` and
+  *     materialize both an exact `ts_us` (unix microseconds, bigint —
+  *     what oracle comparisons use) and a `ts` TIMESTAMP column.
+  *   - nothing is cached here: at 100 TB these are scans, and callers
+  *     should let Catalyst prune columns/partitions per query.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** The event-stream table. `ts` comes back as a proper TIMESTAMP
+    * (microsecond precision, truncated from the file's nanos exactly
+    * like DuckDB's epoch_us) and `ts_us` as the raw unix microseconds.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
