@@ -18,8 +18,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql
+    RelationalQueries.oracleSql ++ EventQueries.oracleSql
 }

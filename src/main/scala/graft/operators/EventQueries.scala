@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Pattern, Signatures}
+import graft.functions.{EventFunctions, JsonSchemaFilter}
+import graft.sources.Tables
+
+/** The reference's event-pipeline operators (SURVEY.md §2.2-2.4)
+  * exercised end-to-end over the `events` table: routing, rename,
+  * keep/dedup/keep-when, reduce/flatmap windows, union fan-in, trace
+  * stamping, and the compiled jq-expression tier.
+  *
+  * The events table maps onto the Event model as n = "app." ++
+  * event_type, d = props (JSON string), event time = ts (see
+  * FIXTURES.md §6). Money-style sums go through exact DECIMAL (see
+  * RelationalQueries for the oracle-parity conventions).
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("n", concat(lit("app."), col("event_type")))
+
+  private val decVal = col("value").cast("decimal(18,2)")
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.2 match/drop: composite pattern filter, pure RLIKE + boolean algebra.
+    "ev_route_drop" -> { (s, d) =>
+      StepOps.matchDrop(ev(s, d),
+          Pattern.And(Seq(Pattern.Str("app.#"), Pattern.Not(Pattern.Str("#.error")))))
+        .groupBy("n").agg(count(lit(1)).as("cnt"))
+        .orderBy("n")
+    },
+
+    // §2.2 match/pass: matched branch is transformed, unmatched passes through.
+    "ev_route_pass" -> { (s, d) =>
+      StepOps.matchPass(ev(s, d), Pattern.Str("app.error")) { matched =>
+        StepOps.renameReplace(matched, "app.alert")
+      }.groupBy("n").agg(count(lit(1)).as("cnt")).orderBy("n")
+    },
+
+    // §2.4#1 rename with affixes.
+    "ev_rename_affix" -> { (s, d) =>
+      StepOps.renameAffix(ev(s, d), Some("in."), Some(".out"))
+        .select("n").distinct().orderBy("n")
+    },
+
+    // §2.4#3 keep first-N per vector (vector = event_type × day).
+    "ev_keep_first" -> { (s, d) =>
+      val df = StepOps.tumblingTimeVectors(ev(s, d), col("ts_us"), 86400.0)
+      StepOps.keepFirst(df, Seq(col("event_type"), col("vec_id")),
+          Seq(col("ts_us"), col("event_id")), 5)
+        .select("event_id", "event_type", "vec_id")
+        .orderBy("event_id")
+    },
+
+    // §2.4#3 keep last-N per vector (vector = whole user partition).
+    "ev_keep_last" -> { (s, d) =>
+      StepOps.keepLast(ev(s, d), Seq(col("user_id")),
+          Seq(col("ts_us"), col("event_id")), 2)
+        .select("event_id", "user_id").orderBy("event_id")
+    },
+
+    // §2.4#2 deduplicate within vector, identity = data (payload JSON).
+    "ev_dedup_data" -> { (s, d) =>
+      val df = StepOps.tumblingTimeVectors(ev(s, d), col("ts_us"), 86400.0)
+      StepOps.dedupWithin(df, Seq(col("event_type"), col("vec_id")),
+          Seq(col("props")), Seq(col("ts_us"), col("event_id")))
+        .select("event_id").orderBy("event_id")
+    },
+
+    // §2.4#4 keep-when: JSON-Schema payload filter compiled to native columns.
+    "ev_keep_when" -> { (s, d) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val schema = mapper.readTree(
+        """{"type":"object","required":["k"],
+           "properties":{"k":{"type":"integer","minimum":10,"exclusiveMaximum":50}}}""")
+      ev(s, d).filter(JsonSchemaFilter.compile(schema, col("props")))
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .orderBy("event_id")
+    },
+
+    // §2.3 reduce-mode time windows (aligned tumbling, 6h buckets).
+    "ev_window_time" -> { (s, d) =>
+      StepOps.tumblingTimeVectors(ev(s, d), col("ts_us"), 6 * 3600.0)
+        .groupBy("event_type", "vec_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(decVal).cast("double").as("sum_value"),
+          min("event_id").as("first_id"))
+        .orderBy("event_type", "vec_id")
+    },
+
+    // §2.3 reduce-mode count windows (disjoint groups of 50 per name).
+    "ev_window_count" -> { (s, d) =>
+      StepOps.reduceCountVectors(ev(s, d), Seq(col("event_type")),
+          Seq(col("ts_us"), col("event_id")), 50)
+        .groupBy("event_type", "vec_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(decVal).cast("double").as("sum_value"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("event_type", "vec_id")
+    },
+
+    // §2.3 flatmap-mode sliding per-event windows of size 3.
+    "ev_window_sliding" -> { (s, d) =>
+      val w = StepOps.slidingFrame(Seq(col("event_type")),
+        Seq(col("ts_us"), col("event_id")), 3)
+      ev(s, d)
+        .withColumn("frame_n", count(lit(1)).over(w))
+        .withColumn("frame_sum", sum(decVal).over(w).cast("double"))
+        .select("event_id", "frame_n", "frame_sum")
+        .orderBy("event_id")
+    },
+
+    // §2.6 implicit union: a step with several `after` upstreams.
+    "ev_union_after" -> { (s, d) =>
+      val e = ev(s, d)
+      val a = StepOps.renameReplace(StepOps.matchDrop(e, Pattern.Str("app.purchase")), "money.in")
+      val b = StepOps.renameReplace(StepOps.matchDrop(e, Pattern.Str("app.signup")), "growth.in")
+      a.unionByName(b).groupBy("n").agg(count(lit(1)).as("cnt"),
+        sum(decVal).cast("double").as("sum_value")).orderBy("n")
+    },
+
+    // §1.1 wrap: raw lines become {n: wrap-name, d: line}.
+    "ev_wrap_raw" -> { (s, d) =>
+      ev(s, d).select(lit("raw.line").as("n"), col("props").as("d"),
+          col("event_id"))
+        .orderBy("event_id")
+    },
+
+    // §2.4#12 compiled jq subset: `.[] | select(.value > 100) |
+    //   {id, n, k2: (.props.k * 2)}` as native columns.
+    "ev_jq_select_map" -> { (s, d) =>
+      ev(s, d).filter(col("value") > 100.0)
+        .select(col("event_id"), col("n"),
+          (get_json_object(col("props"), "$.k").cast("long") * 2).as("k2"))
+        .orderBy("event_id")
+    },
+
+    // §1.1 new-event trace stamping: arrival time + pipeline + signature.
+    "ev_trace_stamp" -> { (s, d) =>
+      val sig = Signatures.ofJson("{}")
+      val stamped = ev(s, d).withColumn("t",
+        EventFunctions.appendTrace(
+          lit(null).cast("array<struct<i:double,p:string,h:string>>"),
+          EventFunctions.tracePoint(col("ts_us") / lit(1e6), "graft", sig)))
+      stamped.select(col("event_id"),
+          element_at(col("t"), -1).getField("i").as("i"),
+          element_at(col("t"), -1).getField("p").as("p"),
+          element_at(col("t"), -1).getField("h").as("h"),
+          size(col("t")).as("trace_len"))
+        .orderBy("event_id")
+    },
+
+    // §2.3 the exact anchored count-or-time hybrid (100 ev / 6h per name).
+    // Oracle: recursive semantics — checked rows-only by the driver,
+    // exact-checked by HybridWindowSpec goldens.
+    "ev_window_hybrid" -> { (s, d) =>
+      HybridWindow.anchoredVectors(ev(s, d), Seq("event_type"), "ts_us",
+          Seq("event_id"), 100, 6 * 3600.0)
+        .groupBy("event_type", "vec_id")
+        .agg(count(lit(1)).as("cnt"), min("event_id").as("first_id"),
+          max("event_id").as("last_id"))
+        .orderBy("event_type", "vec_id")
+    }
+  )
+
+  private val tsUs = "epoch_us(ts)"
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_route_drop" ->
+      """SELECT 'app.'||event_type AS n, COUNT(*) AS cnt FROM events
+        |WHERE event_type <> 'error' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_route_pass" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'app.alert'
+        |            ELSE 'app.'||event_type END AS n, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_rename_affix" ->
+      """SELECT DISTINCT 'in.app.'||event_type||'.out' AS n FROM events ORDER BY 1""".stripMargin,
+
+    "ev_keep_first" ->
+      s"""SELECT event_id, event_type, vec_id FROM (
+         |  SELECT event_id, event_type, $tsUs // 86400000000 AS vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, $tsUs // 86400000000
+         |                       ORDER BY $tsUs, event_id) AS rn
+         |  FROM events) WHERE rn <= 5 ORDER BY event_id""".stripMargin,
+
+    "ev_keep_last" ->
+      s"""SELECT event_id, user_id FROM (
+         |  SELECT event_id, user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY $tsUs DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn <= 2 ORDER BY event_id""".stripMargin,
+
+    "ev_dedup_data" ->
+      s"""SELECT event_id FROM (
+         |  SELECT event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, $tsUs // 86400000000, props
+         |                       ORDER BY $tsUs, event_id) AS rn
+         |  FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "ev_keep_when" ->
+      """SELECT event_id, TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) AS k
+        |FROM events
+        |WHERE json_type(props,'$.k') IN ('UBIGINT','BIGINT')
+        |  AND TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) >= 10
+        |  AND TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) < 50
+        |ORDER BY event_id""".stripMargin,
+
+    "ev_window_time" ->
+      s"""SELECT event_type, $tsUs // 21600000000 AS vec_id, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(event_id) AS first_id
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_window_count" ->
+      s"""SELECT event_type, (rn - 1) // 50 AS vec_id, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |        ORDER BY $tsUs, event_id) AS rn FROM events)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_window_sliding" ->
+      s"""SELECT event_id,
+         |  COUNT(*) OVER w AS frame_n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS frame_sum
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY $tsUs, event_id
+         |             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+         |ORDER BY event_id""".stripMargin,
+
+    "ev_union_after" ->
+      """SELECT n, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT 'money.in' AS n, value FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'growth.in' AS n, value FROM events WHERE event_type = 'signup')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_wrap_raw" ->
+      """SELECT 'raw.line' AS n, props AS d, event_id FROM events ORDER BY event_id""".stripMargin,
+
+    "ev_jq_select_map" ->
+      """SELECT event_id, 'app.'||event_type AS n,
+        |  TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) * 2 AS k2
+        |FROM events WHERE value > 100.0 ORDER BY event_id""".stripMargin,
+
+    "ev_trace_stamp" ->
+      s"""SELECT event_id, $tsUs / 1000000.0 AS i, 'graft' AS p,
+         |  '${Signatures.ofJson("{}")}' AS h, 1 AS trace_len
+         |FROM events ORDER BY event_id""".stripMargin
+  )
+}

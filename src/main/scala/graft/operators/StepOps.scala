@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Pattern
+import graft.functions.EventFunctions
+
+/** The reference's step operators (SURVEY.md §2.2-2.4) as composable
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Design: a "window" (the reference's event vector) is represented
+  * *columnarly* — a `vec_id` column assigned by one of the
+  * `*Vectors` builders — rather than materialized as arrays. Vector
+  * step functions (dedup, keep) are then per-vector analytic
+  * predicates, so everything stays inside Catalyst: no
+  * collect_list blowups, shuffles only on the declared keys, and the
+  * whole chain survives a 1000-executor scale-out where a per-vector
+  * array materialization would not.
+  *
+  * Reference semantics ported (file:line cited per member); window
+  * mode vocabulary: reduce = disjoint back-to-back groups, flatmap =
+  * per-event sliding groups (reference src/step.ts:112-116).
+  */
+object StepOps {
+
+  // ---- routing (reference src/step.ts:39-54, src/pattern.ts) ----
+
+  /** `match/drop`: only matching events reach the step function; the
+    * rest are swallowed (reference README.md:527-544).
+    */
+  def matchDrop(df: DataFrame, pattern: Pattern, nCol: String = "n"): DataFrame =
+    df.filter(EventFunctions.matchesPattern(col(nCol), pattern))
+
+  /** `match/pass`: the step function sees matching events; the
+    * non-matching ones are forwarded downstream unmodified.
+    */
+  def matchPass(df: DataFrame, pattern: Pattern, nCol: String = "n")
+               (process: DataFrame => DataFrame): DataFrame = {
+    val p = EventFunctions.matchesPattern(col(nCol), pattern)
+    process(df.filter(p)).unionByName(df.filter(!p))
+  }
+
+  // ---- rename (reference src/step-functions/rename.ts:89-107) ----
+
+  def renameReplace(df: DataFrame, replacement: String, nCol: String = "n"): DataFrame =
+    df.withColumn(nCol, lit(replacement))
+
+  def renameAffix(df: DataFrame, prepend: Option[String], append: Option[String],
+                  nCol: String = "n"): DataFrame =
+    df.withColumn(nCol,
+      concat(lit(prepend.getOrElse("")), col(nCol), lit(append.getOrElse(""))))
+
+  // ---- vector assignment (reference src/step.ts:70-151) ----
+
+  /** reduce-mode count windows: disjoint back-to-back groups of
+    * `size` events per key in `orderBy` order. Adds `vec_id`.
+    */
+  def reduceCountVectors(df: DataFrame, partitionBy: Seq[Column],
+                         orderBy: Seq[Column], size: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("vec_id", ((row_number().over(w) - 1) / size).cast("long"))
+  }
+
+  /** reduce-mode aligned time windows: tumbling buckets of `seconds`.
+    * (The reference anchors windows at each group's first event —
+    * see [[anchoredVectors]] for that exact semantic; aligned buckets
+    * are the scalable shuffle-free-per-key variant.)
+    */
+  def tumblingTimeVectors(df: DataFrame, tsMicros: Column, seconds: Double): DataFrame =
+    df.withColumn("vec_id", (tsMicros / lit((seconds * 1e6).toLong)).cast("long"))
+
+  /** flatmap-mode sliding frame per event: every event heads a vector
+    * of the next `size` events (reference src/step.ts:114-116,
+    * README.md:643-669). Returns the analytic frame to aggregate over.
+    */
+  def slidingFrame(partitionBy: Seq[Column], orderBy: Seq[Column], size: Int) =
+    Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.currentRow, size - 1)
+
+  // ---- vector step functions ----
+
+  /** `keep`: truncate each vector to its first (or last) `n` events
+    * (reference src/step-functions/keep.ts:79-103).
+    */
+  def keepFirst(df: DataFrame, vecCols: Seq[Column], orderBy: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(vecCols: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  def keepLast(df: DataFrame, vecCols: Seq[Column], orderBy: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(vecCols: _*).orderBy(orderBy.map(_.desc_nulls_last): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** `deduplicate`: drop duplicates within each vector, keeping the
+    * first occurrence of each identity; identity = any subset of
+    * {name, data, trace} (reference src/step-functions/deduplicate.ts:82-124).
+    * Pass the chosen identity columns as `keyCols`.
+    */
+  def dedupWithin(df: DataFrame, vecCols: Seq[Column], keyCols: Seq[Column],
+                  orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(vecCols ++ keyCols: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
