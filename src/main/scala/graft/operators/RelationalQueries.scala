@@ -26,7 +26,193 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
+
   val queries: Map[String, Q] = Map(
+
+    // TPC-H Q3-style: selective fact-dim joins + top-k. The customer
+    // filter is broadcast onto orders, orders onto lineitem under AQE;
+    // top-k is a TakeOrderedAndProject, not a global sort.
+    "q3_join_topk" -> { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5-style: 6-way snowflake join, dims broadcast, one shuffle
+    // on the fact side.
+    "q5_join_agg" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // Left-semi: orders having at least one heavy lineitem (EXISTS).
+    "join_semi" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey")
+    },
+
+    // Left-anti: customers with no order in 2001 (NOT EXISTS).
+    "join_anti" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // Left-outer join with aggregate over the nullable side.
+    "join_outer_agg" -> { (s, d) =>
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("big_items"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("big_items"), lit(0L)).as("big_items"))
+        .orderBy("o_orderkey")
+    },
+
+    // Broadcast dimension join: per-nation customer account stats.
+    "join_broadcast_dim" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("c_acctbal")).cast("double").as("sum_bal"))
+        .orderBy("n_name")
+    },
+
+    // Global sort + limit: top-k by totalprice (TakeOrderedAndProject).
+    "sort_limit" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Ranking/analytic window functions: top-3 suppliers per nation,
+    // with the gap to the previous-ranked account balance.
+    "window_rank" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("prev_gap",
+          (col("s_acctbal") - coalesce(lag("s_acctbal", 1).over(w), col("s_acctbal"))))
+        .filter(col("rnk") <= 3)
+        .select("s_nationkey", "rnk", "s_suppkey", "s_acctbal", "prev_gap")
+        .orderBy("s_nationkey", "rnk")
+    },
+
+    // Set operations (set semantics, like the reference's implicit
+    // union upgraded to full algebra).
+    "setop_intersect" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+    "setop_except" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).filter(col("s_acctbal") > 8000)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // Distinct aggregation (shuffle-dedup then agg).
+    "agg_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP grouping sets with explicit ALL markers.
+    "agg_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // HAVING: post-aggregation filter.
+    "agg_having" -> { (s, d) =>
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+
+    // Scalar function battery: strings, dates, math, conditionals.
+    "scalar_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_brand"), 1, 5).as("brand5"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_type"), col("p_brand")).as("tb"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          (col("p_size") % 7).as("size_mod"),
+          abs(col("p_size") - 25).as("size_dist"),
+          when(col("p_retailprice") > 1500.0, "premium")
+            .when(col("p_retailprice") > 1000.0, "mid").otherwise("budget").as("tier"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"))
+        .orderBy("p_partkey")
+    },
+
+    // Date/time battery over orders.
+    "scalar_dates" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ymd"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"))
+        .orderBy("o_orderkey")
+    },
+
+    // Approximate distinct (HLL) — no SQL oracle (estimates differ by
+    // engine); the driver records a rows-only check, exactness is
+    // asserted relative to countDistinct in unit tests.
+    "agg_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
     // TPC-H Q1-style full-scan aggregation: partial aggregation map-side,
     // 6 groups total — the canonical "would hold at 100 TB" scan+agg shape.
     "q1_agg" -> { (s, d) =>
@@ -46,7 +232,119 @@ object RelationalQueries {
     }
   )
 
+  private val revSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
   val oracleSql: Map[String, String] = Map(
+    "q3_join_topk" ->
+      s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
+         |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS o_orderdate
+         |FROM lineitem, orders, customer
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join_agg" ->
+      s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem, orders, customer, supplier, nation, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_outer_agg" ->
+      """SELECT o_orderkey, COALESCE(big_items, 0) AS big_items
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, COUNT(*) AS big_items FROM lineitem
+        |  WHERE l_quantity >= 45 GROUP BY l_orderkey) b
+        |ON o_orderkey = b.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_broadcast_dim" ->
+      """SELECT n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "window_rank" ->
+      """SELECT s_nationkey, rnk, s_suppkey, s_acctbal, prev_gap FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    ROW_NUMBER() OVER w AS rnk,
+        |    s_acctbal - COALESCE(LAG(s_acctbal, 1) OVER w, s_acctbal) AS prev_gap
+        |  FROM supplier
+        |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey))
+        |WHERE rnk <= 3 ORDER BY s_nationkey, rnk""".stripMargin,
+
+    "setop_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "setop_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+        |ORDER BY nationkey""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_brand, 1, 5) AS brand5,
+        |  LENGTH(p_name) AS name_len, CONCAT_WS('|', p_type, p_brand) AS tb,
+        |  COALESCE(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
+        |  p_size % 7 AS size_mod, ABS(p_size - 25) AS size_dist,
+        |  CASE WHEN p_retailprice > 1500.0 THEN 'premium'
+        |       WHEN p_retailprice > 1000.0 THEN 'mid' ELSE 'budget' END AS tier,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS q,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
