@@ -18,8 +18,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EventQueries.queries
+    RelationalQueries.queries ++ EventQueries.queries ++
+      TextQueries.queries ++ AnnQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ EventQueries.oracleSql
+    RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
+      TextQueries.oracleSql ++ AnnQueries.oracleSql
 }

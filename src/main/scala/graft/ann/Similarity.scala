@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cosine similarity is computed as an explicit left-to-right fold in
+  * double precision (elements widened float→double first), which makes
+  * the result bit-identical to a left-associated SQL sum over the same
+  * parquet floats — the DuckDB oracle is exact, no tolerance needed.
+  *
+  * Two search paths:
+  *   - [[bruteForceTopK]]: the correctness baseline — broadcast the
+  *     (small) query set against every vector; one pass, no shuffle of
+  *     the big side beyond the final per-query top-k.
+  *   - [[lshTopK]]: the scale path — random-hyperplane signature
+  *     buckets vectors so each only scores against its bucket. At 100
+  *     TB the bucket join replaces the all-pairs cross product; recall
+  *     is traded via the number of sign bits.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = v.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "cos")
+  }
+
+  /** Deterministic pseudorandom hyperplanes (LCG, seed-fixed): `bits`
+    * planes of dimension `dim`, components in [-1, 1).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(bits)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-bit bucket id from the hyperplane projections. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate all-vectors top-k via multi-table sign-LSH: `tables`
+    * independent hash tables of `bits` sign bits each; a pair is a
+    * candidate if it collides in ANY table. Candidates are scored
+    * once (dedup on the pair), then per-query top-k.
+    *
+    * Scale shape: the cross product is replaced by `tables` bucket
+    * joins; expected candidates per query ≈ tables × n / 2^bits, tuned
+    * by (bits, tables) for the recall/cost point — the standard
+    * E2LSH-style layout.
+    */
+  def lshTopK(vectors: DataFrame, k: Int, bits: Int, dim: Int, tables: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    // all tables' buckets in one pass: bucket column per table, then
+    // posexplode to (table, bucket) rows
+    val allPlanes = (0 until tables).map(t => hyperplanes(bits, dim, seed = 7L + t))
+    val buckets = b.withColumn("bs",
+        array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
+      .select(col(idCol), col(vecCol), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val y = buckets.select(col("tbl"), col("bucket"), col(idCol).as("nid"))
+    val cand = x.join(y, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
+      .select("qid", "qvec", "nid").dropDuplicates("qid", "nid")
+    val scored = cand
+      .join(b.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "cos")
+  }
+}

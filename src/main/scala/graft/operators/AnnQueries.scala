@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table and multimodal-column
+  * queries over `documents`.
+  *
+  * The brute-force top-k is the oracle-checked baseline: its cosine is
+  * a left-associated double fold, mirrored termwise in the generated
+  * DuckDB SQL, so scores match bit-for-bit. The LSH variant is the
+  * scale path (bucketed join instead of cross product) and is
+  * rows-only here — its recall against brute force is asserted in
+  * AnnSpec.
+  */
+object AnnQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val TopK = 5
+  private val NQueries = 10
+  // tables/2^bits is the expected candidate fraction; bits should grow
+  // ~log(n) so the fraction shrinks as data grows (at 100 TB you'd run
+  // bits≈20 over billions of vectors).
+  private val LshBits = 6
+  private val LshTables = 16
+
+  val queries: Map[String, Q] = Map(
+
+    "emb_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NQueries), TopK)
+        .orderBy("qid", "rnk")
+    },
+
+    "emb_ann_lsh" -> { (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), TopK, LshBits, Dim, LshTables)
+        .orderBy("qid", "rnk")
+    },
+
+    // Multimodal: opaque binary + partition-batched stub decode.
+    "mm_decode_meta" -> { (s, d) =>
+      val withBin = Tables.documents(s, d)
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+      Multimodal.decodeMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
+    "mm_frame_sample" -> { (s, d) =>
+      val withBin = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+      Multimodal.sampleFrames(withBin, "bin", "doc_id", 3).orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  // dot(a,b) as an explicit left-associated 64-term sum — identical
+  // floating-point sequence to Similarity.dot's fold.
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "emb_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries),
+         |v AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    (${dotSql("qvec", "nvec")}) /
+         |      (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("nvec", "nvec")})) AS cos
+         |  FROM q, v WHERE qid <> nid)
+         |SELECT qid, rnk, nid, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  CAST(320 + (ascii(substring(text, 1, 1)) % 16) * 80 AS INT) AS width,
+        |  CAST((320 + (ascii(substring(text, 1, 1)) % 16) * 80) * 9 // 16 AS INT) AS height,
+        |  CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substring(text, i*16 + 1, 16)) AS frame_md5
+        |FROM documents, unnest([0, 1, 2]) AS t(i)
+        |WHERE doc_id < 500 AND i*16 < octet_length(CAST(text AS BLOB))
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

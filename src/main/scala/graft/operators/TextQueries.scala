@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Training-data text operators over the `documents` table: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language
+  * ID, quality scoring, token stats, fingerprinting.
+  *
+  * Every oracle below is *generated from the same constants* as the
+  * Spark plan (hash family coefficients, stopword lists, band
+  * layout), so DuckDB runs literally the same algorithm — near-dup
+  * detection is hash-exact, not approximately compared.
+  *
+  * Scale notes: MinHash/SimHash signatures are per-row map-side work;
+  * the only shuffles are the LSH band join (data-size-bounded by
+  * collision rate) and final ORDER BYs. The exact-Jaccard query is
+  * inherently quadratic, so it is blocked on (source, bounded id
+  * range) — the honest scale path for near-dup at 100 TB is the LSH
+  * query, not all-pairs.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // MinHash family: k=16 signatures in 4 bands of 4 rows.
+  private val K = 16
+  private val Bands = 4
+  private val R = 4
+  private val coeffs = minhashCoeffs(K)
+  private val JaccardT = 0.6
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  private def withToks(df: DataFrame): DataFrame = df.withColumn("toks", tokens(col("text")))
+
+  val queries: Map[String, Q] = Map(
+
+    // Token counting: whitespace tokens + distinct counts.
+    "text_tokens" -> { (s, d) =>
+      withToks(docs(s, d))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length stats, type-token ratio, stopword ratio.
+    "text_quality" -> { (s, d) =>
+      withToks(docs(s, d))
+        .withColumn("sum_len", aggregate(col("toks"), lit(0L), (a, t) => a + length(t)))
+        .withColumn("n_stop", listHits(col("toks"), stopwords.head._2))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          col("sum_len"),
+          (col("sum_len").cast("double") / size(col("toks"))).as("avg_token_len"),
+          (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"),
+          (col("n_stop").cast("double") / size(col("toks"))).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID (stopword-profile argmax) vs the labeled
+    // lang column: confusion-matrix counts.
+    "text_langid" -> { (s, d) =>
+      withToks(docs(s, d))
+        .withColumn("lang_pred", langId(col("toks")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // Document fingerprint: min-hash of 4-gram shingles (k=1 winnowing
+    // degenerate) + shingle count.
+    "text_fingerprint" -> { (s, d) =>
+      withToks(docs(s, d))
+        .withColumn("sh4", shingles(col("toks"), 4))
+        .select(col("doc_id"),
+          coalesce(array_min(transform(col("sh4"), tokenHash(_))), lit(-1L)).as("fp"),
+          size(col("sh4")).as("n_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: hash-groupBy on the full text, keep lowest id.
+    "dedup_exact" -> { (s, d) =>
+      docs(s, d).groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
+    // Exact n-gram Jaccard near-dup on a bounded block (quadratic by
+    // nature — LSH below is the scale path).
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      val base = withToks(docs(s, d)).filter(col("doc_id") < 2000)
+        .withColumn("sh", array_distinct(shingles(col("toks"), 3)))
+        .filter(size(col("sh")) > 0)
+        .select("doc_id", "source", "sh")
+      val a = base.select(col("doc_id").as("a"), col("source"), col("sh").as("sha"))
+      val b = base.select(col("doc_id").as("b"), col("source"), col("sh").as("shb"))
+      a.join(b, "source").filter(col("a") < col("b"))
+        .withColumn("jac",
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))))
+        .filter(col("jac") >= 0.5)
+        .select("a", "b", "jac")
+        .orderBy("a", "b")
+    },
+
+    // MinHash + LSH near-dup: signature -> banded bucket join ->
+    // candidate pairs -> signature-estimated Jaccard filter.
+    "dedup_minhash_lsh" -> { (s, d) =>
+      val mh = withToks(docs(s, d))
+        .withColumn("sh", shingles(col("toks"), 3))
+        .filter(size(col("sh")) > 0)
+        .withColumn("mh", minhashes(col("sh"), coeffs))
+        .select("doc_id", "mh")
+
+      val bands = (0 until Bands).map { bi =>
+        mh.select(col("doc_id"), lit(bi).as("band"),
+          md5(concat_ws(",", (1 to R).map(j => element_at(col("mh"), bi * R + j)): _*)).as("bkey"))
+      }.reduce(_ unionByName _)
+
+      val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+
+      val ma = mh.select(col("doc_id").as("a"), col("mh").as("ma"))
+      val mb = mh.select(col("doc_id").as("b"), col("mh").as("mb"))
+      val est = (1 to K).map(i =>
+        when(element_at(col("ma"), i) === element_at(col("mb"), i), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / K
+
+      pairs.join(ma, "a").join(mb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(col("est_jaccard") >= JaccardT)
+        .select("a", "b", "est_jaccard")
+        .orderBy("a", "b")
+    },
+
+    // SimHash fingerprints (bounded block for the oracle's sake).
+    "dedup_simhash" -> { (s, d) =>
+      withToks(docs(s, d)).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 16))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- generated DuckDB oracles (same constants, same algorithm) ----
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"""
+
+  private def thSql(x: String) =
+    s"CAST(('0x'||substring(md5($x),1,8)) AS BIGINT)"
+
+  private def shinglesSql(n: Int) = {
+    val parts = (1 to n).map(j => s"toks[i+$j]").mkString(", ")
+    s"CASE WHEN len(toks) >= $n THEN list_transform(range(0, len(toks)-${n - 1}), i -> concat_ws(' ', $parts)) ELSE [] END"
+  }
+
+  private val mhSql: String = {
+    val terms = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, s -> (${a}::BIGINT * ${thSql("s")} + $b) % ${graft.functions.TextFunctions.HashPrime}))"
+    }.mkString(", ")
+    s"[$terms]"
+  }
+
+  private val stopSqlEn = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |  CAST(len(list_filter(toks, t -> t IN ($stopSqlEn))) AS DOUBLE) / len(toks) AS stop_ratio
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = stopwords.map { case (lang, words) =>
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val best = s"greatest(${stopwords.map("s_" + _._1).mkString(", ")})"
+      val cases = stopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT lang, lang_pred, COUNT(*) AS cnt FROM (
+         |  SELECT lang, CASE $cases ELSE 'unknown' END AS lang_pred FROM (
+         |    SELECT lang, $scores
+         |    FROM (SELECT lang, $toksSql AS toks FROM documents)))
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  COALESCE(list_min(list_transform(sh4, s -> ${thSql("s")})), -1) AS fp,
+         |  len(sh4) AS n_shingles
+         |FROM (SELECT doc_id, ${shinglesSql(4).replace("toks", "toks")} AS sh4
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, list_distinct(sh) AS sh FROM (
+         |    SELECT doc_id, source, ${shinglesSql(3)} AS sh
+         |    FROM (SELECT doc_id, source, $toksSql AS toks FROM documents WHERE doc_id < 2000))
+         |  WHERE len(sh) > 0)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+         |FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id
+         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val bandSelects = (0 until Bands).map { bi =>
+        val ks = (1 to R).map(j => s"mh[${bi * R + j}]").mkString(", ")
+        s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $ks)) AS bkey FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      val estTerms = (1 to K).map(i => s"CASE WHEN ma[$i] = mb[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, ${shinglesSql(3)} AS sh
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |  WHERE len(sh) > 0),
+         |mh AS (SELECT doc_id, $mhSql AS mh FROM sh),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, CAST($estTerms AS DOUBLE) / $K AS est_jaccard
+         |FROM pairs
+         |  JOIN (SELECT doc_id AS a, mh AS ma FROM mh) USING (a)
+         |  JOIN (SELECT doc_id AS b, mh AS mb FROM mh) USING (b)
+         |WHERE CAST($estTerms AS DOUBLE) / $K >= $JaccardT
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val bitSums = (0 until 32).map { j =>
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash,
+         |  CAST($bitSums AS BIGINT) >> 16 AS bucket
+         |FROM (SELECT doc_id, list_transform(toks, t -> ${thSql("t")}) AS hs
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000))
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}
