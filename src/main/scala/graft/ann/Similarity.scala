@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential left-to-right dot product in double precision —
+    * native codegen'd expression (see
+    * [[graft.functions.VectorExpressions.DotProduct]]); identical
+    * IEEE operation sequence to [[dotHof]].
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
+  /** Higher-order-function formulation — kept as the reference
+    * implementation the native expression is tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -76,17 +86,24 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = vectors.select(col(idCol), col(vecCol))
     // all tables' buckets in one pass: bucket column per table, then
-    // posexplode to (table, bucket) rows
+    // posexplode to (table, bucket) rows. Candidate generation works
+    // on ids only — the 64-float vectors do not ride through the
+    // bucket join or the pair dedup shuffle; they join back once per
+    // surviving pair.
     val allPlanes = (0 until tables).map(t => hyperplanes(bits, dim, seed = 7L + t))
     val buckets = b.withColumn("bs",
         array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
-      .select(col(idCol), col(vecCol), posexplode(col("bs")).as(Seq("tbl", "bucket")))
-    val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .select(col(idCol), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
     val y = buckets.select(col("tbl"), col("bucket"), col(idCol).as("nid"))
     val cand = x.join(y, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
-      .select("qid", "qvec", "nid").dropDuplicates("qid", "nid")
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+    // vector lookups are broadcast so the pair table streams through
+    // both joins without reshuffling (at billions of vectors the
+    // lookup side would instead be bucketed on the id)
     val scored = cand
-      .join(b.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
+      .join(broadcast(b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
+      .join(broadcast(b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))), "nid")
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

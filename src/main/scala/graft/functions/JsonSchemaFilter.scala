@@ -21,12 +21,23 @@ object JsonSchemaFilter {
   import com.fasterxml.jackson.databind.JsonNode
 
   /** Compile `schema` to a predicate over `payload` (a JSON string
-    * column). `path` is a JsonPath to the subtree being validated.
+    * column). The payload is parsed to VARIANT exactly once — the
+    * predicate is evaluated inside an `exists` over a one-element
+    * array so every sub-constraint shares the parsed value (Catalyst
+    * does not CSE across variant expressions; without this, each leaf
+    * re-parsed the JSON).
     */
-  def compile(schema: JsonNode, payload: Column, path: String = "$"): Column = {
+  def compile(schema: JsonNode, payload: Column): Column =
+    exists(array(try_parse_json(payload)), v => compileOverVariant(schema, v, "$"))
+
+  /** Predicate over an already-parsed VARIANT root. */
+  def compileOverVariant(schema: JsonNode, root: Column, path: String): Column =
+    compileInner(schema, root, path)
+
+  private def compileInner(schema: JsonNode, root: Column, path: String): Column = {
     require(schema.isObject, s"unsupported schema node: $schema")
     val fields = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.fieldNames()).asScala.toSet
-    val v = variantAt(payload, path)
+    val v = variantAt(root, path)
 
     val conds = Seq.newBuilder[Column]
     // an absent subtree fails everything except being unconstrained
@@ -54,27 +65,27 @@ object JsonSchemaFilter {
     }
     if (fields.contains("required")) {
       val reqs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("required").elements()).asScala.toSeq
-      reqs.foreach { r => conds += variantAt(payload, s"$path.${r.asText}").isNotNull }
+      reqs.foreach { r => conds += variantAt(root, s"$path.${r.asText}").isNotNull }
     }
     if (fields.contains("properties")) {
       val props = schema.get("properties")
       scala.jdk.CollectionConverters.IteratorHasAsScala(props.fieldNames()).asScala.foreach { name =>
-        val sub = compile(props.get(name), payload, s"$path.$name")
+        val sub = compileInner(props.get(name), root, s"$path.$name")
         // per JSON Schema, properties constrain only when present
-        conds += (variantAt(payload, s"$path.$name").isNull || sub)
+        conds += (variantAt(root, s"$path.$name").isNull || sub)
       }
     }
     if (fields.contains("allOf")) {
       scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("allOf").elements()).asScala
-        .foreach(sub => conds += compile(sub, payload, path))
+        .foreach(sub => conds += compileInner(sub, root, path))
     }
     if (fields.contains("anyOf")) {
       val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements()).asScala
-        .map(sub => compile(sub, payload, path)).toSeq
+        .map(sub => compileInner(sub, root, path)).toSeq
       conds += subs.reduceLeft(_ || _)
     }
     if (fields.contains("not"))
-      conds += !compile(schema.get("not"), payload, path)
+      conds += !compileInner(schema.get("not"), root, path)
 
     val unsupported = fields -- Set("type", "minimum", "maximum", "exclusiveMinimum",
       "exclusiveMaximum", "const", "enum", "required", "properties", "allOf", "anyOf",
@@ -87,9 +98,9 @@ object JsonSchemaFilter {
     }
   }
 
-  private def variantAt(payload: Column, path: String): Column =
-    if (path == "$") try_parse_json(payload)
-    else try_variant_get(try_parse_json(payload), path, "variant")
+  private def variantAt(root: Column, path: String): Column =
+    if (path == "$") root
+    else try_variant_get(root, path, "variant")
 
   /** Per-row type name of the JSON subtree: BIGINT/DOUBLE/DECIMAL for
     * numbers, STRING, BOOLEAN, ARRAY<...>, OBJECT<...>, VOID for null.

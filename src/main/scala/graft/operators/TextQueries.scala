@@ -73,10 +73,10 @@ object TextQueries {
     // Document fingerprint: min-hash of 4-gram shingles (k=1 winnowing
     // degenerate) + shingle count.
     "text_fingerprint" -> { (s, d) =>
-      withToks(docs(s, d))
-        .withColumn("sh4", shingles(col("toks"), 4))
+      docs(s, d)
+        .withColumn("sh4", graft.functions.TextExpressions.shingleHashes(col("text"), 4))
         .select(col("doc_id"),
-          coalesce(array_min(transform(col("sh4"), tokenHash(_))), lit(-1L)).as("fp"),
+          coalesce(array_min(col("sh4")), lit(-1L)).as("fp"),
           size(col("sh4")).as("n_shingles"))
         .orderBy("doc_id")
     },
@@ -90,18 +90,25 @@ object TextQueries {
     },
 
     // Exact n-gram Jaccard near-dup on a bounded block (quadratic by
-    // nature — LSH below is the scale path).
+    // nature — LSH below is the scale path). Pairs within a source
+    // block compare sorted shingle-sets directly; an inverted-index
+    // (explode + join on shingle) variant was measured slower on this
+    // corpus because the tiny vocabulary makes shingle collisions —
+    // and thus join fan-out — enormous.
     "dedup_ngram_jaccard" -> { (s, d) =>
-      val base = withToks(docs(s, d)).filter(col("doc_id") < 2000)
-        .withColumn("sh", array_distinct(shingles(col("toks"), 3)))
-        .filter(size(col("sh")) > 0)
-        .select("doc_id", "source", "sh")
-      val a = base.select(col("doc_id").as("a"), col("source"), col("sh").as("sha"))
-      val b = base.select(col("doc_id").as("b"), col("source"), col("sh").as("shb"))
+      val base = docs(s, d).filter(col("doc_id") < 2000)
+        .withColumn("hs", sort_array(array_distinct(
+          graft.functions.TextExpressions.shingleHashes(col("text"), 3))))
+        .filter(size(col("hs")) > 0)
+        .select("doc_id", "source", "hs")
+      val a = base.select(col("doc_id").as("a"), col("source"), col("hs").as("hsa"))
+      val b = base.select(col("doc_id").as("b"), col("source"), col("hs").as("hsb"))
+      val icount = graft.functions.VectorExpressions
+        .sortedIntersectCount(col("hsa"), col("hsb"))
       a.join(b, "source").filter(col("a") < col("b"))
-        .withColumn("jac",
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(array_union(col("sha"), col("shb"))))
+        .withColumn("inter", icount)
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("hsa")) + size(col("hsb")) - col("inter")))
         .filter(col("jac") >= 0.5)
         .select("a", "b", "jac")
         .orderBy("a", "b")
@@ -109,12 +116,19 @@ object TextQueries {
 
     // MinHash + LSH near-dup: signature -> banded bucket join ->
     // candidate pairs -> signature-estimated Jaccard filter.
+    // Signatures come from explode + 16 min-aggregates: one md5 per
+    // shingle and map-side partial aggregation (the HOF formulation
+    // re-evaluated the hash per coefficient — 16x the work).
     "dedup_minhash_lsh" -> { (s, d) =>
-      val mh = withToks(docs(s, d))
-        .withColumn("sh", shingles(col("toks"), 3))
-        .filter(size(col("sh")) > 0)
-        .withColumn("mh", minhashes(col("sh"), coeffs))
-        .select("doc_id", "mh")
+      val hashed = docs(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.shingleHashes(col("text"), 3)).as("h"))
+      val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * lit(a) + lit(b)) % lit(graft.functions.TextFunctions.HashPrime)).as(s"m$i")
+      }
+      val mh = hashed.groupBy("doc_id")
+        .agg(minExprs.head, minExprs.tail: _*)
+        .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("mh"))
 
       val bands = (0 until Bands).map { bi =>
         mh.select(col("doc_id"), lit(bi).as("band"),
@@ -214,16 +228,15 @@ object TextQueries {
 
     "dedup_ngram_jaccard" ->
       s"""WITH base AS (
-         |  SELECT doc_id, source, list_distinct(sh) AS sh FROM (
+         |  SELECT doc_id, source, list_distinct(list_transform(sh, s -> ${thSql("s")})) AS hs FROM (
          |    SELECT doc_id, source, ${shinglesSql(3)} AS sh
          |    FROM (SELECT doc_id, source, $toksSql AS toks FROM documents WHERE doc_id < 2000))
          |  WHERE len(sh) > 0)
-         |SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(x.sh, y.sh))) AS jac
-         |FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id
-         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+         |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, len(x.hs) AS na, len(y.hs) AS nb,
+         |    len(list_intersect(x.hs, y.hs)) AS inter
+         |  FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id)
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash_lsh" -> {
