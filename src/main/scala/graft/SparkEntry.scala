@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ AnnQueries.queries
+      TextQueries.queries ++ AnnQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
-      TextQueries.oracleSql ++ AnnQueries.oracleSql
+      TextQueries.oracleSql ++ AnnQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,56 @@
+package graft.io
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+/** The general jq tier: pipe JSON lines through a persistent `jq -cM
+  * --unbuffered` subprocess, one process per partition-task, reused
+  * for every row in the partition (the Spark-shaped version of the
+  * reference's one-process-per-step channel,
+  * src/io/json-processor.ts:115-187).
+  *
+  * The program is wrapped `try (...)` exactly like the reference
+  * (src/io/jq.ts:14-15) so bad inputs produce no output instead of
+  * killing the process. Outputs are NDJSON, 0..N lines per input —
+  * per-input attribution is not possible through a persistent stream
+  * (same property as the reference's channel).
+  */
+object JqPipe {
+
+  def wrap(program: String, prelude: Option[String]): String =
+    s"${prelude.getOrElse("")}\ntry ($program)"
+
+  /** Pipe a partition's JSON lines through one jq process. A writer
+    * thread feeds stdin while the caller drains stdout, so pipe
+    * buffers can't deadlock. The iterator is fully lazy on the read
+    * side.
+    */
+  def pipePartition(lines: Iterator[String], program: String,
+                    prelude: Option[String] = None): Iterator[String] = {
+    if (!lines.hasNext) return Iterator.empty
+    val pb = new ProcessBuilder("jq", "-cM", "--unbuffered", wrap(program, prelude))
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+
+    val writer = new Thread(() => {
+      val w = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
+      try {
+        lines.foreach { l => w.write(l); w.write('\n') }
+        w.flush()
+      } finally w.close()
+    }, "jq-feeder")
+    writer.setDaemon(true)
+    writer.start()
+
+    val r = new BufferedReader(new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
+    new Iterator[String] {
+      private var nextLine: String = r.readLine()
+      override def hasNext: Boolean = {
+        if (nextLine == null) { r.close(); proc.waitFor(); false } else true
+      }
+      override def next(): String = {
+        val l = nextLine; nextLine = r.readLine(); l
+      }
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.BatchCompiler
+import graft.sources.Tables
+import graft.spec.Spec
+
+/** The whole spec→DAG→DataFrame stack as one oracle-checked query: a
+  * YAML pipeline (rename → pattern route → count-windowed jq
+  * aggregation through a real `jq` subprocess) replayed over the
+  * events table, with the DuckDB oracle reproducing the exact window
+  * assignment and aggregation arithmetic.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val pipelineYaml: String =
+    """name: replay
+      |steps:
+      |  classify:
+      |    flatmap:
+      |      rename:
+      |        prepend: "app."
+      |  aggregate:
+      |    after: [classify]
+      |    match/drop:
+      |      not: "app.error"
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq: '{n: "agg", d: {sum: (map(.d.k) | add), n: length, t0: .[0].t[0].i}}'
+      |""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_e2e" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val input = ev.select(
+        col("event_type").as("n"),
+        col("props").as("d"),
+        col("event_id").as("__seq"),
+        (col("ts_us") / lit(1e6)).as("arrival"))
+      val tpl = Spec.parseYaml(pipelineYaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(s, tpl, stamped).output
+      out.select(
+          col("n"),
+          get_json_object(col("d"), "$.sum").cast("long").as("sum_k"),
+          get_json_object(col("d"), "$.n").cast("long").as("n_events"),
+          get_json_object(col("d"), "$.t0").cast("double").as("t0"))
+        .orderBy("t0")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_e2e" ->
+      """WITH f AS (
+        |  SELECT epoch_us(ts)/1000000.0 AS t0v,
+        |         TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |         ROW_NUMBER() OVER (ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT 'agg' AS n, SUM(k) AS sum_k, COUNT(*) AS n_events, MIN(t0v) AS t0
+        |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
+  )
+}

@@ -1,0 +1,261 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import graft.model.Pattern
+
+/** Pipeline template model + YAML/JSON parsing + validation — the
+  * reference's spec language (README.md:506-810, src/api.ts:246-306,
+  * src/pipeline.ts:55-99), re-expressed as plain Scala data the
+  * compilers consume.
+  *
+  * Numbers may arrive as strings (the reference substitutes env
+  * placeholders before parsing; see [[Envsubst]]).
+  */
+object Spec {
+
+  final case class WindowSpec(events: Int, seconds: Double)
+  val SingletonWindow: WindowSpec = WindowSpec(1, -1)
+
+  sealed trait MatchMode
+  object MatchMode {
+    case object Drop extends MatchMode
+    case object Pass extends MatchMode
+  }
+
+  sealed trait StepFn
+  final case class Rename(replace: Option[String], prepend: Option[String],
+                          append: Option[String]) extends StepFn
+  final case class Deduplicate(considerName: Boolean, considerData: Boolean,
+                               considerTrace: Boolean) extends StepFn
+  final case class Keep(first: Option[Int], last: Option[Int]) extends StepFn
+  final case class KeepWhen(schema: JsonNode) extends StepFn
+  final case class SendStdout(jqExpr: Option[String]) extends StepFn
+  final case class SendFile(path: String, jqExpr: Option[String]) extends StepFn
+  final case class SendReceiveJq(jqExpr: String, wrapName: Option[String]) extends StepFn
+
+  final case class StepSpec(
+      name: String,
+      after: Seq[String],
+      pattern: Option[Pattern],
+      matchMode: MatchMode,
+      window: WindowSpec,
+      flatmap: Boolean, // true = flatmap (sliding per-event), false = reduce
+      fn: StepFn)
+
+  final case class PipelineTemplate(
+      name: String,
+      input: InputSpec,
+      steps: Seq[StepSpec], // declaration order preserved
+      jqPrelude: Option[String]) {
+    def signature: String =
+      graft.model.Signatures.ofJson(name + steps.map(_.toString).mkString("|"))
+  }
+
+  sealed trait InputSpec
+  /** Batch replay of NDJSON event files (the batch face of the
+    * reference's stdin/tail inputs). `wrapName` wraps raw lines.
+    */
+  final case class FileInput(path: String, wrapName: Option[String]) extends InputSpec
+  /** Streaming rate source (the reference's `generator`). */
+  final case class GeneratorInput(seconds: Double, name: String) extends InputSpec
+  /** Caller supplies the event DataFrame (library embedding). */
+  case object ProvidedInput extends InputSpec
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+  private val json = new ObjectMapper()
+
+  def parseYaml(text: String): PipelineTemplate = fromNode(yaml.readTree(text))
+  def parseJson(text: String): PipelineTemplate = fromNode(json.readTree(text))
+
+  def fromNode(root: JsonNode): PipelineTemplate = {
+    require(root.isObject, "pipeline spec must be a mapping")
+    val name = req(root, "name").asText
+    val input = parseInput(root.get("input"))
+    val stepsNode = Option(root.get("steps")).getOrElse(json.createObjectNode())
+    val stepNames = iter(stepsNode.fieldNames()).toSeq
+    val steps = stepNames.map(n => parseStep(n, stepsNode.get(n)))
+    val tpl = PipelineTemplate(name, input,  steps,
+      Option(root.get("jq-prelude")).map(_.asText))
+    validate(tpl)
+    tpl
+  }
+
+  private def parseInput(n: JsonNode): InputSpec = {
+    if (n == null) return ProvidedInput
+    val forms = iter(n.fieldNames()).toSeq
+    require(forms.size == 1, s"input must declare exactly one form, got $forms")
+    forms.head match {
+      case "file" =>
+        val f = n.get("file")
+        FileInput(req(f, "path").asText, wrapOf(f))
+      case "stdin" | "tail" =>
+        // batch replay: both are line/NDJSON readers over a path
+        val f = n.get(forms.head)
+        if (f == null || f.isNull) FileInput("-", None)
+        else FileInput(Option(f.get("path")).map(_.asText).getOrElse("-"), wrapOf(f))
+      case "generator" =>
+        val g = n.get("generator")
+        val secs = if (g == null || g.isNull) 1.0
+          else if (g.isObject) numOf(Option(g.get("seconds")), 1.0)
+          else g.asDouble(1.0)
+        GeneratorInput(secs, "_")
+      case other =>
+        throw new IllegalArgumentException(
+          s"input form '$other' requires a live broker; not available in batch replay")
+    }
+  }
+
+  private def wrapOf(n: JsonNode): Option[String] = Option(n).flatMap { f =>
+    Option(f.get("wrap")).map { w =>
+      if (w.isTextual) w.asText else req(w, "name").asText
+    }
+  }
+
+  private def parseStep(name: String, n: JsonNode): StepSpec = {
+    val after = Option(n.get("after")).map(a => iter(a.elements()).map(_.asText).toSeq)
+      .getOrElse(Seq.empty)
+    val drop = Option(n.get("match/drop"))
+    val pass = Option(n.get("match/pass"))
+    require(drop.isEmpty || pass.isEmpty,
+      s"step '$name': at most one of match/drop, match/pass")
+    val pattern = drop.orElse(pass).map(parsePattern)
+    val mode = if (pass.isDefined) MatchMode.Pass else MatchMode.Drop
+    val window = Option(n.get("window")).map { w =>
+      WindowSpec(numOf(Option(w.get("events")), 1.0).toInt,
+        numOf(Option(w.get("seconds")), -1.0))
+    }.getOrElse(SingletonWindow)
+    val fm = Option(n.get("flatmap")); val rd = Option(n.get("reduce"))
+    require(fm.isDefined != rd.isDefined,
+      s"step '$name': exactly one of flatmap or reduce is required")
+    val fnNode = fm.orElse(rd).get
+    val fnKeys = iter(fnNode.fieldNames()).toSeq
+    require(fnKeys.size == 1, s"step '$name': exactly one step function, got $fnKeys")
+    StepSpec(name, after, pattern, mode, window, fm.isDefined,
+      parseFn(name, fnKeys.head, fnNode.get(fnKeys.head)))
+  }
+
+  private def parsePattern(n: JsonNode): Pattern = {
+    val p =
+      if (n.isTextual) Pattern.Str(n.asText)
+      else json.convertValue(n, classOf[java.util.Map[String, Any]]) match {
+        case m => Pattern.fromAny(m)
+      }
+    require(p.validate, s"invalid pattern: $n")
+    p
+  }
+
+  private def parseFn(step: String, key: String, n: JsonNode): StepFn = key match {
+    case "rename" =>
+      val r = Rename(opt(n, "replace"), opt(n, "prepend"), opt(n, "append"))
+      require(r.replace.isEmpty != (r.prepend.isEmpty && r.append.isEmpty),
+        s"step '$step': rename needs replace XOR affixes")
+      r.replace.foreach(v => require(graft.model.EventName.isValid(v),
+        s"step '$step': rename.replace must be a valid event name"))
+      // affix grammar (reference src/step-functions/rename.ts:60-78):
+      // an append may start with '.', a prepend may end with '.'; the
+      // remainder must be a valid event name
+      r.append.foreach(a => require(
+        (a.startsWith(".") && graft.model.EventName.isValid(a.drop(1))) ||
+          graft.model.EventName.isValid(a),
+        s"step '$step': rename.append must be a proper name suffix"))
+      r.prepend.foreach(p => require(
+        (p.endsWith(".") && graft.model.EventName.isValid(p.dropRight(1))) ||
+          graft.model.EventName.isValid(p),
+        s"step '$step': rename.prepend must be a proper name prefix"))
+      r
+    case "deduplicate" =>
+      if (n == null || n.isNull) Deduplicate(true, true, false)
+      else Deduplicate(
+        Option(n.get("consider-name")).forall(_.asBoolean),
+        Option(n.get("consider-data")).forall(_.asBoolean),
+        Option(n.get("consider-trace")).exists(_.asBoolean))
+    case "keep" =>
+      if (n.isNumber || n.isTextual) Keep(Some(n.asInt), None)
+      else {
+        val k = Keep(Option(n.get("first")).map(_.asInt), Option(n.get("last")).map(_.asInt))
+        require(k.first.isDefined != k.last.isDefined,
+          s"step '$step': keep needs first XOR last")
+        k
+      }
+    case "keep-when" => KeepWhen(n)
+    case "send-stdout" =>
+      SendStdout(if (n == null || n.isNull) None else opt(n, "jq-expr"))
+    case "send-file" =>
+      if (n.isTextual) SendFile(n.asText, None)
+      else SendFile(req(n, "path").asText, opt(n, "jq-expr"))
+    case "send-receive-jq" =>
+      if (n.isTextual) SendReceiveJq(n.asText, None)
+      else SendReceiveJq(req(n, "jq-expr").asText,
+        Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
+    case other =>
+      throw new IllegalArgumentException(s"step '$step': unsupported step function '$other'")
+  }
+
+  /** DAG + semantic validation (reference src/pipeline.ts:55-99). */
+  def validate(tpl: PipelineTemplate): Unit = {
+    val names = tpl.steps.map(_.name)
+    require(!names.contains("$input"), "'$input' is a reserved step name")
+    require(names.distinct.size == names.size, "duplicate step names")
+    val known = names.toSet + "$input"
+    tpl.steps.foreach { s =>
+      s.after.foreach(a => require(known.contains(a),
+        s"step '${s.name}': dangling dependency '$a'"))
+      require(s.window.events >= 1, s"step '${s.name}': window.events must be >= 1")
+      require(s.window.seconds > 0 || s.window.seconds == -1,
+        s"step '${s.name}': window.seconds must be positive")
+    }
+    // cycle check: Kahn over the after-edges
+    val deps = tpl.steps.map(s => s.name ->
+      s.after.filterNot(_ == "$input").toSet).toMap
+    var remaining = deps
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      val ready = remaining.collect { case (n, d) if d.forall(!remaining.contains(_)) => n }
+      progress = ready.nonEmpty
+      remaining = remaining -- ready
+    }
+    require(remaining.isEmpty, s"dependency cycle among steps: ${remaining.keys.mkString(", ")}")
+  }
+
+  /** Topological order of steps (stable w.r.t. declaration order). */
+  def topoOrder(tpl: PipelineTemplate): Seq[StepSpec] = {
+    val byName = tpl.steps.map(s => s.name -> s).toMap
+    val visited = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit = {
+      if (n != "$input" && !visited.contains(n)) {
+        byName(n).after.foreach(visit)
+        visited += n
+      }
+    }
+    tpl.steps.foreach(s => visit(s.name))
+    visited.toSeq.map(byName)
+  }
+
+  // ---- env placeholder substitution (reference src/utils.ts:105-120) ----
+
+  /** Replace `${VAR}` placeholders from the given environment; missing
+    * variables resolve to the empty string, like envsubst.
+    */
+  def envsubst(text: String, env: Map[String, String] = sys.env): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+      .replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(env.getOrElse(m.group(1), "")))
+
+  // ---- helpers ----
+
+  private def iter[T](it: java.util.Iterator[T]): Iterator[T] =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+
+  private def req(n: JsonNode, field: String): JsonNode = {
+    val v = n.get(field)
+    require(v != null, s"missing required field '$field'")
+    v
+  }
+
+  private def opt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).map(_.asText)
+
+  private def numOf(n: Option[JsonNode], dflt: Double): Double =
+    n.map(v => if (v.isTextual) v.asText.toDouble else v.asDouble).getOrElse(dflt)
+}

@@ -1,0 +1,242 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spec.Spec
+
+/** End-to-end pipeline compilation goldens, incl. the window-semantics
+  * vectors of the reference's test suite (reference __tests__/step.ts)
+  * driven through YAML + jq subprocess.
+  */
+class BatchCompilerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** Event DataFrame from (name, payloadJson) with arrival order. */
+  private def events(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    val df = rows.zipWithIndex
+      .map { case ((n, d), i) => (n, d, i.toLong, 1000.0 + i) }
+      .toDF("n", "d", "__seq", "arrival")
+    df
+  }
+
+  private def run(yaml: String, input: DataFrame): BatchCompiler.Compiled = {
+    val tpl = Spec.parseYaml(yaml)
+    val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+    BatchCompiler.compile(spark, tpl, stamped)
+  }
+
+  test("rename + match/drop route only matching events") {
+    val out = run(
+      """name: p
+        |steps:
+        |  classify:
+        |    match/drop: "metric.#"
+        |    flatmap:
+        |      rename:
+        |        prepend: "seen."
+        |""".stripMargin,
+      events("metric.a" -> "1", "other.b" -> "2", "metric.c" -> "3"))
+    val names = out.output.orderBy("__seq").select("n").collect().map(_.getString(0))
+    assert(names.toSeq == Seq("seen.metric.a", "seen.metric.c"))
+  }
+
+  test("match/pass forwards non-matching events unmodified") {
+    val out = run(
+      """name: p
+        |steps:
+        |  classify:
+        |    match/pass: "metric.#"
+        |    flatmap:
+        |      rename:
+        |        replace: "got-metric"
+        |""".stripMargin,
+      events("metric.a" -> "1", "other.b" -> "2"))
+    val names = out.output.orderBy("__seq").select("n").collect().map(_.getString(0)).toSet
+    assert(names == Set("got-metric", "other.b"))
+  }
+
+  test("reduce window dedup: goldens from reference dedup suite") {
+    // data sequence 3.14, 3.14, 3.141, 3.14, 3.14, 3.141, 3.14, 3.1415
+    // in one big window => survivors 3.14, 3.141, 3.1415
+    val ds = Seq("3.14", "3.14", "3.141", "3.14", "3.14", "3.141", "3.14", "3.1415")
+    val out = run(
+      """name: p
+        |steps:
+        |  dd:
+        |    window:
+        |      events: 100
+        |    reduce:
+        |      deduplicate: null
+        |""".stripMargin,
+      events(ds.map(d => "x" -> d): _*))
+    val got = out.output.orderBy("__seq").select("d").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("3.14", "3.141", "3.1415"))
+  }
+
+  test("keep last-2 within count windows") {
+    val out = run(
+      """name: p
+        |steps:
+        |  k:
+        |    window:
+        |      events: 3
+        |    reduce:
+        |      keep:
+        |        last: 2
+        |""".stripMargin,
+      events((1 to 7).map(i => "x" -> i.toString): _*))
+    val got = out.output.orderBy("__seq").select("d").collect().map(_.getString(0))
+    // windows (1,2,3)(4,5,6)(7) => keep last 2: 2,3, 5,6, 7
+    assert(got.toSeq == Seq("2", "3", "5", "6", "7"))
+  }
+
+  test("flatmap sliding windows through jq: README golden (A..E, size 3)") {
+    val out = run(
+      """name: p
+        |steps:
+        |  slide:
+        |    window:
+        |      events: 3
+        |    flatmap:
+        |      send-receive-jq: '{n: "v", d: (map(.d) | add)}'
+        |""".stripMargin,
+      events(Seq("A", "B", "C", "D", "E").map(x => "x" -> s""""$x""""): _*))
+    val got = out.output.select("d").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("\"ABC\"", "\"BCD\"", "\"CDE\"", "\"DE\"", "\"E\"").sorted)
+  }
+
+  test("send-receive-jq aggregates vectors and stamps traces; jq-prelude applies") {
+    val out = run(
+      """name: p
+        |jq-prelude: 'def double: . * 2;'
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jq: '{n: "agg", d: (map(.d) | add | double)}'
+        |""".stripMargin,
+      events("x" -> "1", "x" -> "2", "x" -> "10", "x" -> "20", "x" -> "5"))
+    val got = out.output.select("d").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("6", "60", "10").sorted)
+    val traces = out.output.select(size(col("t"))).collect().map(_.getInt(0))
+    assert(traces.forall(_ == 1))
+  }
+
+  test("send-stdout is a pass-through tap with an NDJSON sink view") {
+    val out = run(
+      """name: p
+        |steps:
+        |  tap:
+        |    flatmap:
+        |      send-stdout: null
+        |  next:
+        |    after: [tap]
+        |    flatmap:
+        |      rename:
+        |        append: ".done"
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2"))
+    assert(out.sinks.contains("tap"))
+    assert(out.sinks("tap").count() == 2)
+    val sample = out.sinks("tap").head().getString(0)
+    assert(sample.startsWith("{\"n\":"))
+    val names = out.output.select("n").collect().map(_.getString(0)).toSet
+    assert(names == Set("a.done", "b.done"))
+  }
+
+  test("multi-parent step unions upstreams; terminal steps union to output") {
+    val out = run(
+      """name: p
+        |steps:
+        |  evens:
+        |    match/drop: "even.#"
+        |    flatmap:
+        |      rename:
+        |        replace: "num"
+        |  odds:
+        |    match/drop: "odd.#"
+        |    flatmap:
+        |      rename:
+        |        replace: "num"
+        |  merge:
+        |    after: [evens, odds]
+        |    window:
+        |      events: 10
+        |    reduce:
+        |      send-receive-jq: '{n: "count", d: length}'
+        |""".stripMargin,
+      events("even.2" -> "2", "odd.1" -> "1", "even.4" -> "4", "ignored" -> "0"))
+    val got = out.output.select("d").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("3"))
+  }
+
+  test("spec validation rejects the reference's rejection fixtures") {
+    def bad(yaml: String): Unit =
+      assertThrows[IllegalArgumentException](Spec.parseYaml(yaml))
+    // cycle
+    bad("""name: p
+          |steps:
+          |  foo: {after: [baz], flatmap: {send-stdout: null}}
+          |  bar: {after: [foo], flatmap: {send-stdout: null}}
+          |  baz: {after: [bar], flatmap: {send-stdout: null}}
+          |""".stripMargin)
+    // both match modes
+    bad("""name: p
+          |steps:
+          |  s:
+          |    match/drop: "a"
+          |    match/pass: "b"
+          |    flatmap: {send-stdout: null}
+          |""".stripMargin)
+    // both flatmap and reduce
+    bad("""name: p
+          |steps:
+          |  s:
+          |    flatmap: {send-stdout: null}
+          |    reduce: {send-stdout: null}
+          |""".stripMargin)
+    // dangling after
+    bad("""name: p
+          |steps:
+          |  s: {after: [nope], flatmap: {send-stdout: null}}
+          |""".stripMargin)
+    // reserved name
+    bad("""name: p
+          |steps:
+          |  $input: {flatmap: {send-stdout: null}}
+          |""".stripMargin)
+    // bad rename affix
+    bad("""name: p
+          |steps:
+          |  s:
+          |    flatmap:
+          |      rename:
+          |        prepend: ".bad"
+          |""".stripMargin)
+    // rename replace AND affixes
+    bad("""name: p
+          |steps:
+          |  s:
+          |    flatmap:
+          |      rename:
+          |        replace: "x"
+          |        append: ".y"
+          |""".stripMargin)
+  }
+
+  test("envsubst substitutes placeholders like the reference CLI") {
+    val y = Spec.envsubst("name: ${GRAFT_TEST_NAME}\n", Map("GRAFT_TEST_NAME" -> "pipe"))
+    assert(y == "name: pipe\n")
+    assert(Spec.envsubst("x: ${MISSING_VAR_XYZ}!", Map.empty) == "x: !")
+  }
+}
