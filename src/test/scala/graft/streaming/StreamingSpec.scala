@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TracePoint
+import graft.spec.Spec
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ev(n: String, d: String, seq: Long): SEvent =
+    SEvent(n, d, Seq(TracePoint(1000.0 + seq, "t", "h")), 1000.0 + seq, seq)
+
+  private var queryId = 0
+  private def runToMemory[T](ds: org.apache.spark.sql.Dataset[T],
+                             triggerMs: Long = 0): (String, org.apache.spark.sql.streaming.StreamingQuery) = {
+    queryId += 1
+    val name = s"strout$queryId"
+    var w = ds.writeStream.format("memory").queryName(name).outputMode("append")
+    if (triggerMs > 0)
+      w = w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+    (name, w.start())
+  }
+
+  /** Poll until the memory table holds `n` rows — processAllAvailable
+    * never returns on a timer-armed stateful query (every batch has
+    * pending timers), so timeout tests must poll.
+    */
+  private def awaitRows(name: String, n: Long, timeoutMs: Long = 20000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(name).count() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(spark.table(name).count() >= n, s"timed out waiting for $n rows in $name")
+  }
+
+  test("count-arm hybrid vectors close at maxEvents across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val vecs = StreamingWindows.hybridVectors(mem.toDS(), _.n, maxEvents = 3, maxSeconds = -1)
+    val (name, q) = runToMemory(vecs.map(v => (v.key, v.vecId, v.events.map(_.d).mkString(","))))
+    mem.addData(ev("a", "1", 1), ev("a", "2", 2))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0) // buffer open at 2 of 3
+    mem.addData(ev("a", "3", 3), ev("a", "4", 4), ev("b", "9", 5))
+    q.processAllAvailable()
+    val rows = spark.table(name).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSet == Set(("a", 0L, "1,2,3"))) // a's first vector closed; 4 and b buffered
+    mem.addData(ev("b", "8", 6), ev("b", "7", 7))
+    q.processAllAvailable()
+    val rows2 = spark.table(name).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows2.toSet == Set(("a", 0L, "1,2,3"), ("b", 0L, "9,8,7")))
+    q.stop()
+  }
+
+  test("time-arm flushes partial vectors on processing-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val vecs = StreamingWindows.hybridVectors(mem.toDS(), _.n, maxEvents = 100, maxSeconds = 1.0)
+    val (name, q) = runToMemory(vecs.map(v => (v.key, v.events.map(_.d).mkString(","))), triggerMs = 200)
+    mem.addData(ev("a", "1", 1), ev("a", "2", 2))
+    awaitRows(name, 1) // the 1s timer flushes the partial vector
+    val rows = spark.table(name).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("a", "1,2")))
+    q.stop()
+  }
+
+  test("streaming pipeline: rename + windowed jq through the stream compiler") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tpl = Spec.parseYaml(
+      """name: sp
+        |steps:
+        |  mark:
+        |    flatmap:
+        |      rename:
+        |        prepend: "s."
+        |  agg:
+        |    after: [mark]
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jq: '{n: "agg", d: (map(.d) | add)}'
+        |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.output.map(e => (e.n, e.d)))
+    mem.addData(ev("x", "1", 1), ev("x", "2", 2), ev("x", "10", 3), ev("x", "20", 4))
+    q.processAllAvailable()
+    val rows = spark.table(name).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("agg", "3"), ("agg", "30")))
+    q.stop()
+  }
+
+  test("generator source emits wrapped random events") {
+    val gen = StreamCompiler.generatorSource(spark, seconds = 0.01)
+    val (name, q) = runToMemory(gen)
+    try {
+      q.processAllAvailable()
+      Thread.sleep(300)
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.forall(_.getString(0) == "_"))
+    } finally q.stop()
+  }
+
+  test("send-stdout tap yields NDJSON lines in streaming mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tpl = Spec.parseYaml(
+      """name: sp2
+        |steps:
+        |  tap:
+        |    flatmap:
+        |      send-stdout: null
+        |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.sinks("tap"))
+    mem.addData(ev("a", "{\"k\":1}", 1))
+    q.processAllAvailable()
+    val line = spark.table(name).head().getString(0)
+    assert(line.startsWith("{\"n\":\"a\",\"d\":{\"k\":1},\"t\":[{\"i\":1001.0"))
+    q.stop()
+  }
+}
