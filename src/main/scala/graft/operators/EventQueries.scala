@@ -255,6 +255,27 @@ object EventQueries {
     "ev_trace_stamp" ->
       s"""SELECT event_id, $tsUs / 1000000.0 AS i, 'graft' AS p,
          |  '${Signatures.ofJson("{}")}' AS h, 1 AS trace_len
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the anchored count-or-time semantics as a sequential recursive
+    // CTE: one row per key per iteration, exactly the scan in
+    // HybridWindow.anchoredVectors
+    "ev_window_hybrid" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_type k, $tsUs us, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY $tsUs, event_id) rn
+         |  FROM events),
+         |assign AS (
+         |  SELECT k, rn, us, event_id, CAST(0 AS BIGINT) vec, CAST(1 AS BIGINT) cnt, us first_us
+         |  FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.k, b.rn, b.us, b.event_id,
+         |    CASE WHEN a.cnt >= 100 OR b.us - a.first_us >= 21600000000 THEN a.vec + 1 ELSE a.vec END,
+         |    CASE WHEN a.cnt >= 100 OR b.us - a.first_us >= 21600000000 THEN 1 ELSE a.cnt + 1 END,
+         |    CASE WHEN a.cnt >= 100 OR b.us - a.first_us >= 21600000000 THEN b.us ELSE a.first_us END
+         |  FROM assign a JOIN base b ON b.k = a.k AND b.rn = a.rn + 1)
+         |SELECT k AS event_type, vec AS vec_id, COUNT(*) AS cnt,
+         |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
+         |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -34,6 +34,11 @@ object Spec {
   final case class SendStdout(jqExpr: Option[String]) extends StepFn
   final case class SendFile(path: String, jqExpr: Option[String]) extends StepFn
   final case class SendReceiveJq(jqExpr: String, wrapName: Option[String]) extends StepFn
+  final case class SendHttp(target: String, method: String,
+                            headers: Map[String, String], jqExpr: Option[String]) extends StepFn
+  final case class SendReceiveHttp(target: String, headers: Map[String, String],
+                                   wrapName: Option[String]) extends StepFn
+  final case class ExposeHttpFn(endpoint: String, port: Int, responses: Int) extends StepFn
 
   final case class StepSpec(
       name: String,
@@ -189,6 +194,21 @@ object Spec {
       if (n.isTextual) SendReceiveJq(n.asText, None)
       else SendReceiveJq(req(n, "jq-expr").asText,
         Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
+    case "send-http" =>
+      if (n.isTextual) SendHttp(n.asText, "POST", Map.empty, None)
+      else {
+        val method = Option(n.get("method")).map(_.asText.toUpperCase).getOrElse("POST")
+        require(Set("POST", "PUT", "PATCH").contains(method),
+          s"step '$step': send-http method must be POST/PUT/PATCH")
+        SendHttp(req(n, "target").asText, method, headersOf(n), opt(n, "jq-expr"))
+      }
+    case "send-receive-http" =>
+      if (n.isTextual) SendReceiveHttp(n.asText, Map.empty, None)
+      else SendReceiveHttp(req(n, "target").asText, headersOf(n),
+        Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
+    case "expose-http" =>
+      ExposeHttpFn(req(n, "endpoint").asText, req(n, "port").asInt,
+        Option(n.get("responses")).map(_.asInt).getOrElse(1))
     case other =>
       throw new IllegalArgumentException(s"step '$step': unsupported step function '$other'")
   }
@@ -255,6 +275,11 @@ object Spec {
 
   private def opt(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).map(_.asText)
+
+  private def headersOf(n: JsonNode): Map[String, String] =
+    Option(n.get("headers")).map { h =>
+      iter(h.fieldNames()).map(k => k -> h.get(k).asText).toMap
+    }.getOrElse(Map.empty)
 
   private def numOf(n: Option[JsonNode], dflt: Double): Double =
     n.map(v => if (v.isTextual) v.asText.toDouble else v.asDouble).getOrElse(dflt)
