@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Push/pull ingest sources built on the spool-directory pattern: a
+  * driver-side receiver appends atomically-renamed NDJSON files to a
+  * directory that a Structured Streaming file source tails. This is
+  * the robust offline-capable shape for the reference's `http` and
+  * `poll` inputs (src/input/http.ts, src/input/poll.ts): Spark's file
+  * source gives exactly-once offsets per file, the receiver gives the
+  * network face; a custom DataSourceV2 MicroBatchStream would remove
+  * the directory hop at the cost of re-implementing offset tracking.
+  *
+  * The same spool contract is the documented adapter point for
+  * brokered inputs (AMQP/MQTT/Redis): any consumer that writes
+  * NDJSON batches into the spool integrates identically (no broker
+  * client libraries ship in this environment).
+  */
+object IngestSources {
+
+  /** Streaming NDJSON/raw-line reader over a directory (the streaming
+    * face of the reference's `tail`/`stdin`; also the spool reader).
+    */
+  def streamLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+
+  /** The reference's `http` input (src/input/http.ts:90-165): an
+    * embedded POST endpoint receiving NDJSON bodies; every accepted
+    * body becomes one spool file. GET /healthz responds 200; bodies
+    * while the spool is saturated get 503 (the reference's
+    * backpressure response).
+    */
+  final class HttpIngest(endpoint: String, port: Int, spoolDir: String,
+                         maxSpoolFiles: Int = 10000) {
+    private val counter = new AtomicLong(0)
+    private var server: HttpServer = _
+    private val dir = Paths.get(spoolDir)
+
+    def start(): Int = {
+      Files.createDirectories(dir)
+      server = HttpServer.create(new InetSocketAddress(port), 0)
+      server.createContext("/healthz", (x: HttpExchange) => {
+        val b = "OK".getBytes(StandardCharsets.UTF_8)
+        x.sendResponseHeaders(200, b.length); x.getResponseBody.write(b); x.close()
+      })
+      server.createContext(endpoint, (x: HttpExchange) => {
+        if (x.getRequestMethod != "POST") { x.sendResponseHeaders(405, -1); x.close() }
+        else if (spoolSize() >= maxSpoolFiles) { x.sendResponseHeaders(503, -1); x.close() }
+        else {
+          val body = x.getRequestBody.readAllBytes()
+          appendSpool(dir, counter.incrementAndGet(), body)
+          x.sendResponseHeaders(200, -1); x.close()
+        }
+      })
+      server.start()
+      server.getAddress.getPort
+    }
+
+    private def spoolSize(): Long = {
+      val s = Files.list(dir)
+      try s.count() finally s.close()
+    }
+
+    def stop(): Unit = if (server != null) server.stop(0)
+  }
+
+  /** The reference's `poll` input (src/input/poll.ts:106-189):
+    * periodic GET of a target, ETag-deduplicated, each changed body
+    * spooled. `pollOnce` is the unit the schedule drives (call it from
+    * a driver timer or external scheduler).
+    */
+  final class PollIngest(target: String, spoolDir: String,
+                         headers: Map[String, String] = Map.empty) {
+    private val counter = new AtomicLong(0)
+    @volatile private var lastEtag: Option[String] = None
+    private val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+
+    def pollOnce(): Boolean = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(target)).GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      lastEtag.foreach(e => b.header("If-None-Match", e))
+      val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() == 304) false
+      else if (resp.statusCode() >= 200 && resp.statusCode() < 300) {
+        val etag = resp.headers().firstValue("ETag")
+        lastEtag = if (etag.isPresent) Some(etag.get()) else None
+        appendSpool(dir, counter.incrementAndGet(), resp.body())
+        true
+      } else false
+    }
+  }
+
+  /** Atomic spool append: write to a temp name, rename into place, so
+    * the streaming file source never reads a partial file.
+    */
+  private def appendSpool(dir: Path, id: Long, body: Array[Byte]): Unit = {
+    val tmp = dir.resolve(s".tmp-$id")
+    val fin = dir.resolve(f"batch-$id%012d.ndjson")
+    Files.write(tmp, body)
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
