@@ -90,9 +90,9 @@ object Similarity {
     // on ids only — the 64-float vectors do not ride through the
     // bucket join or the pair dedup shuffle; they join back once per
     // surviving pair.
-    val allPlanes = (0 until tables).map(t => hyperplanes(bits, dim, seed = 7L + t))
+    val allPlanes = (0 until tables).flatMap(t => hyperplanes(bits, dim, seed = 7L + t))
     val buckets = b.withColumn("bs",
-        array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
+        graft.functions.VectorExpressions.lshBuckets(col(vecCol), allPlanes, dim, bits))
       .select(col(idCol), posexplode(col("bs")).as(Seq("tbl", "bucket")))
     val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
     val y = buckets.select(col("tbl"), col("bucket"), col(idCol).as("nid"))

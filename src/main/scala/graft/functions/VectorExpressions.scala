@@ -124,9 +124,56 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH table buckets in one pass: for `tables × bits` hyperplanes
+  * (flattened row-major into `planes`, each of length `dim`), emit one
+  * bucket id per table — bit j of table t set iff
+  * dot(vec, plane[t*bits+j]) >= 0.
+  *
+  * Replaces `tables × bits` separate literal-array dot-product
+  * expressions, which evaluated interpretively per plane per row and
+  * dominated ANN bucket assignment.
+  */
+case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val tables = planes.length / (dim * bits)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += planes(base + i) * v.getFloat(i); i += 1 }
+        if (s >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** All multi-table LSH buckets for a float vector in one pass. */
+  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], dim: Int, bits: Int): Column =
+    ColumnBridge.column(LshBuckets(ColumnBridge.expression(vec), planes.flatten.toArray, dim, bits))
 
   /** Column-level handle for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =

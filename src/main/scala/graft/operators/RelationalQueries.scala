@@ -205,6 +205,42 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // TPC-H Q6-style selective scan: every predicate pushed to parquet,
+    // one exact-decimal sum — the minimal full-scan shape.
+    "q6_selective" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    },
+
+    // Exact interpolated percentiles (median & quartile).
+    "agg_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Ordered string aggregation per group.
+    "agg_stringagg" -> { (s, d) =>
+      Tables.supplier(s, d).groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("s_nationkey")
+    },
+
+    // Uncorrelated scalar subquery: customers above the mean balance.
+    "subquery_scalar" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val mean = cust.agg((sum(dec("c_acctbal")).cast("double") / count(lit(1))).as("m"))
+      cust.crossJoin(broadcast(mean))
+        .filter(col("c_acctbal") > col("m"))
+        .select("c_custkey", "c_acctbal").orderBy("c_custkey")
+    },
+
     // Approximate distinct (HLL) — no SQL oracle (estimates differ by
     // engine); the driver records a rows-only check, exactness is
     // asserted relative to countDistinct in unit tests.
@@ -236,6 +272,26 @@ object RelationalQueries {
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
   val oracleSql: Map[String, String] = Map(
+    "q6_selective" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stringagg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q3_join_topk" ->
       s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
          |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS o_orderdate
