@@ -34,7 +34,32 @@ object PipelineQueries {
       |      send-receive-jq: '{n: "agg", d: {sum: (map(.d.k) | add), n: length, t0: .[0].t[0].i}}'
       |""".stripMargin
 
+  private def runPipeline(yaml: String)(s: SparkSession, d: String): DataFrame = {
+      val ev = Tables.events(s, d)
+      val input = ev.select(
+        col("event_type").as("n"),
+        col("props").as("d"),
+        col("event_id").as("__seq"),
+        (col("ts_us") / lit(1e6)).as("arrival"))
+      val tpl = Spec.parseYaml(yaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(s, tpl, stamped).output
+      out.select(
+          col("n"),
+          get_json_object(col("d"), "$.sum").cast("double").cast("long").as("sum_k"),
+          get_json_object(col("d"), "$.n").cast("double").cast("long").as("n_events"),
+          get_json_object(col("d"), "$.t0").cast("double").as("t0"))
+        .orderBy("t0")
+  }
+
   val queries: Map[String, Q] = Map(
+    // same pipeline through BOTH jq tiers, checked against one truth:
+    // the subprocess tier runs real jq; the compiled tier lowers the
+    // expression to native aggregates
+    "pipeline_e2e_compiled" -> { (s, d) =>
+      runPipeline("jq-tier: compiled\n" + pipelineYaml)(s, d)
+    },
+
     "pipeline_e2e" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val input = ev.select(
@@ -47,15 +72,14 @@ object PipelineQueries {
       val out = BatchCompiler.compile(s, tpl, stamped).output
       out.select(
           col("n"),
-          get_json_object(col("d"), "$.sum").cast("long").as("sum_k"),
-          get_json_object(col("d"), "$.n").cast("long").as("n_events"),
+          get_json_object(col("d"), "$.sum").cast("double").cast("long").as("sum_k"),
+          get_json_object(col("d"), "$.n").cast("double").cast("long").as("n_events"),
           get_json_object(col("d"), "$.t0").cast("double").as("t0"))
         .orderBy("t0")
     }
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "pipeline_e2e" ->
+  private val e2eOracle =
       """WITH f AS (
         |  SELECT epoch_us(ts)/1000000.0 AS t0v,
         |         TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
@@ -63,5 +87,8 @@ object PipelineQueries {
         |  FROM events WHERE event_type <> 'error')
         |SELECT 'agg' AS n, SUM(k) AS sum_k, COUNT(*) AS n_events, MIN(t0v) AS t0
         |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
-  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_e2e" -> e2eOracle,
+    "pipeline_e2e_compiled" -> e2eOracle)
 }

@@ -53,7 +53,11 @@ object Spec {
       name: String,
       input: InputSpec,
       steps: Seq[StepSpec], // declaration order preserved
-      jqPrelude: Option[String]) {
+      jqPrelude: Option[String],
+      /** Engine extension: "compiled" lowers in-subset jq expressions
+        * to native columns (numeric semantics, no subprocess); default
+        * "subprocess" is exact jq. */
+      jqTier: String = "subprocess") {
     def signature: String =
       graft.model.Signatures.ofJson(name + steps.map(_.toString).mkString("|"))
   }
@@ -81,8 +85,11 @@ object Spec {
     val stepsNode = Option(root.get("steps")).getOrElse(json.createObjectNode())
     val stepNames = iter(stepsNode.fieldNames()).toSeq
     val steps = stepNames.map(n => parseStep(n, stepsNode.get(n)))
-    val tpl = PipelineTemplate(name, input,  steps,
-      Option(root.get("jq-prelude")).map(_.asText))
+    val jqTier = Option(root.get("jq-tier")).map(_.asText).getOrElse("subprocess")
+    require(Set("subprocess", "compiled").contains(jqTier),
+      s"jq-tier must be subprocess or compiled, got $jqTier")
+    val tpl = PipelineTemplate(name, input, steps,
+      Option(root.get("jq-prelude")).map(_.asText), jqTier)
     validate(tpl)
     tpl
   }

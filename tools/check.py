@@ -36,6 +36,10 @@ def main():
             continue
         name = os.path.basename(qdir)
         parts = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not parts:
+            print(f"FAIL-EMPTY {name:28s} no parquet output (query failed?)")
+            n_fail += 1
+            continue
         got_rel = con.sql(f"SELECT * FROM read_parquet({parts!r})")
         got_cols = sorted(got_rel.columns)
         got = norm(con.sql(
