@@ -22,14 +22,43 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object HybridWindow {
 
-  /** Assign `vec_id` per `keyCols` group: sequential vectors closed by
-    * count `maxEvents` or elapsed `maxSeconds` (event time from
-    * `tsMicrosCol`, microseconds). Ordering/tiebreak inside a key is
-    * (tsMicrosCol, tieCols...). A non-positive bound disables that arm
-    * (reference: window omitted ⇒ {events: 1, seconds: -1}).
+  /** Assign `vec_id` per `keyCols` group via the first-class Catalyst
+    * operator ([[graft.plans.AnchoredWindow]]): the planner sees the
+    * operator's distribution/ordering requirements and partitioning
+    * guarantee, so existing shuffles/sorts are reused and a downstream
+    * groupBy on (key, vec_id) needs no new exchange. Registered on the
+    * session's experimental strategies on first use (also injectable
+    * via [[graft.plans.GraftExtensions]]).
     */
   def anchoredVectors(df: DataFrame, keyCols: Seq[String], tsMicrosCol: String,
                       tieCols: Seq[String], maxEvents: Int, maxSeconds: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AnchoredWindowStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AnchoredWindowStrategy
+
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column '$name' not found"))
+    val node = graft.plans.AnchoredWindow(
+      keyCols.map(attr), attr(tsMicrosCol), tieCols.map(attr),
+      if (maxEvents > 0) maxEvents.toLong else Long.MaxValue,
+      if (maxSeconds > 0) (maxSeconds * 1e6).toLong else Long.MaxValue,
+      AttributeReference("vec_id", LongType, nullable = false)(),
+      analyzed)
+    ColumnBridge.ofRows(spark, node)
+  }
+
+  /** The opaque mapPartitions formulation — kept as the reference
+    * implementation the native operator is differentially tested
+    * against.
+    */
+  def anchoredVectorsRows(df: DataFrame, keyCols: Seq[String], tsMicrosCol: String,
+                          tieCols: Seq[String], maxEvents: Int, maxSeconds: Double): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("vec_id", LongType, nullable = false))
     val keyIdx = keyCols.map(df.schema.fieldIndex)
     val tsIdx = df.schema.fieldIndex(tsMicrosCol)

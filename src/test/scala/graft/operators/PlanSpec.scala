@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan shape assertions: these are the properties that make
+  * the queries hold at 100 TB — if a refactor silently turns a
+  * broadcast join into a sort-merge or un-pushes a scan filter, this
+  * suite fails even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q5 snowflake: all dimension joins broadcast, none sort-merge") {
+    val p = plan("q5_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    assert(plan("sort_limit").contains("TakeOrderedAndProject"))
+    assert(plan("q3_join_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q6 pushes every scan predicate into the parquet reader") {
+    val p = plan("q6_selective")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"))
+    // pruned read schema: only the referenced columns
+    assert(!p.contains("l_orderkey"))
+  }
+
+  test("semi/anti joins stay broadcast at dimension scale") {
+    assert(plan("join_semi").contains("BroadcastHashJoin"))
+    assert(plan("join_anti").contains("BroadcastHashJoin"))
+  }
+
+  test("pattern routing compiles to RLIKE inside the scan filter, no UDFs") {
+    val p = plan("ev_route_drop")
+    assert(p.contains("RLIKE"))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
+  }
+
+  test("minhash aggregation is partial (map-side) before the shuffle") {
+    val p = plan("dedup_minhash_lsh")
+    // partial_min markers appear in HashAggregate before the exchange
+    assert(p.contains("partial_min") || p.contains("partial_"), p.take(400))
+  }
+}
