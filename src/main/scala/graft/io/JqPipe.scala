@@ -26,9 +26,17 @@ object JqPipe {
     * side.
     */
   def pipePartition(lines: Iterator[String], program: String,
-                    prelude: Option[String] = None): Iterator[String] = {
+                    prelude: Option[String] = None): Iterator[String] =
+    pipeCommand(lines, Seq("jq", "-cM", "--unbuffered", wrap(program, prelude)))
+
+  /** Same persistent-subprocess contract for any line processor — the
+    * jsonnet helper (`stream-jsonnet`-style: one jsonnet
+    * `function(events)` applied per input line) plugs in here when a
+    * binary is available via GRAFT_JSONNET_BIN.
+    */
+  def pipeCommand(lines: Iterator[String], cmd: Seq[String]): Iterator[String] = {
     if (!lines.hasNext) return Iterator.empty
-    val pb = new ProcessBuilder("jq", "-cM", "--unbuffered", wrap(program, prelude))
+    val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
 

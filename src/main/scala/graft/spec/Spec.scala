@@ -34,6 +34,7 @@ object Spec {
   final case class SendStdout(jqExpr: Option[String]) extends StepFn
   final case class SendFile(path: String, jqExpr: Option[String]) extends StepFn
   final case class SendReceiveJq(jqExpr: String, wrapName: Option[String]) extends StepFn
+  final case class SendReceiveJsonnet(expr: String, wrapName: Option[String]) extends StepFn
   final case class SendHttp(target: String, method: String,
                             headers: Map[String, String], jqExpr: Option[String]) extends StepFn
   final case class SendReceiveHttp(target: String, headers: Map[String, String],
@@ -200,6 +201,16 @@ object Spec {
     case "send-receive-jq" =>
       if (n.isTextual) SendReceiveJq(n.asText, None)
       else SendReceiveJq(req(n, "jq-expr").asText,
+        Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
+    case "send-receive-jsonnet" =>
+      // gated on a helper binary (reference ships a Go stream-jsonnet
+      // helper; none is available offline) — same gate as the
+      // reference's PATH check (src/io/json-processor.ts:118-122)
+      val bin = sys.env.get("GRAFT_JSONNET_BIN")
+      require(bin.exists(b => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(b))),
+        s"step '$step': send-receive-jsonnet needs GRAFT_JSONNET_BIN to point at a stream-jsonnet helper binary")
+      if (n.isTextual) SendReceiveJsonnet(n.asText, None)
+      else SendReceiveJsonnet(req(n, "jsonnet-expr").asText,
         Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
     case "send-http" =>
       if (n.isTextual) SendHttp(n.asText, "POST", Map.empty, None)

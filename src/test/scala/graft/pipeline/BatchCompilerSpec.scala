@@ -234,6 +234,17 @@ class BatchCompilerSpec extends AnyFunSuite {
           |""".stripMargin)
   }
 
+  test("send-receive-jsonnet is gated on a helper binary") {
+    val e = intercept[IllegalArgumentException](Spec.parseYaml(
+      """name: p
+        |steps:
+        |  j:
+        |    flatmap:
+        |      send-receive-jsonnet: 'function(events) events'
+        |""".stripMargin))
+    assert(e.getMessage.contains("GRAFT_JSONNET_BIN"))
+  }
+
   test("envsubst substitutes placeholders like the reference CLI") {
     val y = Spec.envsubst("name: ${GRAFT_TEST_NAME}\n", Map("GRAFT_TEST_NAME" -> "pipe"))
     assert(y == "name: pipe\n")

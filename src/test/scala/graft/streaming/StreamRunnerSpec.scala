@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TracePoint
+import graft.spec.Spec
+
+class StreamRunnerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ev(n: String, d: String, seq: Long): SEvent =
+    SEvent(n, d, Seq(TracePoint(1000.0 + seq, "t", "h")), 1000.0 + seq, seq)
+
+  test("runner delivers send-file taps per micro-batch and runs the output query") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingWindows.sEventEnc
+    val sinkFile = Files.createTempDirectory("srun").resolve("out.ndjson").toString
+    val tpl = Spec.parseYaml(
+      s"""name: runpipe
+         |steps:
+         |  mark:
+         |    flatmap:
+         |      rename:
+         |        prepend: "r."
+         |  tap:
+         |    after: [mark]
+         |    flatmap:
+         |      send-file: "$sinkFile"
+         |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val running = StreamRunner.start(spark, tpl, mem.toDS(),
+      outputSink = "noop", triggerMs = 100)
+    try {
+      mem.addData(ev("a", "1", 1), ev("b", "2", 2))
+      val deadline = System.currentTimeMillis() + 20000
+      while (!Files.exists(java.nio.file.Paths.get(sinkFile)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      var lines = Seq.empty[String]
+      while (lines.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        if (Files.exists(java.nio.file.Paths.get(sinkFile)))
+          lines = scala.jdk.CollectionConverters.ListHasAsScala(
+            Files.readAllLines(java.nio.file.Paths.get(sinkFile))).asScala.toSeq
+      }
+      assert(lines.size == 2, s"got $lines")
+      assert(lines.forall(_.startsWith("{\"n\":\"r.")))
+    } finally running.stopAll()
+  }
+}
