@@ -241,6 +241,53 @@ object RelationalQueries {
         .select("c_custkey", "c_acctbal").orderBy("c_custkey")
     },
 
+    // Analytic-function variants: ntile bucketing + first/last frame values.
+    "window_analytics" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("top_bal", first(col("c_acctbal")).over(w))
+        .withColumn("cume", count(lit(1)).over(w))
+        .filter(col("c_custkey") % 50 === 0)
+        .select("c_custkey", "c_mktsegment", "quartile", "top_bal", "cume")
+        .orderBy("c_custkey")
+    },
+
+    // Conditional aggregation (filtered counts/sums in one pass).
+    "agg_conditional" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus")
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when(col("l_discount") > 0.05, dec("l_quantity")).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as("qty_discounted"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    },
+
+    // Calendar rollup: revenue by order month.
+    "agg_monthly" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("revenue"))
+        .orderBy("y", "m")
+    },
+
+    // Array functions over the embedding column: size, slice, element
+    // stats — exact termwise math, no aggregation ambiguity.
+    "array_funcs" -> { (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"),
+          (element_at(col("embedding"), 1).cast("double") +
+            element_at(col("embedding"), 64).cast("double")).as("ends_sum"),
+          col("label"))
+        .orderBy("vec_id")
+    },
+
     // Approximate distinct (HLL) — no SQL oracle (estimates differ by
     // engine); the driver records a rows-only check, exactness is
     // asserted relative to countDistinct in unit tests.
@@ -272,6 +319,36 @@ object RelationalQueries {
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
   val oracleSql: Map[String, String] = Map(
+    "window_analytics" ->
+      """SELECT c_custkey, c_mktsegment, quartile, top_bal, cume FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    NTILE(4) OVER w AS quartile,
+        |    FIRST_VALUE(c_acctbal) OVER w AS top_bal,
+        |    COUNT(*) OVER w AS cume
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_discounted,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_monthly" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE) AS ends_sum,
+        |  label
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
     "q6_selective" ->
       """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
