@@ -1,0 +1,108 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative cross-validation of the compiled JSON-Schema predicate:
+  * an independent interpreted validator (a direct reading of the spec,
+  * written against jackson trees) evaluates random schema/payload
+  * pairs, and the compiled Column must agree on every one.
+  */
+class JsonSchemaFilterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val mapper = new ObjectMapper()
+
+  /** Reference validator: the JSON-Schema subset, interpreted. */
+  private def validates(schema: JsonNode, value: Option[JsonNode]): Boolean = {
+    def fields(n: JsonNode) = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(n.fieldNames()).asScala.toSeq
+    var ok = true
+    if (schema.has("type")) {
+      val t = schema.get("type").asText
+      ok &= value.exists { v =>
+        t match {
+          case "number"  => v.isNumber
+          case "integer" => v.isIntegralNumber
+          case "string"  => v.isTextual
+          case "boolean" => v.isBoolean
+          case "object"  => v.isObject
+          case "array"   => v.isArray
+          case "null"    => v.isNull
+        }
+      }
+    }
+    def num = value.filter(_.isNumber).map(_.asDouble)
+    if (schema.has("minimum")) ok &= num.exists(_ >= schema.get("minimum").asDouble)
+    if (schema.has("maximum")) ok &= num.exists(_ <= schema.get("maximum").asDouble)
+    if (schema.has("exclusiveMaximum")) ok &= num.exists(_ < schema.get("exclusiveMaximum").asDouble)
+    if (schema.has("required"))
+      ok &= scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("required").elements())
+        .asScala.forall(r => value.exists(v => v.isObject && v.has(r.asText)))
+    if (schema.has("properties")) {
+      val props = schema.get("properties")
+      fields(props).foreach { name =>
+        val sub = value.flatMap(v => Option(v.get(name)))
+        // properties constrain only when present
+        if (sub.isDefined) ok &= validates(props.get(name), sub)
+      }
+    }
+    if (schema.has("not")) ok &= !validates(schema.get("not"), value)
+    if (schema.has("anyOf"))
+      ok &= scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements())
+        .asScala.exists(s => validates(s, value))
+    ok
+  }
+
+  test("compiled predicate agrees with the interpreted validator on random pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+
+    def randomLeafSchema(): String = rnd.nextInt(5) match {
+      case 0 => """{"type":"integer"}"""
+      case 1 => s"""{"type":"number","minimum":${rnd.nextInt(50)}}"""
+      case 2 => s"""{"type":"number","exclusiveMaximum":${rnd.nextInt(80)}}"""
+      case 3 => """{"type":"string"}"""
+      case 4 => """{"type":"boolean"}"""
+    }
+    def randomSchema(): String = rnd.nextInt(4) match {
+      case 0 => s"""{"type":"object","required":["k"],"properties":{"k":${randomLeafSchema()}}}"""
+      case 1 => s"""{"type":"object","properties":{"k":${randomLeafSchema()},"s":{"type":"string"}}}"""
+      case 2 => s"""{"type":"object","not":{"required":["z"]}}"""
+      case 3 => s"""{"type":"object","anyOf":[{"required":["k"]},{"required":["s"]}]}"""
+    }
+    def randomPayload(): String = rnd.nextInt(8) match {
+      case 0 => s"""{"k":${rnd.nextInt(100)}}"""
+      case 1 => s"""{"k":${rnd.nextInt(100)}.5}"""
+      case 2 => s"""{"k":"${rnd.nextInt(100)}"}"""
+      case 3 => s"""{"s":"x","k":true}"""
+      case 4 => """{"z":1}"""
+      case 5 => """{}"""
+      case 6 => s"""{"k":null}"""
+      case 7 => s"""{"s":"y"}"""
+    }
+
+    (1 to 40).foreach { _ =>
+      val schemaText = randomSchema()
+      val schema = mapper.readTree(schemaText)
+      val payloads = (1 to 25).map(_ => randomPayload())
+      val df = payloads.toDF("d")
+      val kept = df.filter(JsonSchemaFilter.compile(schema, col("d")))
+        .collect().map(_.getString(0)).toSet
+      payloads.distinct.foreach { p =>
+        val expected = validates(schema, Some(mapper.readTree(p)))
+        assert(kept.contains(p) == expected,
+          s"schema=$schemaText payload=$p expected=$expected")
+      }
+    }
+  }
+}

@@ -114,6 +114,24 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("undeliverable http payloads go to the dead letter, pipeline completes") {
+    withServer((_, x) => respond(x, 500, "always broken")) { port =>
+      val tpl = Spec.parseYaml(
+        s"""name: p
+           |steps:
+           |  ship:
+           |    flatmap:
+           |      send-http:
+           |        target: "http://localhost:$port/x"
+           |""".stripMargin)
+      val stamped = BatchCompiler.stampInput(tpl, events("a" -> "1"), col("arrival"))
+      val compiled = BatchCompiler.compile(spark, tpl, stamped)
+      // retries exhausted -> dead letter; the run itself must not throw
+      BatchRunner.run(compiled, graft.io.HttpOps.HttpConf(retries = 1, backoffMs = 5))
+      assert(compiled.output.count() == 1) // pass-through unaffected
+    }
+  }
+
   test("expose-http serves the ring with ETag, 304 and Link pagination") {
     val tpl = Spec.parseYaml(
       """name: p
