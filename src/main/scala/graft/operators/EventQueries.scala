@@ -157,6 +157,24 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // As-of join (an operator Spark lacks natively): for each purchase
+    // event, the same user's most recent PRIOR view — implemented as a
+    // single windowed pass over the unioned stream (no join at all),
+    // which is the shape that survives 100 TB: one shuffle on the key,
+    // no range-join explosion.
+    "ev_asof_join" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("last_view_us",
+          max(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("ts_us") - col("last_view_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // §2.3 the exact anchored count-or-time hybrid (100 ev / 6h per name).
     // Oracle: recursive semantics — checked rows-only by the driver,
     // exact-checked by HybridWindowSpec goldens.
@@ -256,6 +274,16 @@ object EventQueries {
       s"""SELECT event_id, $tsUs / 1000000.0 AS i, 'graft' AS p,
          |  '${Signatures.ofJson("{}")}' AS h, 1 AS trace_len
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ev_asof_join" ->
+      s"""SELECT event_id, user_id, $tsUs - last_view_us AS gap_us FROM (
+         |  SELECT event_id, user_id, ts, event_type,
+         |    MAX(CASE WHEN event_type = 'view' THEN $tsUs END) OVER (
+         |      PARTITION BY user_id ORDER BY $tsUs, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+         |  FROM events)
+         |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
 
     // the anchored count-or-time semantics as a sequential recursive
     // CTE: one row per key per iteration, exactly the scan in

@@ -153,6 +153,21 @@ object TextQueries {
         .orderBy("a", "b")
     },
 
+    // SimHash near-dup pairs: bucket on the top 16 bits, then exact
+    // hamming distance within buckets — the banded-candidates shape.
+    "dedup_simhash_pairs" -> { (s, d) =>
+      val base = withToks(docs(s, d)).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), simhash32(col("toks")).as("sh"))
+        .withColumn("bucket", shiftright(col("sh"), 16))
+      val a = base.select(col("doc_id").as("a"), col("sh").as("sha"), col("bucket"))
+      val b = base.select(col("doc_id").as("b"), col("sh").as("shb"), col("bucket"))
+      a.join(b, "bucket").filter(col("a") < col("b"))
+        .withColumn("dist", graft.functions.TextFunctions.hamming32(col("sha"), col("shb")))
+        .filter(col("dist") <= 8)
+        .select("a", "b", "dist")
+        .orderBy("a", "b")
+    },
+
     // SimHash fingerprints (bounded block for the oracle's sake).
     "dedup_simhash" -> { (s, d) =>
       withToks(docs(s, d)).filter(col("doc_id") < 1000)
@@ -262,6 +277,22 @@ object TextQueries {
          |  JOIN (SELECT doc_id AS a, mh AS ma FROM mh) USING (a)
          |  JOIN (SELECT doc_id AS b, mh AS mb FROM mh) USING (b)
          |WHERE CAST($estTerms AS DOUBLE) / $K >= $JaccardT
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_simhash_pairs" -> {
+      val bitSums = (0 until 32).map { j =>
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, CAST($bitSums AS BIGINT) AS sh,
+         |    CAST($bitSums AS BIGINT) >> 16 AS bucket
+         |  FROM (SELECT doc_id, list_transform(toks, t -> ${thSql("t")}) AS hs
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000)))
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
+         |FROM sh x JOIN sh y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sh, y.sh)) <= 8
          |ORDER BY a, b""".stripMargin
     },
 
