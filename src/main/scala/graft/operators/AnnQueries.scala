@@ -43,6 +43,20 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Embedding-cosine near-dup: all pairs above a similarity
+    // threshold on a bounded block (exact form; the LSH query above is
+    // the scale path for the same predicate).
+    "dedup_embedding_cosine" -> { (s, d) =>
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val a = base.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = base.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.3)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    },
+
     // Multimodal: opaque binary + partition-batched stub decode.
     "mm_decode_meta" -> { (s, d) =>
       val withBin = Tables.documents(s, d)
@@ -63,6 +77,16 @@ object AnnQueries {
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  (${dotSql("x.embedding", "y.embedding")}) /
+         |    (sqrt(${dotSql("x.embedding", "x.embedding")}) * sqrt(${dotSql("y.embedding", "y.embedding")})) AS cos
+         |FROM base x JOIN base y ON x.vec_id < y.vec_id
+         |WHERE (${dotSql("x.embedding", "y.embedding")}) /
+         |    (sqrt(${dotSql("x.embedding", "x.embedding")}) * sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.3
+         |ORDER BY a, b""".stripMargin,
+
     "emb_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries),
          |v AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),

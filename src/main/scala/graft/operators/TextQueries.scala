@@ -47,6 +47,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-ish subword counting: a GPT-style lexer regex (letter runs,
+    // digit runs, single punctuation) — identical regex both engines.
+    "text_tokens_bpe" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     // Quality scoring: length stats, type-token ratio, stopword ratio.
     "text_quality" -> { (s, d) =>
       withToks(docs(s, d))
@@ -204,6 +214,11 @@ object TextQueries {
       s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id, len(toks) AS n_tokens,
