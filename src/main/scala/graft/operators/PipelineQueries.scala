@@ -85,7 +85,7 @@ object PipelineQueries {
         |         TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
         |         ROW_NUMBER() OVER (ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
         |  FROM events WHERE event_type <> 'error')
-        |SELECT 'agg' AS n, SUM(k) AS sum_k, COUNT(*) AS n_events, MIN(t0v) AS t0
+        |SELECT 'agg' AS n, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n_events, MIN(t0v) AS t0
         |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

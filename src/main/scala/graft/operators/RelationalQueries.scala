@@ -331,7 +331,7 @@ object RelationalQueries {
 
     "agg_conditional" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
         |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_discounted,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,

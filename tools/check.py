@@ -61,6 +61,25 @@ def main():
             print(f"FAIL-COLS  {name:28s} spark={got_cols} duckdb={exp_cols}")
             n_fail += 1
             continue
+        # Type *families* must line up: integer widths stringify the same,
+        # but a DuckDB HUGEINT (bare integer SUM) round-trips through Arrow
+        # as a decimal/float and hash-mismatches against a Spark BIGINT even
+        # when Python-level values compare equal (round-1 agg_conditional).
+        INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                      "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+        def family(t):
+            return "INT" if t in INT_FAMILY else t
+        got_types = dict(zip(got_rel.columns,
+                             (family(str(t)) for t in got_rel.types)))
+        exp_types = dict(zip(exp_rel.columns,
+                             (family(str(t)) for t in exp_rel.types)))
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_types
+                 if got_types[c] != exp_types[c]}
+        if tdiff:
+            print(f"FAIL-TYPES {name:28s} {tdiff}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL-ROWS  {name:28s} spark={len(got)} duckdb={len(exp)}")
             n_fail += 1
