@@ -40,12 +40,23 @@ object JqPipe {
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
 
+    // A dead child must fail the task, not truncate it (reference kills the
+    // whole pipeline on child death, src/api.ts:411-422). The feeder records
+    // its failure here; EOF on stdout reaps the child and checks both.
+    @volatile var feederError: Throwable = null
     val writer = new Thread(() => {
       val w = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
       try {
-        lines.foreach { l => w.write(l); w.write('\n') }
-        w.flush()
-      } finally w.close()
+        try {
+          lines.foreach { l => w.write(l); w.write('\n') }
+          w.flush()
+        } finally w.close()
+      } catch {
+        case t: Throwable =>
+          // Broken pipe here means the child died mid-partition; remember it
+          // so the read side can fail instead of ending early.
+          feederError = t
+      }
     }, "jq-feeder")
     writer.setDaemon(true)
     writer.start()
@@ -53,8 +64,22 @@ object JqPipe {
     val r = new BufferedReader(new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
     new Iterator[String] {
       private var nextLine: String = r.readLine()
+      private var reaped = false
+      private def reap(): Unit = if (!reaped) {
+        reaped = true
+        r.close()
+        writer.join(30000)
+        val exit = proc.waitFor()
+        if (exit != 0)
+          throw new java.io.IOException(
+            s"${cmd.head} subprocess exited with code $exit mid-partition; " +
+              "failing the task instead of returning truncated output")
+        if (feederError != null)
+          throw new java.io.IOException(
+            s"${cmd.head} subprocess stopped accepting input mid-partition", feederError)
+      }
       override def hasNext: Boolean = {
-        if (nextLine == null) { r.close(); proc.waitFor(); false } else true
+        if (nextLine == null) { reap(); false } else true
       }
       override def next(): String = {
         val l = nextLine; nextLine = r.readLine(); l
