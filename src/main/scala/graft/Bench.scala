@@ -3,10 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR
-  * and prints one JSON line. Each query runs twice and reports the
-  * second (steady-state) time — the first run pays JVM/codegen JIT
-  * that a long-lived cluster amortizes; cold totals are included for
-  * transparency.
+  * and prints one JSON line.
+  *
+  * Timing discipline (the honest harness):
+  *   - every run materializes the FULL result through the `noop` V2 sink
+  *     (all rows, all columns — a pruned `count()` can hide a broken or
+  *     lazily-skipped query);
+  *   - per query: 1 cold run (JIT/codegen warmup) + 3 warm runs, the
+  *     reported number is the warm MEDIAN, so a single GC pause or
+  *     subprocess-spawn hiccup can't swing round-over-round comparisons;
+  *   - failures propagate — a query that throws fails the bench loudly
+  *     instead of recording a fast "success".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,16 +27,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAILURE in query '$name': ${t.getMessage}")
+          throw t
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timeOnce(fn)
-      val warm = timeOnce(fn)
-      (name, cold, warm)
+      val cold = runOnce(name, fn)
+      val warms = Seq.fill(3)(runOnce(name, fn)).sorted
+      (name, cold, warms(1))
     }
     val qs = results.map { case (k, _, w) => s""""$k":$w""" }.mkString("{", ",", "}")
     val coldTotal = results.map(_._2).sum
