@@ -1,124 +1,167 @@
 package graft.functions
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** `keep-when` (reference src/step-functions/keep-when.ts:44-55):
   * keep events whose payload validates against a user JSON Schema.
   *
-  * The common schema subset (type / properties / required / numeric
-  * ranges / enum / const / anyOf / allOf / not) compiles to a native
-  * Column predicate over the JSON-string payload — codegen'd,
-  * pushdown-eligible, no per-row validator object. Type tests use
-  * Spark 4 VARIANT (`parse_json` + `schema_of_variant`) so JSON
-  * number-vs-string is decided exactly, matching ajv.
+  * The supported schema subset (type / properties / required / numeric
+  * ranges / enum / const / anyOf / allOf / not) is compiled ONCE into a
+  * tree of JVM closures over jackson nodes; at run time each row is
+  * parsed exactly once and walked exactly once by [[JsonSchemaMatches]].
+  * (The previous implementation composed per-leaf VARIANT column
+  * predicates — `schema_of_variant` is interpreted in Spark 4, and the
+  * repeated per-leaf evaluation made this the slowest step in the
+  * engine. One native expression is both the fast path and the simple
+  * one.)
   *
-  * Schemas are given as jackson `JsonNode` (parsed from the YAML/JSON
-  * pipeline spec). Unsupported keywords throw at compile time —
-  * callers see it at plan build, not mid-job.
+  * Unsupported keywords throw at compile time — callers see it at plan
+  * build, not mid-job. Malformed payload JSON fails validation, same as
+  * ajv in the reference.
   */
 object JsonSchemaFilter {
-  import com.fasterxml.jackson.databind.JsonNode
 
-  /** Compile `schema` to a predicate over `payload` (a JSON string
-    * column). The payload is parsed to VARIANT exactly once — the
-    * predicate is evaluated inside an `exists` over a one-element
-    * array so every sub-constraint shares the parsed value (Catalyst
-    * does not CSE across variant expressions; without this, each leaf
-    * re-parsed the JSON).
+  /** Compile `schema` to a native single-pass predicate over `payload`
+    * (a JSON string column).
     */
-  def compile(schema: JsonNode, payload: Column): Column =
-    exists(array(try_parse_json(payload)), v => compileOverVariant(schema, v, "$"))
+  def compile(schema: JsonNode, payload: Column): Column = {
+    JsonSchemaMatcher.compile(schema) // validate keywords eagerly at plan build
+    ColumnBridge.column(JsonSchemaMatches(ColumnBridge.expression(payload), schema.toString))
+  }
+}
 
-  /** Predicate over an already-parsed VARIANT root. */
-  def compileOverVariant(schema: JsonNode, root: Column, path: String): Column =
-    compileInner(schema, root, path)
+/** The schema-subset interpreter: a JSON Schema document compiles to a
+  * `JsonNode => Boolean` closure tree (one-time cost), evaluated against
+  * each payload's parsed root.
+  *
+  * Semantics follow the JSON Schema draft the reference validates with:
+  * `properties` constrain only when the member is present (a JSON
+  * `null` member IS present), numeric range keywords only apply to
+  * numbers, `integer` means an integral JSON number, and `required`
+  * demands object membership.
+  */
+object JsonSchemaMatcher {
+  type Matcher = JsonNode => Boolean
 
-  private def compileInner(schema: JsonNode, root: Column, path: String): Column = {
+  private val supported = Set("type", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "const", "enum", "required", "properties", "allOf", "anyOf",
+    "not", "additionalProperties", "items", "description", "title")
+
+  def compile(schema: JsonNode): Matcher = {
     require(schema.isObject, s"unsupported schema node: $schema")
     val fields = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.fieldNames()).asScala.toSet
-    val v = variantAt(root, path)
+    val unsupported = fields -- supported
+    require(unsupported.isEmpty, s"unsupported JSON Schema keywords: $unsupported")
 
-    val conds = Seq.newBuilder[Column]
-    // an absent subtree fails everything except being unconstrained
+    val conds = Seq.newBuilder[Matcher]
+
     if (fields.contains("type")) {
       val t = schema.get("type").asText
-      conds += typeTest(v, t)
+      val test: Matcher = t match {
+        case "number"  => _.isNumber
+        case "integer" => _.isIntegralNumber
+        case "string"  => _.isTextual
+        case "boolean" => _.isBoolean
+        case "object"  => _.isObject
+        case "array"   => _.isArray
+        case "null"    => _.isNull
+        case other     => throw new IllegalArgumentException(s"unsupported type: $other")
+      }
+      conds += test
     }
-    if (fields.contains("minimum"))
-      conds += numeric(v) >= lit(schema.get("minimum").asDouble)
-    if (fields.contains("maximum"))
-      conds += numeric(v) <= lit(schema.get("maximum").asDouble)
-    if (fields.contains("exclusiveMinimum"))
-      conds += numeric(v) > lit(schema.get("exclusiveMinimum").asDouble)
-    if (fields.contains("exclusiveMaximum"))
-      conds += numeric(v) < lit(schema.get("exclusiveMaximum").asDouble)
+    def numericBound(key: String, cmp: (Double, Double) => Boolean): Unit =
+      if (fields.contains(key)) {
+        val bound = schema.get(key).asDouble
+        conds += (v => v.isNumber && cmp(v.asDouble, bound))
+      }
+    numericBound("minimum", _ >= _)
+    numericBound("maximum", _ <= _)
+    numericBound("exclusiveMinimum", _ > _)
+    numericBound("exclusiveMaximum", _ < _)
+
     if (fields.contains("const")) {
       val c = schema.get("const")
-      conds += (if (c.isNumber) numeric(v) === lit(c.asDouble)
-                else stringy(v) === lit(c.asText))
+      conds += (if (c.isNumber) { val d = c.asDouble; v => v.isNumber && v.asDouble == d }
+                else { val s = c.asText; v => v.isTextual && v.asText == s })
     }
     if (fields.contains("enum")) {
       val vals = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("enum").elements()).asScala.toSeq
-      conds += (if (vals.forall(_.isNumber)) numeric(v).isin(vals.map(_.asDouble): _*)
-                else stringy(v).isin(vals.map(_.asText): _*))
+      conds += (if (vals.forall(_.isNumber)) {
+                  val ds = vals.map(_.asDouble).toSet
+                  v => v.isNumber && ds.contains(v.asDouble)
+                } else {
+                  val ss = vals.map(_.asText).toSet
+                  v => v.isTextual && ss.contains(v.asText)
+                })
     }
     if (fields.contains("required")) {
-      val reqs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("required").elements()).asScala.toSeq
-      reqs.foreach { r => conds += variantAt(root, s"$path.${r.asText}").isNotNull }
+      val reqs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("required").elements())
+        .asScala.map(_.asText).toSeq
+      conds += (v => v.isObject && reqs.forall(v.has))
     }
     if (fields.contains("properties")) {
       val props = schema.get("properties")
-      scala.jdk.CollectionConverters.IteratorHasAsScala(props.fieldNames()).asScala.foreach { name =>
-        val sub = compileInner(props.get(name), root, s"$path.$name")
+      scala.jdk.CollectionConverters.IteratorHasAsScala(props.fieldNames()).asScala.toSeq.foreach { name =>
+        val sub = compile(props.get(name))
         // per JSON Schema, properties constrain only when present
-        conds += (variantAt(root, s"$path.$name").isNull || sub)
+        conds += (v => { val m = v.get(name); m == null || sub(m) })
       }
     }
     if (fields.contains("allOf")) {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("allOf").elements()).asScala
-        .foreach(sub => conds += compileInner(sub, root, path))
+      scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("allOf").elements()).asScala.toSeq
+        .foreach(s => conds += compile(s))
     }
     if (fields.contains("anyOf")) {
-      val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements()).asScala
-        .map(sub => compileInner(sub, root, path)).toSeq
-      conds += subs.reduceLeft(_ || _)
+      val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements())
+        .asScala.map(compile).toSeq
+      conds += (v => subs.exists(_(v)))
     }
-    if (fields.contains("not"))
-      conds += !compileInner(schema.get("not"), root, path)
-
-    val unsupported = fields -- Set("type", "minimum", "maximum", "exclusiveMinimum",
-      "exclusiveMaximum", "const", "enum", "required", "properties", "allOf", "anyOf",
-      "not", "additionalProperties", "items", "description", "title")
-    require(unsupported.isEmpty, s"unsupported JSON Schema keywords: $unsupported")
+    if (fields.contains("not")) {
+      val sub = compile(schema.get("not"))
+      conds += (v => !sub(v))
+    }
 
     conds.result() match {
-      case Seq() => lit(true)
-      case cs    => cs.reduceLeft(_ && _)
+      case Seq()  => _ => true
+      case Seq(c) => c
+      case cs     => v => cs.forall(_(v))
+    }
+  }
+}
+
+/** One-pass JSON Schema validation of a JSON-string column: parse the
+  * payload once, walk the compiled matcher tree once. The jackson parse
+  * dominates the per-row cost, so `CodegenFallback` (the repo-standard
+  * idiom for opaque kernels, see [[ShingleHashes]]) costs nothing
+  * measurable; the surrounding stage stays codegen'd.
+  */
+case class JsonSchemaMatches(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val matcher: JsonSchemaMatcher.Matcher =
+    JsonSchemaMatcher.compile(mapper.readTree(schemaJson))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else {
+      val text = v.asInstanceOf[UTF8String].toString
+      try matcher(mapper.readTree(text))
+      catch { case _: com.fasterxml.jackson.core.JacksonException => false }
     }
   }
 
-  private def variantAt(root: Column, path: String): Column =
-    if (path == "$") root
-    else try_variant_get(root, path, "variant")
-
-  /** Per-row type name of the JSON subtree: BIGINT/DOUBLE/DECIMAL for
-    * numbers, STRING, BOOLEAN, ARRAY<...>, OBJECT<...>, VOID for null.
-    */
-  private def typeName(v: Column): Column = schema_of_variant(v)
-
-  private def typeTest(v: Column, t: String): Column = t match {
-    case "number"  => v.isNotNull && (typeName(v) === "BIGINT" || typeName(v) === "DOUBLE" ||
-                        typeName(v).startsWith("DECIMAL"))
-    case "integer" => v.isNotNull && typeName(v) === "BIGINT"
-    case "string"  => v.isNotNull && typeName(v) === "STRING"
-    case "boolean" => v.isNotNull && typeName(v) === "BOOLEAN"
-    case "object"  => v.isNotNull && typeName(v).startsWith("OBJECT")
-    case "array"   => v.isNotNull && typeName(v).startsWith("ARRAY")
-    case "null"    => v.isNotNull && typeName(v) === "VOID"
-    case other     => throw new IllegalArgumentException(s"unsupported type: $other")
-  }
-
-  private def numeric(v: Column): Column = v.cast("double")
-  private def stringy(v: Column): Column = v.cast("string")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
