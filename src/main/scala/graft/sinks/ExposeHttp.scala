@@ -50,12 +50,16 @@ final class ExposeHttp(endpoint: String, port: Int, responses: Int) {
       x.sendResponseHeaders(405, -1); x.close(); return
     }
     val query = Option(x.getRequestURI.getQuery).getOrElse("")
-    val wanted = query.split("&").collectFirst {
-      case kv if kv.startsWith("previous=") => kv.drop("previous=".length).toLong
+    val rawPrevious = query.split("&").collectFirst {
+      case kv if kv.startsWith("previous=") => kv.drop("previous=".length)
+    }
+    val wanted = rawPrevious.map(v => v.toLongOption)
+    if (wanted.exists(_.isEmpty)) { // present but not a number => 400, not a 500
+      x.sendResponseHeaders(400, -1); x.close(); return
     }
     val entry = lock.synchronized {
       val it = scala.jdk.CollectionConverters.IteratorHasAsScala(ring.iterator()).asScala.toSeq
-      wanted match {
+      wanted.flatten match {
         case None     => it.headOption
         case Some(id) => it.find(_._1 < id) // next-older than the given id
       }

@@ -60,4 +60,31 @@ class JqCompilerSpec extends AnyFunSuite {
     assert(JqCompiler.tryCompile(".[] | {n: \"x\", extra: 1}").isEmpty) // invalid envelope
     assert(JqCompiler.tryCompile("{n: \"agg\", d: {s: (map(.d.k) | add), c: length}}").isDefined)
   }
+
+  test("malformed string literals fail compile cleanly instead of hanging") {
+    // unterminated literal previously looped forever in parseString
+    assert(JqCompiler.tryCompile(".[] | select(.n == \"unterminated)").isEmpty)
+    assert(JqCompiler.tryCompile(".[] | select(.n == \"bad\\").isEmpty)
+    assert(JqCompiler.tryCompile(".[] | select(.n == \"bad\\q\")").isEmpty) // unknown escape
+  }
+
+  test("string escapes decode to their characters, not their escape letters") {
+    import spark.implicits._
+    // stays inside the compiled subset (no subprocess fallback involved)
+    assert(JqCompiler.tryCompile(""".[] | select(.n == "tab\there") | {n: "hit", d: {z: 1}}""").isDefined)
+    val input = Seq(("tab\there", "{}", 0L, 1000.0), ("other", "{}", 1L, 1001.0))
+      .toDF("n", "d", "__seq", "arrival")
+    val tpl = Spec.parseYaml(
+      """name: p
+        |jq-tier: compiled
+        |steps:
+        |  t:
+        |    flatmap:
+        |      send-receive-jq: '.[] | select(.n == "tab\there") | {n: "hit", d: {z: 1}}'
+        |""".stripMargin)
+    val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+    val out = BatchCompiler.compile(spark, tpl, stamped).output.select("n")
+      .collect().map(_.getString(0)).toList
+    assert(out == List("hit"))
+  }
 }

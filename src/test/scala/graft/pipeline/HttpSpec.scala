@@ -171,6 +171,9 @@ class HttpSpec extends AnyFunSuite {
       val r2 = get(nextUrl)
       assert(r2.statusCode() == 200 && r2.body().contains("\"n\":\"a\""))
       assert(get("/healthz").statusCode() == 200)
+      // malformed pagination cursor is a client error, not a handler crash
+      assert(get("/latest?previous=abc").statusCode() == 400)
+      assert(get("/latest?previous=").statusCode() == 400)
     } finally server.stop()
   }
 }
