@@ -52,12 +52,55 @@ object PipelineQueries {
         .orderBy("t0")
   }
 
+  /** The keyed-replay variant (`window-key: name`): windows buffer per
+    * event name — window assignment shuffles by `n` and runs all keys
+    * in parallel instead of serializing through one global sort. The
+    * jq output carries the window's name so the oracle can replicate
+    * per-key window assignment exactly.
+    */
+  val keyedYaml: String =
+    """name: replay
+      |window-key: name
+      |steps:
+      |  classify:
+      |    flatmap:
+      |      rename:
+      |        prepend: "app."
+      |  aggregate:
+      |    after: [classify]
+      |    match/drop:
+      |      not: "app.error"
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq: '{n: "agg", d: {sum: (map(.d.k) | add), n: length, t0: .[0].t[0].i, nm: .[0].n}}'
+      |""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // same pipeline through BOTH jq tiers, checked against one truth:
     // the subprocess tier runs real jq; the compiled tier lowers the
     // expression to native aggregates
     "pipeline_e2e_compiled" -> { (s, d) =>
       runPipeline("jq-tier: compiled\n" + pipelineYaml)(s, d)
+    },
+
+    // per-name windows (the scalable replay path), real jq subprocess
+    "pipeline_e2e_keyed" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val input = ev.select(
+        col("event_type").as("n"),
+        col("props").as("d"),
+        col("event_id").as("__seq"),
+        (col("ts_us") / lit(1e6)).as("arrival"))
+      val tpl = Spec.parseYaml(keyedYaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(s, tpl, stamped).output
+      out.select(
+          get_json_object(col("d"), "$.nm").as("nm"),
+          get_json_object(col("d"), "$.sum").cast("double").cast("long").as("sum_k"),
+          get_json_object(col("d"), "$.n").cast("double").cast("long").as("n_events"),
+          get_json_object(col("d"), "$.t0").cast("double").as("t0"))
+        .orderBy("nm", "t0")
     },
 
     "pipeline_e2e" -> { (s, d) =>
@@ -88,7 +131,19 @@ object PipelineQueries {
         |SELECT 'agg' AS n, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n_events, MIN(t0v) AS t0
         |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
 
+  private val keyedOracle =
+      """WITH f AS (
+        |  SELECT event_type AS et, epoch_us(ts)/1000000.0 AS t0v,
+        |         TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT 'app.' || et AS nm, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       COUNT(*) AS n_events, MIN(t0v) AS t0
+        |FROM f GROUP BY et, (rn-1)//100 ORDER BY nm, t0""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> e2eOracle,
-    "pipeline_e2e_compiled" -> e2eOracle)
+    "pipeline_e2e_compiled" -> e2eOracle,
+    "pipeline_e2e_keyed" -> keyedOracle)
 }

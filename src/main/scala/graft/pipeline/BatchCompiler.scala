@@ -154,9 +154,10 @@ object BatchCompiler {
                       df: DataFrame,
                       sinks: scala.collection.mutable.Map[String, SinkSpec]): DataFrame = {
     val ord = Seq(col("__ts"), col("__seq"))
+    val vecIdCols = vecCols(tpl)
 
     def withVectors(d: DataFrame): (DataFrame, Seq[Column]) =
-      (vectorized(d, step), Seq(col("vec_id")))
+      (vectorized(tpl, d, step), vecIdCols.map(col))
 
     step.fn match {
       case Rename(replace, prepend, append) =>
@@ -171,18 +172,19 @@ object BatchCompiler {
           if (byName) Some(col("n")) else None,
           if (byData) Some(coalesce(col("d"), lit("\u0000"))) else None,
           if (byTrace) Some(coalesce(to_json(col("t")), lit("\u0000"))) else None).flatten
-        val (vd, vecCols) = withVectors(df)
-        if (keys.isEmpty) graft.operators.StepOps.keepFirst(vd, vecCols, ord, 1).drop("vec_id")
-        else graft.operators.StepOps.dedupWithin(vd, vecCols, keys, ord).drop("vec_id")
+        val (vd, vCols) = withVectors(df)
+        (if (keys.isEmpty) graft.operators.StepOps.keepFirst(vd, vCols, ord, 1)
+         else graft.operators.StepOps.dedupWithin(vd, vCols, keys, ord))
+          .drop(vecIdCols: _*)
 
       case Keep(first, last) =>
-        val (vd, vecCols) = withVectors(df)
+        val (vd, vCols) = withVectors(df)
         val out = (first, last) match {
-          case (Some(n), _) => graft.operators.StepOps.keepFirst(vd, vecCols, ord, n)
-          case (_, Some(n)) => graft.operators.StepOps.keepLast(vd, vecCols, ord, n)
+          case (Some(n), _) => graft.operators.StepOps.keepFirst(vd, vCols, ord, n)
+          case (_, Some(n)) => graft.operators.StepOps.keepLast(vd, vCols, ord, n)
           case _            => vd
         }
-        out.drop("vec_id")
+        out.drop(vecIdCols: _*)
 
       case KeepWhen(schema) =>
         df.filter(JsonSchemaFilter.compile(schema, col("d")))
@@ -200,14 +202,14 @@ object BatchCompiler {
         // (reference src/step-functions/send-http.ts:88-154); with a
         // jq-expr, one request per jq result
         val bodies = jq match {
-          case None       => vectorBodies(spark, df, step)
+          case None       => vectorBodies(spark, tpl, df, step)
           case Some(expr) => formatted(spark, tpl, step, df, Some(expr))
         }
         sinks(step.name) = SinkSpec(bodies, ToHttp(target, method, headers))
         df // pass-through
 
       case ExposeHttpFn(endpoint, port, responses) =>
-        sinks(step.name) = SinkSpec(vectorBodies(spark, df, step),
+        sinks(step.name) = SinkSpec(vectorBodies(spark, tpl, df, step),
           ToExpose(endpoint, port, responses))
         df // pass-through
 
@@ -217,7 +219,7 @@ object BatchCompiler {
       case SendReceiveJsonnet(expr, wrapName) =>
         val bin = sys.env("GRAFT_JSONNET_BIN")
         import spark.implicits._
-        val vecLines = vectorBodies(spark, df, step)
+        val vecLines = vectorBodies(spark, tpl, df, step)
         val piped = vecLines.as[String]
           .mapPartitions(it => graft.io.JqPipe.pipeCommand(it, Seq(bin, expr)))
           .toDF("line").withColumn("__seq", monotonically_increasing_id())
@@ -255,19 +257,25 @@ object BatchCompiler {
             EventFunctions.tracePoint(col("__ts"), tpl.name, sig)).as("t"),
           col("__ts"), col("__seq"))
       case CompiledPerVector(pv) =>
-        val vd = vectorized(df, step)
+        val vd = vectorized(tpl, df, step)
+        val vCols = vecCols(tpl)
         val aggCols = pv.aggs.map { case (k, c0) => c0.as(k) } :+ max(col("__ts")).as("__vts")
-        val agged = vd.groupBy("vec_id").agg(aggCols.head, aggCols.tail: _*)
+        val agged = vd.groupBy(vCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         val payload = pv.aggs.map(_._1) match {
           case Seq("d") => col("d").cast("string")
           case keys     => to_json(struct(keys.map(col): _*))
         }
+        // keyed mode: vec_id restarts per key, so the arrival tiebreak is a
+        // deterministic hash of the vector identity (cross-key close order
+        // was wall-clock nondeterministic in the reference too)
+        val seqExpr =
+          if (vCols.size > 1) xxhash64(vCols.map(col): _*) else col("vec_id")
         agged.select(
           pv.outName.as("n"),
           payload.as("d"),
           EventFunctions.appendTrace(lit(null).cast(eventType("t").dataType),
             EventFunctions.tracePoint(col("__vts"), tpl.name, sig)).as("t"),
-          col("__vts").as("__ts"), col("vec_id").as("__seq"))
+          col("__vts").as("__ts"), seqExpr.as("__seq"))
     }
   }
 
@@ -275,13 +283,15 @@ object BatchCompiler {
   def renderNdjson(df: DataFrame): DataFrame = df.select(eventJson.as("line"))
 
   /** NDJSON body per vector, in vector order. */
-  private def vectorBodies(spark: SparkSession, df: DataFrame, step: StepSpec): DataFrame = {
-    vectorized(df, step)
-      .groupBy("vec_id")
+  private def vectorBodies(spark: SparkSession, tpl: PipelineTemplate,
+                           df: DataFrame, step: StepSpec): DataFrame = {
+    val vCols = vecCols(tpl).map(col)
+    vectorized(tpl, df, step)
+      .groupBy(vCols: _*)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__ts"), col("__seq"), eventJson.as("ej")))),
         x => x.getField("ej")), "\n").as("line"))
-      .orderBy("vec_id")
+      .orderBy(vCols: _*)
       .select("line")
   }
 
@@ -295,7 +305,7 @@ object BatchCompiler {
                             headers: Map[String, String],
                             wrapName: Option[String]): DataFrame = {
     import spark.implicits._
-    val bodies = vectorBodies(spark, df, step)
+    val bodies = vectorBodies(spark, tpl, df, step)
     val piped = bodies.as[String].mapPartitions { it =>
       it.flatMap { body =>
         try {
@@ -309,33 +319,56 @@ object BatchCompiler {
     parseEventLines(tpl, piped, wrapName)
   }
 
+  /** The columns identifying one vector after [[vectorized]]: just
+    * `vec_id` on the reference-parity global path, `(__wk, vec_id)`
+    * under `window-key: name` (vec_id restarts per key).
+    */
+  private def vecCols(tpl: PipelineTemplate): Seq[String] =
+    if (tpl.windowKey == "name") Seq("__wk", "vec_id") else Seq("vec_id")
+
   /** Assign `vec_id` per the step's window and mode (reference
     * src/step.ts:70-151): singleton fast path; reduce = anchored
-    * count-or-time groups in global arrival order; flatmap = sliding
+    * count-or-time groups in arrival order; flatmap = sliding
     * per-event vectors, so events are *duplicated* into every vector
     * they belong to — vec_id is the head event's rank, reproducing
     * (A,B,C),(B,C,D),(C,D,E),(D,E),(E) from README.md:643-669.
+    *
+    * With the template's `window-key: name`, windows buffer per event
+    * name instead of in one global arrival buffer: window assignment
+    * partitions by `n` (one shuffle, all keys in parallel) rather than
+    * serializing the step through a single global sort — the scalable
+    * shape, matching what the streaming compiler already does. The
+    * reference's cross-key vector close order was wall-clock
+    * nondeterministic anyway, so per-key order is the meaningful part.
     */
-  private def vectorized(df: DataFrame, step: StepSpec): DataFrame =
+  private def vectorized(tpl: PipelineTemplate, df: DataFrame, step: StepSpec): DataFrame = {
+    val keyed = tpl.windowKey == "name"
+    def withKey(d: DataFrame): DataFrame =
+      if (keyed) d.withColumn("__wk", coalesce(col("n"), lit(""))) else d
     if (step.window.events <= 1 && step.window.seconds <= 0)
-      df.withColumn("vec_id", col("__seq"))
+      withKey(df.withColumn("vec_id", col("__seq"))) // singleton: vec_id already unique
     else if (step.flatmap) {
       require(step.window.seconds <= 0,
         s"step '${step.name}': flatmap time windows are streaming-only for now")
       val n = step.window.events
-      val w = Window.orderBy(col("__ts"), col("__seq"))
-      df.withColumn("__r", row_number().over(w).cast("long") - 1)
+      val w =
+        if (keyed) Window.partitionBy(col("__wk")).orderBy(col("__ts"), col("__seq"))
+        else Window.orderBy(col("__ts"), col("__seq"))
+      withKey(df).withColumn("__r", row_number().over(w).cast("long") - 1)
         .withColumn("vec_id",
           explode(sequence(greatest(col("__r") - (n - 1), lit(0L)), col("__r"))))
         .drop("__r")
     } else {
-      graft.operators.HybridWindow.anchoredVectors(
-        df.withColumn("__us", (col("__ts") * 1e6).cast("long"))
-          .withColumn("__k", lit(1)),
-        Seq("__k"), "__us", Seq("__seq"),
+      val base = withKey(df).withColumn("__us", (col("__ts") * 1e6).cast("long"))
+      val (keyCols, prepared) =
+        if (keyed) (Seq("__wk"), base)
+        else (Seq("__k"), base.withColumn("__k", lit(1)))
+      val out = graft.operators.HybridWindow.anchoredVectors(
+        prepared, keyCols, "__us", Seq("__seq"),
         step.window.events, step.window.seconds)
-        .drop("__us", "__k")
+      (if (keyed) out else out.drop("__k")).drop("__us")
     }
+  }
 
   /** Event rendered as the exact JSON the reference would produce:
     * payload injected verbatim (it is already JSON text).
@@ -365,14 +398,15 @@ object BatchCompiler {
                           df: DataFrame, expr: String, wrapName: Option[String]): DataFrame = {
     import spark.implicits._
     // vectors in arrival order; each vector becomes one JSON array line
-    val vd = vectorized(df, step)
+    val vd = vectorized(tpl, df, step)
+    val vCols = vecCols(tpl).map(col)
     val vecLines = vd
-      .groupBy("vec_id")
+      .groupBy(vCols: _*)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__ts"), col("__seq"), eventJson.as("ej")))),
         x => x.getField("ej")), ",").as("body"),
         max("__ts").as("vts"))
-      .orderBy("vec_id")
+      .orderBy(vCols: _*)
       .select(concat(lit("["), col("body"), lit("]")).as("line"), col("vts"))
 
     val prelude = tpl.jqPrelude // local: don't serialize the template

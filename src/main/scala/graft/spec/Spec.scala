@@ -58,7 +58,12 @@ object Spec {
       /** Engine extension: "compiled" lowers in-subset jq expressions
         * to native columns (numeric semantics, no subprocess); default
         * "subprocess" is exact jq. */
-      jqTier: String = "subprocess") {
+      jqTier: String = "subprocess",
+      /** Engine extension: "name" partitions windowed batch replay by
+        * event name (the keyed, scalable path — what the streaming
+        * compiler already does); default "global" reproduces the
+        * reference's single global arrival-order buffer. */
+      windowKey: String = "global") {
     def signature: String =
       graft.model.Signatures.ofJson(name + steps.map(_.toString).mkString("|"))
   }
@@ -89,8 +94,11 @@ object Spec {
     val jqTier = Option(root.get("jq-tier")).map(_.asText).getOrElse("subprocess")
     require(Set("subprocess", "compiled").contains(jqTier),
       s"jq-tier must be subprocess or compiled, got $jqTier")
+    val windowKey = Option(root.get("window-key")).map(_.asText).getOrElse("global")
+    require(Set("global", "name").contains(windowKey),
+      s"window-key must be global or name, got $windowKey")
     val tpl = PipelineTemplate(name, input, steps,
-      Option(root.get("jq-prelude")).map(_.asText), jqTier)
+      Option(root.get("jq-prelude")).map(_.asText), jqTier, windowKey)
     validate(tpl)
     tpl
   }

@@ -59,4 +59,18 @@ class PlanSpec extends AnyFunSuite {
     // partial_min markers appear in HashAggregate before the exchange
     assert(p.contains("partial_min") || p.contains("partial_"), p.take(400))
   }
+
+  test("keyed windowed replay has no single-partition exchange; global does") {
+    // window-key: name shuffles by event name — every window-assignment
+    // stage runs on all partitions (the 100-TB shape); the
+    // reference-parity global path is what serializes
+    val keyed = plan("pipeline_e2e_keyed")
+    assert(!keyed.contains("SinglePartition"), keyed.take(800))
+    assert(keyed.contains("hashpartitioning(__wk"), keyed.take(800))
+    assert(!keyed.contains("hashpartitioning(__k#"), keyed.take(800))
+    // the global path funnels window assignment through a constant key
+    // (hashpartitioning on literal __k = 1 — one partition does the work)
+    val global = plan("pipeline_e2e")
+    assert(global.contains("AS __k") && global.contains("hashpartitioning(__k#"))
+  }
 }
