@@ -49,6 +49,7 @@ object BatchCompiler {
   final case class ToHttp(target: String, method: String,
                           headers: Map[String, String]) extends Delivery
   final case class ToExpose(endpoint: String, port: Int, responses: Int) extends Delivery
+  final case class ToRedis(host: String, port: Int, target: String, mode: String) extends Delivery
 
   final case class SinkSpec(lines: DataFrame, delivery: Delivery)
 
@@ -211,6 +212,11 @@ object BatchCompiler {
       case ExposeHttpFn(endpoint, port, responses) =>
         sinks(step.name) = SinkSpec(vectorBodies(spark, tpl, df, step),
           ToExpose(endpoint, port, responses))
+        df // pass-through
+
+      case SendRedis(host, port, target, mode, jq) =>
+        sinks(step.name) = SinkSpec(formatted(spark, tpl, step, df, jq),
+          ToRedis(host, port, target, mode))
         df // pass-through
 
       case SendReceiveHttp(target, headers, wrapName) =>

@@ -47,6 +47,10 @@ object BatchRunner {
           server.start()
           lines.toLocalIterator().forEachRemaining((r: Row) => server.offer(r.getString(0)))
           servers(name) = server
+
+        case BatchCompiler.ToRedis(host, port, target, mode) =>
+          graft.sinks.BrokerSink.deliver(lines,
+            graft.sinks.RedisFactory(host, port, target, mode), _ => target)
       }
     }
     RunResult(servers.toMap)

@@ -100,6 +100,57 @@ object IngestSources {
     }
   }
 
+  /** The reference's `redis` input (src/input/redis.ts:130-237): a
+    * driver-side consumer over the pure-JVM RESP client — BLPOP from a
+    * list queue, or SUBSCRIBE to a channel — appending each drained
+    * batch to the spool the streaming file source tails. Exactly-once
+    * then comes from the file source's per-file offsets; the BLPOP pop
+    * itself is at-most-once per element, same as the reference.
+    */
+  final class RedisIngest(host: String, port: Int, spoolDir: String,
+                          batchMax: Int = 256) {
+    private val counter = new AtomicLong(0)
+    private val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+
+    /** Drain up to `batchMax` queued elements from `key` (first pop
+      * blocks up to `blockSeconds`), spool them as one NDJSON file.
+      * Returns the number of elements consumed; 0 = timeout, nothing
+      * queued. Call in a loop from a driver thread.
+      */
+    def consumeOnce(client: graft.io.RespClient, key: String,
+                    blockSeconds: Int = 1): Int = {
+      client.blpop(blockSeconds, key) match {
+        case None => 0
+        case Some((_, first)) =>
+          val batch = Seq.newBuilder[String]
+          batch += first
+          var n = 1
+          var more = true
+          while (n < batchMax && more) client.lpop(key) match {
+            case Some(v) => batch += v; n += 1
+            case None    => more = false
+          }
+          spoolLines(batch.result())
+          n
+      }
+    }
+
+    /** Blocking subscribe loop: spool each pushed message as it
+      * arrives. Runs until the connection closes (EOFException).
+      */
+    def subscribeLoop(client: graft.io.RespClient, channel: String): Unit = {
+      client.subscribe(channel)
+      try {
+        while (true) spoolLines(Seq(client.nextMessage()._2))
+      } catch { case _: java.io.EOFException => () }
+    }
+
+    private def spoolLines(lines: Seq[String]): Unit =
+      appendSpool(dir, counter.incrementAndGet(),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Atomic spool append: write to a temp name, rename into place, so
     * the streaming file source never reads a partial file.
     */

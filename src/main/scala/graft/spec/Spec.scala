@@ -40,6 +40,11 @@ object Spec {
   final case class SendReceiveHttp(target: String, headers: Map[String, String],
                                    wrapName: Option[String]) extends StepFn
   final case class ExposeHttpFn(endpoint: String, port: Int, responses: Int) extends StepFn
+  /** send-redis (reference src/step-functions/send-redis.ts:100-191):
+    * RPUSH to a list queue (`key:`) or PUBLISH to a channel
+    * (`channel:`) over the pure-JVM RESP client. */
+  final case class SendRedis(host: String, port: Int, target: String,
+                             mode: String, jqExpr: Option[String]) extends StepFn
 
   final case class StepSpec(
       name: String,
@@ -235,6 +240,16 @@ object Spec {
     case "expose-http" =>
       ExposeHttpFn(req(n, "endpoint").asText, req(n, "port").asInt,
         Option(n.get("responses")).map(_.asInt).getOrElse(1))
+    case "send-redis" =>
+      val key = opt(n, "key"); val channel = opt(n, "channel")
+      require(key.isDefined != channel.isDefined,
+        s"step '$step': send-redis needs key (RPUSH) XOR channel (PUBLISH)")
+      SendRedis(
+        Option(n.get("host")).map(_.asText).getOrElse("localhost"),
+        Option(n.get("port")).map(_.asInt).getOrElse(6379),
+        key.getOrElse(channel.get),
+        if (key.isDefined) "rpush" else "publish",
+        opt(n, "jq-expr"))
     case other =>
       throw new IllegalArgumentException(s"step '$step': unsupported step function '$other'")
   }
