@@ -72,6 +72,17 @@ object Similarity {
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Bits for ~`targetBucket` expected vectors per bucket at table
+    * size `n`: bits ≈ log₂(n / targetBucket), the auto-tuning that
+    * keeps candidate volume flat as the table grows (at billions of
+    * vectors this lands near 20+ bits instead of a hand-picked
+    * constant that would produce mega-buckets).
+    */
+  def autoBits(n: Long, targetBucket: Int = 32): Int = {
+    val b = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(48, math.max(4, b))
+  }
+
   /** Approximate all-vectors top-k via multi-table sign-LSH: `tables`
     * independent hash tables of `bits` sign bits each; a pair is a
     * candidate if it collides in ANY table. Candidates are scored
@@ -81,29 +92,40 @@ object Similarity {
     * joins; expected candidates per query ≈ tables × n / 2^bits, tuned
     * by (bits, tables) for the recall/cost point — the standard
     * E2LSH-style layout.
+    *
+    * `bits <= 0` auto-tunes to [[autoBits]] of the table's row count
+    * (`numRows`, counted once if not supplied). The two vector-lookup
+    * joins broadcast only while the table fits comfortably
+    * (`numRows <= broadcastMaxRows`); beyond that they become
+    * shuffle-hash joins bucketed on the id, so nothing table-sized
+    * ever ships to every executor.
     */
   def lshTopK(vectors: DataFrame, k: Int, bits: Int, dim: Int, tables: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
     val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
+    val effBits = if (bits > 0) bits else autoBits(n)
     // all tables' buckets in one pass: bucket column per table, then
     // posexplode to (table, bucket) rows. Candidate generation works
     // on ids only — the 64-float vectors do not ride through the
     // bucket join or the pair dedup shuffle; they join back once per
     // surviving pair.
-    val allPlanes = (0 until tables).flatMap(t => hyperplanes(bits, dim, seed = 7L + t))
+    val allPlanes = (0 until tables).flatMap(t => hyperplanes(effBits, dim, seed = 7L + t))
     val buckets = b.withColumn("bs",
-        graft.functions.VectorExpressions.lshBuckets(col(vecCol), allPlanes, dim, bits))
+        graft.functions.VectorExpressions.lshBuckets(col(vecCol), allPlanes, dim, effBits))
       .select(col(idCol), posexplode(col("bs")).as(Seq("tbl", "bucket")))
     val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
     val y = buckets.select(col("tbl"), col("bucket"), col(idCol).as("nid"))
     val cand = x.join(y, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
       .select("qid", "nid").dropDuplicates("qid", "nid")
-    // vector lookups are broadcast so the pair table streams through
-    // both joins without reshuffling (at billions of vectors the
-    // lookup side would instead be bucketed on the id)
-    val scored = cand
-      .join(broadcast(b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
-      .join(broadcast(b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))), "nid")
+    val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val nSide = b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = (if (n <= broadcastMaxRows)
+        cand.join(broadcast(qSide), "qid").join(broadcast(nSide), "nid")
+      else
+        cand.join(qSide.hint("shuffle_hash"), "qid")
+          .join(nSide.hint("shuffle_hash"), "nid"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

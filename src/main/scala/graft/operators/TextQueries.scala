@@ -163,15 +163,23 @@ object TextQueries {
         .orderBy("a", "b")
     },
 
-    // SimHash near-dup pairs: bucket on the top 16 bits, then exact
-    // hamming distance within buckets — the banded-candidates shape.
+    // SimHash near-dup pairs: two 16-bit band rotations (high half,
+    // low half) — a pair is a candidate if it collides in EITHER band,
+    // then exact hamming distance filters. Two bands both double
+    // recall for diffs concentrated in one half and halve the largest
+    // bucket's share of the candidate volume vs a single fixed band
+    // (the multi-probe shape that holds at 100 TB).
     "dedup_simhash_pairs" -> { (s, d) =>
       val base = withToks(docs(s, d)).filter(col("doc_id") < 1000)
         .select(col("doc_id"), simhash32(col("toks")).as("sh"))
-        .withColumn("bucket", shiftright(col("sh"), 16))
-      val a = base.select(col("doc_id").as("a"), col("sh").as("sha"), col("bucket"))
-      val b = base.select(col("doc_id").as("b"), col("sh").as("shb"), col("bucket"))
-      a.join(b, "bucket").filter(col("a") < col("b"))
+      val bands = base.select(col("doc_id"), col("sh"),
+          lit(0).as("band"), shiftright(col("sh"), 16).as("bucket"))
+        .unionByName(base.select(col("doc_id"), col("sh"),
+          lit(1).as("band"), col("sh").bitwiseAND(lit(0xFFFFL)).as("bucket")))
+      val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sha"))
+      val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("shb"))
+      a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+        .select("a", "b", "sha", "shb").dropDuplicates("a", "b")
         .withColumn("dist", graft.functions.TextFunctions.hamming32(col("sha"), col("shb")))
         .filter(col("dist") <= 8)
         .select("a", "b", "dist")
@@ -300,14 +308,22 @@ object TextQueries {
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
       }.mkString(" + ")
       s"""WITH sh AS (
-         |  SELECT doc_id, CAST($bitSums AS BIGINT) AS sh,
-         |    CAST($bitSums AS BIGINT) >> 16 AS bucket
+         |  SELECT doc_id, CAST($bitSums AS BIGINT) AS sh
          |  FROM (SELECT doc_id, list_transform(toks, t -> ${thSql("t")}) AS hs
-         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000)))
-         |SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
-         |FROM sh x JOIN sh y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.sh, y.sh)) <= 8
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000))),
+         |bands AS (
+         |  SELECT doc_id, sh, 0 AS band, sh >> 16 AS bucket FROM sh
+         |  UNION ALL
+         |  SELECT doc_id, sh, 1 AS band, sh & 65535 AS bucket FROM sh),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(xs.sh, ys.sh)) AS INT) AS dist
+         |FROM pairs
+         |  JOIN sh xs ON xs.doc_id = a
+         |  JOIN sh ys ON ys.doc_id = b
+         |WHERE bit_count(xor(xs.sh, ys.sh)) <= 8
          |ORDER BY a, b""".stripMargin
     },
 

@@ -48,4 +48,42 @@ class SimilaritySpec extends AnyFunSuite {
     // brute force's floor for that query — structural sanity
     assert(lsh.forall { case (q, n) => q != n })
   }
+
+  test("autoBits grows ~log2(n) and clamps to a sane range") {
+    assert(Similarity.autoBits(0) == 4)
+    assert(Similarity.autoBits(1000) == 5)        // 1000/32 -> ceil(log2(31.25))
+    assert(Similarity.autoBits(1000000) == 15)
+    assert(Similarity.autoBits(2000000000L) == 26) // ~2^26 buckets at 2B vectors
+    assert(Similarity.autoBits(Long.MaxValue / 2) == 48) // upper clamp
+    assert(Similarity.autoBits(1000000, targetBucket = 1024) == 10)
+  }
+
+  test("auto-tuned bits keep recall at small scale too") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val brute = Similarity.bruteForceTopK(emb, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, 5, bits = 0, dim = 64, tables = 16, numRows = n)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"auto-bits LSH recall too low: $recall")
+  }
+
+  test("large mode: vector lookups are shuffle-hash joins, not broadcast") {
+    val emb = Tables.embeddings(spark, dir)
+    // force large mode with a zero broadcast budget; bits pinned so the
+    // plan doesn't depend on the table count
+    val large = Similarity.lshTopK(emb, 5, bits = 6, dim = 64, tables = 4,
+      numRows = emb.count(), broadcastMaxRows = 0)
+    val plan = large.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+    // neither embedding lookup side may be broadcast in large mode: no
+    // broadcast exchange carrying the embedding column
+    assert(!"BroadcastExchange[^\\n]*(qvec|nvec|embedding)".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    // small mode (default budget) still broadcasts the lookups
+    val small = Similarity.lshTopK(emb, 5, bits = 6, dim = 64, tables = 4,
+      numRows = emb.count())
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }
