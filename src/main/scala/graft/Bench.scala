@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   *     subprocess-spawn hiccup can't swing round-over-round comparisons;
   *   - failures propagate — a query that throws fails the bench loudly
   *     instead of recording a fast "success".
+  *
+  * Args, if given, are query names: only those run (ad-hoc profiling).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,7 +40,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = runOnce(name, fn)
       val warms = Seq.fill(3)(runOnce(name, fn)).sorted
       (name, cold, warms(1))

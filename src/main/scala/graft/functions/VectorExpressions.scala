@@ -132,17 +132,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * Replaces `tables × bits` separate literal-array dot-product
   * expressions, which evaluated interpretively per plane per row and
   * dominated ANN bucket assignment.
+  *
+  * Codegen calls the compiled `compute` kernel through a reference
+  * object, so LSH bucket assignment stays inside the surrounding
+  * whole-stage-codegen stage (no `CodegenFallback` row
+  * materialization).
   */
 case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private val tables = planes.length / (dim * bits)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dim)
     val out = new Array[Long](tables)
     var t = 0
@@ -161,6 +164,14 @@ case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: 
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBuckets", this, classOf[LshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

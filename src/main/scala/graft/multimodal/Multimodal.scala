@@ -56,28 +56,26 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Frame sampling stub: every `stride`-th 16-byte slice, fingerprinted. */
+  /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
+    * slices, fingerprinted.
+    *
+    * Unlike [[decodeMeta]] (which keeps the `mapPartitions` shape
+    * because a real codec is per-partition stateful), the frame-slice
+    * stub is pure byte arithmetic — so it runs as native columns:
+    * explode over the in-range frame indices, `substr` on the binary,
+    * codegen'd `md5`. No Row/Encoder churn, stays inside whole-stage
+    * codegen, and a real frame extractor would replace only the
+    * `frame_md5` expression with a decode call.
+    */
   def sampleFrames(df: DataFrame, binCol: String, idCol: String,
                    nFrames: Int, frameBytes: Int = 16): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val outSchema = StructType(Seq(
-      df.schema.fields(idIdx),
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame_md5", StringType, nullable = false)))
-    df.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        (0 until nFrames).iterator
-          .filter(i => i * frameBytes < bytes.length)
-          .map { i =>
-            val slice = bytes.slice(i * frameBytes, math.min((i + 1) * frameBytes, bytes.length))
-            md.reset()
-            val hex = md.digest(slice).map("%02x".format(_)).mkString
-            Row(r.get(idIdx), i, hex)
-          }
-      }
-    }(Encoders.row(outSchema))
+    val bin = col(binCol)
+    df
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), lit(nFrames - 1)),
+          i => (i * frameBytes) < length(bin))))
+      .withColumn("frame_md5",
+        md5(bin.substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))))
+      .select(col(idCol), col("frame_idx").cast("int").as("frame_idx"), col("frame_md5"))
   }
 }

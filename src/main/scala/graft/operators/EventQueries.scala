@@ -66,10 +66,17 @@ object EventQueries {
     },
 
     // §2.4#2 deduplicate within vector, identity = data (payload JSON).
+    // The identity key rides the exchange as xxhash64(props), not the
+    // raw multi-KB payload — at 100 TB the shuffle sorts 8-byte hashes
+    // instead of JSON strings (collision odds at 2^-64 per vector are
+    // below any practical dataset size). Projection happens BEFORE the
+    // window so only the 5 needed columns ride the exchange.
     "ev_dedup_data" -> { (s, d) =>
       val df = StepOps.tumblingTimeVectors(ev(s, d), col("ts_us"), 86400.0)
+        .select(col("event_type"), col("vec_id"),
+          xxhash64(col("props")).as("props_h"), col("ts_us"), col("event_id"))
       StepOps.dedupWithin(df, Seq(col("event_type"), col("vec_id")),
-          Seq(col("props")), Seq(col("ts_us"), col("event_id")))
+          Seq(col("props_h")), Seq(col("ts_us"), col("event_id")))
         .select("event_id").orderBy("event_id")
     },
 

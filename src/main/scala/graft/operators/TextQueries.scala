@@ -171,7 +171,8 @@ object TextQueries {
     // (the multi-probe shape that holds at 100 TB).
     "dedup_simhash_pairs" -> { (s, d) =>
       val base = withToks(docs(s, d)).filter(col("doc_id") < 1000)
-        .select(col("doc_id"), simhash32(col("toks")).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.simHash32(col("toks")).as("sh"))
       val bands = base.select(col("doc_id"), col("sh"),
           lit(0).as("band"), shiftright(col("sh"), 16).as("bucket"))
         .unionByName(base.select(col("doc_id"), col("sh"),
@@ -189,7 +190,8 @@ object TextQueries {
     // SimHash fingerprints (bounded block for the oracle's sake).
     "dedup_simhash" -> { (s, d) =>
       withToks(docs(s, d)).filter(col("doc_id") < 1000)
-        .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.simHash32(col("toks")).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 16))
         .orderBy("doc_id")
     }

@@ -92,11 +92,15 @@ object StreamCompiler {
 
     step.fn match {
       case Rename(replace, prepend, append) =>
-        val newName: String => String = replace match {
-          case Some(r) => _ => r
-          case None    => n => prepend.getOrElse("") + n + append.getOrElse("")
+        // Column projection, not a typed lambda — no per-event
+        // deserialization for a string concat (same plan as the batch
+        // path, StepOps.renameReplace/renameAffix).
+        val newN = replace match {
+          case Some(r) => lit(r)
+          case None    =>
+            concat(lit(prepend.getOrElse("")), col("n"), lit(append.getOrElse("")))
         }
-        ds.map(e => e.copy(n = newName(e.n)))
+        ds.withColumn("n", newN).as[SEvent]
 
       case KeepWhen(schema) =>
         // Column predicate; schema compiled once on the driver
