@@ -50,6 +50,7 @@ object BatchCompiler {
                           headers: Map[String, String]) extends Delivery
   final case class ToExpose(endpoint: String, port: Int, responses: Int) extends Delivery
   final case class ToRedis(host: String, port: Int, target: String, mode: String) extends Delivery
+  final case class ToAmqp(conf: graft.sinks.AmqpBroker.Conf) extends Delivery
 
   final case class SinkSpec(lines: DataFrame, delivery: Delivery)
 
@@ -219,6 +220,21 @@ object BatchCompiler {
           ToRedis(host, port, target, mode))
         df // pass-through
 
+      case SendAmqp(host, port, exchange, exType, durable, autoDel,
+                    routingKey, expiration, priority, persistent, jq) =>
+        // without jq: one message per vector (NDJSON, timestamped with
+        // the vector's max event time); with jq: one message per
+        // result (reference send-amqp.ts:196-238)
+        val conf = graft.sinks.AmqpBroker.Conf(host, port, exchange, exType,
+          durable, autoDel, routingKey, expiration, priority, persistent,
+          ndjson = jq.isEmpty)
+        val bodies = jq match {
+          case None       => vectorBodiesTs(spark, tpl, df, step)
+          case Some(expr) => formatted(spark, tpl, step, df, Some(expr))
+        }
+        sinks(step.name) = SinkSpec(bodies, ToAmqp(conf))
+        df // pass-through
+
       case SendReceiveHttp(target, headers, wrapName) =>
         httpTransform(spark, tpl, step, df, target, headers, wrapName)
 
@@ -299,6 +315,23 @@ object BatchCompiler {
         x => x.getField("ej")), "\n").as("line"))
       .orderBy(vCols: _*)
       .select("line")
+  }
+
+  /** [[vectorBodies]] plus the vector's max event timestamp (seconds,
+    * truncated) — what send-amqp stamps NDJSON messages with
+    * (reference send-amqp.ts:231-236).
+    */
+  private def vectorBodiesTs(spark: SparkSession, tpl: PipelineTemplate,
+                             df: DataFrame, step: StepSpec): DataFrame = {
+    val vCols = vecCols(tpl).map(col)
+    vectorized(tpl, df, step)
+      .groupBy(vCols: _*)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__ts"), col("__seq"), eventJson.as("ej")))),
+        x => x.getField("ej")), "\n").as("line"),
+        floor(max(col("__ts"))).cast("double").as("__vts"))
+      .orderBy(vCols: _*)
+      .select("line", "__vts")
   }
 
   /** send-receive-http (reference src/step-functions/send-receive-http.ts:96-143):

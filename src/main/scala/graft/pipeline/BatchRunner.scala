@@ -51,6 +51,9 @@ object BatchRunner {
         case BatchCompiler.ToRedis(host, port, target, mode) =>
           graft.sinks.BrokerSink.deliver(lines,
             graft.sinks.RedisFactory(host, port, target, mode), _ => target)
+
+        case BatchCompiler.ToAmqp(conf) =>
+          graft.sinks.AmqpBroker.deliver(lines, conf)
       }
     }
     RunResult(servers.toMap)

@@ -151,6 +151,58 @@ object IngestSources {
         lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** The reference's `amqp` input (src/input/amqp.ts:181-343): a
+    * driver-side consumer over the pure-JVM AMQP 0-9-1 client —
+    * assert exchange (default `cdp`/topic), assert a (possibly
+    * server-named) queue with its x-arguments, bind with the
+    * per-exchange-type default pattern (direct→"cdp", fanout→"",
+    * topic→"#", amqp.ts:283-289), then consume with per-message ack —
+    * appending each message body to the spool the streaming file
+    * source tails.
+    */
+  final class AmqpIngest(spoolDir: String) {
+    private val counter = new AtomicLong(0)
+    private val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+
+    /** Exchange/queue/bind assertion; returns the queue to consume. */
+    def assertTopology(c: graft.io.AmqpClient,
+                       exchange: String = "cdp", exchangeType: String = "topic",
+                       exchangeDurable: Boolean = true, exchangeAutoDelete: Boolean = false,
+                       queueName: String = "", queueDurable: Boolean = true,
+                       queueAutoDelete: Boolean = false,
+                       queueArgs: Seq[(String, Any)] = Seq.empty,
+                       bindingPattern: Option[String] = None): String = {
+      c.exchangeDeclare(exchange, exchangeType, exchangeDurable, exchangeAutoDelete)
+      val q = c.queueDeclare(queueName, queueDurable, queueAutoDelete, queueArgs)
+      val pattern = bindingPattern.getOrElse(
+        Map("direct" -> "cdp", "fanout" -> "", "topic" -> "#")(exchangeType))
+      c.queueBind(q, exchange, pattern)
+      q
+    }
+
+    /** Blocking consume loop: spool each delivered body, ack it. Runs
+      * until the connection closes. Returns messages consumed.
+      */
+    def consumeLoop(c: graft.io.AmqpClient, queue: String): Long = {
+      c.basicConsume(queue)
+      var n = 0L
+      var more = true
+      while (more) c.nextDelivery() match {
+        case Some(d) =>
+          spoolLines(Seq(d.bodyText))
+          c.basicAck(d.deliveryTag)
+          n += 1
+        case None => more = false
+      }
+      n
+    }
+
+    private def spoolLines(lines: Seq[String]): Unit =
+      appendSpool(dir, counter.incrementAndGet(),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Atomic spool append: write to a temp name, rename into place, so
     * the streaming file source never reads a partial file.
     */

@@ -45,6 +45,16 @@ object Spec {
     * (`channel:`) over the pure-JVM RESP client. */
   final case class SendRedis(host: String, port: Int, target: String,
                              mode: String, jqExpr: Option[String]) extends StepFn
+  /** send-amqp (reference src/step-functions/send-amqp.ts:127-264):
+    * publish to an asserted exchange over the pure-JVM AMQP 0-9-1
+    * client; routing key defaults by exchange type. */
+  final case class SendAmqp(host: String, port: Int,
+                            exchange: String, exchangeType: String,
+                            durable: Boolean, autoDelete: Boolean,
+                            routingKey: Option[String],
+                            expiration: Option[Long], priority: Option[Int],
+                            persistent: Option[Boolean],
+                            jqExpr: Option[String]) extends StepFn
 
   final case class StepSpec(
       name: String,
@@ -240,6 +250,28 @@ object Spec {
     case "expose-http" =>
       ExposeHttpFn(req(n, "endpoint").asText, req(n, "port").asInt,
         Option(n.get("responses")).map(_.asInt).getOrElse(1))
+    case "send-amqp" =>
+      val ex = Option(n.get("exchange"))
+      val exType = ex.flatMap(e => Option(e.get("type")).map(_.asText)).getOrElse("topic")
+      require(Set("direct", "fanout", "topic").contains(exType),
+        s"step '$step': send-amqp exchange.type must be direct/fanout/topic")
+      val expiration = Option(n.get("expiration")).map(_.asText.toLong)
+      expiration.foreach(e => require(e >= 0 && e <= 4294967295L,
+        s"step '$step': send-amqp.expiration must be >= 0 and < 2^32"))
+      val priority = Option(n.get("priority")).map(_.asText.toInt)
+      priority.foreach(p => require(p >= 0 && p <= 255,
+        s"step '$step': send-amqp.priority must be >= 0 and < 256"))
+      SendAmqp(
+        Option(n.get("host")).map(_.asText).getOrElse("localhost"),
+        Option(n.get("port")).map(_.asInt).getOrElse(5672),
+        ex.flatMap(e => Option(e.get("name")).map(_.asText)).getOrElse("cdp"),
+        exType,
+        ex.flatMap(e => Option(e.get("durable")).map(_.asBoolean)).getOrElse(true),
+        ex.flatMap(e => Option(e.get("auto-delete")).map(_.asBoolean)).getOrElse(false),
+        opt(n, "routing-key"),
+        expiration, priority,
+        Option(n.get("persistent")).map(_.asBoolean),
+        opt(n, "jq-expr"))
     case "send-redis" =>
       val key = opt(n, "key"); val channel = opt(n, "channel")
       require(key.isDefined != channel.isDefined,
