@@ -51,6 +51,7 @@ object BatchCompiler {
   final case class ToExpose(endpoint: String, port: Int, responses: Int) extends Delivery
   final case class ToRedis(host: String, port: Int, target: String, mode: String) extends Delivery
   final case class ToAmqp(conf: graft.sinks.AmqpBroker.Conf) extends Delivery
+  final case class ToMqtt(conf: graft.sinks.MqttBroker.Conf) extends Delivery
 
   final case class SinkSpec(lines: DataFrame, delivery: Delivery)
 
@@ -233,6 +234,18 @@ object BatchCompiler {
           case Some(expr) => formatted(spark, tpl, step, df, Some(expr))
         }
         sinks(step.name) = SinkSpec(bodies, ToAmqp(conf))
+        df // pass-through
+
+      case SendMqtt(host, port, topic, qos, jq) =>
+        // default topic cdp/<pipeline>/<step> (send-mqtt.ts:74-75)
+        val conf = graft.sinks.MqttBroker.Conf(host, port,
+          topic.getOrElse(s"cdp/${tpl.name}/${step.name}"), qos,
+          ndjson = jq.isEmpty)
+        val mqttBodies = jq match {
+          case None       => vectorBodies(spark, tpl, df, step)
+          case Some(expr) => formatted(spark, tpl, step, df, Some(expr))
+        }
+        sinks(step.name) = SinkSpec(mqttBodies, ToMqtt(conf))
         df // pass-through
 
       case SendReceiveHttp(target, headers, wrapName) =>

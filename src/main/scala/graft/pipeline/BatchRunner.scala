@@ -54,6 +54,9 @@ object BatchRunner {
 
         case BatchCompiler.ToAmqp(conf) =>
           graft.sinks.AmqpBroker.deliver(lines, conf)
+
+        case BatchCompiler.ToMqtt(conf) =>
+          graft.sinks.MqttBroker.deliver(lines, conf)
       }
     }
     RunResult(servers.toMap)

@@ -203,6 +203,39 @@ object IngestSources {
         lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** The reference's `mqtt` input (src/input/mqtt.ts:109-213): a
+    * driver-side consumer over the pure-JVM MQTT 3.1.1 client —
+    * subscribe to the topic filter (default `cdp/#`,
+    * mqtt.ts:96-97), spool each message payload as it arrives.
+    */
+  final class MqttIngest(spoolDir: String) {
+    private val counter = new AtomicLong(0)
+    private val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+
+    /** Blocking subscribe loop: spool each published payload (qos-1
+      * deliveries are acked by the client). Runs until the connection
+      * closes. Returns messages consumed.
+      */
+    def subscribeLoop(c: graft.io.MqttClient, topicFilter: String = "cdp/#",
+                      qos: Int = 0): Long = {
+      c.subscribe(topicFilter, qos)
+      var n = 0L
+      var more = true
+      while (more) c.nextMessage() match {
+        case Some((_, payload)) =>
+          spoolLines(Seq(payload))
+          n += 1
+        case None => more = false
+      }
+      n
+    }
+
+    private def spoolLines(lines: Seq[String]): Unit =
+      appendSpool(dir, counter.incrementAndGet(),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Atomic spool append: write to a temp name, rename into place, so
     * the streaming file source never reads a partial file.
     */

@@ -45,6 +45,11 @@ object Spec {
     * (`channel:`) over the pure-JVM RESP client. */
   final case class SendRedis(host: String, port: Int, target: String,
                              mode: String, jqExpr: Option[String]) extends StepFn
+  /** send-mqtt (reference src/step-functions/send-mqtt.ts:86-185):
+    * publish to a topic (default `cdp/<pipeline>/<step>`) over the
+    * pure-JVM MQTT 3.1.1 client; qos 0 or 1. */
+  final case class SendMqtt(host: String, port: Int, topic: Option[String],
+                            qos: Int, jqExpr: Option[String]) extends StepFn
   /** send-amqp (reference src/step-functions/send-amqp.ts:127-264):
     * publish to an asserted exchange over the pure-JVM AMQP 0-9-1
     * client; routing key defaults by exchange type. */
@@ -250,6 +255,14 @@ object Spec {
     case "expose-http" =>
       ExposeHttpFn(req(n, "endpoint").asText, req(n, "port").asInt,
         Option(n.get("responses")).map(_.asInt).getOrElse(1))
+    case "send-mqtt" =>
+      val qos = Option(n.get("qos")).map(_.asText.toInt).getOrElse(0)
+      require(qos == 0 || qos == 1,
+        s"step '$step': send-mqtt.qos must be 0 or 1 (qos 2 is not supported)")
+      SendMqtt(
+        Option(n.get("host")).map(_.asText).getOrElse("localhost"),
+        Option(n.get("port")).map(_.asInt).getOrElse(1883),
+        opt(n, "topic"), qos, opt(n, "jq-expr"))
     case "send-amqp" =>
       val ex = Option(n.get("exchange"))
       val exType = ex.flatMap(e => Option(e.get("type")).map(_.asText)).getOrElse("topic")

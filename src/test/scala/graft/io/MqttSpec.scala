@@ -1,0 +1,227 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IngestSources
+
+/** Contract tests for the pure-JVM MQTT 3.1.1 client, the send-mqtt
+  * delivery path, and the mqtt ingest consumer — against a scripted
+  * MQTT broker (CONNECT/CONNACK, SUBSCRIBE/SUBACK, PUBLISH with qos
+  * 0/1 + PUBACK), so every packet of the protocol subset is exercised
+  * without a broker binary.
+  */
+class MqttSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  final case class RecordedPublish(topic: String, qos: Int, payload: String)
+
+  final class ScriptedMqtt(deliverQos: Int = 0) {
+    val subscriptions = new ConcurrentLinkedQueue[(String, Int)]()
+    val publishes = new ConcurrentLinkedQueue[RecordedPublish]()
+    val pubacks = new ConcurrentLinkedQueue[java.lang.Integer]()
+    @volatile var seeded: Seq[(String, String)] = Seq.empty // topic -> payload
+    @volatile var clientId: String = _
+
+    private val server = new ServerSocket(0)
+    @volatile private var running = true
+    def port: Int = server.getLocalPort
+
+    def start(): Unit = {
+      val t = new Thread(() => {
+        try while (running) { val s = server.accept(); serve(s) }
+        catch { case _: Exception => () }
+      }, "scripted-mqtt")
+      t.setDaemon(true); t.start()
+    }
+    def stop(): Unit = { running = false; server.close() }
+
+    private def serve(sock: Socket): Unit = {
+      val t = new Thread(() => {
+        val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+        def packet(tpe: Int, flags: Int, body: Array[Byte]): Unit = {
+          out.writeByte((tpe << 4) | flags)
+          Mqtt.writeRemainingLength(out, body.length)
+          out.write(body); out.flush()
+        }
+        def str16(b: Array[Byte], off: Int): (String, Int) = {
+          val n = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+          (new String(b, off + 2, n, UTF_8), off + 2 + n)
+        }
+        try {
+          var open = true
+          var pid = 100
+          while (open) {
+            val h = in.read()
+            if (h == -1) throw new EOFException()
+            val len = Mqtt.readRemainingLength(in)
+            val body = in.readNBytes(len)
+            val tpe = (h >> 4) & 0xf
+            val flags = h & 0xf
+            tpe match {
+              case Mqtt.Connect =>
+                // variable header: "MQTT", level, flags, keepalive = 10 bytes
+                val (cid, _) = str16(body, 10)
+                clientId = cid
+                packet(Mqtt.Connack, 0, Array[Byte](0, 0))
+              case Mqtt.Subscribe =>
+                val spid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+                val (filter, off) = str16(body, 2)
+                val qos = body(off) & 0xff
+                subscriptions.add((filter, qos))
+                packet(Mqtt.Suback, 0, Array[Byte]((spid >> 8).toByte, (spid & 0xff).toByte,
+                  math.min(qos, deliverQos).toByte))
+                // deliver seeded messages at deliverQos, then close
+                seeded.foreach { case (topic, payload) =>
+                  val vh = new java.io.ByteArrayOutputStream()
+                  vh.write(Mqtt.utf8(topic))
+                  if (deliverQos > 0) { pid += 1; vh.write(pid >> 8); vh.write(pid & 0xff) }
+                  packet(Mqtt.Publish, deliverQos << 1, vh.toByteArray ++ payload.getBytes(UTF_8))
+                }
+                if (seeded.nonEmpty && deliverQos == 0) open = false
+              case Mqtt.Puback =>
+                pubacks.add(((body(0) & 0xff) << 8) | (body(1) & 0xff))
+                if (pubacks.size == seeded.size) open = false
+              case Mqtt.Publish =>
+                val qos = (flags >> 1) & 0x3
+                val (topic, off0) = str16(body, 0)
+                var off = off0
+                var ppid = 0
+                if (qos > 0) { ppid = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff); off += 2 }
+                publishes.add(RecordedPublish(topic, qos,
+                  new String(body, off, body.length - off, UTF_8)))
+                if (qos == 1)
+                  packet(Mqtt.Puback, 0, Array[Byte]((ppid >> 8).toByte, (ppid & 0xff).toByte))
+              case Mqtt.Unsubscribe =>
+                val upid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+                packet(Mqtt.Unsuback, 0, Array[Byte]((upid >> 8).toByte, (upid & 0xff).toByte))
+              case Mqtt.Disconnect => open = false
+              case Mqtt.Pingreq => packet(Mqtt.Pingresp, 0, Array.empty)
+              case _ => ()
+            }
+          }
+        } catch { case _: Exception => () }
+        finally sock.close()
+      })
+      t.setDaemon(true); t.start()
+    }
+  }
+
+  private def withServer[A](deliverQos: Int = 0)(f: ScriptedMqtt => A): A = {
+    val srv = new ScriptedMqtt(deliverQos)
+    srv.start()
+    try f(srv) finally srv.stop()
+  }
+
+  private def drain[A](q: ConcurrentLinkedQueue[A]): List[A] = {
+    val it = q.iterator(); val b = List.newBuilder[A]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def awaitSize(q: ConcurrentLinkedQueue[_], n: Int, ms: Int = 3000): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (q.size < n && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(q.size >= n, s"expected $n recorded entries, got ${q.size}")
+  }
+
+  test("remaining-length codec round-trips the spec boundary values") {
+    for (n <- Seq(0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      Mqtt.writeRemainingLength(new DataOutputStream(bos), n)
+      val back = Mqtt.readRemainingLength(
+        new DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray)))
+      assert(back == n, s"round-trip of $n")
+      // spec: 1 byte up to 127, 2 up to 16383, 3 up to 2097151, else 4
+      val expectBytes = if (n <= 127) 1 else if (n <= 16383) 2 else if (n <= 2097151) 3 else 4
+      assert(bos.toByteArray.length == expectBytes)
+    }
+  }
+
+  test("mqtt ingest subscribes to the default filter and spools qos-0 messages") {
+    withServer() { srv =>
+      srv.seeded = Seq("t/a" -> """{"n":"a"}""", "t/b" -> """{"n":"b"}""")
+      val spool = java.nio.file.Files.createTempDirectory("mqtt-spool").toString
+      val ingest = new IngestSources.MqttIngest(spool)
+      val c = new MqttClient("localhost", srv.port, clientId = "graft-test")
+      try assert(ingest.subscribeLoop(c) == 2) finally c.close()
+      assert(srv.clientId == "graft-test")
+      assert(drain(srv.subscriptions) == List(("cdp/#", 0))) // reference default topic
+      val lines = java.nio.file.Files.list(java.nio.file.Paths.get(spool)).toArray.toSeq
+        .map(p => java.nio.file.Files.readString(p.asInstanceOf[java.nio.file.Path]))
+        .flatMap(_.linesIterator).sorted
+      assert(lines == Seq("""{"n":"a"}""", """{"n":"b"}"""))
+    }
+  }
+
+  test("qos-1 deliveries are acked by the consumer") {
+    withServer(deliverQos = 1) { srv =>
+      srv.seeded = Seq("t/a" -> "m1", "t/b" -> "m2")
+      val spool = java.nio.file.Files.createTempDirectory("mqtt-q1-spool").toString
+      val ingest = new IngestSources.MqttIngest(spool)
+      val c = new MqttClient("localhost", srv.port)
+      try assert(ingest.subscribeLoop(c, "t/#", qos = 1) == 2) finally c.close()
+      awaitSize(srv.pubacks, 2)
+      assert(drain(srv.pubacks).map(_.toInt) == List(101, 102))
+    }
+  }
+
+  test("send-mqtt step publishes one NDJSON message per vector to the default topic") {
+    withServer() { srv =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.pipeline.{BatchCompiler, BatchRunner}
+      import graft.spec.Spec
+      val tpl = Spec.parseYaml(
+        s"""name: pipe
+           |steps:
+           |  out:
+           |    window:
+           |      events: 2
+           |    reduce:
+           |      send-mqtt:
+           |        host: localhost
+           |        port: ${srv.port}
+           |        qos: 1
+           |""".stripMargin)
+      val input = Seq(("a.b", """{"k":1}"""), ("a.c", """{"k":2}"""))
+        .zipWithIndex.map { case ((n, d), i) => (n, d, i.toLong, 1000.0 + i) }
+        .toDF("n", "d", "__seq", "arrival")
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      BatchRunner.run(BatchCompiler.compile(spark, tpl, stamped))
+
+      awaitSize(srv.publishes, 1)
+      val p = drain(srv.publishes).head
+      assert(p.topic == "cdp/pipe/out") // cdp/<pipeline>/<step> default
+      assert(p.qos == 1)
+      val bodyLines = p.payload.linesIterator.filter(_.nonEmpty).toSeq
+      assert(bodyLines.size == 2)
+      assert(bodyLines.forall(l => l.startsWith("{\"n\":\"a.") && l.contains("\"d\":{\"k\":")))
+    }
+  }
+
+  test("send-mqtt jq mode publishes strings unquoted") {
+    withServer() { srv =>
+      import graft.sinks.MqttBroker
+      import spark.implicits._
+      val lines = Seq("\"plain string\"", """{"x":1}""").toDF("line")
+      MqttBroker.deliver(lines.coalesce(1),
+        MqttBroker.Conf("localhost", srv.port, topic = "t", qos = 0, ndjson = false))
+      awaitSize(srv.publishes, 2)
+      val ps = drain(srv.publishes)
+      assert(ps.map(_.payload).toSet == Set("plain string", """{"x":1}"""))
+      assert(ps.forall(_.topic == "t"))
+    }
+  }
+}
