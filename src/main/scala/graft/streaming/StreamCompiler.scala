@@ -86,9 +86,16 @@ object StreamCompiler {
     val windowed = step.window.events > 1 || step.window.seconds > 0
     val keyFn: SEvent => String = if (globalWindows) (_ => "") else (_.n)
 
+    // reduce = disjoint count-or-time groups; flatmap = per-event
+    // sliding buffers (reference src/step.ts:84-131)
+    def windowVectors(d: Dataset[SEvent]): Dataset[SVector] =
+      if (step.flatmap)
+        StreamingWindows.flatmapVectors(d, keyFn, step.window.events, step.window.seconds)
+      else
+        StreamingWindows.hybridVectors(d, keyFn, step.window.events, step.window.seconds)
+
     def vectors(f: Seq[SEvent] => Seq[SEvent]): Dataset[SEvent] =
-      StreamingWindows.hybridVectors(ds, keyFn, step.window.events, step.window.seconds)
-        .flatMap(v => f(v.events))
+      windowVectors(ds).flatMap(v => f(v.events))
 
     step.fn match {
       case Rename(replace, prepend, append) =>
