@@ -40,18 +40,41 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Inter-query barrier: drop cached data and force a full GC so one
+    // query's shuffle files / heap pressure can't swing the next one's
+    // number (r4 verdict: battery interference moved shuffle-heavy
+    // queries 2-5x vs isolated runs).
+    def barrier(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(50)
+    }
+
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      barrier()
       val cold = runOnce(name, fn)
       val warms = Seq.fill(3)(runOnce(name, fn)).sorted
       (name, cold, warms(1))
     }
+    // Isolated re-run of the 5 slowest: a second number taken behind a
+    // fresh barrier, so per-query deltas can be adjudicated against
+    // battery interference without chasing ghosts round-over-round.
+    val slowest = results.sortBy(-_._3).take(5).map(_._1)
+    val isolated = slowest.map { name =>
+      barrier()
+      runOnce(name, selected(name)) // warmup
+      barrier()
+      val runs = Seq.fill(3) { barrier(); runOnce(name, selected(name)) }.sorted
+      name -> runs(1)
+    }
     val qs = results.map { case (k, _, w) => s""""$k":$w""" }.mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

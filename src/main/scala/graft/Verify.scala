@@ -22,6 +22,46 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Machine-checkable invariants for the two declared rows-only
+    // queries (no DuckDB oracle by design): the driver record carries a
+    // pass/fail instead of a bare row count.
+    //  - emb_ann_lsh: recall of the LSH top-k vs the brute-force top-k
+    //    on the same data/params (floor mirrors SimilaritySpec);
+    //  - agg_approx_distinct: worst per-group relative error of the HLL
+    //    estimate vs exact distinct counts (default rsd 0.05 -> 3-sigma
+    //    ceiling 0.15).
+    def invariantJson: String = {
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      val brute = graft.ann.Similarity.bruteForceTopK(emb, emb, 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = graft.ann.Similarity.lshTopK(emb, 5, bits = 6, dim = 64, tables = 16)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (brute.isEmpty) 1.0 else brute.intersect(lsh).size.toDouble / brute.size
+      val recallFloor = 0.4
+
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val errs = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx"),
+          countDistinct("l_partkey").as("exact"))
+        .select((abs(col("approx") - col("exact")) / col("exact")).as("rel_err"))
+        .collect().map(_.getDouble(0))
+      val maxErr = if (errs.isEmpty) 0.0 else errs.max
+      val errCeil = 0.15
+
+      s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
+         | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
+         | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
+         | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}}}""".stripMargin.replace("\n", "")
+    }
+    try {
+      val inv = invariantJson
+      Files.writeString(Paths.get(s"$outDir/invariants.json"), inv)
+      if (inv.contains("false")) System.err.println(s"[verify] INVARIANT FAILED: $inv")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] invariant computation failed: ${e.getMessage}")
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

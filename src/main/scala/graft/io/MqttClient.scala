@@ -7,7 +7,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** MQTT 3.1.1 packet codec — the subset the reference's mqtt input and
   * send-mqtt sink exercise (reference src/input/mqtt.ts:109-213,
   * src/step-functions/send-mqtt.ts:86-185): CONNECT/CONNACK,
-  * SUBSCRIBE/SUBACK, PUBLISH (qos 0/1) with PUBACK,
+  * SUBSCRIBE/SUBACK, PUBLISH at qos 0/1/2 (PUBACK for qos 1, the
+  * PUBREC/PUBREL/PUBCOMP handshake for qos 2),
   * UNSUBSCRIBE/UNSUBACK, DISCONNECT. Pure JVM, no client library —
   * same offline-viable pattern as [[RespClient]]/[[AmqpClient]].
   *
@@ -17,6 +18,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object Mqtt {
   val Connect = 1; val Connack = 2; val Publish = 3; val Puback = 4
+  val Pubrec = 5; val Pubrel = 6; val Pubcomp = 7
   val Subscribe = 8; val Suback = 9; val Unsubscribe = 10; val Unsuback = 11
   val Pingreq = 12; val Pingresp = 13; val Disconnect = 14
 
@@ -127,23 +129,31 @@ final class MqttClient(host: String, port: Int,
         if (tpe == Publish) {
           val (topic, payload, _) = decodePublish(flags, body)
           return Some((topic, new String(payload, UTF_8)))
-        } // everything else (PINGRESP, stray acks) is skipped
+        } else if (tpe == Pubrel) completeQos2(body)
+        // everything else (PINGRESP, stray acks) is skipped
       }
       None
     } catch { case _: EOFException => None }
   }
 
-  /** PUBLISH at qos 0 (fire-and-forget) or qos 1 (wait for PUBACK). */
+  /** PUBLISH at qos 0 (fire-and-forget), qos 1 (wait for PUBACK), or
+    * qos 2 (full PUBREC → PUBREL → PUBCOMP exactly-once handshake,
+    * MQTT 3.1.1 §4.3.3).
+    */
   def publish(topic: String, payload: Array[Byte], qos: Int = 0): Unit = {
-    require(qos == 0 || qos == 1, s"qos must be 0 or 1, got $qos")
+    require(qos >= 0 && qos <= 2, s"qos must be 0, 1 or 2, got $qos")
     val vh = new java.io.ByteArrayOutputStream()
     vh.write(utf8(topic))
-    if (qos == 1) {
-      val pid = nextPacketId()
-      vh.write(pid >> 8); vh.write(pid & 0xff)
-    }
+    val pid = if (qos > 0) nextPacketId() else 0
+    if (qos > 0) { vh.write(pid >> 8); vh.write(pid & 0xff) }
     writePacket(Publish, qos << 1, vh.toByteArray ++ payload)
     if (qos == 1) { expectPacket(Puback); () }
+    else if (qos == 2) {
+      expectPacket(Pubrec)
+      writePacket(Pubrel, 0x2, Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
+      expectPacket(Pubcomp)
+      ()
+    }
   }
 
   override def close(): Unit = {
@@ -178,11 +188,19 @@ final class MqttClient(host: String, port: Int,
       val (t, flags, body) = readPacket()
       if (t == tpe) return body
       if (t == Publish) pending.enqueue(decodePublish(flags, body))
+      else if (t == Pubrel) completeQos2(body)
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Returns (topic, payload, qos); acks qos-1 deliveries inline. */
+  /** Receiver side of the qos-2 handshake: PUBREL → PUBCOMP. */
+  private def completeQos2(body: Array[Byte]): Unit =
+    writePacket(Pubcomp, 0, Array[Byte](body(0), body(1)))
+
+  /** Returns (topic, payload, qos); starts the delivery ack inline —
+    * PUBACK for qos 1, PUBREC for qos 2 (PUBCOMP follows when the
+    * broker's PUBREL is read by one of the receive loops).
+    */
   private def decodePublish(flags: Int, body: Array[Byte]): (String, Array[Byte], Int) = {
     val qos = (flags >> 1) & 0x3
     val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
@@ -191,7 +209,8 @@ final class MqttClient(host: String, port: Int,
     if (qos > 0) {
       val pid = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
       off += 2
-      writePacket(Puback, 0, Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
+      writePacket(if (qos == 1) Puback else Pubrec, 0,
+        Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
     }
     (topic, java.util.Arrays.copyOfRange(body, off, body.length), qos)
   }

@@ -124,6 +124,19 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // §2.3 flatmap-mode sliding windows with BOTH arms: a buffer
+    // closes at 50 events or 1h after its head, whichever first
+    // (reference src/step.ts:84-131).
+    "ev_window_sliding_time" -> { (s, d) =>
+      StepOps.slidingTimeVectors(ev(s, d), Seq(col("event_type")),
+          Seq(col("ts_us"), col("event_id")), col("ts_us"), 50, 3600 * 1e6)
+        .groupBy("event_type", "vec_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(decVal).cast("double").as("sum_value"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("event_type", "vec_id")
+    },
+
     // §2.6 implicit union: a step with several `after` upstreams.
     "ev_union_after" -> { (s, d) =>
       val e = ev(s, d)
@@ -260,6 +273,21 @@ object EventQueries {
          |WINDOW w AS (PARTITION BY event_type ORDER BY $tsUs, event_id
          |             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
          |ORDER BY event_id""".stripMargin,
+
+    // one row per (head, member) pair, bounded by the 50-row frame and
+    // the 1h time arm — the exact slidingTimeVectors membership rule
+    "ev_window_sliding_time" ->
+      s"""WITH base AS (
+         |  SELECT event_type k, event_id, $tsUs us, CAST(value AS DECIMAL(18,2)) v,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY $tsUs, event_id) rn
+         |  FROM events)
+         |SELECT h.k AS event_type, h.rn - 1 AS vec_id, COUNT(*) AS cnt,
+         |  CAST(SUM(m.v) AS DOUBLE) AS sum_value,
+         |  MIN(m.event_id) AS first_id, MAX(m.event_id) AS last_id
+         |FROM base h JOIN base m
+         |  ON m.k = h.k AND m.rn >= h.rn AND m.rn < h.rn + 50
+         |  AND m.us - h.us < 3600000000
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_union_after" ->
       """SELECT n, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

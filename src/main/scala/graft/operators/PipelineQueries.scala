@@ -17,8 +17,11 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // pinned to the reference-parity global buffer: this oracle
+  // replicates the single global arrival-order window assignment
   val pipelineYaml: String =
     """name: replay
+      |window-key: global
       |steps:
       |  classify:
       |    flatmap:
@@ -76,7 +79,46 @@ object PipelineQueries {
       |      send-receive-jq: '{n: "agg", d: {sum: (map(.d.k) | add), n: length, t0: .[0].t[0].i, nm: .[0].n}}'
       |""".stripMargin
 
+  /** Same pipeline shape through the compiled jsonnet tier — runs with
+    * no stream-jsonnet helper binary (the `function(events)` object
+    * construction is in JsonnetCompiler's subset).
+    */
+  val jsonnetYaml: String =
+    """name: replay
+      |window-key: global
+      |steps:
+      |  classify:
+      |    flatmap:
+      |      rename:
+      |        prepend: "app."
+      |  aggregate:
+      |    after: [classify]
+      |    match/drop:
+      |      not: "app.error"
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jsonnet: 'function(events) {n: "agg", d: {n: std.length(events), t0: events[0].t[0].i}}'
+      |""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipeline_e2e_jsonnet" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val input = ev.select(
+        col("event_type").as("n"),
+        col("props").as("d"),
+        col("event_id").as("__seq"),
+        (col("ts_us") / lit(1e6)).as("arrival"))
+      val tpl = Spec.parseYaml(jsonnetYaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(s, tpl, stamped).output
+      out.select(
+          col("n"),
+          get_json_object(col("d"), "$.n").cast("double").cast("long").as("n_events"),
+          get_json_object(col("d"), "$.t0").cast("double").as("t0"))
+        .orderBy("t0")
+    },
+
     // same pipeline through BOTH jq tiers, checked against one truth:
     // the subprocess tier runs real jq; the compiled tier lowers the
     // expression to native aggregates
@@ -142,8 +184,19 @@ object PipelineQueries {
         |       COUNT(*) AS n_events, MIN(t0v) AS t0
         |FROM f GROUP BY et, (rn-1)//100 ORDER BY nm, t0""".stripMargin
 
+  // the jsonnet-subset pipeline carries count + window-head time (no
+  // sum — std.foldl is outside the compiled subset)
+  private val jsonnetOracle =
+      """WITH f AS (
+        |  SELECT epoch_us(ts)/1000000.0 AS t0v,
+        |         ROW_NUMBER() OVER (ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT 'agg' AS n, COUNT(*) AS n_events, MIN(t0v) AS t0
+        |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> e2eOracle,
     "pipeline_e2e_compiled" -> e2eOracle,
+    "pipeline_e2e_jsonnet" -> jsonnetOracle,
     "pipeline_e2e_keyed" -> keyedOracle)
 }

@@ -79,6 +79,31 @@ object StepOps {
     Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
       .rowsBetween(Window.currentRow, size - 1)
 
+  /** flatmap-mode sliding windows with BOTH arms (reference
+    * src/step.ts:84-131): every event heads a buffer; a buffer closes
+    * at `size` events or once `maxSpan` (same units as `tsCol`) has
+    * elapsed since its head. Emits one row per (event, open buffer it
+    * joined): `vec_id` = the head's 0-based rank within its key.
+    *
+    * Plan shape: one analytic pass collects the candidate heads (the
+    * previous `size-1` rows — a bounded O(size) array per row, no
+    * self-join), then a codegen'd higher-order filter keeps heads
+    * still open in time. One shuffle on the key; range explosion is
+    * bounded by `size`, so it scales like the count-only variant.
+    */
+  def slidingTimeVectors(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+                         tsCol: Column, size: Int, maxSpan: Double): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("__r", row_number().over(w).cast("long") - 1)
+      .withColumn("__heads",
+        collect_list(struct(col("__r").as("hr"), tsCol.as("hts")))
+          .over(w.rowsBetween(-(size - 1).toLong, Window.currentRow)))
+      .withColumn("vec_id",
+        explode(filter(col("__heads"), h => tsCol - h.getField("hts") < lit(maxSpan))
+          .getField("hr")))
+      .drop("__r", "__heads")
+  }
+
   // ---- vector step functions ----
 
   /** `keep`: truncate each vector to its first (or last) `n` events

@@ -45,7 +45,7 @@ object BatchCompiler {
   /** A sink tap plus how the runner should deliver it. */
   sealed trait Delivery
   case object ToStdout extends Delivery
-  final case class ToFile(path: String) extends Delivery
+  final case class ToFile(path: String, distributed: Boolean = false) extends Delivery
   final case class ToHttp(target: String, method: String,
                           headers: Map[String, String]) extends Delivery
   final case class ToExpose(endpoint: String, port: Int, responses: Int) extends Delivery
@@ -196,8 +196,9 @@ object BatchCompiler {
         sinks(step.name) = SinkSpec(formatted(spark, tpl, step, df, jq), ToStdout)
         df // pass-through
 
-      case SendFile(path, jq) =>
-        sinks(s"${step.name}:$path") = SinkSpec(formatted(spark, tpl, step, df, jq), ToFile(path))
+      case SendFile(path, jq, distributed) =>
+        sinks(s"${step.name}:$path") = SinkSpec(formatted(spark, tpl, step, df, jq),
+          ToFile(path, distributed))
         df // pass-through
 
       case SendHttp(target, method, headers, jq) =>
@@ -252,13 +253,22 @@ object BatchCompiler {
         httpTransform(spark, tpl, step, df, target, headers, wrapName)
 
       case SendReceiveJsonnet(expr, wrapName) =>
-        val bin = sys.env("GRAFT_JSONNET_BIN")
-        import spark.implicits._
-        val vecLines = vectorBodies(spark, tpl, df, step)
-        val piped = vecLines.as[String]
-          .mapPartitions(it => graft.io.JqPipe.pipeCommand(it, Seq(bin, expr)))
-          .toDF("line").withColumn("__seq", monotonically_increasing_id())
-        parseEventLines(tpl, piped, wrapName)
+        // in-subset expressions run as native Columns (no binary, same
+        // machinery as the compiled jq tier); the general case pipes
+        // vectors through the stream-jsonnet helper
+        val compiledJsonnet =
+          if (wrapName.isEmpty) graft.functions.JsonnetCompiler.tryCompile(expr) else None
+        compiledJsonnet match {
+          case Some(c) => compiledJq(spark, tpl, step, df, c)
+          case None =>
+            val bin = sys.env("GRAFT_JSONNET_BIN")
+            import spark.implicits._
+            val vecLines = vectorBodies(spark, tpl, df, step)
+            val piped = vecLines.as[String]
+              .mapPartitions(it => graft.io.JqPipe.pipeCommand(it, Seq(bin, expr)))
+              .toDF("line").withColumn("__seq", monotonically_increasing_id())
+            parseEventLines(tpl, piped, wrapName)
+        }
 
       case SendReceiveJq(expr, wrapName) =>
         val compiled =
@@ -400,16 +410,22 @@ object BatchCompiler {
     if (step.window.events <= 1 && step.window.seconds <= 0)
       withKey(df.withColumn("vec_id", col("__seq"))) // singleton: vec_id already unique
     else if (step.flatmap) {
-      require(step.window.seconds <= 0,
-        s"step '${step.name}': flatmap time windows are streaming-only for now")
       val n = step.window.events
       val w =
         if (keyed) Window.partitionBy(col("__wk")).orderBy(col("__ts"), col("__seq"))
         else Window.orderBy(col("__ts"), col("__seq"))
-      withKey(df).withColumn("__r", row_number().over(w).cast("long") - 1)
-        .withColumn("vec_id",
-          explode(sequence(greatest(col("__r") - (n - 1), lit(0L)), col("__r"))))
-        .drop("__r")
+      if (step.window.seconds > 0) {
+        // both arms: a buffer closes at `events` members or `seconds`
+        // after its head event (event time stands in for the
+        // reference's wall clock in batch replay, src/step.ts:84-131)
+        val keyCols = if (keyed) Seq(col("__wk")) else Seq.empty
+        graft.operators.StepOps.slidingTimeVectors(withKey(df), keyCols,
+          Seq(col("__ts"), col("__seq")), col("__ts"), n, step.window.seconds)
+      } else
+        withKey(df).withColumn("__r", row_number().over(w).cast("long") - 1)
+          .withColumn("vec_id",
+            explode(sequence(greatest(col("__r") - (n - 1), lit(0L)), col("__r"))))
+          .drop("__r")
     } else {
       val base = withKey(df).withColumn("__us", (col("__ts") * 1e6).cast("long"))
       val (keyCols, prepared) =

@@ -26,12 +26,17 @@ object BatchRunner {
         case BatchCompiler.ToStdout =>
           lines.toLocalIterator().forEachRemaining((r: Row) => println(r.getString(0)))
 
-        case BatchCompiler.ToFile(path) =>
-          val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
-            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-          try lines.toLocalIterator().forEachRemaining { (r: Row) =>
-            w.write(r.getString(0)); w.write('\n')
-          } finally w.close()
+        case BatchCompiler.ToFile(path, distributed) =>
+          if (distributed)
+            // executors write a part-file directory — no driver drain
+            lines.write.mode("overwrite").text(path)
+          else {
+            val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
+              java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+            try lines.toLocalIterator().forEachRemaining { (r: Row) =>
+              w.write(r.getString(0)); w.write('\n')
+            } finally w.close()
+          }
 
         case BatchCompiler.ToHttp(target, method, headers) =>
           lines.foreachPartition { (it: Iterator[Row]) =>

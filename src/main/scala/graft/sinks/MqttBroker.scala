@@ -11,7 +11,8 @@ import graft.io.MqttClient
   * Reference semantics reproduced:
   *   - default topic `cdp/<pipeline>/<step>` (send-mqtt.ts:74-75),
   *     resolved at compile time;
-  *   - qos 0 default, qos 1 waits for PUBACK per message;
+  *   - qos 0 default, qos 1 waits for PUBACK per message, qos 2 runs
+  *     the full PUBREC/PUBREL/PUBCOMP handshake per message;
   *   - without jq: one message per vector (NDJSON body);
   *   - with jq: one message per result (strings unquoted — the
   *     content-type distinction is an MQTT 5 property with no 3.1.1

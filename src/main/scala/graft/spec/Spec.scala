@@ -32,7 +32,11 @@ object Spec {
   final case class Keep(first: Option[Int], last: Option[Int]) extends StepFn
   final case class KeepWhen(schema: JsonNode) extends StepFn
   final case class SendStdout(jqExpr: Option[String]) extends StepFn
-  final case class SendFile(path: String, jqExpr: Option[String]) extends StepFn
+  /** send-file. `distributed` is an engine extension: executors write
+    * a directory of part files via `df.write` (the 100-TB shape)
+    * instead of the reference-parity single-file driver append. */
+  final case class SendFile(path: String, jqExpr: Option[String],
+                            distributed: Boolean = false) extends StepFn
   final case class SendReceiveJq(jqExpr: String, wrapName: Option[String]) extends StepFn
   final case class SendReceiveJsonnet(expr: String, wrapName: Option[String]) extends StepFn
   final case class SendHttp(target: String, method: String,
@@ -79,11 +83,13 @@ object Spec {
         * to native columns (numeric semantics, no subprocess); default
         * "subprocess" is exact jq. */
       jqTier: String = "subprocess",
-      /** Engine extension: "name" partitions windowed batch replay by
-        * event name (the keyed, scalable path — what the streaming
-        * compiler already does); default "global" reproduces the
-        * reference's single global arrival-order buffer. */
-      windowKey: String = "global") {
+      /** Engine extension: the default "name" partitions windowed batch
+        * replay by event name (the keyed, scalable path — what the
+        * streaming compiler already does, and the only shape that
+        * doesn't funnel a 100-TB replay through one task); "global" is
+        * the explicit opt-in reproducing the reference's single global
+        * arrival-order buffer bit-for-bit. */
+      windowKey: String = "name") {
     def signature: String =
       graft.model.Signatures.ofJson(name + steps.map(_.toString).mkString("|"))
   }
@@ -114,7 +120,7 @@ object Spec {
     val jqTier = Option(root.get("jq-tier")).map(_.asText).getOrElse("subprocess")
     require(Set("subprocess", "compiled").contains(jqTier),
       s"jq-tier must be subprocess or compiled, got $jqTier")
-    val windowKey = Option(root.get("window-key")).map(_.asText).getOrElse("global")
+    val windowKey = Option(root.get("window-key")).map(_.asText).getOrElse("name")
     require(Set("global", "name").contains(windowKey),
       s"window-key must be global or name, got $windowKey")
     val tpl = PipelineTemplate(name, input, steps,
@@ -225,21 +231,33 @@ object Spec {
       SendStdout(if (n == null || n.isNull) None else opt(n, "jq-expr"))
     case "send-file" =>
       if (n.isTextual) SendFile(n.asText, None)
-      else SendFile(req(n, "path").asText, opt(n, "jq-expr"))
+      else {
+        val mode = Option(n.get("mode")).map(_.asText).getOrElse("append")
+        require(Set("append", "distributed").contains(mode),
+          s"step '$step': send-file.mode must be append or distributed")
+        SendFile(req(n, "path").asText, opt(n, "jq-expr"), mode == "distributed")
+      }
     case "send-receive-jq" =>
       if (n.isTextual) SendReceiveJq(n.asText, None)
       else SendReceiveJq(req(n, "jq-expr").asText,
         Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
     case "send-receive-jsonnet" =>
-      // gated on a helper binary (reference ships a Go stream-jsonnet
-      // helper; none is available offline) — same gate as the
-      // reference's PATH check (src/io/json-processor.ts:118-122)
+      val fn =
+        if (n.isTextual) SendReceiveJsonnet(n.asText, None)
+        else SendReceiveJsonnet(req(n, "jsonnet-expr").asText,
+          Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
+      // in-subset `function(events)` forms compile to native Columns
+      // (JsonnetCompiler); everything else is gated on a helper binary
+      // (reference ships a Go stream-jsonnet helper; none is available
+      // offline) — same gate as the reference's PATH check
+      // (src/io/json-processor.ts:118-122)
+      val compilable = fn.wrapName.isEmpty &&
+        graft.functions.JsonnetCompiler.tryCompile(fn.expr).isDefined
       val bin = sys.env.get("GRAFT_JSONNET_BIN")
-      require(bin.exists(b => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(b))),
-        s"step '$step': send-receive-jsonnet needs GRAFT_JSONNET_BIN to point at a stream-jsonnet helper binary")
-      if (n.isTextual) SendReceiveJsonnet(n.asText, None)
-      else SendReceiveJsonnet(req(n, "jsonnet-expr").asText,
-        Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
+      require(compilable ||
+        bin.exists(b => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(b))),
+        s"step '$step': this send-receive-jsonnet expression is outside the compiled subset and needs GRAFT_JSONNET_BIN to point at a stream-jsonnet helper binary")
+      fn
     case "send-http" =>
       if (n.isTextual) SendHttp(n.asText, "POST", Map.empty, None)
       else {
@@ -257,8 +275,8 @@ object Spec {
         Option(n.get("responses")).map(_.asInt).getOrElse(1))
     case "send-mqtt" =>
       val qos = Option(n.get("qos")).map(_.asText.toInt).getOrElse(0)
-      require(qos == 0 || qos == 1,
-        s"step '$step': send-mqtt.qos must be 0 or 1 (qos 2 is not supported)")
+      require(qos >= 0 && qos <= 2,
+        s"step '$step': send-mqtt.qos must be 0, 1 or 2")
       SendMqtt(
         Option(n.get("host")).map(_.asText).getOrElse("localhost"),
         Option(n.get("port")).map(_.asInt).getOrElse(1883),

@@ -138,7 +138,7 @@ object StreamCompiler {
         sinks(step.name) = formatLines(spark, tpl, step, ds, jq, globalWindows)
         ds
 
-      case SendFile(path, jq) =>
+      case SendFile(path, jq, _) =>
         sinks(s"${step.name}:$path") = formatLines(spark, tpl, step, ds, jq, globalWindows)
         ds
 

@@ -31,10 +31,23 @@ object StreamingWindows {
 
   /** One open flatmap buffer: its id, creation wall time (the timer
     * anchor — reference src/step.ts:96-109 starts the timeout when the
-    * buffer is created, i.e. at its head event), and members so far.
+    * buffer is created, i.e. at its head event), and the index of its
+    * head event in the key's shared event ring. A flatmap buffer's
+    * members are always a contiguous *suffix slice* of the arrival
+    * sequence (every event joins every open buffer), so the state
+    * stores each event once plus per-buffer offsets — O(maxEvents)
+    * per key instead of the O(maxEvents²) of materializing each
+    * buffer's members.
     */
-  final case class FlatBuf(vecId: Long, firstWallMs: Long, events: Seq[SEvent])
-  final case class FlatState(bufs: Seq[FlatBuf], nextVec: Long)
+  final case class FlatBuf(vecId: Long, firstWallMs: Long, startIdx: Long)
+
+  /** Per-key flatmap state: `ring` holds events [ringStart, nextIdx)
+    * (everything belonging to at least one open buffer), `bufs` is the
+    * open-buffer queue in creation order (startIdx strictly
+    * increasing, so sizes strictly decrease front to back).
+    */
+  final case class FlatState(ring: Seq[SEvent], ringStart: Long,
+                             bufs: Seq[FlatBuf], nextVec: Long, nextIdx: Long)
 
   implicit val sEventEnc: Encoder[SEvent] = Encoders.product[SEvent]
   implicit val sVectorEnc: Encoder[SVector] = Encoders.product[SVector]
@@ -72,6 +85,14 @@ object StreamingWindows {
             var buf = st0.buf
             var firstWall = st0.firstWallMs
             var nextVec = st0.nextVec
+            // a buffer whose deadline passed closes BEFORE this batch's
+            // events join it — the reference's timer would have fired
+            // between the arrivals (src/step.ts:96-109)
+            if (buf.nonEmpty && now - firstWall >= maxMs) {
+              out += SVector(k, nextVec, buf)
+              buf = Vector.empty
+              nextVec += 1
+            }
             incoming.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
               if (buf.isEmpty) firstWall = now
               buf = buf :+ e
@@ -98,9 +119,11 @@ object StreamingWindows {
     * its head event. A..E at size 3 ⇒ (A,B,C),(B,C,D),(C,D,E) live,
     * then (D,E),(E) on their timers.
     *
-    * State per key is bounded: at most `maxEvents` open buffers of
-    * fewer than `maxEvents` events each; the single per-key timer is
-    * set to the earliest open buffer's deadline.
+    * State per key is O(`maxEvents`): each event is stored once in a
+    * shared ring, buffers are (id, wall-time, offset) triples over it;
+    * the single per-key timer tracks the oldest open buffer's
+    * deadline (buffers expire strictly in creation order, so no
+    * later buffer can starve behind it).
     */
   def flatmapVectors(events: Dataset[SEvent], key: SEvent => String,
                      maxEvents: Int, maxSeconds: Double): Dataset[SVector] = {
@@ -111,35 +134,49 @@ object StreamingWindows {
     events.groupByKey(key)
       .flatMapGroupsWithState[FlatState, SVector](OutputMode.Append, timeout) {
         (k: String, incoming: Iterator[SEvent], state: GroupState[FlatState]) =>
-          val st0 = state.getOption.getOrElse(FlatState(Vector.empty, 0L))
+          val st0 = state.getOption.getOrElse(FlatState(Vector.empty, 0L, Vector.empty, 0L, 0L))
           val now = System.currentTimeMillis()
           val out = Seq.newBuilder[SVector]
-          var bufs = st0.bufs
+          var ring = st0.ring.toVector
+          var ringStart = st0.ringStart
+          var bufs = st0.bufs.toVector
           var nextVec = st0.nextVec
+          var nextIdx = st0.nextIdx
 
-          if (!incoming.hasNext && state.hasTimedOut) {
-            // timer arm: flush every buffer whose deadline passed
-            val (expired, alive) = bufs.partition(b => now - b.firstWallMs >= maxMs)
-            expired.sortBy(_.vecId).foreach(b => out += SVector(k, b.vecId, b.events))
-            bufs = alive
-          } else {
+          // close + emit the front buffer; the ring keeps only events
+          // still owned by some open buffer
+          def popFront(): Unit = {
+            val b = bufs.head
+            out += SVector(k, b.vecId, ring.drop((b.startIdx - ringStart).toInt))
+            bufs = bufs.tail
+            val newStart = bufs.headOption.map(_.startIdx).getOrElse(nextIdx)
+            ring = ring.drop((newStart - ringStart).toInt)
+            ringStart = newStart
+          }
+
+          // buffers close in creation order (sizes strictly decrease
+          // front to back), so expiry is always a front-of-queue pop —
+          // flush overdue buffers whether we woke on the timer or on
+          // data (the reference's per-buffer timer would have fired
+          // between the arrivals, src/step.ts:96-109)
+          while (bufs.nonEmpty && now - bufs.head.firstWallMs >= maxMs) popFront()
+
+          if (incoming.hasNext) {
             incoming.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
-              bufs = bufs :+ FlatBuf(nextVec, now, Vector.empty)
+              ring = ring :+ e
+              bufs = bufs :+ FlatBuf(nextVec, now, nextIdx)
               nextVec += 1
-              bufs = bufs.map(b => b.copy(events = b.events :+ e))
-              val (full, open) = bufs.partition(_.events.size >= maxEvents)
-              full.sortBy(_.vecId).foreach(b => out += SVector(k, b.vecId, b.events))
-              bufs = open
+              nextIdx += 1
+              // only the oldest buffer can reach maxEvents on this event
+              if (nextIdx - bufs.head.startIdx >= maxEvents) popFront()
             }
           }
 
           if (bufs.isEmpty) state.remove()
           else {
-            state.update(FlatState(bufs, nextVec))
-            if (maxMs != Long.MaxValue) {
-              val earliest = bufs.map(_.firstWallMs).min
-              state.setTimeoutDuration(math.max(1L, maxMs - (now - earliest)))
-            }
+            state.update(FlatState(ring, ringStart, bufs, nextVec, nextIdx))
+            if (maxMs != Long.MaxValue)
+              state.setTimeoutDuration(math.max(1L, maxMs - (now - bufs.head.firstWallMs)))
           }
           out.result().iterator
       }

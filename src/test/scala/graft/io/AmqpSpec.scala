@@ -277,6 +277,7 @@ class AmqpSpec extends AnyFunSuite {
       import graft.spec.Spec
       val tpl = Spec.parseYaml(
         s"""name: p
+           |window-key: global
            |steps:
            |  out:
            |    window:

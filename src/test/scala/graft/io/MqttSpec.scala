@@ -30,6 +30,8 @@ class MqttSpec extends AnyFunSuite {
     val subscriptions = new ConcurrentLinkedQueue[(String, Int)]()
     val publishes = new ConcurrentLinkedQueue[RecordedPublish]()
     val pubacks = new ConcurrentLinkedQueue[java.lang.Integer]()
+    val pubrels = new ConcurrentLinkedQueue[java.lang.Integer]()
+    val pubcomps = new ConcurrentLinkedQueue[java.lang.Integer]()
     @volatile var seeded: Seq[(String, String)] = Seq.empty // topic -> payload
     @volatile var clientId: String = _
 
@@ -103,6 +105,17 @@ class MqttSpec extends AnyFunSuite {
                   new String(body, off, body.length - off, UTF_8)))
                 if (qos == 1)
                   packet(Mqtt.Puback, 0, Array[Byte]((ppid >> 8).toByte, (ppid & 0xff).toByte))
+                else if (qos == 2)
+                  packet(Mqtt.Pubrec, 0, Array[Byte]((ppid >> 8).toByte, (ppid & 0xff).toByte))
+              case Mqtt.Pubrel => // publisher completing its qos-2 send
+                val rpid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+                pubrels.add(rpid)
+                packet(Mqtt.Pubcomp, 0, Array[Byte]((rpid >> 8).toByte, (rpid & 0xff).toByte))
+              case Mqtt.Pubrec => // subscriber acking our qos-2 delivery
+                packet(Mqtt.Pubrel, 0x2, Array[Byte](body(0), body(1)))
+              case Mqtt.Pubcomp =>
+                pubcomps.add(((body(0) & 0xff) << 8) | (body(1) & 0xff))
+                if (pubcomps.size == seeded.size) open = false
               case Mqtt.Unsubscribe =>
                 val upid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
                 packet(Mqtt.Unsuback, 0, Array[Byte]((upid >> 8).toByte, (upid & 0xff).toByte))
@@ -185,6 +198,7 @@ class MqttSpec extends AnyFunSuite {
       import graft.spec.Spec
       val tpl = Spec.parseYaml(
         s"""name: pipe
+           |window-key: global
            |steps:
            |  out:
            |    window:
@@ -208,6 +222,35 @@ class MqttSpec extends AnyFunSuite {
       val bodyLines = p.payload.linesIterator.filter(_.nonEmpty).toSeq
       assert(bodyLines.size == 2)
       assert(bodyLines.forall(l => l.startsWith("{\"n\":\"a.") && l.contains("\"d\":{\"k\":")))
+    }
+  }
+
+  test("qos-2 publish runs the full PUBREC/PUBREL/PUBCOMP handshake") {
+    withServer() { srv =>
+      import graft.sinks.MqttBroker
+      import spark.implicits._
+      val lines = Seq("""{"a":1}""", """{"b":2}""").toDF("line")
+      MqttBroker.deliver(lines.coalesce(1),
+        MqttBroker.Conf("localhost", srv.port, topic = "t2", qos = 2, ndjson = false))
+      awaitSize(srv.publishes, 2)
+      awaitSize(srv.pubrels, 2)
+      val ps = drain(srv.publishes)
+      assert(ps.forall(_.qos == 2))
+      assert(ps.map(_.payload).toSet == Set("""{"a":1}""", """{"b":2}"""))
+      // one PUBREL per publish, matching packet ids 1, 2
+      assert(drain(srv.pubrels).map(_.toInt).sorted == List(1, 2))
+    }
+  }
+
+  test("qos-2 deliveries complete the receiver-side handshake") {
+    withServer(deliverQos = 2) { srv =>
+      srv.seeded = Seq("t/a" -> "m1", "t/b" -> "m2")
+      val spool = java.nio.file.Files.createTempDirectory("mqtt-q2-spool").toString
+      val ingest = new IngestSources.MqttIngest(spool)
+      val c = new MqttClient("localhost", srv.port)
+      try assert(ingest.subscribeLoop(c, "t/#", qos = 2) == 2) finally c.close()
+      awaitSize(srv.pubcomps, 2)
+      assert(drain(srv.pubcomps).map(_.toInt) == List(101, 102))
     }
   }
 

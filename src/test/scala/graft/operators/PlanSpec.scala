@@ -73,4 +73,29 @@ class PlanSpec extends AnyFunSuite {
     val global = plan("pipeline_e2e")
     assert(global.contains("AS __k") && global.contains("hashpartitioning(__k#"))
   }
+
+  test("windowed pipelines default to keyed windows (no single-task exchange)") {
+    import org.apache.spark.sql.functions._
+    // no window-key in the YAML -> the default must be the scalable
+    // keyed path: window assignment shuffles by event name, never
+    // through one task
+    val tpl = graft.spec.Spec.parseYaml(
+      """name: dflt
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 10
+        |    reduce:
+        |      deduplicate: null
+        |""".stripMargin)
+    assert(tpl.windowKey == "name")
+    val ev = graft.sources.Tables.events(spark, dir)
+    val input = ev.select(col("event_type").as("n"), col("props").as("d"),
+      col("event_id").as("__seq"), (col("ts_us") / lit(1e6)).as("arrival"))
+    val stamped = graft.pipeline.BatchCompiler.stampInput(tpl, input, col("arrival"))
+    val p = graft.pipeline.BatchCompiler.compile(spark, tpl, stamped)
+      .output.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(p.contains("hashpartitioning(__wk"), p.take(800))
+  }
 }

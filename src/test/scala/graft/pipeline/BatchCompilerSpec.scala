@@ -180,6 +180,26 @@ class BatchCompilerSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("3"))
   }
 
+  test("send-file distributed mode writes a part-file directory via df.write") {
+    val dir = java.nio.file.Files.createTempDirectory("sf-dist").toString + "/out"
+    val out = run(
+      s"""name: p
+         |steps:
+         |  dump:
+         |    flatmap:
+         |      send-file:
+         |        path: "$dir"
+         |        mode: distributed
+         |""".stripMargin,
+      events("a" -> "1", "b" -> "2", "c" -> "3"))
+    BatchRunner.run(out)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(back.length == 3)
+    assert(back.forall(_.startsWith("{\"n\":")))
+    // part files, not a single driver-written file
+    assert(new java.io.File(dir).isDirectory)
+  }
+
   test("spec validation rejects the reference's rejection fixtures") {
     def bad(yaml: String): Unit =
       assertThrows[IllegalArgumentException](Spec.parseYaml(yaml))
@@ -234,15 +254,48 @@ class BatchCompilerSpec extends AnyFunSuite {
           |""".stripMargin)
   }
 
-  test("send-receive-jsonnet is gated on a helper binary") {
+  test("send-receive-jsonnet outside the compiled subset is gated on a helper binary") {
     val e = intercept[IllegalArgumentException](Spec.parseYaml(
       """name: p
         |steps:
         |  j:
         |    flatmap:
-        |      send-receive-jsonnet: 'function(events) events'
+        |      send-receive-jsonnet: 'function(events) std.foldl(function(a, b) a, events, null)'
         |""".stripMargin))
     assert(e.getMessage.contains("GRAFT_JSONNET_BIN"))
+  }
+
+  test("in-subset send-receive-jsonnet runs natively without the helper binary") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
+    val out = run(
+      """name: p
+        |window-key: global
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {cnt: std.length(events), hd: events[0].d, lbl: "x-" + std.toString(events[0].n)}}'
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2", "c" -> "10"))
+    val got = out.output.select("n", "d").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    assert(got.forall(_._1 == "agg"))
+    val ds = got.map(_._2)
+    assert(ds.exists(d => d.contains("\"cnt\":2") && d.contains("\"hd\":1") &&
+      d.contains("\"lbl\":\"x-a\"")))
+    assert(ds.exists(d => d.contains("\"cnt\":1") && d.contains("\"hd\":10") &&
+      d.contains("\"lbl\":\"x-c\"")))
+    // identity form passes events through unchanged
+    val idOut = run(
+      """name: p2
+        |steps:
+        |  id:
+        |    flatmap:
+        |      send-receive-jsonnet: 'function(events) events'
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2"))
+    assert(idOut.output.select("n").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
   test("envsubst substitutes placeholders like the reference CLI") {

@@ -55,6 +55,7 @@ class HttpSpec extends AnyFunSuite {
     withServer((body, x) => { received.add(body); respond(x, 200, "") }) { port =>
       val tpl = Spec.parseYaml(
         s"""name: p
+           |window-key: global
            |steps:
            |  ship:
            |    window:
@@ -96,6 +97,7 @@ class HttpSpec extends AnyFunSuite {
     }) { port =>
       val tpl = Spec.parseYaml(
         s"""name: p
+           |window-key: global
            |steps:
            |  call:
            |    window:
@@ -135,6 +137,7 @@ class HttpSpec extends AnyFunSuite {
   test("expose-http serves the ring with ETag, 304 and Link pagination") {
     val tpl = Spec.parseYaml(
       """name: p
+        |window-key: global
         |steps:
         |  pub:
         |    window:

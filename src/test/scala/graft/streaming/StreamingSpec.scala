@@ -74,6 +74,68 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("flatmap size-1 windows don't care about timeouts (reference step.ts:6-28)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val vecs = StreamingWindows.flatmapVectors(mem.toDS(), _.n, maxEvents = 1, maxSeconds = 10.0)
+    // timer-armed stateful query: poll, never processAllAvailable
+    val (name, q) = runToMemory(
+      vecs.map(v => (v.vecId, v.events.map(_.d).mkString(","))), triggerMs = 100)
+    mem.addData(ev("a", "1", 1), ev("a", "2", 2), ev("a", "3", 3), ev("a", "4", 4))
+    awaitRows(name, 4)
+    val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == Set((0L, "1"), (1L, "2"), (2L, "3"), (3L, "4")))
+    q.stop()
+  }
+
+  test("flatmap sliding windows reproduce the reference golden incl. timer partials (step.ts:30-59)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val vecs = StreamingWindows.flatmapVectors(mem.toDS(), _.n, maxEvents = 3, maxSeconds = 1.0)
+    val (name, q) = runToMemory(
+      vecs.map(v => (v.vecId, v.events.map(_.d).mkString(","))), triggerMs = 200)
+    mem.addData(ev("a", "1", 1), ev("a", "2", 2), ev("a", "3", 3),
+      ev("a", "4", 4), ev("a", "5", 5))
+    // full windows close live on the count arm...
+    awaitRows(name, 3)
+    val live = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(live.toSet == Set((0L, "1,2,3"), (1L, "2,3,4"), (2L, "3,4,5")))
+    // ...then the two tail buffers flush partial on their timers
+    awaitRows(name, 5)
+    val all = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(all.toSet == Set((0L, "1,2,3"), (1L, "2,3,4"), (2L, "3,4,5"),
+      (3L, "4,5"), (4L, "5")))
+    q.stop()
+  }
+
+  test("flatmap streaming matches the batch sliding-window assignment (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 8).map(i => ev(if (i % 2 == 0) "even" else "odd", i.toString, i))
+    // batch truth: per-key sliding frame of the next 3 events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy("ts", "seq")
+    val expected = events.toDF()
+      .withColumn("vecId", org.apache.spark.sql.functions.row_number().over(w) - 1)
+      .withColumn("members", org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.collect_list(org.apache.spark.sql.functions.col("d"))
+          .over(w.rowsBetween(0, 2)), ","))
+      .select("n", "vecId", "members").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getString(2))).toSet
+    val mem = MemoryStream[SEvent]
+    val vecs = StreamingWindows.flatmapVectors(mem.toDS(), _.n, maxEvents = 3, maxSeconds = 0.3)
+    val (name, q) = runToMemory(
+      vecs.map(v => (v.key, v.vecId, v.events.map(_.d).mkString(","))), triggerMs = 100)
+    mem.addData(events: _*)
+    awaitRows(name, events.size.toLong) // every event heads exactly one vector
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("streaming pipeline: rename + windowed jq through the stream compiler") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
