@@ -22,11 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Machine-checkable invariants for the two declared rows-only
-    // queries (no DuckDB oracle by design): the driver record carries a
+    // Machine-checkable invariants for the declared rows-only queries
+    // (no DuckDB oracle by design): the driver record carries a
     // pass/fail instead of a bare row count.
-    //  - emb_ann_lsh: recall of the LSH top-k vs the brute-force top-k
-    //    on the same data/params (floor mirrors SimilaritySpec);
+    //  - emb_ann_lsh / emb_ann_ivf: recall of the approximate top-k vs
+    //    the brute-force top-k on the same data/params (floors mirror
+    //    SimilaritySpec);
     //  - agg_approx_distinct: worst per-group relative error of the HLL
     //    estimate vs exact distinct counts (default rsd 0.05 -> 3-sigma
     //    ceiling 0.15).
@@ -40,6 +41,13 @@ object Verify {
       val recall = if (brute.isEmpty) 1.0 else brute.intersect(lsh).size.toDouble / brute.size
       val recallFloor = 0.4
 
+      val nEmb = emb.count()
+      val nlist = math.max(4, math.min(64, math.ceil(math.sqrt(nEmb.toDouble)).toInt))
+      val ivf = graft.ann.Similarity.ivfTopK(emb, 5, nlist,
+          nprobe = math.max(2, nlist / 4), numRows = nEmb)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfRecall = if (brute.isEmpty) 1.0 else brute.intersect(ivf).size.toDouble / brute.size
+
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx"),
@@ -51,6 +59,8 @@ object Verify {
 
       s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
+         | "emb_ann_ivf": {"metric": "recall_vs_brute_force_top5", "value": $ivfRecall,
+         | "floor": $recallFloor, "pass": ${ivfRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}}}""".stripMargin.replace("\n", "")
     }

@@ -11,14 +11,20 @@ import org.apache.spark.sql.functions._
   * the result bit-identical to a left-associated SQL sum over the same
   * parquet floats — the DuckDB oracle is exact, no tolerance needed.
   *
-  * Two search paths:
+  * Three search paths:
   *   - [[bruteForceTopK]]: the correctness baseline — broadcast the
   *     (small) query set against every vector; one pass, no shuffle of
   *     the big side beyond the final per-query top-k.
-  *   - [[lshTopK]]: the scale path — random-hyperplane signature
+  *   - [[lshTopK]]: a scale path — random-hyperplane signature
   *     buckets vectors so each only scores against its bucket. At 100
   *     TB the bucket join replaces the all-pairs cross product; recall
   *     is traded via the number of sign bits.
+  *   - [[ivfTopK]]: the other standard scale path — a coarse spherical
+  *     k-means quantizer (trained on a bounded driver-side sample)
+  *     partitions vectors into `nlist` cells; each query scores only
+  *     the vectors in its `nprobe` nearest cells. Data-adaptive where
+  *     LSH is oblivious: clustered embeddings get tighter candidate
+  *     sets at the same probe budget.
   */
 object Similarity {
 
@@ -118,6 +124,101 @@ object Similarity {
     val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
     val y = buckets.select(col("tbl"), col("bucket"), col(idCol).as("nid"))
     val cand = x.join(y, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+    val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val nSide = b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = (if (n <= broadcastMaxRows)
+        cand.join(broadcast(qSide), "qid").join(broadcast(nSide), "nid")
+      else
+        cand.join(qSide.hint("shuffle_hash"), "qid")
+          .join(nSide.hint("shuffle_hash"), "nid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "cos")
+  }
+
+  /** Train `nlist` spherical k-means centroids on a deterministic
+    * hash-ordered sample of at most `sampleN` vectors, collected to
+    * the driver — the standard IVF coarse-quantizer training shape: at
+    * 100 TB the sample stays bounded (training cost is
+    * O(sampleN × nlist × dim × iters), never table-sized), and the
+    * learned codebook broadcasts as plan literals. Deterministic:
+    * hash-ordered sample, first-`nlist` init, fixed iteration count.
+    */
+  def ivfCentroids(vectors: DataFrame, nlist: Int, sampleN: Int = 4096, iters: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = vectors.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleN)
+      .collect()
+      .map(r => unit(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(pts.length >= nlist, s"need at least nlist=$nlist sample vectors, got ${pts.length}")
+    val dim = pts.head.length
+    var cents = pts.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else unit(sums(c))
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Per-row cell scores against the codebook: array of
+    * (cosine, cellId) structs — native codegen'd dot products, struct
+    * ordering makes argmax/top-nprobe a plain array_max/array_sort.
+    */
+  private def cellScores(vec: Column, cents: Seq[Seq[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+    }: _*)
+
+  /** Approximate all-vectors top-k via IVF: assign every vector to its
+    * nearest centroid cell (map-side, no shuffle), expand every query
+    * to its `nprobe` best cells, join on the cell id, score the
+    * candidates once, then per-query top-k.
+    *
+    * Scale shape: one shuffle keyed on the cell id; expected
+    * candidates per query ≈ nprobe × n / nlist, tuned by
+    * (nlist, nprobe) for the recall/cost point. With nlist ~ √n the
+    * per-cell lists stay √n-sized, the classic IVF balance. The
+    * vector join-back reuses [[lshTopK]]'s broadcast-or-shuffle-hash
+    * gate, so nothing table-sized ships to every executor.
+    */
+  def ivfTopK(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              sampleN: Int = 4096,
+              numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
+    val cents = ivfCentroids(vectors, nlist, sampleN, idCol = idCol, vecCol = vecCol)
+    val scores = cellScores(col(vecCol), cents)
+    // struct ordering is (s, c) lexicographic: array_max = best cell
+    val assigned = b.select(col(idCol).as("nid"),
+      array_max(scores).getField("c").as("cell"))
+    val probes = b.select(col(idCol).as("qid"),
+        explode(slice(reverse(array_sort(scores)), 1, nprobe).getField("c")).as("cell"))
+    val cand = probes.join(assigned, "cell").filter(col("qid") =!= col("nid"))
       .select("qid", "nid").dropDuplicates("qid", "nid")
     val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val nSide = b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))

@@ -43,6 +43,17 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // IVF ANN: coarse k-means cells, nlist ~ sqrt(n) so per-cell lists
+    // stay sqrt(n)-sized — the data-adaptive scale path next to LSH.
+    // Rows-only by design (driver-checked recall invariant in Verify).
+    "emb_ann_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val nlist = math.max(4, math.min(64, math.ceil(math.sqrt(n.toDouble)).toInt))
+      Similarity.ivfTopK(emb, TopK, nlist, nprobe = math.max(2, nlist / 4), numRows = n)
+        .orderBy("qid", "rnk")
+    },
+
     // Embedding-cosine near-dup: all pairs above a similarity
     // threshold on a bounded block (exact form; the LSH query above is
     // the scale path for the same predicate).

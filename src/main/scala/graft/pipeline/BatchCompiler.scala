@@ -262,10 +262,12 @@ object BatchCompiler {
           case Some(c) => compiledJq(spark, tpl, step, df, c)
           case None =>
             val bin = sys.env("GRAFT_JSONNET_BIN")
+            // prelude + code, like the reference (io/jsonnet.ts:14-15)
+            val program = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
             import spark.implicits._
             val vecLines = vectorBodies(spark, tpl, df, step)
             val piped = vecLines.as[String]
-              .mapPartitions(it => graft.io.JqPipe.pipeCommand(it, Seq(bin, expr)))
+              .mapPartitions(it => graft.io.JqPipe.pipeCommand(it, Seq(bin, program)))
               .toDF("line").withColumn("__seq", monotonically_increasing_id())
             parseEventLines(tpl, piped, wrapName)
         }

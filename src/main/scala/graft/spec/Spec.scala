@@ -79,6 +79,9 @@ object Spec {
       input: InputSpec,
       steps: Seq[StepSpec], // declaration order preserved
       jqPrelude: Option[String],
+      /** Shared jsonnet definitions prepended to every jsonnet-expr
+        * (reference README.md "jsonnet-prelude", io/jsonnet.ts:14-15). */
+      jsonnetPrelude: Option[String] = None,
       /** Engine extension: "compiled" lowers in-subset jq expressions
         * to native columns (numeric semantics, no subprocess); default
         * "subprocess" is exact jq. */
@@ -124,7 +127,8 @@ object Spec {
     require(Set("global", "name").contains(windowKey),
       s"window-key must be global or name, got $windowKey")
     val tpl = PipelineTemplate(name, input, steps,
-      Option(root.get("jq-prelude")).map(_.asText), jqTier, windowKey)
+      Option(root.get("jq-prelude")).map(_.asText),
+      Option(root.get("jsonnet-prelude")).map(_.asText), jqTier, windowKey)
     validate(tpl)
     tpl
   }

@@ -176,14 +176,18 @@ object StreamCompiler {
           }
 
       case SendReceiveJsonnet(expr, wrapName) =>
-        val bin = sys.env("GRAFT_JSONNET_BIN")
+        val bin = sys.env.getOrElse("GRAFT_JSONNET_BIN",
+          throw new IllegalArgumentException(s"step '${step.name}': streaming " +
+            "send-receive-jsonnet needs GRAFT_JSONNET_BIN (the compiled jsonnet tier is batch-only)"))
+        // prelude + code, like the reference (io/jsonnet.ts:14-15)
+        val program = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
         val name = tpl.name
         val sig = tpl.signature
         StreamingWindows.hybridVectors(ds, keyFn, step.window.events, step.window.seconds)
           .map(v => vectorJson(v.events))
           .mapPartitions { it =>
             val now = System.currentTimeMillis() / 1000.0
-            graft.io.JqPipe.pipeCommand(it, Seq(bin, expr)).zipWithIndex.flatMap {
+            graft.io.JqPipe.pipeCommand(it, Seq(bin, program)).zipWithIndex.flatMap {
               case (line, i) => parseOutput(line, wrapName, name, sig, now, i.toLong)
             }
           }

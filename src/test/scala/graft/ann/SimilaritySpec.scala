@@ -49,6 +49,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("IVF reaches usable recall vs brute force (sf0.001)") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = math.max(4, math.min(64, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val brute = Similarity.bruteForceTopK(emb, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 5, nlist, nprobe = math.max(2, nlist / 4), numRows = n)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(ivf.forall { case (q, nb) => q != nb })
+  }
+
+  test("IVF centroids are deterministic and unit-normalized") {
+    val emb = Tables.embeddings(spark, dir)
+    val c1 = Similarity.ivfCentroids(emb, nlist = 8)
+    val c2 = Similarity.ivfCentroids(emb, nlist = 8)
+    assert(c1 == c2)
+    c1.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+  }
+
   test("autoBits grows ~log2(n) and clamps to a sane range") {
     assert(Similarity.autoBits(0) == 4)
     assert(Similarity.autoBits(1000) == 5)        // 1000/32 -> ceil(log2(31.25))

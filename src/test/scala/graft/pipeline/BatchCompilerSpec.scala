@@ -298,6 +298,18 @@ class BatchCompilerSpec extends AnyFunSuite {
     assert(idOut.output.select("n").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("jsonnet-prelude parses and rides the template (subprocess tier concatenates it)") {
+    val tpl = Spec.parseYaml(
+      """name: p
+        |jsonnet-prelude: 'local twice(x) = x * 2;'
+        |steps:
+        |  id:
+        |    flatmap:
+        |      send-receive-jsonnet: 'function(events) events'
+        |""".stripMargin)
+    assert(tpl.jsonnetPrelude.contains("local twice(x) = x * 2;"))
+  }
+
   test("envsubst substitutes placeholders like the reference CLI") {
     val y = Spec.envsubst("name: ${GRAFT_TEST_NAME}\n", Map("GRAFT_TEST_NAME" -> "pipe"))
     assert(y == "name: pipe\n")
