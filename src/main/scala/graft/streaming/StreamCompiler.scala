@@ -27,7 +27,22 @@ import graft.spec.Spec._
   */
 object StreamCompiler {
 
-  final case class CompiledStream(output: Dataset[SEvent], sinks: Map[String, Dataset[String]])
+  import graft.pipeline.BatchCompiler.Delivery
+
+  /** A sink tap: NDJSON/body lines (plus `__vts` for AMQP vector
+    * messages) and how the runner should deliver each micro-batch —
+    * the same [[graft.pipeline.BatchCompiler.Delivery]] vocabulary as
+    * batch, so both runners share sink semantics.
+    */
+  final case class StreamSinkSpec(lines: org.apache.spark.sql.DataFrame, delivery: Delivery)
+
+  final case class CompiledStream(output: Dataset[SEvent],
+                                  sinkSpecs: Map[String, StreamSinkSpec]) {
+    /** Line view (first column) — what tests and ad-hoc taps read. */
+    def sinks: Map[String, Dataset[String]] =
+      sinkSpecs.view.mapValues(s =>
+        s.lines.select("line").as[String](StreamingWindows.stringEnc)).toMap
+  }
 
   import StreamingWindows.sEventEnc
 
@@ -50,7 +65,7 @@ object StreamCompiler {
   def compile(spark: SparkSession, tpl: PipelineTemplate,
               input: Dataset[SEvent], globalWindows: Boolean = false): CompiledStream = {
     import spark.implicits._
-    val sinks = scala.collection.mutable.LinkedHashMap[String, Dataset[String]]()
+    val sinks = scala.collection.mutable.LinkedHashMap[String, StreamSinkSpec]()
     val outputs = scala.collection.mutable.LinkedHashMap[String, Dataset[SEvent]]()
 
     Spec.topoOrder(tpl).foreach { step =>
@@ -80,7 +95,7 @@ object StreamCompiler {
 
   private def applyFn(spark: SparkSession, tpl: PipelineTemplate, step: StepSpec,
                       ds: Dataset[SEvent],
-                      sinks: scala.collection.mutable.Map[String, Dataset[String]],
+                      sinks: scala.collection.mutable.Map[String, StreamSinkSpec],
                       globalWindows: Boolean): Dataset[SEvent] = {
     import spark.implicits._
     val windowed = step.window.events > 1 || step.window.seconds > 0
@@ -135,31 +150,78 @@ object StreamCompiler {
         }
 
       case SendStdout(jq) =>
-        sinks(step.name) = formatLines(spark, tpl, step, ds, jq, globalWindows)
+        sinks(step.name) = StreamSinkSpec(
+          formatLines(spark, tpl, step, ds, jq, globalWindows).toDF("line"),
+          graft.pipeline.BatchCompiler.ToStdout)
         ds
 
-      case SendFile(path, jq, _) =>
-        sinks(s"${step.name}:$path") = formatLines(spark, tpl, step, ds, jq, globalWindows)
+      case SendFile(path, jq, distributed) =>
+        sinks(s"${step.name}:$path") = StreamSinkSpec(
+          formatLines(spark, tpl, step, ds, jq, globalWindows).toDF("line"),
+          graft.pipeline.BatchCompiler.ToFile(path, distributed))
         ds
 
       case SendHttp(target, method, headers, jq) =>
         // one NDJSON body per vector; the runner posts each micro-batch
-        val bodies = StreamingWindows
-          .hybridVectors(ds, keyFn, step.window.events, step.window.seconds)
-          .map(v => v.events.map(eventJsonStr).mkString("\n"))
+        val bodies = windowVectors(ds).map(v => v.events.map(eventJsonStr).mkString("\n"))
         val formattedBodies = jq match {
           case None => bodies
           case Some(expr) =>
             val prelude = tpl.jqPrelude
             bodies.mapPartitions(it => JqPipe.pipePartition(it, expr, prelude))
         }
-        sinks(s"${step.name}@http:$method:$target") = formattedBodies
+        sinks(step.name) = StreamSinkSpec(formattedBodies.toDF("line"),
+          graft.pipeline.BatchCompiler.ToHttp(target, method, headers))
+        ds
+
+      case SendRedis(host, port, target, mode, jq) =>
+        sinks(step.name) = StreamSinkSpec(
+          formatLines(spark, tpl, step, ds, jq, globalWindows).toDF("line"),
+          graft.pipeline.BatchCompiler.ToRedis(host, port, target, mode))
+        ds
+
+      case SendAmqp(host, port, exchange, exType, durable, autoDel,
+                    routingKey, expiration, priority, persistent, jq) =>
+        // without jq: one NDJSON message per vector, stamped with the
+        // vector's max event time; with jq: one message per result
+        // (same semantics as the batch compiler)
+        val conf = graft.sinks.AmqpBroker.Conf(host, port, exchange, exType,
+          durable, autoDel, routingKey, expiration, priority, persistent,
+          ndjson = jq.isEmpty)
+        val amqpLines = jq match {
+          case None =>
+            windowVectors(ds)
+              .map(v => (v.events.map(eventJsonStr).mkString("\n"),
+                math.floor(v.events.map(_.ts).max)))(
+                org.apache.spark.sql.Encoders.tuple(
+                  org.apache.spark.sql.Encoders.STRING,
+                  org.apache.spark.sql.Encoders.scalaDouble))
+              .toDF("line", "__vts")
+          case Some(expr) =>
+            formatLines(spark, tpl, step, ds, Some(expr), globalWindows).toDF("line")
+        }
+        sinks(step.name) = StreamSinkSpec(amqpLines,
+          graft.pipeline.BatchCompiler.ToAmqp(conf))
+        ds
+
+      case SendMqtt(host, port, topic, qos, jq) =>
+        val conf = graft.sinks.MqttBroker.Conf(host, port,
+          topic.getOrElse(s"cdp/${tpl.name}/${step.name}"), qos,
+          ndjson = jq.isEmpty)
+        val mqttLines = jq match {
+          case None =>
+            windowVectors(ds).map(v => v.events.map(eventJsonStr).mkString("\n")).toDF("line")
+          case Some(expr) =>
+            formatLines(spark, tpl, step, ds, Some(expr), globalWindows).toDF("line")
+        }
+        sinks(step.name) = StreamSinkSpec(mqttLines,
+          graft.pipeline.BatchCompiler.ToMqtt(conf))
         ds
 
       case SendReceiveHttp(target, headers, wrapName) =>
         val name = tpl.name
         val sig = tpl.signature
-        StreamingWindows.hybridVectors(ds, keyFn, step.window.events, step.window.seconds)
+        windowVectors(ds)
           .map(v => v.events.map(eventJsonStr).mkString("\n"))
           .mapPartitions { it =>
             val now = System.currentTimeMillis() / 1000.0
@@ -183,7 +245,7 @@ object StreamCompiler {
         val program = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
         val name = tpl.name
         val sig = tpl.signature
-        StreamingWindows.hybridVectors(ds, keyFn, step.window.events, step.window.seconds)
+        windowVectors(ds)
           .map(v => vectorJson(v.events))
           .mapPartitions { it =>
             val now = System.currentTimeMillis() / 1000.0
@@ -202,7 +264,7 @@ object StreamCompiler {
         val name = tpl.name
         val sig = tpl.signature
         val wrapped = wrapName
-        val lines = StreamingWindows.hybridVectors(ds, keyFn, step.window.events, step.window.seconds)
+        val lines = windowVectors(ds)
           .map(v => vectorJson(v.events))
         lines.mapPartitions { it =>
           val out = JqPipe.pipePartition(it, expr, prelude)

@@ -30,39 +30,57 @@ object StreamRunner {
             httpConf: HttpOps.HttpConf = HttpOps.HttpConf()): Running = {
     val compiled = StreamCompiler.compile(spark, tpl, input)
 
-    val sinkQueries = compiled.sinks.toSeq.map { case (name, lines) =>
-      val writer = lines.writeStream
+    import graft.pipeline.BatchCompiler._
+    import org.apache.spark.sql.{DataFrame, Row}
+    val sinkQueries = compiled.sinkSpecs.toSeq.map { case (name, spec) =>
+      val writer = spec.lines.writeStream
         .queryName(s"$queryPrefix-sink-$name")
         .trigger(Trigger.ProcessingTime(triggerMs))
         .outputMode("append")
-      val started = name.split("@http:", 2) match {
-        case Array(_, spec) =>
-          // "<METHOD>:<target>" encoded by the compiler
-          val Array(method, target) = spec.split(":", 2)
-          writer.foreachBatch { (batch: Dataset[String], _: Long) =>
-            batch.foreachPartition { (it: Iterator[String]) =>
-              it.foreach { body =>
-                val resp = HttpOps.send(target, method, Map.empty, body, httpConf)
+      spec.delivery match {
+        case ToHttp(target, method, headers) =>
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.foreachPartition { (it: Iterator[Row]) =>
+              it.foreach { r =>
+                val body = r.getString(0)
+                val resp = HttpOps.send(target, method, headers, body, httpConf)
                 if (resp.statusCode() >= 300)
                   graft.pipeline.DeadLetter.record(s"http ${resp.statusCode()}", body)
               }
             }
           }.start()
-        case _ if name.contains(":") => // send-file tap: "step:path"
-          val path = name.split(":", 2)(1)
-          writer.foreachBatch { (batch: Dataset[String], _: Long) =>
-            val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
-              java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-            try batch.toLocalIterator().forEachRemaining { (l: String) =>
-              w.write(l); w.write('\n')
-            } finally w.close()
+        case ToFile(path, distributed) =>
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            if (distributed) batch.write.mode("append").text(path)
+            else {
+              val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
+                java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+              try batch.toLocalIterator().forEachRemaining { (r: Row) =>
+                w.write(r.getString(0)); w.write('\n')
+              } finally w.close()
+            }
           }.start()
-        case _ => // send-stdout tap
-          writer.foreachBatch { (batch: Dataset[String], _: Long) =>
-            batch.toLocalIterator().forEachRemaining((l: String) => println(l))
+        case ToRedis(host, port, target, mode) =>
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.BrokerSink.deliver(batch,
+              graft.sinks.RedisFactory(host, port, target, mode), _ => target)
+          }.start()
+        case ToAmqp(conf) =>
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.AmqpBroker.deliver(batch, conf)
+          }.start()
+        case ToMqtt(conf) =>
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sinks.MqttBroker.deliver(batch, conf)
+          }.start()
+        case ToExpose(_, _, _) =>
+          throw new IllegalArgumentException(
+            s"sink '$name': expose-http is rejected at stream compile time")
+        case ToStdout =>
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.toLocalIterator().forEachRemaining((r: Row) => println(r.getString(0)))
           }.start()
       }
-      started
     }
 
     import StreamingWindows.sEventEnc

@@ -254,6 +254,40 @@ class MqttSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming send-mqtt delivers vector messages per micro-batch") {
+    withServer() { srv =>
+      import graft.model.TracePoint
+      import graft.spec.Spec
+      import graft.streaming.{SEvent, StreamRunner}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.StreamingWindows.sEventEnc
+      val tpl = Spec.parseYaml(
+        s"""name: spipe
+           |steps:
+           |  out:
+           |    window:
+           |      events: 2
+           |    reduce:
+           |      send-mqtt:
+           |        host: localhost
+           |        port: ${srv.port}
+           |""".stripMargin)
+      val mem = MemoryStream[SEvent]
+      val running = StreamRunner.start(spark, tpl, mem.toDS(),
+        outputSink = "noop", triggerMs = 100)
+      try {
+        mem.addData(
+          SEvent("a.b", """{"k":1}""", Seq(TracePoint(1001.0, "t", "h")), 1001.0, 1),
+          SEvent("a.b", """{"k":2}""", Seq(TracePoint(1002.0, "t", "h")), 1002.0, 2))
+        awaitSize(srv.publishes, 1, ms = 15000)
+        val p = drain(srv.publishes).head
+        assert(p.topic == "cdp/spipe/out")
+        assert(p.payload.linesIterator.count(_.nonEmpty) == 2)
+      } finally running.stopAll()
+    }
+  }
+
   test("send-mqtt jq mode publishes strings unquoted") {
     withServer() { srv =>
       import graft.sinks.MqttBroker
