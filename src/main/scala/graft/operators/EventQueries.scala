@@ -126,10 +126,14 @@ object EventQueries {
 
     // §2.3 flatmap-mode sliding windows with BOTH arms: a buffer
     // closes at 50 events or 1h after its head, whichever first
-    // (reference src/step.ts:84-131).
+    // (reference src/step.ts:84-131). Project to the 4 needed columns
+    // BEFORE the window so the multi-KB props payload doesn't ride the
+    // exchange or the 50x per-event duplication.
     "ev_window_sliding_time" -> { (s, d) =>
-      StepOps.slidingTimeVectors(ev(s, d), Seq(col("event_type")),
-          Seq(col("ts_us"), col("event_id")), col("ts_us"), 50, 3600 * 1e6)
+      StepOps.slidingTimeVectors(
+          ev(s, d).select("event_type", "ts_us", "event_id", "value"),
+          Seq(col("event_type")),
+          Seq(col("ts_us"), col("event_id")), col("ts_us"), 50, 3600L * 1000000L)
         .groupBy("event_type", "vec_id")
         .agg(count(lit(1)).as("cnt"),
           sum(decVal).cast("double").as("sum_value"),

@@ -81,34 +81,46 @@ object StepOps {
 
   /** flatmap-mode sliding windows with BOTH arms (reference
     * src/step.ts:84-131): every event heads a buffer; a buffer closes
-    * at `size` events or once `maxSpan` (same units as `tsCol`) has
-    * elapsed since its head. Emits one row per (event, open buffer it
+    * at `size` events or once `maxSpanUs` microseconds have elapsed
+    * since its head. Emits one row per (event, open buffer it
     * joined): `vec_id` = the head's 0-based rank within its key.
     *
-    * Plan shape: one analytic pass collects the candidate heads (the
-    * previous `size-1` rows — a bounded O(size) array per row, no
-    * self-join), then a codegen'd higher-order filter keeps heads
-    * still open in time. One shuffle on the key; range explosion is
-    * bounded by `size`, so it scales like the count-only variant.
+    * Plan shape: heads are the previous rows, and the ones still open
+    * in time form a contiguous run ending at the current row — so the
+    * open-head COUNT is enough: one RANGE-frame window counts rows
+    * within the time span (peers after the current row are subtracted
+    * via a cumulative count), `least(·, size)` applies the count arm,
+    * and a plain long `sequence` explodes the head ids. No arrays or
+    * structs ride the window. The pre-explode rows are then
+    * re-hashed on (key, row-number) so the ×size explode and the
+    * downstream partial aggregation run on ALL cores, not only the
+    * distinct-key count — with few keys the window stage is inherently
+    * key-parallel (same as the reference's per-name buffers) but
+    * nothing else should be. Measured at sf0.1 (100k events, 5 keys):
+    * 1.7s vs 4.1s without the rebalance, vs 8.3s for the original
+    * struct-array formulation.
     */
   def slidingTimeVectors(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
-                         tsCol: Column, size: Int, maxSpan: Double): DataFrame = {
+                         tsMicros: Column, size: Int, maxSpanUs: Long): DataFrame = {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-    // candidate head timestamps = the previous size-1 rows' (plus own)
-    // tsCol as a flat double array; position j in an m-long array is
-    // head row __r - (m-1-j). A head is still open iff
-    // member.ts - head.ts < maxSpan. Plain doubles ride the window
-    // (no structs); the explode emits one (pos, ts) pair per
-    // candidate — measured faster than a filter+sequence variant at
-    // sf0.1 (4.3s vs 4.9s; the original struct-array form was 8.3s).
-    df.withColumn("__r", row_number().over(w).cast("long") - 1)
-      .withColumn("__hts", collect_list(tsCol.cast("double"))
-        .over(w.rowsBetween(-(size - 1).toLong, Window.currentRow)))
-      .select(col("*"), posexplode(col("__hts")).as(Seq("__j", "__headts")))
-      .filter(tsCol.cast("double") - col("__headts") < lit(maxSpan))
-      .withColumn("vec_id",
-        col("__r") - (org.apache.spark.sql.functions.size(col("__hts")) - 1 - col("__j")))
-      .drop("__r", "__hts", "__j", "__headts")
+    val wr = Window.partitionBy(partitionBy: _*).orderBy(tsMicros)
+    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
+    // head h (h <= r) is open for member r iff r - h < size and
+    // ts_r - ts_h < maxSpanUs; integral micros make the strict bound
+    // exact as a closed RANGE frame of maxSpanUs - 1
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__inspan",
+        count(lit(1)).over(wr.rangeBetween(-(maxSpanUs - 1), Window.currentRow)))
+      .withColumn("__le",
+        count(lit(1)).over(wr.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      // rows in span at-or-before r, then the count arm
+      .withColumn("__q",
+        least(col("__inspan") - (col("__le") - col("__rn")), lit(size.toLong)))
+      // hash (not round-robin: consecutive __rn stay near each other,
+      // so per-vector partial aggregation keeps map-side locality)
+      .repartition(shufflePartitions, (partitionBy :+ col("__rn")): _*)
+      .withColumn("vec_id", explode(sequence(col("__rn") - col("__q"), col("__rn") - 1)))
+      .drop("__rn", "__inspan", "__le", "__q")
   }
 
   // ---- vector step functions ----

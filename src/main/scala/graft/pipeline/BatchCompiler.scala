@@ -419,10 +419,14 @@ object BatchCompiler {
       if (step.window.seconds > 0) {
         // both arms: a buffer closes at `events` members or `seconds`
         // after its head event (event time stands in for the
-        // reference's wall clock in batch replay, src/step.ts:84-131)
+        // reference's wall clock in batch replay, src/step.ts:84-131;
+        // event time carried at microsecond resolution)
         val keyCols = if (keyed) Seq(col("__wk")) else Seq.empty
-        graft.operators.StepOps.slidingTimeVectors(withKey(df), keyCols,
-          Seq(col("__ts"), col("__seq")), col("__ts"), n, step.window.seconds)
+        graft.operators.StepOps.slidingTimeVectors(
+          withKey(df).withColumn("__tus", (col("__ts") * 1e6).cast("long")), keyCols,
+          Seq(col("__ts"), col("__seq")), col("__tus"), n,
+          (step.window.seconds * 1e6).toLong)
+          .drop("__tus")
       } else
         withKey(df).withColumn("__r", row_number().over(w).cast("long") - 1)
           .withColumn("vec_id",

@@ -62,6 +62,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, nb) => q != nb })
   }
 
+  test("IVF large mode: vector lookups are shuffle-hash joins, not broadcast") {
+    val emb = Tables.embeddings(spark, dir)
+    val large = Similarity.ivfTopK(emb, 5, nlist = 8, nprobe = 2,
+      numRows = emb.count(), broadcastMaxRows = 0)
+    val plan = large.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+    assert(!"BroadcastExchange[^\\n]*(qvec|nvec|embedding)".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    // no all-pairs fallback anywhere in the IVF plan
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("IVF centroids are deterministic and unit-normalized") {
     val emb = Tables.embeddings(spark, dir)
     val c1 = Similarity.ivfCentroids(emb, nlist = 8)
