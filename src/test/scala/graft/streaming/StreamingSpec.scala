@@ -136,6 +136,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("flatmap keep through the stream compiler truncates every sliding vector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tpl = Spec.parseYaml(
+      """name: fk
+        |steps:
+        |  head2:
+        |    window:
+        |      events: 3
+        |      seconds: 1
+        |    flatmap:
+        |      keep: 2
+        |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.output.map(_.d), triggerMs = 100)
+    mem.addData(ev("a", "1", 1), ev("a", "2", 2), ev("a", "3", 3), ev("a", "4", 4))
+    // vectors (1,2,3),(2,3,4) close live; (3,4),(4) flush on timers;
+    // keep-first-2 truncates each => 1,2, 2,3, 3,4, 4
+    awaitRows(name, 7)
+    val rows = spark.table(name).collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("1", "2", "2", "3", "3", "4", "4"))
+    q.stop()
+  }
+
   test("streaming pipeline: rename + windowed jq through the stream compiler") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
