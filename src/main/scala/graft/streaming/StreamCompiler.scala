@@ -168,7 +168,7 @@ object StreamCompiler {
           case None => bodies
           case Some(expr) =>
             val prelude = tpl.jqPrelude
-            bodies.mapPartitions(it => JqPipe.pipePartition(it, expr, prelude))
+            bodies.mapPartitions(it => graft.io.JqPool.pipe(it, expr, prelude))
         }
         sinks(step.name) = StreamSinkSpec(formattedBodies.toDF("line"),
           graft.pipeline.BatchCompiler.ToHttp(target, method, headers))
@@ -267,7 +267,7 @@ object StreamCompiler {
         val lines = windowVectors(ds)
           .map(v => vectorJson(v.events))
         lines.mapPartitions { it =>
-          val out = JqPipe.pipePartition(it, expr, prelude)
+          val out = graft.io.JqPool.pipe(it, expr, prelude)
           val now = System.currentTimeMillis() / 1000.0
           out.zipWithIndex.flatMap { case (line, i) =>
             parseOutput(line, wrapped, name, sig, now, i.toLong)
@@ -285,7 +285,7 @@ object StreamCompiler {
       case None       => base
       case Some(expr) =>
         val prelude = tpl.jqPrelude
-        base.mapPartitions(it => JqPipe.pipePartition(it, expr, prelude))
+        base.mapPartitions(it => graft.io.JqPool.pipe(it, expr, prelude))
     }
   }
 

@@ -52,4 +52,44 @@ class JqPipeSpec extends AnyFunSuite {
   test("clean empty input spawns nothing and yields nothing") {
     assert(JqPipe.pipeCommand(Iterator.empty, Seq("false")).isEmpty)
   }
+
+  // ---- pooled persistent-jq tier (streaming micro-batches) ----
+
+  test("pooled jq transforms batches and reuses one process across them") {
+    val prog = "{v: (.i * 2)}"
+    val out1 = JqPool.pipe(Iterator("""{"i":1}""", """{"i":2}"""), prog).toList
+    assert(out1 == List("""{"v":2}""", """{"v":4}"""))
+    assert(JqPool.poolSize(prog) == 1)
+    val out2 = JqPool.pipe(Iterator("""{"i":5}"""), prog).toList
+    assert(out2 == List("""{"v":10}"""))
+    assert(JqPool.poolSize(prog) == 1) // same process, returned after each batch
+  }
+
+  test("pooled jq handles 0..N outputs per input and runtime errors silently") {
+    val prog = ".[] | select(. > 1)"
+    val out = JqPool.pipe(
+      Iterator("[1,2,3]", "5", "[9]"), prog).toList
+    assert(out == List("2", "3", "9")) // iterating a number errors -> try() drops it
+  }
+
+  test("pooled jq death mid-batch fails the call; next call gets a fresh process") {
+    val prog = ".x"
+    JqPool.pipe(Iterator("""{"x":1}"""), prog).toList // populate pool
+    val killed = new JqPool.PooledJq(prog, None)
+    killed.destroy()
+    // direct contract: a dead process throws instead of truncating
+    intercept[java.io.IOException] {
+      killed.proc.waitFor()
+      killed.process(Iterator("""{"x":2}"""))
+    }
+    // the pool itself still serves fresh batches
+    val out = JqPool.pipe(Iterator("""{"x":3}"""), prog).toList
+    assert(out == List("3"))
+  }
+
+  test("pooled jq applies the prelude") {
+    val out = JqPool.pipe(Iterator("""{"i":4}"""), "{d: (.i | double)}",
+      Some("def double: . * 2;")).toList
+    assert(out == List("""{"d":8}"""))
+  }
 }
