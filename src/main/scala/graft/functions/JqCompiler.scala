@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
   *   - vector aggregation: `{k: (map(<path>) | add), k2: length,
   *     k3: .[0]<path>, ...}` — one output object per vector
   *   - paths `.n`, `.d.x.y`, `.t[0].i`; literals; numeric comparisons
-  *     and `==`/`!=` on strings; `and`/`or`; arithmetic `+ - * / %`
+  *     and `==`/`!=` on strings; `and`/`or`; arithmetic `+ - * / %`;
+  *     `fmod(a; b)`
+  *   - wrapped value streams (`tryCompileWrapped`, for steps with a
+  *     `wrap:` directive): `.[]<path> | ...` rebinds `.` to the path's
+  *     value, then conditional-drop stages
+  *     `if <cond> then empty else . end` (either arm `empty`) and/or
+  *     `select(...)`, ending in `.` or an expression over it — the
+  *     shape of the reference's stress-test filters
+  *     (examples/stress-test/pipeline.yaml:48,59).
   *
   * Numbers follow jq 1.6 semantics (IEEE doubles).
   */
@@ -37,6 +45,8 @@ object JqCompiler {
   case object Add extends Ast
   case class MapExpr(inner: Ast) extends Ast
   case class First(path: Path) extends Ast // .[0].x.y
+  case object Empty extends Ast
+  case class IfElse(cond: Ast, thenB: Ast, elseB: Ast) extends Ast
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
@@ -44,15 +54,43 @@ object JqCompiler {
   /** Per-vector compiled form: aggregate expressions keyed by output field. */
   final case class PerVector(outName: Column, aggs: Seq[(String, Column)])
 
+  /** Wrapped-value compiled form (steps with `wrap:`): row filter plus
+    * the output VALUE rendered as JSON text — the wrap directive
+    * supplies the event name.
+    */
+  final case class PerEventValue(filter: Option[Column], valueJson: Column)
+
   sealed trait Compiled
   final case class CompiledPerEvent(p: PerEvent) extends Compiled
   final case class CompiledPerVector(v: PerVector) extends Compiled
 
   def tryCompile(expr: String): Option[Compiled] =
     try {
-      val ast = new Parser(expr).parsePipe()
+      val ast = flatten(new Parser(expr).parsePipe())
       compileTop(ast)
     } catch { case _: Exception => None }
+
+  /** Compile a wrapped value stream: `.[]<path> | <conditional-drop
+    * stages> | .` — the stress-test filter shape. The final value must
+    * be the rebound `.` (so jq's number formatting is reproduced
+    * verbatim: the payload text passes through, never re-rendered from
+    * a computed double).
+    */
+  def tryCompileWrapped(expr: String): Option[PerEventValue] =
+    try {
+      flatten(new Parser(expr).parsePipe()) match {
+        case PipeSeq(IterateAll +: rest) if rest.nonEmpty => compileValueStages(rest)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** `.[].d` parses as a nested pipe; flatten so stage lists are flat. */
+  private def flatten(ast: Ast): Ast = ast match {
+    case PipeSeq(stages) =>
+      val fl = stages.flatMap { case PipeSeq(inner) => inner; case s => Seq(s) }
+      if (fl.size == 1) fl.head else PipeSeq(fl)
+    case other => other
+  }
 
   // ---- parser (recursive descent) ----
   private final class Parser(src: String) {
@@ -139,6 +177,21 @@ object JqCompiler {
       else if (tryEat("map(")) { val c = parseInnerPipe(); eat(')'); MapExpr(c) }
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
+      else if (tryEat("empty")) Empty
+      else if (tryEat("fmod(")) {
+        val a = parseInnerPipe(); eat(';'); val b = parseInnerPipe(); eat(')')
+        Arith("%", a, b) // C fmod semantics = Spark's % on doubles
+      }
+      else if (tryEat("if ") || tryEat("if(")) {
+        if (src(pos - 1) == '(') pos -= 1 // `if (cond)` — keep the paren for the cond
+        val c = parseInnerPipe()
+        require(tryEat("then"), s"expected 'then' at $pos")
+        val t = parseInnerPipe()
+        require(tryEat("else"), s"expected 'else' at $pos")
+        val e = parseInnerPipe()
+        require(tryEat("end"), s"expected 'end' at $pos")
+        IfElse(c, t, e)
+      }
       else if (peek == '{') parseObj()
       else if (peek == '.') parsePath()
       else if (peek == '"') Lit(parseString())
@@ -176,7 +229,11 @@ object JqCompiler {
       while (!done) {
         if (peek == '[') {
           pos += 1; ws()
-          if (peek == ']') { pos += 1; iterate = true; done = true } // .[]
+          if (peek == ']') { // .[] — iterate; trailing segs keep parsing (`.[].d`)
+            pos += 1
+            require(first && segs.isEmpty, s"'.[]' only supported at path start ($pos)")
+            iterate = true; first = false
+          }
           else {
             val n = parseNumber().asInstanceOf[Lit].v.asInstanceOf[Double].toInt
             eat(']')
@@ -191,7 +248,8 @@ object JqCompiler {
           pos += 1 // segment separator
         } else done = true
       }
-      if (iterate) IterateAll
+      if (iterate && segs.isEmpty) IterateAll
+      else if (iterate) PipeSeq(Seq(IterateAll, Path(segs.toSeq)))
       else if (idx0) First(Path(segs.toSeq))
       else Path(segs.toSeq)
     }
@@ -323,6 +381,86 @@ object JqCompiler {
     case c: Cmp           => boolCond(c)
     case l: Logic         => boolCond(l)
     case _ => None
+  }
+
+  // ---- wrapped value streams ----
+
+  /** Value of `ast` with `.` bound to `cur` (a variant-typed column). */
+  private def ctxNum(ast: Ast, cur: Column): Option[Column] = ast match {
+    case Path(Seq())     => Some(cur.cast("double"))
+    case Lit(d: Double)  => Some(lit(d))
+    case Arith(op, l, r) =>
+      for { lc <- ctxNum(l, cur); rc <- ctxNum(r, cur) } yield op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+      }
+    case _ => None
+  }
+
+  private def ctxCond(ast: Ast, cur: Column): Option[Column] = ast match {
+    case Cmp(op, l, r) =>
+      val (lc, rc) = ((l, r) match {
+        case (Lit(s: String), _) => (Some(lit(s)), Some(cur.cast("string")))
+        case (_, Lit(s: String)) => (Some(cur.cast("string")), Some(lit(s)))
+        case _                   => (ctxNum(l, cur), ctxNum(r, cur))
+      })
+      for { a <- lc; b <- rc } yield op match {
+        case "==" => a === b
+        case "!=" => a =!= b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+      }
+    case Logic("and", l, r) => for { a <- ctxCond(l, cur); b <- ctxCond(r, cur) } yield a && b
+    case Logic("or", l, r)  => for { a <- ctxCond(l, cur); b <- ctxCond(r, cur) } yield a || b
+    case _ => None
+  }
+
+  private def compileValueStages(stages: Seq[Ast]): Option[PerEventValue] = {
+    var cur: Option[Column] = None
+    val filters = Seq.newBuilder[Column]
+    for (stage <- stages) stage match {
+      case Path(Seq()) => () // `.` — no-op over the current value
+      case p: Path if cur.isEmpty =>
+        cur = eventValue(p)
+        if (cur.isEmpty) return None
+      case Select(c) =>
+        cur match {
+          case Some(v) => ctxCond(c, v) match {
+            case Some(f) => filters += f
+            case None    => return None
+          }
+          case None => boolCond(c) match {
+            case Some(f) => filters += f
+            case None    => return None
+          }
+        }
+      case IfElse(c, Empty, Path(Seq())) =>
+        val v = cur.getOrElse(return None)
+        ctxCond(c, v) match {
+          case Some(f) => filters += !f
+          case None    => return None
+        }
+      case IfElse(c, Path(Seq()), Empty) =>
+        val v = cur.getOrElse(return None)
+        ctxCond(c, v) match {
+          case Some(f) => filters += f
+          case None    => return None
+        }
+      case _ => return None
+    }
+    cur.map { v =>
+      // render the variant back to its exact JSON text (to_json omits
+      // null struct fields, so null values need the explicit literal)
+      val asJson = to_json(struct(v.as("v")))
+      PerEventValue(filters.result().reduceOption(_ && _),
+        when(v.isNull, lit("null"))
+          .otherwise(asJson.substr(lit(6), length(asJson) - 6)))
+    }
   }
 
   private def compilePerEvent(stages: Seq[Ast]): Option[Compiled] = {

@@ -101,7 +101,55 @@ object PipelineQueries {
       |      send-receive-jsonnet: 'function(events) {n: "agg", d: {n: std.length(events), t0: events[0].t[0].i}}'
       |""".stripMargin
 
+  /** The reference's stress-test sieve (examples/stress-test/
+    * pipeline.yaml:39-70): three chained wrapped jq filters dropping
+    * multiples of 2, 5, 7 — run entirely on the compiled wrapped-jq
+    * tier (no subprocess; JqCompilerSpec proves tier equivalence
+    * byte-for-byte on this exact filter shape).
+    */
+  val stressYaml: String =
+    """name: sieve
+      |jq-tier: compiled
+      |steps:
+      |  two:
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq:
+      |        jq-expr: '.[].d | if fmod(.; 2) == 0 then empty else . end'
+      |        wrap: "not.multiples.of.two"
+      |  five:
+      |    after: [two]
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq:
+      |        jq-expr: '.[].d | if fmod(.; 5) == 0 then empty else . end'
+      |        wrap: "not.multiples.of.five"
+      |  seven:
+      |    after: [five]
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq:
+      |        jq-expr: '.[].d | if fmod(.; 7) == 0 then empty else . end'
+      |        wrap: "not.multiples.of.seven"
+      |""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipeline_e2e_stress" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val input = ev.select(
+        col("event_type").as("n"),
+        get_json_object(col("props"), "$.k").as("d"),
+        col("event_id").as("__seq"),
+        (col("ts_us") / lit(1e6)).as("arrival"))
+      val tpl = Spec.parseYaml(stressYaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(s, tpl, stamped).output
+      out.select(col("n"), col("d").cast("long").as("v")).orderBy("v")
+    },
+
     "pipeline_e2e_jsonnet" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val input = ev.select(
@@ -194,7 +242,18 @@ object PipelineQueries {
         |SELECT 'agg' AS n, COUNT(*) AS n_events, MIN(t0v) AS t0
         |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
 
+  private val stressOracle =
+      """SELECT 'not.multiples.of.seven' AS n,
+        |  TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS v
+        |FROM events
+        |WHERE TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) IS NOT NULL
+        |  AND TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 2 != 0
+        |  AND TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 5 != 0
+        |  AND TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 7 != 0
+        |ORDER BY v""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_e2e_stress" -> stressOracle,
     "pipeline_e2e" -> e2eOracle,
     "pipeline_e2e_compiled" -> e2eOracle,
     "pipeline_e2e_jsonnet" -> jsonnetOracle,

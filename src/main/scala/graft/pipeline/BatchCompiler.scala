@@ -273,13 +273,19 @@ object BatchCompiler {
         }
 
       case SendReceiveJq(expr, wrapName) =>
-        val compiled =
-          if (tpl.jqTier == "compiled" && wrapName.isEmpty)
-            graft.functions.JqCompiler.tryCompile(expr)
-          else None
-        compiled match {
-          case Some(c) => compiledJq(spark, tpl, step, df, c)
-          case None    => jqTransform(spark, tpl, step, df, expr, wrapName)
+        if (tpl.jqTier != "compiled")
+          jqTransform(spark, tpl, step, df, expr, wrapName)
+        else wrapName match {
+          case None =>
+            graft.functions.JqCompiler.tryCompile(expr) match {
+              case Some(c) => compiledJq(spark, tpl, step, df, c)
+              case None    => jqTransform(spark, tpl, step, df, expr, wrapName)
+            }
+          case Some(w) =>
+            graft.functions.JqCompiler.tryCompileWrapped(expr) match {
+              case Some(pv) => compiledWrappedJq(spark, tpl, df, w, pv)
+              case None     => jqTransform(spark, tpl, step, df, expr, wrapName)
+            }
         }
     }
   }
@@ -324,6 +330,23 @@ object BatchCompiler {
             EventFunctions.tracePoint(col("__vts"), tpl.name, sig)).as("t"),
           col("__vts").as("__ts"), seqExpr.as("__seq"))
     }
+  }
+
+  /** The compiled wrapped-jq tier: per-event value streams under a
+    * `wrap:` directive (the stress-test filter shape) as native
+    * Columns. Output events keep the original arrival order/time
+    * (deterministic, like the other per-event compiled forms).
+    */
+  private def compiledWrappedJq(spark: SparkSession, tpl: PipelineTemplate,
+                                df: DataFrame, wrapName: String,
+                                pv: graft.functions.JqCompiler.PerEventValue): DataFrame = {
+    val sig = tpl.signature
+    pv.filter.fold(df)(df.filter).select(
+      lit(wrapName).as("n"),
+      pv.valueJson.as("d"),
+      EventFunctions.appendTrace(lit(null).cast(eventType("t").dataType),
+        EventFunctions.tracePoint(col("__ts"), tpl.name, sig)).as("t"),
+      col("__ts"), col("__seq"))
   }
 
   /** Terminal events rendered as reference-format NDJSON lines. */

@@ -61,6 +61,46 @@ class JqCompilerSpec extends AnyFunSuite {
     assert(JqCompiler.tryCompile("{n: \"agg\", d: {s: (map(.d.k) | add), c: length}}").isDefined)
   }
 
+  private val stressYaml =
+    """name: p
+      |steps:
+      |  odds:
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq:
+      |        jq-expr: '.[].d | if fmod(.; 2) == 0 then empty else . end'
+      |        wrap: "not.multiples.of.two"
+      |""".stripMargin
+
+  private def runStress(yaml: String) = {
+    import spark.implicits._
+    val input = (1 to 20).map(i => ("gen", i.toString, i.toLong, 1000.0 + i))
+      .toDF("n", "d", "__seq", "arrival")
+    val tpl = Spec.parseYaml(yaml)
+    val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+    BatchCompiler.compile(spark, tpl, stamped).output
+      .select("n", "d").collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._2.toInt).toList
+  }
+
+  test("stress-test wrapped filter: compiled tier == jq subprocess tier (reference examples/stress-test)") {
+    val viaJq = runStress(stressYaml)
+    val viaCompiled = runStress("jq-tier: compiled\n" + stressYaml)
+    assert(viaJq == (1 to 20 by 2).map(i => ("not.multiples.of.two", i.toString)).toList)
+    assert(viaCompiled == viaJq) // identical text, incl. jq's number formatting
+    // and the compiled tier really engaged (expression is in the subset)
+    assert(JqCompiler.tryCompileWrapped(".[].d | if fmod(.; 2) == 0 then empty else . end").isDefined)
+  }
+
+  test("tryCompileWrapped scope: value rebind + drops in, computed outputs out") {
+    assert(JqCompiler.tryCompileWrapped(".[].d.k | select(. > 3)").isDefined)
+    assert(JqCompiler.tryCompileWrapped(".[].d | if . < 0 then . else empty end").isDefined)
+    // computed final values would re-render jq's number text — fall back
+    assert(JqCompiler.tryCompileWrapped(".[].d | . * 2").isEmpty)
+    assert(JqCompiler.tryCompileWrapped(".[] | tostring").isEmpty)
+  }
+
   test("malformed string literals fail compile cleanly instead of hanging") {
     // unterminated literal previously looped forever in parseString
     assert(JqCompiler.tryCompile(".[] | select(.n == \"unterminated)").isEmpty)
