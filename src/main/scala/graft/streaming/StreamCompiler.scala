@@ -264,14 +264,46 @@ object StreamCompiler {
         val name = tpl.name
         val sig = tpl.signature
         val wrapped = wrapName
-        val lines = windowVectors(ds)
-          .map(v => vectorJson(v.events))
-        lines.mapPartitions { it =>
-          val out = graft.io.JqPool.pipe(it, expr, prelude)
-          val now = System.currentTimeMillis() / 1000.0
-          out.zipWithIndex.flatMap { case (line, i) =>
-            parseOutput(line, wrapped, name, sig, now, i.toLong)
+
+        // fresh single-point trace at event time (the deterministic
+        // stamp the batch compiled tier uses too)
+        def stamp: org.apache.spark.sql.Column =
+          array(struct(col("ts").as("i"), lit(name).as("p"), lit(sig).as("h")))
+
+        def subprocess(): Dataset[SEvent] = {
+          val lines = windowVectors(ds).map(v => vectorJson(v.events))
+          lines.mapPartitions { it =>
+            val out = graft.io.JqPool.pipe(it, expr, prelude)
+            val now = System.currentTimeMillis() / 1000.0
+            out.zipWithIndex.flatMap { case (line, i) =>
+              parseOutput(line, wrapped, name, sig, now, i.toLong)
+            }
           }
+        }
+
+        // compiled per-event tiers run as Column projections inside
+        // the micro-batch — no subprocess, no per-trigger process IO;
+        // per-vector aggregation forms stay on the subprocess tier
+        import graft.functions.JqCompiler
+        if (tpl.jqTier != "compiled") subprocess()
+        else wrapName match {
+          case None =>
+            JqCompiler.tryCompile(expr) match {
+              case Some(JqCompiler.CompiledPerEvent(pe)) =>
+                pe.filter.fold(ds.toDF)(ds.toDF.filter).select(
+                  pe.outName.cast("string").as("n"),
+                  pe.outPayloadJson.as("d"),
+                  stamp.as("t"), col("ts"), col("seq")).as[SEvent]
+              case _ => subprocess()
+            }
+          case Some(w) =>
+            JqCompiler.tryCompileWrapped(expr) match {
+              case Some(pv) =>
+                pv.filter.fold(ds.toDF)(ds.toDF.filter).select(
+                  lit(w).as("n"), pv.valueJson.as("d"),
+                  stamp.as("t"), col("ts"), col("seq")).as[SEvent]
+              case None => subprocess()
+            }
         }
     }
   }

@@ -188,6 +188,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming compiled jq tier matches the subprocess tier per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def yaml(tier: String) =
+      s"""name: cj
+         |jq-tier: $tier
+         |steps:
+         |  sieve:
+         |    window:
+         |      events: 2
+         |    reduce:
+         |      send-receive-jq:
+         |        jq-expr: '.[].d | if fmod(.; 2) == 0 then empty else . end'
+         |        wrap: "odd.one"
+         |""".stripMargin
+    def run(tier: String): Set[(String, String)] = {
+      val mem = MemoryStream[SEvent]
+      val compiled = StreamCompiler.compile(spark, Spec.parseYaml(yaml(tier)), mem.toDS())
+      val (name, q) = runToMemory(compiled.output.map(e => (e.n, e.d)))
+      mem.addData((1 to 8).map(i => ev("g", i.toString, i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      q.stop()
+      rows
+    }
+    val expected = Set("1", "3", "5", "7").map(("odd.one", _))
+    val viaSub = run("subprocess")
+    val viaCompiled = run("compiled")
+    assert(viaSub == expected)
+    assert(viaCompiled == expected)
+  }
+
   test("generator source emits wrapped random events") {
     val gen = StreamCompiler.generatorSource(spark, seconds = 0.01)
     val (name, q) = runToMemory(gen)
