@@ -37,6 +37,106 @@ object TextQueries {
 
   private def withToks(df: DataFrame): DataFrame = df.withColumn("toks", tokens(col("text")))
 
+  /** Connected components over an (a, b) pair DataFrame: one row per
+    * member node, labeled with its component's min id. Driver
+    * union-find while the pair list fits `maxDriverPairs` (near-dup
+    * pair sets are duplicate-sized, not corpus-sized); distributed
+    * min-label propagation beyond.
+    */
+  private[operators] def clusterResolve(pairs: DataFrame,
+                                        maxDriverPairs: Long = 5_000_000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cached = pairs.persist()
+    val n = cached.count()
+    val out =
+      if (n <= maxDriverPairs) {
+        val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min root: representative = min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        spark.createDataset(nodes.toSeq.map(id => (id, find(id))))
+          .toDF("doc_id", "cluster_id")
+      } else {
+        val edges = cached.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(cached.select(col("b").as("src"), col("a").as("dst")))
+          .persist()
+        var labels = edges.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")).persist()
+        var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 50) {
+          val prop = edges
+            .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+            .groupBy(col("dst").as("id")).agg(min("slbl").as("nlbl"))
+          val next = labels.join(prop, Seq("id"), "left")
+            .select(col("id"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            .persist()
+          val newSum = next.agg(sum("lbl")).head().getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = newSum == prevSum // labels only decrease: sum is a fixpoint witness
+          prevSum = newSum
+          rounds += 1
+        }
+        edges.unpersist()
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      }
+    cached.unpersist()
+    out.orderBy("doc_id")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with their signature-
+    * estimated Jaccard, filtered at [[JaccardT]] — shared by the pair
+    * query and the cluster-resolution query.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = docs(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.shingleHashes(col("text"), 3)).as("h"))
+    val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(graft.functions.TextFunctions.HashPrime)).as(s"m$i")
+    }
+    val mh = hashed.groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("mh"))
+
+    val bands = (0 until Bands).map { bi =>
+      mh.select(col("doc_id"), lit(bi).as("band"),
+        md5(concat_ws(",", (1 to R).map(j => element_at(col("mh"), bi * R + j)): _*)).as("bkey"))
+    }.reduce(_ unionByName _)
+
+    val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    val ma = mh.select(col("doc_id").as("a"), col("mh").as("ma"))
+    val mb = mh.select(col("doc_id").as("b"), col("mh").as("mb"))
+    val est = (1 to K).map(i =>
+      when(element_at(col("ma"), i) === element_at(col("mb"), i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K
+
+    pairs.join(ma, "a").join(mb, "b")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= JaccardT)
+      .select("a", "b", "est_jaccard")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + distinct counts.
@@ -130,37 +230,20 @@ object TextQueries {
     // shingle and map-side partial aggregation (the HOF formulation
     // re-evaluated the hash per coefficient — 16x the work).
     "dedup_minhash_lsh" -> { (s, d) =>
-      val hashed = docs(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.TextExpressions.shingleHashes(col("text"), 3)).as("h"))
-      val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        min((col("h") * lit(a) + lit(b)) % lit(graft.functions.TextFunctions.HashPrime)).as(s"m$i")
-      }
-      val mh = hashed.groupBy("doc_id")
-        .agg(minExprs.head, minExprs.tail: _*)
-        .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("mh"))
+      minhashPairs(s, d).orderBy("a", "b")
+    },
 
-      val bands = (0 until Bands).map { bi =>
-        mh.select(col("doc_id"), lit(bi).as("band"),
-          md5(concat_ws(",", (1 to R).map(j => element_at(col("mh"), bi * R + j)): _*)).as("bkey"))
-      }.reduce(_ unionByName _)
-
-      val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-
-      val ma = mh.select(col("doc_id").as("a"), col("mh").as("ma"))
-      val mb = mh.select(col("doc_id").as("b"), col("mh").as("mb"))
-      val est = (1 to K).map(i =>
-        when(element_at(col("ma"), i) === element_at(col("mb"), i), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / K
-
-      pairs.join(ma, "a").join(mb, "b")
-        .withColumn("est_jaccard", est)
-        .filter(col("est_jaccard") >= JaccardT)
-        .select("a", "b", "est_jaccard")
-        .orderBy("a", "b")
+    // Duplicate-cluster resolution: connected components over the
+    // near-dup pair graph, label = the component's min doc_id (the
+    // kept representative; everything else is the drop set). Tiered
+    // like the ANN joins: the pair list is the DUPLICATE set — orders
+    // of magnitude smaller than the corpus — so under a row budget it
+    // collects to the driver for a one-pass union-find (one Spark
+    // job); past the budget, distributed min-label propagation (one
+    // shuffle per round, labels only decrease, sum-of-labels fixpoint,
+    // O(component diameter) rounds with per-round persist).
+    "dedup_cluster_resolve" -> { (s, d) =>
+      clusterResolve(minhashPairs(s, d).select("a", "b"))
     },
 
     // SimHash near-dup pairs: two 16-bit band rotations (high half,
@@ -218,6 +301,36 @@ object TextQueries {
   }
 
   private val stopSqlEn = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+
+  /** The MinHash+LSH pair pipeline (signatures → bands → candidate
+    * pairs → Jaccard-filtered `filtered` CTE), shared by the pair and
+    * cluster oracles.
+    */
+  private val minhashPairCtes: String = {
+    val bandSelects = (0 until Bands).map { bi =>
+      val ks = (1 to R).map(j => s"mh[${bi * R + j}]").mkString(", ")
+      s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $ks)) AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val estTerms = (1 to K).map(i => s"CASE WHEN ma[$i] = mb[$i] THEN 1 ELSE 0 END").mkString(" + ")
+    s"""sh AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, ${shinglesSql(3)} AS sh
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |  WHERE len(sh) > 0),
+       |mh AS (SELECT doc_id, $mhSql AS mh FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id < y.doc_id),
+       |filtered AS (
+       |  SELECT a, b, CAST($estTerms AS DOUBLE) / $K AS est_jaccard
+       |  FROM pairs
+       |    JOIN (SELECT doc_id AS a, mh AS ma FROM mh) USING (a)
+       |    JOIN (SELECT doc_id AS b, mh AS mb FROM mh) USING (b)
+       |  WHERE CAST($estTerms AS DOUBLE) / $K >= $JaccardT)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_tokens" ->
@@ -279,31 +392,22 @@ object TextQueries {
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
          |ORDER BY a, b""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val bandSelects = (0 until Bands).map { bi =>
-        val ks = (1 to R).map(j => s"mh[${bi * R + j}]").mkString(", ")
-        s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $ks)) AS bkey FROM mh"
-      }.mkString("\n  UNION ALL\n  ")
-      val estTerms = (1 to K).map(i => s"CASE WHEN ma[$i] = mb[$i] THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, sh FROM (
-         |    SELECT doc_id, ${shinglesSql(3)} AS sh
-         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))
-         |  WHERE len(sh) > 0),
-         |mh AS (SELECT doc_id, $mhSql AS mh FROM sh),
-         |bands AS (
-         |  $bandSelects),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-         |  WHERE x.doc_id < y.doc_id)
-         |SELECT a, b, CAST($estTerms AS DOUBLE) / $K AS est_jaccard
-         |FROM pairs
-         |  JOIN (SELECT doc_id AS a, mh AS ma FROM mh) USING (a)
-         |  JOIN (SELECT doc_id AS b, mh AS mb FROM mh) USING (b)
-         |WHERE CAST($estTerms AS DOUBLE) / $K >= $JaccardT
-         |ORDER BY a, b""".stripMargin
-    },
+    "dedup_minhash_lsh" -> s"""WITH $minhashPairCtes
+         |SELECT a, b, est_jaccard FROM filtered ORDER BY a, b""".stripMargin,
+
+    // connected components over the filtered near-dup pairs: the
+    // recursive CTE enumerates (node, label-of-reachable-node) over
+    // the undirected edges; MIN per node = the component's min doc_id
+    "dedup_cluster_resolve" -> s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM filtered
+         |  UNION ALL SELECT b AS src, a AS dst FROM filtered),
+         |comp AS (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, c.lbl FROM comp c JOIN edges e ON e.src = c.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" -> {
       val bitSums = (0 until 32).map { j =>

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Both tiers of duplicate-cluster resolution (driver union-find under
+  * the row budget, distributed min-label propagation beyond) must
+  * produce identical components: member -> min doc_id of component.
+  */
+class ClusterResolveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle+tail)
+  private val pairEdges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L),
+    (10L, 11L),
+    (20L, 21L), (21L, 22L), (20L, 22L))
+
+  private val expected = Set(
+    (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+    (10L, 10L), (11L, 10L),
+    (20L, 20L), (21L, 20L), (22L, 20L))
+
+  private def run(maxDriverPairs: Long): Set[(Long, Long)] = {
+    import spark.implicits._
+    val pairs = pairEdges.toDF("a", "b")
+    TextQueries.clusterResolve(pairs, maxDriverPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("driver union-find tier resolves components to min-id labels") {
+    assert(run(maxDriverPairs = 1000000L) == expected)
+  }
+
+  test("distributed label-propagation tier agrees with the driver tier") {
+    assert(run(maxDriverPairs = 0L) == expected)
+  }
+}
