@@ -216,11 +216,16 @@ object Similarity {
     val n = if (numRows >= 0) numRows else b.count()
     val cents = ivfCentroids(vectors, nlist, sampleN, idCol = idCol, vecCol = vecCol)
     val scores = cellScores(col(vecCol), cents)
-    // struct ordering is (s, c) lexicographic: array_max = best cell
-    val assigned = b.select(col(idCol).as("nid"),
-      array_max(scores).getField("c").as("cell"))
-    val probes = b.select(col(idCol).as("qid"),
-        explode(slice(reverse(array_sort(scores)), 1, nprobe).getField("c")).as("cell"))
+    // one scoring pass: nlist dot products per row, materialized as
+    // (id, top-nprobe cells) — n x (8 + 4*nprobe) bytes, disk-spillable
+    // — so the assigned and probe branches don't score the table twice
+    // (struct ordering is (s, c) lexicographic: head of the sorted
+    // slice = best cell)
+    val cells = b.select(col(idCol).as("id"),
+        slice(reverse(array_sort(scores)), 1, nprobe).getField("c").as("top"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = cells.select(col("id").as("nid"), element_at(col("top"), 1).as("cell"))
+    val probes = cells.select(col("id").as("qid"), explode(col("top")).as("cell"))
     val cand = probes.join(assigned, "cell").filter(col("qid") =!= col("nid"))
       .select("qid", "nid").dropDuplicates("qid", "nid")
     val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
