@@ -385,9 +385,20 @@ object JqCompiler {
 
   // ---- wrapped value streams ----
 
-  /** Value of `ast` with `.` bound to `cur` (a variant-typed column). */
-  private def ctxNum(ast: Ast, cur: Column): Option[Column] = ast match {
-    case Path(Seq())     => Some(cur.cast("double"))
+  /** The current `.` binding: the variant-typed value plus, when the
+    * rebound path was exactly `.d`, the payload's raw JSON text. The
+    * raw text matters for plan quality: numeric conditions cast it
+    * directly and the final render is a pass-through, so chained
+    * compiled steps don't compound parse→render→parse round-trips
+    * (predicate pushdown inlines upstream projections into downstream
+    * filters — with variant round-trips that nesting grows
+    * exponentially; with raw text it stays flat).
+    */
+  private final case class Ctx(variant: Column, raw: Option[Column])
+
+  /** Value of `ast` with `.` bound to `cur`. */
+  private def ctxNum(ast: Ast, cur: Ctx): Option[Column] = ast match {
+    case Path(Seq())     => Some(cur.raw.getOrElse(cur.variant).cast("double"))
     case Lit(d: Double)  => Some(lit(d))
     case Arith(op, l, r) =>
       for { lc <- ctxNum(l, cur); rc <- ctxNum(r, cur) } yield op match {
@@ -400,11 +411,12 @@ object JqCompiler {
     case _ => None
   }
 
-  private def ctxCond(ast: Ast, cur: Column): Option[Column] = ast match {
+  private def ctxCond(ast: Ast, cur: Ctx): Option[Column] = ast match {
     case Cmp(op, l, r) =>
+      // string comparisons need the decoded value, not raw JSON text
       val (lc, rc) = ((l, r) match {
-        case (Lit(s: String), _) => (Some(lit(s)), Some(cur.cast("string")))
-        case (_, Lit(s: String)) => (Some(cur.cast("string")), Some(lit(s)))
+        case (Lit(s: String), _) => (Some(lit(s)), Some(cur.variant.cast("string")))
+        case (_, Lit(s: String)) => (Some(cur.variant.cast("string")), Some(lit(s)))
         case _                   => (ctxNum(l, cur), ctxNum(r, cur))
       })
       for { a <- lc; b <- rc } yield op match {
@@ -421,12 +433,17 @@ object JqCompiler {
   }
 
   private def compileValueStages(stages: Seq[Ast]): Option[PerEventValue] = {
-    var cur: Option[Column] = None
+    var cur: Option[Ctx] = None
     val filters = Seq.newBuilder[Column]
     for (stage <- stages) stage match {
       case Path(Seq()) => () // `.` — no-op over the current value
       case p: Path if cur.isEmpty =>
-        cur = eventValue(p)
+        val raw = p match {
+          // `.d`: the payload column IS the value's JSON text already
+          case Path(Seq(Left("d"))) => Some(col("d"))
+          case _                    => None
+        }
+        cur = eventValue(p).map(Ctx(_, raw))
         if (cur.isEmpty) return None
       case Select(c) =>
         cur match {
@@ -453,13 +470,20 @@ object JqCompiler {
         }
       case _ => return None
     }
-    cur.map { v =>
-      // render the variant back to its exact JSON text (to_json omits
-      // null struct fields, so null values need the explicit literal)
-      val asJson = to_json(struct(v.as("v")))
-      PerEventValue(filters.result().reduceOption(_ && _),
-        when(v.isNull, lit("null"))
-          .otherwise(asJson.substr(lit(6), length(asJson) - 6)))
+    cur.map {
+      case Ctx(_, Some(raw)) =>
+        // raw pass-through: the payload text is canonical compact JSON
+        // (the engine's own renderers produce it), identical to jq's
+        // re-rendering
+        PerEventValue(filters.result().reduceOption(_ && _),
+          coalesce(raw, lit("null")))
+      case Ctx(v, None) =>
+        // render the variant back to its exact JSON text (to_json omits
+        // null struct fields, so null values need the explicit literal)
+        val asJson = to_json(struct(v.as("v")))
+        PerEventValue(filters.result().reduceOption(_ && _),
+          when(v.isNull, lit("null"))
+            .otherwise(asJson.substr(lit(6), length(asJson) - 6)))
     }
   }
 
