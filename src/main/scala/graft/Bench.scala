@@ -26,6 +26,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 64 queries x several codegen'd stages far exceeds the default
+      // 100-entry generated-class cache; eviction made late-battery
+      // re-runs recompile every stage (observed 1.9s -> 7.4s on the
+      // same query/plan)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
