@@ -61,6 +61,22 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("an event arriving after a buffer's deadline never joins it (hybrid)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val vecs = StreamingWindows.hybridVectors(mem.toDS(), _.n, maxEvents = 10, maxSeconds = 0.3)
+    val (name, q) = runToMemory(
+      vecs.map(v => (v.vecId, v.events.map(_.d).mkString(","))), triggerMs = 100)
+    mem.addData(ev("a", "1", 1))
+    awaitRows(name, 1) // deadline passed: [1] flushed partial
+    mem.addData(ev("a", "2", 2))
+    awaitRows(name, 2) // 2 opened a NEW buffer (flushed by its own timer)
+    val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == Set((0L, "1"), (1L, "2")))
+    q.stop()
+  }
+
   test("time-arm flushes partial vectors on processing-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
