@@ -25,12 +25,13 @@ import graft.spec.Spec._
   * pass-through taps exposed in `Compiled.sinks`; terminal steps union
   * into `Compiled.output`.
   *
-  * Parity note: reference windows buffer *globally* in arrival order
-  * (one buffer per step, not per key) — replicated here with a global
-  * ordering, which serializes window assignment for the windowed
-  * steps of a replay. Keyed (scalable) windowing is available in
-  * [[graft.operators.StepOps]] / [[graft.operators.HybridWindow]] for
-  * pipelines that opt into a partition key.
+  * Window keying: the default (`window-key: name`) buffers windows per
+  * event name — window assignment shuffles by `n` and runs all keys in
+  * parallel, the shape that survives scale. The reference buffers
+  * *globally* in arrival order (one buffer per step,
+  * src/step.ts:70-151); `window-key: global` opts into that exact
+  * semantic for bit-for-bit parity, at the cost of serializing the
+  * windowed steps of a replay through one task.
   */
 object BatchCompiler {
 

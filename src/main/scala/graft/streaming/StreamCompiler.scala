@@ -18,8 +18,9 @@ import graft.spec.Spec._
   * and projections — identical plans to batch, codegen'd inside each
   * micro-batch. Windowed steps go through
   * [[StreamingWindows.hybridVectors]] (count-or-time state), then the
-  * vector function is applied per closed vector. `send-*` taps are
-  * exposed as NDJSON line streams for the runner to attach sinks to.
+  * vector function is applied per closed vector. `send-*` taps carry
+  * the same typed [[graft.pipeline.BatchCompiler.Delivery]] as batch;
+  * [[StreamRunner]] attaches the live sink per micro-batch.
   *
   * Windows are keyed by event name (a keyed, scale-out upgrade of the
   * reference's single global buffer — the reference semantics are the
