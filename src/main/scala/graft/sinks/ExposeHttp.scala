@@ -43,6 +43,9 @@ final class ExposeHttp(endpoint: String, port: Int, responses: Int) {
     server.getAddress.getPort
   }
 
+  /** Bound port after [[start]] (resolves an ephemeral port request). */
+  def boundPort: Int = server.getAddress.getPort
+
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def handle(x: HttpExchange): Unit = {

@@ -255,10 +255,15 @@ object StreamCompiler {
             }
           }
 
-      case ExposeHttpFn(endpoint, port, _) =>
-        throw new IllegalArgumentException(
-          s"step '${step.name}': expose-http ($endpoint:$port) is driver-resident; " +
-            "attach it with BatchRunner / foreachBatch, not inside the streaming plan")
+      case ExposeHttpFn(endpoint, port, responses) =>
+        // driver-resident ring server, fed one NDJSON body per closed
+        // vector each micro-batch (the reference's exposition example,
+        // examples/exposition/pipeline.yaml)
+        val exposeBodies = windowVectors(ds)
+          .map(v => v.events.map(eventJsonStr).mkString("\n")).toDF("line")
+        sinks(step.name) = StreamSinkSpec(exposeBodies,
+          graft.pipeline.BatchCompiler.ToExpose(endpoint, port, responses))
+        ds
 
       case SendReceiveJq(expr, wrapName) =>
         val prelude = tpl.jqPrelude

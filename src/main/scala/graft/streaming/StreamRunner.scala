@@ -13,10 +13,12 @@ import graft.spec.Spec._
   */
 object StreamRunner {
 
-  final case class Running(output: StreamingQuery, sinks: Seq[StreamingQuery]) {
+  final case class Running(output: StreamingQuery, sinks: Seq[StreamingQuery],
+                           exposeServers: Map[String, graft.sinks.ExposeHttp] = Map.empty) {
     def stopAll(): Unit = {
       sinks.foreach(q => if (q.isActive) q.stop())
       if (output.isActive) output.stop()
+      exposeServers.values.foreach(_.stop())
     }
   }
 
@@ -32,6 +34,7 @@ object StreamRunner {
 
     import graft.pipeline.BatchCompiler._
     import org.apache.spark.sql.{DataFrame, Row}
+    val servers = scala.collection.mutable.LinkedHashMap[String, graft.sinks.ExposeHttp]()
     val sinkQueries = compiled.sinkSpecs.toSeq.map { case (name, spec) =>
       val writer = spec.lines.writeStream
         .queryName(s"$queryPrefix-sink-$name")
@@ -73,9 +76,15 @@ object StreamRunner {
           writer.foreachBatch { (batch: DataFrame, _: Long) =>
             graft.sinks.MqttBroker.deliver(batch, conf)
           }.start()
-        case ToExpose(_, _, _) =>
-          throw new IllegalArgumentException(
-            s"sink '$name': expose-http is rejected at stream compile time")
+        case ToExpose(endpoint, port, responses) =>
+          // driver-resident ring server, fed per micro-batch — the
+          // streaming face of BatchRunner's expose delivery
+          val server = new graft.sinks.ExposeHttp(endpoint, port, responses)
+          server.start()
+          servers(name) = server
+          writer.foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.toLocalIterator().forEachRemaining((r: Row) => server.offer(r.getString(0)))
+          }.start()
         case ToStdout =>
           writer.foreachBatch { (batch: DataFrame, _: Long) =>
             batch.toLocalIterator().forEachRemaining((r: Row) => println(r.getString(0)))
@@ -90,6 +99,6 @@ object StreamRunner {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .outputMode("append")
       .format(outputSink)
-    Running(out.start(), sinkQueries)
+    Running(out.start(), sinkQueries, servers.toMap)
   }
 }

@@ -311,6 +311,42 @@ class AmqpSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming send-amqp publishes vector messages per micro-batch with event-time stamps") {
+    withServer { srv =>
+      import graft.model.TracePoint
+      import graft.spec.Spec
+      import graft.streaming.{SEvent, StreamRunner}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.StreamingWindows.sEventEnc
+      val tpl = Spec.parseYaml(
+        s"""name: sp
+           |steps:
+           |  out:
+           |    window:
+           |      events: 2
+           |    reduce:
+           |      send-amqp:
+           |        host: localhost
+           |        port: ${srv.port}
+           |""".stripMargin)
+      val mem = MemoryStream[SEvent]
+      val running = StreamRunner.start(spark, tpl, mem.toDS(),
+        outputSink = "noop", triggerMs = 100)
+      try {
+        mem.addData(
+          SEvent("a.b", """{"k":1}""", Seq(TracePoint(1001.0, "t", "h")), 1001.0, 1),
+          SEvent("a.b", """{"k":2}""", Seq(TracePoint(1002.5, "t", "h")), 1002.5, 2))
+        awaitSize(srv.publishes, 1, ms = 15000)
+        val p = drain(srv.publishes).head
+        assert(p.exchange == "cdp" && p.routingKey == "cdp")
+        assert(p.props.contentType == Some("application/x-ndjson"))
+        assert(p.props.timestamp == Some(1002L)) // max event ts, truncated
+        assert(p.body.linesIterator.count(_.nonEmpty) == 2)
+      } finally running.stopAll()
+    }
+  }
+
   test("send-amqp jq mode publishes strings as text/plain and objects as json") {
     withServer { srv =>
       import graft.sinks.AmqpBroker

@@ -56,4 +56,43 @@ class StreamRunnerSpec extends AnyFunSuite {
       assert(lines.forall(_.startsWith("{\"n\":\"r.")))
     } finally running.stopAll()
   }
+
+  test("streaming expose-http serves closed vectors from the driver ring") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingWindows.sEventEnc
+    val tpl = Spec.parseYaml(
+      """name: expo
+        |steps:
+        |  pub:
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      expose-http:
+        |        endpoint: "/latest"
+        |        port: 0
+        |        responses: 5
+        |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val running = StreamRunner.start(spark, tpl, mem.toDS(),
+      outputSink = "noop", triggerMs = 100)
+    try {
+      val port = running.exposeServers("pub").boundPort
+      mem.addData(ev("a", "1", 1), ev("a", "2", 2))
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(): java.net.http.HttpResponse[String] =
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$port/latest")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      val deadline = System.currentTimeMillis() + 20000
+      var resp = get()
+      while (resp.statusCode() != 200 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); resp = get()
+      }
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.linesIterator.count(_.nonEmpty) == 2) // the (1,2) vector, NDJSON
+      assert(body.contains("\"d\":1") && body.contains("\"d\":2"))
+    } finally running.stopAll()
+  }
 }
