@@ -239,21 +239,59 @@ object StreamCompiler {
           }
 
       case SendReceiveJsonnet(expr, wrapName) =>
-        val bin = sys.env.getOrElse("GRAFT_JSONNET_BIN",
-          throw new IllegalArgumentException(s"step '${step.name}': streaming " +
-            "send-receive-jsonnet needs GRAFT_JSONNET_BIN (the compiled jsonnet tier is batch-only)"))
-        // prelude + code, like the reference (io/jsonnet.ts:14-15)
-        val program = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
+        import graft.functions.{JqCompiler, JsonnetCompiler}
         val name = tpl.name
         val sig = tpl.signature
-        windowVectors(ds)
-          .map(v => vectorJson(v.events))
-          .mapPartitions { it =>
-            val now = System.currentTimeMillis() / 1000.0
-            graft.io.JqPipe.pipeCommand(it, Seq(bin, program)).zipWithIndex.flatMap {
-              case (line, i) => parseOutput(line, wrapName, name, sig, now, i.toLong)
+
+        def subprocessJsonnet(): Dataset[SEvent] = {
+          val bin = sys.env.getOrElse("GRAFT_JSONNET_BIN",
+            throw new IllegalArgumentException(s"step '${step.name}': this streaming " +
+              "send-receive-jsonnet expression is outside the compiled subset and needs GRAFT_JSONNET_BIN"))
+          // prelude + code, like the reference (io/jsonnet.ts:14-15)
+          val program = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
+          windowVectors(ds)
+            .map(v => vectorJson(v.events))
+            .mapPartitions { it =>
+              val now = System.currentTimeMillis() / 1000.0
+              graft.io.JqPipe.pipeCommand(it, Seq(bin, program)).zipWithIndex.flatMap {
+                case (line, i) => parseOutput(line, wrapName, name, sig, now, i.toLong)
+              }
             }
-          }
+        }
+
+        // compiled tier (mirror of the batch path, BatchCompiler
+        // SendReceiveJsonnet): identity form = per-event projection;
+        // object form = per-vector Columns over the closed-vector rows
+        // the window operator already emits — no second stateful agg,
+        // no helper binary
+        val perEvent = if (wrapName.isEmpty) JsonnetCompiler.tryCompile(expr) else None
+        perEvent match {
+          case Some(JqCompiler.CompiledPerEvent(pe)) =>
+            pe.filter.fold(ds.toDF)(ds.toDF.filter).select(
+              pe.outName.cast("string").as("n"),
+              pe.outPayloadJson.as("d"),
+              array(struct(col("ts").as("i"), lit(name).as("p"), lit(sig).as("h"))).as("t"),
+              col("ts"), col("seq")).as[SEvent]
+          case _ =>
+            val vecCompiled =
+              if (wrapName.isEmpty) JsonnetCompiler.tryCompileVector(expr) else None
+            vecCompiled match {
+              case Some(vc) =>
+                // vector max event time stamps the output (same
+                // convention as the batch per-vector tier); seq
+                // tiebreak hashes the vector identity in keyed mode
+                val vts = array_max(transform(col("events"), e => e.getField("ts")))
+                val seqCol =
+                  if (globalWindows) col("vecId")
+                  else xxhash64(col("key"), col("vecId"))
+                windowVectors(ds).toDF().select(
+                  vc.outName.cast("string").as("n"),
+                  vc.payloadJson.as("d"),
+                  array(struct(vts.as("i"), lit(name).as("p"), lit(sig).as("h"))).as("t"),
+                  vts.as("ts"), seqCol.as("seq")).as[SEvent]
+              case None => subprocessJsonnet()
+            }
+        }
 
       case ExposeHttpFn(endpoint, port, responses) =>
         // driver-resident ring server, fed one NDJSON body per closed

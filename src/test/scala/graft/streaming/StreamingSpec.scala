@@ -236,6 +236,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaCompiled == expected)
   }
 
+  test("streaming compiled jsonnet tier matches batch, binary-free (differential)") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val yaml =
+      """name: sj
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {cnt: std.length(events), hd: events[0].d, lbl: "x-" + std.toString(events[0].n)}}'
+        |""".stripMargin
+    val tpl = Spec.parseYaml(yaml)
+    // per key, a multiple of the window size: every vector closes on
+    // the count arm (streaming holds a partial buffer open where batch
+    // replay flushes it at end-of-input — not comparable here)
+    val input = Seq(("a", "1"), ("b", "7"), ("a", "5"), ("a", "9"), ("b", "3"), ("a", "4"))
+    // batch truth through the batch compiled tier (same keyed default)
+    val batchIn = input.zipWithIndex
+      .map { case ((n, d), i) => (n, d, i.toLong, 1000.0 + i) }
+      .toDF("n", "d", "__seq", "arrival")
+    val stamped = graft.pipeline.BatchCompiler.stampInput(
+      tpl, batchIn, org.apache.spark.sql.functions.col("arrival"))
+    val expected = graft.pipeline.BatchCompiler.compile(spark, tpl, stamped)
+      .output.select("n", "d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected.size == 3 && expected.forall(_._1 == "agg"))
+    // streaming through the stream compiler: byte-identical payloads
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.output.map(e => (e.n, e.d)))
+    mem.addData(input.zipWithIndex.map { case ((n, d), i) => ev(n, d, i.toLong) }: _*)
+    q.processAllAvailable()
+    val got = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
+  test("streaming identity-form jsonnet passes events through binary-free") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tpl = Spec.parseYaml(
+      """name: sji
+        |steps:
+        |  id:
+        |    flatmap:
+        |      send-receive-jsonnet: 'function(events) events'
+        |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.output.map(e => (e.n, e.d)))
+    mem.addData(ev("a", "1", 1), ev("b", "2", 2))
+    q.processAllAvailable()
+    val rows = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "1"), ("b", "2")))
+    q.stop()
+  }
+
   test("generator source emits wrapped random events") {
     val gen = StreamCompiler.generatorSource(spark, seconds = 0.01)
     val (name, q) = runToMemory(gen)
