@@ -105,26 +105,57 @@ object Similarity {
     * (`numRows <= broadcastMaxRows`); beyond that they become
     * shuffle-hash joins bucketed on the id, so nothing table-sized
     * ever ships to every executor.
+    *
+    * `probes > 0` enables multi-probe (Lv et al., VLDB'07): the QUERY
+    * side of each table's bucket join additionally probes the `probes`
+    * buckets reached by flipping one weakest sign bit (smallest
+    * |projection| — the perturbations most likely to hold a true
+    * neighbor). Candidate volume grows ~×(1+probes) per table, so the
+    * same recall is reachable with fewer tables — multi-probe's whole
+    * point — and the bucket-assignment pass stays single.
     */
   def lshTopK(vectors: DataFrame, k: Int, bits: Int, dim: Int, tables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+              numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L,
+              probes: Int = 0): DataFrame = {
     val b = vectors.select(col(idCol), col(vecCol))
     val n = if (numRows >= 0) numRows else b.count()
     val effBits = if (bits > 0) bits else autoBits(n)
-    // all tables' buckets in one pass: bucket column per table, then
+    lshCandidates(b, effBits, dim, tables, idCol, vecCol, probes)
+      .transform(cand => scoreCandidates(cand, b, k, idCol, vecCol, n, broadcastMaxRows))
+  }
+
+  /** Candidate (qid, nid) pairs from the multi-table (multi-probe)
+    * bucket joins — exposed for recall/candidate-volume tuning.
+    */
+  def lshCandidates(b: DataFrame, effBits: Int, dim: Int, tables: Int,
+                    idCol: String, vecCol: String, probes: Int): DataFrame = {
+    // all tables' buckets (and probe buckets) in one pass, then
     // posexplode to (table, bucket) rows. Candidate generation works
     // on ids only — the 64-float vectors do not ride through the
     // bucket join or the pair dedup shuffle; they join back once per
     // surviving pair.
     val allPlanes = (0 until tables).flatMap(t => hyperplanes(effBits, dim, seed = 7L + t))
+    val width = probes + 1
     val buckets = b.withColumn("bs",
-        graft.functions.VectorExpressions.lshBuckets(col(vecCol), allPlanes, dim, effBits))
-      .select(col(idCol), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+        graft.functions.VectorExpressions.lshBuckets(col(vecCol), allPlanes, dim, effBits, probes))
+      .select(col(idCol), posexplode(col("bs")).as(Seq("i", "bucket")))
+      .select(col(idCol), (col("i") / width).cast("int").as("tbl"),
+        (col("i") % width).as("probe"), col("bucket"))
     val x = buckets.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
-    val y = buckets.select(col("tbl"), col("bucket"), col(idCol).as("nid"))
-    val cand = x.join(y, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
+    val y = buckets.filter(col("probe") === 0)
+      .select(col("tbl"), col("bucket"), col(idCol).as("nid"))
+    x.join(y, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
       .select("qid", "nid").dropDuplicates("qid", "nid")
+  }
+
+  /** Score candidate id pairs and keep each query's top-k — the shared
+    * tail of the LSH and IVF paths (broadcast-or-shuffle-hash gated
+    * vector join-back).
+    */
+  private def scoreCandidates(cand: DataFrame, b: DataFrame, k: Int,
+                              idCol: String, vecCol: String,
+                              n: Long, broadcastMaxRows: Long): DataFrame = {
     val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val nSide = b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     val scored = (if (n <= broadcastMaxRows)
@@ -228,16 +259,6 @@ object Similarity {
     val probes = cells.select(col("id").as("qid"), explode(col("top")).as("cell"))
     val cand = probes.join(assigned, "cell").filter(col("qid") =!= col("nid"))
       .select("qid", "nid").dropDuplicates("qid", "nid")
-    val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val nSide = b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val scored = (if (n <= broadcastMaxRows)
-        cand.join(broadcast(qSide), "qid").join(broadcast(nSide), "nid")
-      else
-        cand.join(qSide.hint("shuffle_hash"), "qid")
-          .join(nSide.hint("shuffle_hash"), "nid"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select("qid", "rnk", "nid", "cos")
+    scoreCandidates(cand, b, k, idCol, vecCol, n, broadcastMaxRows)
   }
 }

@@ -129,6 +129,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * bucket id per table — bit j of table t set iff
   * dot(vec, plane[t*bits+j]) >= 0.
   *
+  * With `probes > 0`, each table additionally emits `probes`
+  * multi-probe bucket ids: the assigned bucket with ONE sign bit
+  * flipped, chosen in ascending order of |projection| (the planes the
+  * vector sits closest to — the perturbations most likely to hold a
+  * true neighbor, per Lv et al.'s multi-probe LSH). Output layout is
+  * table-major: `[t0 assigned, t0 probe1, …, t0 probeP, t1 assigned,
+  * …]`, so element index `i` belongs to table `i / (probes+1)` and is
+  * the assigned bucket iff `i % (probes+1) == 0`.
+  *
   * Replaces `tables × bits` separate literal-array dot-product
   * expressions, which evaluated interpretively per plane per row and
   * dominated ANN bucket assignment.
@@ -138,16 +147,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * whole-stage-codegen stage (no `CodegenFallback` row
   * materialization).
   */
-case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: Int)
+case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: Int,
+                      probes: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private val tables = planes.length / (dim * bits)
+  require(probes >= 0 && probes < bits, s"probes must be in [0, bits=$bits), got $probes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dim)
-    val out = new Array[Long](tables)
+    val width = probes + 1
+    val out = new Array[Long](tables * width)
+    val projs = new Array[Double](bits)
     var t = 0
     while (t < tables) {
       var bucket = 0L
@@ -158,9 +171,30 @@ case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: 
         var i = 0
         while (i < n) { s += planes(base + i) * v.getFloat(i); i += 1 }
         if (s >= 0) bucket |= (1L << j)
+        projs(j) = s
         j += 1
       }
-      out(t) = bucket
+      out(t * width) = bucket
+      // probe buckets: flip the `probes` bits with the smallest
+      // |projection| (selection by repeated min — bits <= 48, probes
+      // tiny, no sort allocation)
+      var taken = 0L // bitmask of already-flipped plane indices
+      var p = 0
+      while (p < probes) {
+        var best = -1
+        var bestAbs = Double.MaxValue
+        var q = 0
+        while (q < bits) {
+          if ((taken & (1L << q)) == 0) {
+            val a = math.abs(projs(q))
+            if (a < bestAbs) { bestAbs = a; best = q }
+          }
+          q += 1
+        }
+        taken |= (1L << best)
+        out(t * width + p + 1) = bucket ^ (1L << best)
+        p += 1
+      }
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -182,9 +216,13 @@ object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** All multi-table LSH buckets for a float vector in one pass. */
-  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], dim: Int, bits: Int): Column =
-    ColumnBridge.column(LshBuckets(ColumnBridge.expression(vec), planes.flatten.toArray, dim, bits))
+  /** All multi-table LSH buckets for a float vector in one pass; with
+    * `probes > 0` each table also emits its multi-probe buckets (see
+    * [[LshBuckets]] for the layout).
+    */
+  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], dim: Int, bits: Int,
+                 probes: Int = 0): Column =
+    ColumnBridge.column(LshBuckets(ColumnBridge.expression(vec), planes.flatten.toArray, dim, bits, probes))
 
   /** Column-level handle for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =

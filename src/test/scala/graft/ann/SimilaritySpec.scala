@@ -62,6 +62,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, nb) => q != nb })
   }
 
+  test("multi-probe LSH clears the tuned 0.7 recall floor (sf0.001)") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, 5, bits = 6, dim = 64, tables = 16, probes = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"multi-probe LSH recall too low: $recall")
+  }
+
+  test("LshBuckets probe layout: assigned bucket first, probes flip exactly one bit") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.tabulate(8)(i => (i + 1) * 0.5f))).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(bits = 5, dim = 8) ++
+      Similarity.hyperplanes(bits = 5, dim = 8, seed = 8L)
+    def buckets(probes: Int): Seq[Long] = df.select(
+      graft.functions.VectorExpressions.lshBuckets(col("embedding"), planes, 8, 5, probes).as("b")
+    ).head().getSeq[Long](0)
+    val base = buckets(0)
+    val probed = buckets(2)
+    assert(base.length == 2 && probed.length == 6)
+    for (t <- 0 until 2) {
+      // element t*(probes+1) is the assigned bucket — identical to the
+      // probes=0 run — and each probe differs from it in exactly one bit
+      assert(probed(t * 3) == base(t))
+      val flips = Seq(probed(t * 3 + 1), probed(t * 3 + 2)).map(_ ^ base(t))
+      assert(flips.forall(f => java.lang.Long.bitCount(f) == 1), s"flips=$flips")
+      assert(flips.distinct.size == 2, "probes must flip distinct bits")
+    }
+    // deterministic
+    assert(buckets(2) == probed)
+  }
+
+  test("IVF at nprobe=nlist/2 clears the tuned 0.7 recall floor (sf0.001)") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = math.max(4, math.min(64, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val brute = Similarity.bruteForceTopK(emb, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 5, nlist, nprobe = math.max(2, nlist / 2), numRows = n)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall too low: $recall")
+  }
+
   test("IVF large mode: vector lookups are shuffle-hash joins, not broadcast") {
     val emb = Tables.embeddings(spark, dir)
     val large = Similarity.ivfTopK(emb, 5, nlist = 8, nprobe = 2,
