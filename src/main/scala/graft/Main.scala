@@ -51,6 +51,9 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val collector = new Metrics.Collector
     spark.listenerManager.register(collector.listener)
+    // Prometheus exposition over HTTP (reference src/metrics.ts:187-228):
+    // enabled unless GRAFT_METRICS_PATH is set empty
+    val metricsServer = Metrics.startFromEnv(collector)
 
     try {
       val raw = BatchCompiler.loadInput(spark, tpl, None)
@@ -65,6 +68,9 @@ object Main {
       System.err.println(collector.exposition)
       result.exposeServers.values.foreach(_.stop())
       stamped.unpersist()
-    } finally spark.stop()
+    } finally {
+      metricsServer.foreach(_.stop())
+      spark.stop()
+    }
   }
 }

@@ -25,12 +25,25 @@ object StreamRunner {
   /** Start the pipeline: terminal events go to `outputSink` format
     * ("console", "memory", "noop"); each `send-*` tap becomes its own
     * query delivering per micro-batch.
+    *
+    * With a `collector`, the in/out flow counters ride along as
+    * `observe` aggregates (in on the shared input, out on the terminal
+    * output) and its streaming listener — registered here — folds each
+    * micro-batch's counts into the process-lifetime counters, the
+    * streaming face of the reference's Prometheus flow metrics.
     */
   def start(spark: SparkSession, tpl: PipelineTemplate, input: Dataset[SEvent],
             outputSink: String = "console", queryPrefix: String = "graft",
             triggerMs: Long = 1000,
-            httpConf: HttpOps.HttpConf = HttpOps.HttpConf()): Running = {
-    val compiled = StreamCompiler.compile(spark, tpl, input)
+            httpConf: HttpOps.HttpConf = HttpOps.HttpConf(),
+            collector: Option[graft.pipeline.Metrics.Collector] = None): Running = {
+    import org.apache.spark.sql.functions.{count, lit}
+    collector.foreach(c => spark.streams.addListener(c.streamingListener))
+    val observedInput = collector match {
+      case Some(_) => input.observe(graft.pipeline.Metrics.InMetric, count(lit(1)).as("events"))
+      case None    => input
+    }
+    val compiled = StreamCompiler.compile(spark, tpl, observedInput)
 
     import graft.pipeline.BatchCompiler._
     import org.apache.spark.sql.{DataFrame, Row}
@@ -93,7 +106,11 @@ object StreamRunner {
     }
 
     import StreamingWindows.sEventEnc
-    val out = compiled.output.map(e => StreamCompiler.eventJsonStr(e))(StreamingWindows.stringEnc)
+    val observedOutput = collector match {
+      case Some(_) => compiled.output.observe(graft.pipeline.Metrics.OutMetric, count(lit(1)).as("events"))
+      case None    => compiled.output
+    }
+    val out = observedOutput.map(e => StreamCompiler.eventJsonStr(e))(StreamingWindows.stringEnc)
       .writeStream
       .queryName(s"$queryPrefix-out")
       .trigger(Trigger.ProcessingTime(triggerMs))

@@ -50,6 +50,38 @@ class HttpSpec extends AnyFunSuite {
     x.close()
   }
 
+  test("metrics server exposes live counters after a batch run; other paths 404") {
+    val collector = new Metrics.Collector
+    spark.listenerManager.register(collector.listener)
+    val server = new Metrics.Server(collector, "/metrics", 0)
+    server.start()
+    try {
+      Metrics.observeIn(events("a" -> "1", "b" -> "2", "c" -> "3")).collect()
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): java.net.http.HttpResponse[String] =
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:${server.boundPort}$path")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      // QueryExecutionListener delivery is async — poll the scrape
+      val deadline = System.currentTimeMillis() + 20000
+      var resp = get("/metrics")
+      while (!resp.body().contains(s"${Metrics.InMetric} 3") &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); resp = get("/metrics")
+      }
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain; version=0.0.4"))
+      assert(resp.body().contains(s"# TYPE ${Metrics.InMetric} counter"))
+      assert(resp.body().contains(s"${Metrics.InMetric} 3"))
+      assert(get("/other").statusCode() == 404)
+    } finally {
+      server.stop()
+      spark.listenerManager.unregister(collector.listener)
+    }
+  }
+
   test("send-http posts one NDJSON body per vector and passes events through") {
     val received = new ConcurrentLinkedQueue[String]()
     withServer((body, x) => { received.add(body); respond(x, 200, "") }) { port =>

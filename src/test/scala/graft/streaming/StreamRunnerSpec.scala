@@ -57,6 +57,48 @@ class StreamRunnerSpec extends AnyFunSuite {
     } finally running.stopAll()
   }
 
+  test("metrics server scrapes live in/out counters from a streaming run") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingWindows.sEventEnc
+    val collector = new graft.pipeline.Metrics.Collector
+    val server = new graft.pipeline.Metrics.Server(collector, "/metrics", 0)
+    server.start()
+    val tpl = Spec.parseYaml(
+      """name: metered
+        |steps:
+        |  mark:
+        |    flatmap:
+        |      rename:
+        |        prepend: "m."
+        |""".stripMargin)
+    val mem = MemoryStream[SEvent]
+    val running = StreamRunner.start(spark, tpl, mem.toDS(),
+      outputSink = "noop", triggerMs = 100, collector = Some(collector))
+    try {
+      mem.addData(ev("a", "1", 1), ev("b", "2", 2), ev("c", "3", 3))
+      val client = java.net.http.HttpClient.newHttpClient()
+      def scrape(): String =
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:${server.boundPort}/metrics")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val deadline = System.currentTimeMillis() + 20000
+      var body = scrape()
+      while (!(body.contains(s"${graft.pipeline.Metrics.InMetric} 3") &&
+               body.contains(s"${graft.pipeline.Metrics.OutMetric} 3")) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); body = scrape()
+      }
+      assert(body.contains(s"# TYPE ${graft.pipeline.Metrics.InMetric} counter"), body)
+      assert(body.contains(s"${graft.pipeline.Metrics.InMetric} 3"), body)
+      assert(body.contains(s"${graft.pipeline.Metrics.OutMetric} 3"), body)
+    } finally {
+      running.stopAll()
+      server.stop()
+      spark.streams.removeListener(collector.streamingListener)
+    }
+  }
+
   test("streaming expose-http serves closed vectors from the driver ring") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingWindows.sEventEnc
