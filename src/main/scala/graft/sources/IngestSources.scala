@@ -27,10 +27,35 @@ import org.apache.spark.sql.functions._
 object IngestSources {
 
   /** Streaming NDJSON/raw-line reader over a directory (the streaming
-    * face of the reference's `tail`/`stdin`; also the spool reader).
+    * face of the reference's `stdin`; also the spool reader).
+    *
+    * `maxFilesPerTrigger > 0` bounds each micro-batch's admission: a
+    * flooded spool drains in bounded slices instead of becoming one
+    * unbounded batch — the streaming analog of the reference's
+    * backpressure reactions (reference src/metrics.ts:80-173).
     */
-  def streamLines(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir)
+  def streamLines(spark: SparkSession, dir: String,
+                  maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else reader).text(dir)
+  }
+
+  /** True `tail`: follow appends to ONE file with byte-offset
+    * checkpoints and start/end modes (reference
+    * src/input/tail.ts:76-141) — see [[FileTailSource]].
+    */
+  def tailFile(spark: SparkSession, path: String, startAt: String = "end",
+               maxBytesPerTrigger: Long = 0L): DataFrame = {
+    val reader = spark.readStream
+      .format(classOf[FileTailSource].getName)
+      .option("path", path)
+      .option("startAt", startAt)
+    (if (maxBytesPerTrigger > 0)
+       reader.option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
+     else reader).load()
+  }
 
   /** The reference's `http` input (src/input/http.ts:90-165): an
     * embedded POST endpoint receiving NDJSON bodies; every accepted

@@ -63,6 +63,42 @@ object StreamCompiler {
       .as[SEvent]
   }
 
+  /** True `tail` input (reference src/input/tail.ts:76-141): follow one
+    * file's appended lines via [[graft.sources.FileTailSource]]'s
+    * byte-offset micro-batches — NDJSON events, or raw lines wrapped
+    * under `wrapName` (the reference's `wrap` directive). Arrival
+    * fields: `ts` is the micro-batch processing time, `seq` the line's
+    * byte offset in the tailed file — monotone in arrival order.
+    */
+  def tailSource(spark: SparkSession, path: String, startAt: String = "end",
+                 wrapName: Option[String] = None,
+                 maxBytesPerTrigger: Long = 0L): Dataset[SEvent] = {
+    val traceType = org.apache.spark.sql.types.DataType
+      .fromDDL("array<struct<i:double,p:string,h:string>>")
+    val lines = graft.sources.IngestSources.tailFile(spark, path, startAt, maxBytesPerTrigger)
+    val ev = wrapName match {
+      case Some(w) =>
+        // raw line wrapped as a JSON string payload (same envelope trick
+        // as BatchCompiler.loadInput: to_json handles the escaping)
+        val quoted = to_json(struct(col("value").as("v")))
+        lines.select(lit(w).as("n"),
+          quoted.substr(lit(6), length(quoted) - 6).as("d"),
+          lit(null).cast(traceType).as("t"),
+          (unix_millis(current_timestamp()) / 1e3).as("ts"),
+          col("pos").as("seq"))
+      case None =>
+        val v = try_parse_json(col("value"))
+        lines.select(
+          try_variant_get(v, "$.n", "string").as("n"),
+          to_json(try_variant_get(v, "$.d", "variant")).as("d"),
+          from_json(to_json(try_variant_get(v, "$.t", "variant")), traceType).as("t"),
+          (unix_millis(current_timestamp()) / 1e3).as("ts"),
+          col("pos").as("seq"))
+          .filter(col("n").isNotNull)
+    }
+    ev.as[SEvent]
+  }
+
   def compile(spark: SparkSession, tpl: PipelineTemplate,
               input: Dataset[SEvent], globalWindows: Boolean = false): CompiledStream = {
     import spark.implicits._
