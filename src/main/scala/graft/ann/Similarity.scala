@@ -82,11 +82,30 @@ object Similarity {
     * size `n`: bits ≈ log₂(n / targetBucket), the auto-tuning that
     * keeps candidate volume flat as the table grows (at billions of
     * vectors this lands near 20+ bits instead of a hand-picked
-    * constant that would produce mega-buckets).
+    * constant that would produce mega-buckets). With auto bits the
+    * per-query candidate count is ~tables × (probes+1) × targetBucket
+    * — CONSTANT in n, so total LSH work stays linear (measured: fixed
+    * bits=6 grew 16.4× on a 10× dataset; auto bits grow ~linearly).
     */
   def autoBits(n: Long, targetBucket: Int = 32): Int = {
     val b = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
     math.min(48, math.max(4, b))
+  }
+
+  /** Scale-tuned IVF defaults: `nlist ≈ √n` (per-cell lists stay
+    * √n-sized; capped at 1024 while the codebook rides as plan
+    * literals) and `nprobe = min(nlist/2, 24)` — at the oracle/bench
+    * scales (n ≤ 2k) this IS the tuned half-probe recall point
+    * (recall@5 0.84-0.89); beyond, nprobe pins at 24 so per-query
+    * candidates grow ~√n (total n^1.5, the classic IVF balance)
+    * instead of the quadratic n/2-per-query a fixed probe FRACTION
+    * produces (measured: capped nlist=64 with nprobe=nlist/2 grew
+    * 21.7× on a 10× dataset).
+    */
+  def autoIvfParams(n: Long): (Int, Int) = {
+    val nlist = math.max(4, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val nprobe = math.max(2, math.min((nlist + 1) / 2, 24))
+    (nlist, nprobe)
   }
 
   /** Approximate all-vectors top-k via multi-table sign-LSH: `tables`

@@ -24,13 +24,14 @@ object AnnQueries {
   private val Dim = 64
   private val TopK = 5
   private val NQueries = 10
-  // tables/2^bits is the expected candidate fraction; bits should grow
-  // ~log(n) so the fraction shrinks as data grows (at 100 TB you'd run
-  // bits≈20 over billions of vectors). probes=2 multi-probes the two
-  // weakest-margin sign flips per table: measured recall@5 0.79-0.82
-  // across sf0.001/0.01/0.1 (vs 0.52-0.60 single-probe) for ~1.7x the
-  // candidate volume.
-  private val LshBits = 6
+  // bits auto-tune to ~log2(n/32) so per-query candidates stay
+  // constant as the table grows (fixed bits=6 measured 16.4x growth on
+  // a 10x dataset; auto bits ~linear). At the oracle/bench scales auto
+  // resolves to 4-6 bits — the tuned recall point. probes=2
+  // multi-probes the two weakest-margin sign flips per table: measured
+  // recall@5 0.79-0.82 across sf0.001/0.01/0.1 (vs 0.52-0.60
+  // single-probe) for ~1.7x the candidate volume.
+  private val LshBits = 0 // auto: Similarity.autoBits(n)
   private val LshTables = 16
   private val LshProbes = 2
 
@@ -48,17 +49,18 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
-    // IVF ANN: coarse k-means cells, nlist ~ sqrt(n) so per-cell lists
-    // stay sqrt(n)-sized — the data-adaptive scale path next to LSH.
-    // nprobe=nlist/2 is the tuned recall/cost point: recall@5 0.87-0.89
-    // across sf0.001/0.01/0.1 (vs 0.59-0.69 at nlist/4) for 2x the
-    // candidate volume. Rows-only by design (driver-checked recall
+    // IVF ANN: coarse k-means cells — the data-adaptive scale path
+    // next to LSH. Params from Similarity.autoIvfParams: nlist ~ sqrt(n),
+    // nprobe = min(nlist/2, 24) — at the oracle/bench scales that is
+    // the tuned half-probe point (recall@5 0.84-0.89, vs 0.59-0.69 at
+    // nlist/4); beyond, the pinned nprobe keeps growth ~n^1.5 instead
+    // of quadratic. Rows-only by design (driver-checked recall
     // invariant in Verify).
     "emb_ann_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
-      val nlist = math.max(4, math.min(64, math.ceil(math.sqrt(n.toDouble)).toInt))
-      Similarity.ivfTopK(emb, TopK, nlist, nprobe = math.max(2, nlist / 2), numRows = n)
+      val (nlist, nprobe) = Similarity.autoIvfParams(n)
+      Similarity.ivfTopK(emb, TopK, nlist, nprobe, numRows = n)
         .orderBy("qid", "rnk")
     },
 

@@ -1,0 +1,231 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz: random expressions drawn from the compiled jq
+  * subset grammar, evaluated by BOTH tiers — the real `jq` 1.6 binary
+  * and the compiled Column tier — on random event vectors, asserted
+  * equal after numeric canonicalization (jq renders `24` where the
+  * compiled tier renders `24.0`; values are compared parsed).
+  *
+  * Generator constraints mirror the subset's documented semantics:
+  * `%`/`fmod` operands are integer-valued (jq's `%` truncates to
+  * integers; on integral values C fmod agrees), divisors are nonzero,
+  * and generated payload fields are always present (jq's total order
+  * ranks null below every number, which the Column tier — three-valued
+  * SQL null — does not reproduce; absent-field comparisons fall to the
+  * subprocess tier by construction of real pipelines' schemas).
+  */
+class JqFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // ---- deterministic sampling (no scalatest-scalacheck bridge in the
+  // offline cache; same driver shape as PatternSpec) ----
+  private def samples[A](ga: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(4242L)
+    (1 to n).map { _ =>
+      val a = ga.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      a
+    }
+  }
+
+  // ---- canonicalization ----
+  private val mapper = new ObjectMapper()
+
+  private def canon(node: JsonNode): Any =
+    if (node == null || node.isNull) null
+    else if (node.isNumber) node.asDouble()
+    else if (node.isTextual) node.asText()
+    else if (node.isBoolean) node.asBoolean()
+    else if (node.isArray) {
+      (0 until node.size()).map(i => canon(node.get(i))).toList
+    } else {
+      val it = node.fields()
+      val b = scala.collection.mutable.Map.empty[String, Any]
+      while (it.hasNext) { val e = it.next(); b(e.getKey) = canon(e.getValue) }
+      b.toMap
+    }
+
+  private def canonLine(s: String): Any = canon(mapper.readTree(s))
+
+  // ---- jq oracle ----
+  private def jqEval(expr: String, inputJson: String): Seq[String] = {
+    val pb = new ProcessBuilder("jq", "-cM", expr)
+    val proc = pb.start()
+    val out = proc.getOutputStream
+    out.write(inputJson.getBytes(StandardCharsets.UTF_8)); out.close()
+    val stdout = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    val stderr = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+    val code = proc.waitFor()
+    assert(code == 0, s"jq failed (exit $code) on '$expr': $stderr")
+    stdout.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  // ---- generators ----
+  private val nameGen = Gen.oneOf("a.b", "a.c", "skip.me", "x.y")
+  private val intGen = Gen.choose(-50, 50)
+  private val dblGen = Gen.choose(-500, 500).map(_ / 10.0)
+  private val strGen = Gen.oneOf("alpha", "beta", "gamma", "d7")
+
+  /** Payload: every referenced field always present (see class doc). */
+  private val payloadGen: Gen[String] = for {
+    k <- intGen; m <- dblGen; x <- intGen; s <- strGen
+  } yield s"""{"k":$k,"m":$m,"s":"$s","o":{"x":$x}}"""
+
+  private val eventGen: Gen[(String, String)] =
+    for { n <- nameGen; d <- payloadGen } yield (n, d)
+  private val vectorGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 6).flatMap(sz => Gen.listOfN(sz, eventGen))
+
+  private val intPaths = Seq(".d.k", ".d.o.x")
+  private val numPaths = Seq(".d.k", ".d.m", ".d.o.x")
+
+  private val arithGen: Gen[String] = for {
+    p <- Gen.oneOf(numPaths)
+    op <- Gen.oneOf("+", "-", "*", "/")
+    l <- intGen.map(v => if (v == 0) 7 else v)
+    nested <- Gen.frequency(3 -> Gen.const(""), 1 -> (for {
+      op2 <- Gen.oneOf("+", "-", "*")
+      l2 <- intGen
+    } yield s" $op2 $l2"))
+  } yield s"(($p $op $l)$nested)"
+
+  private val modGen: Gen[String] = for {
+    p <- Gen.oneOf(intPaths)
+    l <- Gen.choose(1, 9)
+    asFmod <- Gen.oneOf(true, false)
+  } yield if (asFmod) s"fmod($p; $l)" else s"($p % $l)"
+
+  private val valueGen: Gen[String] = Gen.frequency(
+    3 -> Gen.oneOf(numPaths ++ Seq(".d.s", ".d.o", ".n")),
+    3 -> arithGen,
+    1 -> modGen)
+
+  private val cmpGen: Gen[String] = Gen.frequency(
+    4 -> (for {
+      p <- Gen.oneOf(numPaths)
+      op <- Gen.oneOf(">", ">=", "<", "<=", "==", "!=")
+      l <- intGen
+    } yield s"$p $op $l"),
+    2 -> (for {
+      a <- arithGen
+      op <- Gen.oneOf(">", "<", "==")
+      l <- intGen
+    } yield s"$a $op $l"),
+    1 -> (for { op <- Gen.oneOf("==", "!="); s <- nameGen } yield s""".n $op "$s""""),
+    1 -> (for { op <- Gen.oneOf("==", "!="); s <- strGen } yield s""".d.s $op "$s""""))
+
+  /** Flat and/or chains (1-3 atoms) — probes the parser's precedence
+    * against jq's (`and` binds tighter than `or`).
+    */
+  private val condGen: Gen[String] = Gen.frequency(
+    3 -> cmpGen,
+    2 -> (for { a <- cmpGen; o <- Gen.oneOf("and", "or"); b <- cmpGen } yield s"$a $o $b"),
+    1 -> (for {
+      a <- cmpGen; o1 <- Gen.oneOf("and", "or")
+      b <- cmpGen; o2 <- Gen.oneOf("and", "or")
+      c <- cmpGen
+    } yield s"$a $o1 $b $o2 $c"))
+
+  private val perEventGen: Gen[String] = for {
+    nSel <- Gen.choose(0, 2)
+    conds <- Gen.listOfN(nSel, condGen)
+    a <- valueGen; b <- valueGen
+  } yield (Seq(".[]") ++ conds.map(c => s"select($c)") ++
+    Seq(s"""{n: "out", d: {a: $a, b: $b}}""")).mkString(" | ")
+
+  private val perVectorGen: Gen[String] = for {
+    p <- Gen.oneOf(numPaths)
+    p2 <- Gen.oneOf(numPaths)
+  } yield s"""{n: "agg", d: {s: (map($p) | add), c: length, f: .[0]$p2}}"""
+
+  private val wrappedGen: Gen[String] = for {
+    p <- Gen.oneOf(intPaths)
+    m <- Gen.choose(2, 5)
+    thenEmpty <- Gen.oneOf(true, false)
+    sel <- Gen.frequency(2 -> Gen.const(""), 1 -> intGen.map(v => s" | select(. > $v)"))
+  } yield {
+    val ifStage =
+      if (thenEmpty) s"if fmod(.; $m) == 0 then empty else . end"
+      else s"if fmod(.; $m) != 0 then . else empty end"
+    s".[]$p$sel | $ifStage"
+  }
+
+  // ---- evaluation ----
+  private def inputJson(events: Seq[(String, String)]): String =
+    events.map { case (n, d) => s"""{"n":${mapper.writeValueAsString(n)},"d":$d}""" }
+      .mkString("[", ",", "]")
+
+  private def eventsDf(events: Seq[(String, String)]) = {
+    import spark.implicits._
+    events.toDF("n", "d")
+  }
+
+  test("per-event fuzz: compiled tier == jq on 700 random select/object programs") {
+    import JqCompiler._
+    samples(Gen.zip(perEventGen, vectorGen), 700).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("per-vector fuzz: compiled aggregates == jq on 150 random map/add programs") {
+    import JqCompiler._
+    samples(Gen.zip(perVectorGen, vectorGen), 150).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events)
+      // same payload assembly as BatchCompiler.compiledJq
+      val aggCols = pv.aggs.map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val payload = pv.aggs.map(_._1) match {
+        case Seq("d") => col("d").cast("string")
+        case keys     => to_json(struct(keys.map(col): _*))
+      }
+      val row = agged.select(pv.outName.as("n"), payload.as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(mine == jqs.head, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("wrapped-value fuzz: compiled tier == jq on 150 random sieve programs") {
+    import JqCompiler._
+    samples(Gen.zip(wrappedGen, vectorGen), 150).foreach { case (expr, events) =>
+      val compiled = tryCompileWrapped(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val pv = compiled.get
+      val df = eventsDf(events)
+      val mine = pv.filter.fold(df)(df.filter)
+        .select(pv.valueJson)
+        .collect().map(r => canonLine(r.getString(0))).toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+}
