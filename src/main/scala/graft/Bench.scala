@@ -76,22 +76,10 @@ object Bench {
       runs(1)
     }
 
-    // Previous round's committed record (latest BENCH_r*.json in cwd):
+    // Previous round's committed record (highest round number in cwd):
     // the comparison base for flagging movers.
-    val priorFile: Option[java.io.File] = Option(new java.io.File(".").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName)
-      .lastOption
-    val prior: Map[String, Double] = priorFile.map { f =>
-      try {
-        import scala.jdk.CollectionConverters._
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        Option(root.get("queries")).map { qs =>
-          qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
-        }.getOrElse(Map.empty[String, Double])
-      } catch { case _: Exception => Map.empty[String, Double] }
-    }.getOrElse(Map.empty)
+    val priorFile = Bench.priorRecord(new java.io.File("."))
+    val prior: Map[String, Double] = priorFile.map(Bench.parsePrior).getOrElse(Map.empty)
 
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -105,11 +93,7 @@ object Bench {
 
     // Adjudication set: every query whose battery median moved >30% in
     // either direction vs the prior record, plus the 5 slowest overall.
-    val movers = results.collect {
-      case (name, _, w) if prior.get(name).exists { p =>
-        p > 0 && (w / p > 1.3 || p / w > 1.3)
-      } => name
-    }
+    val movers = Bench.moversOf(results.map { case (n, _, w) => (n, w) }, prior)
     val slowest = results.sortBy(-_._3).take(5).map(_._1)
     val toIsolate = (movers ++ slowest).distinct.sorted
     val isolated = toIsolate.map(name => name -> isolatedMedian(name, selected(name)))
@@ -123,4 +107,67 @@ object Bench {
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"movers":$moverList,"prior_record":$priorName,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Latest committed record by PARSED round number — lexicographic
+    * sort breaks at r100 (sorts before r99) and on unpadded names.
+    */
+  def priorRecord(dir: java.io.File): Option[java.io.File] = {
+    val pat = "BENCH_r(\\d+)\\.json".r
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName match {
+        case pat(n) => Some(n.toInt -> f)
+        case _      => None
+      })
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Per-query battery medians from a prior record, in any of the three
+    * shapes it actually takes on disk:
+    *   1. the bench's own JSON line (top-level `"queries"` object);
+    *   2. the driver wrapper with a non-null `"parsed"` bench object;
+    *   3. the driver wrapper with only a `"tail"` string — the LAST 2000
+    *      chars of bench stdout, i.e. the bench line head-truncated
+    *      (this is the shape every committed BENCH_r*.json has; round 7
+    *      compared against `"queries"` only, so `prior` was always empty
+    *      and `"movers":[]` was false reassurance). Here the battery
+    *      region (before `"isolated"`) is recovered by regex; the one
+    *      query whose name the truncation ate is skipped.
+    */
+  def parsePrior(f: java.io.File): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    def queryMap(root: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
+      Option(root.get("queries")).map { qs =>
+        qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }.getOrElse(Map.empty[String, Double])
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val direct = queryMap(root)
+      if (direct.nonEmpty) direct
+      else {
+        val parsed = Option(root.get("parsed")).filterNot(_.isNull)
+          .map(queryMap).getOrElse(Map.empty[String, Double])
+        if (parsed.nonEmpty) parsed
+        else {
+          val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
+          val battery = tail.indexOf("\"isolated\"") match {
+            case -1 => tail
+            case i  => tail.substring(0, i)
+          }
+          val meta = Set("value", "cold_total", "n", "rc", "cpus", "sf")
+          """"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+            .findAllMatchIn(battery)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot { case (k, _) => meta(k) }
+            .toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty[String, Double] }
+  }
+
+  /** Queries whose battery median moved >30% either way vs the prior. */
+  def moversOf(results: Seq[(String, Double)], prior: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (name, w) if prior.get(name).exists(p => p > 0 && (w / p > 1.3 || p / w > 1.3)) =>
+        name
+    }
 }

@@ -51,8 +51,21 @@ object JqCompiler {
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
   final case class PerEvent(filter: Option[Column], outName: Column, outPayloadJson: Column)
-  /** Per-vector compiled form: aggregate expressions keyed by output field. */
-  final case class PerVector(outName: Column, aggs: Seq[(String, Column)])
+  /** Per-vector compiled form: aggregate builders keyed by output field.
+    *
+    * Order-sensitive aggregates (jq's `.[0].path` = "first event") need a
+    * total arrival order; the builder takes it as an explicit argument —
+    * a sortable Column (e.g. `struct(col("__ts"), col("__seq"))`) whose
+    * underlying columns MUST exist in the grouped frame. Order-insensitive
+    * aggregates (`length`, `map|add`) ignore it. Making the ordering a
+    * parameter keeps the dependency on the caller's bookkeeping columns
+    * visible in the signature instead of implicit in column names.
+    */
+  final case class PerVector(outName: Column, builders: Seq[(String, Column => Column)]) {
+    def aggs(ordering: Column): Seq[(String, Column)] =
+      builders.map { case (k, f) => k -> f(ordering) }
+    def keys: Seq[String] = builders.map(_._1)
+  }
 
   /** Wrapped-value compiled form (steps with `wrap:`): row filter plus
     * the output VALUE rendered as JSON text — the wrap directive
@@ -521,18 +534,19 @@ object JqCompiler {
     else Some(CompiledPerVector(PerVector(nExpr.get, aggs.flatten)))
   }
 
-  private def vectorAgg(ast: Ast): Option[Column] = ast match {
-    case Length => Some(count(lit(1)).cast("double"))
+  private def vectorAgg(ast: Ast): Option[Column => Column] = ast match {
+    case Length => Some(_ => count(lit(1)).cast("double"))
     case PipeSeq(Seq(MapExpr(p: Path), Add)) =>
-      eventValue(p).map(c => sum(c.cast("double")))
+      eventValue(p).map(c => (_: Column) => sum(c.cast("double")))
     case First(p) =>
-      eventValue(p).map(c => min_by(c, struct(col("__ts"), col("__seq"))))
-    case Lit(s: String) => Some(first(lit(s)))
-    case Lit(d: Double) => Some(first(lit(d)))
+      eventValue(p).map(c => (ord: Column) => min_by(c, ord))
+    case Lit(s: String) => Some(_ => first(lit(s)))
+    case Lit(d: Double) => Some(_ => first(lit(d)))
     case ObjCons(fields) =>
-      val sub = fields.map { case (k, v) => vectorAgg(v).map(_.as(k)) }
+      val sub = fields.map { case (k, v) => vectorAgg(v).map(f => (ord: Column) => f(ord).as(k)) }
       if (sub.exists(_.isEmpty)) None
-      else Some(to_json(struct(sub.flatten: _*)).asInstanceOf[Column])
+      else Some((ord: Column) =>
+        to_json(struct(sub.flatten.map(_(ord)): _*)).asInstanceOf[Column])
     case _ => None
   }
 }

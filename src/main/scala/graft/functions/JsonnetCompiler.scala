@@ -229,7 +229,10 @@ object JsonnetCompiler {
     val nExpr = o.fields.collectFirst { case ("n", JLit(s: String)) => lit(s) }
     if (nExpr.isEmpty) return None
     val aggs = o.fields.filterNot(_._1 == "n").map { case (k, v) =>
-      aggValue(v).map { case (c, hasAgg) => k -> (if (hasAgg) c else first(c)) }
+      aggValue(v).map { case (c, hasAgg) =>
+        val agg = if (hasAgg) c else first(c)
+        k -> ((_: org.apache.spark.sql.Column) => agg)
+      }
     }
     if (aggs.exists(_.isEmpty)) None
     else Some(JqCompiler.CompiledPerVector(

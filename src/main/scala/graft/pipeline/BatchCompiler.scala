@@ -313,9 +313,10 @@ object BatchCompiler {
       case CompiledPerVector(pv) =>
         val vd = vectorized(tpl, df, step)
         val vCols = vecCols(tpl)
-        val aggCols = pv.aggs.map { case (k, c0) => c0.as(k) } :+ max(col("__ts")).as("__vts")
+        val ord = struct(col("__ts"), col("__seq"))
+        val aggCols = pv.aggs(ord).map { case (k, c0) => c0.as(k) } :+ max(col("__ts")).as("__vts")
         val agged = vd.groupBy(vCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        val payload = pv.aggs.map(_._1) match {
+        val payload = pv.keys match {
           case Seq("d") => col("d").cast("string")
           case keys     => to_json(struct(keys.map(col): _*))
         }

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench self-adjudication must read the prior record in the shape
+  * it ACTUALLY has on disk (the driver wrapper with a head-truncated
+  * bench line in `"tail"`), not only the bench's own JSON-line shape.
+  * Round 7 shipped the latter only, so `movers` was always `[]` — these
+  * tests pin the wrapper path against the real committed record.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val r07 = new java.io.File("BENCH_r07.json")
+
+  test("parsePrior recovers battery medians from the committed driver wrapper") {
+    assume(r07.exists(), "committed BENCH_r07.json present in repo root")
+    val prior = Bench.parsePrior(r07)
+    // the truncation eats at most the first query's name; everything else
+    // must be recovered
+    assert(prior.size >= 50, s"expected ~57 queries, got ${prior.size}: ${prior.keys.toSeq.sorted}")
+    assert(math.abs(prior("dedup_cluster_resolve") - 2.176995458) < 1e-9)
+    assert(math.abs(prior("emb_ann_lsh") - 4.424400891) < 1e-9)
+    // meta fields and the isolated section must NOT leak in as queries
+    Seq("value", "cold_total", "n", "rc", "cpus", "sf").foreach(k =>
+      assert(!prior.contains(k), s"meta key '$k' leaked into prior"))
+  }
+
+  test("moversOf flags a known >30% mover against the committed record") {
+    assume(r07.exists(), "committed BENCH_r07.json present in repo root")
+    val prior = Bench.parsePrior(r07)
+    val base = prior("dedup_cluster_resolve")
+    val results = Seq(
+      "dedup_cluster_resolve" -> base * 1.5, // 50% up: must flag
+      "emb_ann_lsh" -> prior("emb_ann_lsh") * 1.05, // 5%: must not
+      "brand_new_query" -> 9.9) // no prior: must not
+    assert(Bench.moversOf(results, prior) == Seq("dedup_cluster_resolve"))
+  }
+
+  test("parsePrior still reads the bench's own top-level queries shape") {
+    val f = Files.createTempFile("bench", ".json").toFile
+    f.deleteOnExit()
+    Files.writeString(f.toPath,
+      """{"metric":"total","value":3.0,"queries":{"q1":1.0,"q2":2.0}}""")
+    assert(Bench.parsePrior(f) == Map("q1" -> 1.0, "q2" -> 2.0))
+  }
+
+  test("priorRecord sorts by parsed round number, not lexicographically") {
+    val dir = Files.createTempDirectory("benchprior").toFile
+    Seq("BENCH_r9.json", "BENCH_r10.json", "BENCH_r100.json", "BENCH_r99.json")
+      .foreach(n => Files.writeString(new java.io.File(dir, n).toPath, "{}"))
+    assert(Bench.priorRecord(dir).map(_.getName).contains("BENCH_r100.json"))
+  }
+}

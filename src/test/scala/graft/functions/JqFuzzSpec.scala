@@ -63,6 +63,22 @@ class JqFuzzSpec extends AnyFunSuite {
 
   private def canonLine(s: String): Any = canon(mapper.readTree(s))
 
+  /** Structural equality with relative tolerance on doubles. Needed only
+    * where aggregation re-associates FP addition: Spark's `sum` adds in
+    * partition order, jq in arrival order, and (a+b)+c ≠ a+(b+c) at the
+    * last ulp. Everything non-numeric stays exact.
+    */
+  private def approxEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) =>
+      x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+    case (x: List[_], y: List[_]) =>
+      x.size == y.size && x.zip(y).forall { case (u, v) => approxEq(u, v) }
+    case (x: Map[_, _], y: Map[_, _]) =>
+      val (xm, ym) = (x.asInstanceOf[Map[String, Any]], y.asInstanceOf[Map[String, Any]])
+      xm.keySet == ym.keySet && xm.forall { case (k, v) => approxEq(v, ym(k)) }
+    case _ => a == b
+  }
+
   // ---- jq oracle ----
   private def jqEval(expr: String, inputJson: String): Seq[String] = {
     val pb = new ProcessBuilder("jq", "-cM", expr)
@@ -198,11 +214,13 @@ class JqFuzzSpec extends AnyFunSuite {
       val compiled = tryCompile(expr)
       assert(compiled.isDefined, s"generator left the subset: $expr")
       val Some(CompiledPerVector(pv)) = compiled: @unchecked
-      val df = eventsDf(events)
-      // same payload assembly as BatchCompiler.compiledJq
-      val aggCols = pv.aggs.map { case (k, c) => c.as(k) }
+      // arrival order is explicit: the ordering column is a required
+      // argument of PerVector.aggs, supplied here as a plain row index
+      // (BatchCompiler supplies struct(__ts, __seq) in production)
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
       val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
-      val payload = pv.aggs.map(_._1) match {
+      val payload = pv.keys match {
         case Seq("d") => col("d").cast("string")
         case keys     => to_json(struct(keys.map(col): _*))
       }
@@ -210,7 +228,8 @@ class JqFuzzSpec extends AnyFunSuite {
       val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
       val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
       assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
-      assert(mine == jqs.head, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
     }
   }
 
