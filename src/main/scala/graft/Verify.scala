@@ -36,19 +36,19 @@ object Verify {
       val emb = graft.sources.Tables.embeddings(spark, sfDir)
       val brute = graft.ann.Similarity.bruteForceTopK(emb, emb, 5)
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // tuned configs, mirroring AnnQueries: multi-probe LSH (probes=2)
-      // and IVF at nprobe=nlist/2 — measured recall@5 0.79-0.89 across
-      // sf0.001/0.01/0.1, so the floor holds with margin
-      val lsh = graft.ann.Similarity.lshTopK(emb, 5, bits = 6, dim = 64, tables = 16,
+      // the PRODUCTION parameter path, exactly as emb_ann_lsh /
+      // emb_ann_ivf run it (AnnQueries: bits=0 -> autoBits(n), tables=16,
+      // probes=2; autoIvfParams) — the recall gate must exercise what the
+      // queries actually ship, not a pinned copy of last round's formula
+      val lsh = graft.ann.Similarity.lshTopK(emb, 5, bits = 0, dim = 64, tables = 16,
           probes = 2)
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = if (brute.isEmpty) 1.0 else brute.intersect(lsh).size.toDouble / brute.size
       val recallFloor = 0.7
 
       val nEmb = emb.count()
-      val nlist = math.max(4, math.min(64, math.ceil(math.sqrt(nEmb.toDouble)).toInt))
-      val ivf = graft.ann.Similarity.ivfTopK(emb, 5, nlist,
-          nprobe = math.max(2, nlist / 2), numRows = nEmb)
+      val (nlist, nprobe) = graft.ann.Similarity.autoIvfParams(nEmb)
+      val ivf = graft.ann.Similarity.ivfTopK(emb, 5, nlist, nprobe, numRows = nEmb)
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivfRecall = if (brute.isEmpty) 1.0 else brute.intersect(ivf).size.toDouble / brute.size
 

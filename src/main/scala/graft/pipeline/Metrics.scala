@@ -120,8 +120,14 @@ object Metrics {
     else {
       val port = sys.env.get("GRAFT_METRICS_PORT").flatMap(_.toIntOption).getOrElse(8001)
       val s = new Server(collector, path, port)
-      s.start()
-      Some(s)
+      // exposition is best-effort observability: a taken port (two
+      // concurrent graft runs) must not abort the pipeline run itself
+      try Some { s.start(); s }
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"metrics: bind to port $port failed (${e.getMessage}); exposition disabled for this run")
+          None
+      }
     }
   }
 }

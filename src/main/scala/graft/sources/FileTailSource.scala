@@ -206,46 +206,60 @@ private[sources] class FileTailStream(path: String, startAt: String, maxBytes: L
 case class TailPartition(path: String, start: Long, end: Long) extends InputPartition
 
 object TailReaderFactory extends PartitionReaderFactory {
+  /** Chunked scan size. The [start, end) range streams through in
+    * bounded chunks — the first micro-batch over a pre-existing
+    * multi-GB file (startAt=start, maxBytesPerTrigger unset) must not
+    * allocate (end-start) bytes at once, and (end-start) can exceed
+    * Int.MaxValue. Peak memory is ChunkSize + the longest line.
+    */
+  private val ChunkSize = 1 << 20
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val TailPartition(path, start, end) = partition.asInstanceOf[TailPartition]
     new PartitionReader[InternalRow] {
-      private val lines: Iterator[(Long, String)] = {
-        val raf = new RandomAccessFile(path, "r")
-        val bytes =
-          try {
-            raf.seek(start)
-            val n = (end - start).toInt
-            val b = new Array[Byte](n)
-            raf.readFully(b)
-            b
-          } finally raf.close()
-        // split on '\n' over the raw bytes so each line's byte offset
-        // is exact (UTF-8 multibyte safe); `end` sits on a newline, so
-        // there is never a trailing remainder
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        var ls = 0
-        var i = 0
-        while (i < bytes.length) {
-          if (bytes(i) == '\n') {
-            var le = i
-            if (le > ls && bytes(le - 1) == '\r') le -= 1
-            if (le > ls)
-              out += ((start + ls, new String(bytes, ls, le - ls, StandardCharsets.UTF_8)))
-            ls = i + 1
-          }
-          i += 1
-        }
-        out.iterator
-      }
+      private val raf = { val r = new RandomAccessFile(path, "r"); r.seek(start); r }
+      private var pos = start // next file byte to fetch into `chunk`
+      private var chunk: Array[Byte] = Array.emptyByteArray
+      private var ci = 0
+      // partial line carried across chunk boundaries; byte-accurate
+      // offsets (UTF-8 multibyte safe) because the split runs on raw bytes
+      private val pending = new java.io.ByteArrayOutputStream()
+      private var lineStart = start
       private var current: (Long, String) = _
 
-      override def next(): Boolean =
-        if (lines.hasNext) { current = lines.next(); true } else false
+      private def nextLine(): (Long, String) = {
+        while (ci < chunk.length || pos < end) {
+          if (ci >= chunk.length) {
+            val n = math.min(ChunkSize.toLong, end - pos).toInt
+            val buf = new Array[Byte](n)
+            raf.readFully(buf)
+            pos += n; chunk = buf; ci = 0
+          }
+          while (ci < chunk.length) {
+            val b = chunk(ci); ci += 1
+            if (b == '\n') {
+              val bytes = pending.toByteArray
+              pending.reset()
+              val off = lineStart
+              lineStart = off + bytes.length + 1
+              var le = bytes.length
+              if (le > 0 && bytes(le - 1) == '\r') le -= 1
+              if (le > 0) return (off, new String(bytes, 0, le, StandardCharsets.UTF_8))
+            } else pending.write(b)
+          }
+        }
+        null // `end` sits on a newline boundary, so pending is empty here
+      }
+
+      override def next(): Boolean = {
+        current = nextLine()
+        current != null
+      }
 
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(current._2), current._1)
 
-      override def close(): Unit = ()
+      override def close(): Unit = raf.close()
     }
   }
 }

@@ -14,11 +14,17 @@ import graft.spec.Spec._
 object StreamRunner {
 
   final case class Running(output: StreamingQuery, sinks: Seq[StreamingQuery],
-                           exposeServers: Map[String, graft.sinks.ExposeHttp] = Map.empty) {
+                           exposeServers: Map[String, graft.sinks.ExposeHttp] = Map.empty,
+                           listener: Option[(SparkSession,
+                             org.apache.spark.sql.streaming.StreamingQueryListener)] = None) {
     def stopAll(): Unit = {
       sinks.foreach(q => if (q.isActive) q.stop())
       if (output.isActive) output.stop()
       exposeServers.values.foreach(_.stop())
+      // spark.streams is session-shared: leaving the listener registered
+      // would double-count every micro-batch on the next start() with
+      // the same collector
+      listener.foreach { case (s, l) => s.streams.removeListener(l) }
     }
   }
 
@@ -116,6 +122,8 @@ object StreamRunner {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .outputMode("append")
       .format(outputSink)
-    Running(out.start(), sinkQueries, servers.toMap)
+    Running(out.start(), sinkQueries, servers.toMap,
+      collector.map(c => spark -> (c.streamingListener:
+        org.apache.spark.sql.streaming.StreamingQueryListener)))
   }
 }

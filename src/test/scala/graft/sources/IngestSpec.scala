@@ -62,6 +62,36 @@ class IngestSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("tail reader streams a multi-chunk range without materializing it") {
+    // lines sized so several cross the reader's 1 MiB chunk boundary;
+    // total ~3.5 MiB exercises >3 refills in one partition (the shape
+    // of a first batch over a pre-existing file with no byte budget)
+    val f = Files.createTempFile("tailbig", ".ndjson")
+    val line = "x" * 9973 // prime-ish: boundaries land mid-line
+    val count = 370
+    val w = Files.newBufferedWriter(f)
+    (0 until count).foreach { i => w.write(s"$i:$line"); w.write("\n") }
+    w.close()
+    val endPos = Files.size(f)
+    val reader = TailReaderFactory.createReader(TailPartition(f.toString, 0L, endPos))
+    var n = 0
+    var lastOffset = -1L
+    while (reader.next()) {
+      val row = reader.get()
+      val s = row.getUTF8String(0).toString
+      assert(s == s"$n:$line", s"line $n corrupted across chunk boundary")
+      val off = row.getLong(1)
+      assert(off > lastOffset)
+      lastOffset = off
+      n += 1
+    }
+    reader.close()
+    assert(n == count)
+    val lastLineBytes = s"${count - 1}:$line".length
+    assert(lastOffset == endPos - lastLineBytes - 1)
+    Files.delete(f)
+  }
+
   test("tail start mode follows appends to one file across micro-batches") {
     val file = Files.createTempFile("tail", ".log")
     Files.writeString(file, "{\"a\":1}\n{\"a\":2}\n")
