@@ -52,7 +52,8 @@ object JsonSchemaMatcher {
 
   private val supported = Set("type", "minimum", "maximum", "exclusiveMinimum",
     "exclusiveMaximum", "const", "enum", "required", "properties", "allOf", "anyOf",
-    "not", "additionalProperties", "items", "description", "title")
+    "not", "additionalProperties", "items", "description", "title",
+    "pattern", "minLength", "maxLength", "multipleOf", "oneOf")
 
   def compile(schema: JsonNode): Matcher = {
     require(schema.isObject, s"unsupported schema node: $schema")
@@ -122,6 +123,30 @@ object JsonSchemaMatcher {
       val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements())
         .asScala.map(compile).toSeq
       conds += (v => subs.exists(_(v)))
+    }
+    if (fields.contains("pattern")) {
+      // unanchored partial match, as ajv/ECMA-262 `RegExp.test`
+      val re = java.util.regex.Pattern.compile(schema.get("pattern").asText)
+      conds += (v => !v.isTextual || re.matcher(v.asText).find())
+    }
+    if (fields.contains("minLength")) {
+      val n = schema.get("minLength").asInt
+      // length counts Unicode code points, not UTF-16 units (spec §6.3)
+      conds += (v => !v.isTextual || { val s = v.asText; s.codePointCount(0, s.length) >= n })
+    }
+    if (fields.contains("maxLength")) {
+      val n = schema.get("maxLength").asInt
+      conds += (v => !v.isTextual || { val s = v.asText; s.codePointCount(0, s.length) <= n })
+    }
+    if (fields.contains("multipleOf")) {
+      val m = schema.get("multipleOf").asDouble
+      // ajv's default check: value/multipleOf is integral
+      conds += (v => !v.isNumber || { val q = v.asDouble / m; q == math.floor(q) && !q.isInfinite })
+    }
+    if (fields.contains("oneOf")) {
+      val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("oneOf").elements())
+        .asScala.map(compile).toSeq
+      conds += (v => subs.count(_(v)) == 1)
     }
     if (fields.contains("not")) {
       val sub = compile(schema.get("not"))

@@ -81,14 +81,36 @@ object EventQueries {
     },
 
     // §2.4#4 keep-when: JSON-Schema payload filter compiled to native columns.
+    // The schema exercises numeric ranges plus multipleOf and a
+    // deliberately-overlapping oneOf (k in [25,30] matches both arms → rejected).
     "ev_keep_when" -> { (s, d) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val schema = mapper.readTree(
         """{"type":"object","required":["k"],
-           "properties":{"k":{"type":"integer","minimum":10,"exclusiveMaximum":50}}}""")
+           "properties":{"k":{"type":"integer","minimum":10,"exclusiveMaximum":50,"multipleOf":3}},
+           "oneOf":[{"properties":{"k":{"maximum":30}}},
+                    {"properties":{"k":{"minimum":25}}}]}""")
       ev(s, d).filter(JsonSchemaFilter.compile(schema, col("props")))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .orderBy("event_id")
+    },
+
+    // §2.4#4 keep-when over a payload with a string member: pattern /
+    // minLength / maxLength (code-point counts) on `ty`, multipleOf on `k`.
+    "ev_keep_when_str" -> { (s, d) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val schema = mapper.readTree(
+        """{"type":"object","required":["ty","k"],
+           "properties":{
+             "ty":{"type":"string","pattern":"^(cl|si|pu)","minLength":5,"maxLength":8},
+             "k":{"type":"integer","multipleOf":2}}}""")
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev(s, d)
+        .withColumn("payload",
+          to_json(struct(col("event_type").as("ty"), k.as("k"))))
+        .filter(JsonSchemaFilter.compile(schema, col("payload")))
+        .select(col("event_id"), col("event_type").as("ty"), k.as("k"))
         .orderBy("event_id")
     },
 
@@ -248,11 +270,21 @@ object EventQueries {
          |  FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "ev_keep_when" ->
-      """SELECT event_id, TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) AS k
-        |FROM events
-        |WHERE json_type(props,'$.k') IN ('UBIGINT','BIGINT')
-        |  AND TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) >= 10
-        |  AND TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) < 50
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) AS k
+        |  FROM events WHERE json_type(props,'$.k') IN ('UBIGINT','BIGINT'))
+        |WHERE k >= 10 AND k < 50 AND k % 3 = 0
+        |  AND CAST(k <= 30 AS INT) + CAST(k >= 25 AS INT) = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "ev_keep_when_str" ->
+      """SELECT event_id, ty, k FROM (
+        |  SELECT event_id, event_type AS ty,
+        |    TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |  FROM events WHERE json_type(props,'$.k') IN ('UBIGINT','BIGINT'))
+        |WHERE regexp_matches(ty, '^(cl|si|pu)')
+        |  AND length(ty) >= 5 AND length(ty) <= 8
+        |  AND k % 2 = 0
         |ORDER BY event_id""".stripMargin,
 
     "ev_window_time" ->

@@ -60,6 +60,24 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
     if (schema.has("anyOf"))
       ok &= scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements())
         .asScala.exists(s => validates(s, value))
+    if (schema.has("oneOf"))
+      ok &= scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("oneOf").elements())
+        .asScala.count(s => validates(s, value)) == 1
+    // string/number keywords apply only to values of the matching type (spec §6)
+    if (schema.has("pattern")) {
+      val re = java.util.regex.Pattern.compile(schema.get("pattern").asText)
+      ok &= value.forall(v => !v.isTextual || re.matcher(v.asText).find())
+    }
+    if (schema.has("minLength"))
+      ok &= value.forall(v => !v.isTextual ||
+        v.asText.codePointCount(0, v.asText.length) >= schema.get("minLength").asInt)
+    if (schema.has("maxLength"))
+      ok &= value.forall(v => !v.isTextual ||
+        v.asText.codePointCount(0, v.asText.length) <= schema.get("maxLength").asInt)
+    if (schema.has("multipleOf")) {
+      val m = schema.get("multipleOf").asDouble
+      ok &= value.forall(v => !v.isNumber || { val q = v.asDouble / m; q == math.floor(q) && !q.isInfinite })
+    }
     ok
   }
 
@@ -67,20 +85,25 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
 
-    def randomLeafSchema(): String = rnd.nextInt(5) match {
+    def randomLeafSchema(): String = rnd.nextInt(9) match {
       case 0 => """{"type":"integer"}"""
       case 1 => s"""{"type":"number","minimum":${rnd.nextInt(50)}}"""
       case 2 => s"""{"type":"number","exclusiveMaximum":${rnd.nextInt(80)}}"""
       case 3 => """{"type":"string"}"""
       case 4 => """{"type":"boolean"}"""
+      case 5 => s"""{"pattern":"${Seq("^x", "y$", "[0-9]+", "xy|yx")(rnd.nextInt(4))}"}"""
+      case 6 => s"""{"minLength":${rnd.nextInt(4)}}"""
+      case 7 => s"""{"maxLength":${rnd.nextInt(4)}}"""
+      case 8 => s"""{"multipleOf":${rnd.nextInt(4) + 1}}"""
     }
-    def randomSchema(): String = rnd.nextInt(4) match {
+    def randomSchema(): String = rnd.nextInt(5) match {
       case 0 => s"""{"type":"object","required":["k"],"properties":{"k":${randomLeafSchema()}}}"""
-      case 1 => s"""{"type":"object","properties":{"k":${randomLeafSchema()},"s":{"type":"string"}}}"""
+      case 1 => s"""{"type":"object","properties":{"k":${randomLeafSchema()},"s":${randomLeafSchema()}}}"""
       case 2 => s"""{"type":"object","not":{"required":["z"]}}"""
       case 3 => s"""{"type":"object","anyOf":[{"required":["k"]},{"required":["s"]}]}"""
+      case 4 => s"""{"type":"object","oneOf":[{"properties":{"k":${randomLeafSchema()}}},{"required":["s"]}]}"""
     }
-    def randomPayload(): String = rnd.nextInt(8) match {
+    def randomPayload(): String = rnd.nextInt(11) match {
       case 0 => s"""{"k":${rnd.nextInt(100)}}"""
       case 1 => s"""{"k":${rnd.nextInt(100)}.5}"""
       case 2 => s"""{"k":"${rnd.nextInt(100)}"}"""
@@ -89,6 +112,9 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
       case 5 => """{}"""
       case 6 => s"""{"k":null}"""
       case 7 => s"""{"s":"y"}"""
+      case 8 => s"""{"k":"${Seq("", "x", "xy", "yx", "xyx", "x1y")(rnd.nextInt(6))}"}"""
+      case 9 => s"""{"k":${rnd.nextInt(12)},"s":"${"x" * rnd.nextInt(5)}"}"""
+      case 10 => s"""{"s":"😀${"y" * rnd.nextInt(3)}"}"""
     }
 
     (1 to 40).foreach { _ =>
