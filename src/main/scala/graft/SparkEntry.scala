@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ AnnQueries.queries ++ PipelineQueries.queries
+      TextQueries.queries ++ AnnQueries.queries ++ PipelineQueries.queries ++
+      IngestQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
-      TextQueries.oracleSql ++ AnnQueries.oracleSql ++ PipelineQueries.oracleSql
+      TextQueries.oracleSql ++ AnnQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      IngestQueries.oracleSql
 }
