@@ -247,4 +247,117 @@ class JqFuzzSpec extends AnyFunSuite {
       assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
     }
   }
+
+  // ---- end-to-end arm: through the REAL pipeline assembly ----
+  //
+  // The per-vector contract bug (first() silently requiring __ts/__seq)
+  // hid precisely in the gap between "evaluate the compiled Column" and
+  // "run the pipeline BatchCompiler actually assembles". This arm closes
+  // that gap: each random program is wrapped in a real YAML template
+  // (window + send-receive-jq, compiled tier), run through
+  // stampInput → compile → output, and compared against the jq binary
+  // applied to the same tumbling count-windows. A prelude variant forces
+  // the out-of-subset fallback, so the subprocess tier's vector assembly
+  // is differential-tested by the same oracle.
+
+  private sealed trait Prog { def expr: String }
+  private case class PerEventP(expr: String) extends Prog
+  private case class PerVectorP(expr: String) extends Prog
+  private case class WrappedP(expr: String) extends Prog
+  private case class PreludeP(expr: String) extends Prog      // `def dbl` → subprocess fallback
+  private case class KeyedPreludeP(expr: String) extends Prog // + default window-key: name
+
+  private val preludeDef = "def dbl: . * 2;"
+  private val preludeExprGen: Gen[String] = for {
+    p <- Gen.oneOf(numPaths)
+    c <- Gen.option(cmpGen)
+  } yield (Seq(".[]") ++ c.map(x => s"select($x)") ++
+    Seq(s"""{n: "out", d: {a: ($p | dbl)}}""")).mkString(" | ")
+
+  private val progGen: Gen[Prog] = Gen.frequency(
+    3 -> perEventGen.map(PerEventP),
+    3 -> perVectorGen.map(PerVectorP),
+    2 -> wrappedGen.map(WrappedP),
+    2 -> preludeExprGen.map(PreludeP),
+    2 -> preludeExprGen.map(KeyedPreludeP))
+
+  private val e2eCaseGen: Gen[(Prog, Int, List[(String, String)])] = for {
+    prog <- progGen
+    k <- Gen.choose(1, 5)
+    events <- Gen.choose(3, 12).flatMap(sz => Gen.listOfN(sz, eventGen))
+  } yield (prog, k, events)
+
+  /** The keyed oracle's window partitioning: per event name (stable
+    * arrival order within a name), names iterated in sorted order —
+    * matching the subprocess tier's (__wk, vec_id) vector ordering.
+    */
+  private def keyedWindows(events: Seq[(String, String)], k: Int): Seq[Seq[(String, String)]] =
+    events.map(_._1).distinct.sorted.flatMap { name =>
+      events.filter(_._1 == name).grouped(k).toSeq
+    }
+
+  test("pipeline fuzz: BatchCompiler assembly == jq over tumbling windows on 80 random pipelines") {
+    import graft.pipeline.BatchCompiler
+    import graft.spec.Spec
+    import spark.implicits._
+    samples(e2eCaseGen, 80).foreach { case (prog, k, events) =>
+      val wrapLine = prog match {
+        case WrappedP(_) => "\n        wrap: \"fuzz.wrapped\""
+        case _           => ""
+      }
+      val preludeLine = prog match {
+        case PreludeP(_) | KeyedPreludeP(_) => s"\njq-prelude: '$preludeDef'"
+        case _                              => ""
+      }
+      // window-key: global gives the arrival-order tumbling windows the
+      // ordered oracle below reproduces; KeyedPreludeP leaves the
+      // template on the default (name-keyed) path instead
+      val keyLine = prog match {
+        case KeyedPreludeP(_) => ""
+        case _                => "\nwindow-key: global"
+      }
+      val yaml =
+        s"""name: fuzz
+           |jq-tier: compiled$preludeLine$keyLine
+           |steps:
+           |  s:
+           |    window:
+           |      events: $k
+           |    reduce:
+           |      send-receive-jq:
+           |        jq-expr: '${prog.expr}'$wrapLine
+           |""".stripMargin
+      val input = events.zipWithIndex
+        .map { case ((n, d), i) => (n, d, i.toLong, i.toDouble) }
+        .toDF("n", "d", "__seq", "arrival")
+      val tpl = Spec.parseYaml(yaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(spark, tpl, stamped).output
+      val mine = out.orderBy("__ts", "__seq").select("n", "d")
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      // oracle: the jq binary over each tumbling count-window, prelude
+      // prepended exactly as the subprocess tier does
+      val program = prog match {
+        case PreludeP(e)      => s"$preludeDef $e"
+        case KeyedPreludeP(e) => s"$preludeDef $e"
+        case p                => p.expr
+      }
+      val windows = prog match {
+        case KeyedPreludeP(_) => keyedWindows(events, k)
+        case _                => events.grouped(k).toSeq
+      }
+      val jqs = windows.flatMap { window =>
+        jqEval(program, inputJson(window)).map(canonLine).map { v =>
+          prog match {
+            case WrappedP(_) => Map[String, Any]("n" -> "fuzz.wrapped", "d" -> v)
+            case _           => v
+          }
+        }
+      }.toList
+      assert(approxEq(mine, jqs),
+        s"DIVERGENCE on pipeline '${prog.expr}' (window $k, ${prog.getClass.getSimpleName}) " +
+          s"with ${inputJson(events)}: $mine vs $jqs")
+    }
+  }
 }
