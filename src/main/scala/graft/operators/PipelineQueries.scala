@@ -106,6 +106,14 @@ object PipelineQueries {
     * multiples of 2, 5, 7 — run entirely on the compiled wrapped-jq
     * tier (no subprocess; JqCompilerSpec proves tier equivalence
     * byte-for-byte on this exact filter shape).
+    *
+    * Cost profile (sf0.1, local[32], warm): Catalyst collapses all
+    * three steps into ONE whole-stage pass — parquet scan reading only
+    * `props`, a single fused filter with the three fmod conditions,
+    * project, then the query's own orderBy. ~1.4-1.6 s isolated, all of
+    * it get_json_object over 1M props strings plus the final sort; the
+    * r7 battery's 1.89 s was inter-query interference, not a plan
+    * change (re-profiled isolated at 1.57 s against r6's 1.44 s).
     */
   val stressYaml: String =
     """name: sieve
