@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Training-data curation operators beyond near-dup detection: PII
+  * redaction, repetition scoring, benchmark-contamination checks, and
+  * stratified downsampling — the filters a large-scale LLM corpus
+  * pipeline runs between raw crawl and tokenizer.
+  *
+  * All four are exact-oracle checked (the DuckDB SQL mirrors the same
+  * regexes / list algebra / arithmetic literally), and all four keep
+  * the 100-TB shape:
+  *   - redaction, repetition and sampling are pure per-row map work —
+  *     native regex/array expressions, zero shuffles, codegen'd;
+  *   - contamination joins every candidate n-gram against a benchmark
+  *     gram set that is small BY NATURE (benchmarks are thousands of
+  *     documents, corpora are billions), so the join side is
+  *     broadcast and the only shuffle is the per-doc hit count,
+  *     partitioned by doc_id.
+  *
+  * The synthetic corpus carries no real PII, so the redaction query
+  * derives a deterministic PII-bearing variant of each row (same
+  * expression in both engines) — the machinery under test is the
+  * regex redaction pass itself, which is what a user would run.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // portable regex subset: identical semantics in Java regex (Spark)
+  // and RE2 (DuckDB) — char classes, bounded repeats, no backrefs
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Deterministic PII-bearing text: the document text plus 0-2 extra
+    * emails, one phone, one IPv4, all derived from doc_id. Kept as a
+    * plain SQL expression string so the DuckDB oracle can interpolate
+    * the identical computation.
+    */
+  private val piiSqlExpr: String =
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@mail.example.com ' || " +
+      "repeat('u' || CAST(doc_id AS STRING) || '@ex.org ', CAST(doc_id % 3 AS INT)) || " +
+      "'tel +1-555-' || lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0') || " +
+      "' ip 10.' || CAST(doc_id % 256 AS STRING) || '.' || " +
+      "CAST((doc_id * 3) % 256 AS STRING) || '.' || CAST((doc_id * 5) % 256 AS STRING)"
+
+  /** Strata rates (tenths) for the deterministic sampler: keep 5/10 of
+    * English, 2/10 of everything else. Interpolated into the oracle.
+    */
+  private val EnTenths = 5
+  private val OtherTenths = 2
+  /** Knuth's multiplicative-hash constant: spreads doc_id into a
+    * pseudorandom-but-portable residue (plain integer arithmetic, so
+    * DuckDB computes the identical value — unlike engine hash()).
+    */
+  private val SampleMix = 2654435761L
+
+  val queries: Map[String, Q] = Map(
+
+    // PII redaction: count then mask emails, phone numbers and IPv4
+    // addresses. Pure per-row regex work — at 100 TB this is a single
+    // codegen'd scan, no shuffle but the final presentation sort.
+    "text_redact_pii" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("pii", expr(piiSqlExpr))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("pii"), lit(Ipv4Re), lit(0))).as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"),
+            Ipv4Re, "<IP>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition scoring (the Gopher-style quality signals): duplicate
+    // word fraction, most-frequent-word fraction, duplicate word-2gram
+    // fraction. Higher-order array functions keep it map-side; the
+    // per-doc mode computation is O(distinct × tokens) LOCAL work,
+    // which beats a (doc_id, token) shuffle at any scale.
+    "text_repetition" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")))
+        .withColumn("ndist", size(array_distinct(col("toks"))))
+        .withColumn("topcnt", array_max(transform(array_distinct(col("toks")),
+          u => size(filter(col("toks"), t => t === u)))))
+        .withColumn("sh2", shingles(col("toks"), 2))
+        .select(
+          col("doc_id"),
+          col("n").as("n_tokens"),
+          (lit(1.0) - col("ndist").cast("double") / col("n")).as("dup_word_frac"),
+          (col("topcnt").cast("double") / col("n")).as("top_word_frac"),
+          when(size(col("sh2")) > 0,
+            lit(1.0) - size(array_distinct(col("sh2"))).cast("double") / size(col("sh2")))
+            .otherwise(lit(0.0)).as("dup_2gram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark contamination: distinct word-3gram overlap of every
+    // candidate document against a benchmark set (source src0, first
+    // 200 ids — the held-out-eval stand-in). The benchmark gram set is
+    // small by nature, so it broadcasts; candidates never pairwise
+    // join, they probe the broadcast set and aggregate per doc_id.
+    "text_contamination" -> { (s, d) =>
+      val based = docs(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("g", array_distinct(shingles(col("toks"), 3)))
+        .filter(size(col("g")) > 0)
+      val bench = based
+        .filter(col("source") === "src0" && col("doc_id") < 200)
+        .select(explode(col("g")).as("gram")).distinct()
+      val cand = based.filter(col("doc_id") >= 200)
+      val hits = cand.select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      cand.select(col("doc_id"), size(col("g")).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+            .as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified downsampling: per-language keep rates decided by a
+    // portable multiplicative hash of doc_id — deterministic,
+    // re-runnable, and a pure narrow filter (the 100-TB shape: no
+    // shuffle, no sort but presentation; sampling decisions are local).
+    "sample_stratified" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("h", (col("doc_id") * lit(SampleMix)) % 10)
+        .filter(col("h") <
+          when(col("lang") === "en", lit(EnTenths)).otherwise(lit(OtherTenths)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- generated DuckDB oracles (same regexes, same arithmetic) ----
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"""
+
+  private def shinglesSql(n: Int) = {
+    val parts = (1 to n).map(j => s"toks[i+$j]").mkString(", ")
+    s"CASE WHEN len(toks) >= $n THEN list_transform(range(0, len(toks)-${n - 1}), i -> concat_ws(' ', $parts)) ELSE [] END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_redact_pii" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(pii, '$EmailRe')) AS n_email,
+         |  len(regexp_extract_all(pii, '$PhoneRe')) AS n_phone,
+         |  len(regexp_extract_all(pii, '$Ipv4Re')) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS redacted
+         |FROM (SELECT doc_id, $piiSqlExpr AS pii FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens,
+         |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac,
+         |  CAST(list_max(list_transform(list_distinct(toks),
+         |    u -> len(list_filter(toks, t -> t = u)))) AS DOUBLE) / len(toks) AS top_word_frac,
+         |  CASE WHEN len(sh2) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(sh2)) AS DOUBLE) / len(sh2)
+         |    ELSE 0.0 END AS dup_2gram_frac
+         |FROM (SELECT doc_id, toks, ${shinglesSql(2)} AS sh2
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |      WHERE len(toks) > 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH based AS (
+         |  SELECT doc_id, source, list_distinct(g) AS g FROM (
+         |    SELECT doc_id, source, ${shinglesSql(3)} AS g
+         |    FROM (SELECT doc_id, source, $toksSql AS toks FROM documents))
+         |  WHERE len(g) > 0),
+         |bench AS (
+         |  SELECT DISTINCT unnest(g) AS gram FROM based
+         |  WHERE source = 'src0' AND doc_id < 200),
+         |cand AS (SELECT doc_id, g FROM based WHERE doc_id >= 200),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hit
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM cand)
+         |  JOIN bench USING (gram) GROUP BY doc_id)
+         |SELECT c.doc_id, len(c.g) AS n_grams,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(c.g) AS contamination
+         |FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (doc_id * $SampleMix) % 10 <
+         |  CASE WHEN lang = 'en' THEN $EnTenths ELSE $OtherTenths END
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Behavior checks for the curation operators (the DuckDB oracles are
+  * the exactness gate; these assert the semantic properties a user
+  * relies on, plus the plan shapes that make them scale).
+  */
+class CurationQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text_redact_pii: counts match the constructed PII and redaction removes every match") {
+    val rows = SparkEntry.queries("text_redact_pii")(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // 1 constructed @mail.example.com + (id % 3) @ex.org copies
+      assert(r.getAs[Int]("n_email") == 1 + (id % 3).toInt, s"doc $id emails")
+      assert(r.getAs[Int]("n_phone") == 1, s"doc $id phones")
+      assert(r.getAs[Int]("n_ip") == 1, s"doc $id ips")
+      val red = r.getAs[String]("redacted")
+      assert(!red.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"), s"doc $id email left")
+      assert(!red.contains("+1-555-"), s"doc $id phone left")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    }
+  }
+
+  test("text_repetition: fractions bounded, and the repetitive corpus scores > 0") {
+    val rows = SparkEntry.queries("text_repetition")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("dup_word_frac", "top_word_frac", "dup_2gram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      // the most frequent word accounts for at least a 1/n share
+      assert(r.getAs[Double]("top_word_frac") >= 1.0 / r.getAs[Int]("n_tokens"))
+    }
+    assert(rows.exists(_.getAs[Double]("dup_word_frac") > 0.0))
+  }
+
+  test("text_contamination: candidates only, ratio consistent, overlap exists on the shared vocab") {
+    val rows = SparkEntry.queries("text_contamination")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") >= 200)
+      val hit = r.getAs[Long]("n_hit")
+      val total = r.getAs[Int]("n_grams")
+      assert(hit >= 0 && hit <= total)
+      assert(math.abs(r.getAs[Double]("contamination") - hit.toDouble / total) < 1e-12)
+    }
+    assert(rows.exists(_.getAs[Long]("n_hit") > 0), "tiny vocabulary must collide")
+  }
+
+  test("text_contamination: benchmark gram side is broadcast, not shuffled") {
+    val p = SparkEntry.queries("text_contamination")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("sample_stratified: exactly the deterministic per-stratum residue rule") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val kept = SparkEntry.queries("sample_stratified")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val expect = docs.collect {
+      case (id, lang) if (id * 2654435761L) % 10 < (if (lang == "en") 5 else 2) => id
+    }.toSet
+    assert(kept == expect)
+    // the narrow-filter shape: no shuffle besides the presentation sort
+    val p = SparkEntry.queries("sample_stratified")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+  }
+}
