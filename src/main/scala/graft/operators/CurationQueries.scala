@@ -113,20 +113,28 @@ object CurationQueries {
     // 200 ids — the held-out-eval stand-in). The benchmark gram set is
     // small by nature, so it broadcasts; candidates never pairwise
     // join, they probe the broadcast set and aggregate per doc_id.
+    //
+    // Per-doc gram dedup is explode + DISTINCT (map-side partial
+    // aggregate, shuffle carries only unique (doc_id, gram) pairs) —
+    // NOT array_distinct: that is an interpreted O(n²)-per-row
+    // collection op, measured at ~1.3 ms/row on 50-gram docs (6.5 s
+    // for 5000 docs, recomputed per consumer branch → a 35 s query;
+    // this shape runs in ~2 s and scales as a plain hash aggregate).
     "text_contamination" -> { (s, d) =>
-      val based = docs(s, d)
+      val grams = docs(s, d)
         .withColumn("toks", tokens(col("text")))
-        .withColumn("g", array_distinct(shingles(col("toks"), 3)))
-        .filter(size(col("g")) > 0)
-      val bench = based
+        .select(col("doc_id"), col("source"),
+          explode(shingles(col("toks"), 3)).as("gram"))
+        .distinct()
+      val bench = grams
         .filter(col("source") === "src0" && col("doc_id") < 200)
-        .select(explode(col("g")).as("gram")).distinct()
-      val cand = based.filter(col("doc_id") >= 200)
-      val hits = cand.select(col("doc_id"), explode(col("g")).as("gram"))
+        .select("gram").distinct()
+      val cand = grams.filter(col("doc_id") >= 200)
+      val totals = cand.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = cand
         .join(broadcast(bench), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      cand.select(col("doc_id"), size(col("g")).as("n_grams"))
-        .join(hits, Seq("doc_id"), "left")
+      totals.join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))

@@ -5,7 +5,6 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.{IngestSources, Tables}
 
@@ -53,9 +52,12 @@ object IngestQueries {
 
   val queries: Map[String, Q] = Map(
 
-    // §2.1 tail: one file, byte-offset checkpoints; a small
-    // maxBytesPerTrigger forces the replay across MANY micro-batches,
-    // so bounded admission and offset continuity are both on the hook.
+    // §2.1 tail: one file, byte-offset checkpoints; maxBytesPerTrigger
+    // forces the replay across multiple micro-batches, so bounded
+    // admission and offset continuity are both on the hook. Default
+    // trigger (batches back-to-back): a ProcessingTime cadence added a
+    // fixed wait per micro-batch — ~3 s of pure sleep at sf0.1's ~15
+    // micro-batches — without testing anything extra.
     "ev_tail_replay" -> { (s, d) =>
       val dir = Files.createTempDirectory("graft-tailrep")
       val out = dir.resolve("events").toString
@@ -64,9 +66,8 @@ object IngestQueries {
         .findFirst().get().toString
       val table = s"tailrep_${System.nanoTime()}"
       val q = IngestSources.tailFile(s, part, startAt = "start",
-          maxBytesPerTrigger = 256 * 1024)
+          maxBytesPerTrigger = 1024 * 1024)
         .writeStream.format("memory").queryName(table)
-        .trigger(Trigger.ProcessingTime(50))
         .option("checkpointLocation", dir.resolve("ckpt").toString)
         .start()
       try q.processAllAvailable() finally q.stop()

@@ -56,7 +56,7 @@ class CurationQueriesSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("doc_id") >= 200)
       val hit = r.getAs[Long]("n_hit")
-      val total = r.getAs[Int]("n_grams")
+      val total = r.getAs[Long]("n_grams")
       assert(hit >= 0 && hit <= total)
       assert(math.abs(r.getAs[Double]("contamination") - hit.toDouble / total) < 1e-12)
     }
