@@ -85,25 +85,32 @@ object CurationQueries {
 
     // Repetition scoring (the Gopher-style quality signals): duplicate
     // word fraction, most-frequent-word fraction, duplicate word-2gram
-    // fraction. Higher-order array functions keep it map-side; the
-    // per-doc mode computation is O(distinct × tokens) LOCAL work,
-    // which beats a (doc_id, token) shuffle at any scale.
+    // fraction. Shaped as explode → (doc, term) count → per-doc
+    // aggregate: two map-side-partial hash aggregates partitioned by
+    // doc_id. The array-algebra alternative (array_distinct + a
+    // filter-in-transform mode count) is interpreted O(tokens²) per
+    // row — fine on 50-token rows, hopeless on a real 100k-token
+    // document — so the aggregate shape is the 100-TB one.
     "text_repetition" -> { (s, d) =>
-      docs(s, d)
+      val base = docs(s, d)
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) > 0)
-        .withColumn("n", size(col("toks")))
-        .withColumn("ndist", size(array_distinct(col("toks"))))
-        .withColumn("topcnt", array_max(transform(array_distinct(col("toks")),
-          u => size(filter(col("toks"), t => t === u)))))
-        .withColumn("sh2", shingles(col("toks"), 2))
+        .select(col("doc_id"), col("toks"))
+      val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n"), count(lit(1)).as("ndist"), max("c").as("topcnt"))
+      val grams = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g2"))
+        .groupBy("doc_id", "g2").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n2"), count(lit(1)).as("ndist2"))
+      words.join(grams, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           col("n").as("n_tokens"),
           (lit(1.0) - col("ndist").cast("double") / col("n")).as("dup_word_frac"),
           (col("topcnt").cast("double") / col("n")).as("top_word_frac"),
-          when(size(col("sh2")) > 0,
-            lit(1.0) - size(array_distinct(col("sh2"))).cast("double") / size(col("sh2")))
+          when(col("n2").isNotNull,
+            lit(1.0) - col("ndist2").cast("double") / col("n2"))
             .otherwise(lit(0.0)).as("dup_2gram_frac"))
         .orderBy("doc_id")
     },

@@ -45,7 +45,7 @@ class CurationQueriesSpec extends AnyFunSuite {
         assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
       }
       // the most frequent word accounts for at least a 1/n share
-      assert(r.getAs[Double]("top_word_frac") >= 1.0 / r.getAs[Int]("n_tokens"))
+      assert(r.getAs[Double]("top_word_frac") >= 1.0 / r.getAs[Long]("n_tokens"))
     }
     assert(rows.exists(_.getAs[Double]("dup_word_frac") > 0.0))
   }
