@@ -13,7 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * keep events whose payload validates against a user JSON Schema.
   *
   * The supported schema subset (type / properties / required / numeric
-  * ranges / enum / const / anyOf / allOf / not) is compiled ONCE into a
+  * ranges / enum / const / anyOf / allOf / oneOf / not / pattern /
+  * length / multipleOf / document-local $ref) is compiled ONCE into a
   * tree of JVM closures over jackson nodes; at run time each row is
   * parsed exactly once and walked exactly once by [[JsonSchemaMatches]].
   * (The previous implementation composed per-leaf VARIANT column
@@ -53,13 +54,41 @@ object JsonSchemaMatcher {
   private val supported = Set("type", "minimum", "maximum", "exclusiveMinimum",
     "exclusiveMaximum", "const", "enum", "required", "properties", "allOf", "anyOf",
     "not", "additionalProperties", "items", "description", "title",
-    "pattern", "minLength", "maxLength", "multipleOf", "oneOf")
+    "pattern", "minLength", "maxLength", "multipleOf", "oneOf",
+    "$ref", "$defs", "definitions", "$schema", "$id")
 
-  def compile(schema: JsonNode): Matcher = {
+  def compile(schema: JsonNode): Matcher = compile(schema, schema, Set.empty)
+
+  /** Resolve a local JSON Pointer (`#`, `#/$defs/x`, `#/definitions/x`,
+    * any `#/`-path) against the root schema document, with the standard
+    * `~0`/`~1` unescaping.
+    */
+  private def resolvePointer(root: JsonNode, ref: String): JsonNode =
+    if (ref == "#") root
+    else ref.stripPrefix("#/").split("/").foldLeft(root) { (n, seg0) =>
+      val seg = seg0.replace("~1", "/").replace("~0", "~")
+      val next = if (n.isArray && seg.nonEmpty && seg.forall(_.isDigit)) n.get(seg.toInt) else n.get(seg)
+      require(next != null, s"JSON Schema ref '$ref' does not resolve (missing '$seg')")
+      next
+    }
+
+  private def compile(schema: JsonNode, root: JsonNode, refStack: Set[String]): Matcher = {
     require(schema.isObject, s"unsupported schema node: $schema")
     val fields = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.fieldNames()).asScala.toSet
     val unsupported = fields -- supported
     require(unsupported.isEmpty, s"unsupported JSON Schema keywords: $unsupported")
+
+    // draft-07 semantics (ajv's default, what the reference runs): a
+    // $ref REPLACES its sibling keywords. Only document-local pointers
+    // are supported, and recursion fails loudly at plan build like
+    // every other unsupported form.
+    if (fields.contains("$ref")) {
+      val ref = schema.get("$ref").asText
+      require(ref == "#" || ref.startsWith("#/"),
+        s"only document-local JSON Schema refs are supported, got '$ref'")
+      require(!refStack.contains(ref), s"recursive JSON Schema ref unsupported: '$ref'")
+      return compile(resolvePointer(root, ref), root, refStack + ref)
+    }
 
     val conds = Seq.newBuilder[Matcher]
 
@@ -110,18 +139,18 @@ object JsonSchemaMatcher {
     if (fields.contains("properties")) {
       val props = schema.get("properties")
       scala.jdk.CollectionConverters.IteratorHasAsScala(props.fieldNames()).asScala.toSeq.foreach { name =>
-        val sub = compile(props.get(name))
+        val sub = compile(props.get(name), root, refStack)
         // per JSON Schema, properties constrain only when present
         conds += (v => { val m = v.get(name); m == null || sub(m) })
       }
     }
     if (fields.contains("allOf")) {
       scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("allOf").elements()).asScala.toSeq
-        .foreach(s => conds += compile(s))
+        .foreach(s => conds += compile(s, root, refStack))
     }
     if (fields.contains("anyOf")) {
       val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("anyOf").elements())
-        .asScala.map(compile).toSeq
+        .asScala.map(compile(_, root, refStack)).toSeq
       conds += (v => subs.exists(_(v)))
     }
     if (fields.contains("pattern")) {
@@ -145,11 +174,11 @@ object JsonSchemaMatcher {
     }
     if (fields.contains("oneOf")) {
       val subs = scala.jdk.CollectionConverters.IteratorHasAsScala(schema.get("oneOf").elements())
-        .asScala.map(compile).toSeq
+        .asScala.map(compile(_, root, refStack)).toSeq
       conds += (v => subs.count(_(v)) == 1)
     }
     if (fields.contains("not")) {
-      val sub = compile(schema.get("not"))
+      val sub = compile(schema.get("not"), root, refStack)
       conds += (v => !sub(v))
     }
 

@@ -81,13 +81,18 @@ object EventQueries {
     },
 
     // §2.4#4 keep-when: JSON-Schema payload filter compiled to native columns.
-    // The schema exercises numeric ranges plus multipleOf and a
-    // deliberately-overlapping oneOf (k in [25,30] matches both arms → rejected).
+    // The schema exercises numeric ranges plus multipleOf, a
+    // deliberately-overlapping oneOf (k in [25,30] matches both arms →
+    // rejected), and routes the k constraint through a local $ref
+    // ($defs, draft-07 replace-siblings semantics) — resolution happens
+    // at plan build, so the compiled predicate is identical to the
+    // inlined schema and the oracle is unchanged.
     "ev_keep_when" -> { (s, d) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val schema = mapper.readTree(
         """{"type":"object","required":["k"],
-           "properties":{"k":{"type":"integer","minimum":10,"exclusiveMaximum":50,"multipleOf":3}},
+           "$defs":{"kc":{"type":"integer","minimum":10,"exclusiveMaximum":50,"multipleOf":3}},
+           "properties":{"k":{"$ref":"#/$defs/kc"}},
            "oneOf":[{"properties":{"k":{"maximum":30}}},
                     {"properties":{"k":{"minimum":25}}}]}""")
       ev(s, d).filter(JsonSchemaFilter.compile(schema, col("props")))

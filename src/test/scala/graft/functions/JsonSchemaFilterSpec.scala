@@ -131,4 +131,55 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("$ref: local pointers resolve to the same predicate as the inlined schema") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val leaves = Seq(
+      """{"type":"integer","minimum":3}""",
+      """{"type":"string","minLength":2}""",
+      """{"multipleOf":2}""",
+      """{"pattern":"^x"}""")
+    val payloads = (1 to 60).map(_ => rnd.nextInt(6) match {
+      case 0 => s"""{"k":${rnd.nextInt(10)}}"""
+      case 1 => s"""{"k":"${"x" * rnd.nextInt(4)}"}"""
+      case 2 => """{}"""
+      case 3 => """{"k":null}"""
+      case 4 => s"""{"k":${rnd.nextInt(10)}.5}"""
+      case 5 => s"""{"k":"y${"x" * rnd.nextInt(3)}"}"""
+    })
+    val df = payloads.toDF("d")
+    leaves.foreach { leaf =>
+      val inline = mapper.readTree(
+        s"""{"type":"object","required":["k"],"properties":{"k":$leaf}}""")
+      // via $defs, and via a second-hop ref (ref to a ref)
+      val refd = mapper.readTree(
+        s"""{"$$defs":{"leaf":$leaf,"hop":{"$$ref":"#/$$defs/leaf"}},
+            "type":"object","required":["k"],
+            "properties":{"k":{"$$ref":"#/$$defs/hop"}}}""")
+      val a = df.filter(JsonSchemaFilter.compile(inline, col("d"))).collect().map(_.getString(0)).toSeq
+      val b = df.filter(JsonSchemaFilter.compile(refd, col("d"))).collect().map(_.getString(0)).toSeq
+      assert(a == b, s"leaf=$leaf")
+    }
+    // draft-07: $ref replaces siblings — the sibling minimum must be ignored
+    val replaced = mapper.readTree(
+      """{"$defs":{"any":{}},
+         "type":"object",
+         "properties":{"k":{"$ref":"#/$defs/any","minimum":100}}}""")
+    val kept = df.filter(JsonSchemaFilter.compile(replaced, col("d")))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == payloads.toSet, "sibling keyword beside $ref must be ignored (draft-07)")
+  }
+
+  test("$ref: recursion, dangling and external refs fail loudly at plan build") {
+    def bad(schema: String): Unit =
+      assertThrows[IllegalArgumentException] {
+        JsonSchemaFilter.compile(mapper.readTree(schema), col("d"))
+      }
+    bad("""{"$defs":{"a":{"$ref":"#/$defs/b"},"b":{"$ref":"#/$defs/a"}},
+           "properties":{"k":{"$ref":"#/$defs/a"}}}""")
+    bad("""{"properties":{"k":{"$ref":"#/$defs/missing"}}}""")
+    bad("""{"properties":{"k":{"$ref":"https://example.com/schema.json"}}}""")
+    bad("""{"properties":{"k":{"$ref":"#"}},"$ref":"#"}""")
+  }
 }
