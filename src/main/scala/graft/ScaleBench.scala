@@ -43,7 +43,8 @@ object ScaleBench {
     "ev_window_time", "ev_window_sliding_time", "ev_window_hybrid",
     "pipeline_e2e_keyed",
     "dedup_minhash_lsh", "dedup_cluster_resolve",
-    "emb_ann_lsh", "emb_ann_ivf")
+    "emb_ann_lsh", "emb_ann_ivf",
+    "text_repetition", "text_contamination")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
