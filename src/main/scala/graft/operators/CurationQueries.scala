@@ -62,6 +62,11 @@ object CurationQueries {
     */
   private val SampleMix = 2654435761L
 
+  /** Context-window token budget for `pack_sequences` (small enough
+    * that the ~50-token synthetic docs produce multi-doc packs).
+    */
+  private val PackBudget = 256
+
   val queries: Map[String, Q] = Map(
 
     // PII redaction: count then mask emails, phone numbers and IPv4
@@ -160,6 +165,27 @@ object CurationQueries {
           when(col("lang") === "en", lit(EnTenths)).otherwise(lit(OtherTenths)))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    },
+
+    // Sequence packing (concat-then-chunk, the standard pre-training
+    // layout): documents concatenate in doc_id order WITHIN EACH
+    // source shard and chunk at a fixed token budget; a doc's pack is
+    // the chunk holding its first token. Packing is a running sum per
+    // source partition — at 100 TB you pack per shard in parallel,
+    // which is exactly this window's partitioning; no global sort,
+    // no driver state.
+    "pack_sequences" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .withColumn("n_toks", size(tokens(col("text"))))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(
+          col("doc_id"), col("source"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("tok_offset"),
+          floor((col("cum") - col("n_toks")) / lit(PackBudget)).as("pack_id"))
+        .orderBy("doc_id")
     }
   )
 
@@ -223,6 +249,17 @@ object CurationQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE (doc_id * $SampleMix) % 10 <
          |  CASE WHEN lang = 'en' THEN $EnTenths ELSE $OtherTenths END
+         |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""SELECT doc_id, source, n_toks,
+         |  cum - n_toks AS tok_offset,
+         |  CAST(floor((cum - n_toks) / $PackBudget.0) AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM (SELECT doc_id, source, len($toksSql) AS n_toks FROM documents))
          |ORDER BY doc_id""".stripMargin
   )
 }

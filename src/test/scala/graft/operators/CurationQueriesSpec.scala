@@ -85,4 +85,21 @@ class CurationQueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
   }
+
+  test("pack_sequences: per-source running offsets, pack = chunk of the first token") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == cum, s"offset mismatch at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("pack_id") == cum / 256)
+        cum += r.getAs[Int]("n_toks")
+      }
+    }
+    // multi-doc packs exist (budget 256 vs ~50-token docs)
+    assert(rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id")))
+      .exists(_._2.length > 1))
+  }
 }
