@@ -78,6 +78,25 @@ object AnnQueries {
         .orderBy("a", "b")
     },
 
+    // Symmetric int8 quantization (the embedding-store compression
+    // layout: 4x smaller vectors, dot products in integer SIMD): per
+    // vector, the max-magnitude component maps to ±127 and every
+    // component rounds as floor(x*scale + 0.5) — explicit floor-based
+    // rounding because engine round() half-way conventions differ,
+    // floor arithmetic is bit-identical everywhere. Pure map-side
+    // per-row work, zero shuffles.
+    "emb_quantize_int8" -> { (s, d) =>
+      val maxAbs = greatest((1 to Dim).map(i =>
+        abs(element_at(col("embedding"), i).cast("double"))): _*)
+      Tables.embeddings(s, d)
+        .withColumn("m", maxAbs)
+        .withColumn("scale", when(col("m") > 0, lit(127.0) / col("m")).otherwise(lit(0.0)))
+        .select(col("vec_id"), col("scale"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("int")).as("qvec"))
+        .orderBy("vec_id")
+    },
+
     // Multimodal: opaque binary + partition-batched stub decode.
     "mm_decode_meta" -> { (s, d) =>
       val withBin = Tables.documents(s, d)
@@ -98,6 +117,18 @@ object AnnQueries {
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "emb_quantize_int8" -> {
+      val maxAbsSql = (1 to Dim).map(i => s"abs(CAST(embedding[$i] AS DOUBLE))").mkString("greatest(", ", ", ")")
+      s"""SELECT vec_id, scale,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec
+         |FROM (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+         |  FROM (SELECT vec_id, embedding, $maxAbsSql AS m FROM embeddings))
+         |ORDER BY vec_id""".stripMargin
+    },
+
     "dedup_embedding_cosine" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
          |SELECT x.vec_id AS a, y.vec_id AS b,

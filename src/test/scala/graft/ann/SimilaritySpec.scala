@@ -167,4 +167,24 @@ class SimilaritySpec extends AnyFunSuite {
       numRows = emb.count())
     assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("emb_quantize_int8: max component maps to ±127, dequantization error bounded") {
+    val rows = graft.SparkEntry.queries("emb_quantize_int8")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      assert(q.exists(v => math.abs(v) == 127), s"vec $id max component must hit ±127")
+      // dequantized value within half a quantization step of the source
+      val src = emb(id)
+      q.zip(src).foreach { case (qi, x) =>
+        assert(math.abs(qi / scale - x) <= 0.5 / scale + 1e-6,
+          s"vec $id component error beyond half-step")
+      }
+    }
+  }
 }
