@@ -86,6 +86,17 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
   }
 
+  test("scans are pruned to the referenced columns (the 100-TB read-cost property)") {
+    def read(q: String): String =
+      "ReadSchema: [^\n]*".r.findAllIn(
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString)
+        .mkString("; ")
+    assert(read("text_redact_pii").contains("struct<doc_id:bigint,text:string>"))
+    assert(read("sample_stratified").contains("struct<doc_id:bigint,lang:string,source:string>"))
+    assert(read("pack_sequences").contains("struct<doc_id:bigint,text:string,source:string>"))
+    assert(read("emb_quantize_int8").contains("struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
   test("pack_sequences: per-source running offsets, pack = chunk of the first token") {
     val rows = SparkEntry.queries("pack_sequences")(spark, dir).collect()
     assert(rows.length == 500)
