@@ -34,9 +34,11 @@ class JqFuzzSpec extends AnyFunSuite {
     .getOrCreate()
 
   // ---- deterministic sampling (no scalatest-scalacheck bridge in the
-  // offline cache; same driver shape as PatternSpec) ----
+  // offline cache; same driver shape as PatternSpec). Seed fixed for
+  // CI determinism; GRAFT_FUZZ_SEED overrides for exploratory sweeps.
+  private val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(4242L)
   private def samples[A](ga: Gen[A], n: Int): Seq[A] = {
-    var seed = Seed(4242L)
+    var seed = Seed(fuzzSeed)
     (1 to n).map { _ =>
       val a = ga.pureApply(Gen.Parameters.default, seed)
       seed = seed.next
