@@ -97,6 +97,28 @@ object AnnQueries {
         .orderBy("vec_id")
     },
 
+    // Per-label centroids (IVF codebook refresh, class prototypes,
+    // cluster drift monitors): posexplode to (label, pos, component)
+    // and hash-aggregate — the explode is map-side and the partial
+    // aggregate collapses each partition to ≤ labels×dim rows before
+    // the exchange, so the shuffle is codebook-sized no matter how
+    // many vectors feed it. Components are quantized to fixed-point
+    // BIGINTs (floor(x·1e6 + 0.5)) before summing: integer sums are
+    // bit-identical under any partitioning/merge order, where a raw
+    // double sum would be addition-order-dependent and break exact
+    // comparison (and reproducibility) across runs and engines.
+    "emb_centroid" -> { (s, d) =>
+      val Fp = 1e6
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v_fp", floor(col("v").cast("double") * Fp + 0.5).cast("long"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), sum("v_fp").as("s_fp"))
+        .select(col("label"), col("pos"), col("n"),
+          (col("s_fp").cast("double") / (col("n") * Fp)).as("centroid"))
+        .orderBy("label", "pos")
+    },
+
     // Multimodal: opaque binary + partition-batched stub decode.
     "mm_decode_meta" -> { (s, d) =>
       val withBin = Tables.documents(s, d)
@@ -128,6 +150,15 @@ object AnnQueries {
          |  FROM (SELECT vec_id, embedding, $maxAbsSql AS m FROM embeddings))
          |ORDER BY vec_id""".stripMargin
     },
+
+    "emb_centroid" ->
+      s"""SELECT label, i - 1 AS pos, COUNT(*) AS n,
+         |  CAST(SUM(v_fp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
+         |FROM (
+         |  SELECT label, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v_fp
+         |  FROM embeddings, unnest(range(1, ${Dim + 1})) AS t(i))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)

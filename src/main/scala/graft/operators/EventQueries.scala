@@ -226,6 +226,32 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // Gap-based sessionization (the canonical stateful stream op, the
+    // batch dual of flatMapGroupsWithState): a session breaks after
+    // 30 min idle. One shuffle on user_id, then two ordered window
+    // passes (boundary flag via lag, session id via running sum) and a
+    // hash aggregate — no self-join, no range join, so the plan is the
+    // same one you'd run on 100 TB: a single exchange keyed by user.
+    // Value sums go through exact DECIMAL (oracle-parity convention).
+    "ev_sessionize" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 1800L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          sum(decVal).cast("double").as("sum_value"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")
+    },
+
     // §2.3 the exact anchored count-or-time hybrid (100 ev / 6h per name).
     // Oracle: recursive semantics — checked rows-only by the driver,
     // exact-checked by HybridWindowSpec goldens.
@@ -360,6 +386,25 @@ object EventQueries {
          |  FROM events)
          |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
          |ORDER BY event_id""".stripMargin,
+
+    "ev_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, $tsUs AS us, CAST(value AS DECIMAL(18,2)) AS v,
+         |    CASE WHEN LAG($tsUs) OVER w IS NULL
+         |           OR $tsUs - LAG($tsUs) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id)),
+         |sess AS (
+         |  SELECT user_id, us, v,
+         |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(us) AS start_us, MAX(us) AS end_us,
+         |  CAST(SUM(v) AS DOUBLE) AS sum_value,
+         |  MAX(us) - MIN(us) AS dur_us
+         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the anchored count-or-time semantics as a sequential recursive
     // CTE: one row per key per iteration, exactly the scan in

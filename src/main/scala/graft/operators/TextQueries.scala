@@ -277,6 +277,61 @@ object TextQueries {
           graft.functions.TextExpressions.simHash32(col("toks")).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 16))
         .orderBy("doc_id")
+    },
+
+    // Corpus-level top-k: the 10 most frequent word-2grams per
+    // language (vocabulary reports, contamination screens). EXACT
+    // top-k in two levels: gram counts hash-aggregate (map-side
+    // partial), then each gram competes inside its hash-salt bucket
+    // and only bucket top-10s — ≤ 640 rows per language — reach the
+    // per-language final sort. A global top-k must be top-k within its
+    // bucket, so the two-level form is exact; the one-window
+    // formulation would funnel every distinct gram of a language
+    // through one task, which is the sort that dies at 100 TB.
+    "text_ngram_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val TopN = 10
+      val Salt = 64
+      val counts = withToks(docs(s, d))
+        .select(col("lang"), explode(shingles(col("toks"), 2)).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      val byBucket = Window.partitionBy(col("lang"), pmod(xxhash64(col("gram")), lit(Salt)))
+        .orderBy(col("cnt").desc, col("gram"))
+      val byLang = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+      counts
+        .withColumn("rb", row_number().over(byBucket)).filter(col("rb") <= TopN)
+        .withColumn("rnk", row_number().over(byLang)).filter(col("rnk") <= TopN)
+        .select("lang", "rnk", "gram", "cnt")
+        .orderBy("lang", "rnk")
+    },
+
+    // Unigram-LM perplexity scoring (the classic LM-quality filter —
+    // report the mean negative log-likelihood; perplexity = e^avg_nll).
+    // Token surprisals are quantized to fixed-point BIGINTs
+    // (floor(1e6·ln(T/c) + 0.5)) so per-doc sums are exact integer
+    // arithmetic — bit-identical under any shuffle/merge order in
+    // either engine; a raw double sum would be addition-order-
+    // dependent. Shape: (doc, word) counts and the vocabulary are both
+    // hash aggregates; docs probe the vocab through a join keyed on
+    // the word (broadcastable once the vocab is top-K-capped) and
+    // reduce per doc_id. No driver state, no collects.
+    "text_perplexity" -> { (s, d) =>
+      val Fp = 1e6
+      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val vocab = dc.groupBy("w").agg(sum("c").as("cw"))
+      val total = vocab.agg(sum("cw").as("t"))
+      val vfp = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
+          floor(log(col("t").cast("double") / col("cw")) * Fp + 0.5)
+            .cast("long").as("lp_fp"))
+      dc.join(vfp, "w")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), sum(col("c") * col("lp_fp")).as("nll_fp"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("nll_fp").cast("double") / (col("n_tokens") * Fp)).as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 
@@ -442,6 +497,36 @@ object TextQueries {
          |FROM (SELECT doc_id, list_transform(toks, t -> ${thSql("t")}) AS hs
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000))
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the oracle skips the salt-bucket pre-reduction (it is exact by
+    // construction) and ranks directly
+    "text_ngram_topk" ->
+      s"""SELECT lang, rnk, gram, cnt FROM (
+         |  SELECT lang, gram, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+         |  FROM (
+         |    SELECT lang, gram, COUNT(*) AS cnt FROM (
+         |      SELECT lang, unnest(${shinglesSql(2)}) AS gram
+         |      FROM (SELECT lang, $toksSql AS toks FROM documents))
+         |    GROUP BY 1, 2))
+         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "text_perplexity" ->
+      s"""WITH dc AS (
+         |  SELECT doc_id, w, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(toks) AS w
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |    WHERE len(toks) > 0)
+         |  GROUP BY 1, 2),
+         |vocab AS (SELECT w, SUM(c) AS cw FROM dc GROUP BY 1),
+         |tot AS (SELECT SUM(cw) AS t FROM vocab),
+         |vfp AS (
+         |  SELECT w, CAST(floor(ln(CAST(t AS DOUBLE) / cw) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+         |  FROM vocab, tot)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(c * lp_fp) AS DOUBLE) / (SUM(c) * 1000000.0) AS avg_nll
+         |FROM dc JOIN vfp USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

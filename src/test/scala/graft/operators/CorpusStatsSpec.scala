@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Behavior checks for the session/corpus-statistics operators
+  * (ev_sessionize, text_ngram_topk, text_perplexity, emb_centroid).
+  * The DuckDB oracles are the exactness gate; these re-derive each
+  * result independently (driver-side naive recomputation) and assert
+  * the plan shapes that make the operators scale.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ev_sessionize matches a naive driver-side session split") {
+    val events = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts_us", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+    val gap = 1800L * 1000000L
+    // naive: per user, sort by (ts, id), split where the gap exceeds 30min
+    val assigned: Seq[(Long, Long, Long, Double)] =
+      events.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        var sess = 0L
+        var prev = Long.MinValue
+        sorted.map { e =>
+          if (prev == Long.MinValue || e._3 - prev > gap) sess += 1
+          prev = e._3
+          (uid, sess, e._3, e._4)
+        }.toSeq
+      }
+    val expected = assigned.groupBy(t => (t._1, t._2)).map { case (key, members) =>
+      val ts = members.map(_._3)
+      val sum = members.map(m => BigDecimal(m._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      (key, (members.size.toLong, ts.min, ts.max, sum))
+    }
+    val got = SparkEntry.queries("ev_sessionize")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+      val (n, lo, hi, sum) = expected(key)
+      assert(r.getAs[Long]("n_events") == n, s"$key n_events")
+      assert(r.getAs[Long]("start_us") == lo && r.getAs[Long]("end_us") == hi, s"$key bounds")
+      assert(r.getAs[Long]("dur_us") == hi - lo, s"$key dur")
+      assert(math.abs(r.getAs[Double]("sum_value") - sum) < 1e-9, s"$key sum")
+    }
+  }
+
+  test("ev_sessionize: single exchange on user_id, props never read") {
+    val plan = SparkEntry.queries("ev_sessionize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("props"), "sessionization must not drag the payload column")
+    // one hashpartitioning exchange for the window + aggregate chain
+    // (plus the presentation range sort)
+    val exchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected no extra shuffles, plan:\n${plan.take(600)}")
+  }
+
+  test("text_ngram_topk: salted two-level top-k equals the direct single-window ranking") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val direct = {
+      val counts = graft.sources.Tables.documents(spark, dir)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .select(col("lang"), explode(graft.functions.TextFunctions.shingles(col("toks"), 2)).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      counts.withColumn("rnk",
+          row_number().over(Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
+        .filter(col("rnk") <= 10)
+        .select("lang", "rnk", "gram", "cnt")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    }
+    val got = SparkEntry.queries("text_ngram_topk")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == direct)
+  }
+
+  test("text_perplexity matches an exact fixed-point recomputation") {
+    val toks = graft.sources.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val vocab = toks.flatMap(_._2).groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    val total = vocab.values.sum.toDouble
+    val lpFp = vocab.map { case (w, c) =>
+      (w, math.floor(math.log(total / c) * 1e6 + 0.5).toLong)
+    }
+    val expected = toks.map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(lpFp).sum.toDouble / (ws.length * 1e6))
+    }.map(t => (t._1, (t._2, t._3))).toMap
+    val got = SparkEntry.queries("text_perplexity")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, nll) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n)
+      // integer fixed-point sums are exact: bit equality, not tolerance
+      assert(r.getAs[Double]("avg_nll") == nll, s"doc ${r.get(0)}")
+    }
+    // a plausibility floor: mean NLL of a real corpus is positive
+    assert(got.forall(_.getAs[Double]("avg_nll") > 0.0))
+  }
+
+  test("emb_centroid: fixed-point centroids within quantization error of naive means") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir).select("label", "embedding").collect()
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Float](1)))
+    val naive = vecs.groupBy(_._1).flatMap { case (label, vs) =>
+      val n = vs.length
+      (0 until vs.head._2.length).map { pos =>
+        ((label, pos), (n.toLong, vs.map(_._2(pos).toDouble).sum / n))
+      }
+    }
+    val got = SparkEntry.queries("emb_centroid")(spark, dir).collect()
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      val (n, mean) = naive((r.getAs[Int]("label"), r.getAs[Int]("pos")))
+      assert(r.getAs[Long]("n") == n)
+      // each component quantizes within 0.5e-6, so the mean does too
+      assert(math.abs(r.getAs[Double]("centroid") - mean) <= 6e-7,
+        s"label/pos ${r.get(0)}/${r.get(1)}")
+    }
+  }
+
+  test("emb_centroid: scan pruned to (label, embedding)") {
+    val plan = SparkEntry.queries("emb_centroid")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("ReadSchema: [^\n]*".r.findFirstIn(plan)
+      .exists(s => s.contains("label") && s.contains("embedding") && !s.contains("vec_id")))
+  }
+}
