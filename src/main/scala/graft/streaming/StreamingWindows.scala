@@ -49,11 +49,33 @@ object StreamingWindows {
   final case class FlatState(ring: Seq[SEvent], ringStart: Long,
                              bufs: Seq[FlatBuf], nextVec: Long, nextIdx: Long)
 
+  /** Streaming sessionization input: event time twice over — `ts` as a
+    * TIMESTAMP for the watermark, `tsUs` as exact unix micros for the
+    * gap arithmetic (identical to the batch query's `ts_us`).
+    */
+  final case class SessIn(userId: Long, eventId: Long, ts: java.sql.Timestamp,
+                          tsUs: Long, value: Double)
+
+  /** Per-user session state: the NEXT session number (1-based, matching
+    * the batch running-sum numbering), whether a session is open, and
+    * the open session's bounds/count/exact cent sum. A closed key keeps
+    * only the counter — constant bytes per user, no timer armed.
+    */
+  final case class SessState(nextSess: Long, open: Boolean, startUs: Long,
+                             lastUs: Long, n: Long, cents: Long)
+
+  final case class Session(userId: Long, sessionId: Long, nEvents: Long,
+                           startUs: Long, endUs: Long, sumValue: Double, durUs: Long)
+
   implicit val sEventEnc: Encoder[SEvent] = Encoders.product[SEvent]
   implicit val sVectorEnc: Encoder[SVector] = Encoders.product[SVector]
   implicit val winStateEnc: Encoder[WinState] = Encoders.product[WinState]
   implicit val flatStateEnc: Encoder[FlatState] = Encoders.product[FlatState]
+  implicit val sessInEnc: Encoder[SessIn] = Encoders.product[SessIn]
+  implicit val sessStateEnc: Encoder[SessState] = Encoders.product[SessState]
+  implicit val sessionEnc: Encoder[Session] = Encoders.product[Session]
   implicit val stringEnc: Encoder[String] = Encoders.STRING
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
   /** Group `events` by `key` into count-or-time vectors. Emits closed
     * vectors (complete on the count arm, partial on the time arm).
@@ -109,6 +131,60 @@ object StreamingWindows {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Event-time gap sessionization — the streaming arm of the batch
+    * `ev_sessionize` query (EventQueries): a user's session closes when
+    * the next event arrives more than `gapUs` after the last, or when
+    * the WATERMARK passes last+gap (EventTimeTimeout), so quiet users
+    * flush without waiting for their own next event. Sessions are
+    * numbered 1-based per user in event-time order, value sums
+    * accumulate as exact cents — both identical to the batch query, so
+    * a stream fed in event-time order produces byte-identical rows
+    * (the differential in StreamingSpec).
+    *
+    * Scale shape: state per user is one open session (6 fixed-width
+    * fields) — independent of history length; closed keys hold just
+    * the session counter and arm no timer. The input must carry a
+    * watermark on `ts` for the timeout arm.
+    */
+  def gapSessions(events: Dataset[SessIn], gapUs: Long): Dataset[Session] = {
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, Session](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, incoming: Iterator[SessIn], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(1L, open = false, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[Session]
+          def close(): Unit = {
+            out += Session(uid, st.nextSess, st.n, st.startUs, st.lastUs,
+              st.cents.toDouble / 100.0, st.lastUs - st.startUs)
+            st = SessState(st.nextSess + 1, open = false, 0L, 0L, 0L, 0L)
+          }
+          if (!incoming.hasNext && state.hasTimedOut) {
+            if (st.open) close()
+            state.update(st) // keep the numbering; no timer on a closed key
+          } else {
+            incoming.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+              // exact DECIMAL(18,2) cents, as the batch query sums
+              val cents = (BigDecimal(e.value)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+              if (st.open && e.tsUs - st.lastUs > gapUs) close()
+              if (!st.open)
+                st = st.copy(open = true, startUs = e.tsUs, lastUs = e.tsUs,
+                  n = 1L, cents = cents)
+              else
+                st = st.copy(lastUs = math.max(st.lastUs, e.tsUs), n = st.n + 1,
+                  cents = st.cents + cents)
+            }
+            state.update(st)
+            if (st.open) {
+              // must stay ahead of the current watermark or Spark rejects it
+              val target = st.lastUs / 1000 + gapUs / 1000 + 1
+              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
       }
   }
 

@@ -296,6 +296,45 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming gap sessions match the batch ev_sessionize rows (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("ev_sessionize")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Double]("sum_value"), r.getAs[Long]("dur_us"))).toSet
+    val events = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "ts_us", "value").collect()
+      .map(r => StreamingWindows.SessIn(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+      .sortBy(e => (e.tsUs, e.eventId))
+    val mem = MemoryStream[StreamingWindows.SessIn]
+    val sessions = StreamingWindows.gapSessions(
+      mem.toDS().withWatermark("ts", "0 seconds"), 1800L * 1000000L)
+    val (name, q) = runToMemory(sessions)
+    // event-time order in three micro-batches: sessions split mid-stream
+    // close on the gap arm as later events arrive...
+    events.grouped(math.max(events.length / 3, 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    // ...and a far-future sentinel advances the watermark past every
+    // still-open deadline so the tails flush on the timeout arm (the
+    // sentinel's own user -1 session stays open, never emitted)
+    val lastMs = events.last.ts.getTime
+    mem.addData(StreamingWindows.SessIn(-1L, 0L,
+      new java.sql.Timestamp(lastMs + 86400000L), (lastMs + 86400000L) * 1000L, 0.0))
+    q.processAllAvailable()
+    awaitRows(name, expected.size.toLong)
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getLong(6)))
+      .filter(_._1 >= 0).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("generator source emits wrapped random events") {
     val gen = StreamCompiler.generatorSource(spark, seconds = 0.01)
     val (name, q) = runToMemory(gen)
