@@ -44,7 +44,8 @@ object ScaleBench {
     "pipeline_e2e_keyed",
     "dedup_minhash_lsh", "dedup_cluster_resolve",
     "emb_ann_lsh", "emb_ann_ivf",
-    "text_repetition", "text_contamination")
+    "text_repetition", "text_contamination",
+    "ev_sessionize", "text_ngram_topk", "text_perplexity", "emb_centroid")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -67,6 +67,13 @@ object CurationQueries {
     */
   private val PackBudget = 256
 
+  /** Chunking geometry for `text_chunk_overlap`: 64-token windows
+    * every 48 tokens (16-token overlap) — small enough that the
+    * ~50-token synthetic docs produce 2-chunk splits.
+    */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
   val queries: Map[String, Q] = Map(
 
     // PII redaction: count then mask emails, phone numbers and IPv4
@@ -167,6 +174,28 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Overlapping token-window chunking (the RAG / long-doc splitter:
+    // fixed windows every `stride` tokens so no boundary sentence is
+    // lost): chunk starts come from `sequence(0, len-1, stride)`,
+    // members from a bounded `slice` — pure per-row generate + map
+    // work, no shuffle but the presentation sort, and the ≤ len/stride
+    // fan-out is the output's own size (the 100-TB shape: chunking is
+    // a map-side re-batching, never a join).
+    "text_chunk_overlap" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))).as("start_tok"))
+        .withColumn("chunk_toks", slice(col("toks"), col("start_tok") + 1, lit(ChunkLen)))
+        .select(col("doc_id"),
+          expr(s"start_tok div $ChunkStride").as("chunk_id"),
+          col("start_tok"),
+          size(col("chunk_toks")).as("n_chunk_toks"),
+          concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Sequence packing (concat-then-chunk, the standard pre-training
     // layout): documents concatenate in doc_id order WITHIN EACH
     // source shard and chunk at a fixed token budget; a doc's pack is
@@ -250,6 +279,16 @@ object CurationQueries {
          |WHERE (doc_id * $SampleMix) % 10 <
          |  CASE WHEN lang = 'en' THEN $EnTenths ELSE $OtherTenths END
          |ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_overlap" ->
+      s"""SELECT doc_id, st // $ChunkStride AS chunk_id, st AS start_tok,
+         |  len(list_slice(toks, st + 1, st + $ChunkLen)) AS n_chunk_toks,
+         |  array_to_string(list_slice(toks, st + 1, st + $ChunkLen), ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS st
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pack_sequences" ->
       s"""SELECT doc_id, source, n_toks,

@@ -97,6 +97,33 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(read("emb_quantize_int8").contains("struct<vec_id:bigint,embedding:array<float>>"))
   }
 
+  test("text_chunk_overlap: full coverage, 48-token stride, 64-token windows") {
+    val docToks = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty).toMap
+    val rows = SparkEntry.queries("text_chunk_overlap")(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val toks = docToks(id)
+      val byChunk = rs.sortBy(_.getAs[Long]("chunk_id"))
+      byChunk.zipWithIndex.foreach { case (r, i) =>
+        val start = r.getAs[Int]("start_tok")
+        assert(r.getAs[Long]("chunk_id") == i && start == i * 48, s"doc $id chunk $i")
+        val expect = toks.slice(start, start + 64)
+        assert(r.getAs[Int]("n_chunk_toks") == expect.length)
+        assert(r.getAs[String]("chunk_text") == expect.mkString(" "))
+      }
+      // every token index is inside at least one chunk window
+      val covered = byChunk.flatMap { r =>
+        val s = r.getAs[Int]("start_tok"); s until (s + r.getAs[Int]("n_chunk_toks"))
+      }.toSet
+      assert(covered == toks.indices.toSet, s"doc $id coverage")
+    }
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).exists(_._2.length > 1),
+      "multi-chunk docs must exist")
+  }
+
   test("pack_sequences: per-source running offsets, pack = chunk of the first token") {
     val rows = SparkEntry.queries("pack_sequences")(spark, dir).collect()
     assert(rows.length == 500)
