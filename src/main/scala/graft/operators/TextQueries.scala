@@ -305,6 +305,60 @@ object TextQueries {
         .orderBy("lang", "rnk")
     },
 
+    // tf-idf keyword extraction: top-5 terms per document. Ranking is
+    // by the INTEGER product tf × idf_fp (idf quantized to fixed-point
+    // once per vocabulary word), so ordering is exact — no float
+    // comparison ever decides a rank. Shape: the same (doc, word) and
+    // df hash aggregates as perplexity, a word-keyed join, then a
+    // row_number window partitioned by doc_id — millions of tiny
+    // per-doc partitions, embarrassingly parallel, no skew beyond a
+    // single document's vocabulary.
+    "text_tfidf_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val nd = dc.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
+      val idf = dc.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .select(col("w"), expr(TfIdfFpExpr).as("idf_fp"))
+      val w5 = Window.partitionBy("doc_id")
+        .orderBy((col("tf") * col("idf_fp")).desc, col("w"))
+      dc.join(idf, "w")
+        .withColumn("rnk", row_number().over(w5)).filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("w").as("term"), col("tf"),
+          ((col("tf") * col("idf_fp")).cast("double") / 1000000.0).as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // BM25 ranked retrieval (k1=1.2, b=0.75, Robertson idf): score the
+    // fixed query against every document, top-50. Only query-term
+    // postings survive the first filter, so the join and the per-doc
+    // reduce carry |query| rows per doc max — the inverted-index shape
+    // without materializing one. All doubles feeding the final
+    // quantization are bit-identical across engines (exact-integer
+    // inputs + textually identical IEEE expression, see Bm25FpExpr),
+    // and per-doc sums/ranking are pure integers.
+    "text_bm25_topk" -> { (s, d) =>
+      val base = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val dl = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+      val dc = base.select(col("doc_id"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(Bm25Query: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val idf = dc.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("w"), expr(Bm25IdfFpExpr).as("idf_fp"))
+      dc.join(broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("tt").cast("double") / col("nd"))
+        .withColumn("term_fp", expr(Bm25FpExpr))
+        .groupBy("doc_id").agg(sum("term_fp").as("score_fp"))
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), (col("score_fp").cast("double") / 1000000.0).as("bm25"))
+    },
+
     // Unigram-LM perplexity scoring (the classic LM-quality filter —
     // report the mean negative log-likelihood; perplexity = e^avg_nll).
     // Token surprisals are quantized to fixed-point BIGINTs
@@ -334,6 +388,26 @@ object TextQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** BM25 query terms (all present in the synthetic vocabulary). */
+  private val Bm25Query = Seq("spark", "join", "window", "hash")
+
+  /** Shared formula strings, interpolated verbatim into BOTH the Spark
+    * plan (via `expr`) and the DuckDB oracle: the two engines parse the
+    * same text into the same IEEE operation sequence, so the doubles
+    * feeding each fixed-point `floor(x*1e6 + 0.5)` quantization are
+    * bit-identical and cross-engine comparison stays exact (the one
+    * residual divergence source, `ln`, is quantized immediately).
+    * Expects columns: nd, df (idf forms); idf_fp, tf, dl, avgdl (BM25).
+    */
+  private val TfIdfFpExpr =
+    "CAST(floor(ln(CAST(nd AS DOUBLE) / df) * 1000000.0 + 0.5) AS BIGINT)"
+  private val Bm25IdfFpExpr =
+    "CAST(floor(ln((CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) AS BIGINT)"
+  private val Bm25FpExpr =
+    "CAST(floor((CAST(idf_fp AS DOUBLE) / 1000000.0) * (CAST(tf AS DOUBLE) * 2.2) / " +
+      "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
 
   // ---- generated DuckDB oracles (same constants, same algorithm) ----
 
@@ -511,6 +585,51 @@ object TextQueries {
          |      FROM (SELECT lang, $toksSql AS toks FROM documents))
          |    GROUP BY 1, 2))
          |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "text_tfidf_topk" ->
+      s"""WITH dc AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS w
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |    WHERE len(toks) > 0)
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dc),
+         |idf AS (
+         |  SELECT w, $TfIdfFpExpr AS idf_fp
+         |  FROM (SELECT w, COUNT(*) AS df FROM dc GROUP BY 1), nd)
+         |SELECT doc_id, rnk, w AS term, tf,
+         |  CAST(tf * idf_fp AS DOUBLE) / 1000000.0 AS tfidf
+         |FROM (
+         |  SELECT dc.doc_id, dc.w, dc.tf, idf.idf_fp,
+         |    ROW_NUMBER() OVER (PARTITION BY dc.doc_id
+         |                       ORDER BY dc.tf * idf.idf_fp DESC, dc.w) AS rnk
+         |  FROM dc JOIN idf USING (w))
+         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_bm25_topk" -> {
+      val qList = Bm25Query.map(q => s"'$q'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, toks
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+         |stats AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+         |dc AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+         |  WHERE w IN ($qList) GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT w, $Bm25IdfFpExpr AS idf_fp
+         |  FROM (SELECT w, COUNT(*) AS df FROM dc GROUP BY 1), stats),
+         |terms AS (
+         |  SELECT doc_id, $Bm25FpExpr AS term_fp FROM (
+         |    SELECT dc.doc_id, dc.tf, idf.idf_fp, dl.dl,
+         |      CAST(stats.tt AS DOUBLE) / stats.nd AS avgdl
+         |    FROM dc JOIN idf USING (w) JOIN dl USING (doc_id), stats))
+         |SELECT doc_id, CAST(SUM(term_fp) AS DOUBLE) / 1000000.0 AS bm25
+         |FROM terms GROUP BY doc_id
+         |ORDER BY SUM(term_fp) DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     "text_perplexity" ->
       s"""WITH dc AS (

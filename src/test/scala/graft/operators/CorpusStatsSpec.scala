@@ -112,6 +112,56 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("avg_nll") > 0.0))
   }
 
+  test("text_tfidf_topk and text_bm25_topk match exact driver-side recomputation") {
+    val toks = graft.sources.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val nd = toks.length.toLong
+    val dc = toks.flatMap { case (id, ws) => ws.map((id, _)) }
+      .groupBy(identity).map { case ((id, w), xs) => ((id, w), xs.length.toLong) }
+    val dfm = dc.keys.groupBy(_._2).map { case (w, ks) => (w, ks.size.toLong) }
+
+    // tf-idf: integer-ranked top 5 per doc
+    val idfFp = dfm.map { case (w, df) =>
+      (w, math.floor(math.log(nd.toDouble / df) * 1e6 + 0.5).toLong) }
+    val expTop = dc.toSeq.map { case ((id, w), tf) => (id, w, tf, tf * idfFp(w)) }
+      .groupBy(_._1).flatMap { case (id, xs) =>
+        xs.sortBy(x => (-x._4, x._2)).take(5).zipWithIndex
+          .map { case ((_, w, tf, s), i) => (id, i + 1, w, tf, s.toDouble / 1e6) }
+      }.toSet
+    val gotTop = SparkEntry.queries("text_tfidf_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Double]("tfidf"))).toSet
+    assert(gotTop == expTop)
+
+    // BM25: fixed-point per-term scores, integer per-doc sums, top 50
+    val q = Seq("spark", "join", "window", "hash")
+    val dls = toks.map { case (id, ws) => (id, ws.length.toLong) }.toMap
+    val avgdl = dls.values.sum.toDouble / nd
+    val qdf = q.map(w => (w, dfm.getOrElse(w, 0L))).toMap
+    val qidf = q.map { w =>
+      (w, math.floor(math.log((nd.toDouble - qdf(w) + 0.5) / (qdf(w) + 0.5) + 1.0) * 1e6 + 0.5).toLong)
+    }.toMap
+    val scores = dc.toSeq.collect { case ((id, w), tf) if q.contains(w) =>
+      val dl = dls(id)
+      val s = (qidf(w).toDouble / 1e6) * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+      (id, math.floor(s * 1e6 + 0.5).toLong)
+    }.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).sum) }
+    val expBm = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(50)
+      .map { case (id, s) => (id, s.toDouble / 1e6) }
+    val gotBm = SparkEntry.queries("text_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+    assert(gotBm == expBm)
+  }
+
+  test("text_bm25_topk: idf and postings sides broadcast, not shuffled") {
+    val p = SparkEntry.queries("text_bm25_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
   test("emb_centroid: fixed-point centroids within quantization error of naive means") {
     val vecs = graft.sources.Tables.embeddings(spark, dir).select("label", "embedding").collect()
       .map(r => (r.getAs[Int]("label"), r.getSeq[Float](1)))
