@@ -119,6 +119,35 @@ object AnnQueries {
         .orderBy("label", "pos")
     },
 
+    // Embedding outlier detection (mislabeled / low-quality vector
+    // screening): squared distance of every vector to its label's
+    // centroid, top-100. Centroids come from the same fixed-point
+    // component sums as emb_centroid (exact rationals, so both engines
+    // hold bit-identical centroid doubles); the distance is an explicit
+    // left-associated 64-term sum mirrored termwise in the oracle (the
+    // dotSql convention). Shape: one codebook-sized aggregate, a
+    // broadcast join on label, a per-row map, and a top-k — the
+    // quality-control pass you run over a whole embedding store.
+    "emb_outliers" -> { (s, d) =>
+      val fp = (i: Int) => floor(element_at(col("embedding"), i).cast("double")
+        * 1000000.0 + 0.5).cast("long")
+      val cent = Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (1 to Dim).map(i => sum(fp(i)).as(s"s$i")): _*)
+        .select(col("label") +: (1 to Dim).map(i =>
+          (col(s"s$i").cast("double") / (col("n") * 1000000.0)).as(s"c$i")): _*)
+      val term = (i: Int) =>
+        (element_at(col("embedding"), i).cast("double") - col(s"c$i")) *
+          (element_at(col("embedding"), i).cast("double") - col(s"c$i"))
+      Tables.embeddings(s, d)
+        .join(broadcast(cent), "label")
+        .withColumn("d2", (1 to Dim).map(term).reduce(_ + _))
+        .orderBy(col("d2").desc, col("vec_id"))
+        .limit(100)
+        .select("vec_id", "label", "d2")
+    },
+
     // Multimodal: opaque binary + partition-batched stub decode.
     "mm_decode_meta" -> { (s, d) =>
       val withBin = Tables.documents(s, d)
@@ -159,6 +188,26 @@ object AnnQueries {
          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v_fp
          |  FROM embeddings, unnest(range(1, ${Dim + 1})) AS t(i))
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_outliers" -> {
+      val sums = (1 to Dim).map(i =>
+        s"SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s$i").mkString(",\n  ")
+      val cs = (1 to Dim).map(i =>
+        s"CAST(s$i AS DOUBLE) / (n * 1000000.0) AS c$i").mkString(",\n  ")
+      val d2 = (1 to Dim).map(i =>
+        s"(CAST(embedding[$i] AS DOUBLE) - c$i) * (CAST(embedding[$i] AS DOUBLE) - c$i)")
+        .mkString(" + ")
+      s"""WITH sums AS (
+         |  SELECT label, COUNT(*) AS n,
+         |  $sums
+         |  FROM embeddings GROUP BY label),
+         |cent AS (SELECT label,
+         |  $cs
+         |  FROM sums)
+         |SELECT vec_id, label, ($d2) AS d2
+         |FROM embeddings JOIN cent USING (label)
+         |ORDER BY d2 DESC, vec_id LIMIT 100""".stripMargin
+    },
 
     "dedup_embedding_cosine" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)

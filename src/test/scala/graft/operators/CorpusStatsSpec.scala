@@ -182,6 +182,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_outliers matches an exact driver-side recomputation; centroid side broadcast") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getSeq[Float](2)))
+    val cents = vecs.groupBy(_._2).map { case (label, vs) =>
+      val n = vs.length.toLong
+      (label, (0 until 64).map { i =>
+        vs.map(v => math.floor(v._3(i).toDouble * 1e6 + 0.5).toLong).sum.toDouble / (n * 1e6)
+      })
+    }
+    val expected = vecs.map { case (id, label, e) =>
+      val c = cents(label)
+      // left-associated 64-term sum, exactly the plan's fold
+      val d2 = (0 until 64).map(i => (e(i).toDouble - c(i)) * (e(i).toDouble - c(i))).sum
+      (id, label, d2)
+    }.sortBy(t => (-t._3, t._1)).take(100).toSeq
+    val q = SparkEntry.queries("emb_outliers")(spark, dir)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("emb_centroid: scan pruned to (label, embedding)") {
     val plan = SparkEntry.queries("emb_centroid")(spark, dir)
       .queryExecution.executedPlan.toString
