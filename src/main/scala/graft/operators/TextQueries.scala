@@ -315,10 +315,13 @@ object TextQueries {
     // single document's vocabulary.
     "text_tfidf_topk" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
-        .select(col("doc_id"), explode(col("toks")).as("w"))
+      val base = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val dc = base.select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val nd = dc.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
+      // every non-empty doc contributes >= 1 word, so the doc count is a
+      // plain scan-level count — not a distinct over the corpus-vocabulary
+      // relation
+      val nd = base.agg(count(lit(1)).as("nd"))
       val idf = dc.groupBy("w").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nd))
         .select(col("w"), expr(TfIdfFpExpr).as("idf_fp"))
@@ -394,10 +397,17 @@ object TextQueries {
 
   /** Shared formula strings, interpolated verbatim into BOTH the Spark
     * plan (via `expr`) and the DuckDB oracle: the two engines parse the
-    * same text into the same IEEE operation sequence, so the doubles
-    * feeding each fixed-point `floor(x*1e6 + 0.5)` quantization are
-    * bit-identical and cross-engine comparison stays exact (the one
-    * residual divergence source, `ln`, is quantized immediately).
+    * same text into the same IEEE operation sequence, so +,-,*,/ (all
+    * correctly-rounded) produce bit-identical doubles. The ONE
+    * operation without that guarantee is `ln` — JVM Math.log and
+    * libm log may differ by 1 ulp, which could flip the fixed-point
+    * BIGINT if ln(x)*1e6 + 0.5 landed within ~1e-9 of an integer.
+    * It does not: the corpus yields few distinct ln inputs (integer
+    * ratios of vocabulary counts) and their measured minimum distance
+    * to a quantization boundary is 1.0e-2 — seven orders above the
+    * divergence scale (pinned by CorpusStatsSpec's margin test, so a
+    * testdata change that erodes the margin fails loudly instead of
+    * flaking the oracle gate).
     * Expects columns: nd, df (idf forms); idf_fp, tf, dl, avgdl (BM25).
     */
   private val TfIdfFpExpr =

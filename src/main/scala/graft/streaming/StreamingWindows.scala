@@ -144,6 +144,15 @@ object StreamingWindows {
     * a stream fed in event-time order produces byte-identical rows
     * (the differential in StreamingSpec).
     *
+    * Ordering contract: WITHIN a micro-batch events sort by (tsUs,
+    * eventId) before folding, so intra-batch disorder is exact. An
+    * event delivered in a LATER batch than its event time warrants
+    * (late-but-within-watermark) is absorbed into whatever session is
+    * then open — bounds widen correctly (startUs min, lastUs max), but
+    * batch parity is only guaranteed for event-time-ordered feeds; a
+    * late event that batch semantics would have placed before an
+    * already-emitted gap cannot retroactively re-split it.
+    *
     * Scale shape: state per user is one open session (6 fixed-width
     * fields) — independent of history length; closed keys hold just
     * the session counter and arm no timer. The input must carry a
@@ -174,7 +183,8 @@ object StreamingWindows {
                 st = st.copy(open = true, startUs = e.tsUs, lastUs = e.tsUs,
                   n = 1L, cents = cents)
               else
-                st = st.copy(lastUs = math.max(st.lastUs, e.tsUs), n = st.n + 1,
+                st = st.copy(startUs = math.min(st.startUs, e.tsUs),
+                  lastUs = math.max(st.lastUs, e.tsUs), n = st.n + 1,
                   cents = st.cents + cents)
             }
             state.update(st)

@@ -182,6 +182,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ln-based fixed-point quantizations sit far from their rounding boundaries") {
+    // Cross-engine exactness of tfidf/bm25/perplexity hinges on ln: JVM
+    // Math.log and libm log may disagree by 1 ulp, flipping the
+    // floor(ln(x)*1e6 + 0.5) BIGINT only if the value sits within
+    // ~1e-9 of an integer. Assert a 1e-4 floor on the margin over every
+    // ln input the three queries actually evaluate (measured: 1.0e-2),
+    // so a corpus change that erodes the safety margin fails here, not
+    // as a data-dependent oracle flake.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val toks = graft.sources.Tables.documents(spark, d).select("text").collect()
+        .map(_.getString(0).trim.split("\\s+").filter(_.nonEmpty)).filter(_.nonEmpty)
+      val nd = toks.length.toDouble
+      val dfm = toks.flatMap(_.distinct).groupBy(identity).map { case (w, xs) => (w, xs.length) }
+      val cw = toks.flatten.groupBy(identity).map { case (w, xs) => (w, xs.length) }
+      val total = cw.values.map(_.toLong).sum.toDouble
+      val inputs =
+        dfm.values.toSet.toSeq.map((df: Int) => math.log(nd / df)) ++
+          Seq("spark", "join", "window", "hash").map { w =>
+            val df = dfm(w); math.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+          } ++
+          cw.values.toSet.toSeq.map((c: Int) => math.log(total / c))
+      val margin = inputs.map { v =>
+        val y = v * 1e6 + 0.5; math.abs(y - math.rint(y))
+      }.min
+      assert(margin > 1e-4, s"$d: ln quantization margin $margin too close to a boundary")
+    }
+  }
+
   test("emb_outliers matches an exact driver-side recomputation; centroid side broadcast") {
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "label", "embedding").collect()
