@@ -335,6 +335,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming ingest dedup matches the batch dedup_exact keep-set (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: keep the lowest doc_id per exact text hash
+    val expected = graft.SparkEntry.queries("dedup_exact")(spark, dir)
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    // streaming arm: replay in doc_id order, dropDuplicates on the same
+    // hash — first-arrival-wins equals min-doc_id under ordered replay.
+    // State is one row per distinct hash (at scale: bound it with
+    // dropDuplicatesWithinWatermark + an event-time column).
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDS().toDF("doc_id", "text")
+      .withColumn("h", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")))
+      .dropDuplicates("h")
+    val (name, q) = runToMemory(deduped.select("doc_id"))
+    docs.grouped(math.max(docs.length / 4, 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    val got = spark.table(name).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("generator source emits wrapped random events") {
     val gen = StreamCompiler.generatorSource(spark, seconds = 0.01)
     val (name, q) = runToMemory(gen)
