@@ -61,12 +61,34 @@ object Verify {
       val maxErr = if (errs.isEmpty) 0.0 else errs.max
       val errCeil = 0.15
 
+      // agg_approx_quantile: worst RANK error of the sketch quantiles —
+      // the fraction of rows <= the approximate quantile must sit within
+      // the sketch's guaranteed 1/accuracy = 0.001 of the target rank
+      // (ceiling 0.02 leaves slack for ties/boundary semantics).
+      val qs = graft.operators.RelationalQueries.ApproxQs
+      val apx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(qs.map(lit): _*), lit(1000)).as("aq"))
+      val rankErrs = li.join(apx, "l_returnflag").groupBy("l_returnflag")
+        .agg(qs.indices.map(i =>
+          avg(when(col("l_extendedprice") <= element_at(col("aq"), i + 1), 1.0)
+            .otherwise(0.0)).as(s"r$i")).head,
+          qs.indices.map(i =>
+            avg(when(col("l_extendedprice") <= element_at(col("aq"), i + 1), 1.0)
+              .otherwise(0.0)).as(s"r$i")).tail: _*)
+        .collect().flatMap(r => qs.indices.map(i =>
+          math.abs(r.getAs[Double](s"r$i") - qs(i))))
+      val maxRankErr = if (rankErrs.isEmpty) 0.0 else rankErrs.max
+      val rankCeil = 0.02
+
       s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
          | "emb_ann_ivf": {"metric": "recall_vs_brute_force_top5", "value": $ivfRecall,
          | "floor": $recallFloor, "pass": ${ivfRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
-         | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}}}""".stripMargin.replace("\n", "")
+         | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
+         | "agg_approx_quantile": {"metric": "max_rank_err_vs_target", "value": $maxRankErr,
+         | "ceiling": $rankCeil, "pass": ${maxRankErr <= rankCeil}}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

@@ -24,6 +24,11 @@ object RelationalQueries {
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val one = lit(1).cast("decimal(18,2)")
 
+  /** Quantiles for `agg_approx_quantile`; Verify's rank-error invariant
+    * evaluates the same list.
+    */
+  val ApproxQs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
   type Q = (SparkSession, String) => DataFrame
 
   private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
@@ -294,6 +299,21 @@ object RelationalQueries {
     "agg_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // Approximate quantiles (Spark's mergeable percentile sketch,
+    // accuracy 1000 => rank error <= 1/1000) — the second sketch
+    // family next to HLL: partial sketches merge map-side, so the
+    // shuffle carries one sketch per group, not the values. No SQL
+    // oracle (sketch estimates are engine-specific); the driver's
+    // invariants.json asserts the rank-error bound against the data,
+    // and the driver records a rows-only check.
+    "agg_approx_quantile" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(ApproxQs.map(lit): _*), lit(1000)).as("approx_q"),
+          count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
     // TPC-H Q1-style full-scan aggregation: partial aggregation map-side,
