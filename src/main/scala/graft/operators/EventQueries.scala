@@ -252,6 +252,43 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Cohort retention (the activation dashboard): users cohort by
+    // their first-seen day; each active (user, day) pair lands in the
+    // (cohort_day, day_offset) cell. Two hash aggregates and one join
+    // keyed on user_id — the join reuses the aggregate's partitioning,
+    // and the final cell matrix is tiny regardless of corpus size.
+    "ev_retention" -> { (s, d) =>
+      val DayUs = 86400000000L
+      val days = ev(s, d).select(col("user_id"),
+        expr(s"ts_us div $DayUs").as("day")).distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      days.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Ordered 3-stage funnel: signup -> first view at-or-after the
+    // signup -> first purchase at-or-after that view, per user. Three
+    // conditional-min aggregates, each joined back on user_id (the
+    // same key every time, so the exchanges line up); emitted per-user
+    // so the oracle checks stage times, not just the final counts.
+    "ev_funnel" -> { (s, d) =>
+      val e = ev(s, d).select("user_id", "event_type", "ts_us")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_us"))
+      val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("ts_us") >= col("s_us"))
+        .groupBy("user_id").agg(min("ts_us").as("v_us"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts_us") >= col("v_us"))
+        .groupBy("user_id").agg(min("ts_us").as("p_us"))
+      s1.join(s2.select("user_id", "v_us"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select("user_id", "s_us", "v_us", "p_us")
+        .orderBy("user_id")
+    },
+
     // §2.3 the exact anchored count-or-time hybrid (100 ev / 6h per name).
     // Oracle: recursive semantics — checked rows-only by the driver,
     // exact-checked by HybridWindowSpec goldens.
@@ -386,6 +423,26 @@ object EventQueries {
          |  FROM events)
          |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
          |ORDER BY event_id""".stripMargin,
+
+    "ev_retention" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, $tsUs // 86400000000 AS day FROM events),
+         |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+         |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+         |FROM days JOIN coh USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsUs AS us FROM events),
+         |s1 AS (SELECT user_id, MIN(us) AS s_us FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT user_id, MIN(us) AS v_us FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND us >= s_us GROUP BY 1),
+         |s3 AS (SELECT user_id, MIN(us) AS p_us FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND us >= v_us GROUP BY 1)
+         |SELECT user_id, s_us, v_us, p_us
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin,
 
     "ev_sessionize" ->
       s"""WITH flagged AS (
