@@ -232,6 +232,13 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("ev_retention / ev_funnel: the multi-KB props payload never rides the plan") {
+    for (q <- Seq("ev_retention", "ev_funnel")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("props"), s"$q reads props")
+    }
+  }
+
   test("emb_centroid: scan pruned to (label, embedding)") {
     val plan = SparkEntry.queries("emb_centroid")(spark, dir)
       .queryExecution.executedPlan.toString
