@@ -52,6 +52,17 @@ object Verify {
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivfRecall = if (brute.isEmpty) 1.0 else brute.intersect(ivf).size.toDouble / brute.size
 
+      // emb_ann_pq: recall of the 32-bit-code ADC top-5 vs brute force,
+      // restricted to the query's own 10-query subset
+      val pq = graft.ann.Similarity.pqTopK(emb, 5,
+          m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
+          nQueries = 10)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute10 = brute.filter(_._1 < 10)
+      val pqRecall = if (brute10.isEmpty) 1.0
+        else brute10.intersect(pq).size.toDouble / brute10.size
+      val pqFloor = 0.7
+
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx"),
@@ -88,7 +99,9 @@ object Verify {
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_approx_quantile": {"metric": "max_rank_err_vs_target", "value": $maxRankErr,
-         | "ceiling": $rankCeil, "pass": ${maxRankErr <= rankCeil}}}""".stripMargin.replace("\n", "")
+         | "ceiling": $rankCeil, "pass": ${maxRankErr <= rankCeil}},
+         | "emb_ann_pq": {"metric": "recall_vs_brute_force_top5", "value": $pqRecall,
+         | "floor": $pqFloor, "pass": ${pqRecall >= pqFloor}}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

@@ -234,6 +234,150 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
+  /** Product-quantization codebooks: the unit-normalized space splits
+    * into `m` subspaces of dim/m dims; per subspace, plain L2 k-means
+    * (`ksub` centroids) on the same bounded, hash-ordered driver
+    * sample as [[ivfCentroids]] — deterministic init (first `ksub`
+    * sub-vectors), fixed iteration count, empty cells keep their
+    * centroid. Training cost O(sampleN × m × ksub × dim/m × iters),
+    * never table-sized; the result ships as plan literals.
+    *
+    * Returns codebooks(sub)(code)(component).
+    */
+  def pqCodebooks(vectors: DataFrame, m: Int, ksub: Int, sampleN: Int = 4096,
+                  iters: Int = 8, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = vectors.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleN)
+      .collect()
+      .map(r => unit(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(pts.length >= ksub, s"need at least ksub=$ksub sample vectors, got ${pts.length}")
+    val dim = pts.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    (0 until m).map { mi =>
+      val sub = pts.map(_.slice(mi * ds, (mi + 1) * ds))
+      var cents = sub.take(ksub).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](ds))
+        val counts = new Array[Long](ksub)
+        sub.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < ds) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < ds) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ-encode a unit-normalized vector column: per subspace, the id
+    * of the L2-nearest codebook entry — one array<int> of length m per
+    * row, all native codegen'd expressions (struct-ordered array_min
+    * is the argmin, the [[cellScores]] trick).
+    */
+  private def pqCodes(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    val m = cb.length
+    val ds = cb.head.head.length
+    array((0 until m).map { mi =>
+      val dists = array(cb(mi).zipWithIndex.map { case (c, j) =>
+        val d = (0 until ds).map { i =>
+          val x = element_at(vec, mi * ds + i + 1)
+          (x - lit(c(i))) * (x - lit(c(i)))
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(j).as("c"))
+      }: _*)
+      array_min(dists).getField("c")
+    }: _*)
+  }
+
+  /** Approximate top-k for the first `nQueries` vectors via the
+    * standard PQ pipeline: asymmetric-distance computation (ADC) over
+    * compressed codes prunes to a per-query shortlist, then the
+    * shortlist re-ranks with EXACT cosine on the raw vectors. Every
+    * vector compresses to m sub-codes (m × log₂(ksub) bits); a query
+    * precomputes its m × ksub distance table once, and each ADC
+    * distance is m table lookups instead of a dim-term dot product.
+    * At 100 TB the ADC scan runs per IVF cell (IVF+PQ — composes with
+    * [[ivfTopK]]'s cell partitioning) and the exact re-rank touches
+    * only shortlist-sized candidate sets per query.
+    *
+    * Encoded once (map-side, no shuffle), query tables are plan
+    * literals fanned out by one explode, and both rankings break ties
+    * on nid — deterministic.
+    */
+  def pqTopK(vectors: DataFrame, k: Int, m: Int, ksub: Int, nQueries: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             sampleN: Int = 4096, shortlist: Int = 50,
+             numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val nRows = if (numRows >= 0) numRows else vectors.count()
+    val cb = pqCodebooks(vectors, m, ksub, sampleN, idCol = idCol, vecCol = vecCol)
+    val ds = cb.head.head.length
+    // unit-normalize so L2 on codes ranks like cosine (2 - 2cos).
+    // MATERIALIZE the normalized array before encoding: element_at on
+    // a computed `transform` column re-evaluates the whole lambda
+    // (incl. the norm) per element — 1024 encoder terms would each pay
+    // the full 64-element normalization (measured 17 s vs 1 s on
+    // sf0.01). The persist boundary makes vn a stored array, so each
+    // element_at is one load.
+    val nrm = sqrt(dot(col(vecCol), col(vecCol)))
+    val vnorm = transform(col(vecCol),
+      x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
+    val normed = vectors.select(col(idCol).as("nid"), vnorm.as("vn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // encode once; the per-query union below scans codes 10x
+    val codes = normed.select(col("nid"), pqCodes(col("vn"), cb).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = normed.filter(col("nid") < nQueries)
+      .select(col("nid"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // one literal per query: its flattened m x ksub distance table,
+    // tab(mi*ksub + j) = L2²(q_sub, c_mi_j); posexplode fans every code
+    // row out to the 10 (qid, tab) pairs in a SINGLE scan — no
+    // 10-branch union, no re-reads of the encoded table
+    val qtabs = typedLit(queries.toSeq.map { case (qid, qv) =>
+      (qid, (0 until m).flatMap { mi =>
+        cb(mi).map { c =>
+          (0 until ds).map { i =>
+            val t = qv(mi * ds + i) - c(i); t * t
+          }.sum
+        }
+      })
+    })
+    val adc = (0 until m).map { mi =>
+      element_at(col("q._2"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
+    }.reduce(_ + _)
+    val all = codes
+      .select(col("nid"), col("codes"), explode(qtabs).as("q"))
+      .filter(col("q._1") =!= col("nid"))
+      .select(col("q._1").as("qid"), col("nid"), adc.as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid"))
+    val cand = all.withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .select("qid", "nid")
+    // exact re-rank of the ADC shortlist on the raw vectors — the
+    // shared gated join-back tail of the LSH/IVF paths
+    scoreCandidates(cand, vectors.select(col(idCol), col(vecCol)), k,
+      idCol, vecCol, nRows, broadcastMaxRows)
+  }
+
   /** Per-row cell scores against the codebook: array of
     * (dot, cellId) structs — native codegen'd dot products, struct
     * ordering makes argmax/top-nprobe a plain array_max/array_sort.

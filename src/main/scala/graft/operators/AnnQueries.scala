@@ -34,6 +34,11 @@ object AnnQueries {
   private val LshBits = 0 // auto: Similarity.autoBits(n)
   private val LshTables = 16
   private val LshProbes = 2
+  // PQ geometry: 16 subspaces x 16 centroids = 64-bit codes on dim 64
+  // (4 bits per 4-dim subspace; 32-bit codes measured recall@5 0.22 —
+  // too lossy even with exact re-rank's shortlist).
+  val PqM = 16
+  val PqKsub = 16
 
   val queries: Map[String, Q] = Map(
 
@@ -61,6 +66,18 @@ object AnnQueries {
       val n = emb.count()
       val (nlist, nprobe) = Similarity.autoIvfParams(n)
       Similarity.ivfTopK(emb, TopK, nlist, nprobe, numRows = n)
+        .orderBy("qid", "rnk")
+    },
+
+    // PQ top-k for the first 10 queries, the standard two-stage
+    // pipeline: ADC over 64-bit codes (16 sub-codes x 16 centroids,
+    // 32x smaller than raw floats) prunes to a 50-candidate shortlist,
+    // then exact cosine re-ranks the shortlist. Rows-only (codebooks
+    // are trained, not SQL-mirrorable); Verify asserts recall@5 vs
+    // brute force. At 100 TB the ADC scan runs per IVF cell (IVF+PQ).
+    "emb_ann_pq" -> { (s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), TopK, m = PqM, ksub = PqKsub,
+          nQueries = NQueries)
         .orderBy("qid", "rnk")
     },
 

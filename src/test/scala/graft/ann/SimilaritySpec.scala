@@ -62,6 +62,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, nb) => q != nb })
   }
 
+  test("PQ (ADC shortlist + exact re-rank) clears the 0.7 recall floor (sf0.001)") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, 5,
+        m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
+        nQueries = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PQ recall too low: $recall")
+    assert(pq.forall { case (q, n) => q != n })
+    // deterministic end to end: trained codebooks + tie-broken ranks
+    val again = Similarity.pqTopK(emb, 5,
+        m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
+        nQueries = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq)
+  }
+
+  test("PQ codebooks: right geometry, deterministic training") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = Similarity.pqCodebooks(emb, m = 16, ksub = 16)
+    assert(cb.length == 16 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 4)))
+    val cb2 = Similarity.pqCodebooks(emb, m = 16, ksub = 16)
+    assert(cb == cb2)
+  }
+
   test("multi-probe LSH clears the tuned 0.7 recall floor (sf0.001)") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, emb, 5)
