@@ -52,8 +52,8 @@ object Verify {
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivfRecall = if (brute.isEmpty) 1.0 else brute.intersect(ivf).size.toDouble / brute.size
 
-      // emb_ann_pq: recall of the 32-bit-code ADC top-5 vs brute force,
-      // restricted to the query's own 10-query subset
+      // emb_ann_pq: recall of the 64-bit-code ADC-shortlist + exact
+      // re-rank top-5 vs brute force, on the query's own 10-query subset
       val pq = graft.ann.Similarity.pqTopK(emb, 5,
           m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
           nQueries = 10)
@@ -62,6 +62,14 @@ object Verify {
       val pqRecall = if (brute10.isEmpty) 1.0
         else brute10.intersect(pq).size.toDouble / brute10.size
       val pqFloor = 0.7
+
+      // emb_ann_ivfpq: the composed layout's recall on the same subset
+      val ivfpq = graft.ann.Similarity.ivfPqTopK(emb, 5, nlist, nprobe,
+          m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
+          nQueries = 10, numRows = nEmb)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfPqRecall = if (brute10.isEmpty) 1.0
+        else brute10.intersect(ivfpq).size.toDouble / brute10.size
 
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
@@ -101,7 +109,9 @@ object Verify {
          | "agg_approx_quantile": {"metric": "max_rank_err_vs_target", "value": $maxRankErr,
          | "ceiling": $rankCeil, "pass": ${maxRankErr <= rankCeil}},
          | "emb_ann_pq": {"metric": "recall_vs_brute_force_top5", "value": $pqRecall,
-         | "floor": $pqFloor, "pass": ${pqRecall >= pqFloor}}}""".stripMargin.replace("\n", "")
+         | "floor": $pqFloor, "pass": ${pqRecall >= pqFloor}},
+         | "emb_ann_ivfpq": {"metric": "recall_vs_brute_force_top5", "value": $ivfPqRecall,
+         | "floor": $pqFloor, "pass": ${ivfPqRecall >= pqFloor}}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

@@ -378,6 +378,70 @@ object Similarity {
       idCol, vecCol, nRows, broadcastMaxRows)
   }
 
+  /** IVF+PQ composed — the standard billion-scale ANN layout: a coarse
+    * k-means quantizer routes vectors to cells ([[ivfCentroids]]), PQ
+    * codes compress them 32× ([[pqCodebooks]]), and a query touches
+    * only its `nprobe` best cells, ADC-scans their codes, and
+    * exact-re-ranks a shortlist. At 100 TB the encoded table
+    * partitions by cell id, so the probe filter is partition pruning
+    * and the exact re-rank touches shortlist-sized sets — nothing
+    * table-sized moves.
+    *
+    * Probe cells and ADC tables are computed driver-side for the
+    * bounded query set and fan out through one explode; determinism as
+    * in [[pqTopK]].
+    */
+  def ivfPqTopK(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                m: Int, ksub: Int, nQueries: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                sampleN: Int = 4096, shortlist: Int = 50,
+                numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val nRows = if (numRows >= 0) numRows else vectors.count()
+    val cents = ivfCentroids(vectors, nlist, sampleN, idCol = idCol, vecCol = vecCol)
+    val cb = pqCodebooks(vectors, m, ksub, sampleN, idCol = idCol, vecCol = vecCol)
+    val ds = cb.head.head.length
+    val nrm = sqrt(dot(col(vecCol), col(vecCol)))
+    val vnorm = transform(col(vecCol),
+      x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
+    val normed = vectors.select(col(idCol).as("nid"), vnorm.as("vn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one encode pass: IVF cell assignment + PQ codes (both map-side)
+    val encoded = normed.select(col("nid"),
+        array_max(cellScores(col("vn"), cents)).getField("c").as("cell"),
+        pqCodes(col("vn"), cb).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = normed.filter(col("nid") < nQueries)
+      .select(col("nid"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per query: its nprobe best cells + its flattened ADC table
+    val qmeta = typedLit(queries.toSeq.map { case (qid, qv) =>
+      val probes = cents.zipWithIndex.map { case (c, ci) =>
+        (c.indices.map(i => qv(i) * c(i)).sum, ci)
+      }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+      val tab = (0 until m).flatMap { mi =>
+        cb(mi).map { c =>
+          (0 until ds).map { i =>
+            val t = qv(mi * ds + i) - c(i); t * t
+          }.sum
+        }
+      }
+      (qid, probes, tab)
+    })
+    val adc = (0 until m).map { mi =>
+      element_at(col("q._3"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
+    }.reduce(_ + _)
+    val all = encoded
+      .select(col("nid"), col("cell"), col("codes"), explode(qmeta).as("q"))
+      .filter(col("q._1") =!= col("nid") && array_contains(col("q._2"), col("cell")))
+      .select(col("q._1").as("qid"), col("nid"), adc.as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid"))
+    val cand = all.withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .select("qid", "nid")
+    scoreCandidates(cand, vectors.select(col(idCol), col(vecCol)), k,
+      idCol, vecCol, nRows, broadcastMaxRows)
+  }
+
   /** Per-row cell scores against the codebook: array of
     * (dot, cellId) structs — native codegen'd dot products, struct
     * ordering makes argmax/top-nprobe a plain array_max/array_sort.

@@ -81,6 +81,18 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // IVF+PQ composed (the billion-scale layout): coarse cells route
+    // the probe, 64-bit PQ codes compress the scan, exact cosine
+    // re-ranks the shortlist. Rows-only + Verify recall invariant.
+    "emb_ann_ivfpq" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val (nlist, nprobe) = Similarity.autoIvfParams(n)
+      Similarity.ivfPqTopK(emb, TopK, nlist, nprobe, PqM, PqKsub, NQueries,
+          numRows = n)
+        .orderBy("qid", "rnk")
+    },
+
     // Embedding-cosine near-dup: all pairs above a similarity
     // threshold on a bounded block (exact form; the LSH query above is
     // the scale path for the same predicate).

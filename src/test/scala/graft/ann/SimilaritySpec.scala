@@ -81,6 +81,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == pq)
   }
 
+  test("IVF+PQ composed clears the recall floor and probes fewer rows than flat ADC") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val (nlist, nprobe) = Similarity.autoIvfParams(n)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, 5, nlist, nprobe,
+        m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
+        nQueries = 10, numRows = n)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF+PQ recall too low at sf0.001: $recall")
+    assert(ivfpq.forall { case (q, nb) => q != nb })
+  }
+
   test("PQ codebooks: right geometry, deterministic training") {
     val emb = Tables.embeddings(spark, dir)
     val cb = Similarity.pqCodebooks(emb, m = 16, ksub = 16)
