@@ -54,11 +54,12 @@ object Verify {
 
       // emb_ann_pq: recall of the 64-bit-code ADC-shortlist + exact
       // re-rank top-5 vs brute force, on the query's own 10-query subset
+      val nQ = graft.operators.AnnQueries.NQueries
       val pq = graft.ann.Similarity.pqTopK(emb, 5,
           m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
-          nQueries = 10)
+          nQueries = nQ)
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val brute10 = brute.filter(_._1 < 10)
+      val brute10 = brute.filter(_._1 < nQ)
       val pqRecall = if (brute10.isEmpty) 1.0
         else brute10.intersect(pq).size.toDouble / brute10.size
       val pqFloor = 0.7
@@ -66,10 +67,14 @@ object Verify {
       // emb_ann_ivfpq: the composed layout's recall on the same subset
       val ivfpq = graft.ann.Similarity.ivfPqTopK(emb, 5, nlist, nprobe,
           m = graft.operators.AnnQueries.PqM, ksub = graft.operators.AnnQueries.PqKsub,
-          nQueries = 10, numRows = nEmb)
+          nQueries = nQ, numRows = nEmb)
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivfPqRecall = if (brute10.isEmpty) 1.0
         else brute10.intersect(ivfpq).size.toDouble / brute10.size
+      // the composed layout trades probe misses for the pruned scan;
+      // its own spec floor is 0.6 (SimilaritySpec at sf0.001) — gate at
+      // that declared level, not flat PQ's (measured 0.78 at sf0.01)
+      val ivfPqFloor = 0.6
 
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
@@ -86,15 +91,13 @@ object Verify {
       // (ceiling 0.02 leaves slack for ties/boundary semantics).
       val qs = graft.operators.RelationalQueries.ApproxQs
       val apx = li.groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(qs.map(lit): _*), lit(1000)).as("aq"))
+        .agg(percentile_approx(col("l_extendedprice"), array(qs.map(lit): _*),
+          lit(graft.operators.RelationalQueries.ApproxAccuracy)).as("aq"))
+      val rankCols = qs.indices.map(i =>
+        avg(when(col("l_extendedprice") <= element_at(col("aq"), i + 1), 1.0)
+          .otherwise(0.0)).as(s"r$i"))
       val rankErrs = li.join(apx, "l_returnflag").groupBy("l_returnflag")
-        .agg(qs.indices.map(i =>
-          avg(when(col("l_extendedprice") <= element_at(col("aq"), i + 1), 1.0)
-            .otherwise(0.0)).as(s"r$i")).head,
-          qs.indices.map(i =>
-            avg(when(col("l_extendedprice") <= element_at(col("aq"), i + 1), 1.0)
-              .otherwise(0.0)).as(s"r$i")).tail: _*)
+        .agg(rankCols.head, rankCols.tail: _*)
         .collect().flatMap(r => qs.indices.map(i =>
           math.abs(r.getAs[Double](s"r$i") - qs(i))))
       val maxRankErr = if (rankErrs.isEmpty) 0.0 else rankErrs.max
@@ -111,7 +114,7 @@ object Verify {
          | "emb_ann_pq": {"metric": "recall_vs_brute_force_top5", "value": $pqRecall,
          | "floor": $pqFloor, "pass": ${pqRecall >= pqFloor}},
          | "emb_ann_ivfpq": {"metric": "recall_vs_brute_force_top5", "value": $ivfPqRecall,
-         | "floor": $pqFloor, "pass": ${ivfPqRecall >= pqFloor}}}""".stripMargin.replace("\n", "")
+         | "floor": $ivfPqFloor, "pass": ${ivfPqRecall >= ivfPqFloor}}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

@@ -315,109 +315,87 @@ object Similarity {
     * vector compresses to m sub-codes (m × log₂(ksub) bits); a query
     * precomputes its m × ksub distance table once, and each ADC
     * distance is m table lookups instead of a dim-term dot product.
-    * At 100 TB the ADC scan runs per IVF cell (IVF+PQ — composes with
-    * [[ivfTopK]]'s cell partitioning) and the exact re-rank touches
-    * only shortlist-sized candidate sets per query.
-    *
-    * Encoded once (map-side, no shuffle), query tables are plan
-    * literals fanned out by one explode, and both rankings break ties
-    * on nid — deterministic.
+    * Flat form: every code row is scanned per query ([[ivfPqTopK]] is
+    * the cell-routed form that prunes the scan).
     */
   def pqTopK(vectors: DataFrame, k: Int, m: Int, ksub: Int, nQueries: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              sampleN: Int = 4096, shortlist: Int = 50,
-             numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
-    val nRows = if (numRows >= 0) numRows else vectors.count()
-    val cb = pqCodebooks(vectors, m, ksub, sampleN, idCol = idCol, vecCol = vecCol)
-    val ds = cb.head.head.length
-    // unit-normalize so L2 on codes ranks like cosine (2 - 2cos).
-    // MATERIALIZE the normalized array before encoding: element_at on
-    // a computed `transform` column re-evaluates the whole lambda
-    // (incl. the norm) per element — 1024 encoder terms would each pay
-    // the full 64-element normalization (measured 17 s vs 1 s on
-    // sf0.01). The persist boundary makes vn a stored array, so each
-    // element_at is one load.
-    val nrm = sqrt(dot(col(vecCol), col(vecCol)))
-    val vnorm = transform(col(vecCol),
-      x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
-    val normed = vectors.select(col(idCol).as("nid"), vnorm.as("vn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // encode once; the per-query union below scans codes 10x
-    val codes = normed.select(col("nid"), pqCodes(col("vn"), cb).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = normed.filter(col("nid") < nQueries)
-      .select(col("nid"), col("vn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // one literal per query: its flattened m x ksub distance table,
-    // tab(mi*ksub + j) = L2²(q_sub, c_mi_j); posexplode fans every code
-    // row out to the 10 (qid, tab) pairs in a SINGLE scan — no
-    // 10-branch union, no re-reads of the encoded table
-    val qtabs = typedLit(queries.toSeq.map { case (qid, qv) =>
-      (qid, (0 until m).flatMap { mi =>
-        cb(mi).map { c =>
-          (0 until ds).map { i =>
-            val t = qv(mi * ds + i) - c(i); t * t
-          }.sum
-        }
-      })
-    })
-    val adc = (0 until m).map { mi =>
-      element_at(col("q._2"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
-    }.reduce(_ + _)
-    val all = codes
-      .select(col("nid"), col("codes"), explode(qtabs).as("q"))
-      .filter(col("q._1") =!= col("nid"))
-      .select(col("q._1").as("qid"), col("nid"), adc.as("adc"))
-    val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid"))
-    val cand = all.withColumn("srnk", row_number().over(wAdc))
-      .filter(col("srnk") <= shortlist)
-      .select("qid", "nid")
-    // exact re-rank of the ADC shortlist on the raw vectors — the
-    // shared gated join-back tail of the LSH/IVF paths
-    scoreCandidates(cand, vectors.select(col(idCol), col(vecCol)), k,
-      idCol, vecCol, nRows, broadcastMaxRows)
-  }
+             numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame =
+    pqSearch(vectors, k, m, ksub, nQueries, route = None,
+      idCol, vecCol, sampleN, shortlist, numRows, broadcastMaxRows)
 
   /** IVF+PQ composed — the standard billion-scale ANN layout: a coarse
     * k-means quantizer routes vectors to cells ([[ivfCentroids]]), PQ
-    * codes compress them 32× ([[pqCodebooks]]), and a query touches
-    * only its `nprobe` best cells, ADC-scans their codes, and
-    * exact-re-ranks a shortlist. At 100 TB the encoded table
-    * partitions by cell id, so the probe filter is partition pruning
-    * and the exact re-rank touches shortlist-sized sets — nothing
-    * table-sized moves.
-    *
-    * Probe cells and ADC tables are computed driver-side for the
-    * bounded query set and fan out through one explode; determinism as
-    * in [[pqTopK]].
+    * codes compress them 32×, and a query touches only its `nprobe`
+    * best cells, ADC-scans their codes, and exact-re-ranks a
+    * shortlist. At 100 TB the encoded table partitions by cell id, so
+    * the probe filter is partition pruning and the exact re-rank
+    * touches shortlist-sized sets — nothing table-sized moves.
     */
   def ivfPqTopK(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
                 m: Int, ksub: Int, nQueries: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 sampleN: Int = 4096, shortlist: Int = 50,
                 numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
-    val nRows = if (numRows >= 0) numRows else vectors.count()
     val cents = ivfCentroids(vectors, nlist, sampleN, idCol = idCol, vecCol = vecCol)
+    pqSearch(vectors, k, m, ksub, nQueries, route = Some((cents, nprobe)),
+      idCol, vecCol, sampleN, shortlist, numRows, broadcastMaxRows)
+  }
+
+  /** The shared PQ search core: encode once (map-side), fan the
+    * bounded query set out through ONE explode of plan literals, ADC
+    * the (optionally cell-routed) scan, shortlist, exact re-rank.
+    * `route = Some((cells, nprobe))` adds the IVF cell assignment and
+    * restricts each query to its nprobe best cells; `None` scans flat
+    * (everything lives in one pseudo-cell).
+    *
+    * Encoded rows persist for the plan's lifetime (the caller's action
+    * computes them once); the intermediate normalized array is
+    * unpersisted before return — its cache only served the bounded
+    * query collect, and the encode pass re-derives it in one scan.
+    * MATERIALIZING the normalized array before encoding matters:
+    * element_at on a computed `transform` column re-evaluates the
+    * whole lambda (incl. the norm) per element — 1024 encoder terms
+    * would each pay the full 64-element normalization (measured 17 s
+    * vs 1 s on sf0.01).
+    */
+  private def pqSearch(vectors: DataFrame, k: Int, m: Int, ksub: Int,
+                       nQueries: Int, route: Option[(Seq[Seq[Double]], Int)],
+                       idCol: String, vecCol: String, sampleN: Int,
+                       shortlist: Int, numRows: Long,
+                       broadcastMaxRows: Long): DataFrame = {
+    val nRows = if (numRows >= 0) numRows else vectors.count()
     val cb = pqCodebooks(vectors, m, ksub, sampleN, idCol = idCol, vecCol = vecCol)
     val ds = cb.head.head.length
+    // unit-normalize so L2 on codes ranks like cosine (2 - 2cos)
     val nrm = sqrt(dot(col(vecCol), col(vecCol)))
     val vnorm = transform(col(vecCol),
       x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
     val normed = vectors.select(col(idCol).as("nid"), vnorm.as("vn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one encode pass: IVF cell assignment + PQ codes (both map-side)
-    val encoded = normed.select(col("nid"),
+    // one encode pass: optional IVF cell assignment + PQ codes, both map-side
+    val encoded = (route match {
+      case Some((cents, _)) => normed.select(col("nid"),
         array_max(cellScores(col("vn"), cents)).getField("c").as("cell"),
         pqCodes(col("vn"), cb).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => normed.select(col("nid"), lit(0).as("cell"),
+        pqCodes(col("vn"), cb).as("codes"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = normed.filter(col("nid") < nQueries)
       .select(col("nid"), col("vn")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // per query: its nprobe best cells + its flattened ADC table
+    normed.unpersist(blocking = false)
+    // per query: its probe cells + its flattened m x ksub distance
+    // table, tab(mi*ksub + j) = L2²(q_sub, c_mi_j)
     val qmeta = typedLit(queries.toSeq.map { case (qid, qv) =>
-      val probes = cents.zipWithIndex.map { case (c, ci) =>
-        (c.indices.map(i => qv(i) * c(i)).sum, ci)
-      }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+      val probes: Seq[Int] = route match {
+        case Some((cents, nprobe)) =>
+          cents.zipWithIndex.map { case (c, ci) =>
+            (c.indices.map(i => qv(i) * c(i)).sum, ci)
+          }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+        case None => Seq(0)
+      }
       val tab = (0 until m).flatMap { mi =>
         cb(mi).map { c =>
           (0 until ds).map { i =>
@@ -438,6 +416,8 @@ object Similarity {
     val cand = all.withColumn("srnk", row_number().over(wAdc))
       .filter(col("srnk") <= shortlist)
       .select("qid", "nid")
+    // exact re-rank of the ADC shortlist on the raw vectors — the
+    // shared gated join-back tail of the LSH/IVF paths
     scoreCandidates(cand, vectors.select(col(idCol), col(vecCol)), k,
       idCol, vecCol, nRows, broadcastMaxRows)
   }

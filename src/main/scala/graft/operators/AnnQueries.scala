@@ -23,7 +23,7 @@ object AnnQueries {
 
   private val Dim = 64
   private val TopK = 5
-  private val NQueries = 10
+  val NQueries = 10
   // bits auto-tune to ~log2(n/32) so per-query candidates stay
   // constant as the table grows (fixed bits=6 measured 16.4x growth on
   // a 10x dataset; auto bits ~linear). At the oracle/bench scales auto

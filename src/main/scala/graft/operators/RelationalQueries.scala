@@ -29,6 +29,11 @@ object RelationalQueries {
     */
   val ApproxQs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
 
+  /** Sketch accuracy for `agg_approx_quantile` (rank error <= 1/this);
+    * Verify's gate evaluates the same constant.
+    */
+  val ApproxAccuracy = 1000
+
   type Q = (SparkSession, String) => DataFrame
 
   private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
@@ -312,7 +317,7 @@ object RelationalQueries {
     "agg_approx_quantile" -> { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
-            array(ApproxQs.map(lit): _*), lit(1000)).as("approx_q"),
+            array(ApproxQs.map(lit): _*), lit(ApproxAccuracy)).as("approx_q"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
