@@ -36,6 +36,13 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Pearson correlation from double moment columns — interpolated
+    * verbatim into BOTH the Spark plan and the DuckDB oracle so the
+    * IEEE operation sequences match exactly (see `agg_corr`).
+    */
+  private def CorrExpr(sx: String, sy: String, sxx: String, syy: String, sxy: String): String =
+    s"(n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy))"
+
   private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
 
   val queries: Map[String, Q] = Map(
@@ -235,6 +242,35 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Exact Pearson correlations per group, from exact DECIMAL moment
+    // sums (count + 9 sums — order-insensitive, map-side-partial
+    // friendly, one exchange carrying ten cells per group). The corr
+    // formula then runs in double on those exact moments via a SHARED
+    // expression string (CorrExpr), and since +,-,*,/,sqrt are all
+    // IEEE correctly-rounded, both engines produce bit-identical
+    // doubles — a deterministic corr where the built-in corr()'s
+    // running-covariance accumulation is shuffle-order-dependent.
+    "agg_corr" -> { (s, d) =>
+      def m(x: String, y: String) =
+        sum((dec(x) * dec(y)).cast("decimal(38,6)")).cast("double")
+      val base = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec("l_quantity")).cast("double").as("sq"),
+        sum(dec("l_extendedprice")).cast("double").as("se"),
+        sum(dec("l_discount")).cast("double").as("sd"),
+        m("l_quantity", "l_quantity").as("sqq"),
+        m("l_extendedprice", "l_extendedprice").as("see"),
+        m("l_discount", "l_discount").as("sdd"),
+        m("l_quantity", "l_extendedprice").as("sqe"),
+        m("l_quantity", "l_discount").as("sqd"),
+        m("l_extendedprice", "l_discount").as("sed"))
+      base.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          expr(CorrExpr("sq", "se", "sqq", "see", "sqe")).as("corr_qty_price"),
+          expr(CorrExpr("sq", "sd", "sqq", "sdd", "sqd")).as("corr_qty_disc"),
+          expr(CorrExpr("se", "sd", "see", "sdd", "sed")).as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // Ordered string aggregation per group.
     "agg_stringagg" -> { (s, d) =>
       Tables.supplier(s, d).groupBy("s_nationkey")
@@ -388,6 +424,27 @@ object RelationalQueries {
     "agg_stringagg" ->
       """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "agg_corr" -> {
+      def m(x: String, y: String) =
+        s"CAST(SUM(CAST(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS DOUBLE)"
+      def sm(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+      s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  ${CorrExpr("sq", "se", "sqq", "see", "sqe")} AS corr_qty_price,
+         |  ${CorrExpr("sq", "sd", "sqq", "sdd", "sqd")} AS corr_qty_disc,
+         |  ${CorrExpr("se", "sd", "see", "sdd", "sed")} AS corr_price_disc
+         |FROM (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sm("l_quantity")} AS sq, ${sm("l_extendedprice")} AS se, ${sm("l_discount")} AS sd,
+         |    ${m("l_quantity", "l_quantity")} AS sqq,
+         |    ${m("l_extendedprice", "l_extendedprice")} AS see,
+         |    ${m("l_discount", "l_discount")} AS sdd,
+         |    ${m("l_quantity", "l_extendedprice")} AS sqe,
+         |    ${m("l_quantity", "l_discount")} AS sqd,
+         |    ${m("l_extendedprice", "l_discount")} AS sed
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "subquery_scalar" ->
       """SELECT c_custkey, c_acctbal FROM customer
