@@ -11,8 +11,8 @@ import graft.sources.Tables
   * stratified downsampling — the filters a large-scale LLM corpus
   * pipeline runs between raw crawl and tokenizer.
   *
-  * All four are exact-oracle checked (the DuckDB SQL mirrors the same
-  * regexes / list algebra / arithmetic literally), and all four keep
+  * All are exact-oracle checked (the DuckDB SQL mirrors the same
+  * regexes / list algebra / arithmetic literally), and all keep
   * the 100-TB shape:
   *   - redaction, repetition and sampling are pure per-row map work —
   *     native regex/array expressions, zero shuffles, codegen'd;
@@ -61,6 +61,21 @@ object CurationQueries {
     * DuckDB computes the identical value — unlike engine hash()).
     */
   private val SampleMix = 2654435761L
+
+  /** Quota per language stratum for `sample_quota`, and the salt width
+    * of its two-level top-K (see the query's comment).
+    */
+  private val QuotaK = 20
+  private val QuotaSalt = 64
+
+  /** Per-source mixture weights in tenths for `sample_mixture_repeat`:
+    * upsample the first five source shards 3.0x, the next five 1.5x,
+    * keep the rest at 1.0x. A shared SQL string so the DuckDB oracle
+    * interpolates the identical CASE.
+    */
+  private val MixtureW10Expr =
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 " +
+      "WHEN source IN ('src5','src6','src7','src8','src9') THEN 15 ELSE 10 END"
 
   /** Context-window token budget for `pack_sequences` (small enough
     * that the ~50-token synthetic docs produce multi-doc packs).
@@ -174,6 +189,49 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Exact quota sampling: exactly K documents per language stratum,
+    // chosen by portable-hash order (deterministic, re-runnable, no
+    // engine-specific RNG). Shape: two-level exact top-K — local top-K
+    // inside `QuotaSalt` hash buckets first, then top-K of the
+    // ≤ Salt×K survivors per stratum — so no single task ever sorts a
+    // whole stratum (a bare per-language window would put all of `en`,
+    // i.e. ~40% of a 100-TB corpus, on one reducer). The salt is
+    // plan-internal: the final rank re-sorts, so the output equals the
+    // single-window semantics the oracle runs.
+    "sample_quota" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val mixed = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") * lit(SampleMix)) % 1000003).as("mix"))
+      val byBucket = Window
+        .partitionBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(QuotaSalt)))
+        .orderBy(col("mix"), col("doc_id"))
+      val byLang = Window.partitionBy("lang").orderBy(col("mix"), col("doc_id"))
+      mixed
+        .withColumn("rb", row_number().over(byBucket)).filter(col("rb") <= QuotaK)
+        .withColumn("rnk", row_number().over(byLang)).filter(col("rnk") <= QuotaK)
+        .select("lang", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
+    },
+
+    // Mixture repetition planning (epoch-level source reweighting, the
+    // Dolma/RedPajama-style "see shard X 3.0 times per epoch"): the
+    // integer part of each source's weight repeats every document, the
+    // fractional tenth repeats a deterministic hash-slice of them.
+    // Pure per-row generate — the fan-out IS the requested output
+    // size; no shuffle, no state, trivially 100-TB-shaped.
+    "sample_mixture_repeat" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("w10", expr(MixtureW10Expr))
+        .withColumn("repeats",
+          (expr("w10 div 10") +
+            when((col("doc_id") * lit(SampleMix)) % 10 < col("w10") % 10, lit(1))
+              .otherwise(lit(0))).cast("int"))
+        .select(col("doc_id"), col("source"), col("repeats").as("n_copies"),
+          explode(sequence(lit(1), col("repeats"))).as("copy"))
+        .orderBy("doc_id", "copy")
+    },
+
     // Overlapping token-window chunking (the RAG / long-doc splitter:
     // fixed windows every `stride` tokens so no boundary sentence is
     // lost): chunk starts come from `sequence(0, len-1, stride)`,
@@ -279,6 +337,24 @@ object CurationQueries {
          |WHERE (doc_id * $SampleMix) % 10 <
          |  CASE WHEN lang = 'en' THEN $EnTenths ELSE $OtherTenths END
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_quota" ->
+      s"""SELECT lang, rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * $SampleMix) % 1000003, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $QuotaK ORDER BY lang, rnk""".stripMargin,
+
+    "sample_mixture_repeat" ->
+      s"""SELECT doc_id, source, CAST(repeats AS INT) AS n_copies,
+         |  CAST(unnest(range(1, repeats + 1)) AS INT) AS copy
+         |FROM (
+         |  SELECT doc_id, source,
+         |    w10 // 10 + CASE WHEN (doc_id * $SampleMix) % 10 < w10 % 10
+         |      THEN 1 ELSE 0 END AS repeats
+         |  FROM (SELECT doc_id, source, $MixtureW10Expr AS w10 FROM documents))
+         |ORDER BY doc_id, copy""".stripMargin,
 
     "text_chunk_overlap" ->
       s"""SELECT doc_id, st // $ChunkStride AS chunk_id, st AS start_tok,

@@ -38,10 +38,14 @@ object RelationalQueries {
 
   /** Pearson correlation from double moment columns — interpolated
     * verbatim into BOTH the Spark plan and the DuckDB oracle so the
-    * IEEE operation sequences match exactly (see `agg_corr`).
+    * arithmetic matches operation-for-operation, then quantized to
+    * 1e-12 (floor(x·1e12 + 0.5)/1e12). The quantization absorbs the
+    * 1-2 ulp divergence the engines' DECIMAL→DOUBLE casts introduce
+    * (measured ~3e-16 relative at sf0.01) while keeping 12 digits —
+    * the established cross-engine-determinism pattern (see `agg_corr`).
     */
   private def CorrExpr(sx: String, sy: String, sxx: String, syy: String, sxy: String): String =
-    s"(n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy))"
+    s"floor(((n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy))) * 1e12 + 0.5) / 1e12"
 
   private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
 
