@@ -61,6 +61,16 @@ object CurationQueries {
     * DuckDB computes the identical value — unlike engine hash()).
     */
   private val SampleMix = 2654435761L
+  /** Prime modulus applied to doc_id BEFORE the multiply so the
+    * product stays < 2^51 for any BIGINT doc_id — at corpus scale
+    * (billions of ids) a bare `doc_id * SampleMix` overflows 63 bits,
+    * which DuckDB rejects and Spark silently wraps.
+    */
+  private val MixMod = 1000003L
+  /** The shared mix residue as SQL, for interpolation into both plans
+    * and oracles: `mixSql % 10` slices tenths, `% MixMod` orders.
+    */
+  private val mixSql = s"((doc_id % $MixMod) * $SampleMix)"
 
   /** Quota per language stratum for `sample_quota`, and the salt width
     * of its two-level top-K (see the query's comment).
@@ -182,7 +192,7 @@ object CurationQueries {
     // shuffle, no sort but presentation; sampling decisions are local).
     "sample_stratified" -> { (s, d) =>
       docs(s, d)
-        .withColumn("h", (col("doc_id") * lit(SampleMix)) % 10)
+        .withColumn("h", expr(s"$mixSql % 10"))
         .filter(col("h") <
           when(col("lang") === "en", lit(EnTenths)).otherwise(lit(OtherTenths)))
         .select("doc_id", "lang", "source")
@@ -202,7 +212,7 @@ object CurationQueries {
       import org.apache.spark.sql.expressions.Window
       val mixed = docs(s, d)
         .select(col("doc_id"), col("lang"),
-          ((col("doc_id") * lit(SampleMix)) % 1000003).as("mix"))
+          expr(s"$mixSql % $MixMod").as("mix"))
       val byBucket = Window
         .partitionBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(QuotaSalt)))
         .orderBy(col("mix"), col("doc_id"))
@@ -225,7 +235,7 @@ object CurationQueries {
         .withColumn("w10", expr(MixtureW10Expr))
         .withColumn("repeats",
           (expr("w10 div 10") +
-            when((col("doc_id") * lit(SampleMix)) % 10 < col("w10") % 10, lit(1))
+            when(expr(s"$mixSql % 10") < col("w10") % 10, lit(1))
               .otherwise(lit(0))).cast("int"))
         .select(col("doc_id"), col("source"), col("repeats").as("n_copies"),
           explode(sequence(lit(1), col("repeats"))).as("copy"))
@@ -334,7 +344,7 @@ object CurationQueries {
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE (doc_id * $SampleMix) % 10 <
+         |WHERE $mixSql % 10 <
          |  CASE WHEN lang = 'en' THEN $EnTenths ELSE $OtherTenths END
          |ORDER BY doc_id""".stripMargin,
 
@@ -342,7 +352,7 @@ object CurationQueries {
       s"""SELECT lang, rnk, doc_id FROM (
          |  SELECT lang, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY lang
-         |      ORDER BY (doc_id * $SampleMix) % 1000003, doc_id) AS rnk
+         |      ORDER BY $mixSql % $MixMod, doc_id) AS rnk
          |  FROM documents)
          |WHERE rnk <= $QuotaK ORDER BY lang, rnk""".stripMargin,
 
@@ -351,7 +361,7 @@ object CurationQueries {
          |  CAST(unnest(range(1, repeats + 1)) AS INT) AS copy
          |FROM (
          |  SELECT doc_id, source,
-         |    w10 // 10 + CASE WHEN (doc_id * $SampleMix) % 10 < w10 % 10
+         |    w10 // 10 + CASE WHEN $mixSql % 10 < w10 % 10
          |      THEN 1 ELSE 0 END AS repeats
          |  FROM (SELECT doc_id, source, $MixtureW10Expr AS w10 FROM documents))
          |ORDER BY doc_id, copy""".stripMargin,
