@@ -77,13 +77,47 @@ class CurationQueriesSpec extends AnyFunSuite {
     val kept = SparkEntry.queries("sample_stratified")(spark, dir)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     val expect = docs.collect {
-      case (id, lang) if (id * 2654435761L) % 10 < (if (lang == "en") 5 else 2) => id
+      case (id, lang) if ((id % 1000003L) * 2654435761L) % 10 < (if (lang == "en") 5 else 2) => id
     }.toSet
     assert(kept == expect)
     // the narrow-filter shape: no shuffle besides the presentation sort
     val p = SparkEntry.queries("sample_stratified")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+  }
+
+  test("sample_quota: exactly K per stratum, ranked by the portable mix order") {
+    val strata = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val rows = SparkEntry.queries("sample_quota")(spark, dir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == strata.keySet, "every stratum is represented")
+    byLang.foreach { case (lang, rs) =>
+      val expectK = math.min(20, strata(lang).length)
+      assert(rs.length == expectK, s"$lang quota")
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to expectK), s"$lang ranks")
+      // membership = the true top-K of the mix order (salting is plan-internal)
+      val expect = strata(lang).map(_._1)
+        .sortBy(id => (((id % 1000003L) * 2654435761L) % 1000003L, id))
+        .take(expectK).toSet
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet == expect, s"$lang membership")
+    }
+  }
+
+  test("sample_mixture_repeat: copy counts follow the per-source tenths weights") {
+    val rows = SparkEntry.queries("sample_mixture_repeat")(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val n = rs.head.getAs[Int]("n_copies")
+      assert(rs.length == n && rs.map(_.getAs[Int]("copy")).sorted.toSeq == (1 to n))
+      val src = rs.head.getAs[String]("source")
+      val w10 = if (Set("src0", "src1", "src2", "src3", "src4")(src)) 30
+      else if (Set("src5", "src6", "src7", "src8", "src9")(src)) 15 else 10
+      val expect = w10 / 10 +
+        (if (((id % 1000003L) * 2654435761L) % 10 < w10 % 10) 1 else 0)
+      assert(n == expect, s"doc $id copies")
+    }
+    assert(rows.exists(_.getAs[Int]("copy") > 1), "upsampled shards must repeat")
   }
 
   test("scans are pruned to the referenced columns (the 100-TB read-cost property)") {
@@ -93,6 +127,8 @@ class CurationQueriesSpec extends AnyFunSuite {
         .mkString("; ")
     assert(read("text_redact_pii").contains("struct<doc_id:bigint,text:string>"))
     assert(read("sample_stratified").contains("struct<doc_id:bigint,lang:string,source:string>"))
+    assert(read("sample_quota").contains("struct<doc_id:bigint,lang:string>"))
+    assert(read("sample_mixture_repeat").contains("struct<doc_id:bigint,source:string>"))
     assert(read("pack_sequences").contains("struct<doc_id:bigint,text:string,source:string>"))
     assert(read("emb_quantize_int8").contains("struct<vec_id:bigint,embedding:array<float>>"))
   }
