@@ -92,6 +92,12 @@ object CurationQueries {
     */
   private val PackBudget = 256
 
+  /** Per-source token budget for `sample_token_budget` (the ~25
+    * 50-token docs per synthetic source hold ~1250 tokens, so a 600
+    * budget keeps roughly half of each shard).
+    */
+  private val TokenBudget = 600
+
   /** Chunking geometry for `text_chunk_overlap`: 64-token windows
     * every 48 tokens (16-token overlap) — small enough that the
     * ~50-token synthetic docs produce 2-chunk splits.
@@ -264,6 +270,28 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Token-budget sampling (the "draw N tokens from this corpus"
+    // primitive a training run starts from): documents enter in
+    // deterministic hash order per source shard and accumulate until
+    // the shard's token budget is met; a document is kept if it
+    // STARTS under budget (so the draw overshoots by < 1 doc, never
+    // undershoots). Same per-shard running-sum window as
+    // pack_sequences — one exchange on source, shards fill in
+    // parallel, no driver state.
+    "sample_token_budget" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("mix"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .withColumn("n_toks", size(tokens(col("text"))))
+        .withColumn("mix", expr(s"$mixSql % $MixMod"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .filter(col("cum") - col("n_toks") < lit(TokenBudget))
+        .select("doc_id", "source", "n_toks", "cum")
+        .orderBy("doc_id")
+    },
+
     // Sequence packing (concat-then-chunk, the standard pre-training
     // layout): documents concatenate in doc_id order WITHIN EACH
     // source shard and chunk at a fixed token budget; a doc's pack is
@@ -375,6 +403,16 @@ object CurationQueries {
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |  WHERE len(toks) > 0)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "sample_token_budget" ->
+      s"""SELECT doc_id, source, n_toks, cum FROM (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY $mixSql % $MixMod, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM (SELECT doc_id, source, len($toksSql) AS n_toks FROM documents))
+         |WHERE cum - n_toks < $TokenBudget
+         |ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       s"""SELECT doc_id, source, n_toks,

@@ -120,6 +120,34 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Int]("copy") > 1), "upsampled shards must repeat")
   }
 
+  test("sample_token_budget: hash-order prefix per shard, overshoot < one doc") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        (id, r.getAs[String]("source"),
+          r.getAs[String]("text").trim.split("\\s+").count(_.nonEmpty))
+      }
+    val rows = SparkEntry.queries("sample_token_budget")(spark, dir).collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      // replay the draw: hash order, keep while the doc STARTS under budget
+      val inOrder = ds.sortBy { case (id, _, _) =>
+        (((id % 1000003L) * 2654435761L) % 1000003L, id)
+      }
+      var cum = 0L
+      val expect = inOrder.takeWhile { case (_, _, n) =>
+        val starts = cum; cum += n; starts < 600
+      }.map(_._1).toSet
+      assert(rows.filter(_.getAs[String]("source") == src)
+        .map(_.getAs[Long]("doc_id")).toSet == expect, s"$src membership")
+      // the kept prefix covers the budget unless the shard ran out
+      val keptToks = inOrder.filter(d => kept(d._1)).map(_._3.toLong).sum
+      assert(keptToks >= math.min(600L, inOrder.map(_._3.toLong).sum), s"$src undershoot")
+    }
+    assert(kept.size < docs.length, "the budget must actually cut")
+  }
+
   test("scans are pruned to the referenced columns (the 100-TB read-cost property)") {
     def read(q: String): String =
       "ReadSchema: [^\n]*".r.findAllIn(
