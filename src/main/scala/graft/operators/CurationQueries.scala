@@ -54,36 +54,43 @@ object CurationQueries {
   /** Strata rates (tenths) for the deterministic sampler: keep 5/10 of
     * English, 2/10 of everything else. Interpolated into the oracle.
     */
-  private val EnTenths = 5
-  private val OtherTenths = 2
+  private[operators] val EnTenths = 5
+  private[operators] val OtherTenths = 2
   /** Knuth's multiplicative-hash constant: spreads doc_id into a
     * pseudorandom-but-portable residue (plain integer arithmetic, so
     * DuckDB computes the identical value — unlike engine hash()).
+    * Package-visible so the spec replays the production formula
+    * instead of pinning a copy.
     */
-  private val SampleMix = 2654435761L
+  private[operators] val SampleMix = 2654435761L
   /** Prime modulus applied to doc_id BEFORE the multiply so the
-    * product stays < 2^51 for any BIGINT doc_id — at corpus scale
-    * (billions of ids) a bare `doc_id * SampleMix` overflows 63 bits,
-    * which DuckDB rejects and Spark silently wraps.
+    * product stays < 2^52 (max 1000002 × SampleMix ≈ 2.65e15) for any
+    * BIGINT doc_id — exact in a double's 53-bit mantissa and far from
+    * the 63-bit overflow a bare `doc_id * SampleMix` hits at corpus
+    * scale (billions of ids), which DuckDB rejects and Spark silently
+    * wraps.
     */
-  private val MixMod = 1000003L
+  private[operators] val MixMod = 1000003L
   /** The shared mix residue as SQL, for interpolation into both plans
-    * and oracles: `mixSql % 10` slices tenths, `% MixMod` orders.
+    * and oracles. ALL consumers — ordering keys and the `% 10` tenths
+    * slices — must use this post-modulus residue: SampleMix ≡ 1
+    * (mod 10), so taking `% 10` of the raw product would degenerate
+    * to doc_id's literal last decimal digit, not a hash.
     */
-  private val mixSql = s"((doc_id % $MixMod) * $SampleMix)"
+  private[operators] val mixSql = s"(((doc_id % $MixMod) * $SampleMix) % $MixMod)"
 
   /** Quota per language stratum for `sample_quota`, and the salt width
     * of its two-level top-K (see the query's comment).
     */
-  private val QuotaK = 20
-  private val QuotaSalt = 64
+  private[operators] val QuotaK = 20
+  private[operators] val QuotaSalt = 64
 
   /** Per-source mixture weights in tenths for `sample_mixture_repeat`:
     * upsample the first five source shards 3.0x, the next five 1.5x,
     * keep the rest at 1.0x. A shared SQL string so the DuckDB oracle
     * interpolates the identical CASE.
     */
-  private val MixtureW10Expr =
+  private[operators] val MixtureW10Expr =
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 " +
       "WHEN source IN ('src5','src6','src7','src8','src9') THEN 15 ELSE 10 END"
 
@@ -96,7 +103,7 @@ object CurationQueries {
     * 50-token docs per synthetic source hold ~1250 tokens, so a 600
     * budget keeps roughly half of each shard).
     */
-  private val TokenBudget = 600
+  private[operators] val TokenBudget = 600
 
   /** Chunking geometry for `text_chunk_overlap`: 64-token windows
     * every 48 tokens (16-token overlap) — small enough that the
@@ -217,8 +224,7 @@ object CurationQueries {
     "sample_quota" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val mixed = docs(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr(s"$mixSql % $MixMod").as("mix"))
+        .select(col("doc_id"), col("lang"), expr(mixSql).as("mix"))
       val byBucket = Window
         .partitionBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(QuotaSalt)))
         .orderBy(col("mix"), col("doc_id"))
@@ -285,7 +291,7 @@ object CurationQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docs(s, d)
         .withColumn("n_toks", size(tokens(col("text"))))
-        .withColumn("mix", expr(s"$mixSql % $MixMod"))
+        .withColumn("mix", expr(mixSql))
         .withColumn("cum", sum(col("n_toks")).over(w))
         .filter(col("cum") - col("n_toks") < lit(TokenBudget))
         .select("doc_id", "source", "n_toks", "cum")
@@ -380,7 +386,7 @@ object CurationQueries {
       s"""SELECT lang, rnk, doc_id FROM (
          |  SELECT lang, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY lang
-         |      ORDER BY $mixSql % $MixMod, doc_id) AS rnk
+         |      ORDER BY $mixSql, doc_id) AS rnk
          |  FROM documents)
          |WHERE rnk <= $QuotaK ORDER BY lang, rnk""".stripMargin,
 
@@ -408,7 +414,7 @@ object CurationQueries {
       s"""SELECT doc_id, source, n_toks, cum FROM (
          |  SELECT doc_id, source, n_toks,
          |    CAST(SUM(n_toks) OVER (PARTITION BY source
-         |      ORDER BY $mixSql % $MixMod, doc_id
+         |      ORDER BY $mixSql, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM (SELECT doc_id, source, len($toksSql) AS n_toks FROM documents))
          |WHERE cum - n_toks < $TokenBudget

@@ -45,7 +45,11 @@ object RelationalQueries {
     * the established cross-engine-determinism pattern (see `agg_corr`).
     */
   private def CorrExpr(sx: String, sy: String, sxx: String, syy: String, sxy: String): String =
-    s"floor(((n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy))) * 1e12 + 0.5) / 1e12"
+    // greatest(0, …) guards the variance terms: double rounding can push
+    // a near-constant column's n·sxx − sx² slightly negative, where
+    // DuckDB's sqrt ERRORS (killing the whole oracle run) while Spark
+    // yields NaN. Clamped-to-zero variance → ÷0 → NULL in both engines.
+    s"floor(((n * $sxy - $sx * $sy) / (sqrt(greatest(0, n * $sxx - $sx * $sx)) * sqrt(greatest(0, n * $syy - $sy * $sy)))) * 1e12 + 0.5) / 1e12"
 
   private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
 

@@ -20,6 +20,12 @@ class CurationQueriesSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The production mix residue, replayed via the shared constants so a
+    * constant change cannot silently desynchronize these expectations.
+    */
+  private def mix(id: Long): Long =
+    ((id % CurationQueries.MixMod) * CurationQueries.SampleMix) % CurationQueries.MixMod
+
   test("text_redact_pii: counts match the constructed PII and redaction removes every match") {
     val rows = SparkEntry.queries("text_redact_pii")(spark, dir).collect()
     assert(rows.length == 500)
@@ -77,7 +83,8 @@ class CurationQueriesSpec extends AnyFunSuite {
     val kept = SparkEntry.queries("sample_stratified")(spark, dir)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     val expect = docs.collect {
-      case (id, lang) if ((id % 1000003L) * 2654435761L) % 10 < (if (lang == "en") 5 else 2) => id
+      case (id, lang) if mix(id) % 10 <
+        (if (lang == "en") CurationQueries.EnTenths else CurationQueries.OtherTenths) => id
     }.toSet
     assert(kept == expect)
     // the narrow-filter shape: no shuffle besides the presentation sort
@@ -94,12 +101,12 @@ class CurationQueriesSpec extends AnyFunSuite {
     val byLang = rows.groupBy(_.getAs[String]("lang"))
     assert(byLang.keySet == strata.keySet, "every stratum is represented")
     byLang.foreach { case (lang, rs) =>
-      val expectK = math.min(20, strata(lang).length)
+      val expectK = math.min(CurationQueries.QuotaK, strata(lang).length)
       assert(rs.length == expectK, s"$lang quota")
       assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to expectK), s"$lang ranks")
       // membership = the true top-K of the mix order (salting is plan-internal)
       val expect = strata(lang).map(_._1)
-        .sortBy(id => (((id % 1000003L) * 2654435761L) % 1000003L, id))
+        .sortBy(id => (mix(id), id))
         .take(expectK).toSet
       assert(rs.map(_.getAs[Long]("doc_id")).toSet == expect, s"$lang membership")
     }
@@ -114,7 +121,7 @@ class CurationQueriesSpec extends AnyFunSuite {
       val w10 = if (Set("src0", "src1", "src2", "src3", "src4")(src)) 30
       else if (Set("src5", "src6", "src7", "src8", "src9")(src)) 15 else 10
       val expect = w10 / 10 +
-        (if (((id % 1000003L) * 2654435761L) % 10 < w10 % 10) 1 else 0)
+        (if (mix(id) % 10 < w10 % 10) 1 else 0)
       assert(n == expect, s"doc $id copies")
     }
     assert(rows.exists(_.getAs[Int]("copy") > 1), "upsampled shards must repeat")
@@ -132,18 +139,17 @@ class CurationQueriesSpec extends AnyFunSuite {
     val kept = rows.map(_.getAs[Long]("doc_id")).toSet
     docs.groupBy(_._2).foreach { case (src, ds) =>
       // replay the draw: hash order, keep while the doc STARTS under budget
-      val inOrder = ds.sortBy { case (id, _, _) =>
-        (((id % 1000003L) * 2654435761L) % 1000003L, id)
-      }
+      val inOrder = ds.sortBy { case (id, _, _) => (mix(id), id) }
       var cum = 0L
       val expect = inOrder.takeWhile { case (_, _, n) =>
-        val starts = cum; cum += n; starts < 600
+        val starts = cum; cum += n; starts < CurationQueries.TokenBudget
       }.map(_._1).toSet
       assert(rows.filter(_.getAs[String]("source") == src)
         .map(_.getAs[Long]("doc_id")).toSet == expect, s"$src membership")
       // the kept prefix covers the budget unless the shard ran out
       val keptToks = inOrder.filter(d => kept(d._1)).map(_._3.toLong).sum
-      assert(keptToks >= math.min(600L, inOrder.map(_._3.toLong).sum), s"$src undershoot")
+      assert(keptToks >= math.min(CurationQueries.TokenBudget.toLong,
+        inOrder.map(_._3.toLong).sum), s"$src undershoot")
     }
     assert(kept.size < docs.length, "the budget must actually cut")
   }
