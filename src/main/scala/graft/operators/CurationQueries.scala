@@ -276,6 +276,22 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Per-language document-length histogram (the corpus-profile QC
+    // pass run before and after every filter stage): power-of-two
+    // length buckets via the INTEGER binary-magnitude trick
+    // `length(bin(n_chars))` — both engines print the same binary
+    // string, so bucketing never touches a float log2 (whose libm
+    // rounding differs across engines exactly at the bucket edges).
+    // One map-side-partial hash aggregate; codebook-sized output.
+    "text_length_hist" -> { (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"), expr("length(bin(n_chars))").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "bucket")
+    },
+
     // Token-budget sampling (the "draw N tokens from this corpus"
     // primitive a training run starts from): documents enter in
     // deterministic hash order per source shard and accumulate until
@@ -409,6 +425,13 @@ object CurationQueries {
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |  WHERE len(toks) > 0)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_length_hist" ->
+      """SELECT lang, CAST(length(bin(n_chars)) AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "sample_token_budget" ->
       s"""SELECT doc_id, source, n_toks, cum FROM (
