@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop caches a query persisted for its own plan (PQ encoded
+      // codes, IVF cell assignments) — they'd otherwise accumulate for
+      // the session lifetime across the 90+ dumps and the invariant
+      // recomputations below
+      spark.catalog.clearCache()
     }
     // Machine-checkable invariants for the declared rows-only queries
     // (no DuckDB oracle by design): the driver record carries a

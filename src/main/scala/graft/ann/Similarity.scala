@@ -351,9 +351,13 @@ object Similarity {
     * (everything lives in one pseudo-cell).
     *
     * Encoded rows persist for the plan's lifetime (the caller's action
-    * computes them once); the intermediate normalized array is
-    * unpersisted before return — its cache only served the bounded
-    * query collect, and the encode pass re-derives it in one scan.
+    * computes them once) and are NOT unpersisted here — the returned
+    * plan still references them, so the release point belongs to the
+    * caller: harness loops (Verify, ScaleBench, Bench's barrier) call
+    * `spark.catalog.clearCache()` between queries. The intermediate
+    * normalized array IS unpersisted before return — its cache only
+    * served the bounded query collect, and the encode pass re-derives
+    * it in one scan.
     * MATERIALIZING the normalized array before encoding matters:
     * element_at on a computed `transform` column re-evaluates the
     * whole lambda (incl. the norm) per element — 1024 encoder terms

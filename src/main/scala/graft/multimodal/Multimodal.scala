@@ -8,37 +8,185 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs; decode /
   * feature-extraction runs as partition-batched executor code.
   *
-  * The decoders here are deterministic STUBS (this environment ships
-  * no image/audio codecs): metadata is derived arithmetically from the
-  * bytes. What is real — and what the tests pin down — is the Spark
-  * plumbing: binary schema, `mapPartitions` batch shape (one decoder
-  * instance per partition, streamed rows), and the metadata contract.
-  * Swapping `decodeBytes` for a JNI/codec call changes nothing
-  * structurally.
+  * Header metadata decode is REAL: [[decodeBytes]] parses PNG IHDR,
+  * JPEG SOF0-SOF15 (walking the marker-segment stream), and GIF
+  * logical-screen-descriptor bytes — pure public format knowledge
+  * (the PNG/JPEG/GIF specs), no codec dependencies. What stays out of
+  * scope in this environment is PIXEL decode (no image libs ship
+  * here); [[sampleFrames]] fingerprints byte slices where a real
+  * extractor would decode frames. The Spark shape — binary schema,
+  * `mapPartitions` batching, metadata contract — is exactly what a
+  * full codec build would use.
   */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
     StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
+    StructField("channels", IntegerType, nullable = false)))
 
-  /** Stub decode: metadata derived from byte 0 and length — stands in
-    * for a real header parse. Deterministic and engine-portable (byte
-    * 0 of UTF-8 text == ascii of its first char).
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse image container headers for (length, format, width, height,
+    * channels). Formats and the exact byte layouts parsed:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first):
+    *    width/height as big-endian u32 at offsets 16/20, color type at
+    *    25 → channels (0 gray=1, 2 RGB=3, 3 palette=1, 4 gray+A=2,
+    *    6 RGBA=4). Chunk CRCs are not validated (metadata read, not
+    *    integrity check).
+    *  - JPEG: SOI then a walk over FF-marker segments (each carries a
+    *    big-endian u16 length INCLUDING itself) until a start-of-frame
+    *    marker — SOF0-SOF15 except the non-frame C4/C8/CC (DHT/JPG/
+    *    DAC) — whose payload is precision u8, height u16, width u16,
+    *    component count u8. Standalone markers (TEM, RSTn, EOI) have
+    *    no length field and are skipped as bare pairs.
+    *  - GIF: "GIF87a"/"GIF89a" signature then the logical screen
+    *    descriptor: width/height as LITTLE-endian u16 at offsets 6/8
+    *    (GIF is the lone little-endian container here); palette
+    *    pixels, so 3 channels.
+    *
+    * Anything else falls through to ("raw", 0, 0, 0) — opaque bytes
+    * stay opaque rather than failing the batch.
     */
-  def decodeBytes(bytes: Array[Byte]): (Long, Int, Int, Int) = {
-    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    val width = 320 + (b0 % 16) * 80
-    val height = width * 9 / 16
-    val frames = 1 + (bytes.length % 8)
-    (bytes.length.toLong, width, height, frames)
+  def decodeBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val len = bytes.length.toLong
+
+    val isPng = bytes.length >= 26 &&
+      bytes.take(8).sameElements(PngSig) &&
+      new String(bytes, 12, 4, "US-ASCII") == "IHDR"
+    val isJpeg = bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
+    val isGif = bytes.length >= 13 && {
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      sig == "GIF87a" || sig == "GIF89a"
+    }
+
+    if (isPng) {
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      (len, "png", be32(16), be32(20), channels)
+    } else if (isJpeg) {
+      var i = 2
+      var out = (len, "jpeg", 0, 0, 0)
+      var done = false
+      while (!done && i + 3 < bytes.length) {
+        if (u8(i) != 0xff) i += 1 // stray byte: resync to next marker
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xff) i += 1 // fill byte before a marker
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+            i += 2 // TEM / RSTn / EOI: standalone, no length
+          } else if (marker >= 0xc0 && marker <= 0xcf &&
+                     marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            // SOFn payload: len(2) precision(1) height(2) width(2) ncomp(1)
+            out = (len, "jpeg", be16(i + 7), be16(i + 5), u8(i + 9))
+            done = true
+          } else i += 2 + be16(i + 2) // skip segment by its own length
+        }
+      }
+      out
+    } else if (isGif) {
+      (len, "gif", le16(6), le16(8), 3)
+    } else (len, "raw", 0, 0, 0)
   }
 
-  /** Attach a binary media column (here: the UTF-8 text bytes standing
-    * in for media payloads) and decode it per partition. This is the
-    * real batch-decode shape: the iterator streams, one "decoder" per
+  /** Deterministic spec-compliant image fixture: real PNG / JPEG / GIF
+    * header bytes (format by `docId % 3`, dimensions and channel
+    * layout by `docId` arithmetic) followed by an opaque payload. The
+    * headers are assembled byte-for-byte to the container specs — the
+    * JPEG even carries APP0(JFIF) and COM segments before the SOF so a
+    * decoder must genuinely walk the segment stream — which makes
+    * decode(synth(id)) a real round-trip test of [[decodeBytes]]
+    * against independently computable expectations (the oracle derives
+    * the same numbers arithmetically from `doc_id`).
+    */
+  def synthHeaderBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = (16 + docId % 317).toInt
+    val h = (16 + (docId * 7) % 211).toInt
+    (docId % 3) match {
+      case 0 => // PNG: signature + IHDR(13) chunk
+        val colorType = if (docId % 2 == 0) 2 else 6 // RGB / RGBA
+        val bb = java.nio.ByteBuffer.allocate(33 + payload.length)
+        bb.put(PngSig)
+        bb.putInt(13)
+        bb.put("IHDR".getBytes("US-ASCII"))
+        bb.putInt(w); bb.putInt(h)
+        bb.put(8.toByte)               // bit depth
+        bb.put(colorType.toByte)
+        bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // comp/filter/interlace
+        bb.putInt(0)                   // CRC (not validated on read)
+        bb.put(payload)
+        bb.array()
+      case 1 => // JPEG: SOI, APP0(JFIF), COM, SOF0|SOF2
+        val ncomp = if (docId % 2 == 0) 3 else 1
+        val sofMarker = if (docId % 2 == 0) 0xc0 else 0xc2
+        val sofLen = 8 + 3 * ncomp
+        val bb = java.nio.ByteBuffer.allocate(34 + sofLen + payload.length)
+        bb.put(0xff.toByte); bb.put(0xd8.toByte)            // SOI
+        bb.put(0xff.toByte); bb.put(0xe0.toByte)            // APP0
+        bb.putShort(16)                                      // len incl. itself
+        bb.put("JFIF".getBytes("US-ASCII")); bb.put(0.toByte)
+        bb.put(1.toByte); bb.put(2.toByte)                   // version 1.2
+        bb.put(0.toByte)                                     // density units
+        bb.putShort(1); bb.putShort(1)                       // x/y density
+        bb.put(0.toByte); bb.put(0.toByte)                   // thumbnail w/h
+        bb.put(0xff.toByte); bb.put(0xfe.toByte)            // COM
+        bb.putShort(10)
+        bb.put("graftsyn".getBytes("US-ASCII"))
+        bb.put(0xff.toByte); bb.put(sofMarker.toByte)       // SOF0 / SOF2
+        bb.putShort(sofLen.toShort)
+        bb.put(8.toByte)                                     // precision
+        bb.putShort(h.toShort); bb.putShort(w.toShort)
+        bb.put(ncomp.toByte)
+        (0 until ncomp).foreach { c =>
+          bb.put((c + 1).toByte); bb.put(0x11.toByte); bb.put(0.toByte)
+        }
+        bb.put(payload)
+        bb.array()
+      case _ => // GIF: signature + little-endian logical screen descriptor
+        val bb = java.nio.ByteBuffer.allocate(13 + payload.length)
+        bb.put("GIF89a".getBytes("US-ASCII"))
+        bb.put((w & 0xff).toByte); bb.put(((w >> 8) & 0xff).toByte)
+        bb.put((h & 0xff).toByte); bb.put(((h >> 8) & 0xff).toByte)
+        bb.put(0xf7.toByte)           // GCT present, 8-bit color
+        bb.put(0.toByte); bb.put(0.toByte) // bg index, aspect
+        bb.put(payload)
+        bb.array()
+    }
+  }
+
+  /** Attach a synthetic media binary per row (format fixture bytes +
+    * the row's text bytes as payload) — the ingest face a real store
+    * would replace with its object reads. `mapPartitions` row work:
+    * binary assembly is imperative byte packing, not expressible as
+    * codegen'd columns.
+    */
+  def attachSynthMedia(df: DataFrame, idCol: String, textCol: String,
+                       binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthHeaderBytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a binary media column per partition. This is the real
+    * batch-decode shape: the iterator streams, one decoder per
     * partition, no per-row object churn beyond the output rows.
     */
   def decodeMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
@@ -47,11 +195,9 @@ object Multimodal {
     val outSchema = StructType(
       Seq(df.schema.fields(idIdx)) ++ metaSchema.fields)
     df.mapPartitions { rows =>
-      // a real implementation would initialize the codec once here
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val (len, w, h, f) = decodeBytes(bytes)
-        Row(r.get(idIdx), len, w, h, f)
+        val (len, fmt, w, h, ch) = decodeBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, w, h, ch)
       }
     }(Encoders.row(outSchema))
   }

@@ -117,13 +117,19 @@ object AnnQueries {
     "emb_quantize_int8" -> { (s, d) =>
       val maxAbs = greatest((1 to Dim).map(i =>
         abs(element_at(col("embedding"), i).cast("double"))): _*)
+      // One scalar row per (vector, component) — posexplode of the
+      // quantized array — so the dump has no list-typed cells; the
+      // packed array layout is what a store would write, and callers
+      // get it back with collect_list ordered by pos.
       Tables.embeddings(s, d)
         .withColumn("m", maxAbs)
         .withColumn("scale", when(col("m") > 0, lit(127.0) / col("m")).otherwise(lit(0.0)))
         .select(col("vec_id"), col("scale"),
           transform(col("embedding"),
             x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("int")).as("qvec"))
-        .orderBy("vec_id")
+        .selectExpr("vec_id", "scale", "posexplode(qvec) AS (pos, q)")
+        .select("vec_id", "pos", "q", "scale")
+        .orderBy("vec_id", "pos")
     },
 
     // Per-label centroids (IVF codebook refresh, class prototypes,
@@ -177,10 +183,14 @@ object AnnQueries {
         .select("vec_id", "label", "d2")
     },
 
-    // Multimodal: opaque binary + partition-batched stub decode.
+    // Multimodal: spec-compliant synthetic PNG/JPEG/GIF binaries
+    // (real header bytes, doc_id-derived dimensions) decoded by the
+    // real header parsers in a partition-batched pass. The oracle
+    // derives the same numbers arithmetically from doc_id, so a wrong
+    // byte-order / segment-walk / channel mapping breaks the hash.
     "mm_decode_meta" -> { (s, d) =>
-      val withBin = Tables.documents(s, d)
-        .withColumn("bin", encode(col("text"), "UTF-8"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthMedia(docs, "doc_id", "text", "bin")
       Multimodal.decodeMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     },
 
@@ -199,14 +209,15 @@ object AnnQueries {
   val oracleSql: Map[String, String] = Map(
     "emb_quantize_int8" -> {
       val maxAbsSql = (1 to Dim).map(i => s"abs(CAST(embedding[$i] AS DOUBLE))").mkString("greatest(", ", ", ")")
-      s"""SELECT vec_id, scale,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec
+      s"""SELECT vec_id, i - 1 AS pos,
+         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * scale + 0.5) AS INT) AS q,
+         |  scale
          |FROM (
          |  SELECT vec_id, embedding,
          |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
-         |  FROM (SELECT vec_id, embedding, $maxAbsSql AS m FROM embeddings))
-         |ORDER BY vec_id""".stripMargin
+         |  FROM (SELECT vec_id, embedding, $maxAbsSql AS m FROM embeddings)),
+         |  unnest(range(1, ${Dim + 1})) AS t(i)
+         |ORDER BY vec_id, pos""".stripMargin
     },
 
     "emb_centroid" ->
@@ -262,12 +273,24 @@ object AnnQueries {
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
 
+    // Mirrors Multimodal.synthHeaderBytes arithmetically: header sizes
+    // are the fixed container layouts (PNG 33 = sig 8 + IHDR chunk 25;
+    // JPEG 42+3*ncomp = SOI 2 + APP0 18 + COM 12 + SOF 10+3n; GIF 13 =
+    // sig 6 + screen descriptor 7), so a parser that misreads any
+    // field diverges from this independent computation.
     "mm_decode_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
-        |  CAST(320 + (ascii(substring(text, 1, 1)) % 16) * 80 AS INT) AS width,
-        |  CAST((320 + (ascii(substring(text, 1, 1)) % 16) * 80) * 9 // 16 AS INT) AS height,
-        |  CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 33
+        |    WHEN 1 THEN 42 + 3 * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)
+        |    ELSE 13 END + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(16 + doc_id % 317 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 211 AS INT) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+        |    WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+        |    ELSE 3 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -249,8 +249,16 @@ object CurationQueries {
           (expr("w10 div 10") +
             when(expr(s"$mixSql % 10") < col("w10") % 10, lit(1))
               .otherwise(lit(0))).cast("int"))
+        // repeats >= 1 pre-filter matches the oracle's range(1, n+1)
+        // = empty semantics: Spark's step-less sequence(1, 0) would
+        // yield a DESCENDING [1, 0] and silently emit 2 copies for a
+        // doc meant to get none (unreachable while the min tier is
+        // 10 tenths, but a sub-1.0x weight would trip it); the
+        // explicit step makes any future 0-repeat row fail loudly
+        // instead of fanning out backwards
+        .filter(col("repeats") >= 1)
         .select(col("doc_id"), col("source"), col("repeats").as("n_copies"),
-          explode(sequence(lit(1), col("repeats"))).as("copy"))
+          explode(sequence(lit(1), col("repeats"), lit(1))).as("copy"))
         .orderBy("doc_id", "copy")
     },
 

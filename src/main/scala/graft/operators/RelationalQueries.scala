@@ -359,11 +359,21 @@ object RelationalQueries {
     // invariants.json asserts the rank-error bound against the data,
     // and the driver records a rows-only check.
     "agg_approx_quantile" -> { (s, d) =>
+      // Emitted as one scalar row per (group, quantile) — posexplode of
+      // the sketch's array output — so the dump is checkable by any
+      // row-oriented comparator; the array form is a one-liner away for
+      // library callers. NOTE: percentile_approx's Greenwald-Khanna
+      // summaries are merge-order-sensitive (unlike HLL, which is
+      // commutative) — deterministic in practice under local[n] but NOT
+      // guaranteed bit-stable under cluster shuffle-fetch order; the
+      // Verify rank-error invariant is the real gate, not a hash compare.
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
             array(ApproxQs.map(lit): _*), lit(ApproxAccuracy)).as("approx_q"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        .selectExpr("l_returnflag", "n", "posexplode(approx_q) AS (q_idx, q)")
+        .select("l_returnflag", "q_idx", "q", "n")
+        .orderBy("l_returnflag", "q_idx")
     },
     // TPC-H Q1-style full-scan aggregation: partial aggregation map-side,
     // 6 groups total — the canonical "would hold at 100 TB" scan+agg shape.

@@ -157,6 +157,14 @@ object StreamingWindows {
     * fields) — independent of history length; closed keys hold just
     * the session counter and arm no timer. The input must carry a
     * watermark on `ts` for the timeout arm.
+    *
+    * Drain contract for FINITE replays: timeouts fire only when the
+    * watermark advances, and the watermark only advances on new data —
+    * so the terminal tail (each user's last open session) never
+    * flushes on its own. A finite replay must append a sentinel event
+    * (ts far past every real event, on a throwaway key) to push the
+    * watermark over last+gap; StreamingSpec's differential does
+    * exactly this.
     */
   def gapSessions(events: Dataset[SessIn], gapUs: Long): Dataset[Session] = {
     events.groupByKey(_.userId)
@@ -174,6 +182,17 @@ object StreamingWindows {
             if (st.open) close()
             state.update(st) // keep the numbering; no timer on a closed key
           } else {
+            // Eager-close a stale open session BEFORE folding: when data
+            // for this key arrives in the same micro-batch the timer
+            // would have fired (timers only fire for keys with no data),
+            // the watermark may already sit past lastUs+gap — batch
+            // semantics closed that session at the gap, so close it here
+            // rather than relying on the first event's inline gap check
+            // (equivalent for in-order feeds, but this emits at the
+            // batch boundary the timeout contract promised even if a
+            // late-but-admitted event lands inside the old gap).
+            if (st.open && state.getCurrentWatermarkMs() * 1000L > st.lastUs + gapUs)
+              close()
             incoming.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
               // exact DECIMAL(18,2) cents, as the batch query sums
               val cents = (BigDecimal(e.value)

@@ -38,6 +38,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.moversOf(results, prior) == Seq("dedup_cluster_resolve"))
   }
 
+  test("moversOf tiered trigger: >15% for the top-10 by time, >20% for the rest") {
+    // 12 queries: q01 (10s) .. q12 (0.01s); top-10 by current time are q01..q10
+    val prior = (1 to 12).map(i => f"q$i%02d" -> (13 - i).toDouble).toMap
+    val results = (1 to 12).map { i =>
+      val p = prior(f"q$i%02d")
+      val factor = i match {
+        case 1  => 1.17 // top-10, +17% => flagged under the 15% tier
+        case 2  => 1.10 // top-10, +10% => not flagged
+        case 11 => 1.17 // small query, +17% => NOT flagged (20% tier)
+        case 12 => 1.25 // small query, +25% => flagged
+        case _  => 1.0
+      }
+      f"q$i%02d" -> p * factor
+    }
+    assert(Bench.moversOf(results, prior).sorted == Seq("q01", "q12"))
+  }
+
   test("parsePrior still reads the bench's own top-level queries shape") {
     val f = Files.createTempFile("bench", ".json").toFile
     f.deleteOnExit()

@@ -212,14 +212,17 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("emb_quantize_int8: max component maps to ±127, dequantization error bounded") {
+    // scalar (vec_id, pos, q, scale) rows — regroup per vector
     val rows = graft.SparkEntry.queries("emb_quantize_int8")(spark, dir).collect()
     assert(rows.nonEmpty)
     val emb = Tables.embeddings(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    rows.foreach { r =>
-      val id = r.getAs[Long]("vec_id")
-      val scale = r.getAs[Double]("scale")
-      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.nonEmpty)
+    byVec.foreach { case (id, comps) =>
+      val scale = comps.head.getAs[Double]("scale")
+      val q = comps.sortBy(_.getAs[Int]("pos")).map(_.getAs[Int]("q")).toSeq
+      assert(q.length == 64, s"vec $id must emit one row per component")
       assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
       assert(q.exists(v => math.abs(v) == 127), s"vec $id max component must hit ±127")
       // dequantized value within half a quantization step of the source

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Header parsers checked against HAND-ASSEMBLED bytes (not the
+  * repo's own generator) so a shared wrong convention — flipped
+  * endianness, off-by-one offsets, length-includes-itself confusion —
+  * can't cancel out between synth and decode.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("GIF: the canonical 1x1 pixel header parses (little-endian u16)") {
+    // the widely-published minimal transparent GIF prefix
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      b(0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00)
+    val (len, fmt, w, h, ch) = Multimodal.decodeBytes(gif)
+    assert((len, fmt, w, h, ch) == (13L, "gif", 1, 1, 3))
+    // 300x2: low byte first — a big-endian misread would give 0x012C -> 11265
+    val gif2 = "GIF87a".getBytes("US-ASCII") ++
+      b(0x2c, 0x01, 0x02, 0x00, 0x80, 0x00, 0x00)
+    assert(Multimodal.decodeBytes(gif2)._3 == 300)
+    assert(Multimodal.decodeBytes(gif2)._4 == 2)
+  }
+
+  test("PNG: IHDR big-endian dims and color-type channel map") {
+    val sig = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    def png(w: Int, h: Int, colorType: Int) = sig ++
+      b(0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      b(w >> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff) ++
+      b(h >> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff) ++
+      b(8, colorType, 0, 0, 0) ++ b(0, 0, 0, 0)
+    assert(Multimodal.decodeBytes(png(2, 3, 6)) == ((33L, "png", 2, 3, 4)))
+    assert(Multimodal.decodeBytes(png(640, 480, 2))._3 == 640)
+    assert(Multimodal.decodeBytes(png(640, 480, 2))._5 == 3)
+    assert(Multimodal.decodeBytes(png(1, 1, 0))._5 == 1)   // grayscale
+    assert(Multimodal.decodeBytes(png(1, 1, 3))._5 == 1)   // palette
+    assert(Multimodal.decodeBytes(png(1, 1, 4))._5 == 2)   // gray+alpha
+  }
+
+  test("JPEG: marker walk skips DQT/DRI and standalone RSTn to reach SOF0") {
+    // deliberately NOT the generator's segment order: SOI, DQT(69),
+    // DRI(4), a standalone RST0, then SOF0 5x7 3-comp
+    val jpeg = b(0xff, 0xd8) ++
+      (b(0xff, 0xdb, 0x00, 0x43) ++ Array.fill[Byte](0x43 - 2)(1)) ++
+      b(0xff, 0xdd, 0x00, 0x04, 0x00, 0x10) ++
+      b(0xff, 0xd0) ++ // standalone: no length field
+      b(0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0x07, 0x00, 0x05, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)
+    val (_, fmt, w, h, ch) = Multimodal.decodeBytes(jpeg)
+    assert((fmt, w, h, ch) == (("jpeg", 5, 7, 3)))
+    // progressive (SOF2) and dims > 255 exercise the u16 reads
+    val sof2 = b(0xff, 0xd8) ++
+      b(0xff, 0xc2, 0x00, 0x0b, 8, 0x01, 0x2c, 0x02, 0x58, 1, 1, 0x11, 0)
+    assert(Multimodal.decodeBytes(sof2) == ((15L, "jpeg", 600, 300, 1)))
+  }
+
+  test("unknown bytes fall through to raw, not an exception") {
+    assert(Multimodal.decodeBytes("plain text".getBytes("UTF-8")) ==
+      ((10L, "raw", 0, 0, 0)))
+    assert(Multimodal.decodeBytes(Array.emptyByteArray) == ((0L, "raw", 0, 0, 0)))
+  }
+
+  test("synth fixtures round-trip through the parsers with the doc_id formulas") {
+    val payload = "payload-bytes".getBytes("UTF-8")
+    (0L until 12L).foreach { id =>
+      val (len, fmt, w, h, ch) = Multimodal.decodeBytes(
+        Multimodal.synthHeaderBytes(id, payload))
+      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "gif" }
+      assert(fmt == expFmt, s"id=$id")
+      assert(w == 16 + (id % 317).toInt, s"id=$id width")
+      assert(h == 16 + ((id * 7) % 211).toInt, s"id=$id height")
+      val expCh = (id % 3, id % 2) match {
+        case (0, 0) => 3; case (0, _) => 4 // PNG RGB / RGBA
+        case (1, 0) => 3; case (1, _) => 1 // JPEG 3-comp / gray
+        case _      => 3                   // GIF palette
+      }
+      assert(ch == expCh, s"id=$id channels")
+      val headerLen = (id % 3) match {
+        case 0 => 33; case 1 => 42 + 3 * (if (id % 2 == 0) 3 else 1); case _ => 13
+      }
+      assert(len == headerLen + payload.length, s"id=$id bin_len")
+    }
+  }
+}
