@@ -321,9 +321,11 @@ object Similarity {
   def pqTopK(vectors: DataFrame, k: Int, m: Int, ksub: Int, nQueries: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              sampleN: Int = 4096, shortlist: Int = 50,
-             numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame =
+             numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L,
+             maxLiteralQueries: Int = 128): DataFrame =
     pqSearch(vectors, k, m, ksub, nQueries, route = None,
-      idCol, vecCol, sampleN, shortlist, numRows, broadcastMaxRows)
+      idCol, vecCol, sampleN, shortlist, numRows, broadcastMaxRows,
+      maxLiteralQueries)
 
   /** IVF+PQ composed — the standard billion-scale ANN layout: a coarse
     * k-means quantizer routes vectors to cells ([[ivfCentroids]]), PQ
@@ -337,27 +339,48 @@ object Similarity {
                 m: Int, ksub: Int, nQueries: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 sampleN: Int = 4096, shortlist: Int = 50,
-                numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+                numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L,
+                maxLiteralQueries: Int = 128): DataFrame = {
     val cents = ivfCentroids(vectors, nlist, sampleN, idCol = idCol, vecCol = vecCol)
     pqSearch(vectors, k, m, ksub, nQueries, route = Some((cents, nprobe)),
-      idCol, vecCol, sampleN, shortlist, numRows, broadcastMaxRows)
+      idCol, vecCol, sampleN, shortlist, numRows, broadcastMaxRows,
+      maxLiteralQueries)
   }
 
-  /** The shared PQ search core: encode once (map-side), fan the
-    * bounded query set out through ONE explode of plan literals, ADC
-    * the (optionally cell-routed) scan, shortlist, exact re-rank.
+  /** The shared PQ search core: encode once (map-side), ADC the
+    * (optionally cell-routed) scan, shortlist, exact re-rank.
     * `route = Some((cells, nprobe))` adds the IVF cell assignment and
     * restricts each query to its nprobe best cells; `None` scans flat
     * (everything lives in one pseudo-cell).
+    *
+    * Two query-side shapes, chosen by `nQueries` vs
+    * `maxLiteralQueries`:
+    *
+    *  - LITERAL (small query sets): query vectors collect to the
+    *    driver and their probe lists + distance tables ship as ONE
+    *    exploded plan literal — zero extra joins, right for ad-hoc
+    *    top-k over ≤ ~100 queries, dead at 100 k (the literal inflates
+    *    the plan and the driver).
+    *  - BROADCAST (batch query sets): the distance table is computed
+    *    per QUERY ROW as a native column against the codebook
+    *    literals, and two broadcast joins attach queries to the
+    *    encoded scan — a slim (qid, cell) probe list fans data rows to
+    *    probing queries, then (qid, tab) attaches each query's m×ksub
+    *    table exactly once (joining the exploded probes WITH the table
+    *    would broadcast nprobe copies of every table). Broadcast
+    *    volume is nQueries × ksub × m doubles (~2 KB per query at
+    *    16×16) — fine to ~10⁵ queries; beyond that, batch the query
+    *    set or shuffle-join on cell.
     *
     * Encoded rows persist for the plan's lifetime (the caller's action
     * computes them once) and are NOT unpersisted here — the returned
     * plan still references them, so the release point belongs to the
     * caller: harness loops (Verify, ScaleBench, Bench's barrier) call
     * `spark.catalog.clearCache()` between queries. The intermediate
-    * normalized array IS unpersisted before return — its cache only
-    * served the bounded query collect, and the encode pass re-derives
-    * it in one scan.
+    * normalized array is unpersisted in the literal path (its cache
+    * only served the bounded query collect); the broadcast path keeps
+    * it — its rows feed both the encode pass and the query-side
+    * broadcast build under the caller's single action.
     * MATERIALIZING the normalized array before encoding matters:
     * element_at on a computed `transform` column re-evaluates the
     * whole lambda (incl. the norm) per element — 1024 encoder terms
@@ -368,7 +391,7 @@ object Similarity {
                        nQueries: Int, route: Option[(Seq[Seq[Double]], Int)],
                        idCol: String, vecCol: String, sampleN: Int,
                        shortlist: Int, numRows: Long,
-                       broadcastMaxRows: Long): DataFrame = {
+                       broadcastMaxRows: Long, maxLiteralQueries: Int): DataFrame = {
     val nRows = if (numRows >= 0) numRows else vectors.count()
     val cb = pqCodebooks(vectors, m, ksub, sampleN, idCol = idCol, vecCol = vecCol)
     val ds = cb.head.head.length
@@ -386,36 +409,66 @@ object Similarity {
       case None => normed.select(col("nid"), lit(0).as("cell"),
         pqCodes(col("vn"), cb).as("codes"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = normed.filter(col("nid") < nQueries)
-      .select(col("nid"), col("vn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    normed.unpersist(blocking = false)
-    // per query: its probe cells + its flattened m x ksub distance
-    // table, tab(mi*ksub + j) = L2²(q_sub, c_mi_j)
-    val qmeta = typedLit(queries.toSeq.map { case (qid, qv) =>
-      val probes: Seq[Int] = route match {
-        case Some((cents, nprobe)) =>
-          cents.zipWithIndex.map { case (c, ci) =>
-            (c.indices.map(i => qv(i) * c(i)).sum, ci)
-          }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
-        case None => Seq(0)
-      }
-      val tab = (0 until m).flatMap { mi =>
+
+    val all = if (nQueries <= maxLiteralQueries) {
+      val queries = normed.filter(col("nid") < nQueries)
+        .select(col("nid"), col("vn")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      normed.unpersist(blocking = false)
+      // per query: its probe cells + its flattened m x ksub distance
+      // table, tab(mi*ksub + j) = L2²(q_sub, c_mi_j)
+      val qmeta = typedLit(queries.toSeq.map { case (qid, qv) =>
+        val probes: Seq[Int] = route match {
+          case Some((cents, nprobe)) =>
+            cents.zipWithIndex.map { case (c, ci) =>
+              (c.indices.map(i => qv(i) * c(i)).sum, ci)
+            }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+          case None => Seq(0)
+        }
+        val tab = (0 until m).flatMap { mi =>
+          cb(mi).map { c =>
+            (0 until ds).map { i =>
+              val t = qv(mi * ds + i) - c(i); t * t
+            }.sum
+          }
+        }
+        (qid, probes, tab)
+      })
+      val adc = (0 until m).map { mi =>
+        element_at(col("q._3"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
+      }.reduce(_ + _)
+      encoded
+        .select(col("nid"), col("cell"), col("codes"), explode(qmeta).as("q"))
+        .filter(col("q._1") =!= col("nid") && array_contains(col("q._2"), col("cell")))
+        .select(col("q._1").as("qid"), col("nid"), adc.as("adc"))
+    } else {
+      // distance table as a native column over the stored normalized
+      // array (same IEEE op order as the driver-computed literal:
+      // (x-c)² terms left-summed per entry)
+      val tabCol = array((0 until m).flatMap { mi =>
         cb(mi).map { c =>
           (0 until ds).map { i =>
-            val t = qv(mi * ds + i) - c(i); t * t
-          }.sum
+            val x = element_at(col("vn"), mi * ds + i + 1)
+            (x - lit(c(i))) * (x - lit(c(i)))
+          }.reduce(_ + _)
         }
+      }: _*)
+      val qbase = normed.filter(col("nid") < nQueries)
+      val qtab = qbase.select(col("nid").as("qid"), tabCol.as("tab"))
+      val qprobes = route match {
+        case Some((cents, nprobe)) => qbase.select(col("nid").as("qid"),
+          explode(slice(reverse(array_sort(cellScores(col("vn"), cents))), 1, nprobe)
+            .getField("c")).as("cell"))
+        case None => qbase.select(col("nid").as("qid"), lit(0).as("cell"))
       }
-      (qid, probes, tab)
-    })
-    val adc = (0 until m).map { mi =>
-      element_at(col("q._3"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
-    }.reduce(_ + _)
-    val all = encoded
-      .select(col("nid"), col("cell"), col("codes"), explode(qmeta).as("q"))
-      .filter(col("q._1") =!= col("nid") && array_contains(col("q._2"), col("cell")))
-      .select(col("q._1").as("qid"), col("nid"), adc.as("adc"))
+      val adcB = (0 until m).map { mi =>
+        element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
+      }.reduce(_ + _)
+      encoded.join(broadcast(qprobes), Seq("cell"))
+        .join(broadcast(qtab), Seq("qid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), adcB.as("adc"))
+    }
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid"))
     val cand = all.withColumn("srnk", row_number().over(wAdc))
       .filter(col("srnk") <= shortlist)

@@ -93,6 +93,23 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Batch-query IVF+PQ: EVERY vector is a query (the offline
+    // knn-graph / dedup-candidate build shape). nQueries = n exceeds
+    // the literal-plan threshold, so the query side rides two
+    // broadcast joins — a slim (qid, probe-cell) list and the
+    // per-query ADC tables — instead of driver-collected plan
+    // literals; the plan shows BroadcastExchange where the literal
+    // path shows an exploded array. Rows-only + Verify recall
+    // invariant, like its siblings.
+    "emb_ann_pq_batch" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val (nlist, nprobe) = Similarity.autoIvfParams(n)
+      Similarity.ivfPqTopK(emb, TopK, nlist, nprobe, PqM, PqKsub,
+          nQueries = n.toInt, numRows = n)
+        .orderBy("qid", "rnk")
+    },
+
     // Embedding-cosine near-dup: all pairs above a similarity
     // threshold on a bounded block (exact form; the LSH query above is
     // the scale path for the same predicate).

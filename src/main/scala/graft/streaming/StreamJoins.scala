@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream joins — the Spark-native upgrade for the
+  * reference's external-store correlation pattern: its users join a
+  * live stream against earlier events by round-tripping through a
+  * database (reference `examples/persistence-with-hasura/pipeline.yaml`
+  * posts events to Hasura and queries them back per event). Structured
+  * Streaming holds the join state in the engine instead: both sides
+  * carry event-time watermarks, the range condition bounds how long a
+  * row stays joinable, and expired state is evicted automatically.
+  */
+object StreamJoins {
+
+  /** Streaming as-of join: for every `right` event (e.g. purchase),
+    * the latest `left` event (e.g. view) of the same user that
+    * precedes it by (ts_us, event_id) order, within `lookbackUs`.
+    * Emits (event_id, user_id, gap_us) — the same shape and, when the
+    * lookback covers the replayed span, the same ROWS as the batch
+    * `ev_asof_join` query (the differential in StreamingSpec).
+    *
+    * Both inputs need schema (user_id, event_id, ts, ts_us) with a
+    * watermark already set on `ts`.
+    *
+    * Shape and state story:
+    *  - the inner join keys on user_id with a time-RANGE condition
+    *    (`l.ts BETWEEN r.ts - lookback AND r.ts`), so Spark retains
+    *    left-side state only `lookbackUs` past the watermark and
+    *    right-side state to the watermark — bounded, independent of
+    *    stream length. The lookback IS the state bound: "as-of any
+    *    event ever" (batch unbounded-preceding) is not a streaming
+    *    shape; pick the lookback your domain means by "recent".
+    *  - the exact tie rule rides as an extra non-range predicate:
+    *    strictly-preceding by (ts_us, event_id), so a same-microsecond
+    *    left event counts only when its event_id is lower — identical
+    *    to the batch window's ROWS ... 1 PRECEDING ordering.
+    *  - "latest preceding" is a second stateful operator: max(ts_us)
+    *    grouped by the right event with its event-time column in the
+    *    keys, so the group finalizes (append-mode emission) once the
+    *    watermark passes the right event's timestamp. Two stateful
+    *    ops chained — join then agg — is the supported Spark 3.5+
+    *    multiple-stateful-operator pipeline.
+    *  - finite replays drain like every event-time pipeline here — a
+    *    far-future sentinel on both sides — but note the OUTPUT
+    *    watermark of the join trails the input watermark by the
+    *    left-state retention (the lookback), so the chained
+    *    aggregation finalizes a purchase only when
+    *    watermark - lookback passes it: sentinels must overshoot the
+    *    last real event by MORE than the lookback. Emission latency in
+    *    production is likewise one lookback behind the live edge —
+    *    another reason the lookback should be the domain's honest
+    *    "recent", not a defensive maximum.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, lookbackUs: Long): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("event_id").as("l_eid"),
+      col("ts").as("l_ts"), col("ts_us").as("l_ts_us"))
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("event_id"),
+      col("ts").as("r_ts"), col("ts_us").as("r_ts_us"))
+    val lookbackExpr = s"INTERVAL ${lookbackUs / 1000000L} SECOND"
+    val joined = r.join(l,
+      expr(s"""r_user = l_user
+              | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
+              | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
+              |""".stripMargin.replace("\n", "")),
+      "inner")
+    joined
+      .groupBy(col("event_id"), col("r_user"), col("r_ts"), col("r_ts_us"))
+      .agg(max(col("l_ts_us")).as("last_l_us"))
+      .select(col("event_id"), col("r_user").as("user_id"),
+        (col("r_ts_us") - col("last_l_us")).as("gap_us"))
+  }
+}

@@ -96,6 +96,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq.forall { case (q, nb) => q != nb })
   }
 
+  test("PQ batch path: broadcast query side matches the literal path, plan shows BroadcastExchange") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val (nlist, nprobe) = Similarity.autoIvfParams(n)
+    val m = graft.operators.AnnQueries.PqM
+    val ksub = graft.operators.AnnQueries.PqKsub
+    val viaLiteral = Similarity.ivfPqTopK(emb, 5, nlist, nprobe, m, ksub,
+      nQueries = 10, numRows = n)
+    val viaBroadcast = Similarity.ivfPqTopK(emb, 5, nlist, nprobe, m, ksub,
+      nQueries = 10, numRows = n, maxLiteralQueries = 0) // force the batch shape
+    val plan = viaBroadcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    val litSet = viaLiteral.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bcSet = viaBroadcast.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bcSet == litSet,
+      s"broadcast path diverged: only-lit=${litSet -- bcSet} only-bc=${bcSet -- litSet}")
+  }
+
   test("PQ codebooks: right geometry, deterministic training") {
     val emb = Tables.embeddings(spark, dir)
     val cb = Similarity.pqCodebooks(emb, m = 16, ksub = 16)

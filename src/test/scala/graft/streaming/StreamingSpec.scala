@@ -335,6 +335,61 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream asof join matches the batch ev_asof_join rows (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("ev_asof_join")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("gap_us"))).toSet
+    val byType = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "ts_us", "event_type").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        StreamingWindows.SessIn(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("ts_us"), 0.0)))
+    val views = byType.collect { case ("view", e) => e }.sortBy(e => (e.tsUs, e.eventId))
+    val purchases = byType.collect { case ("purchase", e) => e }.sortBy(e => (e.tsUs, e.eventId))
+    val vMem = MemoryStream[StreamingWindows.SessIn]
+    val pMem = MemoryStream[StreamingWindows.SessIn]
+    def side(m: MemoryStream[StreamingWindows.SessIn]) =
+      m.toDS().toDF("user_id", "event_id", "ts", "ts_us", "value")
+        .withWatermark("ts", "0 seconds")
+    // lookback covers the whole replayed span (events span 30 days),
+    // so "latest within lookback" == the batch query's unbounded
+    // last-preceding-view; kept TIGHT because the chained agg only
+    // finalizes once watermark - lookback passes each purchase — the
+    // sentinels below must overshoot by more than the lookback
+    val lookbackUs = 31L * 86400L * 1000000L
+    val joined = StreamJoins.asofJoin(side(vMem), side(pMem), lookbackUs)
+    val (name, q) = runToMemory(joined)
+    // interleaved three-chunk replay on both sides, event-time order
+    val vChunks = views.grouped(math.max(views.length / 3, 1)).toSeq
+    val pChunks = purchases.grouped(math.max(purchases.length / 3, 1)).toSeq
+    (0 until math.max(vChunks.length, pChunks.length)).foreach { i =>
+      vChunks.lift(i).foreach(c => vMem.addData(c.toSeq: _*))
+      pChunks.lift(i).foreach(c => pMem.addData(c.toSeq: _*))
+      q.processAllAvailable()
+    }
+    // two sentinel rounds on BOTH sides, each overshooting by more
+    // than the lookback: the join's OUTPUT watermark trails the input
+    // watermark by the left-state retention (= lookback), so the
+    // chained aggregation only finalizes once the sentinels push
+    // watermark - lookback past the last purchase (sentinel users
+    // -1/-2 never match, so they add no rows)
+    val lastMs = (views.last.tsUs max purchases.last.tsUs) / 1000L
+    Seq(32L, 64L).foreach { k =>
+      val ms = lastMs + k * 86400000L
+      vMem.addData(StreamingWindows.SessIn(-1L, 0L, new java.sql.Timestamp(ms), ms * 1000L, 0.0))
+      pMem.addData(StreamingWindows.SessIn(-2L, 0L, new java.sql.Timestamp(ms), ms * 1000L, 0.0))
+      q.processAllAvailable()
+    }
+    awaitRows(name, expected.size.toLong)
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("streaming ingest dedup matches the batch dedup_exact keep-set (differential)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
