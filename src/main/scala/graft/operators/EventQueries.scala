@@ -101,21 +101,35 @@ object EventQueries {
         .orderBy("event_id")
     },
 
-    // §2.4#4 keep-when over a payload with a string member: pattern /
-    // minLength / maxLength (code-point counts) on `ty`, multipleOf on `k`.
+    // §2.4#4 keep-when over a payload with string + array members:
+    // pattern / minLength / maxLength (code-point counts) on `ty`,
+    // multipleOf on `k`, and the draft-07 applicators — items /
+    // minItems / maxItems / uniqueItems / contains on `arr`,
+    // patternProperties (member-name regex), if/then/else conditioned
+    // on the `ty` prefix. Every keyword mirrors as a scalar predicate
+    // in the oracle, so the whole subset stays hash-gated.
     "ev_keep_when_str" -> { (s, d) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val schema = mapper.readTree(
-        """{"type":"object","required":["ty","k"],
+        """{"type":"object","required":["ty","k","arr"],
            "properties":{
              "ty":{"type":"string","pattern":"^(cl|si|pu)","minLength":5,"maxLength":8},
-             "k":{"type":"integer","multipleOf":2}}}""")
+             "k":{"type":"integer","multipleOf":2},
+             "arr":{"type":"array","items":{"type":"integer","minimum":0},
+                    "minItems":3,"maxItems":3,"uniqueItems":true,
+                    "contains":{"const":2}}},
+           "patternProperties":{"^k":{"exclusiveMinimum":0}},
+           "if":{"required":["ty"],"properties":{"ty":{"pattern":"^cl"}}},
+           "then":{"properties":{"k":{"minimum":10}}},
+           "else":{"properties":{"k":{"maximum":90}}}}""")
       val k = get_json_object(col("props"), "$.k").cast("long")
       ev(s, d)
+        .withColumn("k", k)
         .withColumn("payload",
-          to_json(struct(col("event_type").as("ty"), k.as("k"))))
+          to_json(struct(col("event_type").as("ty"), col("k"),
+            array(col("k") % 5, col("k") % 3, expr("k div 2") % 5).as("arr"))))
         .filter(JsonSchemaFilter.compile(schema, col("payload")))
-        .select(col("event_id"), col("event_type").as("ty"), k.as("k"))
+        .select(col("event_id"), col("event_type").as("ty"), col("k"))
         .orderBy("event_id")
     },
 
@@ -345,6 +359,10 @@ object EventQueries {
         |  AND CAST(k <= 30 AS INT) + CAST(k >= 25 AS INT) = 1
         |ORDER BY event_id""".stripMargin,
 
+    // arr = [k%5, k%3, (k div 2)%5]; `//` is floor division in DuckDB
+    // vs truncating `div` in Spark, but they differ only at k < 0 and
+    // those rows are excluded by k > 0 (patternProperties) in BOTH
+    // engines, so the conjunction decides identically.
     "ev_keep_when_str" ->
       """SELECT event_id, ty, k FROM (
         |  SELECT event_id, event_type AS ty,
@@ -353,6 +371,11 @@ object EventQueries {
         |WHERE regexp_matches(ty, '^(cl|si|pu)')
         |  AND length(ty) >= 5 AND length(ty) <= 8
         |  AND k % 2 = 0
+        |  AND k > 0
+        |  AND (CASE WHEN regexp_matches(ty, '^cl') THEN k >= 10 ELSE k <= 90 END)
+        |  AND (k % 5) <> (k % 3) AND (k % 5) <> ((k // 2) % 5)
+        |  AND (k % 3) <> ((k // 2) % 5)
+        |  AND ((k % 5) = 2 OR (k % 3) = 2 OR ((k // 2) % 5) = 2)
         |ORDER BY event_id""".stripMargin,
 
     "ev_window_time" ->

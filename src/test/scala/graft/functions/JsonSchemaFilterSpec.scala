@@ -173,6 +173,35 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
     assert(kept == payloads.toSet, "sibling keyword beside $ref must be ignored (draft-07)")
   }
 
+  test("array/applicator keywords: items, uniqueItems, contains, patternProperties, if/then/else") {
+    def m(schema: String) = JsonSchemaMatcher.compile(mapper.readTree(schema))
+    def j(s: String) = mapper.readTree(s)
+    // items, single-schema form; non-arrays are unconstrained (spec §6)
+    val ints = m("""{"items":{"type":"integer"}}""")
+    assert(ints(j("[1,2,3]")) && !ints(j("""[1,"x"]""")) && ints(j("\"notarray\"")))
+    // tuple form: per-position, extra elements unconstrained
+    val tup = m("""{"items":[{"type":"integer"},{"type":"string"}]}""")
+    assert(tup(j("""[1,"a",true]""")) && !tup(j("""["a",1]""")) && tup(j("[1]")))
+    val sz = m("""{"minItems":2,"maxItems":3}""")
+    assert(!sz(j("[1]")) && sz(j("[1,2]")) && !sz(j("[1,2,3,4]")))
+    // uniqueItems is VALUE identity: 1 == 1.0, member order ignored
+    val uniq = m("""{"uniqueItems":true}""")
+    assert(uniq(j("[1,2,3]")))
+    assert(!uniq(j("[1,1.0]")), "1 and 1.0 are the same JSON value")
+    assert(!uniq(j("""[{"a":1,"b":2},{"b":2,"a":1}]""")), "member order must not matter")
+    assert(uniq(j("[[1,2],[2,1]]")), "array element order does matter")
+    val has2 = m("""{"contains":{"const":2}}""")
+    assert(has2(j("[1,2,3]")) && !has2(j("[1,3]")))
+    val pp = m("""{"patternProperties":{"^n":{"type":"integer"}}}""")
+    assert(pp(j("""{"n1":3,"other":"x"}""")) && !pp(j("""{"n1":"notint"}""")))
+    val ite = m(
+      """{"if":{"properties":{"t":{"const":"a"}},"required":["t"]},
+          "then":{"properties":{"k":{"minimum":10}}},
+          "else":{"properties":{"k":{"maximum":5}}}}""")
+    assert(ite(j("""{"t":"a","k":10}""")) && !ite(j("""{"t":"a","k":9}""")))
+    assert(ite(j("""{"t":"b","k":5}""")) && !ite(j("""{"t":"b","k":6}""")))
+  }
+
   test("$ref: recursion, dangling and external refs fail loudly at plan build") {
     def bad(schema: String): Unit =
       assertThrows[IllegalArgumentException] {
