@@ -288,26 +288,6 @@ object Similarity {
     }
   }
 
-  /** PQ-encode a unit-normalized vector column: per subspace, the id
-    * of the L2-nearest codebook entry — one array<int> of length m per
-    * row, all native codegen'd expressions (struct-ordered array_min
-    * is the argmin, the [[cellScores]] trick).
-    */
-  private def pqCodes(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
-    val m = cb.length
-    val ds = cb.head.head.length
-    array((0 until m).map { mi =>
-      val dists = array(cb(mi).zipWithIndex.map { case (c, j) =>
-        val d = (0 until ds).map { i =>
-          val x = element_at(vec, mi * ds + i + 1)
-          (x - lit(c(i))) * (x - lit(c(i)))
-        }.reduce(_ + _)
-        struct(d.as("d"), lit(j).as("c"))
-      }: _*)
-      array_min(dists).getField("c")
-    }: _*)
-  }
-
   /** Approximate top-k for the first `nQueries` vectors via the
     * standard PQ pipeline: asymmetric-distance computation (ADC) over
     * compressed codes prunes to a per-query shortlist, then the
@@ -401,13 +381,17 @@ object Similarity {
       x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
     val normed = vectors.select(col(idCol).as("nid"), vnorm.as("vn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one encode pass: optional IVF cell assignment + PQ codes, both map-side
+    // one encode pass: optional IVF cell assignment + PQ codes, both
+    // map-side single-kernel expressions (TopCells / PqEncode — the
+    // expression-tree formulation blew whole-stage-codegen limits and
+    // fell back to interpreted eval, see VectorExpressions)
+    val vx = graft.functions.VectorExpressions
     val encoded = (route match {
       case Some((cents, _)) => normed.select(col("nid"),
-        array_max(cellScores(col("vn"), cents)).getField("c").as("cell"),
-        pqCodes(col("vn"), cb).as("codes"))
+        element_at(vx.topCells(col("vn"), cents, 1), 1).as("cell"),
+        vx.pqEncode(col("vn"), cb).as("codes"))
       case None => normed.select(col("nid"), lit(0).as("cell"),
-        pqCodes(col("vn"), cb).as("codes"))
+        vx.pqEncode(col("vn"), cb).as("codes"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val all = if (nQueries <= maxLiteralQueries) {
@@ -434,40 +418,28 @@ object Similarity {
         }
         (qid, probes, tab)
       })
-      val adc = (0 until m).map { mi =>
-        element_at(col("q._3"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
-      }.reduce(_ + _)
       encoded
         .select(col("nid"), col("cell"), col("codes"), explode(qmeta).as("q"))
         .filter(col("q._1") =!= col("nid") && array_contains(col("q._2"), col("cell")))
-        .select(col("q._1").as("qid"), col("nid"), adc.as("adc"))
+        .select(col("q._1").as("qid"), col("nid"),
+          vx.pqAdc(col("codes"), col("q._3"), m, ksub).as("adc"))
     } else {
-      // distance table as a native column over the stored normalized
-      // array (same IEEE op order as the driver-computed literal:
-      // (x-c)² terms left-summed per entry)
-      val tabCol = array((0 until m).flatMap { mi =>
-        cb(mi).map { c =>
-          (0 until ds).map { i =>
-            val x = element_at(col("vn"), mi * ds + i + 1)
-            (x - lit(c(i))) * (x - lit(c(i)))
-          }.reduce(_ + _)
-        }
-      }: _*)
+      // distance table as a single-kernel column over the stored
+      // normalized array (same IEEE op order as the driver-computed
+      // literal: (x-c)² terms left-summed per entry)
       val qbase = normed.filter(col("nid") < nQueries)
-      val qtab = qbase.select(col("nid").as("qid"), tabCol.as("tab"))
+      val qtab = qbase.select(col("nid").as("qid"),
+        vx.pqDistTable(col("vn"), cb).as("tab"))
       val qprobes = route match {
         case Some((cents, nprobe)) => qbase.select(col("nid").as("qid"),
-          explode(slice(reverse(array_sort(cellScores(col("vn"), cents))), 1, nprobe)
-            .getField("c")).as("cell"))
+          explode(vx.topCells(col("vn"), cents, nprobe)).as("cell"))
         case None => qbase.select(col("nid").as("qid"), lit(0).as("cell"))
       }
-      val adcB = (0 until m).map { mi =>
-        element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(mi * ksub) + 1)
-      }.reduce(_ + _)
       encoded.join(broadcast(qprobes), Seq("cell"))
         .join(broadcast(qtab), Seq("qid"))
         .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), adcB.as("adc"))
+        .select(col("qid"), col("nid"),
+          vx.pqAdc(col("codes"), col("tab"), m, ksub).as("adc"))
     }
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid"))
     val cand = all.withColumn("srnk", row_number().over(wAdc))
@@ -479,17 +451,10 @@ object Similarity {
       idCol, vecCol, nRows, broadcastMaxRows)
   }
 
-  /** Per-row cell scores against the codebook: array of
-    * (dot, cellId) structs — native codegen'd dot products, struct
-    * ordering makes argmax/top-nprobe a plain array_max/array_sort.
-    * Centroids are unit vectors and the row's own norm is a positive
-    * per-row constant, so ranking by raw dot ≡ ranking by cosine at
-    * half the arithmetic (no norms recomputed per cell).
-    */
-  private def cellScores(vec: Column, cents: Seq[Seq[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
-    }: _*)
+  // Cell scoring note: ranking by raw dot against the unit centroids
+  // ≡ ranking by cosine (the row's own norm is a positive per-row
+  // constant), at half the arithmetic — the TopCells kernel
+  // (functions/VectorExpressions) carries this for every IVF path.
 
   /** Approximate all-vectors top-k via IVF: assign every vector to its
     * nearest centroid cell (map-side, no shuffle), expand every query
@@ -510,14 +475,13 @@ object Similarity {
     val b = vectors.select(col(idCol), col(vecCol))
     val n = if (numRows >= 0) numRows else b.count()
     val cents = ivfCentroids(vectors, nlist, sampleN, idCol = idCol, vecCol = vecCol)
-    val scores = cellScores(col(vecCol), cents)
-    // one scoring pass: nlist dot products per row, materialized as
-    // (id, top-nprobe cells) — n x (8 + 4*nprobe) bytes, disk-spillable
-    // — so the assigned and probe branches don't score the table twice
-    // (struct ordering is (s, c) lexicographic: head of the sorted
-    // slice = best cell)
+    // one scoring pass: nlist dot products per row in a single kernel
+    // (TopCells — same (score desc, cell desc) ordering the previous
+    // struct array_sort produced), materialized as (id, top-nprobe
+    // cells) — n x (8 + 4*nprobe) bytes, disk-spillable — so the
+    // assigned and probe branches don't score the table twice
     val cells = b.select(col(idCol).as("id"),
-        slice(reverse(array_sort(scores)), 1, nprobe).getField("c").as("top"))
+        graft.functions.VectorExpressions.topCells(col(vecCol), cents, nprobe).as("top"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = cells.select(col("id").as("nid"), element_at(col("top"), 1).as("cell"))
     val probes = cells.select(col("id").as("qid"), explode(col("top")).as("cell"))

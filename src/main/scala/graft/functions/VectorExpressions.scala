@@ -212,6 +212,227 @@ case class LshBuckets(child: Expression, planes: Array[Double], dim: Int, bits: 
     copy(child = newChild)
 }
 
+/** Shared float/double element access for vector kernels: embeddings
+  * arrive as `array<float>` off parquet and as `array<double>` after
+  * normalization; kernels accept both, widening floats exactly like
+  * [[DotProduct]].
+  */
+private[functions] trait VectorInput { self: Expression =>
+  protected def vecChild: Expression
+  @transient protected lazy val vecIsFloat: Boolean = vecChild.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"${self.getClass.getSimpleName} needs an array<float|double> vector, got $other")
+  }
+  protected final def elem(v: ArrayData, i: Int): Double =
+    if (vecIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+}
+
+/** Top `nprobe` IVF cells for a vector in ONE kernel pass: `nlist`
+  * dot products against the flattened centroid matrix, then selection
+  * by (score desc, cell desc) — byte-identical ordering to the
+  * previous `slice(reverse(array_sort(cellScores)))` /
+  * `array_max(cellScores)` struct-ordering idioms (largest score
+  * first; exact-tie goes to the LARGER cell id, as lexicographic
+  * struct comparison did).
+  *
+  * Replaces `nlist` separate dot-product expressions + a struct
+  * array_sort: at nlist ≥ ~45 that projection blew the whole-stage
+  * codegen field/size limits and the stage fell back to interpreted
+  * eval (observed: "Whole-stage codegen disabled" on every PQ/IVF
+  * encode stage). A single reference-object call keeps the stage
+  * codegen'd and the inner loop primitive.
+  */
+case class TopCells(child: Expression, cents: Array[Double], dim: Int, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  private val nlist = cents.length / dim
+  override protected def vecChild: Expression = child
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val scores = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += elem(v, i) * cents(base + i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Int](k)
+    var taken = new Array[Boolean](nlist)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var q = 0
+      while (q < nlist) {
+        // >= : equal scores resolve to the larger cell id, matching
+        // lexicographic struct-max/sort-desc semantics
+        if (!taken(q) && (best < 0 || scores(q) >= bestS)) { bestS = scores(q); best = q }
+        q += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCells", this, classOf[TopCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ encoder in one kernel pass: per subspace `mi`, the index of the
+  * L2-nearest of `ksub` codebook entries (flattened row-major:
+  * cb[(mi*ksub + j)*ds + i]). Squared distances accumulate
+  * left-to-right per entry, argmin keeps the FIRST (lowest) index on
+  * exact ties — identical to the previous `array_min` over
+  * (distance, code) structs.
+  */
+case class PqEncode(child: Expression, cb: Array[Double], m: Int, ksub: Int, ds: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  override protected def vecChild: Expression = child
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val base = (mi * ksub + j) * ds
+        var d = 0.0
+        var i = 0
+        while (i < ds) {
+          val t = elem(v, mi * ds + i) - cb(base + i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j } // strict <: first index wins ties
+        j += 1
+      }
+      out(mi) = bestJ
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC distance table in one kernel pass: entry
+  * `mi*ksub + j` = squared L2 between the query's `mi`-th sub-vector
+  * and codebook entry `j` — same flattened layout and the same
+  * left-to-right per-entry accumulation as the driver-side literal
+  * tables, so literal and broadcast PQ paths stay bit-identical.
+  * Replaces an `array(...)` of m×ksub expression trees (1024 nodes at
+  * 16×16) that disabled whole-stage codegen on the query side.
+  */
+case class PqDistTable(child: Expression, cb: Array[Double], m: Int, ksub: Int, ds: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  override protected def vecChild: Expression = child
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      var j = 0
+      while (j < ksub) {
+        val base = (mi * ksub + j) * ds
+        var d = 0.0
+        var i = 0
+        while (i < ds) {
+          val t = elem(v, mi * ds + i) - cb(base + i)
+          d += t * t
+          i += 1
+        }
+        out(mi * ksub + j) = d
+        j += 1
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqDistTable", this, classOf[PqDistTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance sum: `Σ_mi tab[codes[mi] + mi*ksub]` — the PQ
+  * scan's inner loop as one primitive kernel (left-to-right sum,
+  * identical to the previous chain of 16 element_at adds). `codes` is
+  * the data row's array<int>, `tab` the query's array<double> table.
+  */
+case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(codes: Any, tab: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val t = tab.asInstanceOf[ArrayData]
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      s += t.getDouble(c.getInt(mi) + mi * ksub)
+      mi += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val i = ctx.freshName("mi")
+      val s = ctx.freshName("s")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $t.getDouble($c.getInt($i) + $i * $ksub);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -231,4 +452,24 @@ object VectorExpressions {
   /** Column-level handle for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Top-`nprobe` IVF cells (0-based ids) by dot product, one kernel pass. */
+  def topCells(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column = {
+    val dim = cents.head.length
+    ColumnBridge.column(TopCells(ColumnBridge.expression(vec), cents.flatten.toArray, dim, nprobe))
+  }
+
+  /** PQ codes (array<int> of length m), one kernel pass. */
+  def pqEncode(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec),
+      cb.flatten.flatten.toArray, cb.length, cb.head.length, cb.head.head.length))
+
+  /** Per-query flattened m×ksub ADC distance table, one kernel pass. */
+  def pqDistTable(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqDistTable(ColumnBridge.expression(vec),
+      cb.flatten.flatten.toArray, cb.length, cb.head.length, cb.head.head.length))
+
+  /** ADC distance of a code row against a query's distance table. */
+  def pqAdc(codes: Column, tab: Column, m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(tab), m, ksub))
 }
