@@ -485,8 +485,16 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = cells.select(col("id").as("nid"), element_at(col("top"), 1).as("cell"))
     val probes = cells.select(col("id").as("qid"), explode(col("top")).as("cell"))
+    // No dedup needed (unlike LSH's multi-table union): a vector is
+    // assigned to exactly ONE cell, so (qid, nid) arises at most once.
+    // But the probe join leaves candidates partitioned BY CELL —
+    // popular cells make straggler partitions — so re-key by qid: one
+    // balanced shuffle that the per-query top-k window then reuses
+    // (its own exchange disappears), where the previous
+    // dropDuplicates paid a (qid,nid)-keyed shuffle AND an extra
+    // aggregate for a dedup that could never fire.
     val cand = probes.join(assigned, "cell").filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").dropDuplicates("qid", "nid")
+      .select("qid", "nid").repartition(col("qid"))
     scoreCandidates(cand, b, k, idCol, vecCol, n, broadcastMaxRows)
   }
 }
