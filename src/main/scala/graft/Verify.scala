@@ -118,6 +118,30 @@ object Verify {
       val maxRankErr = if (rankErrs.isEmpty) 0.0 else rankErrs.max
       val rankCeil = 0.02
 
+      // text_heavy_hitters: Misra-Gries guarantees vs exact counts —
+      // never overestimates, undercounts by at most n/(k+1), which
+      // also forces every token above that threshold into the summary
+      // (absent => approx 0 => undercount = exact). k read from the
+      // SHIPPED constant, not a pinned copy.
+      val hhK = graft.operators.TextQueries.HHCounters
+      val toks = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val hhJoined = toks.groupBy("lang", "tok").agg(count(lit(1)).as("exact"))
+        .join(toks.groupBy("lang").agg(count(lit(1)).as("n")), "lang")
+        .join(graft.SparkEntry.queries("text_heavy_hitters")(spark, sfDir)
+          .select(col("lang"), col("token").as("tok"), col("approx_cnt")),
+          Seq("lang", "tok"), "left")
+        .select(col("exact"), col("n"),
+          coalesce(col("approx_cnt"), lit(0L)).as("approx"))
+        .collect()
+      val hhOver = hhJoined.count(r => r.getAs[Long]("approx") > r.getAs[Long]("exact"))
+      val hhMaxUnderFrac = if (hhJoined.isEmpty) 0.0 else hhJoined.map { r =>
+        (r.getAs[Long]("exact") - r.getAs[Long]("approx")).toDouble / r.getAs[Long]("n")
+      }.max
+      val hhCeil = 1.0 / (hhK + 1)
+      val hhPass = hhOver == 0 && hhMaxUnderFrac <= hhCeil
+
       s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
          | "emb_ann_ivf": {"metric": "recall_vs_brute_force_top5", "value": $ivfRecall,
@@ -131,7 +155,9 @@ object Verify {
          | "emb_ann_ivfpq": {"metric": "recall_vs_brute_force_top5", "value": $ivfPqRecall,
          | "floor": $ivfPqFloor, "pass": ${ivfPqRecall >= ivfPqFloor}},
          | "emb_ann_pq_batch": {"metric": "recall_vs_brute_force_top5_all_queries", "value": $pqBatchRecall,
-         | "floor": $ivfPqFloor, "pass": ${pqBatchRecall >= ivfPqFloor}}}""".stripMargin.replace("\n", "")
+         | "floor": $ivfPqFloor, "pass": ${pqBatchRecall >= ivfPqFloor}},
+         | "text_heavy_hitters": {"metric": "max_undercount_frac_and_no_overestimates", "value": $hhMaxUnderFrac,
+         | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

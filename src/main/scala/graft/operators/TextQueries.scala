@@ -33,6 +33,12 @@ object TextQueries {
   private val coeffs = minhashCoeffs(K)
   private val JaccardT = 0.6
 
+  /** Misra-Gries counters per language for `text_heavy_hitters`;
+    * Verify's invariant derives its error bound n/(k+1) from THIS
+    * constant (shipped-constant rule).
+    */
+  val HHCounters = 16
+
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
   private def withToks(df: DataFrame): DataFrame = df.withColumn("toks", tokens(col("text")))
@@ -303,6 +309,27 @@ object TextQueries {
         .withColumn("rnk", row_number().over(byLang)).filter(col("rnk") <= TopN)
         .select("lang", "rnk", "gram", "cnt")
         .orderBy("lang", "rnk")
+    },
+
+    // Heavy-hitters token summary per language via the Misra-Gries
+    // Aggregator (functions/HeavyHitters — the custom-UDAF surface):
+    // one partial MG summary per partition, merged at a
+    // language-keyed exchange that carries ≤ k counters per partition
+    // per language — the sketch shape for "frequent tokens over 100
+    // TB" where the exact groupBy above would carry every distinct
+    // gram. Rows-only by design: MG guarantees (no overestimates,
+    // undercount ≤ n/(k+1), every item above that threshold present)
+    // are asserted in Verify's invariants against exact counts; WHICH
+    // sub-threshold survivors appear depends on merge order, so the
+    // dump is not hash-comparable (same exemption class as the GK
+    // quantile sketch).
+    "text_heavy_hitters" -> { (s, d) =>
+      val hh = udaf(new graft.functions.HeavyHittersAgg(HHCounters))
+      withToks(docs(s, d))
+        .select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy("lang").agg(hh(col("tok")).as("summary"))
+        .select(col("lang"), explode(col("summary")).as(Seq("token", "approx_cnt")))
+        .orderBy("lang", "token")
     },
 
     // tf-idf keyword extraction: top-5 terms per document. Ranking is
