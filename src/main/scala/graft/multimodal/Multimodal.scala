@@ -25,7 +25,8 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false)))
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
 
   private val PngSig: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -47,12 +48,21 @@ object Multimodal {
     *  - GIF: "GIF87a"/"GIF89a" signature then the logical screen
     *    descriptor: width/height as LITTLE-endian u16 at offsets 6/8
     *    (GIF is the lone little-endian container here); palette
-    *    pixels, so 3 channels.
+    *    pixels, so 3 channels. Frame count is a REAL block walk: skip
+    *    the global color table if the LSD flags one (3 × 2^(size+1)
+    *    bytes), then each 0x21 extension skips its label +
+    *    length-prefixed sub-blocks, each 0x2C image descriptor counts
+    *    a frame and skips its 9-byte header, optional local color
+    *    table, LZW min-code byte and data sub-blocks, and 0x3B is the
+    *    trailer. Truncated streams count the frames present.
     *
-    * Anything else falls through to ("raw", 0, 0, 0) — opaque bytes
-    * stay opaque rather than failing the batch.
+    * `n_frames` is 1 for still formats (PNG/JPEG), the image-
+    * descriptor count for GIF, 0 for raw bytes.
+    *
+    * Anything else falls through to ("raw", 0, 0, 0, 0) — opaque
+    * bytes stay opaque rather than failing the batch.
     */
-  def decodeBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
+  def decodeBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Int) = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int =
@@ -74,10 +84,10 @@ object Multimodal {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => 0
       }
-      (len, "png", be32(16), be32(20), channels)
+      (len, "png", be32(16), be32(20), channels, 1)
     } else if (isJpeg) {
       var i = 2
-      var out = (len, "jpeg", 0, 0, 0)
+      var out = (len, "jpeg", 0, 0, 0, 1)
       var done = false
       while (!done && i + 3 < bytes.length) {
         if (u8(i) != 0xff) i += 1 // stray byte: resync to next marker
@@ -89,15 +99,41 @@ object Multimodal {
           } else if (marker >= 0xc0 && marker <= 0xcf &&
                      marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
             // SOFn payload: len(2) precision(1) height(2) width(2) ncomp(1)
-            out = (len, "jpeg", be16(i + 7), be16(i + 5), u8(i + 9))
+            out = (len, "jpeg", be16(i + 7), be16(i + 5), u8(i + 9), 1)
             done = true
           } else i += 2 + be16(i + 2) // skip segment by its own length
         }
       }
       out
     } else if (isGif) {
-      (len, "gif", le16(6), le16(8), 3)
-    } else (len, "raw", 0, 0, 0)
+      // frame walk: skip the GCT, then count image descriptors
+      var i = 13
+      if ((u8(10) & 0x80) != 0) i += 3 * (1 << ((u8(10) & 0x07) + 1))
+      var frames = 0
+      var stop = false
+      def skipSubBlocks(): Unit = {
+        while (!stop && i < bytes.length && u8(i) != 0) {
+          i += 1 + u8(i)
+          if (i > bytes.length) stop = true
+        }
+        i += 1 // the 0x00 block terminator
+      }
+      while (!stop && i < bytes.length) {
+        u8(i) match {
+          case 0x21 => i += 2; skipSubBlocks() // extension: label + sub-blocks
+          case 0x2c => // image descriptor
+            frames += 1
+            if (i + 9 < bytes.length && (u8(i + 9) & 0x80) != 0)
+              i += 3 * (1 << ((u8(i + 9) & 0x07) + 1)) // local color table
+            i += 10 // descriptor header
+            i += 1  // LZW minimum code size
+            skipSubBlocks()
+          case 0x3b => stop = true // trailer
+          case _    => stop = true // unknown block: stop counting
+        }
+      }
+      (len, "gif", le16(6), le16(8), 3, frames)
+    } else (len, "raw", 0, 0, 0, 0)
   }
 
   /** Deterministic spec-compliant image fixture: real PNG / JPEG / GIF
@@ -153,14 +189,36 @@ object Multimodal {
         }
         bb.put(payload)
         bb.array()
-      case _ => // GIF: signature + little-endian logical screen descriptor
-        val bb = java.nio.ByteBuffer.allocate(13 + payload.length)
+      case _ => // GIF: LSD + 256-entry GCT + n animation frames + trailer
+        val frames = 1 + (docId % 4).toInt
+        // per frame: GCE(8) + image descriptor(10) + LZW min byte(1)
+        //          + one 4-byte data sub-block(5) + terminator(1) = 25
+        val bb = java.nio.ByteBuffer.allocate(13 + 768 + frames * 25 + 1 + payload.length)
         bb.put("GIF89a".getBytes("US-ASCII"))
         bb.put((w & 0xff).toByte); bb.put(((w >> 8) & 0xff).toByte)
         bb.put((h & 0xff).toByte); bb.put(((h >> 8) & 0xff).toByte)
-        bb.put(0xf7.toByte)           // GCT present, 8-bit color
+        bb.put(0xf7.toByte)           // GCT present, 256 entries (3*256 = 768 B)
         bb.put(0.toByte); bb.put(0.toByte) // bg index, aspect
-        bb.put(payload)
+        bb.put(new Array[Byte](768))  // the global color table itself
+        (0 until frames).foreach { f =>
+          bb.put(0x21.toByte); bb.put(0xf9.toByte) // graphic control ext
+          bb.put(4.toByte)                          // block size
+          bb.put(0.toByte)                          // flags
+          bb.put((10 * (f + 1)).toByte); bb.put(0.toByte) // delay (LE cs)
+          bb.put(0.toByte)                          // transparent index
+          bb.put(0.toByte)                          // terminator
+          bb.put(0x2c.toByte)                       // image descriptor
+          bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // left, top
+          bb.put((w & 0xff).toByte); bb.put(((w >> 8) & 0xff).toByte)
+          bb.put((h & 0xff).toByte); bb.put(((h >> 8) & 0xff).toByte)
+          bb.put(0.toByte)                          // no local color table
+          bb.put(8.toByte)                          // LZW minimum code size
+          bb.put(4.toByte)                          // one 4-byte sub-block
+          bb.put(Array[Byte](f.toByte, 1, 2, 3))
+          bb.put(0.toByte)                          // sub-block terminator
+        }
+        bb.put(0x3b.toByte)           // trailer
+        bb.put(payload)               // opaque payload rides after the container
         bb.array()
     }
   }
@@ -196,8 +254,8 @@ object Multimodal {
       Seq(df.schema.fields(idIdx)) ++ metaSchema.fields)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val (len, fmt, w, h, ch) = decodeBytes(r.getAs[Array[Byte]](binIdx))
-        Row(r.get(idIdx), len, fmt, w, h, ch)
+        val (len, fmt, w, h, ch, nf) = decodeBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, w, h, ch, nf)
       }
     }(Encoders.row(outSchema))
   }

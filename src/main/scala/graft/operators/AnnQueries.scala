@@ -292,22 +292,25 @@ object AnnQueries {
 
     // Mirrors Multimodal.synthHeaderBytes arithmetically: header sizes
     // are the fixed container layouts (PNG 33 = sig 8 + IHDR chunk 25;
-    // JPEG 42+3*ncomp = SOI 2 + APP0 18 + COM 12 + SOF 10+3n; GIF 13 =
-    // sig 6 + screen descriptor 7), so a parser that misreads any
-    // field diverges from this independent computation.
+    // JPEG 42+3*ncomp = SOI 2 + APP0 18 + COM 12 + SOF 10+3n; GIF
+    // 782 + 25/frame + trailer = sig+LSD 13 + GCT 768 + frame blocks
+    // + 0x3B), so a parser that misreads any field — or miscounts the
+    // GIF block walk — diverges from this independent computation.
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(CASE doc_id % 3
         |    WHEN 0 THEN 33
         |    WHEN 1 THEN 42 + 3 * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)
-        |    ELSE 13 END + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |    ELSE 782 + 25 * (1 + doc_id % 4) END
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
         |  CAST(16 + doc_id % 317 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 211 AS INT) AS height,
         |  CAST(CASE doc_id % 3
         |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
         |    WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
-        |    ELSE 3 END AS INT) AS channels
+        |    ELSE 3 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -11,17 +11,29 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
 
-  test("GIF: the canonical 1x1 pixel header parses (little-endian u16)") {
-    // the widely-published minimal transparent GIF prefix
+  test("GIF: the canonical 1x1 pixel file parses fully (LE dims, GCT skip, frame walk)") {
+    // the widely-published 43-byte transparent 1x1 GIF, byte for byte
     val gif = "GIF89a".getBytes("US-ASCII") ++
-      b(0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00)
-    val (len, fmt, w, h, ch) = Multimodal.decodeBytes(gif)
-    assert((len, fmt, w, h, ch) == (13L, "gif", 1, 1, 3))
+      b(0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00) ++ // LSD: GCT of 2 entries
+      b(0x00, 0x00, 0x00, 0xff, 0xff, 0xff) ++        // the GCT
+      b(0x21, 0xf9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00) ++ // GCE
+      b(0x2c, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) ++ // image desc
+      b(0x02, 0x02, 0x44, 0x01, 0x00) ++              // LZW min + 1 sub-block + term
+      b(0x3b)                                          // trailer
+    assert(gif.length == 43)
+    assert(Multimodal.decodeBytes(gif) == ((43L, "gif", 1, 1, 3, 1)))
     // 300x2: low byte first — a big-endian misread would give 0x012C -> 11265
     val gif2 = "GIF87a".getBytes("US-ASCII") ++
       b(0x2c, 0x01, 0x02, 0x00, 0x80, 0x00, 0x00)
     assert(Multimodal.decodeBytes(gif2)._3 == 300)
     assert(Multimodal.decodeBytes(gif2)._4 == 2)
+    // two image descriptors (no GCT, no extensions) => 2 frames
+    val anim = "GIF89a".getBytes("US-ASCII") ++
+      b(0x02, 0x00, 0x02, 0x00, 0x00, 0x00, 0x00) ++
+      b(0x2c, 0, 0, 0, 0, 0x02, 0x00, 0x02, 0x00, 0x00, 0x02, 0x01, 0x00, 0x00) ++
+      b(0x2c, 0, 0, 0, 0, 0x02, 0x00, 0x02, 0x00, 0x00, 0x02, 0x01, 0x00, 0x00) ++
+      b(0x3b)
+    assert(Multimodal.decodeBytes(anim)._6 == 2)
   }
 
   test("PNG: IHDR big-endian dims and color-type channel map") {
@@ -31,7 +43,7 @@ class MultimodalSpec extends AnyFunSuite {
       b(w >> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff) ++
       b(h >> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff) ++
       b(8, colorType, 0, 0, 0) ++ b(0, 0, 0, 0)
-    assert(Multimodal.decodeBytes(png(2, 3, 6)) == ((33L, "png", 2, 3, 4)))
+    assert(Multimodal.decodeBytes(png(2, 3, 6)) == ((33L, "png", 2, 3, 4, 1)))
     assert(Multimodal.decodeBytes(png(640, 480, 2))._3 == 640)
     assert(Multimodal.decodeBytes(png(640, 480, 2))._5 == 3)
     assert(Multimodal.decodeBytes(png(1, 1, 0))._5 == 1)   // grayscale
@@ -48,24 +60,24 @@ class MultimodalSpec extends AnyFunSuite {
       b(0xff, 0xd0) ++ // standalone: no length field
       b(0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0x07, 0x00, 0x05, 3,
         1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)
-    val (_, fmt, w, h, ch) = Multimodal.decodeBytes(jpeg)
+    val (_, fmt, w, h, ch, _) = Multimodal.decodeBytes(jpeg)
     assert((fmt, w, h, ch) == (("jpeg", 5, 7, 3)))
     // progressive (SOF2) and dims > 255 exercise the u16 reads
     val sof2 = b(0xff, 0xd8) ++
       b(0xff, 0xc2, 0x00, 0x0b, 8, 0x01, 0x2c, 0x02, 0x58, 1, 1, 0x11, 0)
-    assert(Multimodal.decodeBytes(sof2) == ((15L, "jpeg", 600, 300, 1)))
+    assert(Multimodal.decodeBytes(sof2) == ((15L, "jpeg", 600, 300, 1, 1)))
   }
 
   test("unknown bytes fall through to raw, not an exception") {
     assert(Multimodal.decodeBytes("plain text".getBytes("UTF-8")) ==
-      ((10L, "raw", 0, 0, 0)))
-    assert(Multimodal.decodeBytes(Array.emptyByteArray) == ((0L, "raw", 0, 0, 0)))
+      ((10L, "raw", 0, 0, 0, 0)))
+    assert(Multimodal.decodeBytes(Array.emptyByteArray) == ((0L, "raw", 0, 0, 0, 0)))
   }
 
   test("synth fixtures round-trip through the parsers with the doc_id formulas") {
     val payload = "payload-bytes".getBytes("UTF-8")
     (0L until 12L).foreach { id =>
-      val (len, fmt, w, h, ch) = Multimodal.decodeBytes(
+      val (len, fmt, w, h, ch, nf) = Multimodal.decodeBytes(
         Multimodal.synthHeaderBytes(id, payload))
       val expFmt = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "gif" }
       assert(fmt == expFmt, s"id=$id")
@@ -77,8 +89,12 @@ class MultimodalSpec extends AnyFunSuite {
         case _      => 3                   // GIF palette
       }
       assert(ch == expCh, s"id=$id channels")
+      val expFrames = if (id % 3 == 2) 1 + (id % 4).toInt else 1
+      assert(nf == expFrames, s"id=$id n_frames")
       val headerLen = (id % 3) match {
-        case 0 => 33; case 1 => 42 + 3 * (if (id % 2 == 0) 3 else 1); case _ => 13
+        case 0 => 33
+        case 1 => 42 + 3 * (if (id % 2 == 0) 3 else 1)
+        case _ => 782 + 25 * expFrames
       }
       assert(len == headerLen + payload.length, s"id=$id bin_len")
     }
