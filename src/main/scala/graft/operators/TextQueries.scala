@@ -33,6 +33,9 @@ object TextQueries {
   private val coeffs = minhashCoeffs(K)
   private val JaccardT = 0.6
 
+  /** Span length (tokens) for `text_dup_spans`. */
+  val DupSpanLen = 16
+
   /** Misra-Gries counters per language for `text_heavy_hitters`;
     * Verify's invariant derives its error bound n/(k+1) from THIS
     * constant (shipped-constant rule).
@@ -311,6 +314,31 @@ object TextQueries {
         .orderBy("lang", "rnk")
     },
 
+    // Exact duplicated-span detection (the substring-level dedup
+    // signal of Lee et al.-style training pipelines: "this 16-token
+    // span appears verbatim in k documents"): every token position
+    // emits its span hash (one ShingleHashes kernel pass), then ONE
+    // hash-keyed exchange with map-side partial aggregation counts
+    // distinct docs per span. The plan at 100 TB is the same two
+    // stages; the 32-bit cross-engine-portable hash (md5 prefix,
+    // identical in both engines so any collision is shared and the
+    // oracle stays exact) would widen to 128-bit to make collisions
+    // impossible rather than merely engine-consistent.
+    "text_dup_spans" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.shingleHashes(col("text"), DupSpanLen))
+            .as("h"))
+        .groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .select("h", "n_docs", "n_occurrences", "first_doc", "last_doc")
+        .orderBy("h")
+    },
+
     // Heavy-hitters token summary per language via the Misra-Gries
     // Aggregator (functions/HeavyHitters — the custom-UDAF surface):
     // one partial MG summary per partition, merged at a
@@ -540,6 +568,17 @@ object TextQueries {
          |FROM (SELECT doc_id, ${shinglesSql(4).replace("toks", "toks")} AS sh4
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans" ->
+      s"""SELECT h, n_docs, n_occurrences, first_doc, last_doc FROM (
+         |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+         |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |  FROM (
+         |    SELECT doc_id, ${thSql("g")} AS h FROM (
+         |      SELECT doc_id, unnest(${shinglesSql(DupSpanLen)}) AS g
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+         |  GROUP BY h)
+         |WHERE n_docs >= 2 ORDER BY h""".stripMargin,
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
