@@ -21,6 +21,12 @@ object StreamJoins {
     * lookback covers the replayed span, the same ROWS as the batch
     * `ev_asof_join` query (the differential in StreamingSpec).
     *
+    * `joinType = "left_outer"` keeps right events with NO preceding
+    * match (gap_us null) — Spark emits the unmatched side once the
+    * watermark proves no match can still arrive, so the outer rows
+    * carry the same lookback-delayed emission contract as everything
+    * else here.
+    *
     * Both inputs need schema (user_id, event_id, ts, ts_us) with a
     * watermark already set on `ts`.
     *
@@ -53,22 +59,35 @@ object StreamJoins {
     *    another reason the lookback should be the domain's honest
     *    "recent", not a defensive maximum.
     */
-  def asofJoin(left: DataFrame, right: DataFrame, lookbackUs: Long): DataFrame = {
+  def asofJoin(left: DataFrame, right: DataFrame, lookbackUs: Long,
+               joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"asofJoin supports inner | left_outer (outer = keep right rows with no match), got $joinType")
     val l = left.select(col("user_id").as("l_user"), col("event_id").as("l_eid"),
       col("ts").as("l_ts"), col("ts_us").as("l_ts_us"))
     val r = right.select(col("user_id").as("r_user"), col("event_id").as("event_id"),
       col("ts").as("r_ts"), col("ts_us").as("r_ts_us"))
     val lookbackExpr = s"INTERVAL ${lookbackUs / 1000000L} SECOND"
-    val joined = r.join(l,
-      expr(s"""r_user = l_user
-              | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
-              | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
-              |""".stripMargin.replace("\n", "")),
-      "inner")
+    // "left_outer" from the CALLER's view keeps every right event;
+    // in Spark's join orientation (right side is the build/stream
+    // being preserved here) that is a right_outer of r.join(l)
+    val sparkJoinType = if (joinType == "inner") "inner" else "left_outer"
+    val joined = (if (joinType == "inner") r.join(l,
+        expr(s"""r_user = l_user
+                | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
+                | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
+                |""".stripMargin.replace("\n", "")),
+        sparkJoinType)
+      else l.join(r, // preserved side must be the OUTER side of the join
+        expr(s"""r_user = l_user
+                | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
+                | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
+                |""".stripMargin.replace("\n", "")),
+        "right_outer"))
     joined
       .groupBy(col("event_id"), col("r_user"), col("r_ts"), col("r_ts_us"))
-      .agg(max(col("l_ts_us")).as("last_l_us"))
+      .agg(max(col("l_ts_us")).as("last_l_us")) // max skips the outer nulls
       .select(col("event_id"), col("r_user").as("user_id"),
-        (col("r_ts_us") - col("last_l_us")).as("gap_us"))
+        (col("r_ts_us") - col("last_l_us")).as("gap_us")) // null gap = no match
   }
 }

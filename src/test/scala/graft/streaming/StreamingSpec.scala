@@ -390,6 +390,59 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("left-outer stream-stream asof join keeps matchless purchases with null gap (differential)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, when}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: ALL purchases; gap null when no preceding view
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ev0 = graft.sources.Tables.events(spark, dir)
+    val expected = ev0
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (col("ts_us") - col("last_view_us")).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val byType = ev0.select("user_id", "event_id", "ts", "ts_us", "event_type").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        StreamingWindows.SessIn(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("ts_us"), 0.0)))
+    val views = byType.collect { case ("view", e) => e }.sortBy(e => (e.tsUs, e.eventId))
+    val purchases = byType.collect { case ("purchase", e) => e }.sortBy(e => (e.tsUs, e.eventId))
+    val vMem = MemoryStream[StreamingWindows.SessIn]
+    val pMem = MemoryStream[StreamingWindows.SessIn]
+    def side(m: MemoryStream[StreamingWindows.SessIn]) =
+      m.toDS().toDF("user_id", "event_id", "ts", "ts_us", "value")
+        .withWatermark("ts", "0 seconds")
+    val lookbackUs = 31L * 86400L * 1000000L
+    val joined = StreamJoins.asofJoin(side(vMem), side(pMem), lookbackUs, "left_outer")
+    val (name, q) = runToMemory(joined)
+    vMem.addData(views.toSeq: _*)
+    pMem.addData(purchases.toSeq: _*)
+    q.processAllAvailable()
+    val lastMs = (views.last.tsUs max purchases.last.tsUs) / 1000L
+    Seq(32L, 64L, 96L).foreach { k =>
+      val ms = lastMs + k * 86400000L
+      vMem.addData(StreamingWindows.SessIn(-1L, 0L, new java.sql.Timestamp(ms), ms * 1000L, 0.0))
+      pMem.addData(StreamingWindows.SessIn(-2L, 0L, new java.sql.Timestamp(ms), ms * 1000L, 0.0))
+      q.processAllAvailable()
+    }
+    awaitRows(name, expected.size.toLong)
+    val got = spark.table(name).collect()
+      .filter(_.getLong(1) >= 0) // drop the sentinel purchases (user -2)
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == expected,
+      s"only-batch=${(expected -- got).take(5)} only-stream=${(got -- expected).take(5)}")
+    q.stop()
+  }
+
   test("streaming ingest dedup matches the batch dedup_exact keep-set (differential)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
