@@ -85,6 +85,13 @@ object CurationQueries {
   private[operators] val QuotaK = 20
   private[operators] val QuotaSalt = 64
 
+  /** `sample_split` slot boundaries (of 100): train / validation / rest test. */
+  private[operators] val SplitTrainPct = 98
+  private[operators] val SplitValPct = 1
+
+  /** Document budget for `sample_temperature`'s expected total draw. */
+  private[operators] val TempBudget = 150
+
   /** Per-source mixture weights in tenths for `sample_mixture_repeat`:
     * upsample the first five source shards 3.0x, the next five 1.5x,
     * keep the rest at 1.0x. A shared SQL string so the DuckDB oracle
@@ -196,6 +203,51 @@ object CurationQueries {
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
             .as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/validation/test split (the reproducibility
+    // contract every dataset release needs: membership decided by a
+    // portable hash of the doc id alone, so re-running on grown or
+    // re-partitioned data never moves an old doc between splits).
+    // 98/1/1 by hash slot; pure narrow map work.
+    "sample_split" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("slot", expr(s"$mixSql % 100"))
+        .withColumn("split",
+          when(col("slot") < SplitTrainPct, lit("train"))
+            .when(col("slot") < SplitTrainPct + SplitValPct, lit("validation"))
+            .otherwise(lit("test")))
+        .select("doc_id", "lang", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    // Temperature-balanced language sampling (the multilingual
+    // standard: sample language l with probability ∝ n_l^(1/T),
+    // flattening the head so low-resource languages survive — here
+    // T=2, i.e. sqrt scaling). Per-language acceptance thresholds are
+    // computed in FIXED-POINT after the one transcendental-free step:
+    // sqrt is IEEE correctly-rounded (bit-identical in both engines),
+    // floor(·*1e6) quantizes it, and everything after is BIGINT
+    // arithmetic — threshold t_l = Budget·1e6·s_l / Σs / n_l with
+    // integer division in a fixed order, so the oracle is hash-exact,
+    // no RNG, no pow() ulp risk. Acceptance is the same portable
+    // hash-residue filter as the stratified sampler; thresholds ride
+    // a broadcast join (languages-sized). t_l ≥ 1e6 means accept-all,
+    // so min(1, rate) is implicit. BIGINT headroom: Budget·1e6·s_l
+    // needs n_l ≲ 1e12 per language; beyond that, scale the
+    // fixed-point down one decade.
+    "sample_temperature" -> { (s, d) =>
+      val counts = docs(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sfp", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val tot = counts.agg(sum("sfp").as("stot"))
+      docs(s, d)
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("t", expr(s"$TempBudget * 1000000 * sfp div stot div n"))
+        .filter(expr(s"$mixSql % 1000000") < col("t"))
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 
@@ -399,6 +451,26 @@ object CurationQueries {
          |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(c.g) AS contamination
          |FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT doc_id, lang, source,
+         |  CASE WHEN $mixSql % 100 < $SplitTrainPct THEN 'train'
+         |       WHEN $mixSql % 100 < ${SplitTrainPct + SplitValPct} THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SUM over BIGINT is HUGEINT in DuckDB -> cast back; integer
+    // division order mirrors the Spark expression exactly
+    "sample_temperature" ->
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS n,
+         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sfp
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(sfp) AS BIGINT) AS stot FROM counts)
+         |SELECT doc_id, lang FROM documents
+         |JOIN counts USING (lang) CROSS JOIN tot
+         |WHERE $mixSql % 1000000 < $TempBudget * 1000000 * sfp // stot // n
+         |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

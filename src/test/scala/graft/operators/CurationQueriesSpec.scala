@@ -210,4 +210,38 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id")))
       .exists(_._2.length > 1))
   }
+
+  test("sample_split: 98/1/1 slots, membership is a pure function of doc_id") {
+    val rows = SparkEntry.queries("sample_split")(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    assert(bySplit("train") > bySplit("validation") + bySplit("test"))
+    // pure function of doc_id: the assignment formula evaluated on the
+    // id alone reproduces every row — no dependence on other rows, so
+    // growing or re-partitioning the corpus can never move a doc
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val slot = ((id % 1000003L) * 2654435761L % 1000003L) % 100L
+      val want = if (slot < 98) "train" else if (slot < 99) "validation" else "test"
+      assert(r.getAs[String]("split") == want, s"doc $id")
+    }
+  }
+
+  test("sample_temperature: low-resource languages keep a larger share than raw proportion") {
+    val langN = graft.sources.Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val drawn = SparkEntry.queries("sample_temperature")(spark, dir).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    assert(drawn.values.sum > 0)
+    // acceptance RATE (drawn/n) must be weakly larger for smaller
+    // languages — that is the whole point of temperature flattening
+    val rates = langN.map { case (l, n) => l -> (drawn.getOrElse(l, 0L).toDouble / n, n) }
+    val bySize = rates.toSeq.sortBy(_._2._2)
+    bySize.sliding(2).foreach {
+      case Seq((l1, (r1, n1)), (l2, (r2, n2))) if n1 < n2 =>
+        assert(r1 >= r2 * 0.8, // slack for hash-residue granularity
+          s"$l1 (n=$n1, rate=$r1) should out-rate $l2 (n=$n2, rate=$r2)")
+      case _ =>
+    }
+  }
 }
