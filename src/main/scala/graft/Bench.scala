@@ -58,6 +58,11 @@ object Bench {
     // queries 2-5x vs isolated runs).
     def barrier(): Unit = {
       spark.catalog.clearCache()
+      // memory-sink tables from the ingest replays (tailrep_*) hold
+      // their replayed rows on the driver heap until dropped — 4 runs
+      // per bench each leak one
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("tailrep_")).foreach(spark.catalog.dropTempView)
       System.gc()
       Thread.sleep(50)
     }

@@ -24,8 +24,11 @@ object Verify {
       // drop caches a query persisted for its own plan (PQ encoded
       // codes, IVF cell assignments) — they'd otherwise accumulate for
       // the session lifetime across the 90+ dumps and the invariant
-      // recomputations below
+      // recomputations below — and the ingest replays' memory-sink
+      // tables, which hold their rows on the driver heap until dropped
       spark.catalog.clearCache()
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("tailrep_")).foreach(spark.catalog.dropTempView)
     }
     // Machine-checkable invariants for the declared rows-only queries
     // (no DuckDB oracle by design): the driver record carries a

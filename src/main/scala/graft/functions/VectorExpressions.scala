@@ -433,6 +433,55 @@ case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 quantization in one kernel pass: the max-magnitude
+  * component maps to ±127 (scale = 127/max|v_i|, 0 for the zero
+  * vector) and every component rounds as floor(v_i·scale + 0.5) —
+  * explicit floor rounding for cross-engine bit parity, identical
+  * IEEE ops to the previous expression-tree formulation (a 64-term
+  * `greatest` + a `transform` whose inlined scale sub-tree blew the
+  * codegen limits and ran interpreted: measured 4.4 s → sub-second at
+  * sf0.1). Returns struct(scale: double, q: array<int>).
+  */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  override protected def vecChild: Expression = child
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  def compute(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(v, i))
+      if (a > m) m = a
+      i += 1
+    }
+    val scale = if (m > 0) 127.0 / m else 0.0
+    val q = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      q(i) = math.floor(elem(v, i) * scale + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("int8Quantize", this, classOf[Int8Quantize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -472,4 +521,8 @@ object VectorExpressions {
   /** ADC distance of a code row against a query's distance table. */
   def pqAdc(codes: Column, tab: Column, m: Int, ksub: Int): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(tab), m, ksub))
+
+  /** Symmetric int8 quantization: struct(scale, q) in one kernel pass. */
+  def int8Quantize(vec: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(vec)))
 }

@@ -132,19 +132,16 @@ object AnnQueries {
     // floor arithmetic is bit-identical everywhere. Pure map-side
     // per-row work, zero shuffles.
     "emb_quantize_int8" -> { (s, d) =>
-      val maxAbs = greatest((1 to Dim).map(i =>
-        abs(element_at(col("embedding"), i).cast("double"))): _*)
       // One scalar row per (vector, component) — posexplode of the
       // quantized array — so the dump has no list-typed cells; the
       // packed array layout is what a store would write, and callers
-      // get it back with collect_list ordered by pos.
+      // get it back with collect_list ordered by pos. Quantization is
+      // the Int8Quantize kernel (one primitive pass; the former
+      // greatest+transform tree ran interpreted past codegen limits).
       Tables.embeddings(s, d)
-        .withColumn("m", maxAbs)
-        .withColumn("scale", when(col("m") > 0, lit(127.0) / col("m")).otherwise(lit(0.0)))
-        .select(col("vec_id"), col("scale"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("int")).as("qvec"))
-        .selectExpr("vec_id", "scale", "posexplode(qvec) AS (pos, q)")
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions.int8Quantize(col("embedding")).as("z"))
+        .selectExpr("vec_id", "z.scale AS scale", "posexplode(z.q) AS (pos, q)")
         .select("vec_id", "pos", "q", "scale")
         .orderBy("vec_id", "pos")
     },
