@@ -68,22 +68,15 @@ object StreamJoins {
     val r = right.select(col("user_id").as("r_user"), col("event_id").as("event_id"),
       col("ts").as("r_ts"), col("ts_us").as("r_ts_us"))
     val lookbackExpr = s"INTERVAL ${lookbackUs / 1000000L} SECOND"
-    // "left_outer" from the CALLER's view keeps every right event;
-    // in Spark's join orientation (right side is the build/stream
-    // being preserved here) that is a right_outer of r.join(l)
-    val sparkJoinType = if (joinType == "inner") "inner" else "left_outer"
-    val joined = (if (joinType == "inner") r.join(l,
-        expr(s"""r_user = l_user
-                | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
-                | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
-                |""".stripMargin.replace("\n", "")),
-        sparkJoinType)
-      else l.join(r, // preserved side must be the OUTER side of the join
-        expr(s"""r_user = l_user
-                | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
-                | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
-                |""".stripMargin.replace("\n", "")),
-        "right_outer"))
+    val cond = expr(s"""r_user = l_user
+                       | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
+                       | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))
+                       |""".stripMargin.replace("\n", ""))
+    // the caller's "left_outer" keeps every RIGHT event, so the
+    // preserved stream rides as the outer side: right_outer of l.join(r)
+    val joined =
+      if (joinType == "inner") r.join(l, cond, "inner")
+      else l.join(r, cond, "right_outer")
     joined
       .groupBy(col("event_id"), col("r_user"), col("r_ts"), col("r_ts_us"))
       .agg(max(col("l_ts_us")).as("last_l_us")) // max skips the outer nulls

@@ -221,8 +221,13 @@ class CurationQueriesSpec extends AnyFunSuite {
     // growing or re-partitioning the corpus can never move a doc
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val slot = ((id % 1000003L) * 2654435761L % 1000003L) % 100L
-      val want = if (slot < 98) "train" else if (slot < 99) "validation" else "test"
+      // the SHIPPED constants, not pinned copies
+      val slot = ((id % CurationQueries.MixMod) * CurationQueries.SampleMix %
+        CurationQueries.MixMod) % 100L
+      val want =
+        if (slot < CurationQueries.SplitTrainPct) "train"
+        else if (slot < CurationQueries.SplitTrainPct + CurationQueries.SplitValPct) "validation"
+        else "test"
       assert(r.getAs[String]("split") == want, s"doc $id")
     }
   }

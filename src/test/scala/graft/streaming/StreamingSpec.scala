@@ -335,6 +335,71 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("gap sessions survive a kill/restart from checkpoint (exactly-once differential)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("ev_sessionize")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Double]("sum_value"), r.getAs[Long]("dur_us"))).toSet
+    val events = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts_us", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+      .sortBy(e => (e._3, e._2))
+    val base = java.nio.file.Files.createTempDirectory("graft-ckptrep")
+    val srcDir = base.resolve("src"); val outDir = base.resolve("out")
+    val ckpt = base.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(srcDir)
+    def writeChunk(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val lines = rows.map { case (u, e, ts, v) =>
+        s"""{"user_id":$u,"event_id":$e,"ts_us":$ts,"value":$v}"""
+      }
+      // atomic publish: the file source must never see a partial file
+      val tmp = base.resolve(name + ".tmp")
+      java.nio.file.Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, srcDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val schema = "user_id LONG, event_id LONG, ts_us LONG, value DOUBLE"
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+        .select(org.apache.spark.sql.functions.col("user_id").as("userId"),
+          org.apache.spark.sql.functions.col("event_id").as("eventId"),
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts_us)").as("ts"),
+          org.apache.spark.sql.functions.col("ts_us").as("tsUs"),
+          org.apache.spark.sql.functions.col("value"))
+        .withWatermark("ts", "0 seconds")
+        .as[StreamingWindows.SessIn]
+      StreamingWindows.gapSessions(src, 1800L * 1000000L)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val chunks = events.grouped(math.max(events.length / 4, 1)).toSeq
+    // first life: two chunks, then KILL
+    writeChunk("c0.json", chunks(0)); writeChunk("c1.json", chunks(1))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // second life: rest of the data + a far-future sentinel, resume
+    // from the checkpoint — state (open sessions, numbering) recovers,
+    // the file-sink manifest dedups anything from the first life
+    chunks.drop(2).zipWithIndex.foreach { case (c, i) => writeChunk(s"c${i + 2}.json", c) }
+    val lastUs = events.last._3
+    writeChunk("sentinel.json", Seq((-1L, 0L, lastUs + 86400L * 1000000L, 0.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("sessionId"),
+        r.getAs[Long]("nEvents"), r.getAs[Long]("startUs"), r.getAs[Long]("endUs"),
+        r.getAs[Double]("sumValue"), r.getAs[Long]("durUs")))
+      .filter(_._1 >= 0).toSet
+    assert(got == expected,
+      s"only-batch=${(expected -- got).take(3)} only-stream=${(got -- expected).take(3)}")
+  }
+
   test("stream-stream asof join matches the batch ev_asof_join rows (differential)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
