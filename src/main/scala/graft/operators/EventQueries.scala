@@ -282,6 +282,29 @@ object EventQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // Rolling active users (the DAU/WAU dashboard pair): distinct
+    // (user, day) once, then each active day CONTRIBUTES to the seven
+    // window-end days it keeps the user active for — a bounded ×7
+    // narrow fan-out replaces the day×day range join (which Spark
+    // would plan as a broadcast nested loop at any size), and the
+    // distinct-user count per window-end day is an ordinary hash
+    // aggregate. Window-end days join the real-day set (broadcast,
+    // days-sized) so trailing partial windows past the last real day
+    // don't emit.
+    "ev_active_users" -> { (s, d) =>
+      val DayUs = 86400000000L
+      val du = ev(s, d).select(expr(s"ts_us div $DayUs").as("day"), col("user_id"))
+        .distinct()
+      val days = du.select("day").distinct()
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), col("day") + 6, lit(1))).as("day"),
+          col("user_id"))
+        .join(broadcast(days), "day")
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day").orderBy("day")
+    },
+
     // Ordered 3-stage funnel: signup -> first view at-or-after the
     // signup -> first purchase at-or-after that view, per user. Three
     // conditional-min aggregates, each joined back on user_id (the
@@ -454,6 +477,16 @@ object EventQueries {
          |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
          |FROM days JOIN coh USING (user_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_active_users" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT $tsUs // 86400000000 AS day, user_id FROM events),
+         |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+         |contrib AS (SELECT unnest(range(day, day + 7)) AS day, user_id FROM du),
+         |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib
+         |        WHERE day IN (SELECT day FROM du) GROUP BY day)
+         |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+         |ORDER BY day""".stripMargin,
 
     "ev_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, $tsUs AS us FROM events),
