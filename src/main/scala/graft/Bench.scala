@@ -96,10 +96,14 @@ object Bench {
       (name, cold, warms(1))
     }
 
-    // Adjudication set: every query whose battery median moved >30% in
-    // either direction vs the prior record, plus the 5 slowest overall.
+    // Adjudication set: every query whose battery median moved beyond
+    // the tiered thresholds (moversOf), plus the 8 slowest overall —
+    // the expensive queries are the headline numbers AND the ones
+    // battery interference distorts hardest (r9: a 17 s battery median
+    // against a 1.7 s isolated re-read), so they always get a clean
+    // isolated number printed next to the battery one.
     val movers = Bench.moversOf(results.map { case (n, _, w) => (n, w) }, prior)
-    val slowest = results.sortBy(-_._3).take(5).map(_._1)
+    val slowest = results.sortBy(-_._3).take(8).map(_._1)
     val toIsolate = (movers ++ slowest).distinct.sorted
     val isolated = toIsolate.map(name => name -> isolatedMedian(name, selected(name)))
 
