@@ -145,6 +145,29 @@ object Verify {
       val hhCeil = 1.0 / (hhK + 1)
       val hhPass = hhOver == 0 && hhMaxUnderFrac <= hhCeil
 
+      // emb_pca_project: the PCA contract — orthonormal basis,
+      // eigenvalues descending, and each component's PROJECTED
+      // variance over the data matching its eigenvalue (the
+      // fixed-point moment pass vs the raw-float projection agree to
+      // well under 1%; gate at 5% of the leading eigenvalue).
+      // Constants from the shipped query path, not pinned copies.
+      val (pcaEig, pcaBasis) = graft.ann.Pca.fitBasis(emb,
+        graft.operators.AnnQueries.PcaK, graft.operators.AnnQueries.EmbDim)
+      val orthoErr = (for {
+        i <- pcaBasis.indices; j <- i until pcaBasis.length
+      } yield {
+        val d = pcaBasis(i).zip(pcaBasis(j)).map { case (a, b) => a * b }.sum
+        math.abs(d - (if (i == j) 1.0 else 0.0))
+      }).max
+      val eigDesc = pcaEig.zip(pcaEig.tail).forall { case (a, b) => a >= b }
+      val projVar = graft.ann.Pca.project(emb, pcaBasis)
+        .groupBy("pc").agg(var_pop(col("value")).as("v"))
+        .collect().map(r => r.getAs[Int]("pc") -> r.getAs[Double]("v")).toMap
+      val varErr = pcaEig.indices.map(j =>
+        math.abs(projVar(j) - pcaEig(j)) / math.max(pcaEig.head, 1e-12)).max
+      val pcaCeil = 0.05
+      val pcaPass = orthoErr <= 1e-9 && eigDesc && varErr <= pcaCeil
+
       s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
          | "emb_ann_ivf": {"metric": "recall_vs_brute_force_top5", "value": $ivfRecall,
@@ -160,7 +183,9 @@ object Verify {
          | "emb_ann_pq_batch": {"metric": "recall_vs_brute_force_top5_all_queries", "value": $pqBatchRecall,
          | "floor": $ivfPqFloor, "pass": ${pqBatchRecall >= ivfPqFloor}},
          | "text_heavy_hitters": {"metric": "max_undercount_frac_and_no_overestimates", "value": $hhMaxUnderFrac,
-         | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass}}""".stripMargin.replace("\n", "")
+         | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass},
+         | "emb_pca_project": {"metric": "max_projvar_vs_eigenvalue_err", "value": $varErr,
+         | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc, "pass": $pcaPass}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.Similarity
+import graft.ann.{Pca, Similarity}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -39,6 +39,14 @@ object AnnQueries {
   // too lossy even with exact re-rank's shortlist).
   val PqM = 16
   val PqKsub = 16
+
+  /** Principal components kept by `emb_pca_project`; Verify's
+    * variance-match invariant derives from THIS constant.
+    */
+  val PcaK = 8
+
+  /** Embedding dimensionality, shared with Verify's PCA invariant. */
+  val EmbDim: Int = Dim
 
   val queries: Map[String, Q] = Map(
 
@@ -108,6 +116,20 @@ object AnnQueries {
       Similarity.ivfPqTopK(emb, TopK, nlist, nprobe, PqM, PqKsub,
           nQueries = n.toInt, numRows = n)
         .orderBy("qid", "rnk")
+    },
+
+    // PCA projection (dimensionality reduction for cheaper ANN
+    // shortlists / whitening / drift monitors): one fixed-point
+    // moment-aggregate pass fits the basis (deterministic to the bit
+    // under any merge order), the driver eigendecomposes dim×dim, and
+    // projection is k codegen'd dot products — see ann/Pca. Rows-only
+    // (an eigenbasis is not SQL-mirrorable); Verify asserts
+    // orthonormality, eigenvalue ordering, and per-component
+    // projected-variance ≈ eigenvalue.
+    "emb_pca_project" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (_, basis) = Pca.fitBasis(emb, PcaK, Dim)
+      Pca.project(emb, basis).orderBy("vec_id", "pc")
     },
 
     // Embedding-cosine near-dup: all pairs above a similarity
