@@ -49,7 +49,9 @@ object ScaleBench {
     "text_chunk_overlap", "text_tfidf_topk", "text_bm25_topk", "emb_outliers",
     "ev_retention", "ev_funnel", "agg_approx_quantile", "emb_ann_pq", "emb_ann_ivfpq",
     "agg_corr", "sample_quota", "sample_mixture_repeat", "sample_token_budget",
-    "text_length_hist", "emb_quantize_int8", "emb_ann_pq_batch", "mm_decode_meta")
+    "text_length_hist", "emb_quantize_int8", "emb_ann_pq_batch", "mm_decode_meta",
+    "text_dup_spans", "text_heavy_hitters", "sample_split", "sample_temperature",
+    "ev_active_users", "emb_pca_project")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
