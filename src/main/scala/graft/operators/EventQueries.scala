@@ -101,7 +101,10 @@ object EventQueries {
         .orderBy("event_id")
     },
 
-    // §2.4#4 keep-when over a payload with string + array members:
+    // §2.4#4 keep-when over a payload with string + array members,
+    // validated DIRECTLY from the typed struct (the zero-parse kernel
+    // path — no to_json, no re-parse; `ev_keep_when` above covers the
+    // string-parse path):
     // pattern / minLength / maxLength (code-point counts) on `ty`,
     // multipleOf on `k`, and the draft-07 applicators — items /
     // minItems / maxItems / uniqueItems / contains on `arr`,
@@ -126,9 +129,9 @@ object EventQueries {
       ev(s, d)
         .withColumn("k", k)
         .withColumn("payload",
-          to_json(struct(col("event_type").as("ty"), col("k"),
-            array(col("k") % 5, col("k") % 3, expr("k div 2") % 5).as("arr"))))
-        .filter(JsonSchemaFilter.compile(schema, col("payload")))
+          struct(col("event_type").as("ty"), col("k"),
+            array(col("k") % 5, col("k") % 3, expr("k div 2") % 5).as("arr")))
+        .filter(JsonSchemaFilter.compileStruct(schema, col("payload")))
         .select(col("event_id"), col("event_type").as("ty"), col("k"))
         .orderBy("event_id")
     },

@@ -175,7 +175,7 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
 
   test("array/applicator keywords: items, uniqueItems, contains, patternProperties, if/then/else") {
     def m(schema: String) = JsonSchemaMatcher.compile(mapper.readTree(schema))
-    def j(s: String) = mapper.readTree(s)
+    def j(s: String): JsonView = new JsonView.Node(mapper.readTree(s))
     // items, single-schema form; non-arrays are unconstrained (spec §6)
     val ints = m("""{"items":{"type":"integer"}}""")
     assert(ints(j("[1,2,3]")) && !ints(j("""[1,"x"]""")) && ints(j("\"notarray\"")))
@@ -200,6 +200,57 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
           "else":{"properties":{"k":{"maximum":5}}}}""")
     assert(ite(j("""{"t":"a","k":10}""")) && !ite(j("""{"t":"a","k":9}""")))
     assert(ite(j("""{"t":"b","k":5}""")) && !ite(j("""{"t":"b","k":6}""")))
+  }
+
+  test("struct payloads: zero-parse kernel agrees with to_json + string kernel row-for-row") {
+    import org.apache.spark.sql.functions.{array, expr, lit, struct, to_json, when}
+    import spark.implicits._
+    val schema = mapper.readTree(
+      """{"type":"object","required":["ty","k"],
+         "properties":{
+           "ty":{"type":"string","pattern":"^(a|b)","minLength":2,"maxLength":6},
+           "k":{"type":"integer","minimum":3,"multipleOf":2},
+           "x":{"type":"number","exclusiveMaximum":0.75},
+           "arr":{"type":"array","items":{"type":"integer","minimum":0},
+                  "minItems":2,"uniqueItems":true,"contains":{"const":1}},
+           "sub":{"type":"object","required":["m"],
+                  "properties":{"m":{"enum":["p","q"]}}}},
+         "patternProperties":{"^k":{"exclusiveMinimum":0}},
+         "if":{"required":["ty"],"properties":{"ty":{"pattern":"^a"}}},
+         "then":{"properties":{"k":{"maximum":40}}},
+         "else":{"properties":{"k":{"maximum":90}}}}""")
+    // 200 rows covering: both ty prefixes + a failing one, null fields
+    // (absent members), doubles that look integral, arrays with nulls,
+    // nested structs with null members
+    val df = spark.range(200).toDF("i")
+      .withColumn("ty", when($"i" % 7 === 0, lit(null).cast("string"))
+        .otherwise(expr("concat(case when i % 3 = 0 then 'a' when i % 3 = 1 then 'b' else 'zz' end, 'x', i % 100)")))
+      .withColumn("k", when($"i" % 5 === 0, lit(null).cast("long")).otherwise($"i" % 97))
+      .withColumn("x", when($"i" % 4 === 0, ($"i" % 3).cast("double"))
+        .otherwise($"i".cast("double") / 16.0))
+      .withColumn("arr", when($"i" % 6 === 0, lit(null).cast("array<long>"))
+        .otherwise(array($"i" % 4, $"i" % 3, when($"i" % 11 === 0, lit(null).cast("long")).otherwise($"i" % 5))))
+      .withColumn("sub", when($"i" % 8 === 0, lit(null))
+        .otherwise(struct(when($"i" % 9 === 0, lit(null).cast("string"))
+          .otherwise(expr("case when i % 2 = 0 then 'p' else 'r' end")).as("m"))))
+      .withColumn("payload", struct($"ty", $"k", $"x", $"arr", $"sub"))
+    val viaStruct = df.withColumn("ok", JsonSchemaFilter.compileStruct(schema, col("payload")))
+      .select($"i", $"ok").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaJson = df.withColumn("ok", JsonSchemaFilter.compile(schema, to_json(col("payload"))))
+      .select($"i", $"ok").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaStruct.size == 200)
+    assert(viaStruct == viaJson, {
+      val diff = viaStruct.collect { case (i, v) if viaJson(i) != v => i }.toSeq.sorted
+      s"struct/json kernels disagree on rows $diff"
+    })
+    // the schema above actually discriminates: both outcomes occur
+    assert(viaStruct.values.exists(identity) && viaStruct.values.exists(!_))
+    // unsupported payload field types fail at plan build, not mid-job
+    assertThrows[IllegalArgumentException] {
+      df.withColumn("bad", struct(expr("map('a', 1)").as("m")))
+        .filter(JsonSchemaFilter.compileStruct(mapper.readTree("""{"type":"object"}"""), col("bad")))
+        .collect()
+    }
   }
 
   test("$ref: recursion, dangling and external refs fail loudly at plan build") {
