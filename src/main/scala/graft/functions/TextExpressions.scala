@@ -44,6 +44,20 @@ private[functions] object TextKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** 8 md5 bytes of `d` starting at `off`, big-endian, as the signed
+    * two's-complement long — the full-width hash for span keys where
+    * 32-bit collisions would merely be engine-consistent rather than
+    * impossible. Mirrored in DuckDB by assembling two 32-bit hex
+    * chunks: `(hi - 2^32·[hi ≥ 2^31])·2^32 + lo` (max value is exactly
+    * BIGINT max, so the arithmetic never overflows there).
+    */
+  def hash64(d: Array[Byte], off: Int): Long = {
+    var h = 0L
+    var i = off
+    while (i < off + 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** Whitespace tokens, matching `split(trim(text), "\\s+")` with
     * empties removed.
     */
@@ -88,6 +102,58 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ordered FULL-WIDTH (128-bit) hashes of the n-word shingles of a
+  * text column, as `array<struct<h1,h2>>` — both md5 halves, each a
+  * big-endian signed 64-bit long. Same single kernel pass as
+  * [[ShingleHashes]]; used where a span hash is the IDENTITY of the
+  * span (duplicated-span detection) and a 32-bit key would collide at
+  * ~80k distinct spans (birthday bound), versus never at 128 bits for
+  * any practical corpus.
+  */
+case class ShingleHashes128(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  def compute(input: UTF8String): ArrayData = {
+    val toks = TextKernels.tokens(input.toString)
+    val nToks = toks.length
+    if (nToks < n) return new GenericArrayData(Array.empty[Any])
+    val md = TextKernels.md5.get()
+    val out = new Array[Any](nToks - n + 1)
+    var i = 0
+    while (i <= nToks - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        TextKernels.hash64(d, 0), TextKernels.hash64(d, 8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes128", this, classOf[ShingleHashes128].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
@@ -146,6 +212,10 @@ object TextExpressions {
   /** Ordered hashes of the n-word shingles of `text`. */
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Ordered 128-bit (struct<h1,h2>) hashes of the n-word shingles. */
+  def shingleHashes128(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes128(ColumnBridge.expression(text), n))
 
   /** Native 32-bit simhash of a token array. */
   def simHash32(toks: Column): Column =

@@ -255,6 +255,16 @@ object TextQueries {
       clusterResolve(minhashPairs(s, d).select("a", "b"))
     },
 
+    // The DISTRIBUTED tier of the same resolution, oracle-checked at
+    // sf scale: budget forced to 0 so min-label propagation (the shape
+    // that runs when the pair list exceeds driver memory at 100 TB)
+    // produces the labels — same recursive-CTE oracle as the driver
+    // tier, so the two tiers are proven equivalent on real data, not
+    // just the toy spec graph.
+    "dedup_cluster_resolve_dist" -> { (s, d) =>
+      clusterResolve(minhashPairs(s, d).select("a", "b"), maxDriverPairs = 0L)
+    },
+
     // SimHash near-dup pairs: two 16-bit band rotations (high half,
     // low half) — a pair is a candidate if it collides in EITHER band,
     // then exact hamming distance filters. Two bands both double
@@ -320,23 +330,26 @@ object TextQueries {
     // emits its span hash (one ShingleHashes kernel pass), then ONE
     // hash-keyed exchange with map-side partial aggregation counts
     // distinct docs per span. The plan at 100 TB is the same two
-    // stages; the 32-bit cross-engine-portable hash (md5 prefix,
-    // identical in both engines so any collision is shared and the
-    // oracle stays exact) would widen to 128-bit to make collisions
-    // impossible rather than merely engine-consistent.
+    // stages. The span key is the FULL 128-bit md5 (both halves as
+    // signed longs, cross-engine-portable via hex-chunk assembly in
+    // the oracle), so hash collisions are impossible at any practical
+    // corpus size rather than merely engine-consistent — a 32-bit key
+    // starts colliding at ~80k distinct spans (birthday bound), well
+    // below one large document's span count.
     "text_dup_spans" -> { (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
-          explode(graft.functions.TextExpressions.shingleHashes(col("text"), DupSpanLen))
+          explode(graft.functions.TextExpressions.shingleHashes128(col("text"), DupSpanLen))
             .as("h"))
-        .groupBy("h")
+        .select(col("doc_id"), col("h.h1").as("h1"), col("h.h2").as("h2"))
+        .groupBy("h1", "h2")
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_occurrences"),
           min("doc_id").as("first_doc"),
           max("doc_id").as("last_doc"))
         .filter(col("n_docs") >= 2)
-        .select("h", "n_docs", "n_occurrences", "first_doc", "last_doc")
-        .orderBy("h")
+        .select("h1", "h2", "n_docs", "n_occurrences", "first_doc", "last_doc")
+        .orderBy("h1", "h2")
     },
 
     // Heavy-hitters token summary per language via the Misra-Gries
@@ -482,6 +495,19 @@ object TextQueries {
   private def thSql(x: String) =
     s"CAST(('0x'||substring(md5($x),1,8)) AS BIGINT)"
 
+  /** One signed 64-bit half of md5(`x`): hex chars [off, off+16) as
+    * two 32-bit chunks, assembled two's-complement — DuckDB's hex cast
+    * cannot parse 16 hex chars into a signed BIGINT directly, but
+    * `(hi − 2^32·[hi ≥ 2^31])·2^32 + lo` peaks at exactly BIGINT max,
+    * so this never overflows and matches [[TextKernels.hash64]]
+    * bit-for-bit.
+    */
+  private def th64Sql(x: String, off: Int) = {
+    val hi = s"CAST(('0x'||substring(md5($x),$off,8)) AS BIGINT)"
+    val lo = s"CAST(('0x'||substring(md5($x),${off + 8},8)) AS BIGINT)"
+    s"($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo"
+  }
+
   private def shinglesSql(n: Int) = {
     val parts = (1 to n).map(j => s"toks[i+$j]").mkString(", ")
     s"CASE WHEN len(toks) >= $n THEN list_transform(range(0, len(toks)-${n - 1}), i -> concat_ws(' ', $parts)) ELSE [] END"
@@ -525,6 +551,22 @@ object TextQueries {
        |    JOIN (SELECT doc_id AS b, mh AS mb FROM mh) USING (b)
        |  WHERE CAST($estTerms AS DOUBLE) / $K >= $JaccardT)""".stripMargin
   }
+
+  /** Connected components over the minhash pair graph — shared ground
+    * truth for BOTH clusterResolve tiers (driver union-find and
+    * distributed min-label propagation).
+    */
+  private val clusterResolveSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM filtered
+       |  UNION ALL SELECT b AS src, a AS dst FROM filtered),
+       |comp AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, c.lbl FROM comp c JOIN edges e ON e.src = c.node)
+       |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_tokens" ->
@@ -570,15 +612,15 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "text_dup_spans" ->
-      s"""SELECT h, n_docs, n_occurrences, first_doc, last_doc FROM (
-         |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+      s"""SELECT h1, h2, n_docs, n_occurrences, first_doc, last_doc FROM (
+         |  SELECT h1, h2, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
          |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |  FROM (
-         |    SELECT doc_id, ${thSql("g")} AS h FROM (
+         |    SELECT doc_id, ${th64Sql("g", 1)} AS h1, ${th64Sql("g", 17)} AS h2 FROM (
          |      SELECT doc_id, unnest(${shinglesSql(DupSpanLen)}) AS g
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
-         |  GROUP BY h)
-         |WHERE n_docs >= 2 ORDER BY h""".stripMargin,
+         |  GROUP BY h1, h2)
+         |WHERE n_docs >= 2 ORDER BY h1, h2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -603,16 +645,9 @@ object TextQueries {
     // connected components over the filtered near-dup pairs: the
     // recursive CTE enumerates (node, label-of-reachable-node) over
     // the undirected edges; MIN per node = the component's min doc_id
-    "dedup_cluster_resolve" -> s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM filtered
-         |  UNION ALL SELECT b AS src, a AS dst FROM filtered),
-         |comp AS (
-         |  SELECT DISTINCT src AS node, src AS lbl FROM edges
-         |  UNION
-         |  SELECT e.dst AS node, c.lbl FROM comp c JOIN edges e ON e.src = c.node)
-         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
-         |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_resolve" -> clusterResolveSql,
+    // distributed min-label tier, same ground truth
+    "dedup_cluster_resolve_dist" -> clusterResolveSql,
 
     "dedup_simhash_pairs" -> {
       val bitSums = (0 until 32).map { j =>
