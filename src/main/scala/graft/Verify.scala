@@ -151,7 +151,7 @@ object Verify {
       // fixed-point moment pass vs the raw-float projection agree to
       // well under 1%; gate at 5% of the leading eigenvalue).
       // Constants from the shipped query path, not pinned copies.
-      val (pcaEig, pcaBasis) = graft.ann.Pca.fitBasis(emb,
+      val (pcaEig, pcaBasis, pcaTrace) = graft.ann.Pca.fitBasisWithTrace(emb,
         graft.operators.AnnQueries.PcaK, graft.operators.AnnQueries.EmbDim)
       val orthoErr = (for {
         i <- pcaBasis.indices; j <- i until pcaBasis.length
@@ -166,7 +166,16 @@ object Verify {
       val varErr = pcaEig.indices.map(j =>
         math.abs(projVar(j) - pcaEig(j)) / math.max(pcaEig.head, 1e-12)).max
       val pcaCeil = 0.05
-      val pcaPass = orthoErr <= 1e-9 && eigDesc && varErr <= pcaCeil
+      // cumulative explained-variance ratio Σtop-k eig / trace: the
+      // coverage contract for choosing k. Floors: sane (in (0,1]) and
+      // the top PcaK=8 of 64 isotropic-ish synthetic dims must carry
+      // at least their proportional share (k/dim) of total variance —
+      // top-k eigenvalues below the mean would mean the "basis" is
+      // noise, not structure.
+      val pcaExplained = pcaEig.sum / pcaTrace
+      val pcaExplFloor = pcaEig.length.toDouble / graft.operators.AnnQueries.EmbDim
+      val pcaPass = orthoErr <= 1e-9 && eigDesc && varErr <= pcaCeil &&
+        pcaExplained > pcaExplFloor && pcaExplained <= 1.0 + 1e-12
 
       s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
@@ -185,7 +194,9 @@ object Verify {
          | "text_heavy_hitters": {"metric": "max_undercount_frac_and_no_overestimates", "value": $hhMaxUnderFrac,
          | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass},
          | "emb_pca_project": {"metric": "max_projvar_vs_eigenvalue_err", "value": $varErr,
-         | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc, "pass": $pcaPass}}""".stripMargin.replace("\n", "")
+         | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc,
+         | "explained_variance_ratio": $pcaExplained, "explained_floor": $pcaExplFloor,
+         | "pass": $pcaPass}}""".stripMargin.replace("\n", "")
     }
     try {
       val inv = invariantJson

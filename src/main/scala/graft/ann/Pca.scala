@@ -137,6 +137,18 @@ object Pca {
     */
   def fitBasis(vectors: DataFrame, k: Int, dim: Int,
                vecCol: String = "embedding"): (Seq[Double], Seq[Seq[Double]]) = {
+    val (eig, basis, _) = fitBasisWithTrace(vectors, k, dim, vecCol)
+    (eig, basis)
+  }
+
+  /** [[fitBasis]] plus the covariance TRACE (= total variance = Σ of
+    * ALL dim eigenvalues) from the same single moment pass — so a
+    * caller can report the cumulative explained-variance ratio
+    * Σtop-k eig / trace without a second pass, and choose k against an
+    * explicit coverage contract rather than blind.
+    */
+  def fitBasisWithTrace(vectors: DataFrame, k: Int, dim: Int,
+               vecCol: String = "embedding"): (Seq[Double], Seq[Seq[Double]], Double) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val agg = udaf(new MomentAgg(dim))
@@ -158,6 +170,9 @@ object Pca {
       }
       i += 1
     }
+    // trace from the covariance diagonal: invariant under the Jacobi
+    // rotations, so it equals Σ of all eigenvalues exactly
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
     val (eig, vecs) = jacobiEigen(cov)
     val order = eig.indices.sortBy(ix => (-eig(ix), ix)).take(k)
     val basis = order.map { ix =>
@@ -166,7 +181,7 @@ object Pca {
       val piv = v.indices.maxBy(c => (math.abs(v(c)), -c))
       if (v(piv) < 0) v.map(-_).toSeq else v.toSeq
     }
-    (order.map(eig), basis)
+    (order.map(eig), basis, trace)
   }
 
   /** Project onto a fitted basis: k codegen'd dot products against

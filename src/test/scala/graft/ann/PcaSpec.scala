@@ -40,6 +40,18 @@ class PcaSpec extends AnyFunSuite {
     assert(eig == eig2 && basis == basis2)
   }
 
+  test("trace = total variance: full-k eigenvalues sum to it; explained ratio is monotone in k") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val (allEig, _, trace) = Pca.fitBasisWithTrace(emb, 64, 64)
+    assert(trace > 0)
+    // Jacobi preserves the trace, so Σ of ALL eigenvalues = trace
+    assert(math.abs(allEig.sum - trace) / trace < 1e-9, s"sum=${allEig.sum} trace=$trace")
+    val (topEig, _, trace2) = Pca.fitBasisWithTrace(emb, 8, 64)
+    assert(trace2 == trace) // same moment pass, same covariance
+    val ratio = topEig.sum / trace
+    assert(ratio > 8.0 / 64 && ratio <= 1.0, s"explained ratio $ratio")
+  }
+
   test("projection variance matches the eigenvalues; first component dominates") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val (eig, basis) = Pca.fitBasis(emb, 4, 64)
