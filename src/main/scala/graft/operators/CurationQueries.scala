@@ -234,13 +234,17 @@ object CurationQueries {
     // no RNG, no pow() ulp risk. Acceptance is the same portable
     // hash-residue filter as the stratified sampler; thresholds ride
     // a broadcast join (languages-sized). t_l ≥ 1e6 means accept-all,
-    // so min(1, rate) is implicit. BIGINT headroom: Budget·1e6·s_l
-    // needs n_l ≲ 1e12 per language; beyond that, scale the
-    // fixed-point down one decade.
+    // so min(1, rate) is implicit. BIGINT headroom: the product
+    // Budget·1e6·s_l with s_l = floor(√n_l·1e5) stays below 2^63 for
+    // n_l ≲ 3.8e11 per language (~15× a 100-TB corpus if it were ALL
+    // one language) — the 1e5 fixed point deliberately gives up one
+    // quantization decade to buy that bound, because Spark (non-ANSI)
+    // would wrap silently on overflow while DuckDB errors, and the
+    // two engines must never diverge.
     "sample_temperature" -> { (s, d) =>
       val counts = docs(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n"))
-        .withColumn("sfp", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+        .withColumn("sfp", floor(sqrt(col("n").cast("double")) * 1e5).cast("long"))
       val tot = counts.agg(sum("sfp").as("stot"))
       docs(s, d)
         .join(broadcast(counts), "lang")
@@ -464,7 +468,7 @@ object CurationQueries {
     "sample_temperature" ->
       s"""WITH counts AS (
          |  SELECT lang, COUNT(*) AS n,
-         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sfp
+         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 100000) AS BIGINT) AS sfp
          |  FROM documents GROUP BY lang),
          |tot AS (SELECT CAST(SUM(sfp) AS BIGINT) AS stot FROM counts)
          |SELECT doc_id, lang FROM documents

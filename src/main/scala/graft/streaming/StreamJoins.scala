@@ -67,7 +67,9 @@ object StreamJoins {
       col("ts").as("l_ts"), col("ts_us").as("l_ts_us"))
     val r = right.select(col("user_id").as("r_user"), col("event_id").as("event_id"),
       col("ts").as("r_ts"), col("ts_us").as("r_ts_us"))
-    val lookbackExpr = s"INTERVAL ${lookbackUs / 1000000L} SECOND"
+    // microsecond interval, so sub-second lookbacks are honored
+    // exactly instead of truncating to INTERVAL 0 SECOND
+    val lookbackExpr = s"INTERVAL $lookbackUs MICROSECOND"
     val cond = expr(s"""r_user = l_user
                        | AND l_ts BETWEEN r_ts - $lookbackExpr AND r_ts
                        | AND (l_ts_us < r_ts_us OR (l_ts_us = r_ts_us AND l_eid < event_id))

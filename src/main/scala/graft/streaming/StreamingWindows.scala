@@ -185,12 +185,15 @@ object StreamingWindows {
             // Eager-close a stale open session BEFORE folding: when data
             // for this key arrives in the same micro-batch the timer
             // would have fired (timers only fire for keys with no data),
-            // the watermark may already sit past lastUs+gap — batch
-            // semantics closed that session at the gap, so close it here
-            // rather than relying on the first event's inline gap check
-            // (equivalent for in-order feeds, but this emits at the
-            // batch boundary the timeout contract promised even if a
-            // late-but-admitted event lands inside the old gap).
+            // the watermark may already sit past lastUs+gap, so close
+            // here to emit at the batch boundary the timeout contract
+            // promised. NOTE the deliberate tradeoff: a late-but-
+            // admitted event with tsUs ≤ lastUs+gap would be ABSORBED
+            // into the still-open session under batch semantics, but
+            // eager-close has already split it into a new session —
+            // timeout-consistent emission wins over late-event batch
+            // parity, matching the class doc's in-order-only parity
+            // contract.
             if (st.open && state.getCurrentWatermarkMs() * 1000L > st.lastUs + gapUs)
               close()
             incoming.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
