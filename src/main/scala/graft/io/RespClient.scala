@@ -74,6 +74,21 @@ final class RespClient(host: String, port: Int, connectTimeoutMs: Int = 5000,
     case other => throw new java.io.IOException(s"unexpected LPOP reply: $other")
   }
 
+  /** `LPOP key count` (Redis ≥ 6.2): up to `count` elements in ONE
+    * round trip — the micro-batch admission pop of
+    * [[graft.sources.RedisQueueSource]]. Empty list ⇒ nil reply ⇒
+    * empty Seq.
+    */
+  def lpopCount(key: String, count: Int): Seq[String] =
+    command("LPOP", key, count.toString) match {
+      case Resp.Arr(items) => items.map {
+        case Resp.Bulk(v) => v
+        case other => throw new java.io.IOException(s"unexpected LPOP element: $other")
+      }
+      case Resp.NullValue => Seq.empty
+      case other => throw new java.io.IOException(s"unexpected LPOP reply: $other")
+    }
+
   /** Enter subscribe mode on `channels`; after this, the connection
     * only delivers pushed messages — use [[nextMessage]].
     */

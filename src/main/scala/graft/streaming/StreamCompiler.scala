@@ -99,6 +99,34 @@ object StreamCompiler {
     ev.as[SEvent]
   }
 
+  /** LIVE `redis` input (reference src/input/redis.ts:130-237): a
+    * continuously-consumed list queue via
+    * [[graft.sources.RedisQueueSource]]'s `LPOP count`-per-micro-batch
+    * stream — NDJSON events parsed with the same variant-path idiom as
+    * every other ingest face. Arrival fields: `ts` is the micro-batch
+    * processing time, `seq` the element's pop index — monotone in
+    * arrival order, exactly like the tail source's byte offset.
+    */
+  def redisQueueSource(spark: SparkSession, host: String, port: Int, key: String,
+                       maxPerTrigger: Int = 1024): Dataset[SEvent] = {
+    val traceType = org.apache.spark.sql.types.DataType
+      .fromDDL("array<struct<i:double,p:string,h:string>>")
+    val lines = spark.readStream
+      .format(classOf[graft.sources.RedisQueueSource].getName)
+      .option("host", host).option("port", port.toString)
+      .option("key", key).option("maxPerTrigger", maxPerTrigger.toString)
+      .load()
+    val v = try_parse_json(col("value"))
+    lines.select(
+        try_variant_get(v, "$.n", "string").as("n"),
+        to_json(try_variant_get(v, "$.d", "variant")).as("d"),
+        from_json(to_json(try_variant_get(v, "$.t", "variant")), traceType).as("t"),
+        (unix_millis(current_timestamp()) / 1e3).as("ts"),
+        col("seq").as("seq"))
+      .filter(col("n").isNotNull)
+      .as[SEvent]
+  }
+
   def compile(spark: SparkSession, tpl: PipelineTemplate,
               input: Dataset[SEvent], globalWindows: Boolean = false): CompiledStream = {
     import spark.implicits._

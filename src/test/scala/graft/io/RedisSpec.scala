@@ -74,7 +74,24 @@ class RedisSpec extends AnyFunSuite {
                 queue(cmd(1)).add(cmd(2)); pushes.add(("RPUSH", cmd(1), cmd(2)))
                 out.write(s":${queue(cmd(1)).size}\r\n".getBytes(UTF_8)); out.flush()
               case "LPOP" =>
-                Option(queue(cmd(1)).poll()) match {
+                if (cmd.length > 2) {
+                  // LPOP key count (Redis >= 6.2): array of up to count
+                  // elements, nil when the list is empty
+                  val want = cmd(2).toInt
+                  val got = List.newBuilder[String]
+                  var k = 0
+                  var more = true
+                  while (k < want && more) Option(queue(cmd(1)).poll()) match {
+                    case Some(v) => got += v; k += 1
+                    case None    => more = false
+                  }
+                  val vs = got.result()
+                  if (vs.isEmpty) out.write("*-1\r\n".getBytes(UTF_8))
+                  else {
+                    out.write(s"*${vs.length}\r\n".getBytes(UTF_8))
+                    vs.foreach(bulk)
+                  }
+                } else Option(queue(cmd(1)).poll()) match {
                   case Some(v) => bulk(v)
                   case None    => out.write("$-1\r\n".getBytes(UTF_8))
                 }
@@ -193,6 +210,52 @@ class RedisSpec extends AnyFunSuite {
       assert(files.length == 1)
       val content = java.nio.file.Files.readString(files(0).asInstanceOf[java.nio.file.Path])
       assert(content == "{\"n\":\"a\"}\n{\"n\":\"b\"}\n{\"n\":\"c\"}\n")
+    }
+  }
+
+  test("live redis MicroBatchStream: byte-for-byte differential vs the batch parse on the same corpus payloads") {
+    import org.apache.spark.sql.functions._
+    withServer { srv =>
+      // the same NDJSON event lines the batch replay oracle consumes
+      val lines = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(to_json(struct(
+          concat(lit("app."), col("event_type")).as("n"),
+          struct(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")).as("d"))).as("value"))
+        .collect().map(_.getString(0))
+      assert(lines.length >= 500, s"corpus too small to exercise multi-batch: ${lines.length}")
+      // seed half before start; push the rest after the first drain to
+      // prove CONTINUOUS consumption across triggers, not a one-shot read
+      val (pre, post) = lines.splitAt(lines.length / 2)
+      srv.seedQueue("q", pre: _*)
+      val ds = graft.streaming.StreamCompiler.redisQueueSource(
+        spark, "localhost", srv.port, "q", maxPerTrigger = 97)
+      val q = ds.writeStream.format("memory").queryName("redisstream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        srv.seedQueue("q", post: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("redisstream")
+        .select("seq", "n", "d").collect()
+        .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // pop indices are contiguous from 0 (the natural offset), FIFO order
+      assert(streamed.map(_._1).toSeq == streamed.indices.map(_.toLong))
+      // batch differential: identical payloads through the identical
+      // variant-path parse, in queue (= input) order
+      val batch = {
+        import spark.implicits._
+        val v = try_parse_json(col("value"))
+        spark.createDataset(lines.toSeq).toDF("value")
+          .select(
+            try_variant_get(v, "$.n", "string").as("n"),
+            to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      }
+      assert(streamed.length == batch.length)
+      assert(streamed.map(t => (t._2, t._3)).toSeq == batch.toSeq,
+        "streamed (n, d) must equal the batch parse byte-for-byte in arrival order")
     }
   }
 
