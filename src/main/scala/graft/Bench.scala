@@ -15,18 +15,23 @@ import org.apache.spark.sql.SparkSession
   *   - failures propagate — a query that throws fails the bench loudly
   *     instead of recording a fast "success";
   *   - the record is SELF-ADJUDICATING: the battery number of every query
-  *     that moved >30% vs the previous round's committed record (latest
-  *     `BENCH_r*.json` in the cwd) — plus the 5 slowest overall — is
-  *     re-taken in isolation behind fresh barriers, and both numbers are
-  *     emitted. A reader can tell battery interference (isolated ≈ prior,
-  *     battery inflated) from a true plan regression (isolated moved too)
-  *     without re-running anything.
+  *     that moved beyond the tiered thresholds (`moversOf`) vs the
+  *     previous round's committed record (latest `BENCH_r*.json` in the
+  *     cwd) — plus the 8 slowest overall — is
+  *     re-taken in a FRESH FORKED JVM (`--isolated` child mode, parent
+  *     session stopped first), and both numbers are emitted. A reader can
+  *     tell battery interference (isolated ≈ prior, battery inflated)
+  *     from a true plan regression (isolated moved too) without
+  *     re-running anything — and the isolated column cannot itself be
+  *     polluted by cumulative battery-JVM state (r9 saw a 17 s battery
+  *     median against a 1.7 s clean number for the same plan).
   *
   * Args, if given, are query names: only those run (ad-hoc profiling).
+  * `--isolated <name>` is the internal child mode: one query, own
+  * SparkSession, prints one `GRAFT_ISOLATED {...}` line.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,17 +45,71 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case t: Throwable =>
-          System.err.println(s"BENCH FAILURE in query '$name': ${t.getMessage}")
-          throw t
-      }
-      (System.nanoTime() - t0) / 1e9
+  private def runQuery(spark: SparkSession, sfDir: String, name: String): Double = {
+    val fn = SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch {
+      case t: Throwable =>
+        System.err.println(s"BENCH FAILURE in query '$name': ${t.getMessage}")
+        throw t
     }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Child mode: one query in a JVM that has run nothing else. The cold
+    * run is this JVM's JIT/codegen warmup; the printed number is the
+    * median of 3 warm runs — the same discipline as the battery, minus
+    * every possibility of cross-query pollution.
+    */
+  private def isolatedChild(name: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = newSession()
+    runQuery(spark, sfDir, name)
+    val runs = Seq.fill(3) {
+      System.gc(); Thread.sleep(50)
+      runQuery(spark, sfDir, name)
+    }.sorted
+    println(s"""GRAFT_ISOLATED {"query":"$name","median":${runs(1)}}""")
+    spark.stop()
+  }
+
+  /** Fork a fresh JVM for one isolated re-run: same JVM args as this
+    * process (the sbt fork already carries the JDK-17 add-opens and
+    * -Xmx), same classpath, inherited env. Returns None when forking
+    * isn't possible (launcher-only classpath) or the child fails.
+    */
+  private def forkIsolated(name: String): Option[Double] = {
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench", "--isolated", name)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // stdout to EOF first (stderr is inherited, so no pipe deadlock)
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      val rc = p.waitFor()
+      val pat = """GRAFT_ISOLATED \{"query":"[^"]+","median":([0-9.Ee+-]+)\}""".r.unanchored
+      if (rc == 0) out.collectFirst { case pat(m) => m.toDouble } else None
+    } catch { case _: Exception => None }
+  }
+
+  def main(args: Array[String]): Unit = {
+    args.toList match {
+      case "--isolated" :: name :: Nil => isolatedChild(name); return
+      case _                           => ()
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = newSession()
 
     // Inter-QUERY barrier: drop cached data and force a full GC so one
     // query's shuffle files / heap pressure can't swing the next one's
@@ -74,13 +133,6 @@ object Bench {
       Thread.sleep(50)
     }
 
-    def isolatedMedian(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      barrier()
-      runOnce(name, fn) // warmup behind a fresh barrier
-      val runs = Seq.fill(3) { gcPause(); runOnce(name, fn) }.sorted
-      runs(1)
-    }
-
     // Previous round's committed record (highest round number in cwd):
     // the comparison base for flagging movers.
     val priorFile = Bench.priorRecord(new java.io.File("."))
@@ -89,10 +141,10 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.keys.toSeq.sorted.map { name =>
       barrier()
-      val cold = runOnce(name, fn)
-      val warms = Seq.fill(3) { gcPause(); runOnce(name, fn) }.sorted
+      val cold = runQuery(spark, sfDir, name)
+      val warms = Seq.fill(3) { gcPause(); runQuery(spark, sfDir, name) }.sorted
       (name, cold, warms(1))
     }
 
@@ -105,7 +157,29 @@ object Bench {
     val movers = Bench.moversOf(results.map { case (n, _, w) => (n, w) }, prior)
     val slowest = results.sortBy(-_._3).take(8).map(_._1)
     val toIsolate = (movers ++ slowest).distinct.sorted
-    val isolated = toIsolate.map(name => name -> isolatedMedian(name, selected(name)))
+
+    // Fork-per-query re-runs on a quiet machine: the battery session is
+    // STOPPED first so no child ever shares a JVM — or even a live
+    // executor pool — with the 99-query battery whose cumulative state
+    // is exactly what the isolated column exists to rule out.
+    spark.stop()
+    var anyInProcess = false
+    val isolated = toIsolate.map { name =>
+      name -> forkIsolated(name).getOrElse {
+        // no forkable classpath (plain unforked `sbt run`): shared-JVM
+        // fallback behind fresh barriers, flagged in the record
+        anyInProcess = true
+        val s = newSession()
+        s.catalog.clearCache(); System.gc(); Thread.sleep(50)
+        runQuery(s, sfDir, name)
+        val runs = Seq.fill(3) {
+          System.gc(); Thread.sleep(50); runQuery(s, sfDir, name)
+        }.sorted
+        runs(1)
+      }
+    }
+    val isoMode = if (toIsolate.isEmpty) "none"
+      else if (anyInProcess) "in_process_fallback" else "fork_per_query"
 
     val qs = results.map { case (k, _, w) => s""""$k":$w""" }.mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -116,8 +190,8 @@ object Bench {
     // warm_total repeated as the LAST field: the driver wrapper keeps only
     // the final 2000 chars of stdout, and the head (where "value" sits)
     // gets truncated once the battery grows — the tail always survives.
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"movers":$moverList,"prior_record":$priorName,"cold_total":$coldTotal,"sf":"$sfDir","warm_total":$warmTotal}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"isolated_mode":"$isoMode","movers":$moverList,"prior_record":$priorName,"cold_total":$coldTotal,"sf":"$sfDir","warm_total":$warmTotal}""")
+    org.apache.spark.sql.SparkSession.getDefaultSession.foreach(_.stop())
   }
 
   /** Latest committed record by PARSED round number — lexicographic
