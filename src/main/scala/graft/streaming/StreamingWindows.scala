@@ -289,4 +289,94 @@ object StreamingWindows {
           out.result().iterator
       }
   }
+
+  /** One DAU/WAU contribution: an event on day `srcDay` keeps its user
+    * active for the 7 window-end days [srcDay, srcDay+6]; `isDau` marks
+    * the `day == srcDay` arm. `ts` carries the event time so the
+    * watermark column survives the fan-out projection.
+    */
+  final case class ActiveContrib(day: Long, userId: Long, isDau: Boolean,
+                                 ts: java.sql.Timestamp)
+
+  /** Per-window-end-day state: distinct users seen on the day itself
+    * (DAU) and across its trailing 7-day window (WAU), as sorted id
+    * runs (a Set has no Spark encoder; dedup happens on insert).
+    */
+  final case class ActiveState(dauUsers: Seq[Long], wauUsers: Seq[Long])
+
+  final case class ActiveDay(day: Long, dau: Long, wau: Long)
+
+  implicit val activeContribEnc: Encoder[ActiveContrib] = Encoders.product[ActiveContrib]
+  implicit val activeStateEnc: Encoder[ActiveState] = Encoders.product[ActiveState]
+  implicit val activeDayEnc: Encoder[ActiveDay] = Encoders.product[ActiveDay]
+
+  /** Rolling DAU/WAU, live — the streaming arm of the batch
+    * `ev_active_users` query (EventQueries): per window-end day, the
+    * distinct-user count for that day (DAU) and for its trailing 7-day
+    * window (WAU). The SAME bounded ×7 contribution fan-out as the
+    * batch plan — an event on day d contributes to window-end days
+    * [d, d+6] — keyed by window-end day, so the state machine is an
+    * ordinary distinct-accumulate per key, no range join, no rescan
+    * of prior days when a new day opens.
+    *
+    * A window-end day is FINAL once the watermark passes the end of
+    * that event-time day: the latest possible contributor to window d
+    * is an event on day d itself (later days contribute only forward),
+    * so the EventTimeTimeout fires at (day+1)·86400 s and emits the
+    * day exactly once, then drops its state. Days with no real event
+    * (pure trailing-window shadows, dauUsers empty) are suppressed —
+    * the batch query's broadcast join against the real-day set.
+    *
+    * Scale shape: state per key is the day's distinct-user id set —
+    * the irreducible exact-distinct payload, bounded by that day's
+    * audience, held only for the 7-day horizon then freed on emit.
+    * Feeds needing smaller state would swap the id sets for HLL
+    * sketches and give up the exact batch differential.
+    *
+    * Same finite-replay drain contract as [[gapSessions]]: a sentinel
+    * past lastDay+1 flushes every pending day.
+    *
+    * The watermark is declared HERE, on the fan-out's own `ts` (a typed
+    * projection drops the upstream watermark tag, so an input-side
+    * `withWatermark` can't reach the state operator); `delayThreshold`
+    * is the caller's lateness budget, same meaning as on the input.
+    */
+  def activeUsers(events: Dataset[SessIn],
+                  delayThreshold: String = "0 seconds"): Dataset[ActiveDay] = {
+    val DayUs = 86400000000L
+    events
+      .flatMap { e =>
+        val d0 = Math.floorDiv(e.tsUs, DayUs)
+        (0 to 6).map(i => ActiveContrib(d0 + i, e.userId, i == 0, e.ts))
+      }
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[ActiveState, ActiveDay](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (day: Long, incoming: Iterator[ActiveContrib], state: GroupState[ActiveState]) =>
+          if (!incoming.hasNext && state.hasTimedOut) {
+            // watermark passed end-of-day: the window is final
+            val st = state.get
+            state.remove()
+            if (st.dauUsers.nonEmpty)
+              Iterator.single(ActiveDay(day, st.dauUsers.size.toLong, st.wauUsers.size.toLong))
+            else Iterator.empty // shadow window of a dayless trailing edge
+          } else {
+            val st0 = state.getOption.getOrElse(ActiveState(Nil, Nil))
+            var dau = st0.dauUsers.toSet
+            var wau = st0.wauUsers.toSet
+            incoming.foreach { c =>
+              wau += c.userId
+              if (c.isDau) dau += c.userId
+            }
+            state.update(ActiveState(dau.toSeq.sorted, wau.toSeq.sorted))
+            // final at end-of-day (event time); keep ahead of the
+            // current watermark or Spark rejects the timestamp
+            val endOfDayMs = (day + 1) * (DayUs / 1000) + 1
+            state.setTimeoutTimestamp(
+              math.max(endOfDayMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -335,6 +335,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming rolling DAU/WAU matches the batch ev_active_users rows (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("ev_active_users")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toSet
+    val events = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "ts_us", "value").collect()
+      .map(r => StreamingWindows.SessIn(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+      .sortBy(e => (e.tsUs, e.eventId))
+    val mem = MemoryStream[StreamingWindows.SessIn]
+    val out = StreamingWindows.activeUsers(mem.toDS())
+    val (name, q) = runToMemory(out)
+    // event-time order in three micro-batches: days completed mid-stream
+    // emit live as the watermark crosses their end-of-day...
+    events.grouped(math.max(events.length / 3, 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    // ...and a far-future sentinel flushes the last pending days (its
+    // own day never becomes final, and its trailing shadow windows
+    // carry no DAU, so it emits nothing — filtered besides)
+    val lastUs = events.last.tsUs
+    val sentinelUs = lastUs + 8L * 86400000000L
+    mem.addData(StreamingWindows.SessIn(-1L, 0L,
+      new java.sql.Timestamp(sentinelUs / 1000L), sentinelUs, 0.0))
+    q.processAllAvailable()
+    awaitRows(name, expected.size.toLong)
+    val sentinelDay = sentinelUs / 86400000000L
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < sentinelDay).toSet
+    assert(got == expected,
+      s"only-batch=${(expected -- got).take(3)} only-stream=${(got -- expected).take(3)}")
+    q.stop()
+  }
+
   test("gap sessions survive a kill/restart from checkpoint (exactly-once differential)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
