@@ -325,6 +325,17 @@ final class AmqpClient(host: String, port: Int, vhost: String = "/",
     finally socket.close()
   }
 
+  /** Hard-close without the Close handshake: the polite [[close]]
+    * READS the socket for its CloseOks, which deadlocks against a
+    * thread concurrently blocked in [[nextDelivery]] (both readers
+    * starve each other). A consumer being torn down by another thread
+    * — the streaming source's stop — must drop the socket instead;
+    * the blocked reader unwinds with EOF/IOException and un-acked
+    * deliveries requeue broker-side, which is exactly the
+    * at-least-once contract.
+    */
+  def abort(): Unit = socket.close()
+
   // ---- frame plumbing ----
 
   private def sendMethod(channel: Int, classId: Int, methodId: Int,

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared plumbing for the broker-fed line streams ([[RedisQueueSource]]
+  * pull-per-trigger, [[AmqpQueueSource]] / [[MqttStreamSource]]
+  * push-collected): a `(value, seq)` schema where `seq` is the monotone
+  * arrival index (the pop/delivery counter — the same role the byte
+  * offset plays for the tail source), slice partitions shipping one
+  * admitted micro-batch to the executors, and the count offset.
+  */
+object BrokerLines {
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
+}
+
+/** Total lines admitted from the broker since stream start. */
+case class CountOffset(n: Long) extends Offset {
+  override def json: String = s"""{"n":$n}"""
+}
+
+object CountOffset {
+  def parse(json: String): CountOffset = {
+    val m = """"n"\s*:\s*(\d+)""".r
+    CountOffset(m.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
+  }
+}
+
+/** One admitted micro-batch slice; `firstSeq` is the arrival index of
+  * `values(0)`.
+  */
+case class LineSlicePartition(values: Array[String], firstSeq: Long) extends InputPartition
+
+object LineSliceReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val LineSlicePartition(values, firstSeq) = partition.asInstanceOf[LineSlicePartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < values.length }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(values(i)), firstSeq + i)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Driver-buffered `MicroBatchStream` over a PUSH-protocol broker
+  * (AMQP deliveries, MQTT publishes): a collector thread drains the
+  * blocking wire client into a bounded-growth buffer as messages
+  * arrive; each trigger's `latestOffset` simply reads the buffered
+  * high-water count (Spark's socket-source shape — admission is
+  * driver-side, every downstream transform is distributed).
+  *
+  * Each buffered line carries a protocol tag (AMQP deliveryTag; unused
+  * for MQTT): `commit(end)` trims the buffer below the committed
+  * offset and hands the LAST trimmed tag to [[onCommitted]], which is
+  * where AMQP turns checkpoint commits into cumulative broker acks —
+  * at-least-once end to end, because un-acked deliveries outlive a
+  * crashed run and get redelivered to the next one. Note the engine
+  * commits a batch's end offset at the start of the NEXT trigger
+  * cycle, so broker acks trail the sink by one micro-batch (the same
+  * lag as Kafka consumer commits under Structured Streaming) — an
+  * idle stream's tail stays un-acked until data flows again, which
+  * only ever errs toward redelivery, never loss.
+  *
+  * Within one run, micro-batch replay (a failed stage retry) re-reads
+  * the buffer, not the broker, so no delivery is ever double-admitted.
+  */
+abstract class BufferedPushStream extends MicroBatchStream {
+
+  /** Start the protocol collector: connect, subscribe/consume, and
+    * call `append(line, tag)` for every arriving message until
+    * [[stop]] closes the returned handle. Runs on a daemon thread
+    * owned by this class; implementations just loop their client.
+    */
+  protected def collect(append: (String, Long) => Unit): Unit
+
+  /** Close the wire client so the blocked [[collect]] loop unwinds. */
+  protected def closeClient(): Unit
+
+  /** Commit hook: `lastTag` is the protocol tag of the newest line
+    * the checkpoint just committed (AMQP acks it cumulatively).
+    */
+  protected def onCommitted(lastTag: Long): Unit = ()
+
+  // lines [base, pos) awaiting commit; tags(i) belongs to buffered(i)
+  private val buffered = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val tags = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var base = 0L
+  private var pos = 0L
+  @volatile private var closed = false
+  private var collector: Thread = _
+
+  private def ensureCollector(): Unit = synchronized {
+    if (collector == null) {
+      collector = new Thread(() => {
+        try collect { (line, tag) =>
+          BufferedPushStream.this.synchronized {
+            buffered += line; tags += tag; pos += 1
+          }
+        } catch { case _: Exception if closed => () case _: Exception => () }
+      }, s"graft-push-collector-${getClass.getSimpleName}")
+      collector.setDaemon(true)
+      collector.start()
+    }
+  }
+
+  override def initialOffset(): Offset = CountOffset(0L)
+
+  override def latestOffset(): Offset = {
+    ensureCollector()
+    synchronized(CountOffset(pos))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = CountOffset.parse(json)
+    synchronized {
+      // restart: what the checkpoint admitted but this run never saw is
+      // the broker's to redeliver (AMQP, un-acked) or to have dropped
+      // (MQTT qos 0) — resume the count so offsets stay monotone
+      if (o.n > pos) { base = o.n; pos = o.n }
+    }
+    o
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CountOffset].n
+    val e = end.asInstanceOf[CountOffset].n
+    if (e <= s) return Array.empty
+    synchronized {
+      val from = math.max(s, base)
+      if (e <= from) Array.empty
+      else Array(LineSlicePartition(
+        buffered.slice((from - base).toInt, (e - base).toInt).toArray, from))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = LineSliceReaderFactory
+
+  override def commit(end: Offset): Unit = {
+    val lastTag = synchronized {
+      val e = math.min(end.asInstanceOf[CountOffset].n, pos)
+      if (e <= base) None
+      else {
+        val drop = (e - base).toInt
+        val t = tags(drop - 1)
+        buffered.dropInPlace(drop); tags.dropInPlace(drop)
+        base = e
+        Some(t)
+      }
+    }
+    lastTag.foreach(onCommitted)
+  }
+
+  override def stop(): Unit = {
+    closed = true
+    try closeClient() catch { case _: Exception => () }
+  }
+}

@@ -2,14 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** LIVE Redis list-queue input as a DataSourceV2 `MicroBatchStream` —
   * the continuous-consumption face of the reference's `redis` input
@@ -60,18 +58,8 @@ class RedisQueueSource extends TableProvider {
 }
 
 object RedisQueueSource {
-  /** `value` is the popped element; `seq` its pop index — the same
-    * monotone arrival sequence number `pos` provides for the tail
-    * source.
-    */
-  val schema: StructType = StructType(Seq(
-    StructField("value", StringType, nullable = false),
-    StructField("seq", LongType, nullable = false)))
-}
-
-/** Total elements popped from the queue since stream start. */
-case class RedisQueueOffset(n: Long) extends Offset {
-  override def json: String = s"""{"n":$n}"""
+  /** `value` is the popped element; `seq` its pop index ([[BrokerLines]]). */
+  val schema: StructType = BrokerLines.schema
 }
 
 private[sources] class RedisQueueTable(host: String, port: Int, key: String,
@@ -110,7 +98,7 @@ private[sources] class RedisQueueStream(host: String, port: Int, key: String,
     client
   }
 
-  override def initialOffset(): Offset = RedisQueueOffset(0L)
+  override def initialOffset(): Offset = CountOffset(0L)
 
   override def latestOffset(): Offset = synchronized {
     // one LPOP-count round trip = this trigger's bounded admission
@@ -127,7 +115,7 @@ private[sources] class RedisQueueStream(host: String, port: Int, key: String,
       }
     buffered ++= batch
     pos += batch.length
-    RedisQueueOffset(pos)
+    CountOffset(pos)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -139,27 +127,27 @@ private[sources] class RedisQueueStream(host: String, port: Int, key: String,
       // count so offsets stay monotone across the restart
       if (n > pos) { base = n; pos = n }
     }
-    RedisQueueOffset(n)
+    CountOffset(n)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[RedisQueueOffset].n
-    val e = end.asInstanceOf[RedisQueueOffset].n
+    val s = start.asInstanceOf[CountOffset].n
+    val e = end.asInstanceOf[CountOffset].n
     if (e <= s) return Array.empty
     synchronized {
       // clamp to the buffer: a replayed range from before this run's
       // base was lost with the pop (at-most-once on restart)
       val from = math.max(s, base)
       if (e <= from) Array.empty
-      else Array(RedisQueuePartition(
+      else Array(LineSlicePartition(
         buffered.slice((from - base).toInt, (e - base).toInt).toArray, from))
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = RedisQueueReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = LineSliceReaderFactory
 
   override def commit(end: Offset): Unit = synchronized {
-    val e = end.asInstanceOf[RedisQueueOffset].n
+    val e = end.asInstanceOf[CountOffset].n
     if (e > base) {
       buffered.dropInPlace((math.min(e, pos) - base).toInt)
       base = math.min(e, pos)
@@ -169,23 +157,5 @@ private[sources] class RedisQueueStream(host: String, port: Int, key: String,
   override def stop(): Unit = {
     try { if (client != null) client.close() } catch { case _: Exception => () }
     client = null
-  }
-}
-
-/** One admitted micro-batch slice; `firstSeq` is the pop index of
-  * `values(0)`.
-  */
-case class RedisQueuePartition(values: Array[String], firstSeq: Long) extends InputPartition
-
-object RedisQueueReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val RedisQueuePartition(values, firstSeq) = partition.asInstanceOf[RedisQueuePartition]
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < values.length }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(values(i)), firstSeq + i)
-      override def close(): Unit = ()
-    }
   }
 }

@@ -108,14 +108,47 @@ object StreamCompiler {
     * arrival order, exactly like the tail source's byte offset.
     */
   def redisQueueSource(spark: SparkSession, host: String, port: Int, key: String,
-                       maxPerTrigger: Int = 1024): Dataset[SEvent] = {
-    val traceType = org.apache.spark.sql.types.DataType
-      .fromDDL("array<struct<i:double,p:string,h:string>>")
-    val lines = spark.readStream
+                       maxPerTrigger: Int = 1024): Dataset[SEvent] =
+    parseBrokerLines(spark.readStream
       .format(classOf[graft.sources.RedisQueueSource].getName)
       .option("host", host).option("port", port.toString)
       .option("key", key).option("maxPerTrigger", maxPerTrigger.toString)
-      .load()
+      .load())
+
+  /** LIVE `amqp` input (reference src/input/amqp.ts:181-343) via
+    * [[graft.sources.AmqpQueueSource]]: un-acked Basic.Consume with a
+    * cumulative ack per checkpoint commit — at-least-once end to end.
+    */
+  def amqpQueueSource(spark: SparkSession, host: String, port: Int, queue: String,
+                      vhost: String = "/", user: String = "guest",
+                      password: String = "guest"): Dataset[SEvent] =
+    parseBrokerLines(spark.readStream
+      .format(classOf[graft.sources.AmqpQueueSource].getName)
+      .option("host", host).option("port", port.toString).option("queue", queue)
+      .option("vhost", vhost).option("user", user).option("password", password)
+      .load())
+
+  /** LIVE `mqtt` input (reference src/input/mqtt.ts:109-213) via
+    * [[graft.sources.MqttStreamSource]]: subscribed topic filter,
+    * payloads buffered as they arrive.
+    */
+  def mqttStreamSource(spark: SparkSession, host: String, port: Int,
+                       topic: String = "cdp/#", qos: Int = 0): Dataset[SEvent] =
+    parseBrokerLines(spark.readStream
+      .format(classOf[graft.sources.MqttStreamSource].getName)
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic).option("qos", qos.toString)
+      .load())
+
+  /** The shared NDJSON envelope parse for every broker line stream —
+    * the same variant-path idiom as the batch ingest faces. Arrival
+    * fields: `ts` is the micro-batch processing time, `seq` the
+    * broker arrival index — monotone, exactly like the tail source's
+    * byte offset.
+    */
+  private def parseBrokerLines(lines: org.apache.spark.sql.DataFrame): Dataset[SEvent] = {
+    val traceType = org.apache.spark.sql.types.DataType
+      .fromDDL("array<struct<i:double,p:string,h:string>>")
     val v = try_parse_json(col("value"))
     lines.select(
         try_variant_get(v, "$.n", "string").as("n"),
@@ -124,7 +157,7 @@ object StreamCompiler {
         (unix_millis(current_timestamp()) / 1e3).as("ts"),
         col("seq").as("seq"))
       .filter(col("n").isNotNull)
-      .as[SEvent]
+      .as[SEvent](sEventEnc)
   }
 
   def compile(spark: SparkSession, tpl: PipelineTemplate,

@@ -44,6 +44,19 @@ class AmqpSpec extends AnyFunSuite {
     @volatile var startOkMechanism: String = _
     @volatile var startOkResponse: Array[Byte] = _
 
+    // live-delivery face for the streaming-source tests: deliveryTags
+    // continue monotone after any seeded wave; the frame writer is
+    // lock-guarded so a test-thread delivery can't interleave with a
+    // serve-thread reply
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile private var liveDeliverFn: (Long, String) => Unit = _
+    def consumerAttached: Boolean = liveDeliverFn != null
+    def deliverLive(msgs: Seq[String]): Unit = {
+      val d = liveDeliverFn
+      require(d != null, "no consumer attached yet")
+      msgs.foreach(m => d(delivered.incrementAndGet(), m))
+    }
+
     private val server = new ServerSocket(0)
     @volatile private var running = true
     def port: Int = server.getLocalPort
@@ -62,11 +75,13 @@ class AmqpSpec extends AnyFunSuite {
         val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
         val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 
-        def frame(tpe: Int, channel: Int, payload: Array[Byte]): Unit = {
-          out.writeByte(tpe); out.writeShort(channel)
-          out.writeInt(payload.length); out.write(payload); out.writeByte(0xce)
-          out.flush()
-        }
+        val writeLock = new Object
+        def frame(tpe: Int, channel: Int, payload: Array[Byte]): Unit =
+          writeLock.synchronized {
+            out.writeByte(tpe); out.writeShort(channel)
+            out.writeInt(payload.length); out.write(payload); out.writeByte(0xce)
+            out.flush()
+          }
         def method(channel: Int, classId: Int, methodId: Int, args: Array[Byte]): Unit =
           frame(1, channel, new Amqp.Writer().u16(classId).u16(methodId).bytes ++ args)
         def readFrame(): (Int, Int, Array[Byte]) = {
@@ -77,7 +92,9 @@ class AmqpSpec extends AnyFunSuite {
           require(in.readUnsignedByte() == 0xce, "bad frame end")
           (tpe, ch, payload)
         }
-        def deliver(tag: Long, body: String): Unit = {
+        def deliver(tag: Long, body: String): Unit = writeLock.synchronized {
+          // lock held across all three frames so a concurrent reply
+          // can't interleave mid-delivery
           method(1, 60, 60, new Amqp.Writer().shortstr("ctag-1").u64(tag).u8(0)
             .shortstr("cdp").shortstr("k").bytes)
           val hw = new Amqp.Writer().u16(60).u16(0)
@@ -130,7 +147,8 @@ class AmqpSpec extends AnyFunSuite {
                     method(1, 50, 21, Array.empty)
                   case (60, 20) =>
                     method(1, 60, 21, new Amqp.Writer().shortstr("ctag-1").bytes)
-                    seeded.zipWithIndex.foreach { case (m, i) => deliver(i + 1L, m) }
+                    seeded.foreach(m => deliver(delivered.incrementAndGet(), m))
+                    liveDeliverFn = deliver
                   case (60, 80) =>
                     acks.add(r.u64())
                     // after the last ack, close: drives consumer EOF
@@ -361,6 +379,72 @@ class AmqpSpec extends AnyFunSuite {
       val byBody = ps.map(p => p.body -> p.props.contentType).toMap
       assert(byBody("plain string") == Some("text/plain"))
       assert(byBody("""{"x":1}""") == Some("application/json"))
+    }
+  }
+
+  test("live amqp MicroBatchStream: batch-parse differential in two waves, cumulative ack on commit") {
+    import org.apache.spark.sql.functions._
+    def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok) {
+        if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    withServer { srv =>
+      // the same NDJSON event lines the batch replay oracle consumes
+      val lines = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(to_json(struct(
+          concat(lit("app."), col("event_type")).as("n"),
+          struct(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")).as("d"))).as("value"))
+        .collect().map(_.getString(0))
+      assert(lines.length >= 500, s"corpus too small: ${lines.length}")
+      val (pre, post) = lines.splitAt(lines.length / 2)
+      val ds = graft.streaming.StreamCompiler.amqpQueueSource(
+        spark, "localhost", srv.port, "q")
+      val q = ds.writeStream.format("memory").queryName("amqpstream")
+        .outputMode("append").start()
+      try {
+        // two delivery waves after the consumer attaches: proves
+        // CONTINUOUS push consumption across triggers, not a one-shot
+        def sunk(): Long =
+          try spark.table("amqpstream").count() catch { case _: Exception => -1L }
+        poll("consumer attach")(srv.consumerAttached)
+        srv.deliverLive(pre)
+        poll("first wave")(sunk() == pre.length)
+        srv.deliverLive(post)
+        poll("second wave")(sunk() == lines.length)
+        q.processAllAvailable()
+        // the at-least-once contract: checkpoint commits become
+        // cumulative Basic.Acks. The engine commits a batch at the
+        // start of the NEXT cycle, so a parse-filtered `{}` sentinel
+        // drives the trigger that acks the full real corpus.
+        srv.deliverLive(Seq("{}"))
+        poll("cumulative ack covering the corpus") {
+          val it = srv.acks.iterator()
+          var max = 0L
+          while (it.hasNext) max = math.max(max, it.next())
+          max >= lines.length.toLong
+        }
+      } finally q.stop()
+      val streamed = spark.table("amqpstream")
+        .select("seq", "n", "d").collect()
+        .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // arrival indices are contiguous from 0, delivery order
+      assert(streamed.map(_._1).toSeq == streamed.indices.map(_.toLong))
+      val batch = {
+        import spark.implicits._
+        val v = try_parse_json(col("value"))
+        spark.createDataset(lines.toSeq).toDF("value")
+          .select(
+            try_variant_get(v, "$.n", "string").as("n"),
+            to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      }
+      assert(streamed.length == batch.length)
+      assert(streamed.map(t => (t._2, t._3)).toSeq == batch.toSeq,
+        "streamed (n, d) must equal the batch parse byte-for-byte in arrival order")
     }
   }
 }

@@ -35,6 +35,16 @@ class MqttSpec extends AnyFunSuite {
     @volatile var seeded: Seq[(String, String)] = Seq.empty // topic -> payload
     @volatile var clientId: String = _
 
+    // live-delivery face for the streaming-source tests (publish on the
+    // open connection after SUBSCRIBE, at deliverQos)
+    @volatile private var liveDeliverFn: (String, String) => Unit = _
+    def consumerAttached: Boolean = liveDeliverFn != null
+    def deliverLive(msgs: Seq[(String, String)]): Unit = {
+      val d = liveDeliverFn
+      require(d != null, "no subscriber attached yet")
+      msgs.foreach { case (t, p) => d(t, p) }
+    }
+
     private val server = new ServerSocket(0)
     @volatile private var running = true
     def port: Int = server.getLocalPort
@@ -52,11 +62,13 @@ class MqttSpec extends AnyFunSuite {
       val t = new Thread(() => {
         val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
         val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-        def packet(tpe: Int, flags: Int, body: Array[Byte]): Unit = {
-          out.writeByte((tpe << 4) | flags)
-          Mqtt.writeRemainingLength(out, body.length)
-          out.write(body); out.flush()
-        }
+        val writeLock = new Object
+        def packet(tpe: Int, flags: Int, body: Array[Byte]): Unit =
+          writeLock.synchronized {
+            out.writeByte((tpe << 4) | flags)
+            Mqtt.writeRemainingLength(out, body.length)
+            out.write(body); out.flush()
+          }
         def str16(b: Array[Byte], off: Int): (String, Int) = {
           val n = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
           (new String(b, off + 2, n, UTF_8), off + 2 + n)
@@ -85,12 +97,15 @@ class MqttSpec extends AnyFunSuite {
                 packet(Mqtt.Suback, 0, Array[Byte]((spid >> 8).toByte, (spid & 0xff).toByte,
                   math.min(qos, deliverQos).toByte))
                 // deliver seeded messages at deliverQos, then close
-                seeded.foreach { case (topic, payload) =>
-                  val vh = new java.io.ByteArrayOutputStream()
-                  vh.write(Mqtt.utf8(topic))
-                  if (deliverQos > 0) { pid += 1; vh.write(pid >> 8); vh.write(pid & 0xff) }
-                  packet(Mqtt.Publish, deliverQos << 1, vh.toByteArray ++ payload.getBytes(UTF_8))
-                }
+                def pubDeliver(topic: String, payload: String): Unit =
+                  writeLock.synchronized { // pid mutation + frame, one unit
+                    val vh = new java.io.ByteArrayOutputStream()
+                    vh.write(Mqtt.utf8(topic))
+                    if (deliverQos > 0) { pid += 1; vh.write(pid >> 8); vh.write(pid & 0xff) }
+                    packet(Mqtt.Publish, deliverQos << 1, vh.toByteArray ++ payload.getBytes(UTF_8))
+                  }
+                seeded.foreach { case (topic, payload) => pubDeliver(topic, payload) }
+                liveDeliverFn = pubDeliver
                 if (seeded.nonEmpty && deliverQos == 0) open = false
               case Mqtt.Puback =>
                 pubacks.add(((body(0) & 0xff) << 8) | (body(1) & 0xff))
@@ -299,6 +314,61 @@ class MqttSpec extends AnyFunSuite {
       val ps = drain(srv.publishes)
       assert(ps.map(_.payload).toSet == Set("plain string", """{"x":1}"""))
       assert(ps.forall(_.topic == "t"))
+    }
+  }
+
+  test("live mqtt MicroBatchStream: batch-parse differential in two waves") {
+    import org.apache.spark.sql.functions._
+    def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok) {
+        if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    withServer() { srv =>
+      // the same NDJSON event lines the batch replay oracle consumes
+      val lines = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(to_json(struct(
+          concat(lit("app."), col("event_type")).as("n"),
+          struct(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")).as("d"))).as("value"))
+        .collect().map(_.getString(0))
+      assert(lines.length >= 500, s"corpus too small: ${lines.length}")
+      val (pre, post) = lines.splitAt(lines.length / 2)
+      val ds = graft.streaming.StreamCompiler.mqttStreamSource(
+        spark, "localhost", srv.port, topic = "cdp/#", qos = 0)
+      val q = ds.writeStream.format("memory").queryName("mqttstream")
+        .outputMode("append").start()
+      try {
+        def sunk(): Long =
+          try spark.table("mqttstream").count() catch { case _: Exception => -1L }
+        // two publish waves after SUBSCRIBE: proves continuous push
+        // consumption across triggers, not a one-shot read
+        poll("subscriber attach")(srv.consumerAttached)
+        srv.deliverLive(pre.map(("cdp/ev", _)))
+        poll("first wave")(sunk() == pre.length)
+        srv.deliverLive(post.map(("cdp/ev", _)))
+        poll("second wave")(sunk() == lines.length)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("mqttstream")
+        .select("seq", "n", "d").collect()
+        .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // arrival indices are contiguous from 0, publish order
+      assert(streamed.map(_._1).toSeq == streamed.indices.map(_.toLong))
+      val batch = {
+        import spark.implicits._
+        val v = try_parse_json(col("value"))
+        spark.createDataset(lines.toSeq).toDF("value")
+          .select(
+            try_variant_get(v, "$.n", "string").as("n"),
+            to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      }
+      assert(streamed.length == batch.length)
+      assert(streamed.map(t => (t._2, t._3)).toSeq == batch.toSeq,
+        "streamed (n, d) must equal the batch parse byte-for-byte in arrival order")
     }
   }
 }
