@@ -253,6 +253,37 @@ class JsonSchemaFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("keepWhenPayload kernel equals the plain-Column payload synthesis row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial props: integral / float / string / huge / missing k,
+    // malformed JSON, non-object roots, null props
+    val props = Seq(
+      """{"k":42}""", """{"k":-7}""", """{"k":0}""", """{"k":1.5}""",
+      """{"k":"12"}""", """{"k":true}""", """{"k":null}""", """{"j":3}""",
+      """{"k":9223372036854775807}""", """{"k":99999999999999999999999}""",
+      """not json""", """[1,2,3]""", """"str"""", null)
+    val df = props.zipWithIndex
+      .map { case (p, i) => (i.toLong, s"ty$i", p) }.toDF("i", "event_type", "props")
+    val kCol = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("k BIGINT")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).getField("k")
+    val viaColumns = df
+      .withColumn("k", kCol)
+      .select($"i", struct(col("event_type").as("ty"), col("k"),
+        array(col("k") % 5, col("k") % 3, expr("k div 2") % 5).as("arr")).as("payload"))
+    val viaKernel = df
+      .select($"i", JsonSchemaFilter.keepWhenPayload(col("event_type"), col("props")).as("payload"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"i", to_json($"payload").as("j")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = rows(viaColumns); val b = rows(viaKernel)
+    assert(a == b, {
+      val diff = a.collect { case (i, v) if b(i) != v => s"$i: cols=$v kernel=${b(i)}" }
+      s"payload synthesis disagrees: ${diff.mkString("; ")}"
+    })
+  }
+
   test("$ref: recursion, dangling and external refs fail loudly at plan build") {
     def bad(schema: String): Unit =
       assertThrows[IllegalArgumentException] {
