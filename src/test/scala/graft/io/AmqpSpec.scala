@@ -50,11 +50,29 @@ class AmqpSpec extends AnyFunSuite {
     // serve-thread reply
     val delivered = new java.util.concurrent.atomic.AtomicLong(0)
     @volatile private var liveDeliverFn: (Long, String) => Unit = _
+    val consumeCount = new java.util.concurrent.atomic.AtomicInteger(0)
     def consumerAttached: Boolean = liveDeliverFn != null
     def deliverLive(msgs: Seq[String]): Unit = {
       val d = liveDeliverFn
       require(d != null, "no consumer attached yet")
       msgs.foreach(m => d(delivered.incrementAndGet(), m))
+    }
+
+    // un-acked delivery ledger, the real broker behavior the
+    // at-least-once restart test depends on: a consumer connection
+    // dying requeues everything it was delivered but never acked, and
+    // the next Basic.Consume gets it redelivered (fresh tags,
+    // redelivered=1) ahead of new messages
+    private val unacked = new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
+    private[AmqpSpec] def recordDelivery(tag: Long, body: String): Unit =
+      unacked.put(tag, body)
+    private[AmqpSpec] def recordAck(tag: Long, multiple: Boolean): Unit =
+      if (multiple) unacked.headMap(tag, true).clear() else unacked.remove(tag)
+    private[AmqpSpec] def requeued(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val vs = unacked.values.asScala.toSeq
+      unacked.clear()
+      vs
     }
 
     private val server = new ServerSocket(0)
@@ -92,17 +110,20 @@ class AmqpSpec extends AnyFunSuite {
           require(in.readUnsignedByte() == 0xce, "bad frame end")
           (tpe, ch, payload)
         }
-        def deliver(tag: Long, body: String): Unit = writeLock.synchronized {
-          // lock held across all three frames so a concurrent reply
-          // can't interleave mid-delivery
-          method(1, 60, 60, new Amqp.Writer().shortstr("ctag-1").u64(tag).u8(0)
-            .shortstr("cdp").shortstr("k").bytes)
-          val hw = new Amqp.Writer().u16(60).u16(0)
-            .u64(body.getBytes(UTF_8).length.toLong)
-          Amqp.writeProps(hw, Amqp.BasicProps(contentType = Some("text/plain")))
-          frame(2, 1, hw.bytes)
-          frame(3, 1, body.getBytes(UTF_8))
-        }
+        def deliverFlagged(tag: Long, body: String, redelivered: Boolean): Unit =
+          writeLock.synchronized {
+            // lock held across all three frames so a concurrent reply
+            // can't interleave mid-delivery
+            recordDelivery(tag, body)
+            method(1, 60, 60, new Amqp.Writer().shortstr("ctag-1").u64(tag)
+              .u8(if (redelivered) 1 else 0).shortstr("cdp").shortstr("k").bytes)
+            val hw = new Amqp.Writer().u16(60).u16(0)
+              .u64(body.getBytes(UTF_8).length.toLong)
+            Amqp.writeProps(hw, Amqp.BasicProps(contentType = Some("text/plain")))
+            frame(2, 1, hw.bytes)
+            frame(3, 1, body.getBytes(UTF_8))
+          }
+        def deliver(tag: Long, body: String): Unit = deliverFlagged(tag, body, redelivered = false)
 
         try {
           val header = in.readNBytes(8)
@@ -147,10 +168,17 @@ class AmqpSpec extends AnyFunSuite {
                     method(1, 50, 21, Array.empty)
                   case (60, 20) =>
                     method(1, 60, 21, new Amqp.Writer().shortstr("ctag-1").bytes)
+                    // dead-consumer requeue: redeliver what a previous
+                    // connection left un-acked, fresh tags, ahead of news
+                    requeued().foreach(m =>
+                      deliverFlagged(delivered.incrementAndGet(), m, redelivered = true))
                     seeded.foreach(m => deliver(delivered.incrementAndGet(), m))
                     liveDeliverFn = deliver
+                    consumeCount.incrementAndGet()
                   case (60, 80) =>
-                    acks.add(r.u64())
+                    val tag = r.u64()
+                    acks.add(tag)
+                    recordAck(tag, multiple = r.u8() != 0)
                     // after the last ack, close: drives consumer EOF
                     if (acks.size == seeded.size && seeded.nonEmpty) open = false
                   case (60, 110) =>
@@ -445,6 +473,73 @@ class AmqpSpec extends AnyFunSuite {
       assert(streamed.length == batch.length)
       assert(streamed.map(t => (t._2, t._3)).toSeq == batch.toSeq,
         "streamed (n, d) must equal the batch parse byte-for-byte in arrival order")
+    }
+  }
+
+  test("live amqp survives a kill/restart: un-acked deliveries requeue, coverage is at-least-once") {
+    import org.apache.spark.sql.functions._
+    def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok) {
+        if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    withServer { srv =>
+      val lines = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(to_json(struct(
+          concat(lit("app."), col("event_type")).as("n"),
+          struct(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")).as("d"))).as("value"))
+        .collect().map(_.getString(0))
+      val (wave1, wave2) = lines.splitAt(lines.length / 2)
+      val base = java.nio.file.Files.createTempDirectory("graft-amqprestart")
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      def startQuery() =
+        graft.streaming.StreamCompiler.amqpQueueSource(spark, "localhost", srv.port, "q")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .start()
+      def sunk(): Long =
+        try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+      // first life: one wave fully sunk, then KILL. The ack lag means a
+      // tail of wave1 is delivered-but-un-acked at the kill — exactly
+      // what the broker must requeue.
+      val q1 = startQuery()
+      try {
+        poll("first consumer")(srv.consumeCount.get() == 1)
+        srv.deliverLive(wave1)
+        poll("wave1 sunk")(sunk() == wave1.length)
+      } finally q1.stop()
+      // second life: the reconnect redelivers the un-acked tail ahead of
+      // wave2; the checkpoint resumes the offset count monotonically
+      val q2 = startQuery()
+      try {
+        poll("second consumer")(srv.consumeCount.get() == 2)
+        srv.deliverLive(wave2)
+        val expectDistinct = {
+          import spark.implicits._
+          val v = try_parse_json(col("value"))
+          spark.createDataset(lines.toSeq).toDF("value")
+            .select(try_variant_get(v, "$.n", "string").as("n"),
+              to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+            .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        }
+        poll("full coverage", ms = 60000) {
+          val got = try spark.read.parquet(outDir).select("n", "d").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+          catch { case _: Exception => Set.empty[(String, String)] }
+          got == expectDistinct
+        }
+      } finally q2.stop()
+      // at-least-once, not exactly-once: duplicates are allowed but only
+      // from the requeued tail, and every duplicate must BE a corpus line
+      val all = spark.read.parquet(outDir).select("n", "d").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(all.size >= lines.length)
+      assert(all.size <= lines.length + wave1.length,
+        "duplication must be bounded by the requeued first-life deliveries")
     }
   }
 }
