@@ -51,7 +51,8 @@ object ScaleBench {
     "agg_corr", "sample_quota", "sample_mixture_repeat", "sample_token_budget",
     "text_length_hist", "emb_quantize_int8", "emb_ann_pq_batch", "mm_decode_meta",
     "text_dup_spans", "text_heavy_hitters", "sample_split", "sample_temperature",
-    "ev_active_users", "emb_pca_project")
+    "ev_active_users", "emb_pca_project",
+    "dedup_cluster_resolve_dist", "ev_keep_when_str")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
