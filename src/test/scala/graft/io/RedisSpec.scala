@@ -259,6 +259,67 @@ class RedisSpec extends AnyFunSuite {
     }
   }
 
+  test("live redis survives a kill/restart: at-most-once, no duplicates, no inventions") {
+    import org.apache.spark.sql.functions._
+    def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok) {
+        if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    withServer { srv =>
+      val lines = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(to_json(struct(
+          concat(lit("app."), col("event_type")).as("n"),
+          struct(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")).as("d"))).as("value"))
+        .collect().map(_.getString(0))
+      val (wave1, wave2) = lines.splitAt(lines.length / 2)
+      val base = java.nio.file.Files.createTempDirectory("graft-redisrestart")
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      def startQuery() = graft.streaming.StreamCompiler.redisQueueSource(
+          spark, "localhost", srv.port, "q", maxPerTrigger = 97)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      def got(): Seq[(String, String, Long)] =
+        try spark.read.parquet(outDir).select("n", "d", "seq").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        catch { case _: Exception => Seq.empty }
+      // first life: drain wave1, kill
+      srv.seedQueue("q", wave1: _*)
+      val q1 = startQuery()
+      try poll("wave1 sunk")(got().size == wave1.length) finally q1.stop()
+      // second life: destructive pops mean anything admitted-but-
+      // uncommitted at the kill is gone — the contract is NO duplicates
+      // and NO inventions, with offsets resuming monotone
+      srv.seedQueue("q", wave2: _*)
+      val q2 = startQuery()
+      try poll("wave2 sunk")(got().size >= lines.length - 97) finally q2.stop()
+      val rows = got()
+      val expected = {
+        import spark.implicits._
+        val v = try_parse_json(col("value"))
+        spark.createDataset(lines.toSeq).toDF("value")
+          .select(try_variant_get(v, "$.n", "string").as("n"),
+            to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      }
+      // every sunk row is a real corpus line, none delivered twice
+      assert(rows.map(t => (t._1, t._2)).toSet.subsetOf(expected))
+      assert(rows.map(t => (t._1, t._2)).distinct.size == rows.size,
+        "at-most-once must never duplicate a popped element")
+      // offsets are strictly monotone with no overlap across the restart
+      val seqs = rows.map(_._3).sorted
+      assert(seqs.distinct.size == seqs.size)
+      // nothing beyond the at-most-once hole is missing: at most one
+      // trigger's admission (maxPerTrigger) may be lost at the kill
+      assert(rows.size >= lines.length - 97 && rows.size <= lines.length)
+    }
+  }
+
   test("redis subscribe loop spools pushed messages until EOF") {
     withServer { srv =>
       srv.seedChannel("events", """{"n":"p"}""", """{"n":"q"}""")
