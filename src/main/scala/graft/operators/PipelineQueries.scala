@@ -147,9 +147,19 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "pipeline_e2e_stress" -> { (s, d) =>
       val ev = Tables.events(s, d)
+      // from_json, not get_json_object: the three chained steps
+      // re-inline the `d` alias through CollapseProject, and each
+      // get_json_object copy is a separate per-row parse (measured 5
+      // copies in the plan, 1.26 s vs 0.85 s at sf0.1); JsonToStructs
+      // evaluates once. The data's k is always an integral JSON
+      // number (and the oracle goes through TRY_CAST ... AS BIGINT),
+      // so the string round-trip is value-identical.
       val input = ev.select(
         col("event_type").as("n"),
-        get_json_object(col("props"), "$.k").as("d"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k BIGINT")
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getField("k").cast("string").as("d"),
         col("event_id").as("__seq"),
         (col("ts_us") / lit(1e6)).as("arrival"))
       val tpl = Spec.parseYaml(stressYaml)
