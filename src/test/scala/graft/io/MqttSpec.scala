@@ -317,6 +317,34 @@ class MqttSpec extends AnyFunSuite {
     }
   }
 
+  test("live mqtt MicroBatchStream at qos 1: collector completes the PUBACK handshake per delivery") {
+    def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok) {
+        if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    withServer(1) { srv =>
+      val msgs = (1 to 120).map(i => s"""{"n":"q$i","d":$i}""")
+      val ds = graft.streaming.StreamCompiler.mqttStreamSource(
+        spark, "localhost", srv.port, topic = "cdp/#", qos = 1)
+      val q = ds.writeStream.format("memory").queryName("mqttq1stream")
+        .outputMode("append").start()
+      try {
+        def sunk(): Long =
+          try spark.table("mqttq1stream").count() catch { case _: Exception => -1L }
+        poll("subscriber attach")(srv.consumerAttached)
+        srv.deliverLive(msgs.map(("cdp/ev", _)))
+        poll("wave sunk")(sunk() == msgs.length)
+        // qos-1 contract: the stream's collector acked every delivery
+        poll("all PUBACKs")(srv.pubacks.size == msgs.length)
+      } finally q.stop()
+      val got = spark.table("mqttq1stream").select("n").collect().map(_.getString(0)).sorted
+      assert(got.toSeq == msgs.indices.map(i => s"q${i + 1}").sorted)
+    }
+  }
+
   test("live mqtt MicroBatchStream: batch-parse differential in two waves") {
     import org.apache.spark.sql.functions._
     def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
