@@ -15,6 +15,12 @@ import graft.spec.Spec
   */
 object PipelineQueries {
 
+  /** The ingest-edge row shape behind the parse-once object barrier
+    * (pipeline_e2e_stress): field names match the pipeline input
+    * contract, including the arrival-stamp sequence column.
+    */
+  final case class PipeIn(n: String, d: String, __seq: Long, arrival: Double)
+
   type Q = (SparkSession, String) => DataFrame
 
   // pinned to the reference-parity global buffer: this oracle
@@ -109,11 +115,11 @@ object PipelineQueries {
     *
     * Cost profile (sf0.1, local[32], warm): Catalyst collapses all
     * three steps into ONE whole-stage pass — parquet scan reading only
-    * `props`, a single fused filter with the three fmod conditions,
-    * project, then the query's own orderBy. ~1.4-1.6 s isolated, all of
-    * it get_json_object over 1M props strings plus the final sort; the
-    * r7 battery's 1.89 s was inter-query interference, not a plan
-    * change (re-profiled isolated at 1.57 s against r6's 1.44 s).
+    * `props`, one parse-once projection behind the ingest object
+    * barrier (see the query body), a single fused filter with the
+    * three fmod conditions, project, then the query's own orderBy.
+    * ~1.0 s warmed after the r10 parse-once fix (was ~1.4-1.6 s with
+    * the parse re-inlined per filter reference).
     */
   val stressYaml: String =
     """name: sieve
@@ -146,24 +152,28 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "pipeline_e2e_stress" -> { (s, d) =>
+      import s.implicits._
       val ev = Tables.events(s, d)
-      // from_json, not get_json_object: the three chained steps
-      // re-inline the `d` alias through CollapseProject, and each
-      // get_json_object copy is a separate per-row parse (measured 5
-      // copies in the plan, 1.26 s vs 0.85 s at sf0.1); JsonToStructs
-      // evaluates once. The data's k is always an integral JSON
-      // number (and the oracle goes through TRY_CAST ... AS BIGINT),
-      // so the string round-trip is value-identical.
-      val input = ev.select(
-        col("event_type").as("n"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("k BIGINT")
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .getField("k").cast("string").as("d"),
-        col("event_id").as("__seq"),
-        (col("ts_us") / lit(1e6)).as("arrival"))
+      // Parse props ONCE at the ingest edge, like the reference's
+      // NDJSON reader. Without the object barrier the three chained
+      // steps' compiled-jq filters re-inline the `d` alias (FilterExec
+      // has no subexpression elimination; pushdown re-inlines through
+      // projections and explode barriers alike), so the parse ran 3×
+      // per row inside the merged filter + 1× in the project —
+      // measured 1.43 s vs 1.04 s at sf0.1 with the barrier, whose
+      // own cost is one narrow 4-column object round-trip. PlanSpec
+      // sweeps every query for this trap.
+      val parsed = ev.select(
+          col("event_type").as("n"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("k BIGINT")
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .getField("k").cast("string").as("d"),
+          col("event_id").as("__seq"),
+          (col("ts_us") / lit(1e6)).as("arrival"))
+        .as[PipeIn].map(identity).toDF()
       val tpl = Spec.parseYaml(stressYaml)
-      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val stamped = BatchCompiler.stampInput(tpl, parsed, col("arrival"))
       val out = BatchCompiler.compile(s, tpl, stamped).output
       out.select(col("n"), col("d").cast("long").as("v")).orderBy("v")
     },

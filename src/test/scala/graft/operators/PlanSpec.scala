@@ -98,4 +98,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(800))
     assert(p.contains("hashpartitioning(__wk"), p.take(800))
   }
+
+  test("no query's optimized plan repeats a per-row json parse (FilterExec has no CSE)") {
+    // The r10 trap, twice over: FilterExec performs no subexpression
+    // elimination and predicate pushdown re-inlines projected aliases,
+    // so N references to a json-parsed alias inline N parses per row
+    // (ev_keep_when_str ran 5 parse copies at 2.4 s vs 0.84 s fixed;
+    // pipeline_e2e_stress likewise). This sweeps EVERY query's
+    // optimized plan so the trap can't silently return with a new
+    // query. Live-service/subprocess queries are skipped (they spin
+    // endpoints or jq processes at plan build); their output-side
+    // parses run on aggregated rows, not per scan row.
+    val skip = Set(
+      "ev_tail_replay", "ev_http_replay", "ev_spool_replay",
+      "ev_amqp_replay", "ev_mqtt_replay", "ev_redis_replay",
+      "pipeline_e2e", "pipeline_e2e_compiled", "pipeline_e2e_jsonnet",
+      "pipeline_e2e_keyed", "ev_jq_select_map")
+    val parseFns = Seq("get_json_object", "from_json", "json_tuple")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.optimizedPlan.toString
+        val over = parseFns.map(f => f -> f.r.findAllIn(p).length)
+          .filter(_._2 > 2)
+        if (over.isEmpty) None else Some(s"$name: ${over.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"queries with repeated per-row json parses:\n${offenders.mkString("\n")}")
+  }
 }
