@@ -1,0 +1,96 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the corpus in embedding space, then
+  * inside each cluster mark items whose pairwise cosine exceeds a
+  * threshold as semantic duplicates and keep ONE representative — the
+  * member FARTHEST from the cluster centroid (the paper's
+  * diversity-preserving choice; low centroid similarity wins).
+  *
+  * Spark-first shape, exactly oracle-mirrorable:
+  *
+  *  - The cluster proxy is a deterministic sign-LSH bucket over ±1
+  *    hash-derived hyperplanes ([[graft.functions.SemDedupKey]]),
+  *    computed together with the unit-normalized 1e6 fixed-point
+  *    vector `u` in ONE kernel pass. K-means cells (the paper's
+  *    clustering) would make the oracle untestable — trained
+  *    centroids aren't SQL-mirrorable — while sign buckets give the
+  *    same "only compare semantically close items" contraction with
+  *    bit-exact cross-engine arithmetic; the trained-cell variant of
+  *    the same pipeline is [[Similarity.ivfTopK]]'s cell routing.
+  *  - Every similarity downstream of `u` is an INTEGER dot product
+  *    (≤ dim·1e12 per pair), so threshold comparisons can never flip
+  *    on a float ULP between engines.
+  *  - Centroids are per-bucket component sums of `u` (order-invariant
+  *    BIGINT aggregation, a bucket-count-sized shuffle with map-side
+  *    partials); centroid similarity ranks by u·Σu — the same
+  *    ordering as cosine-to-mean within a bucket (the 1/n and |x|=1
+  *    normalizers are constant per member).
+  *  - Duplicate resolution is pairwise dominance: x survives iff no
+  *    same-bucket neighbor y with cos_fp(x,y) ≥ tauFp has a strictly
+  *    lower (cscore, id). One bucket-keyed self-join + one anti join,
+  *    no iterative propagation — the transitive connected-component
+  *    form of the same edge set is `TextQueries.dedup_cluster_resolve`.
+  *
+  * 100-TB shape: the kernel pass is map-side; the centroid exchange
+  * carries ≤ 2^bits·dim longs; the self-join co-partitions both sides
+  * on `bucket` (bits scales like log2(n/target) so per-bucket pair
+  * counts stay bounded — same growth policy as
+  * [[Similarity.autoBits]]); the representative rule needs no global
+  * state. Overflow headroom: |u_i| ≤ 1e6 ⇒ a pair dot ≤ dim·1e12 and
+  * cscore ≤ dim·1e12·bucketSize — BIGINT-safe (and DuckDB-error-free)
+  * up to ~10^5 rows per bucket, which the bits policy keeps far away.
+  */
+object SemDedup {
+
+  /** Per-item verdict: (id, bucket, cscore, kept), ordered by nothing
+    * — callers order. `cscore` is the fixed-point centroid-similarity
+    * rank key (u · Σ_bucket u).
+    */
+  def dedupSemantic(emb: DataFrame, dim: Int, bits: Int, tauFp: Long,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // One kernel pass; persisted so the centroid branch, the scoring
+    // join, and the pair join all read the stored (u, bucket) columns
+    // instead of re-deriving them per element_at (the
+    // transform-recompute trap) — at 100 TB this boundary is where
+    // you'd write the keyed projection once as a bucketed layout
+    // (LayoutOps) and join against it repeatedly.
+    val keyed = emb
+      .select(col(idCol).as("id"),
+        VectorExpressions.semDedupKey(col(vecCol), dim, bits).as("z"))
+      .select(col("id"), col("z.u").as("u"), col("z.bucket").as("bucket"))
+      .persist()
+
+    val cent = keyed.groupBy("bucket")
+      .agg(array((0 until dim).map(i => sum(col("u")(i))): _*).as("c"))
+
+    def dotLongs(a: String, b: String) =
+      (0 until dim).map(i => col(a)(i) * col(b)(i)).reduce(_ + _)
+
+    val scored = keyed.join(broadcast(cent), "bucket")
+      .withColumn("cscore", dotLongs("u", "c"))
+      .select("id", "bucket", "u", "cscore")
+
+    val lhs = scored.select(col("bucket"), col("id").as("a"),
+      col("u").as("ua"), col("cscore").as("sa"))
+    val rhs = scored.select(col("bucket"), col("id").as("b"),
+      col("u").as("ub"), col("cscore").as("sb"))
+    val dropped = lhs.join(rhs, Seq("bucket"))
+      .filter(col("a") =!= col("b"))
+      .filter(dotLongs("ua", "ub") >= tauFp)
+      .filter(col("sb") < col("sa") ||
+        (col("sb") === col("sa") && col("b") < col("a")))
+      .select(col("a").as("id"))
+      .distinct()
+
+    scored
+      .join(dropped.withColumn("_d", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("bucket"), col("cscore"),
+        col("_d").isNull.as("kept"))
+  }
+}

@@ -482,6 +482,77 @@ case class Int8Quantize(child: Expression)
     copy(child = newChild)
 }
 
+/** SemDeDup cluster key (Abbas et al. 2023, arXiv:2303.09540) in one
+  * kernel pass: the unit-normalized 1e6 fixed-point vector `u`
+  * (u_i = floor(v_i / |v| · 1e6 + 0.5), all-zero for the zero vector)
+  * plus a deterministic sign-LSH bucket — `bits` hyperplanes whose ±1
+  * components come from an integer-hash parity
+  * ([[SemDedupKey.sign]]), so the bucket, and every downstream cosine
+  * (integer dots over `u`), is exactly mirrorable in the DuckDB
+  * oracle with no float threshold flips. Returns
+  * struct(u: array<bigint>, bucket: int).
+  */
+case class SemDedupKey(child: Expression, dim: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  override protected def vecChild: Expression = child
+  override def dataType: DataType = StructType(Seq(
+    StructField("u", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
+
+  @transient private lazy val signs: Array[Int] = SemDedupKey.signTable(dim, bits)
+
+  def compute(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = elem(v, i); ss += x * x; i += 1 }
+    val nr = math.sqrt(ss)
+    val u = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      u(i) = if (nr == 0.0) 0L else math.floor(elem(v, i) / nr * 1e6 + 0.5).toLong
+      i += 1
+    }
+    var bucket = 0
+    var j = 0
+    while (j < bits) {
+      var s = 0L
+      i = 0
+      while (i < n) { s += signs(j * dim + i) * u(i); i += 1 }
+      if (s >= 0L) bucket |= (1 << j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(u), bucket))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("semDedupKey", this, classOf[SemDedupKey].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SemDedupKey {
+  /** ±1 hyperplane component for bit `j`, dimension `i`: the parity of
+    * ((j·dim+i)·2654435761) mod 1000003. The big-prime modulus comes
+    * BEFORE the parity slice — the Knuth constant is ≡ 1 (mod small
+    * bases), so a direct `% 2` would degenerate to the index's own
+    * parity (the CurationQueries.mixSql rule).
+    */
+  def sign(j: Int, i: Int, dim: Int): Int =
+    if ((((j.toLong * dim + i) * 2654435761L) % 1000003L) % 2L == 0L) 1 else -1
+
+  def signTable(dim: Int, bits: Int): Array[Int] =
+    Array.tabulate(bits * dim)(k => sign(k / dim, k % dim, dim))
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -525,4 +596,8 @@ object VectorExpressions {
   /** Symmetric int8 quantization: struct(scale, q) in one kernel pass. */
   def int8Quantize(vec: Column): Column =
     ColumnBridge.column(Int8Quantize(ColumnBridge.expression(vec)))
+
+  /** SemDeDup key: struct(u: array<bigint>, bucket: int) in one pass. */
+  def semDedupKey(vec: Column, dim: Int, bits: Int): Column =
+    ColumnBridge.column(SemDedupKey(ColumnBridge.expression(vec), dim, bits))
 }
