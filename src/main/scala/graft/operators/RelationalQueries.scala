@@ -250,29 +250,54 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
-    // Exact Pearson correlations per group, from exact DECIMAL moment
-    // sums (count + 9 sums — order-insensitive, map-side-partial
-    // friendly, one exchange carrying ten cells per group). The corr
-    // formula then runs in double on those exact moments via a SHARED
-    // expression string (CorrExpr), and since +,-,*,/,sqrt are all
-    // IEEE correctly-rounded, both engines produce bit-identical
-    // doubles — a deterministic corr where the built-in corr()'s
-    // running-covariance accumulation is shuffle-order-dependent.
+    // Exact Pearson correlations per group, from exact INTEGER moment
+    // sums (count + 3 linear + 6 product sums — order-insensitive,
+    // map-side-partial friendly, one exchange carrying ~16 cells per
+    // group). All three measures are non-negative 2-decimal values, so
+    // cents-scaling (×100 → long) is exact and keeps the whole per-row
+    // hot path on primitive long arithmetic inside whole-stage codegen
+    // (the previous decimal(38,6) moment sums ran one BigDecimal
+    // multiply+add per cell per row — 2.6 s isolated at sf0.1; this
+    // shape runs ~0.4 s). Each per-row product is ≤ ~1.2e14 (cents ≤
+    // 1.1e7), and its hi/lo split at 1e9 keeps BOTH long sums in range
+    // even at ~6e9 rows per group (hi-sum ≤ 7.2e14, lo-sum ≤ 6e18 <
+    // 2^63): the 100-TB shape without decimal in the inner loop. The
+    // moments recombine as hi·1e9 + lo IN DOUBLE — identical IEEE ops
+    // in both engines — and since corr is scale-invariant the
+    // cents-scaled moments feed the SAME CorrExpr string unchanged.
     "agg_corr" -> { (s, d) =>
-      def m(x: String, y: String) =
-        sum((dec(x) * dec(y)).cast("decimal(38,6)")).cast("double")
-      val base = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(dec("l_quantity")).cast("double").as("sq"),
-        sum(dec("l_extendedprice")).cast("double").as("se"),
-        sum(dec("l_discount")).cast("double").as("sd"),
-        m("l_quantity", "l_quantity").as("sqq"),
-        m("l_extendedprice", "l_extendedprice").as("see"),
-        m("l_discount", "l_discount").as("sdd"),
-        m("l_quantity", "l_extendedprice").as("sqe"),
-        m("l_quantity", "l_discount").as("sqd"),
-        m("l_extendedprice", "l_discount").as("sed"))
+      val HI = 1000000000L
+      def cents(c: String) = round(col(c) * 100).cast("long")
+      def moment(hiC: String, loC: String) =
+        (col(hiC).cast("double") * HI.toDouble + col(loC).cast("double"))
+      val withParts = Seq(
+        ("qq", "qc", "qc"), ("ee", "ec", "ec"), ("dd", "dc", "dc"),
+        ("qe", "qc", "ec"), ("qd", "qc", "dc"), ("ed", "ec", "dc"))
+      val base0 = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), cents("l_quantity").as("qc"),
+          cents("l_extendedprice").as("ec"), cents("l_discount").as("dc"))
+        .select(
+          col("l_returnflag") +: col("qc") +: col("ec") +: col("dc") +:
+          withParts.flatMap { case (nm, x, y) =>
+            Seq(expr(s"($x * $y) div $HI").as(s"${nm}_hi"),
+                expr(s"($x * $y) % $HI").as(s"${nm}_lo"))
+          }: _*)
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).cast("double").as("n") +:
+        sum(col("qc")).cast("double").as("sq") +:
+        sum(col("ec")).cast("double").as("se") +:
+        sum(col("dc")).cast("double").as("sd") +:
+        withParts.flatMap { case (nm, _, _) =>
+          Seq(sum(col(s"${nm}_hi")).as(s"s${nm}_hi"),
+              sum(col(s"${nm}_lo")).as(s"s${nm}_lo"))
+        }
+      val base = base0.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
       base.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          moment("sqq_hi", "sqq_lo").as("sqq"), moment("see_hi", "see_lo").as("see"),
+          moment("sdd_hi", "sdd_lo").as("sdd"), moment("sqe_hi", "sqe_lo").as("sqe"),
+          moment("sqd_hi", "sqd_lo").as("sqd"), moment("sed_hi", "sed_lo").as("sed"),
+          col("sq"), col("se"), col("sd"))
+        .select(col("l_returnflag"), col("n"),
           expr(CorrExpr("sq", "se", "sqq", "see", "sqe")).as("corr_qty_price"),
           expr(CorrExpr("sq", "sd", "sqq", "sdd", "sqd")).as("corr_qty_disc"),
           expr(CorrExpr("se", "sd", "see", "sdd", "sed")).as("corr_price_disc"))
@@ -444,23 +469,29 @@ object RelationalQueries {
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "agg_corr" -> {
-      def m(x: String, y: String) =
-        s"CAST(SUM(CAST(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS DOUBLE)"
-      def sm(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+      // Mirrors the Spark plan's exact-integer moment shape: cents-
+      // scaled longs, per-row products hi/lo-split at 1e9, sums
+      // recombined hi*1e9 + lo in DOUBLE (identical IEEE ops). DuckDB
+      // sums BIGINT into HUGEINT — still the same exact integer, and
+      // hugeint→double is correctly rounded like Spark's long→double.
+      def m(nm: String, x: String, y: String) =
+        s"CAST(SUM(($x * $y) // 1000000000) AS DOUBLE) * 1e9 + CAST(SUM(($x * $y) % 1000000000) AS DOUBLE) AS s$nm"
       s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
          |  ${CorrExpr("sq", "se", "sqq", "see", "sqe")} AS corr_qty_price,
          |  ${CorrExpr("sq", "sd", "sqq", "sdd", "sqd")} AS corr_qty_disc,
          |  ${CorrExpr("se", "sd", "see", "sdd", "sed")} AS corr_price_disc
          |FROM (
          |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-         |    ${sm("l_quantity")} AS sq, ${sm("l_extendedprice")} AS se, ${sm("l_discount")} AS sd,
-         |    ${m("l_quantity", "l_quantity")} AS sqq,
-         |    ${m("l_extendedprice", "l_extendedprice")} AS see,
-         |    ${m("l_discount", "l_discount")} AS sdd,
-         |    ${m("l_quantity", "l_extendedprice")} AS sqe,
-         |    ${m("l_quantity", "l_discount")} AS sqd,
-         |    ${m("l_extendedprice", "l_discount")} AS sed
-         |  FROM lineitem GROUP BY l_returnflag)
+         |    CAST(SUM(qc) AS DOUBLE) AS sq, CAST(SUM(ec) AS DOUBLE) AS se, CAST(SUM(dc) AS DOUBLE) AS sd,
+         |    ${m("qq", "qc", "qc")}, ${m("ee", "ec", "ec")}, ${m("dd", "dc", "dc")},
+         |    ${m("qe", "qc", "ec")}, ${m("qd", "qc", "dc")}, ${m("ed", "ec", "dc")}
+         |  FROM (
+         |    SELECT l_returnflag,
+         |      CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         |      CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+         |      CAST(round(l_discount * 100) AS BIGINT) AS dc
+         |    FROM lineitem)
+         |  GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
     },
 

@@ -30,13 +30,26 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
   /** The event-stream table. `ts` comes back as a proper TIMESTAMP
-    * (microsecond precision, truncated from the file's nanos exactly
-    * like DuckDB's epoch_us) and `ts_us` as the raw unix microseconds.
+    * (microsecond precision) and `ts_us` as the raw unix microseconds
+    * (bigint — what oracle comparisons use, `epoch_us(ts)` in DuckDB).
+    *
+    * Driver datasets have carried two physical encodings of `ts`
+    * across rounds — TIMESTAMP(NANOS) (Spark 4 reads it as a nanos
+    * long only under `nanosAsLong`) and plain TIMESTAMP_NTZ(us) — so
+    * both are handled here by schema inspection. Under the session's
+    * fixed UTC timezone the NTZ→TIMESTAMP cast is the identity on the
+    * underlying micros, matching DuckDB's naive-UTC read exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long files
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ microsecond files
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+    }
   }
 }
