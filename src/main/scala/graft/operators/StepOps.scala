@@ -116,9 +116,14 @@ object StepOps {
       // rows in span at-or-before r, then the count arm
       .withColumn("__q",
         least(col("__inspan") - (col("__le") - col("__rn")), lit(size.toLong)))
-      // hash (not round-robin: consecutive __rn stay near each other,
-      // so per-vector partial aggregation keeps map-side locality)
-      .repartition(shufflePartitions, (partitionBy :+ col("__rn")): _*)
+      // RANGE partition on (keys, rank): spreads the ×size explosion
+      // across all cores AND keeps consecutive __rn physically adjacent,
+      // so every vector's members land in at most 2 partitions and the
+      // downstream per-vector groupBy's map-side partial aggregation
+      // collapses each vector to ~1 row BEFORE its exchange (hash
+      // partitioning scattered consecutive ranks, shipping all `size`
+      // exploded copies through the shuffle).
+      .repartitionByRange(shufflePartitions, (partitionBy :+ col("__rn")): _*)
       .withColumn("vec_id", explode(sequence(col("__rn") - col("__q"), col("__rn") - 1)))
       .drop("__rn", "__inspan", "__le", "__q")
   }
