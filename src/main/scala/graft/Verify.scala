@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated query-name filter for local
+    // iteration (skips the invariant battery too). The driver always
+    // passes exactly (sfDir, outDir) — full battery.
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, f) => (a, b, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -198,7 +206,7 @@ object Verify {
          | "explained_variance_ratio": $pcaExplained, "explained_floor": $pcaExplFloor,
          | "pass": $pcaPass}}""".stripMargin.replace("\n", "")
     }
-    try {
+    if (only.isEmpty) try {
       val inv = invariantJson
       Files.writeString(Paths.get(s"$outDir/invariants.json"), inv)
       if (inv.contains("false")) System.err.println(s"[verify] INVARIANT FAILED: $inv")

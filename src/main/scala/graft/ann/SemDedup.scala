@@ -54,17 +54,19 @@ object SemDedup {
     */
   def dedupSemantic(emb: DataFrame, dim: Int, bits: Int, tauFp: Long,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // One kernel pass; persisted so the centroid branch, the scoring
-    // join, and the pair join all read the stored (u, bucket) columns
-    // instead of re-deriving them per element_at (the
-    // transform-recompute trap) — at 100 TB this boundary is where
-    // you'd write the keyed projection once as a bucketed layout
-    // (LayoutOps) and join against it repeatedly.
+    // One kernel pass, NOT persisted: a cache here outlives the call
+    // (the caller holds only the result plan and can never release the
+    // blocks — a storage leak per invocation). The kernel is a
+    // codegen'd map-only pass, so the ≤4 recomputes behind the
+    // centroid branch, the scoring join, and the two pair-join sides
+    // cost far less than leaked executor storage; at 100 TB the right
+    // amortization is to write the keyed projection ONCE as a bucketed
+    // layout (LayoutOps.bucketize) and run the joins against the
+    // stored copy.
     val keyed = emb
       .select(col(idCol).as("id"),
         VectorExpressions.semDedupKey(col(vecCol), dim, bits).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.bucket").as("bucket"))
-      .persist()
 
     val cent = keyed.groupBy("bucket")
       .agg(array((0 until dim).map(i => sum(col("u")(i))): _*).as("c"))

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{Pca, Similarity}
+import graft.ann.{Pca, SemDedup, Similarity}
+import graft.functions.SemDedupKey
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -47,6 +48,16 @@ object AnnQueries {
 
   /** Embedding dimensionality, shared with Verify's PCA invariant. */
   val EmbDim: Int = Dim
+
+  // SemDedup geometry: 5 sign-hyperplanes (32 buckets — ~16 members
+  // per bucket at sf0.01, ~60 at sf0.1, far under the ~1e5 BIGINT
+  // headroom bound in SemDedup's doc) and a 0.30-cosine duplicate
+  // threshold in the 1e12 fixed-point dot scale — the same threshold
+  // as dedup_embedding_cosine, so the two queries probe the same
+  // similarity structure through the exact (cross-join) and the
+  // bucketed (scale) paths.
+  val SemBits = 5
+  val SemTauFp = 300000000000L
 
   val queries: Map[String, Q] = Map(
 
@@ -219,6 +230,17 @@ object AnnQueries {
         .select("vec_id", "label", "d2")
     },
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): sign-LSH
+    // buckets contract the candidate space, integer fixed-point dots
+    // decide duplicates, and the member FARTHEST from its bucket
+    // centroid survives each duplicate pair (diversity-preserving
+    // representative). Hash-exact oracle: every similarity downstream
+    // of the kernel is BIGINT arithmetic — see ann/SemDedup.
+    "dedup_semantic" -> { (s, d) =>
+      SemDedup.dedupSemantic(Tables.embeddings(s, d), Dim, SemBits, SemTauFp)
+        .orderBy("id")
+    },
+
     // Multimodal: spec-compliant synthetic PNG/JPEG/GIF binaries
     // (real header bytes, doc_id-derived dimensions) decoded by the
     // real header parsers in a partition-batched pass. The oracle
@@ -308,6 +330,52 @@ object AnnQueries {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    // Mirrors SemDedupKey + SemDedup.dedupSemantic termwise: the norm
+    // is the same left-associated float-square sum, u_i the same
+    // floor(v/|v|*1e6+0.5), the bucket bits the same ±1 sign sums
+    // (signs emitted here from SemDedupKey.sign, so the hyperplanes
+    // are literally identical), and every downstream comparison is
+    // BIGINT — no float threshold can flip between engines.
+    "dedup_semantic" -> {
+      val sumsq = (1 to Dim).map(i =>
+        s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+      val uDefs = (1 to Dim).map(i =>
+        s"CASE WHEN nr = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(CAST(embedding[$i] AS DOUBLE) / nr * 1000000.0 + 0.5) AS BIGINT) END AS u$i")
+        .mkString(",\n  ")
+      val bucket = (0 until SemBits).map { j =>
+        val terms = (1 to Dim).map { i =>
+          if (SemDedupKey.sign(j, i - 1, Dim) > 0) s"+ u$i" else s"- u$i"
+        }.mkString(" ")
+        s"CASE WHEN (0 $terms) >= 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString("\n    + ")
+      val centSums = (1 to Dim).map(i => s"CAST(SUM(u$i) AS BIGINT) AS c$i").mkString(", ")
+      val cscore = (1 to Dim).map(i => s"u$i*c$i").mkString(" + ")
+      val pairDot = (1 to Dim).map(i => s"x.u$i*y.u$i").mkString(" + ")
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding, sqrt($sumsq) AS nr FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |  $uDefs
+         |  FROM nrm),
+         |b AS (
+         |  SELECT *, CAST($bucket AS INT) AS bucket FROM u),
+         |cent AS (
+         |  SELECT bucket, $centSums FROM b GROUP BY bucket),
+         |scored AS (
+         |  SELECT b.vec_id AS id, b.bucket, CAST($cscore AS BIGINT) AS cscore,
+         |    ${(1 to Dim).map(i => s"b.u$i").mkString(", ")}
+         |  FROM b JOIN cent USING (bucket)),
+         |dropped AS (
+         |  SELECT DISTINCT x.id AS id
+         |  FROM scored x JOIN scored y
+         |    ON x.bucket = y.bucket AND x.id <> y.id
+         |  WHERE ($pairDot) >= $SemTauFp
+         |    AND (y.cscore < x.cscore OR (y.cscore = x.cscore AND y.id < x.id)))
+         |SELECT s.id, s.bucket, s.cscore, (d.id IS NULL) AS kept
+         |FROM scored s LEFT JOIN dropped d ON s.id = d.id
+         |ORDER BY s.id""".stripMargin
+    },
 
     // Mirrors Multimodal.synthHeaderBytes arithmetically: header sizes
     // are the fixed container layouts (PNG 33 = sig 8 + IHDR chunk 25;
