@@ -153,6 +153,17 @@ object Verify {
       val hhCeil = 1.0 / (hhK + 1)
       val hhPass = hhOver == 0 && hhMaxUnderFrac <= hhCeil
 
+      // agg_corr: the hi/lo split's cross-engine agreement assumes
+      // NON-NEGATIVE measures (Spark `div` truncates toward zero,
+      // DuckDB `//` floors — identical only on non-negatives). The
+      // driver's data encoding varies by round, so assert the
+      // assumption here: a signed drop fails loudly instead of
+      // hash-mismatching obscurely.
+      val minMeasure = li.agg(
+          least(min(col("l_quantity")), min(col("l_extendedprice")),
+            min(col("l_discount"))).cast("double"))
+        .head().getDouble(0)
+
       // emb_pca_project: the PCA contract — orthonormal basis,
       // eigenvalues descending, and each component's PROJECTED
       // variance over the data matching its eigenvalue (the
@@ -201,6 +212,8 @@ object Verify {
          | "floor": $ivfPqFloor, "pass": ${pqBatchRecall >= ivfPqFloor}},
          | "text_heavy_hitters": {"metric": "max_undercount_frac_and_no_overestimates", "value": $hhMaxUnderFrac,
          | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass},
+         | "agg_corr": {"metric": "min_measure_nonnegative", "value": $minMeasure,
+         | "floor": 0.0, "pass": ${minMeasure >= 0.0}},
          | "emb_pca_project": {"metric": "max_projvar_vs_eigenvalue_err", "value": $varErr,
          | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc,
          | "explained_variance_ratio": $pcaExplained, "explained_floor": $pcaExplFloor,

@@ -259,14 +259,21 @@ object RelationalQueries {
     // (the previous decimal(38,6) moment sums ran one BigDecimal
     // multiply+add per cell per row — 2.6 s isolated at sf0.1; this
     // shape runs ~0.4 s). Each per-row product is ≤ ~1.2e14 (cents ≤
-    // 1.1e7), and its hi/lo split at 1e9 keeps BOTH long sums in range
-    // even at ~6e9 rows per group (hi-sum ≤ 7.2e14, lo-sum ≤ 6e18 <
-    // 2^63): the 100-TB shape without decimal in the inner loop. The
-    // moments recombine as hi·1e9 + lo IN DOUBLE — identical IEEE ops
-    // in both engines — and since corr is scale-invariant the
-    // cents-scaled moments feed the SAME CorrExpr string unchanged.
+    // 1.1e7), and its hi/lo split at 1e7 (~sqrt of the max product)
+    // BALANCES the two halves: hi ≤ 1.2e7 and lo < 1e7 per row, so
+    // both long sums stay in range past ~7e11 rows per group — a
+    // 100-TB lineitem is ~2e11 rows/group, inside the bound with
+    // margin (the former 1e9 split left lo-sum wrapping silently
+    // beyond ~9.2e9 rows/group, i.e. a few TB). The moments recombine
+    // as hi·1e7 + lo IN DOUBLE — identical IEEE ops in both engines —
+    // and since corr is scale-invariant the cents-scaled moments feed
+    // the SAME CorrExpr string unchanged. Measures are assumed
+    // non-negative (Spark div truncates, DuckDB // floors — they only
+    // agree on non-negatives); Verify's invariant battery asserts
+    // min(measure) >= 0 so a future signed data drop fails loudly
+    // instead of hash-mismatching obscurely.
     "agg_corr" -> { (s, d) =>
-      val HI = 1000000000L
+      val HI = 10000000L
       def cents(c: String) = round(col(c) * 100).cast("long")
       def moment(hiC: String, loC: String) =
         (col(hiC).cast("double") * HI.toDouble + col(loC).cast("double"))
@@ -470,12 +477,12 @@ object RelationalQueries {
 
     "agg_corr" -> {
       // Mirrors the Spark plan's exact-integer moment shape: cents-
-      // scaled longs, per-row products hi/lo-split at 1e9, sums
-      // recombined hi*1e9 + lo in DOUBLE (identical IEEE ops). DuckDB
+      // scaled longs, per-row products hi/lo-split at 1e7, sums
+      // recombined hi*1e7 + lo in DOUBLE (identical IEEE ops). DuckDB
       // sums BIGINT into HUGEINT — still the same exact integer, and
       // hugeint→double is correctly rounded like Spark's long→double.
       def m(nm: String, x: String, y: String) =
-        s"CAST(SUM(($x * $y) // 1000000000) AS DOUBLE) * 1e9 + CAST(SUM(($x * $y) % 1000000000) AS DOUBLE) AS s$nm"
+        s"CAST(SUM(($x * $y) // 10000000) AS DOUBLE) * 1e7 + CAST(SUM(($x * $y) % 10000000) AS DOUBLE) AS s$nm"
       s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
          |  ${CorrExpr("sq", "se", "sqq", "see", "sqe")} AS corr_qty_price,
          |  ${CorrExpr("sq", "sd", "sqq", "sdd", "sqd")} AS corr_qty_disc,

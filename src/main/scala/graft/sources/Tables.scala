@@ -42,6 +42,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below reads micros through the SESSION
+    // timezone; every shipped entrypoint pins UTC, but a new caller
+    // without it would silently shift ts/ts_us — pin it here too, next
+    // to the other read-path conf this loader already owns.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long files
