@@ -58,14 +58,26 @@ object Mqtt {
 }
 
 /** A pure-JVM MQTT 3.1.1 client over a raw socket. One client per
-  * connection, not thread-safe — matches the
+  * connection; reads are single-threaded (matches the
   * one-client-per-partition-task lifecycle of
-  * [[graft.sinks.BrokerSink]].
+  * [[graft.sinks.BrokerSink]]) but packet WRITES are internally
+  * synchronized so a second thread may ack ([[ackQos1]]) while the
+  * owner blocks reading — the streaming source's commit hook needs
+  * exactly that.
+  *
+  * `cleanSession = false` + a stable `clientId` asks the broker to
+  * hold session state across connections: qos-1 deliveries left
+  * un-PUBACKed by a dead connection are redelivered (DUP) to the next
+  * one — the at-least-once leg of MQTT 3.1.1 §4.4 the streaming
+  * source builds on. `manualAckQos1` defers inbound qos-1 PUBACKs to
+  * the caller (the reference defers them the same way under
+  * backpressure via mqtt.js handleMessage, src/input/mqtt.ts:143-151).
   */
 final class MqttClient(host: String, port: Int,
                        clientId: String = s"graft-${java.util.UUID.randomUUID().toString.take(8)}",
                        user: Option[String] = None, password: Option[String] = None,
-                       connectTimeoutMs: Int = 5000) extends AutoCloseable {
+                       connectTimeoutMs: Int = 5000, cleanSession: Boolean = true,
+                       manualAckQos1: Boolean = false) extends AutoCloseable {
   import Mqtt._
 
   private val socket = new Socket()
@@ -82,7 +94,7 @@ final class MqttClient(host: String, port: Int,
     payload.write(utf8(clientId))
     user.foreach(u => payload.write(utf8(u)))
     password.foreach(p => payload.write(utf8(p)))
-    var flags = 0x02 // clean session
+    var flags = if (cleanSession) 0x02 else 0x00
     if (user.isDefined) flags |= 0x80
     if (password.isDefined) flags |= 0x40
     val vh = new java.io.ByteArrayOutputStream()
@@ -116,25 +128,38 @@ final class MqttClient(host: String, port: Int,
   }
 
   /** Next received PUBLISH as (topic, payload-text); acks qos-1
-    * deliveries. None once the broker closes the connection.
+    * deliveries unless `manualAckQos1`. None once the broker closes
+    * the connection.
     */
-  def nextMessage(): Option[(String, String)] = {
+  def nextMessage(): Option[(String, String)] =
+    nextMessageWithPid().map { case (t, p, _) => (t, p) }
+
+  /** Like [[nextMessage]] but also yields the delivery's packet id
+    * (0 for qos 0) so a `manualAckQos1` caller can [[ackQos1]] later.
+    */
+  def nextMessageWithPid(): Option[(String, String, Int)] = {
     if (pending.nonEmpty) {
-      val (t, p, _) = pending.dequeue()
-      return Some((t, new String(p, UTF_8)))
+      val (t, p, pid) = pending.dequeue()
+      return Some((t, new String(p, UTF_8), pid))
     }
     try {
       while (true) {
         val (tpe, flags, body) = readPacket()
         if (tpe == Publish) {
-          val (topic, payload, _) = decodePublish(flags, body)
-          return Some((topic, new String(payload, UTF_8)))
+          val (topic, payload, pid) = decodePublish(flags, body)
+          return Some((topic, new String(payload, UTF_8), pid))
         } else if (tpe == Pubrel) completeQos2(body)
         // everything else (PINGRESP, stray acks) is skipped
       }
       None
     } catch { case _: EOFException => None }
   }
+
+  /** Deferred qos-1 delivery ack (`manualAckQos1` mode). Safe to call
+    * from a different thread than the read loop.
+    */
+  def ackQos1(pid: Int): Unit =
+    writePacket(Puback, 0, Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
 
   /** PUBLISH at qos 0 (fire-and-forget), qos 1 (wait for PUBACK), or
     * qos 2 (full PUBREC → PUBREL → PUBCOMP exactly-once handshake,
@@ -166,12 +191,16 @@ final class MqttClient(host: String, port: Int,
 
   private def nextPacketId(): Int = { packetId += 1; if (packetId > 0xffff) packetId = 1; packetId }
 
-  private def writePacket(tpe: Int, flags: Int, body: Array[Byte]): Unit = {
-    out.writeByte((tpe << 4) | flags)
-    writeRemainingLength(out, body.length)
-    out.write(body)
-    out.flush()
-  }
+  // synchronized: acks may be written by a commit thread while the
+  // read loop writes its own inline acks (distinct packets must not
+  // interleave mid-frame)
+  private def writePacket(tpe: Int, flags: Int, body: Array[Byte]): Unit =
+    out.synchronized {
+      out.writeByte((tpe << 4) | flags)
+      writeRemainingLength(out, body.length)
+      out.write(body)
+      out.flush()
+    }
 
   private def readPacket(): (Int, Int, Array[Byte]) = {
     val h = in.read()
@@ -197,21 +226,25 @@ final class MqttClient(host: String, port: Int,
   private def completeQos2(body: Array[Byte]): Unit =
     writePacket(Pubcomp, 0, Array[Byte](body(0), body(1)))
 
-  /** Returns (topic, payload, qos); starts the delivery ack inline —
-    * PUBACK for qos 1, PUBREC for qos 2 (PUBCOMP follows when the
-    * broker's PUBREL is read by one of the receive loops).
+  /** Returns (topic, payload, packetId — 0 for qos 0); starts the
+    * delivery ack inline — PUBACK for qos 1 (unless `manualAckQos1`),
+    * PUBREC for qos 2 (PUBCOMP follows when the broker's PUBREL is
+    * read by one of the receive loops).
     */
   private def decodePublish(flags: Int, body: Array[Byte]): (String, Array[Byte], Int) = {
     val qos = (flags >> 1) & 0x3
     val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
     val topic = new String(body, 2, topicLen, UTF_8)
     var off = 2 + topicLen
+    var pid = 0
     if (qos > 0) {
-      val pid = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+      pid = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
       off += 2
-      writePacket(if (qos == 1) Puback else Pubrec, 0,
-        Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
+      if (qos == 2)
+        writePacket(Pubrec, 0, Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
+      else if (!manualAckQos1)
+        writePacket(Puback, 0, Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte))
     }
-    (topic, java.util.Arrays.copyOfRange(body, off, body.length), qos)
+    (topic, java.util.Arrays.copyOfRange(body, off, body.length), pid)
   }
 }

@@ -93,10 +93,10 @@ private[sources] class AmqpQueueStream(host: String, port: Int, vhost: String,
 
   // the ack writes on the socket's send side while the collector
   // blocks on the receive side — distinct directions, no contention
-  override protected def onCommitted(lastTag: Long): Unit = {
+  override protected def onCommitted(trimmedTags: Array[Long]): Unit = {
     val c = client
     if (c != null) {
-      try c.basicAck(lastTag, multiple = true)
+      try c.basicAck(trimmedTags.last, multiple = true)
       catch { case _: Exception => () } // broker gone: redelivery handles it
     }
   }

@@ -83,10 +83,12 @@ abstract class BufferedPushStream extends MicroBatchStream {
   /** Close the wire client so the blocked [[collect]] loop unwinds. */
   protected def closeClient(): Unit
 
-  /** Commit hook: `lastTag` is the protocol tag of the newest line
-    * the checkpoint just committed (AMQP acks it cumulatively).
+  /** Commit hook: the protocol tags of the lines the checkpoint just
+    * committed, in arrival order. AMQP acks `trimmedTags.last`
+    * cumulatively (one frame per commit); MQTT has no cumulative ack,
+    * so it PUBACKs each qos-1 packet id individually.
     */
-  protected def onCommitted(lastTag: Long): Unit = ()
+  protected def onCommitted(trimmedTags: Array[Long]): Unit = ()
 
   // lines [base, pos) awaiting commit; tags(i) belongs to buffered(i)
   private val buffered = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -143,18 +145,18 @@ abstract class BufferedPushStream extends MicroBatchStream {
   override def createReaderFactory(): PartitionReaderFactory = LineSliceReaderFactory
 
   override def commit(end: Offset): Unit = {
-    val lastTag = synchronized {
+    val trimmed = synchronized {
       val e = math.min(end.asInstanceOf[CountOffset].n, pos)
-      if (e <= base) None
+      if (e <= base) Array.empty[Long]
       else {
         val drop = (e - base).toInt
-        val t = tags(drop - 1)
+        val t = tags.take(drop).toArray
         buffered.dropInPlace(drop); tags.dropInPlace(drop)
         base = e
-        Some(t)
+        t
       }
     }
-    lastTag.foreach(onCommitted)
+    if (trimmed.nonEmpty) onCommitted(trimmed)
   }
 
   override def stop(): Unit = {

@@ -18,14 +18,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * A [[BufferedPushStream]]: the driver-side collector subscribes to
   * the topic filter (the reference's default is `cdp/#`) and buffers
   * each PUBLISH payload; offsets are arrival counts. Delivery
-  * contract: qos 0 is fire-and-forget; at qos 1/2 the wire client
-  * completes the protocol handshake on receipt, so once buffered a
-  * message is this process's responsibility — admitted-but-uncommitted
-  * messages are lost on crash (at-most-once from the checkpoint's
-  * point of view), exactly the reference consumer's semantics. MQTT
-  * has no consumer-side cumulative ack to defer, so there is no
-  * commit hook to strengthen this (that is AMQP's trick,
-  * [[AmqpQueueSource]]).
+  * contract by qos:
+  *   - qos 0 — fire-and-forget: admitted-but-uncommitted messages are
+  *     lost on crash (at-most-once), exactly the reference consumer.
+  *   - qos 1 — at-least-once: the client connects with a CHECKPOINT-
+  *     STABLE clientId and `cleanSession = false`, and PUBACKs are
+  *     DEFERRED until `commit` (one per packet id — MQTT has no
+  *     cumulative ack). Deliveries a crashed run admitted but never
+  *     committed stay un-acked in the broker's session state and are
+  *     redelivered (DUP) to the next run — the same ack-deferral lever
+  *     the reference pulls under backpressure via mqtt.js
+  *     handleMessage (src/input/mqtt.ts:143-151), here tied to the
+  *     checkpoint like [[AmqpQueueSource]]'s cumulative Basic.Ack.
+  *     Ack deferral doubles as flow control: a broker stops pushing
+  *     when its in-flight window fills, bounding the driver buffer.
+  *   - qos 2 — the wire client completes PUBREC/PUBREL/PUBCOMP on
+  *     receipt (exactly-once on the wire, at-most-once vs crashes).
   *
   * Usage: `spark.readStream.format(classOf[MqttStreamSource].getName)
   * .option("host", h).option("port", p).option("topic", "cdp/#")
@@ -61,25 +69,48 @@ private[sources] class MqttStreamTable(host: String, port: Int, topic: String, q
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerLines.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MqttStream(host, port, topic, qos)
+          new MqttStream(host, port, topic, qos, checkpointLocation)
       }
     }
 }
 
-private[sources] class MqttStream(host: String, port: Int, topic: String, qos: Int)
+private[sources] class MqttStream(host: String, port: Int, topic: String, qos: Int,
+                                  checkpointLocation: String)
     extends BufferedPushStream {
 
   @volatile private var client: graft.io.MqttClient = _
 
+  // The session identity must survive restarts for the broker to
+  // redeliver un-acked qos-1 in-flights to the NEXT run — derive it
+  // from the checkpoint location, the same durable identity the
+  // offsets live under. ≤23 chars (the 3.1.1 guaranteed-accept bound).
+  private def sessionClientId: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$checkpointLocation|$topic".getBytes("UTF-8"))
+    "graft-" + md.take(8).map(b => f"$b%02x").mkString
+  }
+
   override protected def collect(append: (String, Long) => Unit): Unit = {
-    val c = new graft.io.MqttClient(host, port)
+    val c = new graft.io.MqttClient(host, port,
+      clientId = if (qos == 1) sessionClientId else s"graft-${java.util.UUID.randomUUID().toString.take(8)}",
+      cleanSession = qos != 1, manualAckQos1 = qos == 1)
     client = c
     c.subscribe(topic, qos)
-    var n = 0L
     var more = true
-    while (more) c.nextMessage() match {
-      case Some((_, payload)) => append(payload, n); n += 1
-      case None               => more = false
+    while (more) c.nextMessageWithPid() match {
+      case Some((_, payload, pid)) => append(payload, pid.toLong)
+      case None                    => more = false
+    }
+  }
+
+  // qos-1 deferred acks: one PUBACK per committed packet id, written
+  // on the send side while the collector blocks reading (the client
+  // serializes frame writes internally)
+  override protected def onCommitted(trimmedTags: Array[Long]): Unit = {
+    val c = client
+    if (c != null && qos == 1) {
+      try trimmedTags.foreach(t => c.ackQos1(t.toInt))
+      catch { case _: Exception => () } // broker gone: redelivery handles it
     }
   }
 
