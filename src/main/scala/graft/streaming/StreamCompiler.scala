@@ -140,6 +140,32 @@ object StreamCompiler {
       .option("topic", topic).option("qos", qos.toString)
       .load())
 
+  /** LIVE `http` input (reference src/input/http.ts:90-165) via
+    * [[graft.sources.HttpPushSource]]: an embedded POST endpoint whose
+    * accepted NDJSON bodies stream straight into micro-batches, 503
+    * under backpressure. `port` 0 binds ephemerally — read the real
+    * port from [[graft.sources.HttpPushSource.boundPorts]] keyed by
+    * the query's checkpoint location.
+    */
+  def httpPushSource(spark: SparkSession, port: Int, endpoint: String = "/events",
+                     maxBuffered: Int = 65536): Dataset[SEvent] =
+    parseBrokerLines(spark.readStream
+      .format(classOf[graft.sources.HttpPushSource].getName)
+      .option("port", port.toString).option("endpoint", endpoint)
+      .option("maxBuffered", maxBuffered.toString)
+      .load())
+
+  /** LIVE `poll` input (reference src/input/poll.ts:106-189) via
+    * [[graft.sources.PollStreamSource]]: one ETag-deduplicated GET per
+    * interval, the dedup state checkpointed inside the stream offset.
+    */
+  def pollSource(spark: SparkSession, target: String,
+                 intervalMs: Long = 1000L): Dataset[SEvent] =
+    parseBrokerLines(spark.readStream
+      .format(classOf[graft.sources.PollStreamSource].getName)
+      .option("target", target).option("intervalMs", intervalMs.toString)
+      .load())
+
   /** The shared NDJSON envelope parse for every broker line stream —
     * the same variant-path idiom as the batch ingest faces. Arrival
     * fields: `ts` is the micro-batch processing time, `seq` the

@@ -221,4 +221,168 @@ class IngestSpec extends AnyFunSuite {
     val delivered = spark.read.text(dir).collect().map(_.getString(0)).toSet
     assert(delivered == Set("route.x\t{\"n\":\"x.a\"}", "route.y\t{\"n\":\"y.b\"}"))
   }
+
+  private def pollUntil(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!ok) {
+      if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+      Thread.sleep(50)
+    }
+  }
+
+  /** The query's source checkpoint dir is `<ckpt>/sources/<i>` — find
+    * the ephemeral port the live http source registered under it.
+    */
+  private def boundPort(ckpt: String): Option[Int] = {
+    val it = HttpPushSource.boundPorts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.contains(ckpt)) return Some(e.getValue.intValue())
+    }
+    None
+  }
+
+  test("live http push MicroBatchStream: batch-parse differential in two waves") {
+    import org.apache.spark.sql.functions._
+    // the same NDJSON event corpus as the broker differentials
+    val lines = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(to_json(struct(
+        concat(lit("app."), col("event_type")).as("n"),
+        struct(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")).as("d"))).as("value"))
+      .collect().map(_.getString(0))
+    assert(lines.length >= 500, s"corpus too small: ${lines.length}")
+    val (pre, post) = lines.splitAt(lines.length / 2)
+    val ckpt = Files.createTempDirectory("graft-httppush-ckpt").toString
+    val ds = graft.streaming.StreamCompiler.httpPushSource(spark, port = 0)
+    val q = ds.writeStream.format("memory").queryName("httppushstream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      def sunk(): Long =
+        try spark.table("httppushstream").count() catch { case _: Exception => -1L }
+      pollUntil("endpoint up")(boundPort(ckpt).isDefined)
+      val port = boundPort(ckpt).get
+      pollUntil("healthz")(try {
+        val c = java.net.http.HttpClient.newHttpClient()
+        c.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$port/healthz")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200
+      } catch { case _: Exception => false })
+      // two POST waves after the server is up: proves continuous push
+      // admission across triggers, not a one-shot read
+      pre.grouped(1000).foreach(b =>
+        assert(this.post(port, "/events", b.mkString("", "\n", "\n")) == 200))
+      pollUntil("first wave")(sunk() == pre.length)
+      post.grouped(1000).foreach(b =>
+        assert(this.post(port, "/events", b.mkString("", "\n", "\n")) == 200))
+      pollUntil("second wave")(sunk() == lines.length)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("httppushstream")
+      .select("seq", "n", "d").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = {
+      import spark.implicits._
+      val v = try_parse_json(col("value"))
+      spark.createDataset(lines.toSeq).toDF("value")
+        .select(
+          try_variant_get(v, "$.n", "string").as("n"),
+          to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    assert(streamed.length == batch.length)
+    assert(streamed.map(t => (t._2, t._3)).toSeq == batch.toSeq,
+      "streamed (n, d) must equal the batch parse byte-for-byte in arrival order")
+  }
+
+  test("live http push responds 503 while the uncommitted backlog is at the cap") {
+    val ckpt = Files.createTempDirectory("graft-http503-ckpt").toString
+    val ds = graft.streaming.StreamCompiler.httpPushSource(spark, port = 0,
+      maxBuffered = 50)
+    // a long trigger keeps the first batch's offsets uncommitted (the
+    // engine commits a batch at the start of the NEXT cycle), so the
+    // backlog deterministically exceeds the cap for the second POST
+    val q = ds.writeStream.format("memory").queryName("http503stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("60 seconds"))
+      .outputMode("append").start()
+    try {
+      pollUntil("endpoint up")(boundPort(ckpt).isDefined)
+      val port = boundPort(ckpt).get
+      val wave = (1 to 100).map(i => s"""{"n":"a.x","d":$i}""").mkString("", "\n", "\n")
+      pollUntil("first POST accepted")(post(port, "/events", wave) == 200)
+      // backlog is now 100 admitted / 0 committed >= cap 50
+      assert(post(port, "/events", """{"n":"a.y","d":0}""") == 503)
+      // and unknown paths 404 like the reference
+      assert(post(port, "/other", "{}") == 404)
+    } finally q.stop()
+  }
+
+  test("live poll source: ETag dedup holds across triggers AND across a restart") {
+    import org.apache.spark.sql.functions._
+    val bodyA = (1 to 10).map(i => s"""{"n":"a.p","d":{"i":$i}}""").mkString("", "\n", "\n")
+    val bodyB = (11 to 20).map(i => s"""{"n":"a.q","d":{"i":$i}}""").mkString("", "\n", "\n")
+    @volatile var body = bodyA
+    @volatile var etag = "\"v1\""
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the server IGNORES If-None-Match and always 200s with an ETag —
+    // forcing the source's client-side equivalence check (the
+    // reference's only mechanism, poll.ts:123-146) to do the dedup
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/feed", (x: HttpExchange) => {
+      gets.incrementAndGet()
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.add("ETag", etag)
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    val target = s"http://localhost:${server.getAddress.getPort}/feed"
+    val base = Files.createTempDirectory("graft-pollstream")
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def startQuery() =
+      graft.streaming.StreamCompiler.pollSource(spark, target, intervalMs = 50)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+    def sunk(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+    try {
+      // first life: body A admitted once, then re-polled without
+      // re-admission (same ETag)
+      val q1 = startQuery()
+      try {
+        pollUntil("body A sunk")(sunk() == 10)
+        val seen = gets.get()
+        pollUntil("several more polls")(gets.get() >= seen + 3)
+        assert(sunk() == 10, "equal-ETag re-polls must admit nothing")
+      } finally q1.stop()
+      // second life, same checkpoint: the ETag rides the offset, so
+      // the restarted query must NOT re-admit body A
+      val q2 = startQuery()
+      try {
+        val seen = gets.get()
+        pollUntil("restarted query polls")(gets.get() >= seen + 2)
+        assert(sunk() == 10, "restart must not re-admit the ETag-known body")
+        body = bodyB
+        etag = "\"v2\""
+        pollUntil("body B sunk")(sunk() == 20)
+      } finally q2.stop()
+    } finally server.stop(0)
+    // exactly the two bodies, no duplicates, batch-parse differential
+    val got = spark.read.parquet(outDir).select("n", "d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.size == 20)
+    val expect = {
+      import spark.implicits._
+      val v = try_parse_json(col("value"))
+      spark.createDataset((bodyA + bodyB).linesIterator.toSeq).toDF("value")
+        .select(try_variant_get(v, "$.n", "string").as("n"),
+          to_json(try_variant_get(v, "$.d", "variant")).as("d"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    assert(got.sorted == expect.toSeq.sorted)
+  }
 }
