@@ -79,31 +79,68 @@ object TextQueries {
         spark.createDataset(nodes.toSeq.map(id => (id, find(id))))
           .toDF("doc_id", "cluster_id")
       } else {
-        val edges = cached.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(cached.select(col("b").as("src"), col("a").as("dst")))
-          .persist()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl")).persist()
-        var prevSum = labels.agg(sum("lbl")).head().getLong(0)
-        var converged = false
+        // Alternating large-star/small-star contraction (Kiveris et
+        // al., "Connected Components in MapReduce and Beyond", SoCC
+        // 2014): each round rewires every edge toward its
+        // neighborhood minimum, so components collapse to min-rooted
+        // stars in O(log n) rounds REGARDLESS of diameter — plain
+        // min-label propagation needs O(diameter) rounds and a chain-
+        // shaped duplicate cluster at 100 TB can be thousands of hops
+        // long. Edges stay canonically (a > b) throughout.
+        //
+        // large-star(u): every neighbor v > u re-points at
+        // m = min(Γ(u) ∪ {u}).
+        def largeStar(e: DataFrame): DataFrame = {
+          val sym = e.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+          val mins = sym.groupBy("u").agg(min("v").as("mv"))
+            .select(col("u"), least(col("u"), col("mv")).as("m"))
+          sym.filter(col("v") > col("u")).join(mins, "u")
+            .select(col("v").as("a"), col("m").as("b"))
+            .filter(col("a") =!= col("b")).distinct()
+        }
+        // small-star(u): u and every smaller neighbor re-point at
+        // m = min of the smaller neighborhood.
+        def smallStar(e: DataFrame): DataFrame = {
+          val mins = e.groupBy(col("a").as("u")).agg(min("b").as("m"))
+          e.join(mins, col("a") === col("u")).filter(col("b") =!= col("m"))
+            .select(col("b").as("a"), col("m").as("b"))
+            .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+            .filter(col("a") =!= col("b")).distinct()
+        }
+        // Eager localCheckpoint per round, NOT persist: each star op
+        // embeds its input's logical plan several times, so without
+        // lineage truncation the plan grows ~12x per round and
+        // ANALYSIS time explodes exponentially (measured 16 s to build
+        // round 2 on 244 edges). The checkpoint materializes
+        // star-edge-sized blocks and restarts the plan from them; on a
+        // real cluster you'd point this at a reliable checkpoint dir
+        // instead (same discipline, crash-safe).
+        var cur = cached.filter(col("a") =!= col("b"))
+          .select(greatest(col("a"), col("b")).as("a"),
+            least(col("a"), col("b")).as("b"))
+          .distinct().localCheckpoint(true)
+        var curCount = cur.count()
+        var converged = curCount == 0
         var rounds = 0
         while (!converged && rounds < 50) {
-          val prop = edges
-            .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
-            .groupBy(col("dst").as("id")).agg(min("slbl").as("nlbl"))
-          val next = labels.join(prop, Seq("id"), "left")
-            .select(col("id"),
-              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-            .persist()
-          val newSum = next.agg(sum("lbl")).head().getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = newSum == prevSum // labels only decrease: sum is a fixpoint witness
-          prevSum = newSum
+          val next = smallStar(largeStar(cur)).localCheckpoint(true)
+          val nextCount = next.count()
+          // fixpoint = identical edge set (count equal + no new edges):
+          // at the fixpoint every component is a star rooted at its min
+          converged = nextCount == curCount &&
+            next.join(cur, Seq("a", "b"), "left_anti").isEmpty
+          cur = next
+          curCount = nextCount
           rounds += 1
         }
-        edges.unpersist()
-        labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        // at the fixpoint each component is a star (a -> root) plus
+        // the root itself; the returned plan reads the checkpointed
+        // star edges (tiny, lineage-free — released by the context
+        // cleaner once callers drop the reference)
+        cur.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+          .unionByName(cur.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+          .distinct()
       }
     cached.unpersist()
     out.orderBy("doc_id")
