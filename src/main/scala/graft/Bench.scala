@@ -191,6 +191,14 @@ object Bench {
     // the final 2000 chars of stdout, and the head (where "value" sits)
     // gets truncated once the battery grows — the tail always survives.
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"isolated_mode":"$isoMode","movers":$moverList,"prior_record":$priorName,"cold_total":$coldTotal,"sf":"$sfDir","warm_total":$warmTotal}""")
+    // SPARK_GRAFT_BENCH_OUT=<path>: also write the UNTRUNCATED flat
+    // per-query map to a file. The driver wrapper keeps only the last
+    // 2000 chars of stdout, so round-over-round diffs need a committed
+    // full record (BENCH_r*.json.flat convention) — this emits it as
+    // part of the same run instead of a hand-pasted copy.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), qs + "\n")
+    }
     org.apache.spark.sql.SparkSession.getDefaultSession.foreach(_.stop())
   }
 

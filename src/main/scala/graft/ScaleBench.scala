@@ -52,7 +52,7 @@ object ScaleBench {
     "text_length_hist", "emb_quantize_int8", "emb_ann_pq_batch", "mm_decode_meta",
     "text_dup_spans", "text_heavy_hitters", "sample_split", "sample_temperature",
     "ev_active_users", "emb_pca_project",
-    "dedup_cluster_resolve_dist", "ev_keep_when_str")
+    "dedup_cluster_resolve_dist", "ev_keep_when_str", "dedup_semantic_auto")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,17 +117,33 @@ object ScaleBench {
     write("lineitem", replicate(read("lineitem"), factor,
       Map("l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff)))
 
-    // events: raw nanos ride as long (same reading contract as
-    // Tables.events); timeline extends by span+1h per replica
+    // events: the driver's physical `ts` encoding varies by round —
+    // TIMESTAMP(NANOS) read as long under nanosAsLong, or plain
+    // timestamp[us] — so sniff like Tables.events and extend the
+    // timeline by span+1h per replica in whichever unit it rides
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val ev = read("events")
     val evOff = maxOf(ev, "event_id")
     val userOff = maxOf(ev, "user_id")
-    val Array(tsMin, tsMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val tsSpan = tsMax - tsMin + 3600L * 1000000000L
-    write("events", replicate(ev, factor,
-      Map("event_id" -> evOff, "user_id" -> userOff, "ts" -> tsSpan)))
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long files
+        val Array(tsMin, tsMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val tsSpan = tsMax - tsMin + 3600L * 1000000000L
+        write("events", replicate(ev, factor,
+          Map("event_id" -> evOff, "user_id" -> userOff, "ts" -> tsSpan)))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ microsecond files
+        val Array(usMin, usMax) = ev
+          .agg(min(unix_micros(col("ts").cast("timestamp"))),
+            max(unix_micros(col("ts").cast("timestamp")))).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val usSpan = usMax - usMin + 3600L * 1000000L
+        write("events", replicate(ev, factor,
+          Map("event_id" -> evOff, "user_id" -> userOff),
+          mutate = (d, r) => d.withColumn("ts",
+            timestamp_micros(unix_micros(col("ts").cast("timestamp")) + lit(usSpan * r)))))
+    }
 
     val docs = read("documents")
     val docOff = maxOf(docs, "doc_id")

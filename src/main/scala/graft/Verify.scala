@@ -153,6 +153,57 @@ object Verify {
       val hhCeil = 1.0 / (hhK + 1)
       val hhPass = hhOver == 0 && hhMaxUnderFrac <= hhCeil
 
+      // dedup_semantic_auto: rows-only by design (the auto-bits sign
+      // tables depend on a runtime count, not SQL-mirrorable), so the
+      // stand-in for the oracle is a FULL verdict-level reference
+      // check: recompute (bucket, cscore, kept) for every vector in
+      // plain Scala with the same integer arithmetic and demand
+      // id-for-id equality — oracle-strength, like SemDedupSpec's
+      // reference but against the shipped query path at sf scale.
+      val semMatch = {
+        val dim = graft.operators.AnnQueries.EmbDim
+        val tauFp = graft.operators.AnnQueries.SemTauFp
+        val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+        val bits = graft.ann.SemDedup.autoBits(vecs.length.toLong)
+        val keyed = vecs.map { case (id, v) =>
+          var ss = 0.0
+          var i = 0
+          while (i < dim) { val x = v(i).toDouble; ss += x * x; i += 1 }
+          val nr = math.sqrt(ss)
+          val u = Array.tabulate(dim)(k =>
+            if (nr == 0.0) 0L else math.floor(v(k).toDouble / nr * 1e6 + 0.5).toLong)
+          var bucket = 0
+          var j = 0
+          while (j < bits) {
+            var sgn = 0L
+            var k = 0
+            while (k < dim) { sgn += graft.functions.SemDedupKey.sign(j, k, dim) * u(k); k += 1 }
+            if (sgn >= 0L) bucket |= (1 << j)
+            j += 1
+          }
+          (id, u, bucket)
+        }
+        val cent = keyed.groupBy(_._3).map { case (b, ms) =>
+          b -> Array.tabulate(dim)(i => ms.map(_._2(i)).sum)
+        }
+        def dot(a: Array[Long], b: Array[Long]): Long =
+          (0 until dim).map(i => a(i) * b(i)).sum
+        val scored = keyed.map { case (id, u, b) => (id, u, b, dot(u, cent(b))) }
+        val want = scored.map { case (id, u, b, sc) =>
+          val dropped = scored.exists { case (id2, u2, b2, sc2) =>
+            id2 != id && b2 == b && dot(u, u2) >= tauFp &&
+              (sc2 < sc || (sc2 == sc && id2 < id))
+          }
+          id -> ((b, sc, !dropped))
+        }.toMap
+        val got = graft.SparkEntry.queries("dedup_semantic_auto")(spark, sfDir)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+          .toMap
+        got == want
+      }
+
       // agg_corr: the hi/lo split's cross-engine agreement assumes
       // NON-NEGATIVE measures (Spark `div` truncates toward zero,
       // DuckDB `//` floors — identical only on non-negatives). The
@@ -214,6 +265,8 @@ object Verify {
          | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass},
          | "agg_corr": {"metric": "min_measure_nonnegative", "value": $minMeasure,
          | "floor": 0.0, "pass": ${minMeasure >= 0.0}},
+         | "dedup_semantic_auto": {"metric": "verdicts_equal_reference_id_for_id",
+         | "pass": $semMatch},
          | "emb_pca_project": {"metric": "max_projvar_vs_eigenvalue_err", "value": $varErr,
          | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc,
          | "explained_variance_ratio": $pcaExplained, "explained_floor": $pcaExplFloor,

@@ -48,6 +48,17 @@ import graft.functions.VectorExpressions
   */
 object SemDedup {
 
+  /** Bucket-bit policy for the scale path: enough sign hyperplanes to
+    * hold per-bucket membership near `target`, so the bucket self-join
+    * stays ~linear in corpus size (fixed bits measured 10.5x wall at
+    * 10x data — per-bucket pairs grow quadratically). Same shape as
+    * [[Similarity.autoBits]]. The ORACLE query pins bits instead: the
+    * sign-table literals in SQL can't vary with a runtime count.
+    */
+  def autoBits(n: Long, target: Int = 32): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(n.toDouble / target, 1.0)) / math.log(2.0)).toInt)
+
   /** Per-item verdict: (id, bucket, cscore, kept), ordered by nothing
     * — callers order. `cscore` is the fixed-point centroid-similarity
     * rank key (u · Σ_bucket u).

@@ -241,6 +241,19 @@ object AnnQueries {
         .orderBy("id")
     },
 
+    // The PRODUCTION parameterization of the same operator: bucket
+    // bits auto-tune to ~log2(n/32) so per-bucket pair counts stay
+    // bounded as the corpus grows (the 100-TB shape; fixed bits
+    // measured 10.5x wall at 10x data, auto ~linear). Rows-only here —
+    // runtime-count-dependent sign tables aren't SQL-mirrorable — with
+    // a full verdict-level reference invariant in Verify standing in
+    // for the oracle, like the ANN recall floors.
+    "dedup_semantic_auto" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      SemDedup.dedupSemantic(emb, Dim, SemDedup.autoBits(emb.count()), SemTauFp)
+        .orderBy("id")
+    },
+
     // Multimodal: spec-compliant synthetic PNG/JPEG/GIF binaries
     // (real header bytes, doc_id-derived dimensions) decoded by the
     // real header parsers in a partition-batched pass. The oracle
