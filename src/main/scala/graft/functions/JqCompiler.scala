@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *     k3: .[0]<path>, ...}` — one output object per vector
   *   - paths `.n`, `.d.x.y`, `.t[0].i`; literals; numeric comparisons
   *     and `==`/`!=` on strings; `and`/`or`; arithmetic `+ - * / %`;
-  *     `fmod(a; b)`
+  *     `fmod(a; b)`; `<path> | tonumber` (numeric strings) and
+  *     `<path> | tostring` (strings/booleans pass through, integral
+  *     numbers drop the decimal point, exact below 1e15)
+  *   - vector `group_by(<path>) | map({...})` as the whole `d`
+  *     payload: key / `length` / `map(<path>)|add` group fields,
+  *     string-compared keys — the count-by / sum-by idiom
   *   - wrapped value streams (`tryCompileWrapped`, for steps with a
   *     `wrap:` directive): `.[]<path> | ...` rebinds `.` to the path's
   *     value, then conditional-drop stages
@@ -47,6 +52,9 @@ object JqCompiler {
   case class First(path: Path) extends Ast // .[0].x.y
   case object Empty extends Ast
   case class IfElse(cond: Ast, thenB: Ast, elseB: Ast) extends Ast
+  case object ToString extends Ast
+  case object ToNumber extends Ast
+  case class GroupByKey(key: Path) extends Ast
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
@@ -188,8 +196,17 @@ object JqCompiler {
       ws()
       if (tryEat("select(")) { val c = parseInnerPipe(); eat(')'); Select(c) }
       else if (tryEat("map(")) { val c = parseInnerPipe(); eat(')'); MapExpr(c) }
+      else if (tryEat("group_by(")) {
+        val k = parseInnerPipe(); eat(')')
+        k match {
+          case p: Path => GroupByKey(p)
+          case _ => throw new IllegalArgumentException("group_by key must be a path")
+        }
+      }
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
+      else if (tryEat("tostring")) ToString
+      else if (tryEat("tonumber")) ToNumber
       else if (tryEat("empty")) Empty
       else if (tryEat("fmod(")) {
         val a = parseInnerPipe(); eat(';'); val b = parseInnerPipe(); eat(')')
@@ -362,7 +379,40 @@ object JqCompiler {
     case (Lit(b: Boolean), _) => Some(lit(b))
     case (p: Path, Lit(_: String)) => eventValue(p).map(_.cast("string"))
     case (p: Path, _) => eventValue(p).map(_.cast("double"))
+    case (PipeSeq(Seq(p: Path, ToNumber)), _) => toNumberOf(p)
+    case (PipeSeq(Seq(p: Path, ToString)), _) => toStringOf(p)
     case (Arith(op, l, r), _) => arith(op, l, r)
+    case _ => None
+  }
+
+  /** jq `tonumber`: numbers pass, strings parse. The variant→string→
+    * double chain covers both in one expression; a non-numeric string
+    * yields SQL null where jq raises — real pipelines apply tonumber
+    * to numeric-string fields (the fuzz generator mirrors that), and
+    * the error path is the subprocess tier's to keep.
+    */
+  private def toNumberOf(p: Path): Option[Column] =
+    eventValue(p).map(_.cast("string").cast("double"))
+
+  /** jq `tostring`: strings/booleans pass through; numbers render
+    * jq-style (integral values drop the decimal point — `1` not
+    * `1.0`). The integral fast path is exact below 1e15; above it (and
+    * for payloads that need jq's full %.17g tail) the subprocess tier
+    * is authoritative — pipeline tostrings are names/ids/categories,
+    * not astronomic doubles.
+    */
+  private def toStringOf(p: Path): Option[Column] = p.segs match {
+    case Left("n") +: Nil => Some(col("n"))
+    case Left("d") +: _ => eventValue(p).map { v =>
+      val t = schema_of_variant(v)
+      val d = v.cast("string").cast("double")
+      when(v.isNull, lit("null"))
+        .when(t === lit("STRING") || t === lit("BOOLEAN"), v.cast("string"))
+        .otherwise(
+          when(d === floor(d) && abs(d) < lit(1e15),
+            d.cast("long").cast("string"))
+            .otherwise(d.cast("string")))
+    }
     case _ => None
   }
 
@@ -390,6 +440,8 @@ object JqCompiler {
     case Lit(d: Double)   => Some(lit(d))
     case Lit(b: Boolean)  => Some(lit(b))
     case Lit(null)        => Some(lit(null))
+    case PipeSeq(Seq(p: Path, ToNumber)) => toNumberOf(p)
+    case PipeSeq(Seq(p: Path, ToString)) => toStringOf(p)
     case Arith(op, l, r)  => arith(op, l, r)
     case c: Cmp           => boolCond(c)
     case l: Logic         => boolCond(l)
@@ -529,9 +581,18 @@ object JqCompiler {
   private def compilePerVector(o: ObjCons): Option[Compiled] = {
     val nExpr = o.fields.collectFirst { case ("n", Lit(s: String)) => lit(s) }
     if (nExpr.isEmpty) return None
-    val aggs = o.fields.filterNot(_._1 == "n").map { case (k, v) => vectorAgg(v).map(k -> _) }
-    if (aggs.exists(_.isEmpty)) None
-    else Some(CompiledPerVector(PerVector(nExpr.get, aggs.flatten)))
+    o.fields.filterNot(_._1 == "n") match {
+      // group_by as the WHOLE d payload (its builder renders JSON text
+      // directly; nested inside an object it would double-escape, so
+      // that shape stays on the subprocess tier)
+      case Seq(("d", g @ PipeSeq(Seq(GroupByKey(_), MapExpr(_: ObjCons))))) =>
+        groupByAgg(g).map(b =>
+          CompiledPerVector(PerVector(nExpr.get, Seq("d" -> b))))
+      case flds =>
+        val aggs = flds.map { case (k, v) => vectorAgg(v).map(k -> _) }
+        if (aggs.exists(_.isEmpty)) None
+        else Some(CompiledPerVector(PerVector(nExpr.get, aggs.flatten)))
+    }
   }
 
   private def vectorAgg(ast: Ast): Option[Column => Column] = ast match {
@@ -547,6 +608,62 @@ object JqCompiler {
       if (sub.exists(_.isEmpty)) None
       else Some((ord: Column) =>
         to_json(struct(sub.flatten.map(_(ord)): _*)).asInstanceOf[Column])
+    case _ => None
+  }
+
+  /** `group_by(<key>) | map({...})` over the vector — the count-by /
+    * sum-by idiom — as ONE aggregate expression: collect (key, order,
+    * sources) structs, sort (jq group_by sorts by key; the order
+    * tiebreak reproduces its stable within-group arrival order), then
+    * per distinct key emit the group object with higher-order
+    * functions. Group fields supported: the key itself (`.[0]<key>`),
+    * `length`, and `map(<path>) | add` — whose per-group left fold adds
+    * in arrival order, the exact FP sequence jq's `add` runs. Keys
+    * compare as strings (the realistic category/name key; jq's
+    * cross-type total order is the subprocess tier's).
+    */
+  private def groupByAgg(ast: Ast): Option[Column => Column] = ast match {
+    case PipeSeq(Seq(GroupByKey(kp), MapExpr(ObjCons(fields)))) =>
+      val keyC = eventValue(kp) match {
+        case Some(c) => c.cast("string")
+        case None    => return None
+      }
+      // (name, None = key | Some(Left idx) = length | Some(Right idx) = sum src)
+      val srcs = Seq.newBuilder[Column]
+      var nSrc = 0
+      val specs: Seq[(String, Option[Int], Boolean)] = fields.map {
+        case (k, First(p)) if p.segs == kp.segs => (k, None, false)
+        case (k, Length) => (k, None, true)
+        case (k, PipeSeq(Seq(MapExpr(p: Path), Add))) =>
+          eventValue(p) match {
+            case Some(c) =>
+              srcs += c.cast("double"); nSrc += 1
+              (k, Some(nSrc - 1), false)
+            case None => return None
+          }
+        case _ => return None
+      }
+      val srcCols = srcs.result()
+      Some { (ord: Column) =>
+        val entry = struct(
+          (keyC.as("__k") +: ord.as("__o") +:
+            srcCols.zipWithIndex.map { case (c, i) => c.as(s"__v$i") }): _*)
+        val items = array_sort(collect_list(entry))
+        val keys = array_distinct(transform(items, x => x.getField("__k")))
+        // to_json: this form is the step's whole `d` payload (callers
+        // render d as JSON text); group_by nested INSIDE an object
+        // construction stays on the subprocess tier
+        to_json(transform(keys, k => {
+          val grp = filter(items, x => x.getField("__k") === k)
+          struct(specs.map {
+            case (name, None, false)   => k.as(name)
+            case (name, None, true)    => size(grp).as(name)
+            case (name, Some(i), _)    =>
+              aggregate(grp, lit(0.0),
+                (acc, x) => acc + x.getField(s"__v$i")).as(name)
+          }: _*)
+        }))
+      }
     case _ => None
   }
 }

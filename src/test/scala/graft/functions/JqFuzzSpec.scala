@@ -100,10 +100,15 @@ class JqFuzzSpec extends AnyFunSuite {
   private val dblGen = Gen.choose(-500, 500).map(_ / 10.0)
   private val strGen = Gen.oneOf("alpha", "beta", "gamma", "d7")
 
-  /** Payload: every referenced field always present (see class doc). */
+  /** Payload: every referenced field always present (see class doc).
+    * `ns` is a NUMERIC STRING — the tonumber target (jq raises on
+    * non-numeric strings; the compiled tier's null-on-garbage boundary
+    * keeps garbage inputs on the subprocess tier, so the generator
+    * only produces parseable ones, mirroring real pipelines).
+    */
   private val payloadGen: Gen[String] = for {
-    k <- intGen; m <- dblGen; x <- intGen; s <- strGen
-  } yield s"""{"k":$k,"m":$m,"s":"$s","o":{"x":$x}}"""
+    k <- intGen; m <- dblGen; x <- intGen; s <- strGen; ns <- intGen
+  } yield s"""{"k":$k,"m":$m,"s":"$s","o":{"x":$x},"ns":"$ns"}"""
 
   private val eventGen: Gen[(String, String)] =
     for { n <- nameGen; d <- payloadGen } yield (n, d)
@@ -132,7 +137,9 @@ class JqFuzzSpec extends AnyFunSuite {
   private val valueGen: Gen[String] = Gen.frequency(
     3 -> Gen.oneOf(numPaths ++ Seq(".d.s", ".d.o", ".n")),
     3 -> arithGen,
-    1 -> modGen)
+    1 -> modGen,
+    1 -> Gen.oneOf("(.d.ns | tonumber)", "(.d.k | tostring)",
+      "(.d.m | tostring)", "(.d.s | tostring)"))
 
   private val cmpGen: Gen[String] = Gen.frequency(
     4 -> (for {
@@ -146,7 +153,11 @@ class JqFuzzSpec extends AnyFunSuite {
       l <- intGen
     } yield s"$a $op $l"),
     1 -> (for { op <- Gen.oneOf("==", "!="); s <- nameGen } yield s""".n $op "$s""""),
-    1 -> (for { op <- Gen.oneOf("==", "!="); s <- strGen } yield s""".d.s $op "$s""""))
+    1 -> (for { op <- Gen.oneOf("==", "!="); s <- strGen } yield s""".d.s $op "$s""""),
+    1 -> (for {
+      op <- Gen.oneOf(">", "<", "==", "!=")
+      l <- intGen
+    } yield s"(.d.ns | tonumber) $op $l"))
 
   /** Flat and/or chains (1-3 atoms) — probes the parser's precedence
     * against jq's (`and` binds tighter than `or`).
@@ -171,6 +182,18 @@ class JqFuzzSpec extends AnyFunSuite {
     p <- Gen.oneOf(numPaths)
     p2 <- Gen.oneOf(numPaths)
   } yield s"""{n: "agg", d: {s: (map($p) | add), c: length, f: .[0]$p2}}"""
+
+  /** `group_by | map` count-by / sum-by programs: string key (`.d.s`
+    * or `.n`), group fields drawn from key / length / per-group sums.
+    */
+  private val groupByGen: Gen[String] = for {
+    kp <- Gen.oneOf(".d.s", ".n")
+    sp <- Gen.oneOf(numPaths)
+    withSum <- Gen.oneOf(true, false)
+  } yield {
+    val sumField = if (withSum) s", t: (map($sp) | add)" else ""
+    s"""{n: "agg", d: (group_by($kp) | map({k: .[0]$kp, c: length$sumField}))}"""
+  }
 
   private val wrappedGen: Gen[String] = for {
     p <- Gen.oneOf(intPaths)
@@ -235,6 +258,28 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("group_by fuzz: compiled count-by/sum-by == jq on 150 random programs") {
+    import JqCompiler._
+    samples(Gen.zip(groupByGen, vectorGen), 150).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val payload = pv.keys match {
+        case Seq("d") => col("d").cast("string")
+        case keys     => to_json(struct(keys.map(col): _*))
+      }
+      val row = agged.select(pv.outName.as("n"), payload.as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
+    }
+  }
+
   test("wrapped-value fuzz: compiled tier == jq on 150 random sieve programs") {
     import JqCompiler._
     samples(Gen.zip(wrappedGen, vectorGen), 150).foreach { case (expr, events) =>
@@ -279,6 +324,7 @@ class JqFuzzSpec extends AnyFunSuite {
   private val progGen: Gen[Prog] = Gen.frequency(
     3 -> perEventGen.map(PerEventP),
     3 -> perVectorGen.map(PerVectorP),
+    1 -> groupByGen.map(PerVectorP),
     2 -> wrappedGen.map(WrappedP),
     2 -> preludeExprGen.map(PreludeP),
     2 -> preludeExprGen.map(KeyedPreludeP))
