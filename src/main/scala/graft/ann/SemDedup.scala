@@ -65,25 +65,32 @@ object SemDedup {
     */
   def dedupSemantic(emb: DataFrame, dim: Int, bits: Int, tauFp: Long,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // One kernel pass, NOT persisted: a cache here outlives the call
-    // (the caller holds only the result plan and can never release the
-    // blocks — a storage leak per invocation). The kernel is a
-    // codegen'd map-only pass, so the ≤4 recomputes behind the
-    // centroid branch, the scoring join, and the two pair-join sides
-    // cost far less than leaked executor storage; at 100 TB the right
-    // amortization is to write the keyed projection ONCE as a bucketed
-    // layout (LayoutOps.bucketize) and run the joins against the
-    // stored copy.
+    // One kernel pass materialized through an EXCHANGE on bucket — not
+    // a persist (a cache here outlives the call: the caller holds only
+    // the result plan and could never release the blocks) and not bare
+    // lineage (projection collapse then re-inlines the kernel into
+    // EVERY element_at, so the pair join re-derives the whole
+    // O(dim·bits) kernel per array element per pair — measured 312x
+    // wall at 100x data). The shuffle writes (id, u, bucket) once per
+    // row, co-partitions the centroid aggregate AND both sides of the
+    // bucket self-join on the same key (no further exchange for
+    // either), and is exactly the bucketed layout (LayoutOps shape)
+    // you'd write once and join repeatedly at 100 TB.
     val keyed = emb
       .select(col(idCol).as("id"),
         VectorExpressions.semDedupKey(col(vecCol), dim, bits).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.bucket").as("bucket"))
+      .repartition(col("bucket"))
 
     val cent = keyed.groupBy("bucket")
       .agg(array((0 until dim).map(i => sum(col("u")(i))): _*).as("c"))
 
+    // LongDot kernel, NOT a dim-term GetArrayItem chain: the chain
+    // exceeds the whole-stage-codegen method budget and drops the
+    // whole pair stage to interpreted evaluation (11 s vs sub-second
+    // for 790k pairs at the 10x fixture). Exact integer either way.
     def dotLongs(a: String, b: String) =
-      (0 until dim).map(i => col(a)(i) * col(b)(i)).reduce(_ + _)
+      VectorExpressions.longDot(col(a), col(b))
 
     val scored = keyed.join(broadcast(cent), "bucket")
       .withColumn("cscore", dotLongs("u", "c"))

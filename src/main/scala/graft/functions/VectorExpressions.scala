@@ -74,6 +74,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two long arrays — one codegen'd primitive
+  * loop, exact BIGINT arithmetic (order-free, so any evaluation order
+  * matches the SQL oracle's term sum). The SemDedup pair predicate
+  * runs this once per same-bucket candidate pair; the 2·dim-term
+  * GetArrayItem chain it replaces blew past the whole-stage-codegen
+  * method limit and fell back to interpreted evaluation — measured
+  * 11 s for 790k pairs at the 10x fixture vs sub-second here.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Count of common elements between two SORTED long arrays — a single
   * codegen'd merge walk, O(n+m) with no allocation. Used for set
   * similarity (Jaccard) over hashed shingle sets, where the generic
@@ -568,6 +610,10 @@ object VectorExpressions {
   /** Column-level handle for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level handle for [[LongDot]]. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-level handle for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =

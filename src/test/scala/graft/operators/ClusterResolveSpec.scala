@@ -41,4 +41,18 @@ class ClusterResolveSpec extends AnyFunSuite {
   test("distributed label-propagation tier agrees with the driver tier") {
     assert(run(maxDriverPairs = 0L) == expected)
   }
+
+  test("distributed tier collapses a 512-node chain (diameter 511) — the star-contraction shape") {
+    import spark.implicits._
+    // a pure path graph is the worst case for diameter-bound
+    // propagation (O(n) rounds); large-star/small-star contraction
+    // must still land the fixpoint inside its 50-round cap — O(log n)
+    // — and label every node with the chain's minimum. Shuffled edge
+    // order so no arrival-order accident can stand in for convergence.
+    val rnd = new scala.util.Random(7)
+    val chain = rnd.shuffle((0L until 511L).map(i => (i, i + 1)).toVector)
+    val got = TextQueries.clusterResolve(chain.toDF("a", "b"), maxDriverPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 511L).map(i => (i, 0L)).toSet)
+  }
 }
