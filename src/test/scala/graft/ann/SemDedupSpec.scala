@@ -100,6 +100,22 @@ class SemDedupSpec extends AnyFunSuite {
     assert(Seq(3L, 4L, 5L).forall(got(_)._3))
   }
 
+  test("plan shape pins the scale fixes: LongDot kernel in the pair stage, kernel behind an exchange") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = SemDedup.dedupSemantic(emb, AnnQueries.EmbDim, AnnQueries.SemBits,
+        AnnQueries.SemTauFp)
+      .queryExecution.executedPlan.toString
+    // the pair predicate must run the codegen'd integer-dot kernel —
+    // a 2·dim GetArrayItem chain silently drops to interpreted eval
+    assert(plan.contains("longdot"),
+      s"pair dots left the LongDot kernel, plan:\n${plan.take(800)}")
+    // the kernel output must be materialized through the bucket
+    // exchange — bare lineage lets projection collapse re-derive the
+    // whole kernel per element access (312x at 100x data)
+    assert("hashpartitioning\\(bucket".r.findAllIn(plan).nonEmpty,
+      s"keyed projection lost its bucket exchange, plan:\n${plan.take(800)}")
+  }
+
   test("sf0.001 embeddings: distributed verdicts match the reference id-for-id") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows: Seq[(Long, Array[Float])] = emb.collect().map { r =>

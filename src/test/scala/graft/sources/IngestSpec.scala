@@ -318,6 +318,48 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live http push survives a kill/restart: offsets resume monotone, no duplicates") {
+    import org.apache.spark.sql.functions._
+    val wave1 = (1 to 40).map(i => s"""{"n":"a.w1","d":$i}""")
+    val wave2 = (41 to 80).map(i => s"""{"n":"a.w2","d":$i}""")
+    val base = Files.createTempDirectory("graft-httprestart")
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def startQuery() =
+      graft.streaming.StreamCompiler.httpPushSource(spark, port = 0)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+    def sunk(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+    val q1 = startQuery()
+    try {
+      pollUntil("first endpoint")(boundPort(ckpt).isDefined)
+      val port = boundPort(ckpt).get
+      wave1.grouped(10).foreach(b =>
+        assert(post(port, "/events", b.mkString("", "\n", "\n")) == 200))
+      pollUntil("wave1 sunk")(sunk() == wave1.length)
+    } finally q1.stop()
+    HttpPushSource.boundPorts.clear() // fresh registry so the second bind is observed
+    // second life: a NEW server binds, the checkpoint resumes the
+    // arrival count — wave2 lands after wave1 with no replay of the
+    // already-committed range (at-most-once across the kill, like the
+    // reference's checkpointless queue, but with monotone offsets)
+    val q2 = startQuery()
+    try {
+      pollUntil("second endpoint")(boundPort(ckpt).isDefined)
+      val port2 = boundPort(ckpt).get
+      wave2.grouped(10).foreach(b =>
+        assert(post(port2, "/events", b.mkString("", "\n", "\n")) == 200))
+      pollUntil("wave2 sunk")(sunk() == wave1.length + wave2.length)
+    } finally q2.stop()
+    val got = spark.read.parquet(outDir).select("d").collect()
+      .map(_.getString(0)).sorted
+    val expect = (wave1 ++ wave2).map(l =>
+      l.substring(l.lastIndexOf(':') + 1, l.length - 1)).sorted
+    assert(got.toSeq == expect.toSeq, "exactly the two waves, no duplicates, no loss")
+  }
+
   test("live poll source: ETag dedup holds across triggers AND across a restart") {
     import org.apache.spark.sql.functions._
     val bodyA = (1 to 10).map(i => s"""{"n":"a.p","d":{"i":$i}}""").mkString("", "\n", "\n")
