@@ -53,7 +53,8 @@ class HttpPushSource extends TableProvider {
     new HttpPushTable(
       Option(opts.get("port")).map(_.toInt).getOrElse(0),
       Option(opts.get("endpoint")).getOrElse("/events"),
-      Option(opts.get("maxBuffered")).map(_.toInt).getOrElse(65536))
+      Option(opts.get("maxBuffered")).map(_.toInt).getOrElse(65536),
+      Option(opts.get("maxBodyBytes")).map(_.toLong).getOrElse(16L << 20))
   }
 }
 
@@ -64,9 +65,11 @@ object HttpPushSource {
   val boundPorts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
-private[sources] class HttpPushTable(port: Int, endpoint: String, maxBuffered: Int)
+private[sources] class HttpPushTable(port: Int, endpoint: String, maxBuffered: Int,
+                                     maxBodyBytes: Long)
     extends Table with SupportsRead {
   require(maxBuffered > 0, s"maxBuffered must be positive, got $maxBuffered")
+  require(maxBodyBytes > 0, s"maxBodyBytes must be positive, got $maxBodyBytes")
   require(endpoint.startsWith("/"), s"endpoint must start with '/', got $endpoint")
 
   override def name(): String = s"http-push(:$port$endpoint)"
@@ -79,13 +82,13 @@ private[sources] class HttpPushTable(port: Int, endpoint: String, maxBuffered: I
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerLines.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpPushStream(port, endpoint, maxBuffered, checkpointLocation)
+          new HttpPushStream(port, endpoint, maxBuffered, maxBodyBytes, checkpointLocation)
       }
     }
 }
 
 private[sources] class HttpPushStream(port: Int, endpoint: String, maxBuffered: Int,
-                                      checkpointLocation: String)
+                                      maxBodyBytes: Long, checkpointLocation: String)
     extends BufferedPushStream {
 
   private val admitted = new AtomicLong(0)
@@ -99,13 +102,22 @@ private[sources] class HttpPushStream(port: Int, endpoint: String, maxBuffered: 
     srv.createContext("/", (x: HttpExchange) => {
       try {
         if (x.getRequestMethod == "POST" && x.getRequestURI.getPath == endpoint) {
+          val declared = Option(x.getRequestHeaders.getFirst("Content-Length"))
+            .flatMap(_.toLongOption).getOrElse(-1L)
           if (admitted.get() - committed.get() >= maxBuffered) {
             x.sendResponseHeaders(503, -1) // backpressure, body unread
+          } else if (declared > maxBodyBytes) {
+            x.sendResponseHeaders(413, -1) // one body can't flood the driver heap
           } else {
-            val lines = new String(x.getRequestBody.readAllBytes(), UTF_8)
-              .split('\n').iterator.filter(_.nonEmpty)
-            lines.foreach(l => append(l, admitted.incrementAndGet()))
-            x.sendResponseHeaders(200, -1)
+            // cap the read too (chunked bodies carry no Content-Length)
+            val cap = math.min(maxBodyBytes, (Int.MaxValue - 1).toLong).toInt
+            val body = x.getRequestBody.readNBytes(cap + 1)
+            if (body.length > maxBodyBytes) x.sendResponseHeaders(413, -1)
+            else {
+              val lines = new String(body, UTF_8).split('\n').iterator.filter(_.nonEmpty)
+              lines.foreach(l => append(l, admitted.incrementAndGet()))
+              x.sendResponseHeaders(200, -1)
+            }
           }
         } else if (x.getRequestMethod == "GET" && x.getRequestURI.getPath == "/healthz") {
           val b = """{"status":"pass"}""".getBytes(UTF_8)

@@ -109,9 +109,14 @@ object IngestSources {
     private val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
 
+    // bounded timeouts so a hung target fails the round instead of
+    // wedging the driver timer that schedules the polls
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
     def pollOnce(): Boolean = {
-      val client = java.net.http.HttpClient.newHttpClient()
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(target)).GET()
+        .timeout(java.time.Duration.ofSeconds(30))
       headers.foreach { case (k, v) => b.header(k, v) }
       lastEtag.foreach(e => b.header("If-None-Match", e))
       val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())

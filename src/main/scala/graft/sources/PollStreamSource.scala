@@ -128,11 +128,17 @@ private[sources] class PollStream(target: String, intervalMs: Long)
     PollOffset(pos, lastEtag)
   }
 
+  // bounded timeouts: the GET runs on the trigger thread, so a hung
+  // target must fail the round (and get retried next trigger), not
+  // stall the whole stream
+  @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
   private def pollOnce(): Unit = {
-    val client = java.net.http.HttpClient.newHttpClient()
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(target)).GET()
+      .timeout(java.time.Duration.ofSeconds(30))
     if (lastEtag.nonEmpty) b.header("If-None-Match", lastEtag)
-    val resp = client.send(b.build(),
+    val resp = http.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString(java.nio.charset.StandardCharsets.UTF_8))
     if (resp.statusCode() >= 200 && resp.statusCode() < 300) {
       val etag = resp.headers().firstValue("ETag").orElse("")

@@ -318,6 +318,23 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live http push caps body size: 413 over maxBodyBytes, driver heap protected") {
+    val ckpt = Files.createTempDirectory("graft-http413-ckpt").toString
+    val ds = spark.readStream.format(classOf[HttpPushSource].getName)
+      .option("port", "0").option("maxBodyBytes", "64").load()
+    val q = ds.writeStream.format("memory").queryName("http413stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      pollUntil("endpoint up")(boundPort(ckpt).isDefined)
+      val port = boundPort(ckpt).get
+      assert(post(port, "/events", """{"n":"a.x"}""") == 200)          // under the cap
+      assert(post(port, "/events", "x" * 100) == 413)                  // over the cap
+      assert(post(port, "/events", """{"n":"a.y"}""") == 200)          // still serving
+      pollUntil("admitted lines sunk")(
+        (try spark.table("http413stream").count() catch { case _: Exception => -1L }) == 2)
+    } finally q.stop()
+  }
+
   test("live http push survives a kill/restart: offsets resume monotone, no duplicates") {
     import org.apache.spark.sql.functions._
     val wave1 = (1 to 40).map(i => s"""{"n":"a.w1","d":$i}""")
