@@ -386,32 +386,49 @@ object JqCompiler {
   }
 
   /** jq `tonumber`: numbers pass, strings parse. The variant→string→
-    * double chain covers both in one expression; a non-numeric string
-    * yields SQL null where jq raises — real pipelines apply tonumber
-    * to numeric-string fields (the fuzz generator mirrors that), and
-    * the error path is the subprocess tier's to keep.
+    * double chain covers both in one expression. jq RAISES on a
+    * non-numeric string; SQL's cast yields null — which would silently
+    * flow into comparisons as false. Divergence must be observable, so
+    * an unparsable non-null input fails the query loudly with a
+    * pointer at the subprocess tier (real pipelines apply tonumber to
+    * numeric-string fields and never hit this).
     */
   private def toNumberOf(p: Path): Option[Column] =
-    eventValue(p).map(_.cast("string").cast("double"))
+    eventValue(p).map { v =>
+      val s = v.cast("string")
+      val d = s.try_cast("double") // ANSI cast would throw generically; we want our message
+      when(s.isNotNull && d.isNull,
+        raise_error(concat(lit("jq compiled tier: tonumber cannot parse \""), s,
+          lit("\" (jq raises here); run this step via the subprocess tier"))).cast("double"))
+        .otherwise(d)
+    }
 
   /** jq `tostring`: strings/booleans pass through; numbers render
-    * jq-style (integral values drop the decimal point — `1` not
-    * `1.0`). The integral fast path is exact below 1e15; above it (and
-    * for payloads that need jq's full %.17g tail) the subprocess tier
-    * is authoritative — pipeline tostrings are names/ids/categories,
-    * not astronomic doubles.
+    * jq-style. Exact envelope: integral values below 1e15 drop the
+    * decimal point (`1` not `1.0`), and non-integral values with
+    * 1e-3 ≤ |d| < 1e7 print identically under Java's shortest-decimal
+    * plain notation and jq's dtoa (both plain, same digits). OUTSIDE
+    * that envelope (≥1e15 integral, tiny/huge non-integral) Java flips
+    * to scientific notation (`1.0E20`) where jq does not — a silent
+    * wrong answer, so the expression raises instead, naming the
+    * subprocess tier as the escape hatch. Pipeline tostrings are
+    * names/ids/categories, not astronomic doubles, so the envelope
+    * covers real use.
     */
   private def toStringOf(p: Path): Option[Column] = p.segs match {
     case Left("n") +: Nil => Some(col("n"))
     case Left("d") +: _ => eventValue(p).map { v =>
       val t = schema_of_variant(v)
       val d = v.cast("string").cast("double")
+      val a = abs(d)
       when(v.isNull, lit("null"))
         .when(t === lit("STRING") || t === lit("BOOLEAN"), v.cast("string"))
         .otherwise(
-          when(d === floor(d) && abs(d) < lit(1e15),
-            d.cast("long").cast("string"))
-            .otherwise(d.cast("string")))
+          when(d === floor(d) && a < lit(1e15), d.cast("long").cast("string"))
+            .when(d =!= floor(d) && a >= lit(1e-3) && a < lit(1e7), d.cast("string"))
+            .otherwise(raise_error(concat(
+              lit("jq compiled tier: tostring of "), d.cast("string"),
+              lit(" is outside the exact rendering envelope (would print Java-style, not jq-style); run this step via the subprocess tier")))))
     }
     case _ => None
   }
@@ -620,7 +637,10 @@ object JqCompiler {
     * `length`, and `map(<path>) | add` — whose per-group left fold adds
     * in arrival order, the exact FP sequence jq's `add` runs. Keys
     * compare as strings (the realistic category/name key; jq's
-    * cross-type total order is the subprocess tier's).
+    * cross-type total order is the subprocess tier's) — so numeric
+    * keys group by their JSON rendering, splitting variants jq would
+    * merge (`1` vs `1.0`); a null/missing key is a real group (see
+    * below), matching jq.
     */
   private def groupByAgg(ast: Ast): Option[Column => Column] = ast match {
     case PipeSeq(Seq(GroupByKey(kp), MapExpr(ObjCons(fields)))) =>
@@ -652,9 +672,16 @@ object JqCompiler {
         val keys = array_distinct(transform(items, x => x.getField("__k")))
         // to_json: this form is the step's whole `d` payload (callers
         // render d as JSON text); group_by nested INSIDE an object
-        // construction stays on the subprocess tier
+        // construction stays on the subprocess tier.
+        // Null-safe group equality (<=>): a missing/null key field is a
+        // legal jq group (it sorts first — matching Spark's nulls-first
+        // struct ordering in array_sort above); plain === would match
+        // nothing and emit a phantom empty group. ignoreNullFields=false
+        // renders that group's key as jq does (`"k":null`); the other
+        // compiled group fields (length, sum with a 0.0 init) are never
+        // null, so the option changes nothing else.
         to_json(transform(keys, k => {
-          val grp = filter(items, x => x.getField("__k") === k)
+          val grp = filter(items, x => x.getField("__k") <=> k)
           struct(specs.map {
             case (name, None, false)   => k.as(name)
             case (name, None, true)    => size(grp).as(name)
@@ -662,7 +689,7 @@ object JqCompiler {
               aggregate(grp, lit(0.0),
                 (acc, x) => acc + x.getField(s"__v$i")).as(name)
           }: _*)
-        }))
+        }), Map("ignoreNullFields" -> "false"))
       }
     case _ => None
   }

@@ -249,8 +249,11 @@ object AnnQueries {
     // a full verdict-level reference invariant in Verify standing in
     // for the oracle, like the ANN recall floors.
     "dedup_semantic_auto" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      SemDedup.dedupSemantic(emb, Dim, SemDedup.autoBits(emb.count()), SemTauFp)
+      // n via the driver-cached count: one scan per session for the
+      // parameter, not one per invocation (the dedup itself is the
+      // query's only per-run scan)
+      val n = Tables.cachedCount(s, d, "embeddings")
+      SemDedup.dedupSemantic(Tables.embeddings(s, d), Dim, SemDedup.autoBits(n), SemTauFp)
         .orderBy("id")
     },
 

@@ -53,7 +53,8 @@ object TextQueries {
     * min-label propagation beyond.
     */
   private[operators] def clusterResolve(pairs: DataFrame,
-                                        maxDriverPairs: Long = 5_000_000L): DataFrame = {
+                                        maxDriverPairs: Long = 5_000_000L,
+                                        checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val cached = pairs.persist()
@@ -108,23 +109,30 @@ object TextQueries {
             .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
             .filter(col("a") =!= col("b")).distinct()
         }
-        // Eager localCheckpoint per round, NOT persist: each star op
-        // embeds its input's logical plan several times, so without
-        // lineage truncation the plan grows ~12x per round and
-        // ANALYSIS time explodes exponentially (measured 16 s to build
-        // round 2 on 244 edges). The checkpoint materializes
-        // star-edge-sized blocks and restarts the plan from them; on a
-        // real cluster you'd point this at a reliable checkpoint dir
-        // instead (same discipline, crash-safe).
-        var cur = cached.filter(col("a") =!= col("b"))
+        // Eager checkpoint per round, NOT persist: each star op embeds
+        // its input's logical plan several times, so without lineage
+        // truncation the plan grows ~12x per round and ANALYSIS time
+        // explodes exponentially (measured 16 s to build round 2 on
+        // 244 edges). The checkpoint materializes star-edge-sized
+        // blocks and restarts the plan from them. Durability is the
+        // caller's dial: with `checkpointDir` set, rounds go to a
+        // RELIABLE checkpoint (HDFS/object store) that survives
+        // executor death — the right mode for a 100-TB contraction
+        // running long enough to see churn; unset falls back to
+        // localCheckpoint (executor-local blocks, fastest, fine for
+        // short single-node runs like the driver battery).
+        checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+        def truncate(df: DataFrame): DataFrame =
+          if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+        var cur = truncate(cached.filter(col("a") =!= col("b"))
           .select(greatest(col("a"), col("b")).as("a"),
             least(col("a"), col("b")).as("b"))
-          .distinct().localCheckpoint(true)
+          .distinct())
         var curCount = cur.count()
         var converged = curCount == 0
         var rounds = 0
         while (!converged && rounds < 50) {
-          val next = smallStar(largeStar(cur)).localCheckpoint(true)
+          val next = truncate(smallStar(largeStar(cur)))
           val nextCount = next.count()
           // fixpoint = identical edge set (count equal + no new edges):
           // at the fixpoint every component is a star rooted at its min

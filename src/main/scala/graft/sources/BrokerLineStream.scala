@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{AcceptsLatestSeenOffset, MicroBatchStream, Offset}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -71,7 +71,7 @@ object LineSliceReaderFactory extends PartitionReaderFactory {
   * Within one run, micro-batch replay (a failed stage retry) re-reads
   * the buffer, not the broker, so no delivery is ever double-admitted.
   */
-abstract class BufferedPushStream extends MicroBatchStream {
+abstract class BufferedPushStream extends MicroBatchStream with AcceptsLatestSeenOffset {
 
   /** Start the protocol collector: connect, subscribe/consume, and
     * call `append(line, tag)` for every arriving message until
@@ -98,6 +98,13 @@ abstract class BufferedPushStream extends MicroBatchStream {
   @volatile private var closed = false
   private var collector: Thread = _
 
+  // A collect() that THROWS while the stream is still live (bind/
+  // connect failure at startup is the common case — port in use far
+  // outranks broker death) must not leave a silently empty stream:
+  // the failure is stashed here and rethrown from the next trigger's
+  // latestOffset, failing the query with the real cause.
+  @volatile private var collectorFailure: Throwable = _
+
   private def ensureCollector(): Unit = synchronized {
     if (collector == null) {
       collector = new Thread(() => {
@@ -105,7 +112,10 @@ abstract class BufferedPushStream extends MicroBatchStream {
           BufferedPushStream.this.synchronized {
             buffered += line; tags += tag; pos += 1
           }
-        } catch { case _: Exception if closed => () case _: Exception => () }
+        } catch {
+          case _: Exception if closed => ()
+          case e: Exception => collectorFailure = e
+        }
       }, s"graft-push-collector-${getClass.getSimpleName}")
       collector.setDaemon(true)
       collector.start()
@@ -116,27 +126,82 @@ abstract class BufferedPushStream extends MicroBatchStream {
 
   override def latestOffset(): Offset = {
     ensureCollector()
-    synchronized(CountOffset(pos))
+    val failed = collectorFailure
+    if (failed != null && !closed)
+      throw new IllegalStateException(
+        s"${getClass.getSimpleName} collector died: ${failed.getMessage}", failed)
+    synchronized { live = true; CountOffset(pos) }
   }
+
+  // becomes true at the first trigger's latestOffset; offsets the
+  // engine hands us BEFORE that are checkpoint state from a previous
+  // run (restart recovery) — after it, they are this run's own logged
+  // batches and must never rebase
+  private var live = false
+
+  /** Restart rebase. The checkpoint's offset range [0, r) belongs to
+    * the PREVIOUS run: what it admitted but never committed is the
+    * broker's to redeliver (AMQP, un-acked) or to have dropped (MQTT
+    * qos 0). A fresh instance counts from 0, so its admissions must be
+    * renumbered to continue the checkpoint's count — INCLUDING any
+    * lines the collector already admitted before the rebase arrived
+    * (they are new-this-run lines, never offsets of the old range).
+    * Without that, the engine's recovery-time `commit(r)` can land
+    * after an early burst of admissions and trim r of THIS run's lines
+    * as if already committed — silent loss on an at-least-once source.
+    *
+    * The engine delivers `r` through [[setLatestSeenOffset]] at stream
+    * init — before the first trigger, so before the collector even
+    * starts admitting. The [[deserializeOffset]] path also rebases,
+    * but ONLY pre-`live`: once this run has produced an offset itself,
+    * a deserialized offset is one of our own logged batch ends (the
+    * engine deserializes lazily at plan time) and rebasing on it would
+    * inflate `pos` without data — a runaway empty-batch loop.
+    */
+  private def rebase(r: Long): Unit = synchronized {
+    if (!live && r > base) {
+      pos = r + (pos - base) // renumber the (pos - base) buffered lines
+      base = r
+    }
+  }
+
+  override def setLatestSeenOffset(o: Offset): Unit = rebase(o match {
+    case c: CountOffset => c.n
+    case other          => CountOffset.parse(other.json).n
+  })
 
   override def deserializeOffset(json: String): Offset = {
     val o = CountOffset.parse(json)
-    synchronized {
-      // restart: what the checkpoint admitted but this run never saw is
-      // the broker's to redeliver (AMQP, un-acked) or to have dropped
-      // (MQTT qos 0) — resume the count so offsets stay monotone
-      if (o.n > pos) { base = o.n; pos = o.n }
-    }
+    rebase(o.n)
     o
   }
+
+  // highest offset handed to a planned micro-batch. This, NOT the
+  // committed offset, is the drain signal for admission gates: the
+  // engine only calls commit(N) while constructing a LATER batch, and
+  // a later batch needs new data — so a gate keyed on uncommitted
+  // backlog deadlocks the moment one burst fills the cap (everything
+  // 503s, no new data, the engine never commits, the gate never
+  // opens). Served lines are the pipeline's responsibility already;
+  // the buffer they occupy is freed at the commit that trails by one
+  // batch, keeping memory bounded at ~cap + one batch's admissions.
+  private var served = 0L
+
+  /** Lines admitted but not yet handed to any micro-batch — what a
+    * backpressure face should 503 on (mirrors the reference's
+    * in-memory queue capacity, which drains on CONSUMPTION, not on
+    * checkpoint).
+    */
+  protected final def unservedBacklog: Long =
+    synchronized(pos - math.max(served, base))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CountOffset].n
     val e = end.asInstanceOf[CountOffset].n
-    if (e <= s) return Array.empty
     synchronized {
+      served = math.max(served, e)
       val from = math.max(s, base)
-      if (e <= from) Array.empty
+      if (e <= s || e <= from) Array.empty
       else Array(LineSlicePartition(
         buffered.slice((from - base).toInt, (e - base).toInt).toArray, from))
     }

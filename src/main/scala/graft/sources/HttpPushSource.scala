@@ -24,10 +24,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * body's NDJSON lines join the buffer; offsets are arrival counts.
   * The reference's server face is mirrored exactly:
   *   - `POST endpoint` — body lines admitted, 200 (http.ts:113-123);
-  *     while the admitted-but-uncommitted backlog is at `maxBuffered`,
+  *     while the admitted-but-UNSERVED backlog is at `maxBuffered`,
   *     503 WITHOUT reading the body — the reference's backpressure
-  *     response, which doubles as the bound that keeps the driver
-  *     buffer from growing past one checkpoint's worth of admissions.
+  *     response. The gate drains when a micro-batch takes the lines
+  *     (consumption, like the reference's queue capacity), NOT when
+  *     the checkpoint commits: the engine only commits while
+  *     constructing a later batch, so a commit-keyed gate deadlocks
+  *     once one burst fills the cap (503 forever, no new data, no
+  *     commit). Buffer memory stays bounded at ~cap + one batch.
   *   - `GET /healthz` — `application/health+json` pass (http.ts:124-135).
   *   - anything else — 404 (http.ts:136-143).
   *
@@ -92,7 +96,6 @@ private[sources] class HttpPushStream(port: Int, endpoint: String, maxBuffered: 
     extends BufferedPushStream {
 
   private val admitted = new AtomicLong(0)
-  private val committed = new AtomicLong(0)
   @volatile private var server: HttpServer = _
   private val stopped = new java.util.concurrent.CountDownLatch(1)
 
@@ -104,7 +107,7 @@ private[sources] class HttpPushStream(port: Int, endpoint: String, maxBuffered: 
         if (x.getRequestMethod == "POST" && x.getRequestURI.getPath == endpoint) {
           val declared = Option(x.getRequestHeaders.getFirst("Content-Length"))
             .flatMap(_.toLongOption).getOrElse(-1L)
-          if (admitted.get() - committed.get() >= maxBuffered) {
+          if (unservedBacklog >= maxBuffered) {
             x.sendResponseHeaders(503, -1) // backpressure, body unread
           } else if (declared > maxBodyBytes) {
             x.sendResponseHeaders(413, -1) // one body can't flood the driver heap
@@ -132,15 +135,11 @@ private[sources] class HttpPushStream(port: Int, endpoint: String, maxBuffered: 
     stopped.await() // the collector thread just holds the server open
   }
 
-  override protected def onCommitted(trimmedTags: Array[Long]): Unit = {
-    committed.addAndGet(trimmedTags.length.toLong)
-    ()
-  }
-
   override protected def closeClient(): Unit = {
     val s = server
     server = null
     if (s != null) s.stop(0)
+    HttpPushSource.boundPorts.remove(checkpointLocation)
     stopped.countDown()
   }
 }

@@ -105,11 +105,15 @@ private[sources] class MqttStream(host: String, port: Int, topic: String, qos: I
 
   // qos-1 deferred acks: one PUBACK per committed packet id, written
   // on the send side while the collector blocks reading (the client
-  // serializes frame writes internally)
+  // serializes frame writes internally). Tag 0 marks a delivery that
+  // arrived WITHOUT a packet id (publisher sent qos 0 on our qos-1
+  // subscription — the broker forwards at the lower of the two);
+  // MQTT 3.1.1 [MQTT-2.3.1-1] forbids packet id 0 in a PUBACK, so
+  // those deliveries are admitted but never acked.
   override protected def onCommitted(trimmedTags: Array[Long]): Unit = {
     val c = client
     if (c != null && qos == 1) {
-      try trimmedTags.foreach(t => c.ackQos1(t.toInt))
+      try trimmedTags.iterator.filter(_ != 0L).foreach(t => c.ackQos1(t.toInt))
       catch { case _: Exception => () } // broker gone: redelivery handles it
     }
   }

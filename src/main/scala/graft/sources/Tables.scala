@@ -29,6 +29,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  // driver-side row-count cache, keyed by table path. For parameter
+  // auto-tuning (SemDedup.autoBits needs ~log2(n)) — the count is paid
+  // once per table per session instead of once per query invocation.
+  // Immutable driver test data; a real deployment with appending
+  // tables would key this by snapshot/version instead.
+  private val rowCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact row count of `dir/name.parquet`, cached on the driver. */
+  def cachedCount(s: SparkSession, d: String, name: String): Long =
+    rowCounts.getOrElseUpdate(s"$d/$name", read(s, d, name).count())
+
   /** The event-stream table. `ts` comes back as a proper TIMESTAMP
     * (microsecond precision) and `ts_us` as the raw unix microseconds
     * (bigint — what oracle comparisons use, `epoch_us(ts)` in DuckDB).
@@ -36,25 +47,27 @@ object Tables {
     * Driver datasets have carried two physical encodings of `ts`
     * across rounds — TIMESTAMP(NANOS) (Spark 4 reads it as a nanos
     * long only under `nanosAsLong`) and plain TIMESTAMP_NTZ(us) — so
-    * both are handled here by schema inspection. Under the session's
-    * fixed UTC timezone the NTZ→TIMESTAMP cast is the identity on the
-    * underlying micros, matching DuckDB's naive-UTC read exactly.
+    * both are handled here by schema inspection. The NTZ path derives
+    * micros by pure wall-clock arithmetic (`timestampdiff` between two
+    * NTZ values) — timezone-INDEPENDENT, matching DuckDB's naive-UTC
+    * read exactly no matter what session timezone the caller runs
+    * under; this loader mutates no session timezone state. (Rendering
+    * those timestamps as strings is still session-tz-dependent, as in
+    * any Spark job — every shipped entrypoint pins UTC for that.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→TIMESTAMP cast below reads micros through the SESSION
-    // timezone; every shipped entrypoint pins UTC, but a new caller
-    // without it would silently shift ts/ts_us — pin it here too, next
-    // to the other read-path conf this loader already owns.
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long files
         raw.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => // TIMESTAMP / TIMESTAMP_NTZ microsecond files
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_us", unix_micros(col("ts")))
+      case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP_NTZ(us) files
+        raw.withColumn("ts_us",
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => // proper TIMESTAMP (instant) files: unix_micros is tz-free
+        raw.withColumn("ts_us", unix_micros(col("ts")))
     }
   }
 }

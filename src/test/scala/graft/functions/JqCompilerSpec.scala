@@ -53,6 +53,33 @@ class JqCompilerSpec extends AnyFunSuite {
     assert(viaCompiled == viaJq)
   }
 
+  test("compiled tonumber/tostring fail LOUDLY outside the exact envelope instead of silently diverging from jq") {
+    import spark.implicits._
+    def outOf(expr: String, n: String, d: String): Array[org.apache.spark.sql.Row] = {
+      val Some(JqCompiler.CompiledPerEvent(pe)) = JqCompiler.tryCompile(expr): @unchecked
+      val df = Seq((n, d)).toDF("n", "d")
+      pe.filter.fold(df)(df.filter).select(pe.outName, pe.outPayloadJson).collect()
+    }
+    // in-envelope values evaluate exactly
+    assert(outOf(""".[] | {n: "x", d: {v: (.d.ns | tonumber)}}""", "a", """{"ns":"42"}""")
+      .map(_.getString(1)).head == """{"v":42.0}""")
+    assert(outOf(""".[] | {n: "x", d: {s: (.d.m | tostring)}}""", "a", """{"m":3.5}""")
+      .map(_.getString(1)).head == """{"s":"3.5"}""")
+    // jq RAISES on tonumber of a non-numeric string; the compiled tier
+    // must not quietly emit null — it raises with a subprocess-tier hint
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception](
+      outOf(""".[] | {n: "x", d: {v: (.d.ns | tonumber)}}""", "a", """{"ns":"garbage"}"""))
+    assert(chainMsg(e1).contains("subprocess tier"), chainMsg(e1))
+    // 1e20 would render Java-style ("1.0E20") where jq prints plain —
+    // silent wrong output pre-fix; now a loud error
+    val e2 = intercept[Exception](
+      outOf(""".[] | {n: "x", d: {s: (.d.m | tostring)}}""", "a", """{"m":1e20}"""))
+    assert(chainMsg(e2).contains("envelope"), chainMsg(e2))
+  }
+
   test("tryCompile falls back (None) outside the subset") {
     assert(JqCompiler.tryCompile(".[] | .d.k | tostring").isEmpty)
     assert(JqCompiler.tryCompile("group_by(.n)").isEmpty)

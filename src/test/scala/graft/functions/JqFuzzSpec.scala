@@ -102,9 +102,9 @@ class JqFuzzSpec extends AnyFunSuite {
 
   /** Payload: every referenced field always present (see class doc).
     * `ns` is a NUMERIC STRING — the tonumber target (jq raises on
-    * non-numeric strings; the compiled tier's null-on-garbage boundary
-    * keeps garbage inputs on the subprocess tier, so the generator
-    * only produces parseable ones, mirroring real pipelines).
+    * non-numeric strings; the compiled tier raises too — loudly, via
+    * raise_error — so the generator only produces parseable ones,
+    * mirroring real pipelines).
     */
   private val payloadGen: Gen[String] = for {
     k <- intGen; m <- dblGen; x <- intGen; s <- strGen; ns <- intGen
@@ -278,6 +278,28 @@ class JqFuzzSpec extends AnyFunSuite {
       assert(approxEq(mine, jqs.head),
         s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
     }
+  }
+
+  test("group_by with a missing key field: the null-key group counts and sorts first, matching jq") {
+    import JqCompiler._
+    val expr = """{n: "agg", d: (group_by(.d.s) | map({k: .[0].d.s, c: length, t: (map(.d.k) | add)}))}"""
+    // two events MISSING .d.s (null key — one jq group, sorted ahead of
+    // the string keys), plus two "beta" and one "alpha"
+    val events = Seq(
+      ("a.b", """{"k":3,"m":1.5}"""),
+      ("a.b", """{"k":4,"m":0.5,"s":"beta"}"""),
+      ("a.c", """{"k":5,"m":2.0}"""),
+      ("a.b", """{"k":6,"m":0.0,"s":"alpha"}"""),
+      ("a.c", """{"k":7,"m":1.0,"s":"beta"}"""))
+    val Some(CompiledPerVector(pv)) = tryCompile(expr): @unchecked
+    val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+    val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+    val row = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      .select(pv.outName.as("n"), col("d").cast("string").as("d")).head()
+    val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+    val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+    assert(jqs.size == 1)
+    assert(approxEq(mine, jqs.head), s"DIVERGENCE: $mine vs ${jqs.head}")
   }
 
   test("wrapped-value fuzz: compiled tier == jq on 150 random sieve programs") {

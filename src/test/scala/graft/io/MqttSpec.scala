@@ -64,6 +64,16 @@ class MqttSpec extends AnyFunSuite {
       msgs.foreach { case (t, p) => d(t, p) }
     }
 
+    // mixed-qos face: a publisher that sent at qos 0 is forwarded at
+    // qos 0 (min of publish and subscription qos) — a PUBLISH frame
+    // with NO packet id even on a qos-1 subscription
+    @volatile private var liveDeliverQos0Fn: (String, String) => Unit = _
+    def deliverLiveQos0(msgs: Seq[(String, String)]): Unit = {
+      val d = liveDeliverQos0Fn
+      require(d != null, "no subscriber attached yet")
+      msgs.foreach { case (t, p) => d(t, p) }
+    }
+
     private val server = new ServerSocket(0)
     @volatile private var running = true
     def port: Int = server.getLocalPort
@@ -147,6 +157,11 @@ class MqttSpec extends AnyFunSuite {
                 }
                 seeded.foreach { case (topic, payload) => pubDeliver(topic, payload) }
                 liveDeliverFn = pubDeliver
+                liveDeliverQos0Fn = (topic, payload) => writeLock.synchronized {
+                  val vh = new java.io.ByteArrayOutputStream()
+                  vh.write(Mqtt.utf8(topic))
+                  packet(Mqtt.Publish, 0, vh.toByteArray ++ payload.getBytes(UTF_8))
+                }
                 subscribeCount.incrementAndGet()
                 if (seeded.nonEmpty && deliverQos == 0) open = false
               case Mqtt.Puback =>
@@ -396,6 +411,43 @@ class MqttSpec extends AnyFunSuite {
       } finally q.stop()
       val got = spark.table("mqttq1stream").select("n").collect().map(_.getString(0)).sorted
       assert(got.toSeq == msgs.indices.map(i => s"q${i + 1}").sorted)
+    }
+  }
+
+  test("live mqtt qos 1 with a mixed-qos publisher: qos-0 deliveries are admitted but never PUBACKed (no packet id 0 on the wire)") {
+    def poll(what: String, ms: Int = 30000)(ok: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok) {
+        if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    withServer(1) { srv =>
+      val ds = graft.streaming.StreamCompiler.mqttStreamSource(
+        spark, "localhost", srv.port, topic = "cdp/#", qos = 1)
+      val q = ds.writeStream.format("memory").queryName("mqttmixedqos")
+        .outputMode("append").start()
+      try {
+        def sunk(): Long =
+          try spark.table("mqttmixedqos").count() catch { case _: Exception => -1L }
+        poll("subscriber attach")(srv.consumerAttached)
+        // interleave: qos-1 (pid'd), qos-0 (NO pid — publisher sent
+        // qos 0; the broker forwards at min(pub, sub) = 0), qos-1
+        srv.deliverLive(Seq(("cdp/ev", """{"n":"a","d":1}""")))
+        srv.deliverLiveQos0(Seq(("cdp/ev", """{"n":"b","d":2}""")))
+        srv.deliverLive(Seq(("cdp/ev", """{"n":"c","d":3}""")))
+        poll("all three sunk")(sunk() == 3)
+        // sentinel drives the trigger whose commit acks the corpus
+        srv.deliverLive(Seq(("cdp/ev", "{}")))
+        poll("qos-1 PUBACKs arrive")(srv.pubacks.size >= 2)
+        val acked = drain(srv.pubacks).map(_.toInt)
+        // MQTT 3.1.1 [MQTT-2.3.1-1]: packet id 0 must never appear in
+        // a PUBACK — the qos-0 delivery is admitted, not acked
+        assert(!acked.contains(0), s"protocol violation: PUBACK with packet id 0 (acked=$acked)")
+        assert(acked.toSet.subsetOf((101 to 104).toSet))
+        val got = spark.table("mqttmixedqos").select("n").collect().map(_.getString(0)).toSet
+        assert(Set("a", "b", "c").subsetOf(got))
+      } finally q.stop()
     }
   }
 

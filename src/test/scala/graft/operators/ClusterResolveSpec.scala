@@ -42,6 +42,26 @@ class ClusterResolveSpec extends AnyFunSuite {
     assert(run(maxDriverPairs = 0L) == expected)
   }
 
+  test("distributed tier through a RELIABLE checkpoint dir: same components, blocks on disk") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-resolve")
+    val pairs = pairEdges.toDF("a", "b")
+    val got = TextQueries.clusterResolve(pairs, maxDriverPairs = 0L,
+        checkpointDir = Some(dir.toString))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // the rounds actually went through the reliable path: RDD
+    // checkpoint data materialized under the dir (executor-death-safe,
+    // unlike localCheckpoint blocks)
+    def walk(p: java.nio.file.Path): Iterator[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).toArray.iterator
+          .map(_.asInstanceOf[java.nio.file.Path]).flatMap(walk)
+      else Iterator(p)
+    assert(walk(dir).exists(_.getFileName.toString.startsWith("part-")),
+      s"no checkpointed partition files under $dir")
+  }
+
   test("distributed tier collapses a 512-node chain (diameter 511) — the star-contraction shape") {
     import spark.implicits._
     // a pure path graph is the worst case for diameter-bound

@@ -299,9 +299,9 @@ class IngestSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("graft-http503-ckpt").toString
     val ds = graft.streaming.StreamCompiler.httpPushSource(spark, port = 0,
       maxBuffered = 50)
-    // a long trigger keeps the first batch's offsets uncommitted (the
-    // engine commits a batch at the start of the NEXT cycle), so the
-    // backlog deterministically exceeds the cap for the second POST
+    // a long trigger keeps the first wave's lines UNSERVED (no
+    // micro-batch takes them for 60 s), so the backlog
+    // deterministically exceeds the cap for the second POST
     val q = ds.writeStream.format("memory").queryName("http503stream")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("60 seconds"))
@@ -315,6 +315,68 @@ class IngestSpec extends AnyFunSuite {
       assert(post(port, "/events", """{"n":"a.y","d":0}""") == 503)
       // and unknown paths 404 like the reference
       assert(post(port, "/other", "{}") == 404)
+    } finally q.stop()
+  }
+
+  test("live http push soak: 8 concurrent posters with 503-retry, zero loss, zero duplication") {
+    import org.apache.spark.sql.functions.col
+    // the reference endpoint serves concurrent clients
+    // (src/input/http.ts:90-165); this hammers the embedded server +
+    // BufferedPushStream append path from 8 threads against a TINY
+    // backlog cap, so senders constantly trip the 503 backpressure
+    // face and retry — the contract is that retries converge with
+    // every line admitted exactly once (a 200 is the only accept)
+    val ckpt = Files.createTempDirectory("graft-httpsoak-ckpt").toString
+    val ds = graft.streaming.StreamCompiler.httpPushSource(spark, port = 0,
+      maxBuffered = 256)
+    val q = ds.writeStream.format("memory").queryName("httpsoakstream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .outputMode("append").start()
+    try {
+      pollUntil("endpoint up")(boundPort(ckpt).isDefined)
+      val port = boundPort(ckpt).get
+      val senders = 8
+      val perSender = 400
+      val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until senders).map { t =>
+        val th = new Thread(() => {
+          try {
+            val mine = (0 until perSender).map(i => s"""{"n":"a.soak","d":${t * perSender + i}}""")
+            mine.grouped(32).foreach { chunk =>
+              val body = chunk.mkString("", "\n", "\n")
+              var code = -1
+              var tries = 0
+              while (code != 200 && tries < 2000) {
+                code = try post(port, "/events", body)
+                  catch { case _: Exception => -1 }
+                if (code != 200) {
+                  if (code == 503) rejected.incrementAndGet()
+                  Thread.sleep(10)
+                }
+                tries += 1
+              }
+              if (code != 200) failures.add(s"sender $t gave up (last=$code)")
+            }
+          } catch { case e: Exception => failures.add(s"sender $t: $e") }
+        }, s"soak-sender-$t")
+        th.start(); th
+      }
+      threads.foreach(_.join(120000))
+      assert(failures.isEmpty, failures.toString)
+      val total = senders * perSender
+      def sunk(): Long =
+        try spark.table("httpsoakstream").count() catch { case _: Exception => -1L }
+      pollUntil("soak corpus fully sunk", ms = 60000)(sunk() == total)
+      // exactly-once admission: all ids present, no id twice
+      val ids = spark.table("httpsoakstream")
+        .select(col("d").cast("long"))
+        .collect().map(_.getLong(0))
+      assert(ids.length == total)
+      assert(ids.toSet == (0 until total).map(_.toLong).toSet,
+        "every posted line admitted exactly once")
+      info(s"soak complete: $total lines from $senders senders, ${rejected.get()} 503 rejections retried")
     } finally q.stop()
   }
 
