@@ -163,13 +163,16 @@ object EventQueries {
         .orderBy("event_type", "vec_id")
     },
 
-    // §2.3 flatmap-mode sliding per-event windows of size 3.
+    // §2.3 flatmap-mode sliding per-event windows of size 3, via the
+    // rank-bucketed frame (plain partitionBy(event_type) frames cap at
+    // 5-task parallelism — 25x wall at 100x data).
     "ev_window_sliding" -> { (s, d) =>
-      val w = StepOps.slidingFrame(Seq(col("event_type")),
-        Seq(col("ts_us"), col("event_id")), 3)
-      ev(s, d)
-        .withColumn("frame_n", count(lit(1)).over(w))
-        .withColumn("frame_sum", sum(decVal).over(w).cast("double"))
+      StepOps.withSlidingFrameAggs(
+          ev(s, d).select("event_type", "ts_us", "event_id", "value"),
+          Seq(col("event_type")), Seq(col("ts_us"), col("event_id")), 3) { (df, w) =>
+        df.withColumn("frame_n", count(lit(1)).over(w))
+          .withColumn("frame_sum", sum(decVal).over(w).cast("double"))
+      }
         .select("event_id", "frame_n", "frame_sum")
         .orderBy("event_id")
     },

@@ -438,25 +438,36 @@ object BatchCompiler {
       withKey(df.withColumn("vec_id", col("__seq"))) // singleton: vec_id already unique
     else if (step.flatmap) {
       val n = step.window.events
-      val w =
-        if (keyed) Window.partitionBy(col("__wk")).orderBy(col("__ts"), col("__seq"))
-        else Window.orderBy(col("__ts"), col("__seq"))
+      val keyCols = if (keyed) Seq(col("__wk")) else Seq.empty
       if (step.window.seconds > 0) {
         // both arms: a buffer closes at `events` members or `seconds`
         // after its head event (event time stands in for the
         // reference's wall clock in batch replay, src/step.ts:84-131;
         // event time carried at microsecond resolution)
-        val keyCols = if (keyed) Seq(col("__wk")) else Seq.empty
         graft.operators.StepOps.slidingTimeVectors(
           withKey(df).withColumn("__tus", (col("__ts") * 1e6).cast("long")), keyCols,
           Seq(col("__ts"), col("__seq")), col("__tus"), n,
           (step.window.seconds * 1e6).toLong)
           .drop("__tus")
       } else
-        withKey(df).withColumn("__r", row_number().over(w).cast("long") - 1)
-          .withColumn("vec_id",
-            explode(sequence(greatest(col("__r") - (n - 1), lit(0L)), col("__r"))))
-          .drop("__r")
+        // count-only sliding frames are rank arithmetic; the
+        // distributed rank keeps the stage off the #keys-parallelism
+        // cliff (and off the single global sort on the global path)
+        graft.operators.ParallelRank.withRowNumber(
+            withKey(df), keyCols, Seq(col("__ts"), col("__seq")), "__r1")
+          .withColumn("vec_id", // 0-based rank r = __r1 - 1; heads r-(n-1)..r
+            explode(sequence(greatest(col("__r1") - lit(n.toLong), lit(0L)),
+              col("__r1") - 1)))
+          .drop("__r1")
+    } else if (step.window.seconds <= 0) {
+      // count-only reduce windows: disjoint groups of `events` per key
+      // = (rank-1) div events. The anchored-chain operator gives the
+      // same answer here but pins its distribution (and everything
+      // downstream) to #keys partitions; rank arithmetic runs wide.
+      graft.operators.StepOps.reduceCountVectors(
+        withKey(df),
+        if (keyed) Seq(col("__wk")) else Seq.empty,
+        Seq(col("__ts"), col("__seq")), step.window.events)
     } else {
       val base = withKey(df).withColumn("__us", (col("__ts") * 1e6).cast("long"))
       val (keyCols, prepared) =

@@ -60,18 +60,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("partial_"), p.take(400))
   }
 
-  test("keyed windowed replay has no single-partition exchange; global does") {
-    // window-key: name shuffles by event name — every window-assignment
-    // stage runs on all partitions (the 100-TB shape); the
-    // reference-parity global path is what serializes
+  test("windowed replay plans scale: no full-data single-partition stage, keyed or global") {
+    // The windows are SIZE-ADAPTIVE (plain single-task plan below
+    // graft.window.smallInputRows) — force the segmented path so this
+    // pins the shape that runs at scale, on the small fixture
+    spark.conf.set("graft.window.smallInputRows", "0")
+    try windowedReplayShapes()
+    finally spark.conf.unset("graft.window.smallInputRows")
+  }
+
+  private def windowedReplayShapes(): Unit = {
+    // window-key: name shuffles by (name, rank-bucket) — every
+    // window-assignment stage runs on all partitions (the 100-TB
+    // shape), and the per-vector assembly keys by (__wk, vec_id)
     val keyed = plan("pipeline_e2e_keyed")
     assert(!keyed.contains("SinglePartition"), keyed.take(800))
     assert(keyed.contains("hashpartitioning(__wk"), keyed.take(800))
     assert(!keyed.contains("hashpartitioning(__k#"), keyed.take(800))
-    // the global path funnels window assignment through a constant key
-    // (hashpartitioning on literal __k = 1 — one partition does the work)
+    // the global path's count-only windows are rank arithmetic too
+    // (ParallelRank buckets) — since round 12 it no longer funnels the
+    // DATA through a constant-key window (`__k = 1`); the only
+    // single-partition stage left is the cumulative sum over the TINY
+    // per-bucket count table inside the distributed rank
     val global = plan("pipeline_e2e")
-    assert(global.contains("AS __k") && global.contains("hashpartitioning(__k#"))
+    assert(!global.contains("AS __k"), global.take(800))
+    assert(global.contains("hashpartitioning(vec_id"), global.take(800))
+    val singles = "Exchange SinglePartition".r.findAllIn(global).length
+    assert(singles <= 1, s"$singles single-partition exchanges; expected at most the rank-offset cumsum\n${global.take(800)}")
   }
 
   test("windowed pipelines default to keyed windows (no single-task exchange)") {
