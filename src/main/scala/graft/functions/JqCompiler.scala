@@ -55,6 +55,11 @@ object JqCompiler {
   case object ToString extends Ast
   case object ToNumber extends Ast
   case class GroupByKey(key: Path) extends Ast
+  case class UniqueByKey(key: Path) extends Ast
+  case class SplitFn(sep: String) extends Ast
+  case class JoinFn(sep: String) extends Ast
+  /** `"a\(.d.k)b"` — literal runs (Left) and interpolated exprs (Right). */
+  case class StrInterp(parts: Seq[Either[String, Ast]]) extends Ast
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
@@ -203,6 +208,15 @@ object JqCompiler {
           case _ => throw new IllegalArgumentException("group_by key must be a path")
         }
       }
+      else if (tryEat("unique_by(")) {
+        val k = parseInnerPipe(); eat(')')
+        k match {
+          case p: Path => UniqueByKey(p)
+          case _ => throw new IllegalArgumentException("unique_by key must be a path")
+        }
+      }
+      else if (tryEat("split(")) { ws(); val s = parseString(); eat(')'); SplitFn(s) }
+      else if (tryEat("join(")) { ws(); val s = parseString(); eat(')'); JoinFn(s) }
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
       else if (tryEat("tostring")) ToString
@@ -224,7 +238,7 @@ object JqCompiler {
       }
       else if (peek == '{') parseObj()
       else if (peek == '.') parsePath()
-      else if (peek == '"') Lit(parseString())
+      else if (peek == '"') parseStringOrInterp()
       else if (tryEat("true")) Lit(true)
       else if (tryEat("false")) Lit(false)
       else if (tryEat("null")) Lit(null)
@@ -284,6 +298,56 @@ object JqCompiler {
       else Path(segs.toSeq)
     }
 
+    /** A string literal that may carry jq interpolations `\(expr)`.
+      * Pure literals stay `Lit`; interpolated ones become [[StrInterp]]
+      * with the inner exprs parsed by the full grammar.
+      */
+    private def parseStringOrInterp(): Ast = {
+      eat('"')
+      val parts = Seq.newBuilder[Either[String, Ast]]
+      val sb = new StringBuilder
+      var interp = false
+      while (pos < src.length && src(pos) != '"') {
+        if (src(pos) == '\\' && pos + 1 < src.length && src(pos + 1) == '(') {
+          pos += 2
+          if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
+          parts += Right(parseInnerPipe())
+          eat(')')
+          interp = true
+        } else if (src(pos) == '\\') {
+          pos += 1
+          require(pos < src.length, "unterminated escape in string literal")
+          sb.append(decodeEscape()); pos += 1
+        } else { sb.append(src(pos)); pos += 1 }
+      }
+      require(pos < src.length, "unterminated string literal")
+      pos += 1
+      if (!interp) Lit(sb.toString)
+      else {
+        if (sb.nonEmpty) parts += Left(sb.toString)
+        StrInterp(parts.result())
+      }
+    }
+
+    private def decodeEscape(): Char = src(pos) match {
+      case 'n' => '\n'
+      case 't' => '\t'
+      case 'r' => '\r'
+      case 'b' => '\b'
+      case 'f' => '\f'
+      case '"' => '"'
+      case '\\' => '\\'
+      case '/' => '/'
+      case 'u' =>
+        require(pos + 4 < src.length, "unterminated \\u escape")
+        val cp = Integer.parseInt(src.substring(pos + 1, pos + 5), 16)
+        pos += 4
+        cp.toChar
+      case other =>
+        // unknown escapes are a compile failure => subprocess tier
+        throw new IllegalArgumentException(s"unsupported escape \\$other in string literal")
+    }
+
     private def parseString(): String = {
       eat('"')
       val sb = new StringBuilder
@@ -291,25 +355,7 @@ object JqCompiler {
         if (src(pos) == '\\') {
           pos += 1
           require(pos < src.length, "unterminated escape in string literal")
-          val decoded = src(pos) match {
-            case 'n' => '\n'
-            case 't' => '\t'
-            case 'r' => '\r'
-            case 'b' => '\b'
-            case 'f' => '\f'
-            case '"' => '"'
-            case '\\' => '\\'
-            case '/' => '/'
-            case 'u' =>
-              require(pos + 4 < src.length, "unterminated \\u escape")
-              val cp = Integer.parseInt(src.substring(pos + 1, pos + 5), 16)
-              pos += 4
-              cp.toChar
-            case other =>
-              // unknown escapes are a compile failure => subprocess tier
-              throw new IllegalArgumentException(s"unsupported escape \\$other in string literal")
-          }
-          sb.append(decoded); pos += 1
+          sb.append(decodeEscape()); pos += 1
         } else { sb.append(src(pos)); pos += 1 }
       }
       require(pos < src.length, "unterminated string literal")
@@ -459,10 +505,57 @@ object JqCompiler {
     case Lit(null)        => Some(lit(null))
     case PipeSeq(Seq(p: Path, ToNumber)) => toNumberOf(p)
     case PipeSeq(Seq(p: Path, ToString)) => toStringOf(p)
+    case si: StrInterp    => interpString(si)
+    case PipeSeq((p: Path) +: fns) if fns.nonEmpty &&
+      fns.forall(f => f.isInstanceOf[SplitFn] || f.isInstanceOf[JoinFn] || f == Length) =>
+      chainValue(p, fns)
     case Arith(op, l, r)  => arith(op, l, r)
     case c: Cmp           => boolCond(c)
     case l: Logic         => boolCond(l)
     case _ => None
+  }
+
+  /** jq string interpolation `"a\(expr)b"`: each interpolated value
+    * renders as its `tostring` (strings unquoted, numbers jq-style via
+    * [[toStringOf]]'s exact envelope, null as "null").
+    */
+  private def interpString(si: StrInterp): Option[Column] = {
+    val parts = si.parts.map {
+      case Left(s)  => Some(lit(s))
+      case Right(p: Path) => toStringOf(p)
+      case Right(Lit(s: String)) => Some(lit(s))
+      case Right(Lit(d: Double)) =>
+        Some(lit(if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString))
+      case Right(PipeSeq(Seq(p: Path, ToString))) => toStringOf(p)
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None else Some(concat(parts.flatten: _*))
+  }
+
+  /** String-function chains over a path: `split` (literal separator,
+    * jq keeps trailing empties and maps "" to []), `join`, and
+    * `length` over the intermediate array. The chain is typed
+    * (string → array → string/number); an ill-typed chain refuses to
+    * compile and falls to the subprocess tier.
+    */
+  private def chainValue(p: Path, fns: Seq[Ast]): Option[Column] = {
+    var c = eventValue(p).getOrElse(return None)
+    var isArr = false
+    for (f <- fns) f match {
+      case SplitFn(sep) if !isArr =>
+        val s = c.cast("string")
+        c = when(s === lit(""), array().cast("array<string>"))
+          .otherwise(split(s, java.util.regex.Pattern.quote(sep), -1))
+        isArr = true
+      case JoinFn(sep) if isArr =>
+        c = array_join(c, sep)
+        isArr = false
+      case Length if isArr =>
+        c = size(c).cast("double")
+        isArr = false
+      case _ => return None
+    }
+    Some(c)
   }
 
   // ---- wrapped value streams ----
@@ -605,6 +698,9 @@ object JqCompiler {
       case Seq(("d", g @ PipeSeq(Seq(GroupByKey(_), MapExpr(_: ObjCons))))) =>
         groupByAgg(g).map(b =>
           CompiledPerVector(PerVector(nExpr.get, Seq("d" -> b))))
+      case Seq(("d", u @ PipeSeq(Seq(UniqueByKey(_), MapExpr(_: ObjCons))))) =>
+        uniqueByAgg(u).map(b =>
+          CompiledPerVector(PerVector(nExpr.get, Seq("d" -> b))))
       case flds =>
         val aggs = flds.map { case (k, v) => vectorAgg(v).map(k -> _) }
         if (aggs.exists(_.isEmpty)) None
@@ -616,6 +712,20 @@ object JqCompiler {
     case Length => Some(_ => count(lit(1)).cast("double"))
     case PipeSeq(Seq(MapExpr(p: Path), Add)) =>
       eventValue(p).map(c => (_: Column) => sum(c.cast("double")))
+    // `map(<path>) | join(sep)`: arrival-ordered string concatenation
+    case PipeSeq(Seq(MapExpr(p: Path), JoinFn(sep))) =>
+      eventValue(p).map { c => (ord: Column) =>
+        array_join(transform(
+          array_sort(collect_list(struct(ord.as("__o"), c.cast("string").as("__v")))),
+          x => x.getField("__v")), sep)
+      }
+    // `unique_by(<path>) | length`: distinct key count — the struct
+    // wrapper keeps null keys (collect_list drops bare nulls; jq's
+    // null-key group counts)
+    case PipeSeq(Seq(UniqueByKey(kp), Length)) =>
+      eventValue(kp).map { c => (_: Column) =>
+        size(array_distinct(collect_list(struct(c.cast("string").as("__k"))))).cast("double")
+      }
     case First(p) =>
       eventValue(p).map(c => (ord: Column) => min_by(c, ord))
     case Lit(s: String) => Some(_ => first(lit(s)))
@@ -688,6 +798,55 @@ object JqCompiler {
             case (name, Some(i), _)    =>
               aggregate(grp, lit(0.0),
                 (acc, x) => acc + x.getField(s"__v$i")).as(name)
+          }: _*)
+        }), Map("ignoreNullFields" -> "false"))
+      }
+    case _ => None
+  }
+
+  /** `unique_by(<key>) | map({...})` over the vector as ONE aggregate:
+    * jq's unique_by sorts by key (stably) and keeps each key's FIRST
+    * element, so the representative is the earliest-arrival event per
+    * key, emitted in key order (null key first, like group_by). Map
+    * fields must be plain paths over the representative event; values
+    * keep their original types (variant) — only the GROUPING compares
+    * keys as strings, with the same numeric-variant caveat as
+    * [[groupByAgg]].
+    */
+  private def uniqueByAgg(ast: Ast): Option[Column => Column] = ast match {
+    case PipeSeq(Seq(UniqueByKey(kp), MapExpr(ObjCons(fields)))) =>
+      val keyC = eventValue(kp) match {
+        case Some(c) => c.cast("string")
+        case None    => return None
+      }
+      val srcs = fields.map {
+        case (k, p: Path) => eventValue(p).map(k -> _)
+        case _            => None
+      }
+      if (srcs.exists(_.isEmpty)) return None
+      val named = srcs.flatten
+      Some { (ord: Column) =>
+        val entry = struct(
+          (keyC.as("__k") +: ord.as("__o") +:
+            named.zipWithIndex.map { case ((_, c), i) => c.as(s"__v$i") }): _*)
+        // comparator sort: the value fields may be VARIANT (unorderable),
+        // so order by (__k nulls-first, __o) explicitly
+        val items = array_sort(collect_list(entry), (l, r) => {
+          val lk = l.getField("__k")
+          val rk = r.getField("__k")
+          when(lk <=> rk,
+            when(l.getField("__o") < r.getField("__o"), -1)
+              .when(l.getField("__o") > r.getField("__o"), 1).otherwise(0))
+            .when(lk.isNull, -1)
+            .when(rk.isNull, 1)
+            .when(lk < rk, -1)
+            .otherwise(1)
+        })
+        val keys = array_distinct(transform(items, x => x.getField("__k")))
+        to_json(transform(keys, k => {
+          val rep = element_at(filter(items, x => x.getField("__k") <=> k), 1)
+          struct(named.zipWithIndex.map { case ((name, _), i) =>
+            rep.getField(s"__v$i").as(name)
           }: _*)
         }), Map("ignoreNullFields" -> "false"))
       }

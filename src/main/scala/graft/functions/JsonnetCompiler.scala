@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   *     `.t[i].f`), `std.toString(e)`, arithmetic `+ - * / %`
   *     (`+` is string concatenation when either side is a string,
   *     like jsonnet), nested object construction
+  *   - `local` bindings (values AND one-or-more-arg function
+  *     definitions, prelude-style) — inlined by substitution, which is
+  *     exact for this pure subset; call sites may pass
+  *     `prelude + "\n" + expr` so `jsonnet-prelude` definitions
+  *     compile too
+  *   - `std.join(sep, [..])`, `std.join(sep, std.map(function(e)
+  *     <string-expr>, events))` (arrival-ordered), `std.format` with
+  *     `%s`/`%d`/`%%`, `std.length(<string>)` / `std.length(event.t)`,
+  *     and the last-trace idiom `event.t[std.length(event.t) - 1].f`
   */
 object JsonnetCompiler {
 
@@ -36,6 +45,13 @@ object JsonnetCompiler {
   private case class JStr(e: JAst) extends JAst
   private case class JBin(op: String, l: JAst, r: JAst) extends JAst
   private case class JObj(fields: Seq[(String, JAst)]) extends JAst
+  private case class JVar(name: String) extends JAst                  // unresolved binding ref
+  private case class JEvtPath(v: String, segs: Seq[Either[String, Int]]) extends JAst
+  private case class JMap(param: String, body: JAst) extends JAst     // std.map(function(p) body, events)
+  private case class JJoin(sep: String, arr: JAst) extends JAst       // std.join(sepLit, arr)
+  private case class JArr(items: Seq[JAst]) extends JAst              // [a, b, ...]
+  private case class JFormat(fmt: String, args: Seq[JAst]) extends JAst // std.format(fmtLit, [args])
+  private case class JLenOf(e: JAst) extends JAst                     // std.length over strings / event arrays
 
   def tryCompile(expr: String): Option[JqCompiler.Compiled] =
     try {
@@ -94,14 +110,58 @@ object JsonnetCompiler {
       src.substring(start, pos)
     }
 
+    // local bindings in scope: name -> (params, body). Value bindings
+    // have no params. Resolution is inline substitution at parse time —
+    // exact for this pure subset (no side effects, no laziness to
+    // observe).
+    private val env = scala.collection.mutable.Map.empty[String, (Seq[String], JAst)]
+    // function parameters currently in scope (treated as event vars)
+    private var params: Set[String] = Set.empty
+
     def parseFunction(): JAst = {
+      parseLocals()
       require(tryEat("function"), "expression must be a function")
       eat('('); require(ident() == "events", "single argument must be 'events'"); eat(')')
-      val body = parseAdditive()
+      val body = parseExpr()
       ws()
       require(pos >= src.length, s"trailing input at $pos: '${src.drop(pos)}'")
       body
     }
+
+    /** Zero or more `local name(p1, ..)? = expr;` definitions. */
+    private def parseLocals(): Unit = {
+      ws()
+      while (src.startsWith("local", pos) &&
+             (pos + 5 >= src.length || !src(pos + 5).isLetterOrDigit)) {
+        pos += 5
+        val name = ident()
+        ws()
+        val ps =
+          if (peek == '(') {
+            pos += 1
+            val b = Seq.newBuilder[String]
+            b += ident()
+            ws()
+            while (peek == ',') { pos += 1; b += ident(); ws() }
+            eat(')')
+            b.result()
+          } else Seq.empty
+        eat('=')
+        val saved = params
+        params = params ++ ps
+        val body = parseAdditive()
+        params = saved
+        eat(';')
+        env(name) = (ps, body)
+        ws()
+      }
+    }
+
+    /** Expression with optional leading locals (jsonnet allows them in
+      * any expression position; the subset takes them here and at the
+      * top).
+      */
+    private def parseExpr(): JAst = { parseLocals(); parseAdditive() }
 
     private def parseAdditive(): JAst = {
       var l = parseMultiplicative()
@@ -126,16 +186,140 @@ object JsonnetCompiler {
 
     private def parseAtom(): JAst = {
       ws()
-      if (tryEat("std.length(events)")) JLen
-      else if (tryEat("std.toString(")) { val e = parseAdditive(); eat(')'); JStr(e) }
+      if (tryEat("std.length(")) {
+        val e = parseExpr(); eat(')')
+        e match { case JEvents => JLen; case other => JLenOf(other) }
+      }
+      else if (tryEat("std.toString(")) { val e = parseExpr(); eat(')'); JStr(e) }
+      else if (tryEat("std.join(")) {
+        ws()
+        val sep = parseString()
+        eat(','); val arr = parseExpr(); eat(')')
+        JJoin(sep, arr)
+      }
+      else if (tryEat("std.map(")) {
+        require(tryEat("function"), "std.map needs an inline function")
+        eat('('); val p = ident(); eat(')')
+        val saved = params
+        params = params + p
+        val body = parseExpr()
+        params = saved
+        eat(',')
+        val target = parseExpr()
+        require(target == JEvents, "std.map target must be `events`")
+        eat(')')
+        JMap(p, body)
+      }
+      else if (tryEat("std.format(")) {
+        ws()
+        val fmt = parseString()
+        eat(','); val args = parseExpr(); eat(')')
+        args match {
+          case a: JArr => JFormat(fmt, a.items)
+          case other   => JFormat(fmt, Seq(other))
+        }
+      }
       else if (tryEat("events")) parseEventsRef()
       else if (peek == '{') parseObj()
+      else if (peek == '[') {
+        pos += 1
+        val items = Seq.newBuilder[JAst]
+        ws()
+        if (peek != ']') {
+          items += parseExpr()
+          ws()
+          while (peek == ',') { pos += 1; items += parseExpr(); ws() }
+        }
+        eat(']')
+        JArr(items.result())
+      }
       else if (peek == '"') JLit(parseString())
       else if (tryEat("true")) JLit(true)
       else if (tryEat("false")) JLit(false)
       else if (tryEat("null")) JLit(null)
-      else if (peek == '(') { eat('('); val e = parseAdditive(); eat(')'); e }
+      else if (peek == '(') { eat('('); val e = parseExpr(); eat(')'); e }
+      else if (peek.isLetter || peek == '_') parseIdentRef()
       else parseNumber()
+    }
+
+    /** A bare identifier: an in-scope function parameter (event var,
+      * optionally followed by a path) or a `local` binding (value
+      * inline, or a call with argument substitution).
+      */
+    private def parseIdentRef(): JAst = {
+      val name = ident()
+      if (params.contains(name)) JEvtPath(name, parseSegs(name))
+      else env.get(name) match {
+        case Some((Seq(), body)) => body // value binding: already-parsed AST
+        case Some((ps, body)) =>
+          eat('(')
+          val args = Seq.newBuilder[JAst]
+          args += parseExpr()
+          ws()
+          while (peek == ',') { pos += 1; args += parseExpr(); ws() }
+          eat(')')
+          val a = args.result()
+          require(a.length == ps.length, s"$name expects ${ps.length} args, got ${a.length}")
+          subst(body, ps.zip(a).toMap)
+        case None =>
+          throw new IllegalArgumentException(s"unknown identifier '$name' at $pos")
+      }
+    }
+
+    /** Path segments after an event variable: `.f`, `[i]`, and the
+      * last-element idiom `x.t[std.length(x.t) - 1]` (encoded as index
+      * -1, resolved by `element_at(col, -1)`).
+      */
+    private def parseSegs(v: String): Seq[Either[String, Int]] =
+      parseSegsWith(segs => JEvtPath(v, segs))
+
+    /** Shared segment loop: `.f`, `[i]`, and the last-element idiom
+      * `base.path[std.length(base.path) - 1]` (encoded as index -1);
+      * `mk` rebuilds the base reference at the current prefix so the
+      * idiom's inner length argument can be compared structurally.
+      */
+    private def parseSegsWith(mk: Seq[Either[String, Int]] => JAst): Seq[Either[String, Int]] = {
+      val segs = scala.collection.mutable.ArrayBuffer[Either[String, Int]]()
+      var done = false
+      while (!done) {
+        if (peek == '.' && pos + 1 < src.length &&
+            (src(pos + 1).isLetter || src(pos + 1) == '_')) {
+          pos += 1; segs += Left(ident())
+        } else if (peek == '[') {
+          pos += 1; ws()
+          parseExpr() match {
+            case JLit(d: Double) => segs += Right(d.toInt)
+            case JBin("-", JLenOf(inner), JLit(one: Double))
+              if one == 1.0 && inner == mk(segs.toSeq) =>
+              segs += Right(-1) // last element
+            case other =>
+              throw new IllegalArgumentException(s"unsupported dynamic index $other")
+          }
+          eat(']')
+        } else done = true
+      }
+      segs.toSeq
+    }
+
+    /** Substitute function parameters with argument ASTs. */
+    private def subst(ast: JAst, m: Map[String, JAst]): JAst = ast match {
+      case JEvtPath(v, segs) if m.contains(v) => m(v) match {
+        case JEvtPath(v2, s2) => JEvtPath(v2, s2 ++ segs)
+        case JPath(i, s2)     => JPath(i, s2 ++ segs)
+        case other if segs.isEmpty => other
+        case other =>
+          throw new IllegalArgumentException(s"cannot take path $segs of $other")
+      }
+      case JVar(n) if m.contains(n) => m(n)
+      case JStr(e)        => JStr(subst(e, m))
+      case JLenOf(e)      => JLenOf(subst(e, m))
+      case JBin(op, l, r) => JBin(op, subst(l, m), subst(r, m))
+      case JObj(fs)       => JObj(fs.map { case (k, x) => k -> subst(x, m) })
+      case JArr(items)    => JArr(items.map(subst(_, m)))
+      case JJoin(sep, a)  => JJoin(sep, subst(a, m))
+      case JFormat(f, as_) => JFormat(f, as_.map(subst(_, m)))
+      case JMap(p, b)     => JMap(p, subst(b, m - p)) // shadowing
+      case other          => other
     }
 
     /** After `events`: bare (the whole vector) or `[i]` + path segs. */
@@ -145,20 +329,7 @@ object JsonnetCompiler {
       eat('[')
       val idx = parseNumber().asInstanceOf[JLit].v.asInstanceOf[Double].toInt
       eat(']')
-      val segs = scala.collection.mutable.ArrayBuffer[Either[String, Int]]()
-      var done = false
-      while (!done) {
-        if (peek == '.' && pos + 1 < src.length &&
-            (src(pos + 1).isLetter || src(pos + 1) == '_')) {
-          pos += 1; segs += Left(ident())
-        } else if (peek == '[') {
-          pos += 1; ws()
-          val n = parseNumber().asInstanceOf[JLit].v.asInstanceOf[Double].toInt
-          eat(']')
-          segs += Right(n)
-        } else done = true
-      }
-      JPath(idx, segs.toSeq)
+      JPath(idx, parseSegsWith(segs => JPath(idx, segs)))
     }
 
     private def parseObj(): JAst = {
@@ -259,7 +430,7 @@ object JsonnetCompiler {
           if (rest.isEmpty) try_parse_json(d).cast("variant")
           else try_variant_get(try_parse_json(d), jsonPath, "variant"))
       case Seq(Left("t"), Right(i), Left(f)) =>
-        Some(element_at(firstEvent.getField("t"), i + 1).getField(f))
+        Some(element_at(firstEvent.getField("t"), if (i == -1) -1 else i + 1).getField(f))
       case _ => None
     }
     ast match {
@@ -284,10 +455,48 @@ object JsonnetCompiler {
             case "%" => ln % rn
           }
         }
+      case JLenOf(e) =>
+        vecValue(e).map(c => length(c.cast("string")).cast("long"))
+      case JFormat(fmt, as_) =>
+        val args = as_.map(vecValue)
+        if (args.exists(_.isEmpty)) None else formatConcat(fmt, args.flatten)
+      case JJoin(sep, JArr(items)) =>
+        val cs = items.map(vecValue)
+        if (cs.exists(_.isEmpty)) None
+        else Some(concat(intersperse(cs.flatten, sep): _*))
+      case JJoin(sep, JMap(_, body)) =>
+        // the closed vector array is already in arrival order
+        evalEvent(body, elemResolver(identity)) match {
+          case Some(_) => // compilable: rebuild per element inside transform
+            Some(array_join(transform(col("events"), ev =>
+              evalEvent(body, elemResolver(_ => ev)).get.cast("string")), sep))
+          case None => None
+        }
       case JObj(fields) =>
         val sub = fields.map { case (k, v) => vecValue(v).map(_.as(k)) }
         if (sub.exists(_.isEmpty)) None
         else Some(to_json(struct(sub.flatten: _*)))
+      case _ => None
+    }
+  }
+
+  /** Streaming element resolver: paths over one `events` array element. */
+  private def elemResolver(ev: Column => Column)
+                          (segs: Seq[Either[String, Int]]): Option[Column] = {
+    val e = ev(element_at(col("events"), 1)) // probe target; real calls rebind
+    segs match {
+      case Seq(Left("n")) => Some(e.getField("n"))
+      case Left("d") +: rest =>
+        val jsonPath = "$" + rest.map {
+          case Left(f)  => s".$f"
+          case Right(i) => s"[$i]"
+        }.mkString
+        val d = e.getField("d")
+        Some(
+          if (rest.isEmpty) try_parse_json(d).cast("variant")
+          else try_variant_get(try_parse_json(d), jsonPath, "variant"))
+      case Seq(Left("t"), Right(i), Left(f)) =>
+        Some(element_at(e.getField("t"), if (i == -1) -1 else i + 1).getField(f))
       case _ => None
     }
   }
@@ -304,16 +513,95 @@ object JsonnetCompiler {
         if (rest.isEmpty) try_parse_json(col("d")).cast("variant")
         else try_variant_get(try_parse_json(col("d")), jsonPath, "variant"))
     case Seq(Left("t"), Right(i), Left(f)) =>
-      Some(element_at(col("t"), i + 1).getField(f))
+      Some(element_at(col("t"), if (i == -1) -1 else i + 1).getField(f))
     case _ => None
   }
 
   private def isStringy(a: JAst): Boolean = a match {
     case JLit(_: String) => true
     case JStr(_)         => true
+    case JJoin(_, _)     => true
+    case JFormat(_, _)   => true
     case JBin("+", l, r) => isStringy(l) || isStringy(r)
     case _               => false
   }
+
+  /** `std.format` lowered to a concat: literal runs interleaved with
+    * `%s` (string render) and `%d` (integer render) argument slots;
+    * `%%` escapes. Unknown verbs or arity mismatch refuse to compile.
+    */
+  private def formatConcat(fmt: String, args: Seq[Column]): Option[Column] = {
+    val parts = Seq.newBuilder[Column]
+    val sb = new StringBuilder
+    var i = 0
+    var argI = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        fmt(i + 1) match {
+          case '%' => sb.append('%'); i += 2
+          case 's' | 'd' =>
+            if (argI >= args.length) return None
+            if (sb.nonEmpty) { parts += lit(sb.toString); sb.clear() }
+            val a = args(argI)
+            parts += (if (fmt(i + 1) == 's') a.cast("string")
+                      else a.cast("double").cast("long").cast("string"))
+            argI += 1; i += 2
+          case _ => return None
+        }
+      } else { sb.append(fmt(i)); i += 1 }
+    }
+    if (argI != args.length) return None
+    if (sb.nonEmpty) parts += lit(sb.toString)
+    Some(concat(parts.result(): _*))
+  }
+
+  /** Per-event expression evaluated against one event through a path
+    * resolver — the shared body evaluator for `std.map(function(e)
+    * ...)` in both tiers (batch rows, streaming array elements).
+    */
+  private def evalEvent(ast: JAst,
+                        resolve: Seq[Either[String, Int]] => Option[Column]): Option[Column] =
+    ast match {
+      case JLit(s: String)   => Some(lit(s))
+      case JLit(d: Double)   => Some(lit(d))
+      case JLit(b: Boolean)  => Some(lit(b))
+      case JEvtPath(_, segs) => resolve(segs)
+      case JStr(e)           => evalEvent(e, resolve).map(_.cast("string"))
+      case JLenOf(e)         =>
+        evalEvent(e, resolve).map(c => length(c.cast("string")).cast("long"))
+      case JFormat(fmt, as_) =>
+        val args = as_.map(evalEvent(_, resolve))
+        if (args.exists(_.isEmpty)) None else formatConcat(fmt, args.flatten)
+      case JJoin(sep, JArr(items)) =>
+        val cs = items.map(evalEvent(_, resolve))
+        if (cs.exists(_.isEmpty)) None
+        else Some(concat(intersperse(cs.flatten, sep): _*))
+      case JBin("+", l, r) if isStringy(l) || isStringy(r) =>
+        for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) }
+          yield concat(lc.cast("string"), rc.cast("string"))
+      case JBin(op, l, r) =>
+        for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) } yield {
+          val (ln, rn) = (lc.cast("double"), rc.cast("double"))
+          op match {
+            case "+" => ln + rn
+            case "-" => ln - rn
+            case "*" => ln * rn
+            case "/" => ln / rn
+            case "%" => ln % rn
+          }
+        }
+      case JObj(fields) =>
+        val sub = fields.map { case (k, v) => evalEvent(v, resolve).map(_.as(k)) }
+        if (sub.exists(_.isEmpty)) None else Some(to_json(struct(sub.flatten: _*)))
+      case _ => None
+    }
+
+  private def intersperse(cs: Seq[Column], sep: String): Seq[Column] =
+    if (cs.isEmpty) Seq(lit(""))
+    else cs.head +: cs.tail.flatMap(c => Seq(lit(sep), c))
+
+  /** Batch event-row resolver (columns n/d/t of the current row). */
+  private def rowResolver(segs: Seq[Either[String, Int]]): Option[Column] = pathCol(segs)
 
   /** Aggregate-scope value: (column, contains-an-aggregate). */
   private def aggValue(ast: JAst): Option[(Column, Boolean)] = ast match {
@@ -339,6 +627,28 @@ object JsonnetCompiler {
           case "/" => ln / rn
           case "%" => ln % rn
         }, la || ra)
+      }
+    case JLenOf(e) =>
+      aggValue(e).map { case (c, a) => (length(c.cast("string")).cast("long"), a) }
+    case JFormat(fmt, as_) =>
+      val args = as_.map(aggValue)
+      if (args.exists(_.isEmpty)) None
+      else formatConcat(fmt, args.flatten.map(_._1)).map(c =>
+        (c, args.flatten.exists(_._2)))
+    case JJoin(sep, JArr(items)) =>
+      val cs = items.map(aggValue)
+      if (cs.exists(_.isEmpty)) None
+      else Some((concat(intersperse(cs.flatten.map(_._1), sep): _*),
+        cs.flatten.exists(_._2)))
+    // std.join(sep, std.map(function(e) <string-expr>, events)):
+    // arrival-ordered per-event rendering joined into one string — the
+    // reference's exposition idiom, as ONE aggregate
+    case JJoin(sep, JMap(_, body)) =>
+      evalEvent(body, rowResolver).map { c =>
+        (array_join(transform(
+          array_sort(collect_list(struct(
+            struct(col("__ts"), col("__seq")).as("__o"), c.cast("string").as("__v")))),
+          x => x.getField("__v")), sep), true)
       }
     case JObj(fields) =>
       val sub = fields.map { case (k, v) => aggValue(v).map { case (c, a) => (c.as(k), a) } }

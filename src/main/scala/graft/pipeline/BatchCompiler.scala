@@ -257,8 +257,10 @@ object BatchCompiler {
         // in-subset expressions run as native Columns (no binary, same
         // machinery as the compiled jq tier); the general case pipes
         // vectors through the stream-jsonnet helper
+        val jsonnetProgram = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
         val compiledJsonnet =
-          if (wrapName.isEmpty) graft.functions.JsonnetCompiler.tryCompile(expr) else None
+          if (wrapName.isEmpty) graft.functions.JsonnetCompiler.tryCompile(jsonnetProgram)
+          else None
         compiledJsonnet match {
           case Some(c) => compiledJq(spark, tpl, step, df, c)
           case None =>

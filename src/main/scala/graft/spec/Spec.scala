@@ -246,22 +246,12 @@ object Spec {
       else SendReceiveJq(req(n, "jq-expr").asText,
         Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
     case "send-receive-jsonnet" =>
-      val fn =
-        if (n.isTextual) SendReceiveJsonnet(n.asText, None)
-        else SendReceiveJsonnet(req(n, "jsonnet-expr").asText,
-          Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
-      // in-subset `function(events)` forms compile to native Columns
-      // (JsonnetCompiler); everything else is gated on a helper binary
-      // (reference ships a Go stream-jsonnet helper; none is available
-      // offline) — same gate as the reference's PATH check
-      // (src/io/json-processor.ts:118-122)
-      val compilable = fn.wrapName.isEmpty &&
-        graft.functions.JsonnetCompiler.tryCompile(fn.expr).isDefined
-      val bin = sys.env.get("GRAFT_JSONNET_BIN")
-      require(compilable ||
-        bin.exists(b => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(b))),
-        s"step '$step': this send-receive-jsonnet expression is outside the compiled subset and needs GRAFT_JSONNET_BIN to point at a stream-jsonnet helper binary")
-      fn
+      // the compiled-subset-or-binary gate lives in validate(), where
+      // the template's jsonnet-prelude is in scope (prelude `local`
+      // definitions compile too)
+      if (n.isTextual) SendReceiveJsonnet(n.asText, None)
+      else SendReceiveJsonnet(req(n, "jsonnet-expr").asText,
+        Option(n.get("wrap")).map(w => if (w.isTextual) w.asText else req(w, "name").asText))
     case "send-http" =>
       if (n.isTextual) SendHttp(n.asText, "POST", Map.empty, None)
       else {
@@ -345,6 +335,25 @@ object Spec {
       remaining = remaining -- ready
     }
     require(remaining.isEmpty, s"dependency cycle among steps: ${remaining.keys.mkString(", ")}")
+    // in-subset `function(events)` forms (with the prelude's `local`
+    // definitions prepended, reference io/jsonnet.ts:14-15) compile to
+    // native Columns (JsonnetCompiler); everything else is gated on a
+    // helper binary (reference ships a Go stream-jsonnet helper; none
+    // is available offline) — same gate as the reference's PATH check
+    // (src/io/json-processor.ts:118-122)
+    tpl.steps.foreach { s =>
+      s.fn match {
+        case SendReceiveJsonnet(expr, wrapName) =>
+          val program = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
+          val compilable = wrapName.isEmpty &&
+            graft.functions.JsonnetCompiler.tryCompile(program).isDefined
+          val bin = sys.env.get("GRAFT_JSONNET_BIN")
+          require(compilable ||
+            bin.exists(b => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(b))),
+            s"step '${s.name}': this send-receive-jsonnet expression is outside the compiled subset and needs GRAFT_JSONNET_BIN to point at a stream-jsonnet helper binary")
+        case _ => ()
+      }
+    }
   }
 
   /** Topological order of steps (stable w.r.t. declaration order). */

@@ -387,7 +387,9 @@ object StreamCompiler {
         // object form = per-vector Columns over the closed-vector rows
         // the window operator already emits — no second stateful agg,
         // no helper binary
-        val perEvent = if (wrapName.isEmpty) JsonnetCompiler.tryCompile(expr) else None
+        val jsonnetProgram = tpl.jsonnetPrelude.fold(expr)(p => p + "\n" + expr)
+        val perEvent =
+          if (wrapName.isEmpty) JsonnetCompiler.tryCompile(jsonnetProgram) else None
         perEvent match {
           case Some(JqCompiler.CompiledPerEvent(pe)) =>
             pe.filter.fold(ds.toDF)(ds.toDF.filter).select(
@@ -397,7 +399,7 @@ object StreamCompiler {
               col("ts"), col("seq")).as[SEvent]
           case _ =>
             val vecCompiled =
-              if (wrapName.isEmpty) JsonnetCompiler.tryCompileVector(expr) else None
+              if (wrapName.isEmpty) JsonnetCompiler.tryCompileVector(jsonnetProgram) else None
             vecCompiled match {
               case Some(vc) =>
                 // vector max event time stamps the output (same

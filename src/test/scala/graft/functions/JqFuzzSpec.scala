@@ -302,6 +302,89 @@ class JqFuzzSpec extends AnyFunSuite {
     assert(approxEq(mine, jqs.head), s"DIVERGENCE: $mine vs ${jqs.head}")
   }
 
+  // ---- round-12 widenings: interpolation, split/join, unique_by ----
+
+  private val interpGen: Gen[String] = for {
+    lit1 <- Gen.oneOf("x ", "id=", "", "[")
+    p1 <- Gen.oneOf(".d.s", ".n", ".d.k", ".d.m")
+    lit2 <- Gen.oneOf(" - ", "/", "")
+    p2 <- Gen.oneOf(".d.s", ".d.k", ".d.o.x")
+    lit3 <- Gen.oneOf("!", "", " end")
+  } yield s"""{n: "out", d: {msg: "$lit1\\($p1)$lit2\\($p2)$lit3"}}"""
+
+  test("string-interpolation fuzz: compiled tier == jq on 200 random programs") {
+    import JqCompiler._
+    samples(Gen.zip(interpGen, vectorGen), 200).foreach { case (objExpr, events) =>
+      val expr = s".[] | $objExpr"
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  private val splitJoinGen: Gen[String] = for {
+    sep <- Gen.oneOf("a", "l", "-", "ph")
+    form <- Gen.oneOf(0, 1, 2)
+    sep2 <- Gen.oneOf("|", "_", "::")
+  } yield form match {
+    case 0 => s"""{n: "out", d: {parts: (.d.s | split("$sep"))}}"""
+    case 1 => s"""{n: "out", d: {j: (.d.s | split("$sep") | join("$sep2"))}}"""
+    case 2 => s"""{n: "out", d: {c: (.d.s | split("$sep") | length)}}"""
+  }
+
+  test("split/join fuzz: compiled tier == jq on 200 random programs") {
+    import JqCompiler._
+    samples(Gen.zip(splitJoinGen, vectorGen), 200).foreach { case (objExpr, events) =>
+      val expr = s".[] | $objExpr"
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("unique_by map/length and map|join aggregates == jq, null keys included") {
+    import JqCompiler._
+    val events = Seq(
+      ("a.b", """{"k":3,"s":"beta"}"""),
+      ("a.b", """{"k":4}"""),                 // missing s -> null-key group
+      ("a.c", """{"k":5,"s":"alpha"}"""),
+      ("a.b", """{"k":6,"s":"beta"}"""),      // duplicate key: first wins
+      ("a.c", """{"k":7}"""),                 // second null key: not a new group
+      ("a.c", """{"k":8,"s":"gamma"}"""))
+    val exprs = Seq(
+      """{n: "agg", d: (unique_by(.d.s) | map({s: .d.s, k: .d.k}))}""",
+      """{n: "agg", d: {u: (unique_by(.d.s) | length), j: (map(.n) | join(","))}}""")
+    exprs.foreach { expr =>
+      val Some(CompiledPerVector(pv)) = tryCompile(expr): @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val payload = pv.keys match {
+        case Seq("d") => col("d").cast("string")
+        case keys     => to_json(struct(keys.map(col): _*))
+      }
+      val row = agged.select(pv.outName.as("n"), payload.as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1)
+      assert(approxEq(mine, jqs.head), s"DIVERGENCE on '$expr': $mine vs ${jqs.head}")
+    }
+  }
+
   test("wrapped-value fuzz: compiled tier == jq on 150 random sieve programs") {
     import JqCompiler._
     samples(Gen.zip(wrappedGen, vectorGen), 150).foreach { case (expr, events) =>

@@ -298,6 +298,46 @@ class BatchCompilerSpec extends AnyFunSuite {
     assert(idOut.output.select("n").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("jsonnet widenings compile natively: locals, prelude functions, std.join/map, std.format, last-trace idiom") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
+    // prelude `local` function + value local + std.format + std.length
+    val out = run(
+      """name: p
+        |window-key: global
+        |jsonnet-prelude: 'local lbl(e) = "id-" + std.toString(e.d);'
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 3
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) local base = 10; {n: "agg", d: {x: lbl(events[0]), m: std.format("c=%d s=%s!", [std.length(events), events[0].n]), v: base * 2, w: std.length(events[0].n)}}'
+        |""".stripMargin,
+      events("alpha" -> "1", "b" -> "2", "c" -> "10"))
+    val d = out.output.select("d").collect().map(_.getString(0))
+    assert(d.length == 1, d.toSeq)
+    assert(d.head.contains("\"x\":\"id-1\""), d.head)
+    assert(d.head.contains("\"m\":\"c=3 s=alpha!\""), d.head)
+    assert(d.head.contains("\"v\":20"), d.head)
+    assert(d.head.contains("\"w\":5"), d.head)
+    // std.join over std.map in arrival order + the last-trace-entry
+    // idiom (the exposition example's shape)
+    val out2 = run(
+      """name: p2
+        |window-key: global
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 3
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {names: std.join("|", std.map(function(e) e.n + "=" + std.toString(e.d), events)), pipe: events[0].t[std.length(events[0].t) - 1].p}}'
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2", "c" -> "10"))
+    val d2 = out2.output.select("d").collect().map(_.getString(0))
+    assert(d2.length == 1, d2.toSeq)
+    assert(d2.head.contains("\"names\":\"a=1|b=2|c=10\""), d2.head)
+    assert(d2.head.contains("\"pipe\":\"p2\""), d2.head)
+  }
+
   test("jsonnet-prelude parses and rides the template (subprocess tier concatenates it)") {
     val tpl = Spec.parseYaml(
       """name: p
