@@ -384,6 +384,16 @@ object JqCompiler {
     case _ => None
   }
 
+  /** Payload source for `.d` paths. Default: parse the `d` JSON-string
+    * column at each access. The VARIANT payload tier (`payload-tier:
+    * variant`, SURVEY §1.3 — Spark 4's VariantType) rebinds this to a
+    * pre-parsed `__dv` variant column for the duration of plan
+    * construction, so chained compiled steps read the binary variant
+    * encoding instead of re-parsing JSON text per access.
+    */
+  val payloadSource = new scala.util.DynamicVariable[() => Column](
+    () => try_parse_json(col("d")))
+
   /** Event-scope value: path over {n, d, t} columns. */
   private def eventValue(p: Path): Option[Column] = p.segs match {
     case Seq() => None // bare `.` as a value isn't expressible columnarly
@@ -393,9 +403,10 @@ object JqCompiler {
         case Left(f)  => s".$f"
         case Right(i) => s"[$i]"
       }.mkString
+      val pv = payloadSource.value()
       Some(
-        if (rest.isEmpty) try_parse_json(col("d")).cast("variant")
-        else try_variant_get(try_parse_json(col("d")), jsonPath, "variant"))
+        if (rest.isEmpty) pv.cast("variant")
+        else try_variant_get(pv, jsonPath, "variant"))
     case Left("t") +: Right(i) +: Left(f) +: Nil =>
       Some(element_at(col("t"), i + 1).getField(f))
     case _ => None

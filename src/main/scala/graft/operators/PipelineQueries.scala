@@ -202,6 +202,15 @@ object PipelineQueries {
       runPipeline("jq-tier: compiled\n" + pipelineYaml)(s, d)
     },
 
+    // the compiled pipeline AGAIN on the VariantType payload tier
+    // (SURVEY §1.3): `d` parsed once into a Spark 4 variant column that
+    // rides between steps, compiled-jq field access reading the binary
+    // encoding instead of re-parsing JSON text per access. Same oracle
+    // as pipeline_e2e_compiled — the tier must be output-invisible.
+    "pipeline_e2e_variant" -> { (s, d) =>
+      runPipeline("payload-tier: variant\njq-tier: compiled\n" + pipelineYaml)(s, d)
+    },
+
     // per-name windows (the scalable replay path), real jq subprocess
     "pipeline_e2e_keyed" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -284,6 +293,7 @@ object PipelineQueries {
     "pipeline_e2e_stress" -> stressOracle,
     "pipeline_e2e" -> e2eOracle,
     "pipeline_e2e_compiled" -> e2eOracle,
+    "pipeline_e2e_variant" -> e2eOracle,
     "pipeline_e2e_jsonnet" -> jsonnetOracle,
     "pipeline_e2e_keyed" -> keyedOracle)
 }

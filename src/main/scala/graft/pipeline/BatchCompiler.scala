@@ -122,10 +122,24 @@ object BatchCompiler {
   def compile(spark: SparkSession, tpl: PipelineTemplate, input: DataFrame): Compiled = {
     val sinks = scala.collection.mutable.LinkedHashMap[String, SinkSpec]()
     val outputs = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val variantPayload = tpl.payloadTier == "variant"
 
+    // variant payload tier: parse `d` ONCE into a VariantType column
+    // that rides between steps; compiled-jq `.d` paths read it instead
+    // of re-parsing the JSON text per access (payloadSource rebind in
+    // applyVariantScoped). Steps that construct a new payload emit
+    // fresh `d` text, so `__dv` is recomputed after every step.
+    def attachDv(df: DataFrame): DataFrame =
+      if (variantPayload) df.withColumn("__dv", try_parse_json(col("d"))) else df
+    def applyVariantScoped[A](body: => A): A =
+      if (variantPayload)
+        graft.functions.JqCompiler.payloadSource.withValue(() => col("__dv"))(body)
+      else body
+
+    val input0 = attachDv(input)
     Spec.topoOrder(tpl).foreach { step =>
       val upstream = (if (step.after.isEmpty) Seq("$input") else step.after).map {
-        case "$input" => input
+        case "$input" => input0
         case other    => outputs(other)
       }.reduce(_ unionByName _)
 
@@ -137,7 +151,7 @@ object BatchCompiler {
             if (step.matchMode == MatchMode.Pass) Some(upstream.filter(!c)) else None)
       }
 
-      val processed = applyFn(spark, tpl, step, matched, sinks)
+      val processed = attachDv(applyVariantScoped(applyFn(spark, tpl, step, matched, sinks)))
       outputs(step.name) = passed.fold(processed)(processed.unionByName(_))
     }
 
@@ -146,10 +160,10 @@ object BatchCompiler {
       tpl.steps.map(_.name).filterNot(referenced.contains)
     }
     val out = terminalNames.map(outputs(_)) match {
-      case Seq()  => input.limit(0)
+      case Seq()  => input0.limit(0)
       case builds => builds.reduce(_ unionByName _)
     }
-    Compiled(out, sinks.toMap)
+    Compiled(if (variantPayload) out.drop("__dv") else out, sinks.toMap)
   }
 
   // ---- per-step function application ----

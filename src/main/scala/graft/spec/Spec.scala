@@ -92,7 +92,15 @@ object Spec {
         * doesn't funnel a 100-TB replay through one task); "global" is
         * the explicit opt-in reproducing the reference's single global
         * arrival-order buffer bit-for-bit. */
-      windowKey: String = "name") {
+      windowKey: String = "name",
+      /** Engine extension (SURVEY §1.3): "variant" carries the payload
+        * as a pre-parsed Spark VariantType column (`__dv`) between
+        * steps — compiled-jq field access reads the binary variant
+        * encoding instead of re-parsing the `d` JSON text per access.
+        * Default "string" is the reference-shaped JSON-text payload.
+        * (keep-when's schema filter still probes the text; its parser
+        * is jackson-level, not path-level.) */
+      payloadTier: String = "string") {
     def signature: String =
       graft.model.Signatures.ofJson(name + steps.map(_.toString).mkString("|"))
   }
@@ -126,9 +134,13 @@ object Spec {
     val windowKey = Option(root.get("window-key")).map(_.asText).getOrElse("name")
     require(Set("global", "name").contains(windowKey),
       s"window-key must be global or name, got $windowKey")
+    val payloadTier = Option(root.get("payload-tier")).map(_.asText).getOrElse("string")
+    require(Set("string", "variant").contains(payloadTier),
+      s"payload-tier must be string or variant, got $payloadTier")
     val tpl = PipelineTemplate(name, input, steps,
       Option(root.get("jq-prelude")).map(_.asText),
-      Option(root.get("jsonnet-prelude")).map(_.asText), jqTier, windowKey)
+      Option(root.get("jsonnet-prelude")).map(_.asText), jqTier, windowKey,
+      payloadTier)
     validate(tpl)
     tpl
   }

@@ -338,6 +338,37 @@ class BatchCompilerSpec extends AnyFunSuite {
     assert(d2.head.contains("\"pipe\":\"p2\""), d2.head)
   }
 
+  test("variant payload tier: identical output to the string tier, plan reads the __dv variant column") {
+    val yaml =
+      """name: p
+        |window-key: global
+        |steps:
+        |  sel:
+        |    flatmap:
+        |      send-receive-jq: '.[] | select(.d.k > 1) | {n: "out", d: {v: (.d.k * 2)}}'
+        |  agg:
+        |    after: [sel]
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jq: '{n: "agg", d: {s: (map(.d.v) | add), c: length}}'
+        |""".stripMargin
+    val payloads = Seq("a" -> """{"k": 1}""", "b" -> """{"k": 2}""", "c" -> """{"k": 5}""")
+    val strOut = run("jq-tier: compiled\n" + yaml, events(payloads: _*))
+    val varOut = run("payload-tier: variant\njq-tier: compiled\n" + yaml,
+      events(payloads: _*))
+    def rows(c: graft.pipeline.BatchCompiler.Compiled) =
+      c.output.select("n", "d").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows(strOut) == rows(varOut))
+    assert(rows(varOut).nonEmpty)
+    // the variant plan really reads the pre-parsed column: __dv appears
+    // in the analyzed plan, and the step's field accesses resolve
+    // against it (variant_get over __dv, not a fresh parse_json(d))
+    val plan = varOut.output.queryExecution.analyzed.toString
+    assert(plan.contains("__dv"), plan.take(600))
+    assert(!strOut.output.queryExecution.analyzed.toString.contains("__dv"))
+  }
+
   test("jsonnet-prelude parses and rides the template (subprocess tier concatenates it)") {
     val tpl = Spec.parseYaml(
       """name: p
