@@ -364,15 +364,18 @@ object CurationQueries {
     // undershoots). Same per-shard running-sum window as
     // pack_sequences — one exchange on source, shards fill in
     // parallel, no driver state.
+    // `source` has a handful of distinct values at ANY corpus size, so
+    // the running sum rides ParallelRank.withRunningSum above the size
+    // cutover: per-(source, mix-bucket) local prefix sums + a
+    // broadcast bucket-offset table, instead of one task per source
+    // shard. Below the cutover it is the plain single-window plan.
     "sample_token_budget" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source")
-        .orderBy(col("mix"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
-        .withColumn("n_toks", size(tokens(col("text"))))
-        .withColumn("mix", expr(mixSql))
-        .withColumn("cum", sum(col("n_toks")).over(w))
+      ParallelRank.withRunningSum(
+          docs(s, d)
+            .withColumn("n_toks", size(tokens(col("text"))))
+            .withColumn("mix", expr(mixSql)),
+          Seq(col("source")), Seq(col("mix"), col("doc_id")),
+          col("n_toks"), "cum")
         .filter(col("cum") - col("n_toks") < lit(TokenBudget))
         .select("doc_id", "source", "n_toks", "cum")
         .orderBy("doc_id")
@@ -385,13 +388,15 @@ object CurationQueries {
     // source partition — at 100 TB you pack per shard in parallel,
     // which is exactly this window's partitioning; no global sort,
     // no driver state.
+    // Same prefix-sum scale shape as sample_token_budget: per-source
+    // packing is a running sum, and above the size cutover it runs
+    // segmented per (source, doc_id-bucket) with broadcast offsets so
+    // a 10-TB shard packs on the whole cluster, not one task.
     "pack_sequences" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
-        .withColumn("n_toks", size(tokens(col("text"))))
-        .withColumn("cum", sum(col("n_toks")).over(w))
+      ParallelRank.withRunningSum(
+          docs(s, d).withColumn("n_toks", size(tokens(col("text")))),
+          Seq(col("source")), Seq(col("doc_id")),
+          col("n_toks"), "cum")
         .select(
           col("doc_id"), col("source"), col("n_toks"),
           (col("cum") - col("n_toks")).as("tok_offset"),

@@ -100,4 +100,113 @@ object ParallelRank {
       .withColumn(out, col("__prlrn") + col("__proff"))
       .drop((Seq("__prbkt", "__prlrn", "__proff") ++ keyNames): _*)
   }
+
+  /** Append the 1-based-inclusive running `sum(value) over (partition
+    * by keyCols order by orderCols rows between unbounded preceding
+    * and current row)` as column `out` — the distributed prefix sum
+    * behind sequence packing and token-budget draws, where the "key"
+    * is a source/shard name with a handful of distinct values and a
+    * plain window caps the whole corpus at #shards parallelism.
+    *
+    * Same segmentation as [[withRowNumber]]: deterministic monotone
+    * buckets of the leading order column, a LOCAL running sum per
+    * (key, bucket), and a broadcast per-(key, bucket) prefix-total
+    * table (`sum(value)` per bucket, prefix-summed per key in bucket
+    * order): global running sum = local running sum + bucket offset.
+    * Exact for any associative numeric `value` type Spark's `sum`
+    * handles (long stays long, no float reordering for integers —
+    * the token-count callers). Identical to the single-task window
+    * (a ROWS running sum is a function of the total order alone).
+    */
+  def withRunningSum(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+                     value: Column, out: String, smallThreshold: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ord0 = orderCols.head
+    val mm = df.agg(min(ord0).cast("double").as("lo"), max(ord0).cast("double").as("hi"),
+      count(lit(1)).as("n")).head()
+    if (mm.isNullAt(0)) return df.withColumn(out, value) // empty/degenerate input
+    val plainW = {
+      val base =
+        if (keyCols.isEmpty) Window.orderBy(orderCols: _*)
+        else Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+      base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    if (mm.getLong(2) <= resolveThreshold(df, smallThreshold))
+      return df.withColumn(out, sum(value).over(plainW))
+    val lo = mm.getDouble(0)
+    val stride = math.max(math.ulp(lo), (mm.getDouble(1) - lo) / (p * 8).toDouble)
+
+    val keyNames = keyCols.indices.map(i => s"__psk$i")
+    val bucketed = keyCols.zip(keyNames).foldLeft(df) { case (d, (c, n)) =>
+        d.withColumn(n, c)
+      }
+      .withColumn("__psv", value)
+      .withColumn("__psbkt",
+        floor((ord0.cast("double") - lit(lo)) / lit(stride)).cast("long"))
+    val keyB = keyNames.map(col) :+ col("__psbkt")
+    val local = bucketed.withColumn("__pslcs",
+      sum(col("__psv")).over(Window.partitionBy(keyB: _*).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = bucketed.groupBy(keyB: _*)
+      .agg(sum(col("__psv")).as("__pssum"))
+      .withColumn("__psoff",
+        coalesce(sum(col("__pssum")).over(
+          Window.partitionBy(keyNames.map(col): _*).orderBy(col("__psbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pssum")
+    local
+      .join(broadcast(offs), (keyNames :+ "__psbkt").toSeq)
+      .withColumn(out, col("__pslcs") + col("__psoff"))
+      .drop((Seq("__psbkt", "__psv", "__pslcs", "__psoff") ++ keyNames): _*)
+  }
+
+  /** Keep each key's global top-`k` rows by `orderCols` and append
+    * their exact 1-based rank as `out` — the distributed per-key
+    * top-k that replaces `row_number().over(partitionBy(key)).filter
+    * (<= k)` when the key cardinality is small (25 nations over a
+    * billion suppliers: a plain window sorts 1/25th of the table on
+    * ONE task). Two exact levels:
+    *
+    *   1. rank per (key, `salt`) — `salt` must be a DETERMINISTIC
+    *      per-row column (hash a unique id); any row in the key's
+    *      global top-k is top-k within its own salt bucket, so the
+    *      local `<= k` filter never drops a global survivor;
+    *   2. a plain per-key window over the ≤ saltBuckets·k survivors
+    *      assigns the exact global rank; the final filter keeps `k`.
+    *
+    * The salt is plan-internal — output equals the single-window
+    * query. Parallelism of the heavy first level is #keys × salt
+    * buckets (sized 2× the shuffle partition count).
+    */
+  def withTopKRank(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+                   k: Int, salt: Column, out: String,
+                   smallThreshold: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    val plainW =
+      if (keyCols.isEmpty) Window.orderBy(orderCols: _*)
+      else Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    val n = df.count()
+    if (n <= resolveThreshold(df, smallThreshold))
+      return df.withColumn(out, row_number().over(plainW).cast("long"))
+        .filter(col(out) <= k)
+    val buckets = spark.sessionState.conf.numShufflePartitions * 2
+    val keyNames = keyCols.indices.map(i => s"__ptk$i")
+    val salted = keyCols.zip(keyNames).foldLeft(df) { case (d, (c, nm)) =>
+        d.withColumn(nm, c)
+      }
+      .withColumn("__ptsalt", pmod(salt, lit(buckets.toLong)))
+    val saltedKeys = keyNames.map(col) :+ col("__ptsalt")
+    val survivors = salted
+      .withColumn("__ptlrn",
+        row_number().over(Window.partitionBy(saltedKeys: _*).orderBy(orderCols: _*)))
+      .filter(col("__ptlrn") <= k)
+    val globalW =
+      if (keyNames.isEmpty) Window.orderBy(orderCols: _*)
+      else Window.partitionBy(keyNames.map(col): _*).orderBy(orderCols: _*)
+    survivors
+      .withColumn(out, row_number().over(globalW).cast("long"))
+      .filter(col(out) <= k)
+      .drop((Seq("__ptsalt", "__ptlrn") ++ keyNames): _*)
+  }
 }

@@ -141,15 +141,24 @@ object RelationalQueries {
     },
 
     // Ranking/analytic window functions: top-3 suppliers per nation,
-    // with the gap to the previous-ranked account balance.
+    // with the gap to the previous-ranked account balance. s_nationkey
+    // has 25 values at EVERY scale factor, so a bare per-nation window
+    // would sort 1/25th of a 100-TB supplier table on one task — the
+    // same low-cardinality window killer fixed for the events family.
+    // ParallelRank.withTopKRank salts the heavy rank into #keys×2p
+    // buckets (exact: a global top-3 row is top-3 in its own bucket)
+    // and the lag runs over the ≤ 3-per-nation survivors — bounded by
+    // construction. Below the cutover the plain single-window plan
+    // runs unchanged.
     "window_rank" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      Tables.supplier(s, d)
-        .withColumn("rnk", row_number().over(w))
+      val ord = Seq(col("s_acctbal").desc, col("s_suppkey").asc)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey").orderBy(ord: _*)
+      ParallelRank.withTopKRank(Tables.supplier(s, d),
+          Seq(col("s_nationkey")), ord, 3, xxhash64(col("s_suppkey")), "rnk")
+        .withColumn("rnk", col("rnk").cast("int"))
         .withColumn("prev_gap",
-          (col("s_acctbal") - coalesce(lag("s_acctbal", 1).over(w), col("s_acctbal"))))
-        .filter(col("rnk") <= 3)
+          (col("s_acctbal") - coalesce(lag("s_acctbal", 1).over(wTop), col("s_acctbal"))))
         .select("s_nationkey", "rnk", "s_suppkey", "s_acctbal", "prev_gap")
         .orderBy("s_nationkey", "rnk")
     },
@@ -327,17 +336,48 @@ object RelationalQueries {
         .select("c_custkey", "c_acctbal").orderBy("c_custkey")
     },
 
-    // Analytic-function variants: ntile bucketing + first/last frame values.
+    // Analytic-function variants: ntile bucketing + first/last frame
+    // values. c_mktsegment has FIVE values at every scale factor — a
+    // bare per-segment window puts ~20% of a 100-TB customer table on
+    // one task. Above the size cutover every analytic here is instead
+    // assembled from the distributed rank (the order is total, so the
+    // RANGE running count equals row_number), a broadcast per-segment
+    // stats row, and arithmetic:
+    //   cume     = rank (unique order => no peers),
+    //   top_bal  = per-segment max(c_acctbal) (the first value in
+    //              acctbal-desc order),
+    //   quartile = ANSI NTILE(4) from (rank, segment count): q=N/4,
+    //              rem=N%4, first rem buckets hold q+1 rows.
+    // Below the cutover the original single-window plan runs.
     "window_analytics" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("top_bal", first(col("c_acctbal")).over(w))
-        .withColumn("cume", count(lit(1)).over(w))
-        .filter(col("c_custkey") % 50 === 0)
-        .select("c_custkey", "c_mktsegment", "quartile", "top_bal", "cume")
-        .orderBy("c_custkey")
+      val cust = Tables.customer(s, d)
+      if (Tables.cachedCount(s, d, "customer") <= ParallelRank.resolveThreshold(cust, -1L)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        cust
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("top_bal", first(col("c_acctbal")).over(w))
+          .withColumn("cume", count(lit(1)).over(w))
+          .filter(col("c_custkey") % 50 === 0)
+          .select("c_custkey", "c_mktsegment", "quartile", "top_bal", "cume")
+          .orderBy("c_custkey")
+      } else {
+        val ranked = ParallelRank.withRowNumber(cust, Seq(col("c_mktsegment")),
+          Seq(col("c_acctbal") * lit(-1), col("c_custkey")), "cume",
+          smallThreshold = 0L)
+        val stats = cust.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("__seg_n"), max(col("c_acctbal")).as("top_bal"))
+        val r = col("cume"); val n = col("__seg_n")
+        val q = floor(n / lit(4)); val rem = n % lit(4)
+        val thresh = (q + lit(1)) * rem
+        val quartile = when(r <= thresh, floor((r - lit(1)) / (q + lit(1))) + lit(1))
+          .otherwise(rem + floor((r - thresh - lit(1)) / greatest(q, lit(1))) + lit(1))
+        ranked.join(broadcast(stats), "c_mktsegment")
+          .filter(col("c_custkey") % 50 === 0)
+          .withColumn("quartile", quartile.cast("int"))
+          .select("c_custkey", "c_mktsegment", "quartile", "top_bal", "cume")
+          .orderBy("c_custkey")
+      }
     },
 
     // Conditional aggregation (filtered counts/sums in one pass).

@@ -104,4 +104,107 @@ class ParallelRankSpec extends AnyFunSuite {
     assert(joined.count() == 10000)
     assert(joined.filter(col("fn") =!= col("fn2") || col("fs") =!= col("fs2")).count() == 0)
   }
+
+  // ---- withRunningSum: the distributed prefix sum ----
+
+  private def sumDiffCount(rows: Seq[(String, Long, Long)]): Long = {
+    import spark.implicits._
+    val df = rows.toDF("k", "ts", "id").withColumn("v", col("id") % 97 + 1)
+    val plain = df.withColumn("cum", sum(col("v")).over(
+      Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val par = ParallelRank.withRunningSum(df, Seq(col("k")),
+      Seq(col("ts"), col("id")), col("v"), "cum2", smallThreshold = 0L)
+    plain.join(par, Seq("k", "ts", "id")).filter(col("cum") =!= col("cum2")).count()
+  }
+
+  test("running sum with heavy ties: identical to the plain window") {
+    assert(sumDiffCount(randomRows(5000, keys = 7, tsRange = 50, seed = 31)) == 0)
+  }
+
+  test("running sum, spread order column: identical to the plain window") {
+    assert(sumDiffCount(randomRows(5000, keys = 3, tsRange = 1_000_000_000L, seed = 32)) == 0)
+  }
+
+  test("running sum, constant order column (one bucket): exact") {
+    assert(sumDiffCount((0 until 500).map(i => (s"k${i % 4}", 42L, i.toLong))) == 0)
+  }
+
+  test("running sum stays LONG (integer token counts never reorder as floats)") {
+    import spark.implicits._
+    val df = randomRows(200, keys = 2, tsRange = 100, seed = 33).toDF("k", "ts", "id")
+    val out = ParallelRank.withRunningSum(df, Seq(col("k")),
+      Seq(col("ts"), col("id")), col("id"), "cum", smallThreshold = 0L)
+    assert(out.schema("cum").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("running sum on empty input yields no rows, column present") {
+    import spark.implicits._
+    val df = Seq.empty[(String, Long, Long)].toDF("k", "ts", "id")
+    val out = ParallelRank.withRunningSum(df, Seq(col("k")),
+      Seq(col("ts"), col("id")), col("id"), "cum")
+    assert(out.columns.contains("cum") && out.count() == 0)
+  }
+
+  // ---- withTopKRank: the salted exact per-key top-k ----
+
+  test("salted top-k equals the plain window top-k, ranks and rows") {
+    import spark.implicits._
+    val df = randomRows(8000, keys = 5, tsRange = 300, seed = 41).toDF("k", "ts", "id")
+    val plain = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))).cast("long"))
+      .filter(col("rn") <= 7)
+    val par = ParallelRank.withTopKRank(df, Seq(col("k")),
+      Seq(col("ts").asc, col("id").asc), 7, xxhash64(col("id")), "rn2",
+      smallThreshold = 0L)
+    assert(par.count() == plain.count())
+    assert(plain.join(par, Seq("k", "ts", "id")).count() == plain.count())
+    assert(plain.join(par, Seq("k", "ts", "id"))
+      .filter(col("rn") =!= col("rn2")).count() == 0)
+  }
+
+  test("salted top-k with descending order: exact survivors") {
+    import spark.implicits._
+    val df = randomRows(4000, keys = 3, tsRange = 1000, seed = 42).toDF("k", "ts", "id")
+    val plain = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("ts").desc, col("id").asc)).cast("long"))
+      .filter(col("rn") <= 3)
+    val par = ParallelRank.withTopKRank(df, Seq(col("k")),
+      Seq(col("ts").desc, col("id").asc), 3, xxhash64(col("id")), "rn2",
+      smallThreshold = 0L)
+    assert(plain.join(par, Seq("k", "ts", "id")).filter(col("rn") === col("rn2")).count()
+      == plain.count())
+  }
+
+  // ---- the four rewritten shipped queries: scale path == plain path ----
+
+  private def queryDiff(name: String): Unit = {
+    val sf = "/root/testdata/sf0.001"
+    def rows(thr: String): Seq[String] = {
+      spark.conf.set("graft.window.smallInputRows", thr)
+      try graft.SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).toSeq.sorted
+      finally spark.conf.unset("graft.window.smallInputRows")
+    }
+    val plain = rows(Long.MaxValue.toString)
+    val segmented = rows("0")
+    assert(plain.nonEmpty, s"$name returned no rows")
+    assert(plain == segmented, s"$name: segmented path diverges from plain window")
+  }
+
+  test("window_rank: salted top-3 equals the plain per-nation window") {
+    queryDiff("window_rank")
+  }
+
+  test("window_analytics: rank-arithmetic ntile/first/cume equals the plain window") {
+    queryDiff("window_analytics")
+  }
+
+  test("sample_token_budget: segmented prefix sum equals the plain window") {
+    queryDiff("sample_token_budget")
+  }
+
+  test("pack_sequences: segmented prefix sum equals the plain window") {
+    queryDiff("pack_sequences")
+  }
 }
