@@ -52,7 +52,9 @@ object ScaleBench {
     "text_length_hist", "emb_quantize_int8", "emb_ann_pq_batch", "mm_decode_meta",
     "text_dup_spans", "text_heavy_hitters", "sample_split", "sample_temperature",
     "ev_active_users", "emb_pca_project",
-    "dedup_cluster_resolve_dist", "ev_keep_when_str", "dedup_semantic_auto")
+    "dedup_cluster_resolve_dist", "ev_keep_when_str", "dedup_semantic_auto",
+    "window_rank", "window_analytics", "pack_sequences",
+    "dedup_incremental", "dedup_incremental_minhash")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +66,13 @@ object ScaleBench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force the size-adaptive window cutover (e.g. 0 = always the
+    // segmented scale plans) so growth rows can exercise the plan that
+    // runs past the cutover even on replicas that sit under it; the
+    // segmented == plain equality is spec-pinned, so the forced rows
+    // measure the production scale plan's growth honestly.
+    sys.env.get("SPARK_GRAFT_WINDOW_SMALL")
+      .foreach(v => spark.conf.set("graft.window.smallInputRows", v))
     args.toList match {
       case "build" :: src :: dst :: factor :: Nil =>
         build(spark, src, dst, factor.toInt)

@@ -158,21 +158,113 @@ object TextQueries {
     * estimated Jaccard, filtered at [[JaccardT]] — shared by the pair
     * query and the cluster-resolution query.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val hashed = docs(s, d)
+  /** Per-document MinHash signature: `(doc_id, mh array(K))` — the
+    * signature half of a persistable near-dup index. Explode + K
+    * min-aggregates, so the heavy pass is map-side partial.
+    */
+  private def minhashSignatures(documents: DataFrame): DataFrame = {
+    val hashed = documents
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.shingleHashes(col("text"), 3)).as("h"))
     val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * lit(a) + lit(b)) % lit(graft.functions.TextFunctions.HashPrime)).as(s"m$i")
     }
-    val mh = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("mh"))
+  }
 
-    val bands = (0 until Bands).map { bi =>
+  /** LSH band rows `(doc_id, band, bkey)` of a signature table — the
+    * bucket half of the index; docs sharing any (band, bkey) are
+    * candidate near-dups.
+    */
+  private def minhashBands(mh: DataFrame): DataFrame =
+    (0 until Bands).map { bi =>
       mh.select(col("doc_id"), lit(bi).as("band"),
         md5(concat_ws(",", (1 to R).map(j => element_at(col("mh"), bi * R + j)): _*)).as("bkey"))
     }.reduce(_ unionByName _)
+
+  // ---- incremental dedup: a new crawl batch vs a persisted corpus
+  // index. The 100-TB pattern is NOT "rescan the corpus per batch":
+  // the index (content hashes, or minhash signatures + band buckets)
+  // is built once, stored, and each incoming batch probes it. Every
+  // probe below keeps the corpus-sized side SCAN-ONLY — the batch
+  // (small by definition) is broadcast into the index scan, so no
+  // corpus-sized shuffle ever happens; store the index bucketed by
+  // its join key (LayoutOps pattern) and the scan prunes too. ----
+
+  /** Exact-dedup corpus index: one row per distinct content hash with
+    * the keeper doc id. Built once per corpus, persisted, appended as
+    * batches are admitted.
+    */
+  def buildExactIndex(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("index_doc"))
+
+  /** Verdict per batch document against an exact index: `corpus_dup`
+    * (hash already admitted — `dup_of` = the index keeper),
+    * `batch_dup` (first seen earlier IN THIS BATCH — `dup_of` = the
+    * batch keeper), or `unique`. Plan shape: the index side is probed
+    * with a BROADCAST of the batch's distinct hashes (inner join →
+    * small `hits`), then everything else joins batch-sized tables —
+    * the corpus index is scanned once, shuffled never.
+    */
+  def probeExactIndex(index: DataFrame, batch: DataFrame): DataFrame = {
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val hits = index.join(broadcast(hashed.select("h").distinct()), "h")
+    val firstIn = hashed.groupBy("h").agg(min("doc_id").as("first_in_batch"))
+    hashed
+      .join(firstIn, "h")
+      .join(hits, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("index_doc").isNotNull, lit("corpus_dup"))
+          .when(col("doc_id") =!= col("first_in_batch"), lit("batch_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        when(col("index_doc").isNotNull, col("index_doc"))
+          .when(col("doc_id") =!= col("first_in_batch"), col("first_in_batch"))
+          .as("dup_of"))
+  }
+
+  /** Near-dup (MinHash) corpus index: band-bucket rows + signatures,
+    * both persistable. */
+  def buildMinhashIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = minhashSignatures(corpus)
+    (minhashBands(sigs), sigs)
+  }
+
+  /** Probe a MinHash index with a new batch: batch band rows are
+    * BROADCAST against the corpus band index (inner join — corpus side
+    * scan-only), candidates join both signature sides (candidates are
+    * batch-sized, broadcast again into the corpus signature scan), and
+    * each batch doc keeps its best corpus match (highest estimated
+    * Jaccard ≥ [[JaccardT]], ties to the lowest corpus doc id).
+    * Returns `(doc_id, dup_of, est_jaccard)` for matched batch docs.
+    */
+  def probeMinhashIndex(indexBands: DataFrame, indexSigs: DataFrame,
+                        batch: DataFrame): DataFrame = {
+    val bSigs = minhashSignatures(batch)
+    val bBands = minhashBands(bSigs)
+    val cand = indexBands.as("c")
+      .join(broadcast(bBands.as("n")), Seq("band", "bkey"))
+      .select(col("n.doc_id").as("a"), col("c.doc_id").as("b"))
+      .distinct()
+    val est = (1 to K).map(i =>
+      when(element_at(col("ma"), i) === element_at(col("mb"), i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K
+    val scored = indexSigs.select(col("doc_id").as("b"), col("mh").as("mb"))
+      .join(broadcast(cand), "b")
+      .join(broadcast(bSigs.select(col("doc_id").as("a"), col("mh").as("ma"))), "a")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= JaccardT)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("est_jaccard").desc, col("b").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("a").as("doc_id"), col("b").as("dup_of"), col("est_jaccard"))
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashSignatures(docs(s, d))
+    val bands = minhashBands(mh)
 
     val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -251,6 +343,32 @@ object TextQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
+    },
+
+    // Incremental exact dedup: the 30% of docs with doc_id%10<3 play
+    // the incoming crawl batch, the rest the already-admitted corpus
+    // whose hash index is persisted (built here in-query for the
+    // oracle; IncrementalDedupSpec proves the parquet round-trip).
+    "dedup_incremental" -> { (s, d) =>
+      val all = docs(s, d)
+      val batch = all.filter(col("doc_id") % 10 < 3)
+      val corpus = all.filter(col("doc_id") % 10 >= 3)
+      probeExactIndex(buildExactIndex(corpus), batch)
+        .orderBy("doc_id")
+    },
+
+    // Incremental NEAR-dup: the same batch/corpus split probing a
+    // MinHash band+signature index — each batch doc's best corpus
+    // match at est-Jaccard >= the LSH threshold. The corpus side is
+    // scan-only (batch bands and candidates broadcast), the shape
+    // that admits a daily crawl against a 100-TB corpus without
+    // re-shuffling it.
+    "dedup_incremental_minhash" -> { (s, d) =>
+      val all = docs(s, d)
+      val batch = all.filter(col("doc_id") % 10 < 3)
+      val (idxBands, idxSigs) = buildMinhashIndex(all.filter(col("doc_id") % 10 >= 3))
+      probeMinhashIndex(idxBands, idxSigs, batch)
+        .orderBy("doc_id")
     },
 
     // Exact n-gram Jaccard near-dup on a bounded block (quadratic by
@@ -670,6 +788,43 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 < 3),
+        |idx AS (SELECT md5(text) AS h, MIN(doc_id) AS index_doc
+        |        FROM documents WHERE doc_id % 10 >= 3 GROUP BY 1),
+        |firstb AS (SELECT h, MIN(doc_id) AS first_in_batch FROM batch GROUP BY h)
+        |SELECT b.doc_id,
+        |  CASE WHEN i.index_doc IS NOT NULL THEN 'corpus_dup'
+        |       WHEN b.doc_id <> f.first_in_batch THEN 'batch_dup'
+        |       ELSE 'unique' END AS verdict,
+        |  CASE WHEN i.index_doc IS NOT NULL THEN i.index_doc
+        |       WHEN b.doc_id <> f.first_in_batch THEN f.first_in_batch END AS dup_of
+        |FROM batch b
+        |  JOIN firstb f USING (h)
+        |  LEFT JOIN idx i USING (h)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_minhash" -> {
+      val estTerms = (1 to K).map(i => s"CASE WHEN ma[$i] = mb[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashPairCtes,
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS a, c.doc_id AS b
+         |  FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+         |  WHERE n.doc_id % 10 < 3 AND c.doc_id % 10 >= 3),
+         |scored AS (
+         |  SELECT a, b, CAST($estTerms AS DOUBLE) / $K AS est_jaccard
+         |  FROM cand
+         |    JOIN (SELECT doc_id AS a, mh AS ma FROM mh) USING (a)
+         |    JOIN (SELECT doc_id AS b, mh AS mb FROM mh) USING (b)
+         |  WHERE CAST($estTerms AS DOUBLE) / $K >= $JaccardT)
+         |SELECT a AS doc_id, b AS dup_of, est_jaccard FROM (
+         |  SELECT a, b, est_jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY est_jaccard DESC, b) AS rn
+         |  FROM scored)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       s"""WITH base AS (
