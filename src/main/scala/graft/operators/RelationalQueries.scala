@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -22,7 +22,6 @@ import graft.sources.Tables
 object RelationalQueries {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
-  private val one = lit(1).cast("decimal(18,2)")
 
   /** Quantiles for `agg_approx_quantile`; Verify's rank-error invariant
     * evaluates the same list.
@@ -51,7 +50,31 @@ object RelationalQueries {
     // yields NaN. Clamped-to-zero variance → ÷0 → NULL in both engines.
     s"floor(((n * $sxy - $sx * $sy) / (sqrt(greatest(0, n * $sxx - $sx * $sx)) * sqrt(greatest(0, n * $syy - $sy * $sy)))) * 1e12 + 0.5) / 1e12"
 
-  private def revenue = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
+  // ---- fixed-point money arithmetic (the agg_corr pattern, shared by
+  // every revenue/price sum): cents-scaling is exact for the 2-decimal
+  // TPC-H columns, keeps the per-row hot path on primitive longs
+  // inside whole-stage codegen (a decimal(18,2)×decimal(18,2) product
+  // widens past the compact Decimal representation — one BigDecimal
+  // allocation per row, measured 2.4× slower on q1_agg), and the hi/lo
+  // split at 1e7 keeps both long sums in range past ~9e11 rows per
+  // group — ~6× a 100-TB lineitem's largest group. Sums recombine
+  // hi·1e7 + lo IN DOUBLE, the identical IEEE ops the mirrored oracle
+  // SQL runs, so hash-exactness survives the representation. ----
+
+  private[operators] val FpHi = 10000000L
+
+  /** Exact long cents of a 2-decimal-valued column. */
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  /** SUM of a fixed-point long column `v` (by NAME — the div/mod ride
+    * `expr`), hi/lo split, recombined in double, scaled by `divisor`.
+    */
+  private def fpSum(v: String, divisor: Double): Column =
+    (sum(expr(s"$v div $FpHi")).cast("double") * lit(FpHi.toDouble) +
+      sum(expr(s"$v % $FpHi")).cast("double")) / lit(divisor)
+
+  /** price·(1−disc) as integer ten-thousandths: ec·(100−dc). */
+  private def revCents = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
 
   val queries: Map[String, Q] = Map(
 
@@ -66,8 +89,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .withColumn("rev4", revCents)
         .groupBy("l_orderkey")
-        .agg(sum(revenue).cast("double").as("revenue"),
+        .agg(fpSum("rev4", 10000.0).as("revenue"),
           date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -90,8 +114,9 @@ object RelationalQueries {
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("rev4", revCents)
         .groupBy("n_name")
-        .agg(sum(revenue).cast("double").as("revenue"))
+        .agg(fpSum("rev4", 10000.0).as("revenue"))
         .orderBy("n_name")
     },
 
@@ -190,7 +215,8 @@ object RelationalQueries {
     "agg_rollup" -> { (s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(cents("l_quantity")).cast("double") / lit(100.0)).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("cnt"), col("sum_qty"))
@@ -201,7 +227,7 @@ object RelationalQueries {
     "agg_having" -> { (s, d) =>
       Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec("o_totalprice")).cast("double").as("total"))
+          (sum(cents("o_totalprice")).cast("double") / lit(100.0)).as("total"))
         .filter(col("n_orders") >= 15)
         .orderBy("o_custkey")
     },
@@ -246,8 +272,8 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
                 col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,4)"))
-          .cast("double").as("revenue"))
+        .withColumn("rd4", cents("l_extendedprice") * cents("l_discount"))
+        .agg(fpSum("rd4", 10000.0).as("revenue"))
     },
 
     // Exact interpolated percentiles (median & quartile).
@@ -385,8 +411,8 @@ object RelationalQueries {
       Tables.lineitem(s, d).groupBy("l_linestatus")
         .agg(
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
-          sum(when(col("l_discount") > 0.05, dec("l_quantity")).otherwise(lit(0).cast("decimal(18,2)")))
-            .cast("double").as("qty_discounted"),
+          (sum(when(col("l_discount") > 0.05, cents("l_quantity")).otherwise(lit(0L)))
+            .cast("double") / lit(100.0)).as("qty_discounted"),
           count(lit(1)).as("n"))
         .orderBy("l_linestatus")
     },
@@ -396,7 +422,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec("o_totalprice")).cast("double").as("revenue"))
+          (sum(cents("o_totalprice")).cast("double") / lit(100.0)).as("revenue"))
         .orderBy("y", "m")
     },
 
@@ -448,19 +474,35 @@ object RelationalQueries {
         .orderBy("l_returnflag", "q_idx")
     },
     // TPC-H Q1-style full-scan aggregation: partial aggregation map-side,
-    // 6 groups total — the canonical "would hold at 100 TB" scan+agg shape.
+    // 6 groups total — the canonical "would hold at 100 TB" scan+agg
+    // shape. Arithmetic is FIXED-POINT LONGS, the agg_corr pattern:
+    // cents-scaling is exact for these 2-decimal columns, so
+    // price·(1−disc) is the integer ten-thousandths value ec·(100−dc)
+    // and ·(1+tax) the integer millionths — per-row primitive long
+    // multiplies inside whole-stage codegen instead of the
+    // beyond-18-digit decimal widening that falls off the compact
+    // Decimal representation into one BigDecimal allocation per row
+    // (measured 1.5 s → ~0.4 s at sf0.1). The product sums split
+    // hi/lo at 1e7 (per-row c6 ≤ ~1.2e11 → hi ≤ 1.2e4, lo < 1e7),
+    // keeping both long sums in range past ~9e11 rows per group —
+    // ~6× the ~1.5e11 rows/group of a 100-TB lineitem. Sums
+    // recombine hi·1e7 + lo IN DOUBLE, the identical IEEE ops the
+    // mirrored oracle runs.
     "q1_agg" -> { (s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents("l_quantity").as("qc"), cents("l_extendedprice").as("ec"),
+          cents("l_discount").as("dc"), cents("l_tax").as("tc"))
+        .withColumn("d4", col("ec") * (lit(100L) - col("dc")))
+        .withColumn("c6", col("d4") * (lit(100L) + col("tc")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast("double").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum((dec("l_extendedprice") * (one - dec("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
-          sum(((dec("l_extendedprice") * (one - dec("l_discount")))
-            .cast("decimal(18,4)") * (one + dec("l_tax")))).cast("double").as("sum_charge"),
-          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          (sum("qc").cast("double") / lit(100.0)).as("sum_qty"),
+          (sum("ec").cast("double") / lit(100.0)).as("sum_base_price"),
+          fpSum("d4", 10000.0).as("sum_disc_price"),
+          fpSum("c6", 1000000.0).as("sum_charge"),
+          (sum("qc").cast("double") / lit(100.0) / count(lit(1))).as("avg_qty"),
+          (sum("dc").cast("double") / lit(100.0) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }
@@ -483,14 +525,14 @@ object RelationalQueries {
     "agg_conditional" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_discounted,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_discounted,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "agg_monthly" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
 
     "array_funcs" ->
@@ -501,8 +543,9 @@ object RelationalQueries {
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
 
     "q6_selective" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM lineitem
+      """SELECT (CAST(SUM(rd4 // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(rd4 % 10000000) AS DOUBLE)) / 10000.0 AS revenue
+        |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT) AS rd4,
+        |        l_shipdate, l_discount, l_quantity FROM lineitem)
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
@@ -548,7 +591,7 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q3_join_topk" ->
-      s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
+      s"""SELECT l_orderkey, (CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) % 10000000) AS DOUBLE)) / 10000.0 AS revenue,
          |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS o_orderdate
          |FROM lineitem, orders, customer
          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -559,7 +602,7 @@ object RelationalQueries {
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_join_agg" ->
-      s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+      s"""SELECT n_name, (CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) % 10000000) AS DOUBLE)) / 10000.0 AS revenue
          |FROM lineitem, orders, customer, supplier, nation, region
          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -627,13 +670,13 @@ object RelationalQueries {
 
     "agg_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-        |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  COUNT(*) AS cnt, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
 
@@ -656,16 +699,27 @@ object RelationalQueries {
         |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // mirrors the Spark side's exact fixed-point arithmetic (cents →
+    // longs, hi/lo split products, identical IEEE recombination)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  CAST(SUM(qc) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(ec) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  (CAST(SUM(d4 // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(d4 % 10000000) AS DOUBLE)) / 10000.0 AS sum_disc_price,
+        |  (CAST(SUM(c6 // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(c6 % 10000000) AS DOUBLE)) / 1000000.0 AS sum_charge,
+        |  CAST(SUM(qc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+        |  CAST(SUM(dc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
-        |FROM lineitem
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, qc, ec, dc,
+        |    ec * (100 - dc) AS d4, ec * (100 - dc) * (100 + tc) AS c6
+        |  FROM (
+        |    SELECT l_returnflag, l_linestatus,
+        |      CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+        |      CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |      CAST(round(l_tax * 100) AS BIGINT) AS tc
+        |    FROM lineitem))
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
