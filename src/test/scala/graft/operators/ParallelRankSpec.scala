@@ -207,4 +207,8 @@ class ParallelRankSpec extends AnyFunSuite {
   test("pack_sequences: segmented prefix sum equals the plain window") {
     queryDiff("pack_sequences")
   }
+
+  test("agg_percentile: distributed order statistics equal the built-in percentile") {
+    queryDiff("agg_percentile")
+  }
 }
