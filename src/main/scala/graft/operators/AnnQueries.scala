@@ -82,7 +82,7 @@ object AnnQueries {
     // invariant in Verify).
     "emb_ann_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = Tables.cachedCount(s, d, "embeddings")
       val (nlist, nprobe) = Similarity.autoIvfParams(n)
       Similarity.ivfTopK(emb, TopK, nlist, nprobe, numRows = n)
         .orderBy("qid", "rnk")
@@ -105,7 +105,7 @@ object AnnQueries {
     // re-ranks the shortlist. Rows-only + Verify recall invariant.
     "emb_ann_ivfpq" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = Tables.cachedCount(s, d, "embeddings")
       val (nlist, nprobe) = Similarity.autoIvfParams(n)
       Similarity.ivfPqTopK(emb, TopK, nlist, nprobe, PqM, PqKsub, NQueries,
           numRows = n)
@@ -122,7 +122,7 @@ object AnnQueries {
     // invariant, like its siblings.
     "emb_ann_pq_batch" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = Tables.cachedCount(s, d, "embeddings")
       val (nlist, nprobe) = Similarity.autoIvfParams(n)
       Similarity.ivfPqTopK(emb, TopK, nlist, nprobe, PqM, PqKsub,
           nQueries = n.toInt, numRows = n)

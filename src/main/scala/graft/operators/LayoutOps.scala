@@ -42,4 +42,71 @@ object LayoutOps {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  // ---- Z-order (Morton) layout: multi-column scan pruning. A table
+  // range-partitioned and sorted by ONE column prunes scans on that
+  // column only; sorting by the interleaved bits of TWO columns keeps
+  // each file (and each parquet row group) compact in BOTH value
+  // ranges, so min/max stats prune selective predicates on either
+  // column — the standard lakehouse layout for a 100-TB fact table
+  // queried along more than one axis. Everything below is plain
+  // codegen'd Column arithmetic; no UDFs. ----
+
+  /** Spread the low 16 bits of `x` to the even bit positions (the
+    * textbook mask-and-shift Morton expansion, 4 steps).
+    */
+  private def spread16(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    var v = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit bucket ids: a's bits at even
+    * positions, b's at odd.
+    */
+  def morton(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+  }
+
+  /** Z-value of two numeric columns: each is min/max-scaled to a
+    * 16-bit bucket id (one stats pass over both columns), then Morton-
+    * interleaved. Monotone enough that a range predicate on either
+    * source column maps to compact z ranges.
+    */
+  def zValue(df: DataFrame, c1: String, c2: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def bucket(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536).cast("long"),
+        lit(65535L))
+    }
+    morton(bucket(c1, r.getDouble(0), r.getDouble(1)),
+      bucket(c2, r.getDouble(2), r.getDouble(3)))
+  }
+
+  /** Write `df` Z-ordered by `(c1, c2)`: range-partitioned on the
+    * z-value into `files` output files, z-sorted within each, small
+    * parquet row groups so the reader's min/max pruning has fine
+    * granularity. The write pays one range exchange; every later scan
+    * with a selective predicate on c1 OR c2 reads a fraction of the
+    * row groups (LayoutOpsSpec measures the scan-rows ratio against
+    * the same data laid out randomly).
+    */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+                    files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z", zValue(df, c1, c2))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(path)
+  }
 }
