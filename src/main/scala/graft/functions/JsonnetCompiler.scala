@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   *     <string-expr>, events))` (arrival-ordered), `std.format` with
   *     `%s`/`%d`/`%%`, `std.length(<string>)` / `std.length(event.t)`,
   *     and the last-trace idiom `event.t[std.length(event.t) - 1].f`
+  *   - `if c then a else b`, comparisons `== != < <= > >=` (strings
+  *     when either side is string-kinded, else numeric), `&& || !` —
+  *     branches align string > boolean > numeric so both engines see
+  *     one type
   */
 object JsonnetCompiler {
 
@@ -52,6 +56,8 @@ object JsonnetCompiler {
   private case class JArr(items: Seq[JAst]) extends JAst              // [a, b, ...]
   private case class JFormat(fmt: String, args: Seq[JAst]) extends JAst // std.format(fmtLit, [args])
   private case class JLenOf(e: JAst) extends JAst                     // std.length over strings / event arrays
+  private case class JIf(c: JAst, t: JAst, e: JAst) extends JAst      // if c then t else e
+  private case class JNot(e: JAst) extends JAst                       // !e
 
   def tryCompile(expr: String): Option[JqCompiler.Compiled] =
     try {
@@ -149,7 +155,7 @@ object JsonnetCompiler {
         eat('=')
         val saved = params
         params = params ++ ps
-        val body = parseAdditive()
+        val body = parseIfLevel()
         params = saved
         eat(';')
         env(name) = (ps, body)
@@ -161,7 +167,60 @@ object JsonnetCompiler {
       * any expression position; the subset takes them here and at the
       * top).
       */
-    private def parseExpr(): JAst = { parseLocals(); parseAdditive() }
+    private def parseExpr(): JAst = { parseLocals(); parseIfLevel() }
+
+    /** Keyword match with a word boundary (`if` must not eat `iffy`). */
+    private def tryKeyword(s: String): Boolean = {
+      ws()
+      if (src.startsWith(s, pos) &&
+          (pos + s.length >= src.length ||
+           !(src(pos + s.length).isLetterOrDigit || src(pos + s.length) == '_'))) {
+        pos += s.length; true
+      } else false
+    }
+
+    // jsonnet precedence, tightest last: if < || < && < == != < < <= > >= < + -
+    private def parseIfLevel(): JAst =
+      if (tryKeyword("if")) {
+        val c = parseOr()
+        require(tryKeyword("then"), s"expected 'then' at $pos")
+        val t = parseExpr()
+        require(tryKeyword("else"), s"expected 'else' at $pos (subset requires else)")
+        JIf(c, t, parseExpr())
+      } else parseOr()
+
+    private def parseOr(): JAst = {
+      var l = parseAnd()
+      while (tryEat("||")) l = JBin("||", l, parseAnd())
+      l
+    }
+    private def parseAnd(): JAst = {
+      var l = parseEquality()
+      while (tryEat("&&")) l = JBin("&&", l, parseEquality())
+      l
+    }
+    private def parseEquality(): JAst = {
+      var l = parseRelational()
+      var done = false
+      while (!done) {
+        if (tryEat("==")) l = JBin("==", l, parseRelational())
+        else if (tryEat("!=")) l = JBin("!=", l, parseRelational())
+        else done = true
+      }
+      l
+    }
+    private def parseRelational(): JAst = {
+      var l = parseAdditive()
+      var done = false
+      while (!done) {
+        if (tryEat("<=")) l = JBin("<=", l, parseAdditive())
+        else if (tryEat(">=")) l = JBin(">=", l, parseAdditive())
+        else if (tryEat("<")) l = JBin("<", l, parseAdditive())
+        else if (tryEat(">")) l = JBin(">", l, parseAdditive())
+        else done = true
+      }
+      l
+    }
 
     private def parseAdditive(): JAst = {
       var l = parseMultiplicative()
@@ -238,6 +297,9 @@ object JsonnetCompiler {
       else if (tryEat("false")) JLit(false)
       else if (tryEat("null")) JLit(null)
       else if (peek == '(') { eat('('); val e = parseExpr(); eat(')'); e }
+      else if (peek == '!' && (pos + 1 >= src.length || src(pos + 1) != '=')) {
+        pos += 1; JNot(parseAtom())
+      }
       else if (peek.isLetter || peek == '_') parseIdentRef()
       else parseNumber()
     }
@@ -340,7 +402,7 @@ object JsonnetCompiler {
         ws()
         val k = if (peek == '"') parseString() else ident()
         eat(':')
-        fields += (k -> parseAdditive())
+        fields += (k -> parseExpr())
         ws()
         more = peek == ','
         if (more) pos += 1
@@ -444,6 +506,18 @@ object JsonnetCompiler {
       case JBin("+", l, r) if isStringy(l) || isStringy(r) =>
         for { lc <- vecValue(l); rc <- vecValue(r) }
           yield concat(lc.cast("string"), rc.cast("string"))
+      case JBin(op, l, r) if CmpOps(op) =>
+        for { lc <- vecValue(l); rc <- vecValue(r) } yield cmpCol(op, l, r, lc, rc)
+      case JBin("&&", l, r) =>
+        for { lc <- vecValue(l); rc <- vecValue(r) }
+          yield lc.cast("boolean") && rc.cast("boolean")
+      case JBin("||", l, r) =>
+        for { lc <- vecValue(l); rc <- vecValue(r) }
+          yield lc.cast("boolean") || rc.cast("boolean")
+      case JNot(e) => vecValue(e).map(c => !c.cast("boolean"))
+      case JIf(c, t, e) =>
+        for { cc <- vecValue(c); tc <- vecValue(t); ec <- vecValue(e) }
+          yield ifCol(t, e, cc, tc, ec)
       case JBin(op, l, r) =>
         for { lc <- vecValue(l); rc <- vecValue(r) } yield {
           val (ln, rn) = (lc.cast("double"), rc.cast("double"))
@@ -518,12 +592,54 @@ object JsonnetCompiler {
   }
 
   private def isStringy(a: JAst): Boolean = a match {
+    case JIf(_, t, e)    => isStringy(t) || isStringy(e)
     case JLit(_: String) => true
     case JStr(_)         => true
     case JJoin(_, _)     => true
     case JFormat(_, _)   => true
     case JBin("+", l, r) => isStringy(l) || isStringy(r)
     case _               => false
+  }
+
+  private val CmpOps = Set("==", "!=", "<", "<=", ">", ">=")
+  private val LogicOps = Set("&&", "||")
+
+  private def isBoolish(a: JAst): Boolean = a match {
+    case JLit(_: Boolean)            => true
+    case JBin(op, _, _)              => CmpOps(op) || LogicOps(op)
+    case JNot(_)                     => true
+    case JIf(_, t, e)                => isBoolish(t) && isBoolish(e)
+    case _                           => false
+  }
+
+  /** Comparison with jsonnet-ish kind alignment: a string on either
+    * side compares as strings, otherwise numerically. Conditions cast
+    * through boolean so variant payload fields work as guards.
+    */
+  private def cmpCol(op: String, l: JAst, r: JAst, lc: Column, rc: Column): Column = {
+    val (a, b) =
+      if (isStringy(l) || isStringy(r)) (lc.cast("string"), rc.cast("string"))
+      else if (isBoolish(l) || isBoolish(r)) (lc.cast("boolean"), rc.cast("boolean"))
+      else (lc.cast("double"), rc.cast("double"))
+    op match {
+      case "==" => a === b
+      case "!=" => a =!= b
+      case "<"  => a < b
+      case "<=" => a <= b
+      case ">"  => a > b
+      case ">=" => a >= b
+    }
+  }
+
+  /** Branch alignment for `if`: string wins, then boolean, then
+    * numeric — so Spark's when() never sees un-coercible branches.
+    */
+  private def ifCol(t: JAst, e: JAst, cc: Column, tc: Column, ec: Column): Column = {
+    val (a, b) =
+      if (isStringy(t) || isStringy(e)) (tc.cast("string"), ec.cast("string"))
+      else if (isBoolish(t) && isBoolish(e)) (tc, ec)
+      else (tc.cast("double"), ec.cast("double"))
+    when(cc.cast("boolean"), a).otherwise(b)
   }
 
   /** `std.format` lowered to a concat: literal runs interleaved with
@@ -579,6 +695,19 @@ object JsonnetCompiler {
       case JBin("+", l, r) if isStringy(l) || isStringy(r) =>
         for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) }
           yield concat(lc.cast("string"), rc.cast("string"))
+      case JBin(op, l, r) if CmpOps(op) =>
+        for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) }
+          yield cmpCol(op, l, r, lc, rc)
+      case JBin("&&", l, r) =>
+        for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) }
+          yield lc.cast("boolean") && rc.cast("boolean")
+      case JBin("||", l, r) =>
+        for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) }
+          yield lc.cast("boolean") || rc.cast("boolean")
+      case JNot(e) => evalEvent(e, resolve).map(c => !c.cast("boolean"))
+      case JIf(c, t, e) =>
+        for { cc <- evalEvent(c, resolve); tc <- evalEvent(t, resolve)
+              ec <- evalEvent(e, resolve) } yield ifCol(t, e, cc, tc, ec)
       case JBin(op, l, r) =>
         for { lc <- evalEvent(l, resolve); rc <- evalEvent(r, resolve) } yield {
           val (ln, rn) = (lc.cast("double"), rc.cast("double"))
@@ -617,6 +746,20 @@ object JsonnetCompiler {
     case JBin("+", l, r) if isStringy(l) || isStringy(r) =>
       for { (lc, la) <- aggValue(l); (rc, ra) <- aggValue(r) }
         yield (concat(lc.cast("string"), rc.cast("string")), la || ra)
+    case JBin(op, l, r) if CmpOps(op) =>
+      for { (lc, la) <- aggValue(l); (rc, ra) <- aggValue(r) }
+        yield (cmpCol(op, l, r, lc, rc), la || ra)
+    case JBin("&&", l, r) =>
+      for { (lc, la) <- aggValue(l); (rc, ra) <- aggValue(r) }
+        yield (lc.cast("boolean") && rc.cast("boolean"), la || ra)
+    case JBin("||", l, r) =>
+      for { (lc, la) <- aggValue(l); (rc, ra) <- aggValue(r) }
+        yield (lc.cast("boolean") || rc.cast("boolean"), la || ra)
+    case JNot(e) => aggValue(e).map { case (c, a) => (!c.cast("boolean"), a) }
+    case JIf(c, t, e) =>
+      for { (cc, ca) <- aggValue(c); (tc, ta) <- aggValue(t)
+            (ec, ea) <- aggValue(e) }
+        yield (ifCol(t, e, cc, tc, ec), ca || ta || ea)
     case JBin(op, l, r) =>
       for { (lc, la) <- aggValue(l); (rc, ra) <- aggValue(r) } yield {
         val (ln, rn) = (lc.cast("double"), rc.cast("double"))

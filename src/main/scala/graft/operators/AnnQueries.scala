@@ -69,7 +69,7 @@ object AnnQueries {
 
     "emb_ann_lsh" -> { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), TopK, LshBits, Dim, LshTables,
-          probes = LshProbes)
+          numRows = Tables.cachedCount(s, d, "embeddings"), probes = LshProbes)
         .orderBy("qid", "rnk")
     },
 
@@ -96,7 +96,7 @@ object AnnQueries {
     // brute force. At 100 TB the ADC scan runs per IVF cell (IVF+PQ).
     "emb_ann_pq" -> { (s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), TopK, m = PqM, ksub = PqKsub,
-          nQueries = NQueries)
+          nQueries = NQueries, numRows = Tables.cachedCount(s, d, "embeddings"))
         .orderBy("qid", "rnk")
     },
 

@@ -338,6 +338,42 @@ class BatchCompilerSpec extends AnyFunSuite {
     assert(d2.head.contains("\"pipe\":\"p2\""), d2.head)
   }
 
+  test("jsonnet conditionals compile natively: if/then/else, comparisons, && || !") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
+    val out = run(
+      """name: p
+        |window-key: global
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 3
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {cls: if std.length(events) > 2 then "big" else "small", neg: !(std.length(events) == 2), band: if std.length(events) >= 1 && std.length(events) < 3 then 1 else 0, who: if events[0].n == "a" then "first" else events[0].n}}'
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2", "c" -> "10"))
+    val d = out.output.select("d").collect().map(_.getString(0))
+    assert(d.length == 1, d.toSeq)
+    assert(d.head.contains("\"cls\":\"big\""), d.head)
+    assert(d.head.contains("\"neg\":true"), d.head)
+    assert(d.head.contains("\"band\":0.0"), d.head)
+    assert(d.head.contains("\"who\":\"first\""), d.head)
+    // per-event conditional inside std.map (the evalEvent tier)
+    val out2 = run(
+      """name: p2
+        |window-key: global
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 3
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {tags: std.join("|", std.map(function(e) if e.n == "a" then "A" else e.n, events))}}'
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2", "c" -> "10"))
+    val d2 = out2.output.select("d").collect().map(_.getString(0))
+    assert(d2.length == 1, d2.toSeq)
+    assert(d2.head.contains("\"tags\":\"A|b|c\""), d2.head)
+  }
+
   test("variant payload tier: identical output to the string tier, plan reads the __dv variant column") {
     val yaml =
       """name: p

@@ -311,6 +311,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming jsonnet conditionals match batch, binary-free (differential)") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val yaml =
+      """name: sj3
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {cls: if std.length(events) > 1 then "pair" else "solo", tag: std.join(",", std.map(function(e) if e.n == "a" then "A" else e.n, events)), ok: std.length(events) >= 1 && !(std.length(events) == 3)}}'
+        |""".stripMargin
+    val tpl = Spec.parseYaml(yaml)
+    // even event counts per key: every streaming count-window closes
+    val input = Seq(("a", "1"), ("b", "7"), ("a", "5"), ("b", "3"))
+    val batchIn = input.zipWithIndex
+      .map { case ((n, d), i) => (n, d, i.toLong, 1000.0 + i) }
+      .toDF("n", "d", "__seq", "arrival")
+    val stamped = graft.pipeline.BatchCompiler.stampInput(
+      tpl, batchIn, org.apache.spark.sql.functions.col("arrival"))
+    val expected = graft.pipeline.BatchCompiler.compile(spark, tpl, stamped)
+      .output.select("n", "d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected.exists(_._2.contains(""""cls":"pair"""")), expected)
+    assert(expected.exists(_._2.contains(""""tag":"A,A"""")), expected)
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.output.map(e => (e.n, e.d)))
+    mem.addData(input.zipWithIndex.map { case ((n, d), i) => ev(n, d, i.toLong) }: _*)
+    q.processAllAvailable()
+    val got = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("streaming identity-form jsonnet passes events through binary-free") {
     assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty)
     import spark.implicits._
