@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *     `fmod(a; b)`; `<path> | tonumber` (numeric strings) and
   *     `<path> | tostring` (strings/booleans pass through, integral
   *     numbers drop the decimal point, exact below 1e15)
+  *   - value-form `if <cond> then a else b end` (kind-aligned
+  *     branches) and `path // literal` alternatives (null, absent,
+  *     and false are falsy, like jq; the non-falsy side passes
+  *     through untyped)
   *   - vector `group_by(<path>) | map({...})` as the whole `d`
   *     payload: key / `length` / `map(<path>)|add` group fields,
   *     string-compared keys — the count-by / sum-by idiom
@@ -60,6 +64,7 @@ object JqCompiler {
   case class JoinFn(sep: String) extends Ast
   /** `"a\(.d.k)b"` — literal runs (Left) and interpolated exprs (Right). */
   case class StrInterp(parts: Seq[Either[String, Ast]]) extends Ast
+  case class Alt(l: Ast, r: Ast) extends Ast // jq `a // b` (null/false fallback)
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
@@ -140,9 +145,9 @@ object JqCompiler {
 
     def parsePipe(): Ast = {
       val stages = Seq.newBuilder[Ast]
-      stages += parseCmpOr()
+      stages += parseAlt()
       ws()
-      while (tryEat("|") && { ws(); true }) stages += parseCmpOr()
+      while (tryEat("|") && { ws(); true }) stages += parseAlt()
       ws()
       require(pos >= src.length, s"trailing input at $pos: '${src.drop(pos)}'")
       val s = stages.result()
@@ -151,10 +156,17 @@ object JqCompiler {
 
     private def parseInnerPipe(): Ast = {
       val stages = Seq.newBuilder[Ast]
-      stages += parseCmpOr()
-      while ({ ws(); peek == '|' && !src.startsWith("||", pos) }) { pos += 1; stages += parseCmpOr() }
+      stages += parseAlt()
+      while ({ ws(); peek == '|' && !src.startsWith("||", pos) }) { pos += 1; stages += parseAlt() }
       val s = stages.result()
       if (s.size == 1) s.head else PipeSeq(s)
+    }
+
+    // jq precedence puts `//` under `|` and above `or`
+    private def parseAlt(): Ast = {
+      var l = parseCmpOr()
+      while ({ ws(); src.startsWith("//", pos) }) { pos += 2; l = Alt(l, parseCmpOr()) }
+      l
     }
 
     private def parseCmpOr(): Ast = {
@@ -189,7 +201,7 @@ object JqCompiler {
     private def parseMultiplicative(): Ast = {
       var l = parseAtom()
       ws()
-      while (peek == '*' || peek == '/' || peek == '%') {
+      while (peek == '*' || (peek == '/' && !src.startsWith("//", pos)) || peek == '%') {
         val op = peek.toString; pos += 1
         l = Arith(op, l, parseAtom())
         ws()
@@ -523,6 +535,68 @@ object JqCompiler {
     case Arith(op, l, r)  => arith(op, l, r)
     case c: Cmp           => boolCond(c)
     case l: Logic         => boolCond(l)
+    // value-form `if c then a else b end`: the condition must be a
+    // compilable boolean (comparisons/logic — jq's bare-path
+    // truthiness stays on the subprocess tier) and both branches must
+    // share a static kind so the when() is single-typed
+    case IfElse(c, t, e) =>
+      for { kt <- kindOf(t); ke <- kindOf(e); if kt == ke
+            cc <- boolCond(c); tc <- valueExpr(t); ec <- valueExpr(e) }
+        yield when(cc, tc).otherwise(ec)
+    case a: Alt           => altValue(a)
+    case _ => None
+  }
+
+  /** Static kind of a value expression: 's'tring / 'n'umber /
+    * 'b'oolean. Bare paths are dynamically typed → None (subprocess).
+    */
+  private def kindOf(a: Ast): Option[Char] = a match {
+    case Lit(_: String) | _: StrInterp           => Some('s')
+    case PipeSeq(Seq(_: Path, ToString))         => Some('s')
+    case Lit(_: Double)                          => Some('n')
+    case PipeSeq(Seq(_: Path, ToNumber))         => Some('n')
+    case Arith(_, _, _)                          => Some('n')
+    case Lit(_: Boolean) | _: Cmp | _: Logic     => Some('b')
+    case IfElse(_, t, e) =>
+      for { kt <- kindOf(t); ke <- kindOf(e); if kt == ke } yield kt
+    case PipeSeq((_: Path) +: fns) if fns.nonEmpty &&
+      fns.forall(f => f.isInstanceOf[SplitFn] || f.isInstanceOf[JoinFn] || f == Length) =>
+      fns.last match {
+        case JoinFn(_) => Some('s')
+        case Length    => Some('n')
+        case _         => None // ends on split → array-valued
+      }
+    case _ => None
+  }
+
+  /** jq `path // default`: the default when the path value is null,
+    * absent, or boolean false (jq falsiness is exactly null and
+    * false), else the path value UNCHANGED. The non-falsy side stays a
+    * VARIANT and the default literal parses into one, so integers
+    * render as integers and mixed-kind alternatives (jq-legal) stay
+    * exact — no cast, no static-kind requirement. Non-literal
+    * defaults and non-payload paths fall to the subprocess tier.
+    */
+  private def altValue(a: Alt): Option[Column] = a match {
+    case Alt(p @ Path(Left("d") +: _), Lit(v)) =>
+      eventValue(p).map { pv =>
+        val t = schema_of_variant(pv)
+        // a JSON null VALUE is a variant-null (schema VOID), not a SQL
+        // NULL — jq treats both as falsy, so test both
+        val isFalse = (t === lit("BOOLEAN") && pv.cast("string") === lit("false")) ||
+          t === lit("VOID")
+        val dJson = v match {
+          case null      => "null"
+          case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case d: Double =>
+            if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+          case b: Boolean => b.toString
+        }
+        when(pv.isNull || isFalse, parse_json(lit(dJson))).otherwise(pv)
+      }
+    case Alt(Path(Left("n") +: Nil), Lit(_)) =>
+      // `.n // dflt`: the envelope name is a non-null string column
+      Some(col("n"))
     case _ => None
   }
 

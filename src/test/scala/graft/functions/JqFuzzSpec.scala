@@ -108,7 +108,19 @@ class JqFuzzSpec extends AnyFunSuite {
     */
   private val payloadGen: Gen[String] = for {
     k <- intGen; m <- dblGen; x <- intGen; s <- strGen; ns <- intGen
-  } yield s"""{"k":$k,"m":$m,"s":"$s","o":{"x":$x},"ns":"$ns"}"""
+    // falsy-capable fields for the `//` arms: mb/ms sometimes null or
+    // absent, fl a real boolean (false IS falsy in jq)
+    mb <- Gen.frequency(3 -> intGen.map(_.toString), 1 -> Gen.const("null"),
+      1 -> Gen.const(None.toString))
+    ms <- Gen.frequency(3 -> strGen.map("\"" + _ + "\""), 1 -> Gen.const("null"),
+      1 -> Gen.const(None.toString))
+    fl <- Gen.oneOf("true", "false", "null")
+  } yield {
+    val opt = Seq("mb" -> mb, "ms" -> ms).collect {
+      case (f, v) if v != None.toString => s""","$f":$v"""
+    }.mkString
+    s"""{"k":$k,"m":$m,"s":"$s","o":{"x":$x},"ns":"$ns","fl":$fl$opt}"""
+  }
 
   private val eventGen: Gen[(String, String)] =
     for { n <- nameGen; d <- payloadGen } yield (n, d)
@@ -171,6 +183,27 @@ class JqFuzzSpec extends AnyFunSuite {
       c <- cmpGen
     } yield s"$a $o1 $b $o2 $c"))
 
+  /** Value-form conditionals: kind-aligned branches (numeric via
+    * arithmetic/literals, string via tostring/literals) under a
+    * compilable boolean condition.
+    */
+  private val ifValGen: Gen[String] = Gen.frequency(
+    2 -> (for { c <- condGen; a <- arithGen; l <- intGen }
+      yield s"(if $c then $a else $l end)"),
+    1 -> (for { c <- condGen; a <- strGen; b <- Gen.oneOf("(.d.s | tostring)", "(.n | tostring)") }
+      yield s"""(if $c then "$a" else $b end)"""),
+    1 -> (for { c <- condGen; c2 <- condGen; a <- intGen; b <- arithGen; l <- dblGen }
+      yield s"(if $c then (if $c2 then $a else $b end) else $l end)"))
+
+  /** `path // literal` alternatives over the sometimes-null/absent/
+    * false payload fields.
+    */
+  private val altGen: Gen[String] = Gen.frequency(
+    2 -> (for { d <- intGen } yield s"(.d.mb // $d)"),
+    2 -> (for { d <- strGen } yield s"""(.d.ms // "$d")"""),
+    1 -> (for { d <- Gen.oneOf(true, false) } yield s"(.d.fl // $d)"),
+    1 -> (for { d <- dblGen } yield s"(.d.mb // $d)"))
+
   private val perEventGen: Gen[String] = for {
     nSel <- Gen.choose(0, 2)
     conds <- Gen.listOfN(nSel, condGen)
@@ -230,6 +263,29 @@ class JqFuzzSpec extends AnyFunSuite {
         .toList
       val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
       assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("conditional/alternative fuzz: if-values and `//` == jq on 400 random programs") {
+    val progGen = for {
+      nSel <- Gen.choose(0, 1)
+      conds <- Gen.listOfN(nSel, condGen)
+      a <- Gen.frequency(2 -> ifValGen, 2 -> altGen)
+      b <- Gen.frequency(1 -> ifValGen, 1 -> altGen, 1 -> valueGen)
+    } yield (Seq(".[]") ++ conds.map(c => s"select($c)") ++
+      Seq(s"""{n: "out", d: {a: $a, b: $b}}""")).mkString(" | ")
+    import JqCompiler._
+    samples(Gen.zip(progGen, vectorGen), 400).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
     }
   }
 
