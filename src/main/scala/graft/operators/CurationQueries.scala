@@ -184,25 +184,31 @@ object CurationQueries {
     // collection op, measured at ~1.3 ms/row on 50-gram docs (6.5 s
     // for 5000 docs, recomputed per consumer branch → a 35 s query;
     // this shape runs in ~2 s and scales as a plain hash aggregate).
+    // ONE pass over the candidate grams: a LEFT join against the
+    // broadcast benchmark set (distinct grams + a marker) scores every
+    // candidate gram, and a single per-doc aggregate counts totals and
+    // hits together — count(*) vs count(marker). The former
+    // totals/hits branch pair recomputed the candidate explode+distinct
+    // per consumer (measured: SIX parquet scans and three gram
+    // exchanges in the executed plan — filter pushdown specializes
+    // each branch below the distinct, so exchange reuse never fires);
+    // this shape scans the corpus twice (bench subset + candidates)
+    // and shuffles the candidate grams once.
     "text_contamination" -> { (s, d) =>
-      val grams = docs(s, d)
+      def grams(df: DataFrame) = df
         .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("source"),
-          explode(shingles(col("toks"), 3)).as("gram"))
+        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
         .distinct()
-      val bench = grams
-        .filter(col("source") === "src0" && col("doc_id") < 200)
+      val base = docs(s, d)
+      val bench = grams(base.filter(col("source") === "src0" && col("doc_id") < 200))
         .select("gram").distinct()
-      val cand = grams.filter(col("doc_id") >= 200)
-      val totals = cand.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val hits = cand
-        .join(broadcast(bench), "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      totals.join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
-            .as("contamination"))
+        .withColumn("__hit", lit(1))
+      grams(base.filter(col("doc_id") >= 200))
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
         .orderBy("doc_id")
     },
 

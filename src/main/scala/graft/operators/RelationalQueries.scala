@@ -410,6 +410,12 @@ object RelationalQueries {
     },
 
     // Ordered string aggregation per group.
+    // String aggregation (string_agg parity). The OUTPUT is O(input)
+    // per group by the operator's own contract — every name lands in
+    // one string — so the per-group materialization is inherent to
+    // the semantics, not a plan defect; at fact-table scale the same
+    // intent should bound the group (top-k names via withTopKRank)
+    // or write the group's members as rows, both available here.
     "agg_stringagg" -> { (s, d) =>
       Tables.supplier(s, d).groupBy("s_nationkey")
         .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
