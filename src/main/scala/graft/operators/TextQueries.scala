@@ -27,11 +27,11 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   // MinHash family: k=16 signatures in 4 bands of 4 rows.
-  private val K = 16
-  private val Bands = 4
-  private val R = 4
+  private[graft] val K = 16
+  private[graft] val Bands = 4
+  private[graft] val R = 4
   private val coeffs = minhashCoeffs(K)
-  private val JaccardT = 0.6
+  private[graft] val JaccardT = 0.6
 
   /** Span length (tokens) for `text_dup_spans`. */
   val DupSpanLen = 16
@@ -154,10 +154,6 @@ object TextQueries {
     out.orderBy("doc_id")
   }
 
-  /** MinHash+LSH near-dup candidate pairs with their signature-
-    * estimated Jaccard, filtered at [[JaccardT]] — shared by the pair
-    * query and the cluster-resolution query.
-    */
   /** Per-document MinHash signature: `(doc_id, mh array(K))` — the
     * signature half of a persistable near-dup index. Explode + K
     * min-aggregates, so the heavy pass is map-side partial.
@@ -225,6 +221,36 @@ object TextQueries {
           .as("dup_of"))
   }
 
+  /** Per-ROW MinHash signature — no aggregation, so it runs on a
+    * STREAM (the batch [[minhashSignatures]] uses explode + K
+    * min-aggregates for map-side partials; this form re-evaluates the
+    * coefficient hash per transform, the right trade for micro-batch
+    * probes). Identical values: min over the doc's own shingles.
+    * Callers must filter docs with zero shingles first (the batch
+    * pipeline drops them by construction).
+    */
+  private[graft] def minhashSignatureExpr(text: Column): Column = {
+    val sh = graft.functions.TextExpressions.shingleHashes(text, 3)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(sh,
+        h => (h * lit(a) + lit(b)) % lit(graft.functions.TextFunctions.HashPrime)))
+    }: _*)
+  }
+
+  /** The band keys of a signature column — byte-identical to the keys
+    * [[minhashBands]] stores in the persisted index.
+    */
+  private[graft] def minhashBandKeys(mh: Column): Seq[(Int, Column)] =
+    (0 until Bands).map { bi =>
+      bi -> md5(concat_ws(",", (1 to R).map(j => element_at(mh, bi * R + j)): _*))
+    }
+
+  /** Signature-estimated Jaccard — matching coordinates / K. */
+  private[graft] def minhashEstJaccard(ma: Column, mb: Column): Column =
+    (1 to K).map(i =>
+      when(element_at(ma, i) === element_at(mb, i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K
+
   /** Near-dup (MinHash) corpus index: band-bucket rows + signatures,
     * both persistable. */
   def buildMinhashIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
@@ -262,6 +288,10 @@ object TextQueries {
       .select(col("a").as("doc_id"), col("b").as("dup_of"), col("est_jaccard"))
   }
 
+  /** MinHash+LSH near-dup candidate pairs with their signature-
+    * estimated Jaccard, filtered at [[JaccardT]] — shared by the pair
+    * query and the cluster-resolution query.
+    */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val mh = minhashSignatures(docs(s, d))
     val bands = minhashBands(mh)

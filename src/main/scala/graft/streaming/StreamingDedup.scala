@@ -15,6 +15,9 @@ final case class HashedDoc(docId: Long, h: String, indexDoc: Option[Long])
   */
 final case class DedupVerdict(doc_id: Long, verdict: String, dup_of: Option[Long])
 
+/** A streamed document's best near-dup match in the corpus index. */
+final case class MinhashMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
 /** Streaming incremental dedup: the ingestion-time arm of the
   * persisted-index probe. New documents arrive as a stream, the
   * corpus index is a STATIC table (stream-static left join — Spark
@@ -63,6 +66,52 @@ object StreamingDedup {
           }
           keeper.foreach(f => if (!state.exists || state.get != f) state.update(f))
           out.iterator
+      }
+  }
+
+  /** Streaming NEAR-dup probe against a persisted MinHash index: each
+    * streamed document's signature is a per-row expression (no
+    * aggregation — [[graft.operators.TextQueries.minhashSignatureExpr]]),
+    * its band keys inner-join the STATIC band index, candidates pick
+    * up corpus signatures from the static signature table, and the
+    * best match per document (highest estimated Jaccard ≥ the LSH
+    * threshold, ties to the lowest corpus id — the batch probe's exact
+    * rule) is emitted once. The whole probe is STATELESS per document
+    * (a verdict depends only on the static index), so results are
+    * identical under any micro-batch chopping; the
+    * `flatMapGroupsWithState` at the end only folds one document's
+    * candidate rows (which always share its micro-batch) into the
+    * best row — its state is never read across batches.
+    */
+  def probeMinhashIndexStream(indexBands: DataFrame, indexSigs: DataFrame,
+                              docStream: DataFrame): Dataset[MinhashMatch] = {
+    import graft.operators.TextQueries
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val sig = docStream
+      .filter(size(graft.functions.TextExpressions.shingleHashes(col("text"), 3)) > 0)
+      .select(col("doc_id").cast("long").as("a"),
+        TextQueries.minhashSignatureExpr(col("text")).as("ma"))
+    val bandRows = sig.select(col("a"), col("ma"),
+        explode(array(TextQueries.minhashBandKeys(col("ma")).map { case (bi, k) =>
+          struct(lit(bi).as("band"), k.as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("a"), col("ma"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val scored = bandRows
+      .join(indexBands.withColumnRenamed("doc_id", "b"), Seq("band", "bkey"))
+      .join(indexSigs.select(col("doc_id").as("b"), col("mh").as("mb")), "b")
+      .withColumn("est", TextQueries.minhashEstJaccard(col("ma"), col("mb")))
+      .filter(col("est") >= TextQueries.JaccardT)
+      .select(col("a"), col("b"), col("est")).as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, MinhashMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (a, rows, _: GroupState[Long]) =>
+          // candidates repeat across colliding bands; est is a function
+          // of (a, b), so dedupe by b then take (max est, min b)
+          val best = rows.toSeq.groupBy(_._2).view.mapValues(_.head._3).toSeq
+            .sortBy { case (b, est) => (-est, b) }.head
+          Iterator.single(MinhashMatch(a, best._1, best._2))
       }
   }
 }

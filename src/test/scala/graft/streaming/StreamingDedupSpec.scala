@@ -52,6 +52,34 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash probe equals the batch probe across 3 micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batchDf = all.filter(col("doc_id") % 10 < 3)
+    val (bands, sigs) = TextQueries.buildMinhashIndex(all.filter(col("doc_id") % 10 >= 3))
+    val expected = TextQueries.probeMinhashIndex(bands, sigs, batchDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(expected.nonEmpty, "sf0.001 split must contain cross-split near-dups")
+
+    val docs = batchDf.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = StreamingDedup.probeMinhashIndexStream(
+      bands, sigs, mem.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("incdedup_mh")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("incdedup_mh")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("keeper state crosses micro-batch boundaries (later dup points at first batch's keeper)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
