@@ -326,13 +326,21 @@ object RelationalQueries {
     // sf0.1 vs ~0.6 s for this shape). Interpolation is the identical
     // lower + frac·(upper−lower) the built-in computes, so the oracle
     // comparison is unchanged.
-    // Size-adaptive at the shared cutover: the one-pass built-in wins
-    // under it (the distributed form's extra shuffles cost more than
-    // they save on half a million rows — measured 2.7 s vs 1.35 s at
-    // sf0.1), the order-statistics plan wins past it.
+    // Size-adaptive — but at percentile's OWN cutover, not the generic
+    // window one: the built-in's cost scales with per-group DISTINCT
+    // VALUES (its buffer is a value→count map), not rows, so it stays
+    // ahead well past the 512k generic threshold (measured 1.35 s
+    // built-in vs 2.7 s distributed on sf0.1's 600k rows). The
+    // distributed order-statistics plan takes over at 8M rows — where
+    // a value map per group stops being buffer-friendly and the
+    // 3-reducer merge becomes the bottleneck. The
+    // `graft.window.smallInputRows` conf still overrides (how specs
+    // and ScaleBench force the segmented path).
     "agg_percentile" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
-      if (Tables.cachedCount(s, d, "lineitem") <= ParallelRank.resolveThreshold(li, -1L)) {
+      val thr = s.conf.getOption("graft.window.smallInputRows").map(_.toLong)
+        .getOrElse(8L * 1024 * 1024)
+      if (Tables.cachedCount(s, d, "lineitem") <= thr) {
         li.groupBy("l_returnflag")
           .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
             percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
