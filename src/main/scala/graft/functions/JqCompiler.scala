@@ -451,6 +451,26 @@ object JqCompiler {
     case (PipeSeq(Seq(p: Path, ToNumber)), _) => toNumberOf(p)
     case (PipeSeq(Seq(p: Path, ToString)), _) => toStringOf(p)
     case (Arith(op, l, r), _) => arith(op, l, r)
+    // `path // literal` as a NUMERIC operand (the select((.d.x // 0) > k)
+    // idiom): falsy takes the default, a numeric variant casts
+    // directly, and any OTHER runtime kind raises loudly — jq's
+    // cross-type ordering (strings sort above all numbers) is not
+    // columnar-expressible, so divergence must be observable, not a
+    // silent null-compare (same contract as tonumber/tostring).
+    case (Alt(p @ Path(Left("d") +: _), Lit(dflt: Double)), _) =>
+      eventValue(p).map { pv =>
+        val t = schema_of_variant(pv)
+        val falsy = pv.isNull || t === lit("VOID") ||
+          (t === lit("BOOLEAN") && pv.cast("string") === lit("false"))
+        val isNum = t.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
+          t.startsWith("DECIMAL")
+        when(falsy, lit(dflt))
+          .otherwise(when(isNum, pv.cast("double")).otherwise(
+            raise_error(concat(
+              lit("jq compiled tier: `//` in a numeric position saw a "), t,
+              lit(" value (jq would apply cross-type ordering); run this step via the subprocess tier")))
+              .cast("double")))
+      }
     case _ => None
   }
 

@@ -131,7 +131,8 @@ class JqFuzzSpec extends AnyFunSuite {
   private val numPaths = Seq(".d.k", ".d.m", ".d.o.x")
 
   private val arithGen: Gen[String] = for {
-    p <- Gen.oneOf(numPaths)
+    p <- Gen.frequency(4 -> Gen.oneOf(numPaths),
+      1 -> Gen.zip(intGen, intGen).map { case (d, _) => s"(.d.mb // $d)" })
     op <- Gen.oneOf("+", "-", "*", "/")
     l <- intGen.map(v => if (v == 0) 7 else v)
     nested <- Gen.frequency(3 -> Gen.const(""), 1 -> (for {
@@ -169,7 +170,11 @@ class JqFuzzSpec extends AnyFunSuite {
     1 -> (for {
       op <- Gen.oneOf(">", "<", "==", "!=")
       l <- intGen
-    } yield s"(.d.ns | tonumber) $op $l"))
+    } yield s"(.d.ns | tonumber) $op $l"),
+    1 -> (for {
+      d <- intGen; op <- Gen.oneOf(">", "<", ">=", "<=", "==")
+      l <- intGen
+    } yield s"(.d.mb // $d) $op $l"))
 
   /** Flat and/or chains (1-3 atoms) — probes the parser's precedence
     * against jq's (`and` binds tighter than `or`).
