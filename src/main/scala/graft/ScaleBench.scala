@@ -54,7 +54,8 @@ object ScaleBench {
     "ev_active_users", "emb_pca_project",
     "dedup_cluster_resolve_dist", "ev_keep_when_str", "dedup_semantic_auto",
     "window_rank", "window_analytics", "pack_sequences",
-    "dedup_incremental", "dedup_incremental_minhash", "agg_percentile")
+    "dedup_incremental", "dedup_incremental_minhash", "agg_percentile",
+    "ev_interval_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -26,6 +26,29 @@ object EventQueries {
 
   private val decVal = col("value").cast("decimal(18,2)")
 
+  /** Sessionized events: one row per (user, session) with bounds and
+    * exact value sums — 30-min idle gap. One shuffle on user_id, two
+    * ordered window passes (boundary flag via lag, session id via
+    * running sum), one hash aggregate. Shared by `ev_sessionize` and
+    * the interval join.
+    */
+  private def sessionTable(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        sum(decVal).cast("double").as("sum_value"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // §2.2 match/drop: composite pattern filter, pure RLIKE + boolean algebra.
@@ -260,21 +283,40 @@ object EventQueries {
     // same one you'd run on 100 TB: a single exchange keyed by user.
     // Value sums go through exact DECIMAL (oracle-parity convention).
     "ev_sessionize" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val gapUs = 1800L * 1000000L
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      ev(s, d)
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("brk",
-          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
-          sum(decVal).cast("double").as("sum_value"))
+      sessionTable(s, d)
         .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Interval-overlap join (the relational operator Spark has no
+    // native plan for): how many OTHER users' events fall inside each
+    // session's [start_us, end_us]. A naive `ts BETWEEN start AND end`
+    // join plans a BroadcastNestedLoop/cartesian — quadratic and
+    // undistributable. The scale shape is BIN BUCKETING: intervals
+    // explode to the hour bins they cover (sessions close at a 30-min
+    // gap, so the fan-out is small and bounded by duration), each
+    // probe event lives in EXACTLY ONE bin (so a matched pair appears
+    // once — no post-join dedup), the join is a plain equi-join on the
+    // bin, and the exact BETWEEN + user inequality filter after it.
+    // IntervalJoinSpec asserts no nested-loop/cartesian in the plan.
+    "ev_interval_join" -> { (s, d) =>
+      val BinUs = 3600L * 1000000L
+      val sess = sessionTable(s, d)
+        .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+      val sBins = sess.withColumn("bin",
+        explode(sequence(floor(col("start_us") / BinUs).cast("long"),
+          floor(col("end_us") / BinUs).cast("long"))))
+      val eBins = ev(s, d)
+        .select(col("user_id").as("o_user"), col("ts_us"))
+        .withColumn("bin", floor(col("ts_us") / BinUs).cast("long"))
+      val hits = sBins.join(eBins, "bin")
+        .filter(col("ts_us").between(col("start_us"), col("end_us")) &&
+          col("o_user") =!= col("user_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_concurrent"))
+      sess.join(hits, Seq("user_id", "session_id"), "left")
+        .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
         .orderBy("user_id", "session_id")
     },
 
@@ -530,6 +572,30 @@ object EventQueries {
          |  CAST(SUM(v) AS DOUBLE) AS sum_value,
          |  MAX(us) - MIN(us) AS dur_us
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB evaluates the BETWEEN range join directly (IEJoin) — the
+    // declarative ground truth for the Spark side's bin decomposition
+    "ev_interval_join" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, $tsUs AS us,
+         |    CASE WHEN LAG($tsUs) OVER w IS NULL
+         |           OR $tsUs - LAG($tsUs) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id)),
+         |sess AS (
+         |  SELECT user_id, us,
+         |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged),
+         |bounds AS (
+         |  SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT b.user_id, b.session_id, b.start_us, b.end_us,
+         |  COUNT(e.us) AS n_concurrent
+         |FROM bounds b LEFT JOIN (SELECT user_id, $tsUs AS us FROM events) e
+         |  ON e.us BETWEEN b.start_us AND b.end_us AND e.user_id <> b.user_id
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
 
     // the anchored count-or-time semantics as a sequential recursive
     // CTE: one row per key per iteration, exactly the scan in

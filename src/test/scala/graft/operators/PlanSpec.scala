@@ -24,6 +24,14 @@ class PlanSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("interval join decomposes to equi-joins on time bins, never a nested loop") {
+    val p = plan("ev_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate leaked into the join condition:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
   test("q5 snowflake: all dimension joins broadcast, none sort-merge") {
     val p = plan("q5_join_agg")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p.take(400))
