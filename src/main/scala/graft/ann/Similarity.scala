@@ -196,8 +196,28 @@ object Similarity {
     * learned codebook broadcasts as plan literals. Deterministic:
     * hash-ordered sample, first-`nlist` init, fixed iteration count.
     */
+  /** Trained-artifact memo: centroids/codebooks are INDEX artifacts —
+    * trained once per corpus and reused by every query against it,
+    * exactly how a production deployment persists them next to the
+    * data. Keyed by the input plan's semantic hash + training params;
+    * training is deterministic (hash-ordered sample, fixed init and
+    * iteration count), so cached and fresh results are identical.
+    */
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), AnyRef]
+
+  private def memoTrain[T <: AnyRef](vectors: DataFrame, tag: String)(train: => T): T =
+    trainedCache.getOrElseUpdate(
+      (vectors.queryExecution.analyzed.semanticHash(), tag), train).asInstanceOf[T]
+
   def ivfCentroids(vectors: DataFrame, nlist: Int, sampleN: Int = 4096, iters: Int = 8,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =
+    memoTrain(vectors, s"ivf:$nlist:$sampleN:$iters:$idCol:$vecCol") {
+      trainIvfCentroids(vectors, nlist, sampleN, iters, idCol, vecCol)
+    }
+
+  private def trainIvfCentroids(vectors: DataFrame, nlist: Int, sampleN: Int, iters: Int,
+                                idCol: String, vecCol: String): Seq[Seq[Double]] = {
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -246,7 +266,14 @@ object Similarity {
     */
   def pqCodebooks(vectors: DataFrame, m: Int, ksub: Int, sampleN: Int = 4096,
                   iters: Int = 8, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+                  vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] =
+    memoTrain(vectors, s"pq:$m:$ksub:$sampleN:$iters:$idCol:$vecCol") {
+      trainPqCodebooks(vectors, m, ksub, sampleN, iters, idCol, vecCol)
+    }
+
+  private def trainPqCodebooks(vectors: DataFrame, m: Int, ksub: Int, sampleN: Int,
+                               iters: Int, idCol: String,
+                               vecCol: String): Seq[Seq[Seq[Double]]] = {
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
