@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *     `fmod(a; b)`; `<path> | tonumber` (numeric strings) and
   *     `<path> | tostring` (strings/booleans pass through, integral
   *     numbers drop the decimal point, exact below 1e15)
+  *   - typed function chains over paths: `split`/`join`,
+  *     `ltrimstr`/`rtrimstr`, `ascii_downcase`/`ascii_upcase`,
+  *     `floor`/`ceil`/`fabs`/`sqrt`, `length` of a split — a wrong
+  *     runtime kind raises loudly where jq raises (never a silent
+  *     cast)
   *   - value-form `if <cond> then a else b end` (kind-aligned
   *     branches) and `path // literal` alternatives (null, absent,
   *     and false are falsy, like jq; the non-falsy side passes
@@ -65,6 +70,9 @@ object JqCompiler {
   /** `"a\(.d.k)b"` — literal runs (Left) and interpolated exprs (Right). */
   case class StrInterp(parts: Seq[Either[String, Ast]]) extends Ast
   case class Alt(l: Ast, r: Ast) extends Ast // jq `a // b` (null/false fallback)
+  /** Unary string/math builtins riding path chains: ltrimstr/rtrimstr
+    * (literal arg), ascii_downcase/ascii_upcase, floor/ceil/fabs/sqrt. */
+  case class Fn1(name: String, arg: Option[String]) extends Ast
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
@@ -229,6 +237,14 @@ object JqCompiler {
       }
       else if (tryEat("split(")) { ws(); val s = parseString(); eat(')'); SplitFn(s) }
       else if (tryEat("join(")) { ws(); val s = parseString(); eat(')'); JoinFn(s) }
+      else if (tryEat("ltrimstr(")) { ws(); val s = parseString(); eat(')'); Fn1("ltrimstr", Some(s)) }
+      else if (tryEat("rtrimstr(")) { ws(); val s = parseString(); eat(')'); Fn1("rtrimstr", Some(s)) }
+      else if (tryEat("ascii_downcase")) Fn1("ascii_downcase", None)
+      else if (tryEat("ascii_upcase")) Fn1("ascii_upcase", None)
+      else if (tryEat("floor")) Fn1("floor", None)
+      else if (tryEat("ceil")) Fn1("ceil", None)
+      else if (tryEat("fabs")) Fn1("fabs", None)
+      else if (tryEat("sqrt")) Fn1("sqrt", None)
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
       else if (tryEat("tostring")) ToString
@@ -549,8 +565,7 @@ object JqCompiler {
     case PipeSeq(Seq(p: Path, ToNumber)) => toNumberOf(p)
     case PipeSeq(Seq(p: Path, ToString)) => toStringOf(p)
     case si: StrInterp    => interpString(si)
-    case PipeSeq((p: Path) +: fns) if fns.nonEmpty &&
-      fns.forall(f => f.isInstanceOf[SplitFn] || f.isInstanceOf[JoinFn] || f == Length) =>
+    case PipeSeq((p: Path) +: fns) if fns.nonEmpty && fns.forall(isChainFn) =>
       chainValue(p, fns)
     case Arith(op, l, r)  => arith(op, l, r)
     case c: Cmp           => boolCond(c)
@@ -579,14 +594,24 @@ object JqCompiler {
     case Lit(_: Boolean) | _: Cmp | _: Logic     => Some('b')
     case IfElse(_, t, e) =>
       for { kt <- kindOf(t); ke <- kindOf(e); if kt == ke } yield kt
-    case PipeSeq((_: Path) +: fns) if fns.nonEmpty &&
-      fns.forall(f => f.isInstanceOf[SplitFn] || f.isInstanceOf[JoinFn] || f == Length) =>
+    case PipeSeq((_: Path) +: fns) if fns.nonEmpty && fns.forall(isChainFn) =>
       fns.last match {
-        case JoinFn(_) => Some('s')
-        case Length    => Some('n')
-        case _         => None // ends on split → array-valued
+        case JoinFn(_)                     => Some('s')
+        case Length                        => Some('n')
+        case Fn1(n, _) if MathFns(n)       => Some('n')
+        case Fn1(n, _) if StrFns(n)        => Some('s')
+        case _                             => None // ends on split → array
       }
     case _ => None
+  }
+
+  private val MathFns = Set("floor", "ceil", "fabs", "sqrt")
+  private val StrFns = Set("ltrimstr", "rtrimstr", "ascii_downcase", "ascii_upcase")
+
+  private def isChainFn(f: Ast): Boolean = f match {
+    case _: SplitFn | _: JoinFn | Length => true
+    case Fn1(n, _) => MathFns(n) || StrFns(n)
+    case _ => false
   }
 
   /** jq `path // default`: the default when the path value is null,
@@ -637,43 +662,76 @@ object JqCompiler {
     if (parts.exists(_.isEmpty)) None else Some(concat(parts.flatten: _*))
   }
 
-  /** String-function chains over a path: `split` (literal separator,
-    * jq keeps trailing empties and maps "" to []), `join`, and
-    * `length` over the intermediate array. The chain is typed
-    * (string → array → string/number); an ill-typed chain refuses to
-    * compile and falls to the subprocess tier.
+  /** Typed function chains over a path: string functions (`split`,
+    * `join`, `ltrimstr`/`rtrimstr`, `ascii_downcase`/`ascii_upcase`),
+    * math functions (`floor`/`ceil`/`fabs`/`sqrt`), and `length` over
+    * the intermediate array — a small kind state machine
+    * (variant → string/number/array) so an ill-typed chain refuses to
+    * compile and falls to the subprocess tier. Where jq ERRORS on a
+    * wrong runtime kind (string function on a number, math on a
+    * string, sqrt of a negative), the compiled column raises loudly
+    * with a pointer at the subprocess tier instead of silently
+    * casting — the tonumber/tostring observability contract.
     */
   private def chainValue(p: Path, fns: Seq[Ast]): Option[Column] = {
-    var c = eventValue(p).getOrElse(return None)
-    var isArr = false
+    val pv = eventValue(p).getOrElse(return None)
+    def strict(cond: Column, v: Column, what: String, tpe: String): Column =
+      when(cond, v).otherwise(raise_error(concat(
+        lit(s"jq compiled tier: $what saw a non-$tpe value (jq raises here); run this step via the subprocess tier"))).cast(tpe))
+    // `.n` starts as a plain STRING column; `.d...` paths start as
+    // variants whose runtime kind gates each function; trace paths
+    // carry mixed static types — subprocess tier
+    val isVariant = p.segs.headOption.contains(Left("d"))
+    if (!isVariant && p.segs != Seq(Left("n"))) return None
+    val t = if (isVariant) schema_of_variant(pv) else lit("STRING")
+    val isNum = t.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
+      t.startsWith("DECIMAL")
+    // 'v' variant, 's' string, 'a' array, 'n' number
+    var kind = if (isVariant) 'v' else 's'
+    var c: Column = if (isVariant) pv else pv.cast("string")
+    def toStr(what: String): Unit = kind match {
+      case 'v' => c = strict(t === lit("STRING"), c.cast("string"), what, "string"); kind = 's'
+      case 's' => ()
+      case _   => throw new IllegalArgumentException(s"$what on non-string chain")
+    }
+    def toNum(what: String): Unit = kind match {
+      case 'v' => c = strict(isNum, c.cast("double"), what, "double"); kind = 'n'
+      case 'n' => ()
+      case _   => throw new IllegalArgumentException(s"$what on non-number chain")
+    }
     for (f <- fns) f match {
-      case SplitFn(sep) if !isArr =>
-        val s = c.cast("string")
-        c = when(s === lit(""), array().cast("array<string>"))
-          .otherwise(split(s, java.util.regex.Pattern.quote(sep), -1))
-        isArr = true
-      case JoinFn(sep) if isArr =>
-        c = array_join(c, sep)
-        isArr = false
-      case Length if isArr =>
-        c = size(c).cast("double")
-        isArr = false
+      case SplitFn(sep) =>
+        toStr("split")
+        c = when(c === lit(""), array().cast("array<string>"))
+          .otherwise(split(c, java.util.regex.Pattern.quote(sep), -1))
+        kind = 'a'
+      case JoinFn(sep) if kind == 'a' =>
+        c = array_join(c, sep); kind = 's'
+      case Length if kind == 'a' =>
+        c = size(c).cast("double"); kind = 'n'
+      case Fn1("ltrimstr", Some(pre)) =>
+        toStr("ltrimstr")
+        c = when(c.startsWith(pre), c.substr(lit(pre.length + 1), length(c) - pre.length))
+          .otherwise(c)
+      case Fn1("rtrimstr", Some(suf)) =>
+        toStr("rtrimstr")
+        c = when(c.endsWith(suf), c.substr(lit(1), length(c) - suf.length)).otherwise(c)
+      case Fn1("ascii_downcase", None) => toStr("ascii_downcase"); c = lower(c)
+      case Fn1("ascii_upcase", None)   => toStr("ascii_upcase"); c = upper(c)
+      case Fn1("floor", None) => toNum("floor"); c = floor(c).cast("double")
+      case Fn1("ceil", None)  => toNum("ceil"); c = ceil(c).cast("double")
+      case Fn1("fabs", None)  => toNum("fabs"); c = abs(c)
+      case Fn1("sqrt", None) =>
+        toNum("sqrt")
+        // jq yields NaN for negatives, which its JSON encoder prints as
+        // null — not representable through to_json; raise instead
+        c = when(c >= 0, sqrt(c)).otherwise(raise_error(concat(
+          lit("jq compiled tier: sqrt of a negative renders as jq null; run this step via the subprocess tier"))).cast("double"))
       case _ => return None
     }
-    Some(c)
+    if (kind == 'v') None else Some(c)
   }
 
-  // ---- wrapped value streams ----
-
-  /** The current `.` binding: the variant-typed value plus, when the
-    * rebound path was exactly `.d`, the payload's raw JSON text. The
-    * raw text matters for plan quality: numeric conditions cast it
-    * directly and the final render is a pass-through, so chained
-    * compiled steps don't compound parse→render→parse round-trips
-    * (predicate pushdown inlines upstream projections into downstream
-    * filters — with variant round-trips that nesting grows
-    * exponentially; with raw text it stays flat).
-    */
   private final case class Ctx(variant: Column, raw: Option[Column])
 
   /** Value of `ast` with `.` bound to `cur`. */

@@ -152,7 +152,13 @@ class JqFuzzSpec extends AnyFunSuite {
     3 -> arithGen,
     1 -> modGen,
     1 -> Gen.oneOf("(.d.ns | tonumber)", "(.d.k | tostring)",
-      "(.d.m | tostring)", "(.d.s | tostring)"))
+      "(.d.m | tostring)", "(.d.s | tostring)"),
+    1 -> Gen.oneOf(
+      "(.d.s | ascii_upcase)", "(.n | ascii_downcase)",
+      """(.d.s | ltrimstr("al"))""", """(.d.s | rtrimstr("a"))""",
+      """(.n | ltrimstr("a.") | ascii_upcase)""",
+      "(.d.m | floor)", "(.d.k | ceil)", "(.d.m | fabs)",
+      "(.d.k | fabs | sqrt)", "(.d.m | fabs | sqrt | floor)"))
 
   private val cmpGen: Gen[String] = Gen.frequency(
     4 -> (for {
