@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   *     numbers drop the decimal point, exact below 1e15)
   *   - typed function chains over paths: `split`/`join`,
   *     `ltrimstr`/`rtrimstr`, `ascii_downcase`/`ascii_upcase`,
-  *     `floor`/`ceil`/`fabs`/`sqrt`, `length` of a split — a wrong
-  *     runtime kind raises loudly where jq raises (never a silent
-  *     cast)
+  *     `floor`/`ceil`/`fabs`/`sqrt`/`round`, `length` of a split,
+  *     `reverse`/`sort`/`unique`/`min`/`max` over a split array,
+  *     string predicates `startswith`/`endswith`/`test(re)` (+ `not`),
+  *     `has(key)` on object payloads, and `gsub`/`sub` regex
+  *     replacement (literal replacement text; `test`/`gsub`/`sub`
+  *     regexes limited to the Java↔Oniguruma common dialect —
+  *     [[safeRegex]]) — a wrong runtime kind raises loudly where jq
+  *     raises (never a silent cast); boolean-ended chains work as
+  *     `select` conditions and number/string-ended chains as
+  *     kind-aligned comparison operands
   *   - value-form `if <cond> then a else b end` (kind-aligned
   *     branches) and `path // literal` alternatives (null, absent,
   *     and false are falsy, like jq; the non-falsy side passes
@@ -71,8 +78,12 @@ object JqCompiler {
   case class StrInterp(parts: Seq[Either[String, Ast]]) extends Ast
   case class Alt(l: Ast, r: Ast) extends Ast // jq `a // b` (null/false fallback)
   /** Unary string/math builtins riding path chains: ltrimstr/rtrimstr
-    * (literal arg), ascii_downcase/ascii_upcase, floor/ceil/fabs/sqrt. */
+    * (literal arg), ascii_downcase/ascii_upcase, floor/ceil/fabs/sqrt,
+    * startswith/endswith/test (string→boolean), not, round,
+    * reverse/sort/unique/min/max (array), has (object→boolean). */
   case class Fn1(name: String, arg: Option[String]) extends Ast
+  /** Two-literal-arg builtins: `gsub("re"; "repl")` / `sub("re"; "repl")`. */
+  case class Fn2(name: String, a: String, b: String) extends Ast
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
@@ -239,12 +250,34 @@ object JqCompiler {
       else if (tryEat("join(")) { ws(); val s = parseString(); eat(')'); JoinFn(s) }
       else if (tryEat("ltrimstr(")) { ws(); val s = parseString(); eat(')'); Fn1("ltrimstr", Some(s)) }
       else if (tryEat("rtrimstr(")) { ws(); val s = parseString(); eat(')'); Fn1("rtrimstr", Some(s)) }
+      else if (tryEat("startswith(")) { ws(); val s = parseString(); eat(')'); Fn1("startswith", Some(s)) }
+      else if (tryEat("endswith(")) { ws(); val s = parseString(); eat(')'); Fn1("endswith", Some(s)) }
+      else if (tryEat("test(")) { ws(); val s = parseString(); eat(')'); Fn1("test", Some(s)) }
+      else if (tryEat("has(")) { ws(); val s = parseString(); eat(')'); Fn1("has", Some(s)) }
+      else if (tryEat("gsub(")) {
+        ws(); val re = parseString(); eat(';'); ws(); val r = parseString(); eat(')')
+        Fn2("gsub", re, r)
+      }
+      else if (tryEat("sub(")) {
+        ws(); val re = parseString(); eat(';'); ws(); val r = parseString(); eat(')')
+        Fn2("sub", re, r)
+      }
       else if (tryEat("ascii_downcase")) Fn1("ascii_downcase", None)
       else if (tryEat("ascii_upcase")) Fn1("ascii_upcase", None)
       else if (tryEat("floor")) Fn1("floor", None)
       else if (tryEat("ceil")) Fn1("ceil", None)
       else if (tryEat("fabs")) Fn1("fabs", None)
       else if (tryEat("sqrt")) Fn1("sqrt", None)
+      else if (tryEat("round")) Fn1("round", None)
+      else if (tryEat("reverse")) Fn1("reverse", None)
+      else if (tryEat("unique")) Fn1("unique", None) // `unique_by(` already matched above
+      else if (tryEat("sort_by")) throw new IllegalArgumentException("sort_by: subprocess tier")
+      else if (tryEat("sort")) Fn1("sort", None)
+      else if (tryEat("not")) Fn1("not", None)
+      else if (tryEat("min_by") || tryEat("max_by"))
+        throw new IllegalArgumentException("min_by/max_by: subprocess tier")
+      else if (tryEat("min")) Fn1("min", None)
+      else if (tryEat("max")) Fn1("max", None)
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
       else if (tryEat("tostring")) ToString
@@ -452,6 +485,10 @@ object JqCompiler {
       }
     case Logic("and", l, r) => for { a <- boolCond(l); b <- boolCond(r) } yield a && b
     case Logic("or", l, r)  => for { a <- boolCond(l); b <- boolCond(r) } yield a || b
+    // boolean-ended chains as conditions: `select(.d.s | test("re"))`,
+    // `select(.n | startswith("a") | not)`
+    case PipeSeq((p: Path) +: fns) if fns.nonEmpty && fns.forall(isChainFn) =>
+      chainValueKind(p, fns).collect { case (c, 'b') => c }
     case _ => None
   }
 
@@ -460,6 +497,24 @@ object JqCompiler {
     */
   private def numOrStr(a: Ast, partner: Ast): Option[Column] = (a, partner) match {
     case (Lit(s: String), _) => Some(lit(s))
+    // typed chains as comparison operands, kind-aligned with the
+    // partner: `(.d.s | length) > 3` (numeric), `(.d.s | gsub(..)) ==
+    // "x"` (string) — misaligned kinds would hit jq's cross-type
+    // ordering, which is not columnar-expressible → subprocess
+    case (PipeSeq((p: Path) +: fns), _) if fns.nonEmpty && fns.forall(isChainFn) =>
+      val strPartner = partner match {
+        case Lit(_: String)                  => true
+        case PipeSeq(Seq(_: Path, ToString)) => true
+        case _                               => false
+      }
+      val numPartner = partner match {
+        case Lit(v)             => v.isInstanceOf[Double]
+        case _                  => !strPartner
+      }
+      chainValueKind(p, fns).collect {
+        case (c, 'n') if numPartner => c
+        case (c, 's') if strPartner => c
+      }
     case (Lit(d: Double), _) => Some(lit(d))
     case (Lit(b: Boolean), _) => Some(lit(b))
     case (p: Path, Lit(_: String)) => eventValue(p).map(_.cast("string"))
@@ -600,19 +655,84 @@ object JqCompiler {
         case Length                        => Some('n')
         case Fn1(n, _) if MathFns(n)       => Some('n')
         case Fn1(n, _) if StrFns(n)        => Some('s')
-        case _                             => None // ends on split → array
+        case Fn1(n, _) if BoolFns(n)       => Some('b')
+        case Fn1("not", _)                 => Some('b')
+        case Fn1("min" | "max", _)         => Some('s') // element of a split array
+        case Fn2(_, _, _)                  => Some('s') // gsub/sub
+        case _                             => None // ends on split/reverse/sort/unique → array
       }
     case _ => None
   }
 
-  private val MathFns = Set("floor", "ceil", "fabs", "sqrt")
+  private val MathFns = Set("floor", "ceil", "fabs", "sqrt", "round")
   private val StrFns = Set("ltrimstr", "rtrimstr", "ascii_downcase", "ascii_upcase")
+  /** string→boolean predicates (plus `has`: object→boolean). */
+  private val BoolFns = Set("startswith", "endswith", "test", "has")
+  /** array-kind transforms (reverse/sort/unique keep the array;
+    * min/max collapse to an element). */
+  private val ArrFns = Set("reverse", "sort", "unique", "min", "max")
 
   private def isChainFn(f: Ast): Boolean = f match {
     case _: SplitFn | _: JoinFn | Length => true
-    case Fn1(n, _) => MathFns(n) || StrFns(n)
+    case Fn1(n, _) => MathFns(n) || StrFns(n) || BoolFns(n) || ArrFns(n) || n == "not"
+    case Fn2(n, _, _) => n == "gsub" || n == "sub"
     case _ => false
   }
+
+  /** Conservative common-dialect guard for compiled `test`/`gsub`/`sub`
+    * regexes: accept only constructs whose semantics coincide between
+    * Java's engine (Spark `rlike`/`regexp_replace`) and jq's Oniguruma
+    * — literal chars, `\d \w \s \D \W \S` and escaped metachars,
+    * classes `[...]` (literals, ranges, leading `^`), `.`, anchors
+    * `^`/`$`, alternation, plain groups, and greedy quantifiers
+    * `* + ? {m,n}`. Backrefs, lookaround, named groups, inline flags
+    * (`(?`…), lazy/possessive quantifiers, and `\p` unicode properties
+    * refuse to compile → subprocess tier. The pattern must also be
+    * valid under java.util.regex (jq raises on an invalid regex; the
+    * subprocess tier reproduces that error).
+    */
+  private[functions] def safeRegex(re: String): Boolean = {
+    val litOk: Char => Boolean = ch =>
+      ch.isLetterOrDigit || " _:,;=<>!@#%&'\"~/-".indexOf(ch) >= 0
+    var i = 0
+    var inClass = false
+    var prevQuant = false // last token was a quantifier (reject `*?` lazy forms)
+    while (i < re.length) {
+      val ch = re(i)
+      if (ch == '\\') {
+        if (i + 1 >= re.length) return false
+        val e = re(i + 1)
+        if (!("dwsDWS".indexOf(e) >= 0 || "\\.^$|()[]{}*+?".indexOf(e) >= 0)) return false
+        i += 2; prevQuant = false
+      } else if (inClass) {
+        if (ch == ']') inClass = false
+        else if (!(litOk(ch) || ch == '-' || ch == '^' || ch == '.')) return false
+        i += 1; prevQuant = false
+      } else ch match {
+        case '[' => inClass = true; i += 1; prevQuant = false
+        case '(' =>
+          if (i + 1 < re.length && re(i + 1) == '?') return false // (?...) groups/flags
+          i += 1; prevQuant = false
+        case '*' | '+' | '?' =>
+          if (prevQuant) return false // lazy/possessive (`*?`, `++`, …)
+          i += 1; prevQuant = true
+        case '{' =>
+          val close = re.indexOf('}', i)
+          if (close < 0 || !re.substring(i + 1, close).matches("\\d+(,\\d*)?")) return false
+          i = close + 1; prevQuant = true
+        case c if litOk(c) || ")|.^$]".indexOf(c) >= 0 => i += 1; prevQuant = false
+        case _ => return false
+      }
+    }
+    !inClass && (try { java.util.regex.Pattern.compile(re); true }
+                 catch { case _: Exception => false })
+  }
+
+  /** Literal replacement text for regexp_replace: `\` and `$` are
+    * metacharacters in Java's replacement syntax.
+    */
+  private def escapeReplacement(repl: String): String =
+    repl.replace("\\", "\\\\").replace("$", "\\$")
 
   /** jq `path // default`: the default when the path value is null,
     * absent, or boolean false (jq falsiness is exactly null and
@@ -673,7 +793,10 @@ object JqCompiler {
     * with a pointer at the subprocess tier instead of silently
     * casting — the tonumber/tostring observability contract.
     */
-  private def chainValue(p: Path, fns: Seq[Ast]): Option[Column] = {
+  private def chainValue(p: Path, fns: Seq[Ast]): Option[Column] =
+    chainValueKind(p, fns).map(_._1)
+
+  private def chainValueKind(p: Path, fns: Seq[Ast]): Option[(Column, Char)] = {
     val pv = eventValue(p).getOrElse(return None)
     def strict(cond: Column, v: Column, what: String, tpe: String): Column =
       when(cond, v).otherwise(raise_error(concat(
@@ -709,6 +832,12 @@ object JqCompiler {
         c = array_join(c, sep); kind = 's'
       case Length if kind == 'a' =>
         c = size(c).cast("double"); kind = 'n'
+      case Length if kind == 's' =>
+        // only reachable when the chain is STATICALLY string (`.n`
+        // start or after a string fn, each strict-guarded) — a
+        // variant-start `| length` stays on the subprocess tier, since
+        // jq's length is polymorphic (array size / object keys / |n|)
+        c = length(c).cast("double"); kind = 'n'
       case Fn1("ltrimstr", Some(pre)) =>
         toStr("ltrimstr")
         c = when(c.startsWith(pre), c.substr(lit(pre.length + 1), length(c) - pre.length))
@@ -727,9 +856,58 @@ object JqCompiler {
         // null — not representable through to_json; raise instead
         c = when(c >= 0, sqrt(c)).otherwise(raise_error(concat(
           lit("jq compiled tier: sqrt of a negative renders as jq null; run this step via the subprocess tier"))).cast("double"))
+      case Fn1("round", None) =>
+        // jq's round is C round (half away from zero) = Spark's HALF_UP
+        toNum("round"); c = round(c).cast("double")
+      case Fn1("startswith", Some(s)) => toStr("startswith"); c = c.startsWith(s); kind = 'b'
+      case Fn1("endswith", Some(s))   => toStr("endswith"); c = c.endsWith(s); kind = 'b'
+      case Fn1("test", Some(re)) if safeRegex(re) =>
+        // rlike = Java find() (unanchored search), same as jq's test
+        toStr("test"); c = c.rlike(re); kind = 'b'
+      case Fn1("not", None) if kind == 'b' => c = !c
+      case Fn1("has", Some(k))
+          if kind == 'v' && k.nonEmpty && k.forall(ch => ch.isLetterOrDigit || ch == '_') =>
+        // present-with-null-value is still `has == true` in jq:
+        // variant_get yields a VARIANT null (non-SQL-null) there, SQL
+        // NULL only when the key is absent — exactly the distinction
+        // needed. Non-objects raise, as jq does.
+        c = when(t.startsWith("OBJECT"), try_variant_get(c, s"$$.$k", "variant").isNotNull)
+          .otherwise(raise_error(lit(
+            "jq compiled tier: has() saw a non-object value (jq raises here); run this step via the subprocess tier")).cast("boolean"))
+        kind = 'b'
+      case Fn1("reverse", None) if kind == 'a' => c = reverse(c)
+      case Fn1("sort", None) if kind == 'a'    => c = array_sort(c)
+      case Fn1("unique", None) if kind == 'a'  => c = array_sort(array_distinct(c))
+      case Fn1("min", None) if kind == 'a' =>
+        // jq: min of [] is null — which the per-event object renderer
+        // would DROP (ignoreNullFields); raise instead of diverging
+        c = when(size(c) > 0, array_min(c)).otherwise(raise_error(lit(
+          "jq compiled tier: min of an empty array is jq null; run this step via the subprocess tier")).cast("string"))
+        kind = 's'
+      case Fn1("max", None) if kind == 'a' =>
+        c = when(size(c) > 0, array_max(c)).otherwise(raise_error(lit(
+          "jq compiled tier: max of an empty array is jq null; run this step via the subprocess tier")).cast("string"))
+        kind = 's'
+      case Fn2("gsub", re, repl) if safeRegex(re) &&
+          !java.util.regex.Pattern.compile(re).matcher("").find() =>
+        // empty-matchable patterns refuse to compile: jq 1.6's gsub
+        // INFINITE-LOOPS on them (verified against the binary), so the
+        // compiled tier must not succeed where the reference hangs
+        toStr("gsub"); c = regexp_replace(c, re, escapeReplacement(repl))
+      case Fn2("sub", re, repl) if safeRegex(re) =>
+        // replace-FIRST: wrap as `^(.*?)(re)(.*)$` under DOTALL — the
+        // lazy prefix finds the leftmost occurrence, the anchors make
+        // the wrapper consume the WHOLE input in exactly one match (so
+        // replace-all applies it once, even when re can match empty);
+        // prefix/tail ride back via group indexes offset by re's own
+        // group count
+        toStr("sub")
+        val tailGroup = java.util.regex.Pattern.compile(re).matcher("").groupCount() + 3
+        c = regexp_replace(c, s"(?s)^(.*?)($re)(.*)$$",
+          "$1" + escapeReplacement(repl) + "$" + tailGroup)
       case _ => return None
     }
-    if (kind == 'v') None else Some(c)
+    if (kind == 'v') None else Some((c, kind))
   }
 
   private final case class Ctx(variant: Column, raw: Option[Column])

@@ -88,6 +88,31 @@ class JqCompilerSpec extends AnyFunSuite {
     assert(JqCompiler.tryCompile("{n: \"agg\", d: {s: (map(.d.k) | add), c: length}}").isDefined)
   }
 
+  test("regex builtins: dialect guard and jq-bug refusals stay on the subprocess tier") {
+    def pe(body: String) = s""".[] | {n: "x", d: {a: ($body)}}"""
+    // compiled: common-dialect regexes
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("^a[bc]+$")""")).isDefined)
+    assert(JqCompiler.tryCompile(pe(""".d.s | gsub("a+"; "X")""")).isDefined)
+    assert(JqCompiler.tryCompile(pe(""".d.s | sub("a*"; "X")""")).isDefined)
+    // refused: gsub on an empty-matchable pattern (jq 1.6 infinite-loops
+    // there — the compiled tier must not succeed where jq hangs)
+    assert(JqCompiler.tryCompile(pe(""".d.s | gsub("a*"; "X")""")).isEmpty)
+    // refused: constructs outside the Java↔Oniguruma common dialect
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("(?i)abc")""")).isEmpty)     // inline flags
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("a(?=b)")""")).isEmpty)      // lookahead
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("a*?b")""")).isEmpty)        // lazy quantifier
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("\\p{L}+")""")).isEmpty)     // unicode property
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("[ab")""")).isEmpty)         // invalid regex
+    // min/max only after an array-producing stage; length only on a
+    // statically-string chain (variant-start stays subprocess)
+    assert(JqCompiler.tryCompile(pe(""".d.s | min""")).isEmpty)
+    assert(JqCompiler.tryCompile(pe(""".d.s | split(",") | min""")).isDefined)
+    assert(JqCompiler.tryCompile(pe(""".d.s | length""")).isEmpty)
+    assert(JqCompiler.tryCompile(pe(""".n | length""")).isDefined)
+    // sort_by/min_by/max_by are not in the compiled subset
+    assert(JqCompiler.tryCompile(pe(""".d.s | split(",") | sort_by(.)""")).isEmpty)
+  }
+
   private val stressYaml =
     """name: p
       |steps:

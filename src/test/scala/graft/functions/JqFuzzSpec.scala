@@ -452,6 +452,123 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round-13 widenings: regex predicates/replacement, array fns ----
+
+  /** Escape a raw regex/string for embedding in a jq string literal. */
+  private def jqStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Regex pool spanning the compiled dialect: literals, classes,
+    * quantifiers (incl. empty-matchable `a*` and the empty pattern),
+    * anchors, alternation, groups, escapes.
+    */
+  private val rePool = Seq(
+    "a", "al", "be", "a.b", "a+", "[ab]+", "^al", "a|be", "t?a",
+    "a*", "[^a]", "\\w+", "g.mma", "a{2}", "ph", "\\.", "m+a",
+    "e(t|l)a", "", "[a-m]+$", "\\d", "[.]b")
+  /** gsub pool: jq 1.6's gsub infinite-loops on empty-matchable
+    * patterns (the compiled tier refuses them too — see JqCompiler),
+    * so the gsub arm draws only from patterns needing ≥1 char.
+    */
+  private val rePoolNonEmpty = rePool.filterNot(re =>
+    java.util.regex.Pattern.compile(re).matcher("").find())
+  private val replPool = Seq("X", "", "$2", "-", "x$y", "a\\b")
+
+  private val regexFnGen: Gen[String] = for {
+    sp   <- Gen.oneOf(".d.s", ".n")
+    re   <- Gen.oneOf(rePool)
+    reG  <- Gen.oneOf(rePoolNonEmpty)
+    re2  <- Gen.oneOf(rePool)
+    repl <- Gen.oneOf(replPool)
+    pre  <- Gen.oneOf("al", "a.", "be", "d")
+    suf  <- Gen.oneOf("a", "b", "ma", "7")
+    form <- Gen.choose(0, 6)
+  } yield {
+    val (r, rg, r2, rp) = (jqStr(re), jqStr(reG), jqStr(re2), jqStr(repl))
+    form match {
+      case 0 => s"""{n: "out", d: {a: ($sp | test("$r"))}}"""
+      case 1 => s"""{n: "out", d: {a: ($sp | gsub("$rg"; "$rp"))}}"""
+      case 2 => s"""{n: "out", d: {a: ($sp | sub("$r"; "$rp"))}}"""
+      case 3 => s"""{n: "out", d: {a: ($sp | startswith("$pre")), b: ($sp | endswith("$suf"))}}"""
+      case 4 => s"""{n: "out", d: {a: ($sp | test("$r") | not), b: (.d.o | has("x")), c: (.d | has("mb"))}}"""
+      case 5 => s"""{n: "out", d: {a: ($sp | gsub("$rg"; "$rp") | ascii_upcase), b: ($sp | sub("$r2"; "$rp"))}}"""
+      case 6 => s"""{n: "out", d: {a: (.d.o | has("y")), b: (.d | has("ms"))}}"""
+    }
+  }
+
+  private val regexSelGen: Gen[String] = for {
+    sp   <- Gen.oneOf(".d.s", ".n")
+    re   <- Gen.oneOf(rePool)
+    pre  <- Gen.oneOf("al", "a.", "be")
+    form <- Gen.choose(0, 3)
+  } yield form match {
+    case 0 => s"""select($sp | test("${jqStr(re)}"))"""
+    case 1 => s"""select($sp | startswith("$pre"))"""
+    case 2 => s"""select($sp | endswith("a") | not)"""
+    case 3 => s"""select(.d | has("ms"))"""
+  }
+
+  test("regex/predicate fuzz: test/gsub/sub/startswith/endswith/has/not == jq on 400 random programs") {
+    import JqCompiler._
+    val progGen = for {
+      sel <- Gen.option(regexSelGen)
+      obj <- regexFnGen
+    } yield (Seq(".[]") ++ sel ++ Seq(obj)).mkString(" | ")
+    samples(Gen.zip(progGen, vectorGen), 400).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  private val arrayFnGen: Gen[String] = for {
+    sp   <- Gen.oneOf(".d.s", ".n")
+    sep  <- Gen.oneOf("a", "l", "-", "ph", ".", "b")
+    sep2 <- Gen.oneOf("|", "_", "")
+    form <- Gen.choose(0, 6)
+  } yield {
+    val s = jqStr(sep)
+    form match {
+      case 0 => s"""{n: "out", d: {a: ($sp | split("$s") | sort)}}"""
+      case 1 => s"""{n: "out", d: {a: ($sp | split("$s") | unique | join("$sep2"))}}"""
+      case 2 => s"""{n: "out", d: {a: ($sp | split("$s") | reverse | join("$sep2"))}}"""
+      case 3 => s"""{n: "out", d: {a: ($sp | split("$s") | min), b: ($sp | split("$s") | max)}}"""
+      case 4 => s"""{n: "out", d: {a: (.n | length), b: (.d.s | ascii_downcase | length)}}"""
+      case 5 => s"""{n: "out", d: {a: (.d.m | round), b: (.d.k | round)}}"""
+      case 6 => s"""{n: "out", d: {a: ($sp | split("$s") | sort | join("$sep2")), b: ($sp | split("$s") | reverse)}}"""
+    }
+  }
+
+  test("array-fn/length/round fuzz: sort/unique/reverse/min/max chains == jq on 300 random programs") {
+    import JqCompiler._
+    val progGen = for {
+      cond <- Gen.option(Gen.oneOf(
+        """select((.n | length) > 3)""",
+        """select((.d.s | ascii_upcase | length) >= 4)""",
+        """select((.d.s | gsub("a"; "")) != "lph")"""))
+      obj <- arrayFnGen
+    } yield (Seq(".[]") ++ cond ++ Seq(obj)).mkString(" | ")
+    samples(Gen.zip(progGen, vectorGen), 300).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
   test("wrapped-value fuzz: compiled tier == jq on 150 random sieve programs") {
     import JqCompiler._
     samples(Gen.zip(wrappedGen, vectorGen), 150).foreach { case (expr, events) =>
