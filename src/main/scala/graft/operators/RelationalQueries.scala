@@ -503,6 +503,49 @@ object RelationalQueries {
         .orderBy("y", "m")
     },
 
+    // Wide pivot: per-shipmode quantity totals fanned out by return
+    // flag. Catalyst compiles `pivot` with explicit values to ONE hash
+    // aggregate over the group key (each pivot value becomes a
+    // conditional aggregate) — a single shuffle on the ship year,
+    // partial aggregation map-side. Cells are exact long cents: |cell|
+    // grows ~5.1e3·rows, so long overflow needs ~1.8e15 rows per
+    // (year, flag) — ~2000× a 100-TB lineitem's share. A (year, flag)
+    // combination with no rows is NULL from pivot and 0 from the
+    // oracle's ELSE 0; coalesce aligns them.
+    "agg_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("ship_y", year(col("l_shipdate")))
+        .groupBy("ship_y")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(cents("l_quantity")))
+        .select(col("ship_y"),
+          (coalesce(col("A"), lit(0L)).cast("double") / lit(100.0)).as("qty_a"),
+          (coalesce(col("N"), lit(0L)).cast("double") / lit(100.0)).as("qty_n"),
+          (coalesce(col("R"), lit(0L)).cast("double") / lit(100.0)).as("qty_r"))
+        .orderBy("ship_y")
+    },
+
+    // Long-form melt: the four 2-decimal lineitem measures unpivoted
+    // to (measure, cents) rows — Catalyst's Expand node, a 4× row
+    // fan-out with NO shuffle — then one 4-group aggregate. The sums
+    // ride the hi/lo split (extendedprice cents × a 100-TB lineitem's
+    // ~8.6e11 rows only clears long range split at 1e7); the oracle
+    // mirrors as UNION ALL + the identical recombination.
+    "agg_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(cents("l_quantity").as("l_quantity"),
+          cents("l_extendedprice").as("l_extendedprice"),
+          cents("l_discount").as("l_discount"),
+          cents("l_tax").as("l_tax"))
+        .unpivot(Array.empty[Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "m", "v")
+        .groupBy("m")
+        .agg(fpSum("v", 100.0).as("total"), count(lit(1)).as("n"))
+        .orderBy("m")
+    },
+
     // Array functions over the embedding column: size, slice, element
     // stats — exact termwise math, no aggregation ambiguity.
     "array_funcs" -> { (s, d) =>
@@ -611,6 +654,25 @@ object RelationalQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_y,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY ship_y""".stripMargin,
+
+    "agg_unpivot" ->
+      """SELECT m,
+        |  (CAST(SUM(v // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(v % 10000000) AS DOUBLE)) / 100.0 AS total,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS m, CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+        |)
+        |GROUP BY m ORDER BY m""".stripMargin,
 
     "array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim,
