@@ -111,6 +111,28 @@ object Verify {
       val maxErr = if (errs.isEmpty) 0.0 else errs.max
       val errCeil = 0.15
 
+      // agg_incremental_distinct: rows-only by design (DataSketches
+      // estimates have no DuckDB counterpart). Two-part stand-in:
+      // (1) the shipped union-of-shard-sketches estimate must EQUAL a
+      //     one-shot single-pass sketch over all rows (HLL registers
+      //     are per-register maxes — sharding cannot change them);
+      // (2) estimates track exact distinct counts within 5%.
+      val (incEqOneShot, incMaxRelErr) = {
+        val got = graft.SparkEntry.queries("agg_incremental_distinct")(spark, sfDir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val evs = graft.sources.Tables.events(spark, sfDir)
+        val oneShot = evs.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = evs.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rel = exact.map { case (k, n) =>
+          math.abs(got.getOrElse(k, 0L) - n).toDouble / math.max(n, 1L) }
+        (got == oneShot, if (rel.isEmpty) 0.0 else rel.max)
+      }
+      val incErrCeil = 0.05
+
       // agg_approx_quantile: worst RANK error of the sketch quantiles —
       // the fraction of rows <= the approximate quantile must sit within
       // the sketch's guaranteed 1/accuracy = 0.001 of the target rank
@@ -253,6 +275,9 @@ object Verify {
          | "floor": $recallFloor, "pass": ${ivfRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
+         | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,
+         | "ceiling": $incErrCeil, "union_equals_one_shot": $incEqOneShot,
+         | "pass": ${incEqOneShot && incMaxRelErr <= incErrCeil}},
          | "agg_approx_quantile": {"metric": "max_rank_err_vs_target", "value": $maxRankErr,
          | "ceiling": $rankCeil, "pass": ${maxRankErr <= rankCeil}},
          | "emb_ann_pq": {"metric": "recall_vs_brute_force_top5", "value": $pqRecall,

@@ -569,6 +569,25 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Incremental distinct over a persisted sketch index: events with
+    // event_id%10>=3 play the already-ingested corpus, summarized as
+    // per-(event_type, day) DataSketches HLL sketches (built here
+    // in-query; IncrementalSketchSpec proves the parquet round-trip
+    // and index-only probe plan); the rest play today's batch. The
+    // estimate unions kilobytes of sketches — corpus rows are never
+    // rescanned. No SQL oracle (DuckDB's approx sketch is a different
+    // algorithm); Verify's invariant pins union-of-shards == one-shot
+    // estimate AND relative error vs exact distinct.
+    "agg_incremental_distinct" -> { (s, d) =>
+      val all = Tables.events(s, d)
+      val batch = all.filter(col("event_id") % 10 < 3)
+      val corpus = all.filter(col("event_id") % 10 >= 3)
+      val index = SketchIndex.buildDistinctIndex(corpus, Seq("event_type"),
+        to_date(col("ts")).cast("string"), col("user_id"))
+      SketchIndex.estimateWithBatch(index, batch, Seq("event_type"), col("user_id"))
+        .orderBy("event_type")
+    },
+
     // Approximate quantiles (Spark's mergeable percentile sketch,
     // accuracy 1000 => rank error <= 1/1000) — the second sketch
     // family next to HLL: partial sketches merge map-side, so the
