@@ -91,31 +91,13 @@ object RelationalQueries {
     * doubles.
     */
   private def exactPercentile(df: DataFrame, g: String, v: String,
-                              p: Double, out: String): DataFrame = {
-    val counts = df.groupBy(col(g), col(v).as("__pv"))
-      .agg(count(lit(1)).as("__pc"))
-    val cum = ParallelRank.withRunningSum(counts, Seq(col(g)),
-      Seq(col("__pv")), col("__pc"), "__cum")
-    val sizes = counts.groupBy(col(g)).agg(sum("__pc").as("__n"))
-    val withR = cum.join(broadcast(sizes), g)
-      .withColumn("__r", lit(p) * (col("__n") - 1))
-      .withColumn("__k0", floor(col("__r")) + 1)
-      .withColumn("__k1", least(floor(col("__r")) + 2, col("__n")))
-    val v0 = withR
-      .filter(col("__cum") >= col("__k0") && col("__cum") - col("__pc") < col("__k0"))
-      .select(col(g), col("__pv").as("__v0"), col("__r"))
-    val v1 = withR
-      .filter(col("__cum") >= col("__k1") && col("__cum") - col("__pc") < col("__k1"))
-      .select(col(g), col("__pv").as("__v1"))
-    // the built-in's exact arithmetic: integral rank takes the value
-    // itself, otherwise the WEIGHTED form (⌈r⌉−r)·v0 + (r−⌊r⌋)·v1 —
-    // NOT v0 + frac·(v1−v0), which differs by an ulp on real prices
-    v0.join(v1, g).select(col(g),
-      when(col("__r") === floor(col("__r")), col("__v0"))
-        .otherwise((ceil(col("__r")) - col("__r")) * col("__v0") +
-          (col("__r") - floor(col("__r"))) * col("__v1"))
-        .as(out))
-  }
+                              p: Double, out: String): DataFrame =
+    // per-(group, value) counts, then the shared interpolation core
+    // (HistogramIndex.percentileFromCounts — also the incremental
+    // index probe's arithmetic, so both stay bit-identical)
+    HistogramIndex.percentileFromCounts(
+      df.groupBy(col(g), col(v).as("__pv")).agg(count(lit(1)).as("__pc")),
+      g, p, out)
 
   val queries: Map[String, Q] = Map(
 
@@ -569,6 +551,25 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Incremental EXACT percentile over a persisted value-histogram
+    // index: lineitem rows with l_orderkey%10>=3 play the ingested
+    // corpus, summarized as per-(returnflag, ship-year) distinct-value
+    // counts of l_quantity (50 values — the index is tiny and exact);
+    // the rest play the day's batch. Counts merge by SUMMING, so the
+    // incremental median is bit-identical to a full recompute and
+    // hash-matches the quantile_cont oracle over ALL rows — the
+    // mergeable-index property randomized quantile sketches lack.
+    "agg_incremental_percentile" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val batch = li.filter(col("l_orderkey") % 10 < 3)
+      val corpus = li.filter(col("l_orderkey") % 10 >= 3)
+      val index = HistogramIndex.buildValueHistIndex(corpus, Seq("l_returnflag"),
+        year(col("l_shipdate")), col("l_quantity"))
+      HistogramIndex.percentileWithBatch(index, batch, "l_returnflag",
+          col("l_quantity"), 0.5, "median_qty")
+        .orderBy("l_returnflag")
+    },
+
     // Incremental distinct over a persisted sketch index: events with
     // event_id%10>=3 play the already-ingested corpus, summarized as
     // per-(event_type, day) DataSketches HLL sketches (built here
@@ -710,6 +711,10 @@ object RelationalQueries {
     "agg_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_incremental_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_stringagg" ->
