@@ -109,4 +109,68 @@ object LayoutOps {
       .option("parquet.block.size", 64 * 1024)
       .parquet(path)
   }
+
+  // ---- File-level zone maps: a MANIFEST of per-file min/max stats.
+  // Parquet footers already prune ROW GROUPS, but Spark still lists,
+  // opens, and plans a task for every file — at 100 TB (hundreds of
+  // thousands of files) the listing and task-scheduling overhead
+  // dominates a selective scan. The manifest is the lakehouse
+  // data-skipping trick (Delta/Iceberg file stats) on vanilla
+  // parquet: a kilobytes-scale sidecar consulted BEFORE Spark ever
+  // sees the file list, so a narrow predicate plans only the
+  // surviving files. ----
+
+  /** Write `df` range-partitioned on `statsCol` (tight per-file value
+    * ranges — the layout that makes zone maps selective) plus a
+    * `_manifest` sidecar of per-file (min, max, rows) for `statsCol`,
+    * computed from the data actually written.
+    */
+  def writeWithManifest(df: DataFrame, statsCol: String, path: String,
+                        files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    df.repartitionByRange(files, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Scan `path` for `statsCol ∈ [lo, hi]`, consulting the manifest
+    * first: only files whose [min, max] intersects the predicate reach
+    * Spark's reader (the residual filter still applies — zone maps are
+    * a superset prefilter, so results are exactly the plain scan's).
+    * Returns the pruned frame plus (surviving, total) file counts so
+    * callers can report the skip ratio.
+    */
+  def readPruned(spark: SparkSession, path: String, statsCol: String,
+                 lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val manifest = spark.read.parquet(s"$path/_manifest")
+      .select("file", "lo", "hi").collect()
+    val survivors = manifest.filter(r =>
+      !(cmp(r.get(2), lo) < 0 || cmp(r.get(1), hi) > 0)).map(_.getString(0))
+    val pruned =
+      if (survivors.isEmpty)
+        spark.read.parquet(path).filter(col(statsCol) >= lit(lo) && lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*)
+        .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+    (pruned, survivors.length, manifest.length)
+  }
+
+  /** Ordering across the numeric/orderable types a stats column can
+    * carry (manifest values arrive as Any from Row.get).
+    */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case other => throw new IllegalArgumentException(s"unorderable manifest pair: $other")
+  }
 }

@@ -118,4 +118,33 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(zRows * 3 <= rndRows,
       s"z-ordered scan read $zRows rows vs $rndRows random-order — no pruning win")
   }
+
+  test("manifest zone maps skip most FILES on a narrow range; results equal the plain scan") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    LayoutOps.writeWithManifest(li, "l_orderkey", dir, files = 16)
+
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) +
+      (keys.getLong(1) - keys.getLong(0)) / 20) // ~5% of the key range
+    val (pruned, survivors, total) = LayoutOps.readPruned(spark, dir, "l_orderkey", lo, hi)
+
+    // parity: zone maps are a superset prefilter + residual filter
+    val expect = spark.read.parquet(dir)
+      .filter(col("l_orderkey").between(lo, hi))
+      .collect().map(_.toString).sorted.toSeq
+    val got = pruned.collect().map(_.toString).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+
+    // the range layout + manifest must plan a fraction of the files
+    assert(total == 16, s"manifest should carry all 16 files, had $total")
+    assert(survivors * 3 <= total,
+      s"manifest kept $survivors/$total files for a 5% key range — no file skipping")
+
+    // an empty predicate range prunes to zero files and zero rows
+    val (none, s0, _) = LayoutOps.readPruned(spark, dir, "l_orderkey",
+      keys.getLong(1) + 1000, keys.getLong(1) + 2000)
+    assert(s0 == 0 && none.count() == 0)
+  }
 }
