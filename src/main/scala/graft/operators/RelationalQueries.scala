@@ -246,6 +246,22 @@ object RelationalQueries {
         .orderBy("rf", "ls")
     },
 
+    // CUBE: all four grouping combinations in one Expand-based
+    // aggregate (rollup's sibling — same single-shuffle shape, 2^d
+    // grouping sets fanned out map-side). Distinct grain from
+    // agg_rollup: flag-only AND status-only marginals both appear.
+    "agg_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("ec", cents("l_extendedprice"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          fpSum("ec", 100.0).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_price"))
+        .orderBy("rf", "ls")
+    },
+
     // HAVING: post-aggregation filter.
     "agg_having" -> { (s, d) =>
       Tables.orders(s, d).groupBy("o_custkey")
@@ -835,6 +851,14 @@ object RelationalQueries {
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |  COUNT(*) AS cnt, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt,
+        |  (CAST(SUM(ec // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(ec % 10000000) AS DOUBLE)) / 100.0 AS sum_price
+        |FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_extendedprice * 100) AS BIGINT) AS ec FROM lineitem)
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "agg_having" ->
