@@ -133,6 +133,31 @@ object Verify {
       }
       val incErrCeil = 0.05
 
+      // agg_user_overlap: rows-only by design (theta estimates have no
+      // DuckDB counterpart). Stand-in: every pair's estimated
+      // intersection vs the exact distinct-user intersection, worst
+      // relative error (sf distinct counts sit in the sketch's exact
+      // range, so this is equality in practice; ceiling matches the
+      // other sketch gates).
+      val overlapMaxRelErr = {
+        val evs = graft.sources.Tables.events(spark, sfDir)
+        val got = graft.SparkEntry.queries("agg_user_overlap")(spark, sfDir)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+        val users = evs.select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+        val exact = users.as("a").join(users.as("b"),
+            col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+          .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val errs = got.map { case (pair, est) =>
+          val ex = exact.getOrElse(pair, 0L)
+          if (ex == 0L) (if (est == 0L) 0.0 else 1.0)
+          else math.abs(est - ex).toDouble / ex
+        }
+        if (errs.isEmpty) 0.0 else errs.max
+      }
+      val overlapCeil = 0.05
+
       // agg_approx_quantile: worst RANK error of the sketch quantiles —
       // the fraction of rows <= the approximate quantile must sit within
       // the sketch's guaranteed 1/accuracy = 0.001 of the target rank
@@ -278,6 +303,8 @@ object Verify {
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,
          | "ceiling": $incErrCeil, "union_equals_one_shot": $incEqOneShot,
          | "pass": ${incEqOneShot && incMaxRelErr <= incErrCeil}},
+         | "agg_user_overlap": {"metric": "max_pair_rel_err_vs_exact_intersection", "value": $overlapMaxRelErr,
+         | "ceiling": $overlapCeil, "pass": ${overlapMaxRelErr <= overlapCeil}},
          | "agg_approx_quantile": {"metric": "max_rank_err_vs_target", "value": $maxRankErr,
          | "ceiling": $rankCeil, "pass": ${maxRankErr <= rankCeil}},
          | "emb_ann_pq": {"metric": "recall_vs_brute_force_top5", "value": $pqRecall,

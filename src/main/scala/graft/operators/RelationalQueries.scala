@@ -567,6 +567,16 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Population overlap via theta sketches: estimated distinct-user
+    // intersection/union for every event-type pair — the set algebra
+    // HLL cannot express. Deterministic (fixed library seed, order-
+    // independent retention), so rows-only for the driver with
+    // Verify's invariant gating estimates against exact pair
+    // intersections.
+    "agg_user_overlap" -> { (s, d) =>
+      ThetaOps.pairwiseOverlap(Tables.events(s, d), "event_type", col("user_id"))
+    },
+
     // Incremental EXACT percentile over a persisted value-histogram
     // index: lineitem rows with l_orderkey%10>=3 play the ingested
     // corpus, summarized as per-(returnflag, ship-year) distinct-value
