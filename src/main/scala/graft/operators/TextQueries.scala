@@ -426,6 +426,31 @@ object TextQueries {
         .orderBy("a", "b")
     },
 
+    // Containment near-dup: |A∩B| / min(|A|,|B|) — the asymmetric
+    // measure that catches a SHORT document embedded in a longer one,
+    // which symmetric Jaccard under-scores (inter/(na+nb−inter) → 0 as
+    // the length gap grows while containment stays 1). Same bounded
+    // quadratic block + sorted-intersection kernel as
+    // dedup_ngram_jaccard; LSH remains the scale path.
+    "dedup_containment" -> { (s, d) =>
+      val base = docs(s, d).filter(col("doc_id") < 2000)
+        .withColumn("hs", sort_array(array_distinct(
+          graft.functions.TextExpressions.shingleHashes(col("text"), 3))))
+        .filter(size(col("hs")) > 0)
+        .select("doc_id", "source", "hs")
+      val a = base.select(col("doc_id").as("a"), col("source"), col("hs").as("hsa"))
+      val b = base.select(col("doc_id").as("b"), col("source"), col("hs").as("hsb"))
+      val icount = graft.functions.VectorExpressions
+        .sortedIntersectCount(col("hsa"), col("hsb"))
+      a.join(b, "source").filter(col("a") < col("b"))
+        .withColumn("inter", icount)
+        .withColumn("cont", col("inter").cast("double") /
+          least(size(col("hsa")), size(col("hsb"))))
+        .filter(col("cont") >= 0.8)
+        .select("a", "b", "cont")
+        .orderBy("a", "b")
+    },
+
     // MinHash + LSH near-dup: signature -> banded bucket join ->
     // candidate pairs -> signature-estimated Jaccard filter.
     // Signatures come from explode + 16 min-aggregates: one md5 per
@@ -867,6 +892,19 @@ object TextQueries {
          |    len(list_intersect(x.hs, y.hs)) AS inter
          |  FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id)
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, list_distinct(list_transform(sh, s -> ${thSql("s")})) AS hs FROM (
+         |    SELECT doc_id, source, ${shinglesSql(3)} AS sh
+         |    FROM (SELECT doc_id, source, $toksSql AS toks FROM documents WHERE doc_id < 2000))
+         |  WHERE len(sh) > 0)
+         |SELECT a, b, CAST(inter AS DOUBLE) / LEAST(na, nb) AS cont FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, len(x.hs) AS na, len(y.hs) AS nb,
+         |    len(list_intersect(x.hs, y.hs)) AS inter
+         |  FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id)
+         |WHERE CAST(inter AS DOUBLE) / LEAST(na, nb) >= 0.8
          |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash_lsh" -> s"""WITH $minhashPairCtes

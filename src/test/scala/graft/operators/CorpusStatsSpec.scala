@@ -245,4 +245,42 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert("ReadSchema: [^\n]*".r.findFirstIn(plan)
       .exists(s => s.contains("label") && s.contains("embedding") && !s.contains("vec_id")))
   }
+
+  test("containment catches a short doc embedded in a long one where Jaccard misses it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val short = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val long = (short + " ") * 1 +
+      (1 to 60).map(i => s"unrelated filler sentence number $i with extra words").mkString(" ")
+    // same source block, doc ids inside the bounded b<2000 window
+    val df = Seq((10L, "s1", short, "en"), (11L, "s1", long, "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    def runPair(q: String) = {
+      // the shipped queries read from parquet via docs(); drive the
+      // OPERATOR SHAPE directly on the synthetic frame instead
+      val base = df.withColumn("hs", org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.array_distinct(
+            graft.functions.TextExpressions.shingleHashes(col("text"), 3))))
+        .select("doc_id", "source", "hs")
+      val a = base.select(col("doc_id").as("a"), col("source"), col("hs").as("hsa"))
+      val b = base.select(col("doc_id").as("b"), col("source"), col("hs").as("hsb"))
+      val icount = graft.functions.VectorExpressions
+        .sortedIntersectCount(col("hsa"), col("hsb"))
+      val pairs = a.join(b, "source").filter(col("a") < col("b"))
+        .withColumn("inter", icount)
+      val m = if (q == "cont")
+        pairs.withColumn("m", col("inter").cast("double") /
+          least(size(col("hsa")), size(col("hsb"))))
+      else
+        pairs.withColumn("m", col("inter").cast("double") /
+          (size(col("hsa")) + size(col("hsb")) - col("inter")))
+      m.select("m").head().getDouble(0)
+    }
+    val cont = runPair("cont")
+    val jac = runPair("jac")
+    // the short doc is fully contained; symmetric Jaccard is diluted
+    // by the long doc's extra shingles
+    assert(cont >= 0.95, s"containment $cont should be ~1")
+    assert(jac < 0.5, s"jaccard $jac should miss at the 0.5 dedup threshold")
+  }
 }
