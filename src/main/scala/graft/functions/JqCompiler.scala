@@ -252,7 +252,15 @@ object JqCompiler {
       else if (tryEat("rtrimstr(")) { ws(); val s = parseString(); eat(')'); Fn1("rtrimstr", Some(s)) }
       else if (tryEat("startswith(")) { ws(); val s = parseString(); eat(')'); Fn1("startswith", Some(s)) }
       else if (tryEat("endswith(")) { ws(); val s = parseString(); eat(')'); Fn1("endswith", Some(s)) }
-      else if (tryEat("test(")) { ws(); val s = parseString(); eat(')'); Fn1("test", Some(s)) }
+      else if (tryEat("test(")) {
+        ws(); val s = parseString(); ws()
+        if (peek == ';') {
+          pos += 1; ws(); val flags = parseString(); eat(')')
+          // only the "i" flag compiles; anything else → subprocess
+          require(flags == "i", s"test flags '$flags': subprocess tier")
+          Fn2("test_i", s, flags)
+        } else { eat(')'); Fn1("test", Some(s)) }
+      }
       else if (tryEat("has(")) { ws(); val s = parseString(); eat(')'); Fn1("has", Some(s)) }
       else if (tryEat("gsub(")) {
         ws(); val re = parseString(); eat(';'); ws(); val r = parseString(); eat(')')
@@ -658,6 +666,7 @@ object JqCompiler {
         case Fn1(n, _) if BoolFns(n)       => Some('b')
         case Fn1("not", _)                 => Some('b')
         case Fn1("min" | "max", _)         => Some('s') // element of a split array
+        case Fn2("test_i", _, _)           => Some('b')
         case Fn2(_, _, _)                  => Some('s') // gsub/sub
         case _                             => None // ends on split/reverse/sort/unique → array
       }
@@ -675,7 +684,7 @@ object JqCompiler {
   private def isChainFn(f: Ast): Boolean = f match {
     case _: SplitFn | _: JoinFn | Length => true
     case Fn1(n, _) => MathFns(n) || StrFns(n) || BoolFns(n) || ArrFns(n) || n == "not"
-    case Fn2(n, _, _) => n == "gsub" || n == "sub"
+    case Fn2(n, _, _) => n == "gsub" || n == "sub" || n == "test_i"
     case _ => false
   }
 
@@ -864,6 +873,11 @@ object JqCompiler {
       case Fn1("test", Some(re)) if safeRegex(re) =>
         // rlike = Java find() (unanchored search), same as jq's test
         toStr("test"); c = c.rlike(re); kind = 'b'
+      case Fn2("test_i", re, _) if safeRegex(re) && re.forall(_ < 128) =>
+        // `test(re; "i")`: ASCII-only patterns, where Java's (?i) and
+        // Oniguruma's /i fold identically (non-ASCII case folding
+        // diverges — subprocess tier)
+        toStr("test"); c = c.rlike("(?i)" + re); kind = 'b'
       case Fn1("not", None) if kind == 'b' => c = !c
       case Fn1("has", Some(k))
           if kind == 'v' && k.nonEmpty && k.forall(ch => ch.isLetterOrDigit || ch == '_') =>

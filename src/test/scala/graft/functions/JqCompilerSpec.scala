@@ -111,6 +111,10 @@ class JqCompilerSpec extends AnyFunSuite {
     assert(JqCompiler.tryCompile(pe(""".n | length""")).isDefined)
     // sort_by/min_by/max_by are not in the compiled subset
     assert(JqCompiler.tryCompile(pe(""".d.s | split(",") | sort_by(.)""")).isEmpty)
+    // test flags: only ASCII "i" compiles
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("AL"; "i")""")).isDefined)
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("al"; "x")""")).isEmpty)     // other flags
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("Ärm"; "i")""")).isEmpty)    // non-ASCII fold
   }
 
   private val stressYaml =

@@ -482,7 +482,8 @@ class JqFuzzSpec extends AnyFunSuite {
     repl <- Gen.oneOf(replPool)
     pre  <- Gen.oneOf("al", "a.", "be", "d")
     suf  <- Gen.oneOf("a", "b", "ma", "7")
-    form <- Gen.choose(0, 6)
+    reI  <- Gen.oneOf("AL", "Beta", "^AL", "A|BE", "G.MMA", "[A-M]+", "PH", "a{2}")
+    form <- Gen.choose(0, 7)
   } yield {
     val (r, rg, r2, rp) = (jqStr(re), jqStr(reG), jqStr(re2), jqStr(repl))
     form match {
@@ -493,6 +494,7 @@ class JqFuzzSpec extends AnyFunSuite {
       case 4 => s"""{n: "out", d: {a: ($sp | test("$r") | not), b: (.d.o | has("x")), c: (.d | has("mb"))}}"""
       case 5 => s"""{n: "out", d: {a: ($sp | gsub("$rg"; "$rp") | ascii_upcase), b: ($sp | sub("$r2"; "$rp"))}}"""
       case 6 => s"""{n: "out", d: {a: (.d.o | has("y")), b: (.d | has("ms"))}}"""
+      case 7 => s"""{n: "out", d: {a: ($sp | test("${jqStr(reI)}"; "i")), b: ($sp | test("${jqStr(reI)}"))}}"""
     }
   }
 
