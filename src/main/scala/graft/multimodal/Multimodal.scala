@@ -260,6 +260,114 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- audio: WAV/RIFF container metadata ----
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Parse WAV (RIFF) metadata: verify the RIFF/WAVE signature, then a
+    * REAL chunk walk — each chunk is id(4) + LITTLE-endian u32 size +
+    * data, word-aligned — collecting the `fmt ` body (PCM format,
+    * channels, sample rate, bits) and the `data` chunk's byte length.
+    * `duration_ms` is the integer milliseconds data/byte-rate division
+    * (exactly mirrorable in oracle SQL). A decoder that assumes the
+    * canonical 44-byte layout instead of walking chunks breaks on the
+    * LIST-bearing fixtures. Non-WAV bytes → ("raw", 0s).
+    */
+  def decodeWavBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    val len = bytes.length.toLong
+    val isWav = bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE"
+    if (!isWav) return (len, "raw", 0, 0, 0, 0L)
+    var i = 12
+    var ch = 0; var rate = 0; var bits = 0; var dataLen = -1L
+    while (i + 8 <= bytes.length && (ch == 0 || dataLen < 0)) {
+      val id = tag(i); val sz = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+        ch = le16(i + 10); rate = le32(i + 12).toInt; bits = le16(i + 22)
+      } else if (id == "data") dataLen = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (ch == 0 || rate == 0 || bits == 0 || dataLen < 0) (len, "raw", 0, 0, 0, 0L)
+    else {
+      val byteRate = rate.toLong * ch * bits / 8
+      (len, "wav", ch, rate, bits, dataLen * 1000L / byteRate)
+    }
+  }
+
+  /** Deterministic spec-compliant WAV fixture: channels/sample-rate by
+    * `docId` arithmetic, 16-bit PCM, the row's payload as the data
+    * chunk — and every third fixture carries a LIST(INFO) chunk BEFORE
+    * `fmt ` so the decoder must genuinely walk chunks. The oracle
+    * recomputes every field (including the integer-division
+    * duration_ms) arithmetically from doc_id and the payload length.
+    */
+  def synthWavBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val ch = 1 + (docId % 2).toInt
+    val rate = 8000 * (1 + (docId % 5).toInt)
+    val bits = 16
+    val listBytes = if (docId % 3 == 0) 20 else 0 // "LIST" + size + 12-byte body
+    val riffSize = 4 + listBytes + 24 + 8 + payload.length
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(riffSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    if (listBytes > 0) {
+      bb.put("LIST".getBytes("US-ASCII")); bb.putInt(12)
+      bb.put("INFO".getBytes("US-ASCII")); bb.put(new Array[Byte](8))
+    }
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1.toShort)                       // PCM
+    bb.putShort(ch.toShort)
+    bb.putInt(rate)
+    bb.putInt(rate * ch * bits / 8)              // byte rate
+    bb.putShort((ch * bits / 8).toShort)         // block align
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(payload.length)
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Attach a synthetic WAV binary per row (see [[attachSynthMedia]]). */
+  def attachSynthAudio(df: DataFrame, idCol: String, textCol: String,
+                       binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthWavBytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a WAV binary column per partition (the [[decodeMeta]]
+    * shape for audio).
+    */
+  def decodeAudioMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ audioMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, ch, rate, bits, durMs) = decodeWavBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, ch, rate, bits, durMs)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
     * slices, fingerprinted.
     *

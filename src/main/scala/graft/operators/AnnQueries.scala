@@ -272,6 +272,17 @@ object AnnQueries {
       val withBin = Tables.documents(s, d).filter(col("doc_id") < 500)
         .withColumn("bin", encode(col("text"), "UTF-8"))
       Multimodal.sampleFrames(withBin, "bin", "doc_id", 3).orderBy("doc_id", "frame_idx")
+    },
+
+    // Multimodal audio: spec-compliant synthetic WAV/RIFF binaries
+    // (channels/rate by doc_id arithmetic, every third with a LIST
+    // chunk before fmt so the decoder must walk chunks) decoded by the
+    // real RIFF parser; the oracle recomputes every field — including
+    // the integer-division duration — arithmetically from doc_id.
+    "mm_audio_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthAudio(docs, "doc_id", "text", "bin")
+      Multimodal.decodeAudioMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     }
   )
 
@@ -421,6 +432,21 @@ object AnnQueries {
         |  md5(substring(text, i*16 + 1, 16)) AS frame_md5
         |FROM documents, unnest([0, 1, 2]) AS t(i)
         |WHERE doc_id < 500 AND i*16 < octet_length(CAST(text AS BLOB))
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // WAV layout: RIFF(8) + WAVE(4) + optional LIST(20) + fmt(24) +
+    // data header(8) + payload = 44 (+20) + payload bytes; duration is
+    // the data length over the byte rate in integer milliseconds.
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(44 + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 0 END
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  'wav' AS format,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(octet_length(CAST(text AS BLOB)) * 1000
+        |    // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -99,4 +99,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(len == headerLen + payload.length, s"id=$id bin_len")
     }
   }
+
+  test("WAV decode: canonical fixture, LIST-chunk walk, and garbage fallback") {
+    // hand-assembled canonical 44-byte mono 8 kHz 16-bit WAV with 4
+    // data bytes — every field position checked against the RIFF spec
+    val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(40)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(4)
+    bb.put(Array[Byte](1, 2, 3, 4))
+    val (len, fmt, ch, rate, bits, dur) = Multimodal.decodeWavBytes(bb.array())
+    assert((len, fmt, ch, rate, bits) == (48L, "wav", 1, 8000, 16))
+    assert(dur == 4L * 1000 / 16000) // 0 ms — integer division, like the oracle
+
+    // synth round-trip across the parameter grid, incl. LIST-bearing
+    // fixtures (docId % 3 == 0) where fmt is NOT at offset 12
+    for (id <- 0L until 30L) {
+      val payload = ("p" * (10 + id.toInt)).getBytes("UTF-8")
+      val bytes = Multimodal.synthWavBytes(id, payload)
+      val (l, f, c, r, b, d) = Multimodal.decodeWavBytes(bytes)
+      val expCh = 1 + (id % 2).toInt
+      val expRate = 8000 * (1 + (id % 5).toInt)
+      assert(f == "wav" && c == expCh && r == expRate && b == 16, s"id=$id meta")
+      assert(l == 44 + (if (id % 3 == 0) 20 else 0) + payload.length, s"id=$id len")
+      assert(d == payload.length.toLong * 1000 / (expRate.toLong * expCh * 2), s"id=$id dur")
+    }
+
+    // non-WAV bytes stay opaque
+    assert(Multimodal.decodeWavBytes("not a wav at all, just text bytes padded out to length"
+      .getBytes("US-ASCII"))._2 == "raw")
+    // truncated RIFF (no data chunk) falls back to raw, not a crash
+    assert(Multimodal.decodeWavBytes(bb.array().take(20) ++ new Array[Byte](24))._2 == "raw")
+  }
 }
