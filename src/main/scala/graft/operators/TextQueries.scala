@@ -347,6 +347,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style composite quality FILTER (Rae et al. 2021's rule
+    // family, public knowledge): the accept/reject decision face of
+    // text_quality's scores. Ratio bounds compare via integer
+    // cross-multiplication (sum_len ≥ 3n, 10·n_sym ≤ n) so the
+    // booleans carry no float-edge risk across engines.
+    "text_gopher_filter" -> { (s, d) =>
+      withToks(docs(s, d))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("sum_len", aggregate(col("toks"), lit(0L), (a, t) => a + length(t)))
+        .withColumn("n_stop", listHits(col("toks"), stopwords.head._2))
+        .withColumn("n_sym", size(filter(col("toks"),
+          t => t.startsWith("#") || t.contains("..."))).cast("long"))
+        .select(col("doc_id"),
+          col("n").as("n_tokens"),
+          (col("n") >= 50 && col("n") <= 100000).as("r_words"),
+          (col("sum_len") >= col("n") * 3 && col("sum_len") <= col("n") * 10).as("r_meanlen"),
+          (col("n_sym") * 10 <= col("n")).as("r_symbol"),
+          (col("n_stop") >= 2).as("r_stop"),
+          ((col("n") >= 50 && col("n") <= 100000) &&
+            (col("sum_len") >= col("n") * 3 && col("sum_len") <= col("n") * 10) &&
+            (col("n_sym") * 10 <= col("n")) &&
+            (col("n_stop") >= 2)).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Heuristic language ID (stopword-profile argmax) vs the labeled
     // lang column: confusion-matrix counts.
     "text_langid" -> { (s, d) =>
@@ -804,6 +829,21 @@ object TextQueries {
          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
          |  CAST(len(list_filter(toks, t -> t IN ($stopSqlEn))) AS DOUBLE) / len(toks) AS stop_ratio
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_filter" ->
+      s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  len(toks) BETWEEN 50 AND 100000 AS r_words,
+         |  sl >= len(toks)*3 AND sl <= len(toks)*10 AS r_meanlen,
+         |  10 * len(list_filter(toks, t -> starts_with(t, '#') OR contains(t, '...'))) <= len(toks) AS r_symbol,
+         |  len(list_filter(toks, t -> t IN ($stopSqlEn))) >= 2 AS r_stop,
+         |  (len(toks) BETWEEN 50 AND 100000)
+         |    AND (sl >= len(toks)*3 AND sl <= len(toks)*10)
+         |    AND (10 * len(list_filter(toks, t -> starts_with(t, '#') OR contains(t, '...'))) <= len(toks))
+         |    AND (len(list_filter(toks, t -> t IN ($stopSqlEn))) >= 2) AS keep
+         |FROM (SELECT doc_id, toks,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sl
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
