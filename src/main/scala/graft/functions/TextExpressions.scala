@@ -206,6 +206,38 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * standard text-cleaning step that folds decomposed sequences
+  * (e + U+0301 → é) so downstream hashing/dedup sees one spelling.
+  * `java.text.Normalizer` is the JDK's implementation of the same
+  * algorithm DuckDB's `nfc_normalize` implements, which the
+  * `text_normalize` oracle exploits for an exact cross-engine check.
+  * Fast path: already-normalized input (all-ASCII in particular)
+  * returns the original UTF8String, no copy.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -220,4 +252,8 @@ object TextExpressions {
   /** Native 32-bit simhash of a token array. */
   def simHash32(toks: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(toks)))
+
+  /** Unicode NFC normalization (codegen'd; no-copy fast path). */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

@@ -347,6 +347,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Unicode NFC normalization (native codegen'd Expression — JDK
+    // Normalizer, the same UAX #15 algorithm DuckDB's nfc_normalize
+    // implements, so the oracle is exact). The corpus is ASCII, so a
+    // decomposed suffix (e + U+0301) is appended to make every row
+    // genuinely normalize: `changed` must be true and the char count
+    // must shrink by exactly the composed pair.
+    "text_normalize" -> { (s, d) =>
+      val nfc = graft.functions.TextExpressions.nfcNormalize _
+      val dirty = concat(col("text"), lit(" cafee\u0301")) // 'e' + combining acute (decomposed)
+      docs(s, d).select(col("doc_id"),
+        md5(nfc(dirty)).as("nfc_md5"),
+        (length(nfc(dirty)) < length(dirty)).as("changed"),
+        length(nfc(dirty)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style composite quality FILTER (Rae et al. 2021's rule
     // family, public knowledge): the accept/reject decision face of
     // text_quality's scores. Ratio bounds compare via integer
@@ -830,6 +846,14 @@ object TextQueries {
          |  CAST(len(list_filter(toks, t -> t IN ($stopSqlEn))) AS DOUBLE) / len(toks) AS stop_ratio
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text || ' cafe' || 'e' || chr(769))) AS nfc_md5,
+        |  length(nfc_normalize(text || ' cafe' || 'e' || chr(769)))
+        |    < length(text || ' cafe' || 'e' || chr(769)) AS changed,
+        |  CAST(length(nfc_normalize(text || ' cafe' || 'e' || chr(769))) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_gopher_filter" ->
       s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
