@@ -510,14 +510,23 @@ object JqCompiler {
     // "x"` (string) — misaligned kinds would hit jq's cross-type
     // ordering, which is not columnar-expressible → subprocess
     case (PipeSeq((p: Path) +: fns), _) if fns.nonEmpty && fns.forall(isChainFn) =>
+      // partner must be STATICALLY kind-aligned: a bare-path partner's
+      // runtime kind is unknown, and jq's cross-type ordering (numbers
+      // below strings) is not columnar-expressible — assuming numeric
+      // would silently cast a string partner to null. Unknown-kind
+      // partners refuse to compile → subprocess tier.
       val strPartner = partner match {
         case Lit(_: String)                  => true
         case PipeSeq(Seq(_: Path, ToString)) => true
         case _                               => false
       }
       val numPartner = partner match {
-        case Lit(v)             => v.isInstanceOf[Double]
-        case _                  => !strPartner
+        case Lit(_: Double)                  => true
+        case Arith(_, _, _)                  => true
+        case PipeSeq(Seq(_: Path, ToNumber)) => true
+        case PipeSeq((p2: Path) +: fns2) if fns2.nonEmpty && fns2.forall(isChainFn) =>
+          chainValueKind(p2, fns2).exists(_._2 == 'n')
+        case _                               => false
       }
       chainValueKind(p, fns).collect {
         case (c, 'n') if numPartner => c
@@ -714,7 +723,10 @@ object JqCompiler {
         if (!("dwsDWS".indexOf(e) >= 0 || "\\.^$|()[]{}*+?".indexOf(e) >= 0)) return false
         i += 2; prevQuant = false
       } else if (inClass) {
+        // '&' refused INSIDE classes: Java parses [a&&b] as set
+        // intersection, Oniguruma as two literal ampersands
         if (ch == ']') inClass = false
+        else if (ch == '&') return false
         else if (!(litOk(ch) || ch == '-' || ch == '^' || ch == '.')) return false
         i += 1; prevQuant = false
       } else ch match {
@@ -742,6 +754,14 @@ object JqCompiler {
     */
   private def escapeReplacement(repl: String): String =
     repl.replace("\\", "\\\\").replace("$", "\\$")
+
+  /** Compiled-tier regex prefix: UNICODE_CHARACTER_CLASS, so Java's
+    * predefined classes match Oniguruma's Unicode-aware `\w`/`\d`/`\s`
+    * (verified against the jq binary on "été" / arabic digits / NBSP —
+    * without it Java's ASCII-only classes silently diverge on any
+    * non-ASCII data even under an all-ASCII pattern).
+    */
+  private def jre(re: String): String = "(?U)" + re
 
   /** jq `path // default`: the default when the path value is null,
     * absent, or boolean false (jq falsiness is exactly null and
@@ -872,12 +892,12 @@ object JqCompiler {
       case Fn1("endswith", Some(s))   => toStr("endswith"); c = c.endsWith(s); kind = 'b'
       case Fn1("test", Some(re)) if safeRegex(re) =>
         // rlike = Java find() (unanchored search), same as jq's test
-        toStr("test"); c = c.rlike(re); kind = 'b'
+        toStr("test"); c = c.rlike(jre(re)); kind = 'b'
       case Fn2("test_i", re, _) if safeRegex(re) && re.forall(_ < 128) =>
         // `test(re; "i")`: ASCII-only patterns, where Java's (?i) and
         // Oniguruma's /i fold identically (non-ASCII case folding
         // diverges — subprocess tier)
-        toStr("test"); c = c.rlike("(?i)" + re); kind = 'b'
+        toStr("test"); c = c.rlike("(?i)" + jre(re)); kind = 'b'
       case Fn1("not", None) if kind == 'b' => c = !c
       case Fn1("has", Some(k))
           if kind == 'v' && k.nonEmpty && k.forall(ch => ch.isLetterOrDigit || ch == '_') =>
@@ -907,18 +927,20 @@ object JqCompiler {
         // empty-matchable patterns refuse to compile: jq 1.6's gsub
         // INFINITE-LOOPS on them (verified against the binary), so the
         // compiled tier must not succeed where the reference hangs
-        toStr("gsub"); c = regexp_replace(c, re, escapeReplacement(repl))
+        toStr("gsub"); c = regexp_replace(c, jre(re), escapeReplacement(repl))
       case Fn2("sub", re, repl) if safeRegex(re) =>
         // replace-FIRST: wrap as `^(.*?)(re)(.*)$` under DOTALL — the
         // lazy prefix finds the leftmost occurrence, the anchors make
         // the wrapper consume the WHOLE input in exactly one match (so
-        // replace-all applies it once, even when re can match empty);
-        // prefix/tail ride back via group indexes offset by re's own
-        // group count
+        // replace-all applies it once, even when re can match empty).
+        // The prefix/tail are NAMED groups referenced as ${gp}/${gt}:
+        // a numbered "$1" + repl would let a digit-leading replacement
+        // fuse into the group reference ("$1" + "2X" reads as group
+        // 12). safeRegex rejects `(?`, so re itself cannot contain
+        // named groups that would collide.
         toStr("sub")
-        val tailGroup = java.util.regex.Pattern.compile(re).matcher("").groupCount() + 3
-        c = regexp_replace(c, s"(?s)^(.*?)($re)(.*)$$",
-          "$1" + escapeReplacement(repl) + "$" + tailGroup)
+        c = regexp_replace(c, jre(s"(?s)^(?<gp>.*?)($re)(?<gt>.*)$$"),
+          "$" + "{gp}" + escapeReplacement(repl) + "$" + "{gt}")
       case _ => return None
     }
     if (kind == 'v') None else Some((c, kind))

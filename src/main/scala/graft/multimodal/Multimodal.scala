@@ -288,14 +288,20 @@ object Multimodal {
     val len = bytes.length.toLong
     val isWav = bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE"
     if (!isWav) return (len, "raw", 0, 0, 0, 0L)
-    var i = 12
+    // LONG cursor: a malformed u32 chunk size (≥ 2^31) truncated to Int
+    // would go negative and stall or rewind the walk — an executor
+    // thread spinning forever on one corrupt binary. Long arithmetic
+    // plus the strictly-forward guard make any malformed size land on
+    // the graceful raw fallback instead.
+    var i = 12L
     var ch = 0; var rate = 0; var bits = 0; var dataLen = -1L
     while (i + 8 <= bytes.length && (ch == 0 || dataLen < 0)) {
-      val id = tag(i); val sz = le32(i + 4)
+      val ii = i.toInt
+      val id = tag(ii); val sz = le32(ii + 4)
       if (id == "fmt " && i + 8 + 16 <= bytes.length) {
-        ch = le16(i + 10); rate = le32(i + 12).toInt; bits = le16(i + 22)
+        ch = le16(ii + 10); rate = le32(ii + 12).toInt; bits = le16(ii + 22)
       } else if (id == "data") dataLen = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      i += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     if (ch == 0 || rate == 0 || bits == 0 || dataLen < 0) (len, "raw", 0, 0, 0, 0L)
     else {

@@ -858,11 +858,11 @@ object TextQueries {
     "text_gopher_filter" ->
       s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  len(toks) BETWEEN 50 AND 100000 AS r_words,
-         |  sl >= len(toks)*3 AND sl <= len(toks)*10 AS r_meanlen,
+         |  COALESCE(sl, 0) >= len(toks)*3 AND COALESCE(sl, 0) <= len(toks)*10 AS r_meanlen,
          |  10 * len(list_filter(toks, t -> starts_with(t, '#') OR contains(t, '...'))) <= len(toks) AS r_symbol,
          |  len(list_filter(toks, t -> t IN ($stopSqlEn))) >= 2 AS r_stop,
          |  (len(toks) BETWEEN 50 AND 100000)
-         |    AND (sl >= len(toks)*3 AND sl <= len(toks)*10)
+         |    AND (COALESCE(sl, 0) >= len(toks)*3 AND COALESCE(sl, 0) <= len(toks)*10)
          |    AND (10 * len(list_filter(toks, t -> starts_with(t, '#') OR contains(t, '...'))) <= len(toks))
          |    AND (len(list_filter(toks, t -> t IN ($stopSqlEn))) >= 2) AS keep
          |FROM (SELECT doc_id, toks,

@@ -39,11 +39,11 @@ object StreamingSketch {
     // one unioned sketch per group from the persisted index — the
     // only look the stream ever takes at the corpus
     val idx: Map[String, Array[Byte]] = index
-      .groupBy(col(group))
+      .groupBy(col(group).cast("string").as("g"))
       .agg(hll_union_agg(col("sketch")).as("sk"))
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
     val bIdx = spark.sparkContext.broadcast(idx)
-    stream.select(col(group).as("_1"), col(value).cast("long").as("_2"))
+    stream.select(col(group).cast("string").as("_1"), col(value).cast("long").as("_2"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Byte], GroupEstimate](

@@ -115,6 +115,15 @@ class JqCompilerSpec extends AnyFunSuite {
     assert(JqCompiler.tryCompile(pe(""".d.s | test("AL"; "i")""")).isDefined)
     assert(JqCompiler.tryCompile(pe(""".d.s | test("al"; "x")""")).isEmpty)     // other flags
     assert(JqCompiler.tryCompile(pe(""".d.s | test("Ärm"; "i")""")).isEmpty)    // non-ASCII fold
+    // '&' inside a class: Java [a&&b] is set intersection, Oniguruma
+    // two literal ampersands — refused to the subprocess tier
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("[a&&b]")""")).isEmpty)
+    assert(JqCompiler.tryCompile(pe(""".d.s | test("[a&b]")""")).isEmpty)
+    // chain comparison operands need a STATICALLY kind-aligned partner:
+    // a literal compiles, a bare path (runtime kind unknown — jq would
+    // apply cross-type ordering) refuses to the subprocess tier
+    assert(JqCompiler.tryCompile(".[] | select((.n | length) > 3) | {n: \"x\", d: {a: 1}}").isDefined)
+    assert(JqCompiler.tryCompile(".[] | select((.n | length) > .d.x) | {n: \"x\", d: {a: 1}}").isEmpty)
   }
 
   private val stressYaml =

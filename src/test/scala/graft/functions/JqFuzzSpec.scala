@@ -472,7 +472,8 @@ class JqFuzzSpec extends AnyFunSuite {
     */
   private val rePoolNonEmpty = rePool.filterNot(re =>
     java.util.regex.Pattern.compile(re).matcher("").find())
-  private val replPool = Seq("X", "", "$2", "-", "x$y", "a\\b")
+  // "2X" (digit-leading) guards the sub() group-reference fusion fix
+  private val replPool = Seq("X", "", "$2", "-", "x$y", "a\\b", "2X")
 
   private val regexFnGen: Gen[String] = for {
     sp   <- Gen.oneOf(".d.s", ".n")

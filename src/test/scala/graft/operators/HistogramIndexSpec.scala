@@ -1,9 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -68,14 +65,7 @@ class HistogramIndexSpec extends AnyFunSuite {
     val probe = HistogramIndex.percentileWithBatch(
       spark.read.parquet(dir), batch, "l_returnflag", col("l_quantity"), 0.5, "m")
     probe.collect()
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec        => allScans(q.plan)
-      case s: FileSourceScanExec    => Seq(s)
-      case other => other.children.flatMap(allScans)
-    }
-    val scans = allScans(probe.queryExecution.executedPlan)
-      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    val scans = PlanScans.scanPaths(probe)
     assert(scans.count(_.contains("lineitem.parquet")) == 1,
       s"expected ONE lineitem scan (the batch), got:\n$scans")
     assert(scans.exists(_.contains(dir)), s"index path not scanned:\n$scans")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,17 +97,7 @@ class IncrementalSketchSpec extends AnyFunSuite {
     val probe = SketchIndex.estimateWithBatch(
       spark.read.parquet(dir), batch, grp, col("user_id"))
     probe.collect() // force a concrete executed plan (AQE-final)
-    // plain .collect stops at the AdaptiveSparkPlan/QueryStage wrappers
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec        => allScans(q.plan)
-      case s: FileSourceScanExec    => Seq(s)
-      case other => other.children.flatMap(allScans)
-    }
-    val scans = allScans(probe.queryExecution.executedPlan)
-      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    val scans = PlanScans.scanPaths(probe)
     val eventScans = scans.count(_.contains("events.parquet"))
     assert(eventScans == 1, s"expected ONE events scan (the batch), got:\n$scans")
     assert(scans.exists(_.contains(dir)), s"index path not scanned:\n$scans")
