@@ -211,6 +211,38 @@ object RelationalQueries {
         .orderBy("s_nationkey", "rnk")
     },
 
+    // NTILE quartiles per market segment — the bucket assignment rides
+    // ParallelRank.withRowNumber (size-adaptive distributed prefix
+    // ranks; parallelism grows with the value range, never capped at
+    // the 5-segment cardinality) plus the EXACT SQL NTILE rule in
+    // integer column math: the first cnt%n buckets take ⌈cnt/n⌉ rows,
+    // the rest ⌊cnt/n⌋ — NOT the even-spread floor((rn−1)·n/cnt)
+    // approximation, which differs whenever cnt % n != 0. Output is
+    // per-bucket counts and acctbal bounds, so a misplaced boundary
+    // row breaks the hash.
+    "window_ntile" -> { (s, d) =>
+      val n = 4
+      val cust = Tables.customer(s, d)
+      val rn = ParallelRank.withRowNumber(cust, Seq(col("c_mktsegment")),
+        Seq(col("c_acctbal"), col("c_custkey")), "rn")
+      val sizes = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      // `div` = exact integral division (a floored double would
+      // misround at integer boundaries on large counts)
+      rn.join(broadcast(sizes), "c_mktsegment")
+        .withColumn("q", expr(s"cnt div $n"))
+        .withColumn("r", col("cnt") % n)
+        .withColumn("big", (col("q") + 1) * col("r")) // rows in ⌈cnt/n⌉-sized buckets
+        .withColumn("bucket",
+          when(col("rn") <= col("big"), expr("(rn - 1) div (q + 1) + 1"))
+            .otherwise(expr("r + (rn - big - 1) div q + 1"))
+            .cast("int"))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c_acctbal").cast("double")).as("lo"),
+          max(col("c_acctbal").cast("double")).as("hi"))
+        .orderBy("c_mktsegment", "bucket")
+    },
+
     // Set operations (set semantics, like the reference's implicit
     // union upgraded to full algebra).
     "setop_intersect" -> { (s, d) =>
@@ -830,6 +862,16 @@ object RelationalQueries {
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT c_mktsegment, bucket, COUNT(*) AS n_rows,
+        |  MIN(CAST(c_acctbal AS DOUBLE)) AS lo, MAX(CAST(c_acctbal AS DOUBLE)) AS hi
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS INT) AS bucket
+        |  FROM customer)
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, bucket""".stripMargin,
 
     "window_rank" ->
       """SELECT s_nationkey, rnk, s_suppkey, s_acctbal, prev_gap FROM (
