@@ -374,6 +374,125 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- video: MP4 (ISO-BMFF) container metadata ----
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ticks", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_boxes", IntegerType, nullable = false)))
+
+  /** Parse MP4 (ISO-BMFF) metadata: a REAL box walk — each box is a
+    * big-endian u32 size + 4cc type — over the top level (counting
+    * boxes), descending into `moov` for the `mvhd` movie header
+    * (version-0 layout: timescale u32 at payload+12, duration u32 at
+    * payload+16). Long cursors throughout, so a malformed size lands
+    * on the raw fallback instead of stalling (the WAV lesson).
+    * `duration_ms` is integer ticks·1000/timescale — mirrorable in
+    * oracle SQL. Requires a leading `ftyp`; anything else → raw.
+    */
+  def decodeMp4Bytes(bytes: Array[Byte]): (Long, String, Int, Long, Long, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0L, 0L, 0)
+    if (bytes.length < 16 || tag(4) != "ftyp") return raw
+    var i = 0L
+    var nBoxes = 0
+    var timescale = 0; var ticks = -1L
+    while (i + 8 <= len) {
+      val ii = i.toInt
+      val sz = be32(ii); val tp = tag(ii + 4)
+      if (sz < 8) return raw // malformed: would stall or rewind
+      nBoxes += 1
+      if (tp == "moov") {
+        // child walk inside moov's payload
+        var j = i + 8
+        val end = math.min(i + sz, len)
+        while (j + 8 <= end) {
+          val jj = j.toInt
+          val csz = be32(jj); val ctp = tag(jj + 4)
+          if (csz < 8) return raw
+          if (ctp == "mvhd" && j + 8 + 20 <= end && u8(jj + 8) == 0) {
+            timescale = be32(jj + 8 + 12).toInt
+            ticks = be32(jj + 8 + 16)
+          }
+          j += csz
+        }
+      }
+      i += sz
+    }
+    if (timescale <= 0 || ticks < 0) raw
+    else (len, "mp4", timescale, ticks, ticks * 1000L / timescale, nBoxes)
+  }
+
+  /** Deterministic spec-compliant MP4 fixture: ftyp + (every third: a
+    * `free` box, so the parser must genuinely walk) + moov(mvhd v0
+    * with docId-derived timescale/duration) + mdat carrying the
+    * payload. The oracle recomputes every field — box count, byte
+    * length, integer-division duration — arithmetically from doc_id.
+    */
+  def synthMp4Bytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val timescale = 1000 * (1 + (docId % 3).toInt)
+    val ticks = (docId % 9999L) * 7 + 1000
+    val withFree = docId % 3 == 0
+    val freeBytes = if (withFree) 16 else 0
+    val mvhdSize = 108 // standard v0 mvhd box
+    val moovSize = 8 + mvhdSize
+    val bb = java.nio.ByteBuffer.allocate(16 + freeBytes + moovSize + 8 + payload.length)
+    def box(size: Int, tp: String): Unit = {
+      bb.putInt(size); bb.put(tp.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)        // brand + minor
+    if (withFree) { box(16, "free"); bb.put(new Array[Byte](8)) }
+    box(moovSize, "moov")
+    box(mvhdSize, "mvhd")
+    bb.put(0.toByte); bb.put(new Array[Byte](3))             // version 0 + flags
+    bb.putInt(0); bb.putInt(0)                               // creation, modification
+    bb.putInt(timescale)
+    bb.putInt(ticks.toInt)
+    bb.put(new Array[Byte](mvhdSize - 8 - 4 - 16))           // rate..next_track_ID
+    box(8 + payload.length, "mdat")
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Attach a synthetic MP4 binary per row (see [[attachSynthMedia]]). */
+  def attachSynthVideo(df: DataFrame, idCol: String, textCol: String,
+                       binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthMp4Bytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode an MP4 binary column per partition (the [[decodeMeta]]
+    * shape for video).
+    */
+  def decodeVideoMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ videoMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, ts, tk, ms, nb) = decodeMp4Bytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, ts, tk, ms, nb)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
     * slices, fingerprinted.
     *

@@ -283,6 +283,17 @@ object AnnQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withBin = Multimodal.attachSynthAudio(docs, "doc_id", "text", "bin")
       Multimodal.decodeAudioMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
+    // Multimodal video: spec-compliant synthetic MP4 (ISO-BMFF)
+    // binaries — ftyp + every-third `free` box + moov/mvhd + mdat —
+    // decoded by the real box-walking parser; the oracle recomputes
+    // box counts, byte lengths, and the integer-division duration
+    // arithmetically from doc_id.
+    "mm_video_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthVideo(docs, "doc_id", "text", "bin")
+      Multimodal.decodeVideoMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     }
   )
 
@@ -447,6 +458,21 @@ object AnnQueries {
         |  CAST(16 AS INT) AS bits,
         |  CAST(octet_length(CAST(text AS BLOB)) * 1000
         |    // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MP4 layout: ftyp(16) + optional free(16) + moov(8 + mvhd 108) +
+    // mdat header(8) + payload; ticks = (doc_id%9999)*7 + 1000,
+    // timescale = 1000·(1 + doc_id%3), duration in integer ms.
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END + 116 + 8
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  'mp4' AS format,
+        |  CAST(1000 * (1 + doc_id % 3) AS INT) AS timescale,
+        |  CAST((doc_id % 9999) * 7 + 1000 AS BIGINT) AS duration_ticks,
+        |  CAST(((doc_id % 9999) * 7 + 1000) * 1000
+        |    // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS n_boxes
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

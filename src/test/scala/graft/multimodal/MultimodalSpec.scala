@@ -133,5 +133,32 @@ class MultimodalSpec extends AnyFunSuite {
       .getBytes("US-ASCII"))._2 == "raw")
     // truncated RIFF (no data chunk) falls back to raw, not a crash
     assert(Multimodal.decodeWavBytes(bb.array().take(20) ++ new Array[Byte](24))._2 == "raw")
+    // malformed chunk size >= 2^31 must fall back to raw, not spin
+    val evil = bb.array().clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xf8.toByte // "fmt " size = 0xf8ffffff LE
+    assert(Multimodal.decodeWavBytes(evil)._2 == "raw")
+  }
+
+  test("MP4 decode: box walk across the parameter grid, and fallbacks") {
+    for (id <- 0L until 30L) {
+      val payload = ("v" * (5 + id.toInt)).getBytes("UTF-8")
+      val bytes = Multimodal.synthMp4Bytes(id, payload)
+      val (l, f, ts, tk, ms, nb) = Multimodal.decodeMp4Bytes(bytes)
+      val expTs = 1000 * (1 + (id % 3).toInt)
+      val expTk = (id % 9999L) * 7 + 1000
+      assert(f == "mp4" && ts == expTs && tk == expTk, s"id=$id meta ($f $ts $tk)")
+      assert(ms == expTk * 1000 / expTs, s"id=$id duration")
+      assert(nb == (if (id % 3 == 0) 4 else 3), s"id=$id n_boxes")
+      assert(l == 16 + (if (id % 3 == 0) 16 else 0) + 116 + 8 + payload.length, s"id=$id len")
+    }
+    // garbage, truncation, and a malformed (sz < 8) box all fall to raw
+    assert(Multimodal.decodeMp4Bytes("definitely not an iso-bmff container at all"
+      .getBytes("US-ASCII"))._2 == "raw")
+    val good = Multimodal.synthMp4Bytes(1L, "x".getBytes)
+    assert(Multimodal.decodeMp4Bytes(good.take(12))._2 == "raw")
+    val evil = good.clone()
+    evil(16) = 0; evil(17) = 0; evil(18) = 0; evil(19) = 3 // second box size = 3 < 8
+    assert(Multimodal.decodeMp4Bytes(evil)._2 == "raw")
   }
 }
