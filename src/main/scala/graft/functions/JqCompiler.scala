@@ -545,7 +545,19 @@ object JqCompiler {
     // cross-type ordering (strings sort above all numbers) is not
     // columnar-expressible, so divergence must be observable, not a
     // silent null-compare (same contract as tonumber/tostring).
-    case (Alt(p @ Path(Left("d") +: _), Lit(dflt: Double)), _) =>
+    case (Alt(p @ Path(Left("d") +: _), Lit(dflt: Double)), partner)
+        // Same alignment gate as chain operands above: a string-literal
+        // or string-kinded partner would make this a number-vs-string
+        // compare, which jq resolves by cross-type ordering (always
+        // unequal, numbers sort below strings) but SQL would evaluate
+        // as a silent null-compare. Refuse → subprocess tier.
+        if (partner match {
+          case Lit(_: String)                  => false
+          case PipeSeq(Seq(_: Path, ToString)) => false
+          case PipeSeq((p2: Path) +: fns2) if fns2.nonEmpty && fns2.forall(isChainFn) =>
+            chainValueKind(p2, fns2).exists(_._2 == 'n')
+          case _ => true
+        }) =>
       eventValue(p).map { pv =>
         val t = schema_of_variant(pv)
         val falsy = pv.isNull || t === lit("VOID") ||

@@ -98,8 +98,11 @@ object Multimodal {
             i += 2 // TEM / RSTn / EOI: standalone, no length
           } else if (marker >= 0xc0 && marker <= 0xcf &&
                      marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-            // SOFn payload: len(2) precision(1) height(2) width(2) ncomp(1)
-            out = (len, "jpeg", be16(i + 7), be16(i + 5), u8(i + 9), 1)
+            // SOFn payload: len(2) precision(1) height(2) width(2) ncomp(1).
+            // A stream truncated inside the SOF header falls through to the
+            // partial-parse result (dims 0) like the WAV/MP4 walkers do.
+            if (i + 9 < bytes.length)
+              out = (len, "jpeg", be16(i + 7), be16(i + 5), u8(i + 9), 1)
             done = true
           } else i += 2 + be16(i + 2) // skip segment by its own length
         }

@@ -500,11 +500,15 @@ object RelationalQueries {
           smallThreshold = 0L)
         val stats = cust.groupBy("c_mktsegment")
           .agg(count(lit(1)).as("__seg_n"), max(col("c_acctbal")).as("top_bal"))
-        val r = col("cume"); val n = col("__seg_n")
-        val q = floor(n / lit(4)); val rem = n % lit(4)
+        // Integral `div` (like window_ntile at :236) — a floored double
+        // division can misround at exact integer boundaries once
+        // per-segment counts get large.
+        val r = col("cume")
+        val q = expr("__seg_n div 4"); val rem = col("__seg_n") % lit(4)
         val thresh = (q + lit(1)) * rem
-        val quartile = when(r <= thresh, floor((r - lit(1)) / (q + lit(1))) + lit(1))
-          .otherwise(rem + floor((r - thresh - lit(1)) / greatest(q, lit(1))) + lit(1))
+        val quartile = when(r <= thresh, expr("(cume - 1) div (__seg_n div 4 + 1)") + lit(1))
+          .otherwise(rem + expr(
+            "(cume - (__seg_n div 4 + 1) * (__seg_n % 4) - 1) div greatest(__seg_n div 4, 1)") + lit(1))
         ranked.join(broadcast(stats), "c_mktsegment")
           .filter(col("c_custkey") % 50 === 0)
           .withColumn("quartile", quartile.cast("int"))
