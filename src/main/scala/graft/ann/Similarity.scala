@@ -204,11 +204,29 @@ object Similarity {
     * iteration count), so cached and fresh results are identical.
     */
   private val trainedCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), AnyRef]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, String), AnyRef]
+  private val TrainedCacheMax = 256
 
-  private def memoTrain[T <: AnyRef](vectors: DataFrame, tag: String)(train: => T): T =
+  /** Drop all memoized trained artifacts (tests / corpus rewrite). */
+  def clearTrainedCache(): Unit = trainedCache.clear()
+
+  /** Snapshot of the plan's leaf input files — folds DATA identity into
+    * the memo key: Spark overwrite writes fresh part-UUID file names,
+    * so rewriting a corpus at the same path changes the fingerprint
+    * and retrains instead of serving a stale codebook. Non-file plans
+    * (in-memory fixtures) fingerprint as 0 and fall back to the
+    * plan-hash-only key.
+    */
+  private def dataFingerprint(vectors: DataFrame): Int =
+    java.util.Arrays.hashCode(
+      vectors.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+
+  private def memoTrain[T <: AnyRef](vectors: DataFrame, tag: String)(train: => T): T = {
+    if (trainedCache.size >= TrainedCacheMax) trainedCache.clear()
     trainedCache.getOrElseUpdate(
-      (vectors.queryExecution.analyzed.semanticHash(), tag), train).asInstanceOf[T]
+      (vectors.queryExecution.analyzed.semanticHash(), dataFingerprint(vectors), tag),
+      train).asInstanceOf[T]
+  }
 
   def ivfCentroids(vectors: DataFrame, nlist: Int, sampleN: Int = 4096, iters: Int = 8,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =

@@ -93,7 +93,11 @@ object IngestQueries {
       try {
         val client = java.net.http.HttpClient.newHttpClient()
         val uri = java.net.URI.create(s"http://127.0.0.1:$port/events")
-        eventLines(s, d).collect().iterator.map(_.getString(0))
+        // toLocalIterator streams one partition at a time to the POST
+        // loop — driver memory stays O(partition), not O(corpus),
+        // matching the send-file path in BatchRunner.
+        import scala.jdk.CollectionConverters._
+        eventLines(s, d).toLocalIterator().asScala.map(_.getString(0))
           .grouped(1000).foreach { batch =>
             val resp = client.send(
               java.net.http.HttpRequest.newBuilder(uri)

@@ -181,12 +181,15 @@ object ParallelRank {
     */
   def withTopKRank(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
                    k: Int, salt: Column, out: String,
-                   smallThreshold: Long = -1L): DataFrame = {
+                   smallThreshold: Long = -1L,
+                   precomputedCount: Long = -1L): DataFrame = {
     val spark = df.sparkSession
     val plainW =
       if (keyCols.isEmpty) Window.orderBy(orderCols: _*)
       else Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
-    val n = df.count()
+    // `precomputedCount` (e.g. Tables.cachedCount) skips the eager
+    // count job the cutover decision otherwise pays on every call.
+    val n = if (precomputedCount >= 0) precomputedCount else df.count()
     if (n <= resolveThreshold(df, smallThreshold))
       return df.withColumn(out, row_number().over(plainW).cast("long"))
         .filter(col(out) <= k)

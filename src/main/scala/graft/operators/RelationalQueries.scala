@@ -203,7 +203,8 @@ object RelationalQueries {
       val wTop = org.apache.spark.sql.expressions.Window
         .partitionBy("s_nationkey").orderBy(ord: _*)
       ParallelRank.withTopKRank(Tables.supplier(s, d),
-          Seq(col("s_nationkey")), ord, 3, xxhash64(col("s_suppkey")), "rnk")
+          Seq(col("s_nationkey")), ord, 3, xxhash64(col("s_suppkey")), "rnk",
+          precomputedCount = Tables.cachedCount(s, d, "supplier"))
         .withColumn("rnk", col("rnk").cast("int"))
         .withColumn("prev_gap",
           (col("s_acctbal") - coalesce(lag("s_acctbal", 1).over(wTop), col("s_acctbal"))))
