@@ -1,0 +1,222 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HistogramIndex, SketchIndex, TextQueries}
+
+/** Kill/restart-from-checkpoint differentials for the four streaming
+  * index arms (incremental dedup, HLL sketch, percentile histogram,
+  * Misra-Gries heavy hitters): each query runs two LIVES over a file
+  * source — two chunks, `stop()`, then the rest of the corpus through
+  * a FRESH query resumed from the same checkpoint — and the final
+  * output must equal the batch operator over all streamed rows. What
+  * this pins beyond the micro-batch-chopping differentials in the
+  * per-arm specs: the per-group STATE (keeper ids / HLL registers /
+  * value histogram / MG summary) round-trips Spark's state store
+  * across a process-level restart and keeps accumulating, and the
+  * sink dedups the restart boundary (same exactly-once pattern proven
+  * for gap sessions in StreamingSpec).
+  *
+  * All four comparisons are exact-equality, not tolerances: dedup and
+  * percentile are order-independent by construction, HLL registers
+  * are per-register maxes, and the heavy-hitters test sizes k above
+  * the distinct-token count so the MG summary degenerates to exact
+  * counts (the decrement path's order-dependent invariants are gated
+  * in StreamingHeavyHittersSpec; state recovery is what is under test
+  * here).
+  */
+class StreamingRestartSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Atomic-publish one chunk file (the file source must never list a
+    * partial file — same move trick as StreamingSpec).
+    */
+  private def writeChunk(base: Path, srcDir: Path, name: String,
+                         lines: Seq[String]): Unit = {
+    val tmp = base.resolve(name + ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, srcDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Run `start` as two lives over 4 chunks: c0,c1 → kill → c2,c3 →
+    * drain. Both lives share srcDir + checkpoint; `start` builds a
+    * fresh query each time (resume-from-checkpoint).
+    */
+  private def twoLives(chunks: Seq[Seq[String]])(start: (Path, String) => StreamingQuery): Path = {
+    require(chunks.length == 4, "restart scaffold expects 4 chunks")
+    val base = Files.createTempDirectory("graft-restart")
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = base.resolve("ckpt").toString
+    writeChunk(base, srcDir, "c0.json", chunks(0))
+    writeChunk(base, srcDir, "c1.json", chunks(1))
+    val q1 = start(srcDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    writeChunk(base, srcDir, "c2.json", chunks(2))
+    writeChunk(base, srcDir, "c3.json", chunks(3))
+    val q2 = start(srcDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    base
+  }
+
+  private def chunk4[T](rows: Seq[T]): Seq[Seq[T]] = {
+    val per = math.max(1, rows.length / 4 + 1)
+    rows.grouped(per).toSeq.padTo(4, Seq.empty[T])
+  }
+
+  /** Update-mode arms land through foreachBatch as parquet appends
+    * stamped with the micro-batch id; "final result" = max-bid row
+    * per group. A batch replayed at the restart boundary appends
+    * identical rows (the arms are deterministic), so the max-bid
+    * selection is immune to the at-least-once sink.
+    */
+  private def updateSink(out: Path)(df: DataFrame, bid: Long): Unit =
+    df.withColumn("bid", lit(bid)).write.mode("append").parquet(out.toString)
+
+  test("incremental exact-dedup verdicts survive kill/restart (keeper state recovers)") {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batchDf = all.filter(col("doc_id") % 10 < 3)
+    val corpus = all.filter(col("doc_id") % 10 >= 3)
+    val index = TextQueries.buildExactIndex(corpus)
+    val expected = TextQueries.probeExactIndex(index, batchDf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+
+    // doc-id order across chunks: the batch keeper (min doc_id) is the
+    // stream's first arrival, same requirement as StreamingDedupSpec
+    val lines = batchDf.select("doc_id", "text").collect().sortBy(_.getLong(0))
+      .map { r =>
+        val txt = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        s"""{"doc_id":${r.getLong(0)},"text":"$txt"}"""
+      }.toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingDedup.probeExactIndexStream(index, stream)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got.nonEmpty && got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  /** The parquet-sink path for a query's src dir (sibling `out`). */
+  private def base2(src: Path): Path = {
+    val out = src.getParent.resolve("out")
+    out
+  }
+
+  test("HLL distinct estimates survive kill/restart (register state recovers)") {
+    import spark.implicits._
+    val all = graft.sources.Tables.events(spark, dir)
+    val batch = all.filter(col("event_id") % 10 < 3)
+    val corpus = all.filter(col("event_id") % 10 >= 3)
+    val index = SketchIndex.buildDistinctIndex(corpus, Seq("event_type"),
+      to_date(col("ts")).cast("string"), col("user_id"))
+    val expected = SketchIndex.estimateWithBatch(index, batch, Seq("event_type"),
+        col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val lines = batch.select("event_type", "user_id").collect()
+      .map(r => s"""{"event_type":"${r.getString(0)}","user_id":${r.getLong(1)}}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingSketch.estimateStream(index, stream, "event_type", "user_id")
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[GroupEstimate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("bid")))
+    val maxBid = sink.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = sink.filter { case (g, _, b) => b == maxBid(g) }
+      .map { case (g, e, _) => g -> e }.toMap
+    assert(got == expected, s"stream $got != batch $expected")
+  }
+
+  test("percentile histograms survive kill/restart (histogram state recovers, bit-exact)") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val batch = li.filter(col("l_orderkey") % 10 < 3)
+    val corpus = li.filter(col("l_orderkey") % 10 >= 3)
+    val index = HistogramIndex.buildValueHistIndex(corpus, Seq("l_returnflag"),
+      year(col("l_shipdate")), col("l_quantity"))
+    val expected = HistogramIndex.percentileWithBatch(index, batch, "l_returnflag",
+        col("l_quantity"), 0.5, "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val lines = batch.select(col("l_returnflag"), col("l_quantity").cast("double"))
+      .collect().map(r =>
+        s"""{"l_returnflag":"${r.getString(0)}","l_quantity":${r.getDouble(1)}}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("l_returnflag STRING, l_quantity DOUBLE")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingPercentile.percentileStream(index, stream,
+        "l_returnflag", "l_quantity", 0.5)
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[PctUpdate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[Double]("pct"),
+        r.getAs[Long]("version")))
+    val maxVer = sink.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = sink.filter { case (g, _, v) => v == maxVer(g) }
+      .map { case (g, m, _) => g -> m }.toMap
+    assert(got == expected, s"stream $got != batch $expected")
+  }
+
+  test("heavy-hitter summaries survive kill/restart (MG state recovers; k>distinct ⇒ exact)") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type").as("g"), col("user_id").cast("string").as("tok"))
+    // k=64 ≥ 15 distinct users: MG never decrements, the summary IS
+    // the exact per-(group, token) count — order-independent equality
+    val expected = ev.groupBy("g", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val lines = ev.collect()
+      .map(r => s"""{"group":"${r.getString(0)}","token":"${r.getString(1)}"}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("group STRING, token STRING")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingHeavyHitters.topTokensStream(stream, 64)
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[HHUpdate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[String]("token"),
+        r.getAs[Long]("approx_cnt"), r.getAs[Long]("version")))
+    val maxVer = sink.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val got = sink.filter { case (g, _, _, v) => v == maxVer(g) }
+      .map { case (g, t, c, _) => (g, t) -> c }.toMap
+    assert(got == expected,
+      s"only-batch=${(expected.keySet -- got.keySet).take(3)} diff=${
+        expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
+}
