@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A session's running concurrent-event count (stream-static interval
+  * join), stamped with the state version so a sink reader can isolate
+  * the latest count per session.
+  */
+final case class IntervalCount(user_id: Long, session_id: Long,
+                               n_concurrent: Long, version: Long)
 
 /** Watermarked stream-stream joins — the Spark-native upgrade for the
   * reference's external-store correlation pattern: its users join a
@@ -84,5 +92,50 @@ object StreamJoins {
       .agg(max(col("l_ts_us")).as("last_l_us")) // max skips the outer nulls
       .select(col("event_id"), col("r_user").as("user_id"),
         (col("r_ts_us") - col("last_l_us")).as("gap_us")) // null gap = no match
+  }
+
+  /** Streaming arm of the interval-overlap join (`ev_interval_join`):
+    * probe events arrive as a stream, the session intervals are a
+    * STATIC table (the persisted-index pattern shared with the
+    * incremental dedup/sketch arms). Same bin-bucket decomposition as
+    * the batch query — intervals pre-explode to the hour bins they
+    * cover, each probe event lives in EXACTLY ONE bin, so the
+    * stream-static equi-join on the bin is stateless per micro-batch
+    * and a matched pair appears exactly once; the exact BETWEEN +
+    * user-inequality filter runs after it. The only state is the
+    * running count per (user_id, session_id) — one long — folded by
+    * `flatMapGroupsWithState`, so after any micro-batch chopping the
+    * latest count per session equals the batch `n_concurrent`
+    * (StreamingSpec pins the differential; sessions nothing streamed
+    * ever hit simply never emit — the batch left-join's zero rows).
+    *
+    * `sessions` needs (user_id, session_id, start_us, end_us);
+    * `events` needs (o_user, ts_us).
+    */
+  def intervalJoinStream(sessions: DataFrame, events: DataFrame,
+                         binUs: Long = 3600L * 1000000L): Dataset[IntervalCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sBins = sessions
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+      .withColumn("bin", explode(sequence(
+        expr(s"start_us div ${binUs}L"), expr(s"end_us div ${binUs}L"))))
+    val hits = events
+      .select(col("o_user").cast("long").as("o_user"),
+        col("ts_us").cast("long").as("ts_us"))
+      .withColumn("bin", expr(s"ts_us div ${binUs}L"))
+      .join(sBins, Seq("bin"))
+      .filter(col("ts_us").between(col("start_us"), col("end_us")) &&
+        col("o_user") =!= col("user_id"))
+      .select(col("user_id"), col("session_id")).as[(Long, Long)]
+    hits.groupByKey(identity)
+      .flatMapGroupsWithState[(Long, Long), IntervalCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Long)]) =>
+          var (cnt, ver) = state.getOption.getOrElse((0L, 0L))
+          cnt += rows.size; ver += 1
+          state.update((cnt, ver))
+          Iterator(IntervalCount(key._1, key._2, cnt, ver))
+      }
   }
 }

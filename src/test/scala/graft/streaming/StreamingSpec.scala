@@ -660,6 +660,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static interval join matches the batch ev_interval_join counts (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("ev_interval_join")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        r.getAs[Long]("n_concurrent")).toMap
+    assert(expected.valuesIterator.exists(_ > 0L), "fixture must contain overlaps")
+    // static side: the session intervals (the persisted-index pattern)
+    val sessions = graft.SparkEntry.queries("ev_sessionize")(spark, dir)
+      .select("user_id", "session_id", "start_us", "end_us")
+    val probes = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id AS o_user", "ts_us").as[(Long, Long)]
+      .collect().sortBy(_._2)
+    val mem = MemoryStream[(Long, Long)]
+    val counts = StreamJoins.intervalJoinStream(
+      sessions, mem.toDF().toDF("o_user", "ts_us"))
+    queryId += 1
+    val name = s"strout$queryId"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      probes.grouped(math.max(1, probes.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val sink = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_concurrent"), r.getAs[Long]("version")))
+      val maxVer = sink.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._4).max).toMap
+      val got = sink.filter { case (u, s2, _, v) => v == maxVer((u, s2)) }
+        .map { case (u, s2, c, _) => (u, s2) -> c }.toMap
+      // sessions nothing streamed ever hit never emit = batch zeros
+      val expectedNonZero = expected.filter(_._2 > 0L)
+      assert(got == expectedNonZero,
+        s"only-batch=${(expectedNonZero.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expectedNonZero.toSet).take(3)}")
+      assert(expected.keySet.diff(got.keySet).forall(k => expected(k) == 0L))
+    } finally q.stop()
+  }
+
   test("send-stdout tap yields NDJSON lines in streaming mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
