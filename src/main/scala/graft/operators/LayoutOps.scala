@@ -72,23 +72,73 @@ object LayoutOps {
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
   }
 
-  /** Z-value of two numeric columns: each is min/max-scaled to a
-    * 16-bit bucket id (one stats pass over both columns), then Morton-
-    * interleaved. Monotone enough that a range predicate on either
-    * source column maps to compact z ranges.
+  /** Spread the low 16 bits of `x` to every THIRD bit position (the
+    * Morton-3D mask-and-shift, masks from the standard 21-bit form —
+    * inputs here are ≤ 0xFFFF so the top bits stay clear).
     */
-  def zValue(df: DataFrame, c1: String, c2: String): org.apache.spark.sql.Column = {
+  private def spread16x3(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    def bucket(c: String, lo: Double, hi: Double) = {
+    var v = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 32))).bitwiseAND(lit(0x001F00000000FFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x001F0000FF0000FFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x100F00F00F00F00FL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Spread the low 16 bits of `x` to every FOURTH bit position. */
+  private def spread16x4(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    var v = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 24))).bitwiseAND(lit(0x000000FF000000FFL))
+    v = (v.bitwiseOR(shiftleft(v, 12))).bitwiseAND(lit(0x000F000F000F000FL))
+    v = (v.bitwiseOR(shiftleft(v, 6))).bitwiseAND(lit(0x0303030303030303L))
+    (v.bitwiseOR(shiftleft(v, 3))).bitwiseAND(lit(0x1111111111111111L))
+  }
+
+  /** Morton code of 2–4 16-bit bucket ids: column i's bits land at
+    * positions ≡ i (mod n). All mask-and-shift Column arithmetic —
+    * codegen'd, constant expression count per row (no per-bit loop
+    * that would blow the whole-stage-codegen method budget).
+    */
+  def mortonN(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val spread: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      cols.length match {
+        case 2 => spread16
+        case 3 => spread16x3
+        case 4 => spread16x4
+        case n => throw new IllegalArgumentException(s"mortonN supports 2-4 columns, got $n")
+      }
+    cols.zipWithIndex.map { case (c, i) => shiftleft(spread(c), i) }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Z-value of 2–4 numeric columns: each is min/max-scaled to a
+    * 16-bit bucket id (ONE stats pass over all columns), then Morton-
+    * interleaved. Monotone enough that a range predicate on any
+    * source column maps to compact z ranges. Real layout decisions
+    * need more than two axes (source × language × date), hence the
+    * n-ary form; 16 bits per column keeps 4×16 = 64 bits in one long.
+    */
+  def zValueN(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*
+    ).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536).cast("long"),
         lit(65535L))
     }
-    morton(bucket(c1, r.getDouble(0), r.getDouble(1)),
-      bucket(c2, r.getDouble(2), r.getDouble(3)))
+    mortonN(buckets)
   }
+
+  /** Z-value of two numeric columns (the binary special case). */
+  def zValue(df: DataFrame, c1: String, c2: String): org.apache.spark.sql.Column =
+    zValueN(df, Seq(c1, c2))
 
   /** Write `df` Z-ordered by `(c1, c2)`: range-partitioned on the
     * z-value into `files` output files, z-sorted within each, small
@@ -99,9 +149,18 @@ object LayoutOps {
     * the same data laid out randomly).
     */
   def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
-                    files: Int = 32): Unit = {
+                    files: Int = 32): Unit =
+    writeZOrderedN(df, Seq(c1, c2), path, files)
+
+  /** N-ary Z-ordered write (2–4 columns), same layout contract as the
+    * binary form: one range exchange on the z-value at write time,
+    * then any selective predicate on any interleaved column prunes
+    * row groups via parquet min/max stats.
+    */
+  def writeZOrderedN(df: DataFrame, cols: Seq[String], path: String,
+                     files: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
-    df.withColumn("__z", zValue(df, c1, c2))
+    df.withColumn("__z", zValueN(df, cols))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -138,6 +197,53 @@ object LayoutOps {
         count(lit(1)).as("rows"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Append a new batch to a manifest-tracked table — the daily-crawl
+    * shape the incremental dedup/sketch/histogram indexes already
+    * model: data files land with `mode("append")`, and the sidecar
+    * gains (min, max, rows) rows for ONLY the files this batch wrote
+    * (discovered by a before/after listing diff, so the stats job
+    * reads just the new files — never a table rescan). The merged
+    * manifest rewrites atomically-enough for the single-writer
+    * append cadence this models (collected to the driver first — the
+    * sidecar is kilobytes — so the rewrite never reads what it
+    * overwrites).
+    */
+  def appendWithManifest(df: DataFrame, statsCol: String, path: String,
+                         files: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val sidecar = s"$path/_manifest"
+    val old = spark.read.parquet(sidecar)
+      .select("file", "lo", "hi", "rows").collect().toSeq
+    val before = listDataFiles(spark, path)
+    df.repartitionByRange(files, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode("append").parquet(path)
+    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+        count(lit(1)).as("rows"))
+    val schema = freshStats.schema
+    val merged = old ++ freshStats.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged, 1), schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sidecar)
+  }
+
+  /** Data files (not sidecars/markers) under `path`, as Hadoop URIs. */
+  private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.toUri.toString)
+      .toSet
   }
 
   /** Scan `path` for `statsCol ∈ [lo, hi]`, consulting the manifest

@@ -119,6 +119,90 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"z-ordered scan read $zRows rows vs $rndRows random-order — no pruning win")
   }
 
+  test("mortonN(3) puts column i's bits at positions ≡ i (mod 3)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (3L, 0L, 0L),
+      (65535L, 0L, 0L), (0L, 65535L, 0L), (65535L, 65535L, 65535L))
+      .toDF("a", "b", "c")
+      .select(LayoutOps.mortonN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def spread3(x: Long): Long =
+      (0 until 16).map(i => ((x >> i) & 1L) << (3 * i)).reduce(_ | _)
+    val expected = Seq(
+      1L, 2L, 4L, spread3(3L),
+      spread3(65535L), spread3(65535L) << 1,
+      spread3(65535L) * 7L) // a|b<<1|c<<2 over all-ones = every bit of 48
+    assert(rows == expected, s"$rows != $expected")
+  }
+
+  test("mortonN(4) puts column i's bits at positions ≡ i (mod 4)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 0L, 0L), (0L, 1L, 0L, 0L), (0L, 0L, 1L, 0L), (0L, 0L, 0L, 1L),
+      (65535L, 0L, 0L, 0L), (65535L, 65535L, 65535L, 65535L))
+      .toDF("a", "b", "c", "d")
+      .select(LayoutOps.mortonN(
+        Seq(col("a"), col("b"), col("c"), col("d"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def spread4(x: Long): Long =
+      (0 until 16).map(i => ((x >> i) & 1L) << (4 * i)).reduce(_ | _)
+    assert(rows == Seq(1L, 2L, 4L, 8L, spread4(65535L), -1L),
+      s"got $rows") // all-ones × 4 lanes fills all 64 bits = -1
+  }
+
+  test("3-column z-order prunes a 3-axis box scan; random order reads ~all") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    val rndDir = java.nio.file.Files.createTempDirectory("graft-zrand3").toString
+    LayoutOps.writeZOrderedN(li, Seq("l_partkey", "l_suppkey", "l_quantity"), zDir)
+    li.withColumn("__r", xxhash64(col("l_orderkey"), col("l_partkey")))
+      .repartitionByRange(32, col("__r")).sortWithinPartitions("__r").drop("__r")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(rndDir)
+
+    def boxed(path: String) = spark.read.parquet(path)
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(2, 8) && col("l_quantity").between(10, 30))
+    val zRows = rowsScanned(boxed(zDir))
+    val rndRows = rowsScanned(boxed(rndDir))
+    val a = boxed(zDir).collect().map(_.toString).sorted.toSeq
+    val b = boxed(rndDir).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    assert(zRows * 2 <= rndRows,
+      s"3-col z-ordered scan read $zRows rows vs $rndRows random-order — no pruning win")
+  }
+
+  test("manifest append merges new files' stats; pruned scan equals plain scan after appends") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-app").toString
+    // day-0 load + three daily appends, split by order-key stripes
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val stripe = (kHi - kLo) / 4 + 1
+    def slice(i: Int) = li.filter(
+      col("l_orderkey").between(kLo + i * stripe, kLo + (i + 1) * stripe - 1))
+    LayoutOps.writeWithManifest(slice(0), "l_orderkey", dir, files = 4)
+    (1 to 3).foreach(i => LayoutOps.appendWithManifest(slice(i), "l_orderkey", dir, files = 4))
+
+    // the manifest tracks every data file with correct totals
+    val manifest = spark.read.parquet(s"$dir/_manifest").collect()
+    assert(manifest.length == 16, s"4 writes × 4 files, had ${manifest.length}")
+    assert(manifest.map(_.getAs[Long]("rows")).sum == li.count())
+
+    // re-prune parity after the appends: narrow scan == plain scan
+    val (lo, hi) = (kLo + stripe, kLo + stripe + stripe / 5) // inside append #1
+    val (pruned, survivors, total) = LayoutOps.readPruned(spark, dir, "l_orderkey", lo, hi)
+    val expect = spark.read.parquet(dir)
+      .filter(col("l_orderkey").between(lo, hi))
+      .collect().map(_.toString).sorted.toSeq
+    val got = pruned.collect().map(_.toString).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+    assert(total == 16 && survivors * 3 <= total,
+      s"manifest kept $survivors/$total files for a narrow range after appends")
+  }
+
   test("manifest zone maps skip most FILES on a narrow range; results equal the plain scan") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select("l_orderkey", "l_partkey", "l_quantity")
