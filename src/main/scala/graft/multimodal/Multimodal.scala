@@ -389,17 +389,21 @@ object Multimodal {
 
   /** Parse MP4 (ISO-BMFF) metadata: a REAL box walk — each box is a
     * big-endian u32 size + 4cc type — over the top level (counting
-    * boxes), descending into `moov` for the `mvhd` movie header
-    * (version-0 layout: timescale u32 at payload+12, duration u32 at
-    * payload+16). Long cursors throughout, so a malformed size lands
-    * on the raw fallback instead of stalling (the WAV lesson).
-    * `duration_ms` is integer ticks·1000/timescale — mirrorable in
-    * oracle SQL. Requires a leading `ftyp`; anything else → raw.
+    * boxes), descending into `moov` for the `mvhd` movie header.
+    * Both header versions are read (real corpora mix them): v0 packs
+    * timescale u32 at payload+12 and duration u32 at +16; v1 carries
+    * 64-bit creation/modification/duration, so timescale sits at
+    * payload+20 and duration u64 at +24. Long cursors throughout, so
+    * a malformed size lands on the raw fallback instead of stalling
+    * (the WAV lesson). `duration_ms` is integer ticks·1000/timescale —
+    * mirrorable in oracle SQL. Requires a leading `ftyp`; anything
+    * else → raw.
     */
   def decodeMp4Bytes(bytes: Array[Byte]): (Long, String, Int, Long, Long, Int) = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
     val len = bytes.length.toLong
     val raw = (len, "raw", 0, 0L, 0L, 0)
@@ -423,6 +427,9 @@ object Multimodal {
           if (ctp == "mvhd" && j + 8 + 20 <= end && u8(jj + 8) == 0) {
             timescale = be32(jj + 8 + 12).toInt
             ticks = be32(jj + 8 + 16)
+          } else if (ctp == "mvhd" && j + 8 + 32 <= end && u8(jj + 8) == 1) {
+            timescale = be32(jj + 8 + 20).toInt
+            ticks = be64(jj + 8 + 24)
           }
           j += csz
         }
@@ -434,17 +441,21 @@ object Multimodal {
   }
 
   /** Deterministic spec-compliant MP4 fixture: ftyp + (every third: a
-    * `free` box, so the parser must genuinely walk) + moov(mvhd v0
-    * with docId-derived timescale/duration) + mdat carrying the
-    * payload. The oracle recomputes every field — box count, byte
-    * length, integer-division duration — arithmetically from doc_id.
+    * `free` box, so the parser must genuinely walk) + moov(mvhd with
+    * docId-derived timescale/duration) + mdat carrying the payload.
+    * Odd doc ids emit a VERSION-1 mvhd (64-bit times, 120-byte box)
+    * with a duration past u32 — real corpora mix both header
+    * versions, and a u32-only reader would truncate. The oracle
+    * recomputes every field — box count, byte length, version-split
+    * ticks, integer-division duration — arithmetically from doc_id.
     */
   def synthMp4Bytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
     val timescale = 1000 * (1 + (docId % 3).toInt)
-    val ticks = (docId % 9999L) * 7 + 1000
+    val v1 = docId % 2 == 1
+    val ticks = (if (v1) 0x100000000L else 0L) + (docId % 9999L) * 7 + 1000
     val withFree = docId % 3 == 0
     val freeBytes = if (withFree) 16 else 0
-    val mvhdSize = 108 // standard v0 mvhd box
+    val mvhdSize = if (v1) 120 else 108 // standard v1/v0 mvhd boxes
     val moovSize = 8 + mvhdSize
     val bb = java.nio.ByteBuffer.allocate(16 + freeBytes + moovSize + 8 + payload.length)
     def box(size: Int, tp: String): Unit = {
@@ -455,11 +466,19 @@ object Multimodal {
     if (withFree) { box(16, "free"); bb.put(new Array[Byte](8)) }
     box(moovSize, "moov")
     box(mvhdSize, "mvhd")
-    bb.put(0.toByte); bb.put(new Array[Byte](3))             // version 0 + flags
-    bb.putInt(0); bb.putInt(0)                               // creation, modification
-    bb.putInt(timescale)
-    bb.putInt(ticks.toInt)
-    bb.put(new Array[Byte](mvhdSize - 8 - 4 - 16))           // rate..next_track_ID
+    if (v1) {
+      bb.put(1.toByte); bb.put(new Array[Byte](3))           // version 1 + flags
+      bb.putLong(0L); bb.putLong(0L)                         // creation, modification u64
+      bb.putInt(timescale)
+      bb.putLong(ticks)
+      bb.put(new Array[Byte](mvhdSize - 8 - 4 - 16 - 4 - 8)) // rate..next_track_ID
+    } else {
+      bb.put(0.toByte); bb.put(new Array[Byte](3))           // version 0 + flags
+      bb.putInt(0); bb.putInt(0)                             // creation, modification
+      bb.putInt(timescale)
+      bb.putInt(ticks.toInt)
+      bb.put(new Array[Byte](mvhdSize - 8 - 4 - 16))         // rate..next_track_ID
+    }
     box(8 + payload.length, "mdat")
     bb.put(payload)
     bb.array()

@@ -460,17 +460,21 @@ object AnnQueries {
         |    // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // MP4 layout: ftyp(16) + optional free(16) + moov(8 + mvhd 108) +
-    // mdat header(8) + payload; ticks = (doc_id%9999)*7 + 1000,
-    // timescale = 1000·(1 + doc_id%3), duration in integer ms.
+    // MP4 layout: ftyp(16) + optional free(16) + moov(8 + mvhd 108 v0
+    // / 120 v1 — odd doc ids carry a version-1 header whose u64
+    // duration starts past u32: ticks = 2^32·(doc_id%2) +
+    // (doc_id%9999)*7 + 1000), timescale = 1000·(1 + doc_id%3),
+    // duration in integer ms.
     "mm_video_meta" ->
       """SELECT doc_id,
-        |  CAST(16 + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END + 116 + 8
+        |  CAST(16 + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END
+        |    + CASE WHEN doc_id % 2 = 1 THEN 128 ELSE 116 END + 8
         |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
         |  'mp4' AS format,
         |  CAST(1000 * (1 + doc_id % 3) AS INT) AS timescale,
-        |  CAST((doc_id % 9999) * 7 + 1000 AS BIGINT) AS duration_ticks,
-        |  CAST(((doc_id % 9999) * 7 + 1000) * 1000
+        |  CAST(4294967296 * (doc_id % 2) + (doc_id % 9999) * 7 + 1000 AS BIGINT)
+        |    AS duration_ticks,
+        |  CAST((4294967296 * (doc_id % 2) + (doc_id % 9999) * 7 + 1000) * 1000
         |    // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS n_boxes
         |FROM documents ORDER BY doc_id""".stripMargin

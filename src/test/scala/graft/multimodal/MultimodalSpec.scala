@@ -145,12 +145,15 @@ class MultimodalSpec extends AnyFunSuite {
       val payload = ("v" * (5 + id.toInt)).getBytes("UTF-8")
       val bytes = Multimodal.synthMp4Bytes(id, payload)
       val (l, f, ts, tk, ms, nb) = Multimodal.decodeMp4Bytes(bytes)
+      // odd ids: v1 mvhd, 120-byte box, duration past u32
       val expTs = 1000 * (1 + (id % 3).toInt)
-      val expTk = (id % 9999L) * 7 + 1000
+      val expTk = (if (id % 2 == 1) 0x100000000L else 0L) + (id % 9999L) * 7 + 1000
       assert(f == "mp4" && ts == expTs && tk == expTk, s"id=$id meta ($f $ts $tk)")
       assert(ms == expTk * 1000 / expTs, s"id=$id duration")
       assert(nb == (if (id % 3 == 0) 4 else 3), s"id=$id n_boxes")
-      assert(l == 16 + (if (id % 3 == 0) 16 else 0) + 116 + 8 + payload.length, s"id=$id len")
+      val moov = if (id % 2 == 1) 128 else 116
+      assert(l == 16 + (if (id % 3 == 0) 16 else 0) + moov + 8 + payload.length, s"id=$id len")
+      if (id % 2 == 1) assert(tk > 0xFFFFFFFFL, s"id=$id v1 duration must exceed u32")
     }
     // garbage, truncation, and a malformed (sz < 8) box all fall to raw
     assert(Multimodal.decodeMp4Bytes("definitely not an iso-bmff container at all"
