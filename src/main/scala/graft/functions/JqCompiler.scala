@@ -39,6 +39,19 @@ import org.apache.spark.sql.functions._
   *   - vector `group_by(<path>) | map({...})` as the whole `d`
   *     payload: key / `length` / `map(<path>)|add` group fields,
   *     string-compared keys — the count-by / sum-by idiom
+  *   - vector `reduce .[] as $x (init; . op expr($x))` folds (ops
+  *     `+`/`-`/`*`; `+` with jq's null-is-identity, `-`/`*` raising on
+  *     null like jq) — the reference's moving-aggregate idiom; both
+  *     `.[]`- and `.[]<path>`-rooted variables
+  *   - object-entries forms over the `.d` payload: `to_entries |
+  *     map(select(cond)) | from_entries` (the filter-object idiom;
+  *     key compares + kind-guarded value equality, document key order
+  *     preserved end-to-end), `to_entries | length`, `to_entries |
+  *     map(.key)`, `keys` (sorted, any object path) and
+  *     `keys_unsorted` (document order, whole-`.d`)
+  *   - per-event `{n, d, t: .t}` with the literal trace passthrough
+  *     (a traced replacement event keeps its trace, matching the
+  *     reference's parse semantics)
   *   - wrapped value streams (`tryCompileWrapped`, for steps with a
   *     `wrap:` directive): `.[]<path> | ...` rebinds `.` to the path's
   *     value, then conditional-drop stages
@@ -84,10 +97,24 @@ object JqCompiler {
   case class Fn1(name: String, arg: Option[String]) extends Ast
   /** Two-literal-arg builtins: `gsub("re"; "repl")` / `sub("re"; "repl")`. */
   case class Fn2(name: String, a: String, b: String) extends Ast
+  /** `reduce src as $v (init; update)` */
+  case class Reduce(src: Ast, varName: String, init: Ast, upd: Ast) extends Ast
+  /** `$name<path>` — a variable reference with an optional trailing path. */
+  case class VarPath(name: String, segs: Seq[Either[String, Int]]) extends Ast
+  case object ToEntries extends Ast
+  case object FromEntries extends Ast
+  /** jq `keys` (sorted=true) / `keys_unsorted`. */
+  case class KeysFn(sorted: Boolean) extends Ast
 
   // ---- results ----
   /** Per-event compiled form: a row filter plus output event columns. */
-  final case class PerEvent(filter: Option[Column], outName: Column, outPayloadJson: Column)
+  /** `keepTrace`: the program emitted `t: .t` — the event keeps its
+    * existing trace (reference src/event.ts:244-263 parse semantics:
+    * a replacement event with a trace keeps it; only trace-less
+    * output is stamped fresh).
+    */
+  final case class PerEvent(filter: Option[Column], outName: Column,
+                            outPayloadJson: Column, keepTrace: Boolean = false)
   /** Per-vector compiled form: aggregate builders keyed by output field.
     *
     * Order-sensitive aggregates (jq's `.[0].path` = "first event") need a
@@ -288,6 +315,33 @@ object JqCompiler {
       else if (tryEat("max")) Fn1("max", None)
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
+      else if (tryEat("to_entries")) ToEntries
+      else if (tryEat("from_entries")) FromEntries
+      else if (tryEat("keys_unsorted")) KeysFn(sorted = false)
+      else if (tryEat("keys")) KeysFn(sorted = true)
+      else if (tryEat("reduce ")) {
+        ws()
+        val src0 = parsePath()
+        ws(); require(tryEat("as"), s"expected 'as' in reduce at $pos"); ws()
+        require(peek == '$', s"expected '$$var' in reduce at $pos"); pos += 1
+        val v = ident()
+        ws(); eat('(')
+        val init = parseInnerPipe(); eat(';')
+        val upd = parseInnerPipe(); eat(')')
+        Reduce(src0, v, init, upd)
+      }
+      else if (peek == '$') {
+        pos += 1
+        val name = ident()
+        if (pos < src.length && src(pos) == '.' &&
+            pos + 1 < src.length && (src(pos + 1).isLetter || src(pos + 1) == '_')) {
+          parsePath() match {
+            case Path(segs) => VarPath(name, segs)
+            case _ => throw new IllegalArgumentException(
+              s"unsupported $$var path form at $pos: subprocess tier")
+          }
+        } else VarPath(name, Seq.empty)
+      }
       else if (tryEat("tostring")) ToString
       else if (tryEat("tonumber")) ToNumber
       else if (tryEat("empty")) Empty
@@ -636,6 +690,12 @@ object JqCompiler {
     case ObjCons(fields) =>
       val cols = fields.map { case (k, v) => valueExpr(v).map(_.as(k)) }
       if (cols.exists(_.isEmpty)) None else Some(to_json(struct(cols.flatten: _*)))
+    // a from_entries-terminated chain IS JSON text already (the
+    // filter-object-by-entries idiom); nested inside an object it
+    // would double-escape, so only the whole-payload position compiles
+    case PipeSeq((p: Path) +: fns)
+        if fns.lastOption.contains(FromEntries) && fns.forall(isChainFn) =>
+      chainValueKind(p, fns).collect { case (c, 'j') => c }
     case other => valueExpr(other).map(c => to_json(struct(c.as("v"))).substr(
       lit(6), length(to_json(struct(c.as("v")))) - 6))
   }
@@ -706,6 +766,9 @@ object JqCompiler {
     case _: SplitFn | _: JoinFn | Length => true
     case Fn1(n, _) => MathFns(n) || StrFns(n) || BoolFns(n) || ArrFns(n) || n == "not"
     case Fn2(n, _, _) => n == "gsub" || n == "sub" || n == "test_i"
+    case ToEntries | FromEntries | _: KeysFn => true
+    case MapExpr(Path(Seq(Left("key"))))     => true // entries .key projection
+    case MapExpr(Select(_))                  => true // entries filter
     case _ => false
   }
 
@@ -850,9 +913,27 @@ object JqCompiler {
     val t = if (isVariant) schema_of_variant(pv) else lit("STRING")
     val isNum = t.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
       t.startsWith("DECIMAL")
-    // 'v' variant, 's' string, 'a' array, 'n' number
+    // 'v' variant, 's' string, 'a' array, 'n' number, 'e' entries
+    // array (array<struct<key,value:variant>>), 'j' rendered JSON text
     var kind = if (isVariant) 'v' else 's'
     var c: Column = if (isVariant) pv else pv.cast("string")
+    // position in the chain: to_entries/keys_unsorted need DOCUMENT
+    // key order, which the variant encoding normalizes away (it sorts
+    // object keys) — so they compile only as the FIRST function over
+    // the whole `.d` payload, where the raw JSON text is the column
+    // itself (same contract compileValueStages uses)
+    var fi = -1
+    val wholeD = p.segs == Seq(Left("d"))
+    def entriesOf(raw: Column): Column =
+      map_entries(from_json(raw, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.VariantType)))
+    val entryType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.VariantType))))
     def toStr(what: String): Unit = kind match {
       case 'v' => c = strict(t === lit("STRING"), c.cast("string"), what, "string"); kind = 's'
       case 's' => ()
@@ -863,7 +944,45 @@ object JqCompiler {
       case 'n' => ()
       case _   => throw new IllegalArgumentException(s"$what on non-number chain")
     }
-    for (f <- fns) f match {
+    for (f <- fns) { fi += 1; f match {
+      // jq to_entries: [{key, value}] in DOCUMENT order (why: raw-text
+      // only, see `fi` note above). Non-objects raise, as jq does.
+      case ToEntries if kind == 'v' && fi == 0 && wholeD =>
+        c = when(t.startsWith("OBJECT"), entriesOf(col("d")))
+          .otherwise(raise_error(lit(
+            "jq compiled tier: to_entries saw a non-object value (jq raises here); run this step via the subprocess tier")).cast(entryType))
+        kind = 'e'
+      // jq keys_unsorted: document key order — raw-text only, like
+      // to_entries
+      case KeysFn(false) if kind == 'v' && fi == 0 && wholeD =>
+        c = when(t.startsWith("OBJECT"), json_object_keys(col("d")))
+          .otherwise(raise_error(lit(
+            "jq compiled tier: keys_unsorted saw a non-object value; run this step via the subprocess tier")).cast("array<string>"))
+        kind = 'a'
+      // jq keys SORTS (by codepoint = Spark's UTF8 binary string
+      // order), so the variant's normalized rendering is usable at any
+      // chain position and for nested paths
+      case KeysFn(true) if kind == 'v' =>
+        c = when(t.startsWith("OBJECT"),
+            array_sort(json_object_keys(c.cast("string"))))
+          .otherwise(raise_error(lit(
+            "jq compiled tier: keys saw a non-object value (jq raises here); run this step via the subprocess tier")).cast("array<string>"))
+        kind = 'a'
+      case Length if kind == 'e' =>
+        c = size(c).cast("double"); kind = 'n'
+      case MapExpr(Path(Seq(Left("key")))) if kind == 'e' =>
+        c = transform(c, e => e.getField("key")); kind = 'a'
+      case MapExpr(Select(cond)) if kind == 'e' =>
+        entryCond(cond) match {
+          case Some(f0) => c = filter(c, e => f0(e))
+          case None     => return None
+        }
+      // jq from_entries: object in entry order — map_from_entries +
+      // to_json preserve it, and map-valued to_json renders null
+      // values (ignoreNullFields only affects structs), so the text
+      // matches jq's
+      case FromEntries if kind == 'e' =>
+        c = to_json(map_from_entries(c)); kind = 'j'
       case SplitFn(sep) =>
         toStr("split")
         c = when(c === lit(""), array().cast("array<string>"))
@@ -954,8 +1073,82 @@ object JqCompiler {
         c = regexp_replace(c, jre(s"(?s)^(?<gp>.*?)($re)(?<gt>.*)$$"),
           "$" + "{gp}" + escapeReplacement(repl) + "$" + "{gt}")
       case _ => return None
+    } }
+    // 'v' never transformed and 'e' (entries mid-form) are not values
+    if (kind == 'v' || kind == 'e') None else Some((c, kind))
+  }
+
+  /** Entry-scope condition for `to_entries | map(select(cond))`: cond
+    * over `.key` (string — both sides order lexicographically, exact)
+    * and `.value` (variant). Value equality against a literal is
+    * EXACT jq: jq `==` across kinds is simply false (and `!=` true),
+    * which the kind guard reproduces; value ORDERING compares compile
+    * for numeric values only and raise loudly otherwise — jq's
+    * cross-type total order is not columnar-expressible, and silence
+    * is the one thing the compiled tier must never buy speed with.
+    */
+  private def entryCond(ast: Ast): Option[Column => Column] = {
+    val numKinds = Seq("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT")
+    def cmpCol(op: String, l: Column, r: Column): Column = op match {
+      case "==" => l === r
+      case "!=" => l =!= r
+      case "<"  => l < r
+      case "<=" => l <= r
+      case ">"  => l > r
+      case ">=" => l >= r
     }
-    if (kind == 'v') None else Some((c, kind))
+    def build(a: Ast): Option[Column => Column] = a match {
+      case Cmp(op, Path(Seq(Left("key"))), Lit(s: String)) =>
+        Some(e => cmpCol(op, e.getField("key"), lit(s)))
+      case Cmp(op, Lit(s: String), Path(Seq(Left("key")))) =>
+        Some(e => cmpCol(op, lit(s), e.getField("key")))
+      case Cmp(op, Path(Seq(Left("value"))), Lit(litV)) =>
+        Some { e =>
+          val v = e.getField("value")
+          val vt = schema_of_variant(v)
+          litV match {
+            case d: Double =>
+              val isNum = vt.isin(numKinds: _*) || vt.startsWith("DECIMAL")
+              op match {
+                case "==" => isNum && v.cast("double") === lit(d)
+                case "!=" => !(isNum && v.cast("double") === lit(d))
+                case _ => when(isNum, cmpCol(op, v.cast("double"), lit(d)))
+                  .otherwise(raise_error(lit(
+                    "jq compiled tier: ordering compare on a non-number entry value (jq totals across kinds); run this step via the subprocess tier")).cast("boolean"))
+              }
+            case s: String =>
+              val isStr = vt === lit("STRING")
+              op match {
+                case "==" => isStr && v.cast("string") === lit(s)
+                case "!=" => !(isStr && v.cast("string") === lit(s))
+                case _ => when(isStr, cmpCol(op, v.cast("string"), lit(s)))
+                  .otherwise(raise_error(lit(
+                    "jq compiled tier: ordering compare on a non-string entry value (jq totals across kinds); run this step via the subprocess tier")).cast("boolean"))
+              }
+            case null => op match {
+              // a present key's value is never SQL-null, so variant
+              // null IS jq null here
+              case "==" => vt === lit("VOID")
+              case "!=" => vt =!= lit("VOID")
+              case _    => raise_error(lit(
+                "jq compiled tier: ordering compare against null; run this step via the subprocess tier")).cast("boolean")
+            }
+            case b: Boolean => op match {
+              case "==" => vt === lit("BOOLEAN") && v.cast("boolean") === lit(b)
+              case "!=" => !(vt === lit("BOOLEAN") && v.cast("boolean") === lit(b))
+              case _    => raise_error(lit(
+                "jq compiled tier: ordering compare against a boolean; run this step via the subprocess tier")).cast("boolean")
+            }
+            case _ => raise_error(lit("unreachable entry literal")).cast("boolean")
+          }
+        }
+      case Logic("and", l, r) =>
+        for { a0 <- build(l); b0 <- build(r) } yield (e: Column) => a0(e) && b0(e)
+      case Logic("or", l, r) =>
+        for { a0 <- build(l); b0 <- build(r) } yield (e: Column) => a0(e) || b0(e)
+      case _ => None
+    }
+    build(ast)
   }
 
   private final case class Ctx(variant: Column, raw: Option[Column])
@@ -1062,16 +1255,24 @@ object JqCompiler {
         Some(CompiledPerEvent(PerEvent(filter, col("n"),
           coalesce(col("d"), lit("null")))))
       case Seq(o: ObjCons) =>
-        // event envelope semantics: only n and d are meaningful — the
-        // reference's event schema rejects extra keys, so refuse to
-        // compile objects with them (the subprocess tier + strict
-        // parsing is then authoritative)
-        if (!o.fields.map(_._1).forall(Set("n", "d"))) return None
+        // event envelope semantics: n, d, and a literal `t: .t` trace
+        // passthrough are meaningful — the reference's event schema
+        // rejects other keys, so refuse to compile objects with them
+        // (the subprocess tier + strict parsing is then authoritative)
+        if (!o.fields.map(_._1).forall(Set("n", "d", "t"))) return None
+        // `t` compiles ONLY as the verbatim passthrough (a computed
+        // trace is the subprocess tier's business)
+        val tOk = o.fields.collectFirst { case ("t", v) => v } match {
+          case None                          => Some(false)
+          case Some(Path(Seq(Left("t"))))    => Some(true)
+          case Some(_)                       => None
+        }
+        if (tOk.isEmpty) return None
         val nExpr = o.fields.collectFirst { case ("n", v) => valueExpr(v) }.flatten
         val dExpr = o.fields.collectFirst { case ("d", v) => jsonValueExpr(v) }.flatten
         if (nExpr.isEmpty || (o.fields.exists(_._1 == "d") && dExpr.isEmpty)) None
         else Some(CompiledPerEvent(PerEvent(filter, nExpr.get.cast("string"),
-          dExpr.getOrElse(lit("null")))))
+          dExpr.getOrElse(lit("null")), keepTrace = tOk.get)))
       case _ => None
     }
   }
@@ -1099,6 +1300,7 @@ object JqCompiler {
 
   private def vectorAgg(ast: Ast): Option[Column => Column] = ast match {
     case Length => Some(_ => count(lit(1)).cast("double"))
+    case r: Reduce => reduceAgg(r)
     case PipeSeq(Seq(MapExpr(p: Path), Add)) =>
       eventValue(p).map(c => (_: Column) => sum(c.cast("double")))
     // `map(<path>) | join(sep)`: arrival-ordered string concatenation
@@ -1125,6 +1327,67 @@ object JqCompiler {
       else Some((ord: Column) =>
         to_json(struct(sub.flatten.map(_(ord)): _*)).asInstanceOf[Column])
     case _ => None
+  }
+
+  /** `reduce .[] as $x (init; . op expr($x))` over the vector — the
+    * reference's "moving aggregates" idiom (its README aggregates
+    * window vectors with jq reduce) — as ONE aggregate expression:
+    * the per-event operand evaluates per row, collect in arrival
+    * order, then a LEFT FOLD from the literal init — the exact FP
+    * sequence jq runs, unlike a re-associating `sum`. Sources `.[]`
+    * (event-rooted `$x.d.v` operands) and `.[]<path>` (value-rooted
+    * `$x`) both bind.
+    *
+    * Op coverage is semantics-gated: `+` treats a null operand as the
+    * identity (jq: "null can be added to any value"), exactly the
+    * missing-field case; `-`/`*` RAISE on null where jq raises;
+    * `/`/`%` stay on the subprocess tier (jq errors on zero
+    * divisors, Spark doubles yield ±Inf — not reproducible without a
+    * per-element guard that would outweigh the fold). A non-numeric
+    * present value raises loudly, naming the subprocess tier.
+    */
+  private def reduceAgg(r: Reduce): Option[Column => Column] = {
+    val root: Option[Seq[Either[String, Int]]] = r.src match {
+      case IterateAll                           => Some(Seq.empty)
+      case PipeSeq(Seq(IterateAll, Path(segs))) => Some(segs)
+      case _                                    => None
+    }
+    val initV = r.init match { case Lit(d: Double) => Some(d); case _ => None }
+    def applyOp(op: String, a: Column, b: Column): Column = op match {
+      case "+" => a + b
+      case "-" => a - b
+      case "*" => a * b
+    }
+    (root, initV, r.upd) match {
+      case (Some(rt), Some(init), Arith(op, Path(Seq()), rhs))
+          if op == "+" || op == "-" || op == "*" =>
+        def operand(ast: Ast): Option[Column] = ast match {
+          case VarPath(nm, segs) if nm == r.varName =>
+            eventValue(Path(rt ++ segs)).map { v =>
+              val t = schema_of_variant(v)
+              val isNum = t.isin("BIGINT", "DOUBLE", "FLOAT", "INT",
+                "SMALLINT", "TINYINT") || t.startsWith("DECIMAL")
+              when(v.isNull || t === lit("VOID"), lit(null).cast("double"))
+                .when(isNum, v.cast("double"))
+                .otherwise(raise_error(lit(
+                  "jq compiled tier: reduce saw a non-number operand (jq raises here); run this step via the subprocess tier")).cast("double"))
+            }
+          case Lit(d: Double)    => Some(lit(d))
+          case Arith(o2, l, rr) if o2 == "+" || o2 == "-" || o2 == "*" =>
+            for { a <- operand(l); b <- operand(rr) } yield applyOp(o2, a, b)
+          case _ => None
+        }
+        operand(rhs).map { vc => (ord: Column) =>
+          val items = transform(
+            array_sort(collect_list(struct(ord.as("__o"), vc.as("__v")))),
+            x => x.getField("__v"))
+          aggregate(items, lit(init), (acc, x) =>
+            if (op == "+") acc + coalesce(x, lit(0.0)) // jq null + identity
+            else applyOp(op, acc, when(x.isNull, raise_error(lit(
+              "jq compiled tier: reduce " + op + " saw null (jq raises here); run this step via the subprocess tier")).cast("double")).otherwise(x)))
+        }
+      case _ => None
+    }
   }
 
   /** `group_by(<key>) | map({...})` over the vector — the count-by /

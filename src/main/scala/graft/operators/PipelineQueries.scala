@@ -150,7 +150,48 @@ object PipelineQueries {
       |        wrap: "not.multiples.of.seven"
       |""".stripMargin
 
+  /** The reference's own aggregation story is jq `reduce` over window
+    * vectors (reference README.md:624-626 "moving aggregates") — this
+    * pipeline runs it end-to-end: a per-event entries pass (`to_entries
+    * | map(select(.value != null)) | from_entries`, the filter-object
+    * idiom) then a window aggregation whose sum is an explicit
+    * `reduce .[] as $x (0; . + $x.d.k)` fold. Same oracle as
+    * pipeline_e2e: the entries pass is 1:1 (it edits payloads, never
+    * drops events), so window assignment is unchanged, and the reduce
+    * fold equals SUM(k) with jq's null-is-identity `+`.
+    */
+  val reduceYaml: String =
+    """name: replay
+      |window-key: global
+      |steps:
+      |  classify:
+      |    flatmap:
+      |      rename:
+      |        prepend: "app."
+      |  strip:
+      |    after: [classify]
+      |    match/drop:
+      |      not: "app.error"
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq: '.[] | {n: .n, d: (.d | to_entries | map(select(.value != null)) | from_entries), t: .t}'
+      |  aggregate:
+      |    after: [strip]
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq: '{n: "agg", d: {sum: (reduce .[] as $x (0; . + $x.d.k)), n: length, t0: .[0].t[0].i}}'
+      |""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // reduce + entries pipeline through the real jq subprocess...
+    "pipeline_e2e_reduce" -> { (s, d) => runPipeline(reduceYaml)(s, d) },
+    // ...and through the compiled tier — same oracle, both exact
+    "pipeline_e2e_reduce_compiled" -> { (s, d) =>
+      runPipeline("jq-tier: compiled\n" + reduceYaml)(s, d)
+    },
+
     "pipeline_e2e_stress" -> { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -295,5 +336,9 @@ object PipelineQueries {
     "pipeline_e2e_compiled" -> e2eOracle,
     "pipeline_e2e_variant" -> e2eOracle,
     "pipeline_e2e_jsonnet" -> jsonnetOracle,
-    "pipeline_e2e_keyed" -> keyedOracle)
+    "pipeline_e2e_keyed" -> keyedOracle,
+    // strip is payload-1:1 and k is never null in the corpus, so the
+    // window assignment and sums match the plain e2e oracle exactly
+    "pipeline_e2e_reduce" -> e2eOracle,
+    "pipeline_e2e_reduce_compiled" -> e2eOracle)
 }

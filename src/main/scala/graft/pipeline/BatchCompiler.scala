@@ -320,11 +320,16 @@ object BatchCompiler {
     c match {
       case CompiledPerEvent(pe) =>
         val filtered = pe.filter.fold(df)(df.filter)
+        // `t: .t` passthrough: keep the existing trace verbatim, like
+        // the subprocess parse path does for traced replacement events
+        val tCol =
+          if (pe.keepTrace) col("t")
+          else EventFunctions.appendTrace(lit(null).cast(eventType("t").dataType),
+            EventFunctions.tracePoint(col("__ts"), tpl.name, sig))
         filtered.select(
           pe.outName.as("n"),
           pe.outPayloadJson.as("d"),
-          EventFunctions.appendTrace(lit(null).cast(eventType("t").dataType),
-            EventFunctions.tracePoint(col("__ts"), tpl.name, sig)).as("t"),
+          tCol.as("t"),
           col("__ts"), col("__seq"))
       case CompiledPerVector(pv) =>
         val vd = vectorized(tpl, df, step)

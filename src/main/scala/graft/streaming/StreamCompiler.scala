@@ -462,7 +462,8 @@ object StreamCompiler {
                 pe.filter.fold(ds.toDF)(ds.toDF.filter).select(
                   pe.outName.cast("string").as("n"),
                   pe.outPayloadJson.as("d"),
-                  stamp.as("t"), col("ts"), col("seq")).as[SEvent]
+                  (if (pe.keepTrace) col("t") else stamp).as("t"),
+                  col("ts"), col("seq")).as[SEvent]
               case _ => subprocess()
             }
           case Some(w) =>

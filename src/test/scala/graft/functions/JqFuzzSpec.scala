@@ -239,6 +239,61 @@ class JqFuzzSpec extends AnyFunSuite {
     s"""{n: "agg", d: (group_by($kp) | map({k: .[0]$kp, c: length$sumField}))}"""
   }
 
+  /** `reduce .[] as $x (init; . op expr)` folds — jq's moving-aggregate
+    * idiom. `+` may draw the sometimes-null/absent `.d.mb` (null is
+    * the identity for jq `+`); `-`/`*` stick to always-present numeric
+    * fields (jq errors on null there, and the oracle asserts exit 0).
+    */
+  private val reduceGen: Gen[String] = Gen.frequency(
+    3 -> (for {
+      init <- intGen; p <- Gen.oneOf(numPaths :+ ".d.mb")
+    } yield s"""{n: "agg", d: (reduce .[] as $$x ($init; . + $$x$p))}"""),
+    2 -> (for {
+      init <- intGen; op <- Gen.oneOf("-", "*"); p <- Gen.oneOf(numPaths)
+    } yield s"""{n: "agg", d: (reduce .[] as $$x ($init; . $op $$x$p))}"""),
+    2 -> (for {
+      init <- intGen; p <- Gen.oneOf(numPaths)
+    } yield s"""{n: "agg", d: (reduce .[]$p as $$v ($init; . + $$v))}"""),
+    1 -> (for {
+      init <- intGen; p <- Gen.oneOf(numPaths); a <- intGen; b <- intGen
+    } yield s"""{n: "agg", d: (reduce .[] as $$x ($init; . + ($$x$p * $a + $b)))}"""))
+
+  /** Entry-scope conditions for the to_entries filter idiom: key
+    * compares (string, any op), value equality against literals of
+    * every kind (jq cross-kind `==` is plain false — reproduced by
+    * the kind guard), and null tests. Ordering compares on `.value`
+    * stay out: the payload mixes kinds and the compiled tier RAISES
+    * there by contract (unit-tested separately).
+    */
+  private val entryCondGen: Gen[String] = {
+    val keyNames = Seq("k", "m", "s", "o", "ns", "fl", "mb", "ms", "zz")
+    val atom: Gen[String] = Gen.frequency(
+      3 -> (for { op <- Gen.oneOf("==", "!="); k <- Gen.oneOf(keyNames) }
+        yield s""".key $op "$k""""),
+      1 -> (for { op <- Gen.oneOf("<", "<=", ">", ">="); k <- Gen.oneOf(keyNames) }
+        yield s""".key $op "$k""""),
+      2 -> (for { op <- Gen.oneOf("==", "!=") } yield s".value $op null"),
+      2 -> (for { op <- Gen.oneOf("==", "!="); v <- intGen } yield s".value $op $v"),
+      1 -> (for { op <- Gen.oneOf("==", "!="); v <- strGen } yield s""".value $op "$v""""),
+      1 -> (for { op <- Gen.oneOf("==", "!="); v <- Gen.oneOf(true, false) }
+        yield s".value $op $v"))
+    Gen.frequency(
+      2 -> atom,
+      1 -> (for { a <- atom; o <- Gen.oneOf("and", "or"); b <- atom } yield s"$a $o $b"))
+  }
+
+  /** to_entries / from_entries / keys programs over the `.d` payload. */
+  private val entriesGen: Gen[String] = Gen.frequency(
+    3 -> entryCondGen.map(c =>
+      s""".[] | {n: .n, d: (.d | to_entries | map(select($c)) | from_entries)}"""),
+    1 -> Gen.choose(5, 9).map(n =>
+      s""".[] | select((.d | to_entries | length) >= $n) | {n: .n, d: .d}"""),
+    1 -> Gen.oneOf(
+      """.[] | {n: (.d | keys | join(",")), d: .d}""",
+      """.[] | {n: (.d | keys_unsorted | join("-")), d: .d}""",
+      """.[] | {n: .n, d: {nk: (.d | to_entries | length), fk: (.d | keys | join("|"))}}""",
+      """.[] | {n: .n, d: {ks: (.d | keys)}}"""))
+
   private val wrappedGen: Gen[String] = for {
     p <- Gen.oneOf(intPaths)
     m <- Gen.choose(2, 5)
@@ -298,6 +353,71 @@ class JqFuzzSpec extends AnyFunSuite {
       val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
       assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
     }
+  }
+
+  test("reduce fuzz: compiled folds == jq on 200 random reduce programs") {
+    import JqCompiler._
+    samples(Gen.zip(reduceGen, vectorGen), 200).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val payload = pv.keys match {
+        case Seq("d") => col("d").cast("string")
+        case keys     => to_json(struct(keys.map(col): _*))
+      }
+      val row = agged.select(pv.outName.as("n"), payload.as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      // left fold in arrival order both sides — same FP sequence, so
+      // approxEq's tolerance only papers over nothing here
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
+    }
+  }
+
+  test("entries fuzz: to_entries/from_entries/keys == jq on 250 random programs") {
+    import JqCompiler._
+    samples(Gen.zip(entriesGen, vectorGen), 250).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("entries unit: document order, value-kind guards, and the ordering raise") {
+    import JqCompiler._
+    // keys_unsorted preserves document order where keys sorts
+    val df = eventsDf(Seq(("a.b", """{"zz":1,"aa":2}""")))
+    val Some(CompiledPerEvent(pe)) = tryCompile(
+      """.[] | {n: (.d | keys_unsorted | join("-")), d: (.d | to_entries | map(.key) | join(","))}""".stripMargin): @unchecked
+    val r = df.select(pe.outName, pe.outPayloadJson).head()
+    assert(r.getString(0) == "zz-aa")
+    assert(r.getString(1) == "\"zz,aa\"")
+    val Some(CompiledPerEvent(pe2)) = tryCompile(
+      """.[] | {n: (.d | keys | join("-")), d: .d}"""): @unchecked
+    assert(df.select(pe2.outName).head().getString(0) == "aa-zz")
+    // a homogeneous-numeric object supports value ordering compares
+    val dfn = eventsDf(Seq(("a.b", """{"x":1,"y":5,"z":3}""")))
+    val Some(CompiledPerEvent(pe3)) = tryCompile(
+      """.[] | {n: .n, d: (.d | to_entries | map(select(.value >= 3)) | from_entries)}"""): @unchecked
+    assert(dfn.select(pe3.outPayloadJson).head().getString(0) == """{"y":5,"z":3}""")
+    // mixed kinds under an ordering compare RAISE (jq totals, we refuse)
+    val dfm = eventsDf(Seq(("a.b", """{"x":1,"s":"str"}""")))
+    val ex = intercept[Exception] {
+      dfm.select(pe3.outPayloadJson).collect()
+    }
+    assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
   }
 
   test("per-vector fuzz: compiled aggregates == jq on 150 random map/add programs") {
