@@ -189,6 +189,42 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(got == expected, s"stream $got != batch $expected")
   }
 
+  test("funnel stage state survives kill/restart (per-user stage timestamps recover)") {
+    val dir1 = dir
+    val expected = graft.SparkEntry.queries("ev_funnel")(spark, dir1).collect()
+      .map(r => r.getAs[Long]("user_id") -> (
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+
+    // event-time replay order (same contract as StreamingFunnelSpec)
+    val lines = graft.sources.Tables.events(spark, dir1)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .collect().sortBy(r => (r.getLong(2), r.getLong(3)))
+      .map(r => s"""{"user_id":${r.getLong(0)},"event_type":"${r.getString(1)}","ts_us":${r.getLong(2)},"event_id":${r.getLong(3)}}""")
+      .toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts_us LONG, event_id LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingFunnel.funnelStream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[FunnelUpdate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getSeq[Long](r.fieldIndex("stage_us")).toIndexedSeq,
+        r.getAs[Long]("version")))
+    val maxVer = sink.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = sink.filter { case (u, _, v) => v == maxVer(u) }
+      .map { case (u, st, _) => u -> (st(0), st(1), st(2)) }.toMap
+    assert(got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("heavy-hitter summaries survive kill/restart (MG state recovers; k>distinct ⇒ exact)") {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_type").as("g"), col("user_id").cast("string").as("tok"))
