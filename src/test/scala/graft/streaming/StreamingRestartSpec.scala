@@ -225,6 +225,35 @@ class StreamingRestartSpec extends AnyFunSuite {
       s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("retention cohort/last-day state survives kill/restart (no double-counted days)") {
+    val expected = graft.SparkEntry.queries("ev_retention")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // event-time replay order (same contract as StreamingRetentionSpec)
+    val lines = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
+      .map(r => s"""{"user_id":${r.getLong(0)},"ts_us":${r.getLong(1)},"event_id":${r.getLong(2)}}""")
+      .toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_us LONG, event_id LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingRetention.retentionHits(stream)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // hits are unique per (user, offset) by construction, so distinct()
+    // absorbs any at-least-once boundary replay before aggregation
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .distinct().groupBy("cohort_day", "day_offset").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("heavy-hitter summaries survive kill/restart (MG state recovers; k>distinct ⇒ exact)") {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_type").as("g"), col("user_id").cast("string").as("tok"))
