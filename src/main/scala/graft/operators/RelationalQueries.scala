@@ -295,6 +295,42 @@ object RelationalQueries {
         .orderBy("rf", "ls")
     },
 
+    // Explicit GROUPING SETS: a non-hierarchical set list (both
+    // single-dimension marginals, NO pair grain and NO grand total) —
+    // the shape neither rollup nor cube can express. Same Expand-based
+    // single-shuffle plan: each input row fans out once per set
+    // map-side, then one hash aggregate.
+    "agg_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("ec", cents("l_extendedprice"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          fpSum("ec", 100.0).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_price"))
+        .orderBy("rf", "ls")
+    },
+
+    // RANGE window frame: each order's trailing-30-day spend for the
+    // same customer — a value-range frame (all ties share one frame),
+    // not a row-count frame. Partitioned by o_custkey, which GROWS
+    // with the corpus (never a fixed-cardinality window cap); cents
+    // stay primitive longs inside the frame sum.
+    "window_range_frame" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      Tables.orders(s, d)
+        .withColumn("day", expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long"))
+        .withColumn("oc", cents("o_totalprice"))
+        .withColumn("spend_30d", sum(col("oc")).over(w).cast("double") / lit(100.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"), col("spend_30d"))
+        .orderBy("o_orderkey")
+    },
+
     // HAVING: post-aggregation filter.
     "agg_having" -> { (s, d) =>
       Tables.orders(s, d).groupBy("o_custkey")
@@ -917,6 +953,24 @@ object RelationalQueries {
         |FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_extendedprice * 100) AS BIGINT) AS ec FROM lineitem)
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt,
+        |  (CAST(SUM(ec // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(ec % 10000000) AS DOUBLE)) / 100.0 AS sum_price
+        |FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_extendedprice * 100) AS BIGINT) AS ec FROM lineitem)
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(oc) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS spend_30d
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS oc
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,

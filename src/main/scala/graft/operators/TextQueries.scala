@@ -689,6 +689,38 @@ object TextQueries {
         .select(col("doc_id"), (col("score_fp").cast("double") / 1000000.0).as("bm25"))
     },
 
+    // Collocation extraction: the 50 word-bigrams whose observed
+    // count most exceeds what their unigram frequencies predict —
+    // PMI-ranked via the monotone-equivalent ratio
+    // c(x,y)·N / (c(x)·c(y)), kept in integer-exact double products
+    // (no transcendentals, so the two engines agree bit-for-bit after
+    // 1e-6 quantization). Shape at 100 TB: unigram + bigram counts are
+    // map-side-combined hash aggregates; the MinCnt filter prunes the
+    // long tail BEFORE the two vocab-keyed probe joins; the global
+    // top-50 is TakeOrdered (per-partition heads merged on the
+    // driver), never a single-task sort.
+    "text_pmi_bigrams" -> { (s, d) =>
+      val MinCnt = 5
+      val toks = withToks(docs(s, d)).select(col("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nb = toks.select(
+        sum(when(size(col("toks")) >= 2, size(col("toks")) - 1).otherwise(0))
+          .cast("long").as("nb"))
+      toks.select(explode(shingles(col("toks"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= MinCnt)
+        .withColumn("x", substring_index(col("gram"), " ", 1))
+        .withColumn("y", substring_index(col("gram"), " ", -1))
+        .join(uni.select(col("w").as("x"), col("c").as("cx")), "x")
+        .join(uni.select(col("w").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(nb))
+        .withColumn("score", expr(
+          "floor(((CAST(cxy AS DOUBLE) * CAST(nb AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e6 + 0.5) / 1e6"))
+        .orderBy(col("score").desc, col("gram")).limit(50)
+        .select("gram", "cxy", "cx", "cy", "score")
+    },
+
     // Unigram-LM perplexity scoring (the classic LM-quality filter —
     // report the mean negative log-likelihood; perplexity = e^avg_nll).
     // Token surprisals are quantized to fixed-point BIGINTs
@@ -1015,6 +1047,20 @@ object TextQueries {
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000))
          |ORDER BY doc_id""".stripMargin
     },
+
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |nbt AS (SELECT SUM(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END) AS nb FROM t),
+         |bi AS (SELECT gram, COUNT(*) AS cxy
+         |       FROM (SELECT unnest(${shinglesSql(2)}) AS gram FROM t)
+         |       GROUP BY 1 HAVING COUNT(*) >= 5)
+         |SELECT gram, cxy, cx, cy,
+         |  floor(((CAST(cxy AS DOUBLE) * CAST(nb AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS score
+         |FROM (SELECT gram, cxy, split_part(gram, ' ', 1) AS x, split_part(gram, ' ', 2) AS y FROM bi)
+         |JOIN (SELECT w AS x, c AS cx FROM uni) USING (x)
+         |JOIN (SELECT w AS y, c AS cy FROM uni) USING (y), nbt
+         |ORDER BY score DESC, gram LIMIT 50""".stripMargin,
 
     // the oracle skips the salt-bucket pre-reduction (it is exact by
     // construction) and ranks directly

@@ -283,4 +283,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(cont >= 0.95, s"containment $cont should be ~1")
     assert(jac < 0.5, s"jaccard $jac should miss at the 0.5 dedup threshold")
   }
+
+  test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0).toIndexedSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigrams = toks.flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+    val nb = bigrams.size.toLong
+    val cxy = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cxy.toSeq.filter(_._2 >= 5).map { case (g, c) =>
+      val Array(x, y) = g.split(' ')
+      val score = math.floor(((c.toDouble * nb.toDouble) /
+        (uni(x).toDouble * uni(y).toDouble)) * 1e6 + 0.5) / 1e6
+      (g, c, uni(x), uni(y), score)
+    }.sortBy { case (g, _, _, _, sc) => (-sc, g) }.take(50)
+    val got = SparkEntry.queries("text_pmi_bigrams")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected,
+      s"first-diff=${got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
