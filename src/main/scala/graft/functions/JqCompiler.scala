@@ -85,6 +85,12 @@ object JqCompiler {
   case object ToNumber extends Ast
   case class GroupByKey(key: Path) extends Ast
   case class UniqueByKey(key: Path) extends Ast
+  case class SortByKey(key: Path) extends Ast
+  /** `min_by(<key>)` / `max_by(<key>)`; jq picks the FIRST minimal and
+    * the LAST maximal element (its sort is stable and min/max take
+    * `.[0]`/`.[-1]` — verified against jq 1.6).
+    */
+  case class MinMaxByKey(key: Path, isMax: Boolean) extends Ast
   case class SplitFn(sep: String) extends Ast
   case class JoinFn(sep: String) extends Ast
   /** `"a\(.d.k)b"` — literal runs (Left) and interpolated exprs (Right). */
@@ -306,11 +312,23 @@ object JqCompiler {
       else if (tryEat("round")) Fn1("round", None)
       else if (tryEat("reverse")) Fn1("reverse", None)
       else if (tryEat("unique")) Fn1("unique", None) // `unique_by(` already matched above
-      else if (tryEat("sort_by")) throw new IllegalArgumentException("sort_by: subprocess tier")
+      else if (tryEat("sort_by(")) {
+        val k = parseInnerPipe(); eat(')')
+        k match {
+          case p: Path => SortByKey(p)
+          case _ => throw new IllegalArgumentException("sort_by key must be a path")
+        }
+      }
       else if (tryEat("sort")) Fn1("sort", None)
       else if (tryEat("not")) Fn1("not", None)
-      else if (tryEat("min_by") || tryEat("max_by"))
-        throw new IllegalArgumentException("min_by/max_by: subprocess tier")
+      else if (tryEat("min_by(") || tryEat("max_by(")) {
+        val isMax = src(pos - 6) == 'a' // m[a]x_by( just consumed
+        val k = parseInnerPipe(); eat(')')
+        k match {
+          case p: Path => MinMaxByKey(p, isMax)
+          case _ => throw new IllegalArgumentException("min_by/max_by key must be a path")
+        }
+      }
       else if (tryEat("min")) Fn1("min", None)
       else if (tryEat("max")) Fn1("max", None)
       else if (tryEat("length")) Length
@@ -1291,6 +1309,9 @@ object JqCompiler {
       case Seq(("d", u @ PipeSeq(Seq(UniqueByKey(_), MapExpr(_: ObjCons))))) =>
         uniqueByAgg(u).map(b =>
           CompiledPerVector(PerVector(nExpr.get, Seq("d" -> b))))
+      case Seq(("d", sb @ PipeSeq(Seq(SortByKey(_), MapExpr(_: ObjCons))))) =>
+        sortByAgg(sb).map(b =>
+          CompiledPerVector(PerVector(nExpr.get, Seq("d" -> b))))
       case flds =>
         val aggs = flds.map { case (k, v) => vectorAgg(v).map(k -> _) }
         if (aggs.exists(_.isEmpty)) None
@@ -1319,6 +1340,17 @@ object JqCompiler {
       }
     case First(p) =>
       eventValue(p).map(c => (ord: Column) => min_by(c, ord))
+    // `(min_by(<key>) | <path>)` / `(max_by(<key>) | <path>)` as an
+    // object field: jq picks the FIRST minimal / LAST maximal element
+    // (stable sort + .[0]/.[-1], verified vs jq 1.6), then the path
+    // reads from that element. Keys compare as strings — the same
+    // envelope (and caveat) as group_by/unique_by.
+    case PipeSeq(Seq(MinMaxByKey(kp, isMax), p: Path)) =>
+      for { k <- eventValue(kp); v <- eventValue(p) } yield (ord: Column) => {
+        val entry = struct(k.cast("string").as("__k"), ord.as("__o"), v.as("__v"))
+        val items = array_sort(collect_list(entry), keyArrivalCmp)
+        element_at(items, if (isMax) -1 else 1).getField("__v")
+      }
     case Lit(s: String) => Some(_ => first(lit(s)))
     case Lit(d: Double) => Some(_ => first(lit(d)))
     case ObjCons(fields) =>
@@ -1465,6 +1497,56 @@ object JqCompiler {
     * keys as strings, with the same numeric-variant caveat as
     * [[groupByAgg]].
     */
+  /** Comparator for entry structs carrying (__k string key, __o
+    * arrival order, __v* values): (key nulls-first, arrival) — jq's
+    * stable by-key order. Explicit because the value fields may be
+    * VARIANT, which default struct ordering cannot compare.
+    */
+  private val keyArrivalCmp: (Column, Column) => Column = (l, r) => {
+    val lk = l.getField("__k")
+    val rk = r.getField("__k")
+    when(lk <=> rk,
+      when(l.getField("__o") < r.getField("__o"), -1)
+        .when(l.getField("__o") > r.getField("__o"), 1).otherwise(0))
+      .when(lk.isNull, -1)
+      .when(rk.isNull, 1)
+      .when(lk < rk, -1)
+      .otherwise(1)
+  }
+
+  /** `sort_by(<key>) | map({...})` over the vector as ONE aggregate:
+    * jq's sort_by is a STABLE sort by key (null key first), so entries
+    * order by (key, arrival) and — unlike unique_by's per-key
+    * representative — EVERY element is emitted. Map fields must be
+    * plain paths over the element; values keep their original types
+    * (variant). Keys compare as strings, the same envelope (and
+    * numeric-rendering caveat) as [[groupByAgg]].
+    */
+  private def sortByAgg(ast: Ast): Option[Column => Column] = ast match {
+    case PipeSeq(Seq(SortByKey(kp), MapExpr(ObjCons(fields)))) =>
+      val keyC = eventValue(kp) match {
+        case Some(c) => c.cast("string")
+        case None    => return None
+      }
+      val srcs = fields.map {
+        case (k, p: Path) => eventValue(p).map(k -> _)
+        case _            => None
+      }
+      if (srcs.exists(_.isEmpty)) return None
+      val named = srcs.flatten
+      Some { (ord: Column) =>
+        val entry = struct(
+          (keyC.as("__k") +: ord.as("__o") +:
+            named.zipWithIndex.map { case ((_, c), i) => c.as(s"__v$i") }): _*)
+        val items = array_sort(collect_list(entry), keyArrivalCmp)
+        to_json(transform(items, x =>
+          struct(named.zipWithIndex.map { case ((name, _), i) =>
+            x.getField(s"__v$i").as(name)
+          }: _*)), Map("ignoreNullFields" -> "false"))
+      }
+    case _ => None
+  }
+
   private def uniqueByAgg(ast: Ast): Option[Column => Column] = ast match {
     case PipeSeq(Seq(UniqueByKey(kp), MapExpr(ObjCons(fields)))) =>
       val keyC = eventValue(kp) match {
@@ -1483,17 +1565,7 @@ object JqCompiler {
             named.zipWithIndex.map { case ((_, c), i) => c.as(s"__v$i") }): _*)
         // comparator sort: the value fields may be VARIANT (unorderable),
         // so order by (__k nulls-first, __o) explicitly
-        val items = array_sort(collect_list(entry), (l, r) => {
-          val lk = l.getField("__k")
-          val rk = r.getField("__k")
-          when(lk <=> rk,
-            when(l.getField("__o") < r.getField("__o"), -1)
-              .when(l.getField("__o") > r.getField("__o"), 1).otherwise(0))
-            .when(lk.isNull, -1)
-            .when(rk.isNull, 1)
-            .when(lk < rk, -1)
-            .otherwise(1)
-        })
+        val items = array_sort(collect_list(entry), keyArrivalCmp)
         val keys = array_distinct(transform(items, x => x.getField("__k")))
         to_json(transform(keys, k => {
           val rep = element_at(filter(items, x => x.getField("__k") <=> k), 1)

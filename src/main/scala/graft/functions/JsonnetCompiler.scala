@@ -52,6 +52,10 @@ object JsonnetCompiler {
   private case class JVar(name: String) extends JAst                  // unresolved binding ref
   private case class JEvtPath(v: String, segs: Seq[Either[String, Int]]) extends JAst
   private case class JMap(param: String, body: JAst) extends JAst     // std.map(function(p) body, events)
+  /** `std.foldl(function(acc, e) <acc op operand(e)>, events, init)` —
+    * the moving-aggregate fold (jsonnet's counterpart of jq `reduce`).
+    */
+  private case class JFoldl(acc: String, param: String, body: JAst, init: JAst) extends JAst
   private case class JJoin(sep: String, arr: JAst) extends JAst       // std.join(sepLit, arr)
   private case class JArr(items: Seq[JAst]) extends JAst              // [a, b, ...]
   private case class JFormat(fmt: String, args: Seq[JAst]) extends JAst // std.format(fmtLit, [args])
@@ -269,6 +273,21 @@ object JsonnetCompiler {
         eat(')')
         JMap(p, body)
       }
+      else if (tryEat("std.foldl(")) {
+        require(tryEat("function"), "std.foldl needs an inline function")
+        eat('('); val accP = ident(); ws(); eat(','); ws(); val evP = ident(); eat(')')
+        val saved = params
+        params = params + accP + evP // acc resolves structurally in aggValue
+        val body = parseExpr()
+        params = saved
+        ws(); eat(',')
+        val target = parseExpr()
+        require(target == JEvents, "std.foldl target must be `events`")
+        ws(); eat(',')
+        val init = parseExpr()
+        ws(); eat(')')
+        JFoldl(accP, evP, body, init)
+      }
       else if (tryEat("std.format(")) {
         ws()
         val fmt = parseString()
@@ -381,6 +400,7 @@ object JsonnetCompiler {
       case JJoin(sep, a)  => JJoin(sep, subst(a, m))
       case JFormat(f, as_) => JFormat(f, as_.map(subst(_, m)))
       case JMap(p, b)     => JMap(p, subst(b, m - p)) // shadowing
+      case JFoldl(a, p, b, i) => JFoldl(a, p, subst(b, m - a - p), subst(i, m))
       case other          => other
     }
 
@@ -529,6 +549,15 @@ object JsonnetCompiler {
             case "%" => ln % rn
           }
         }
+      case f: JFoldl =>
+        // the closed vector array is already in arrival order
+        for {
+          opParts <- foldlParts(f)
+          initD <- f.init match { case JLit(d: Double) => Some(d); case _ => None }
+          _ <- evalEvent(opParts._2, elemResolver(identity)) // compilability probe
+        } yield aggregate(col("events"), lit(initD), (acc0, ev) =>
+          foldStep(opParts._1, acc0,
+            evalEvent(opParts._2, elemResolver(_ => ev)).get.cast("double")))
       case JLenOf(e) =>
         vecValue(e).map(c => length(c.cast("string")).cast("long"))
       case JFormat(fmt, as_) =>
@@ -732,6 +761,52 @@ object JsonnetCompiler {
   /** Batch event-row resolver (columns n/d/t of the current row). */
   private def rowResolver(segs: Seq[Either[String, Int]]): Option[Column] = pathCol(segs)
 
+  /** Destructure a foldl body into (op, per-event operand): the body
+    * must be `acc op operand` (or `operand op acc` for the commutative
+    * ops), the operand free of acc references and numeric — the
+    * moving-aggregate envelope. Everything else stays uncompiled.
+    */
+  private def foldlParts(f: JFoldl): Option[(String, JAst)] = {
+    def refs(a: JAst, name: String): Boolean = a match {
+      case JEvtPath(`name`, _) => true
+      case JStr(e)             => refs(e, name)
+      case JLenOf(e)           => refs(e, name)
+      case JNot(e)             => refs(e, name)
+      case JBin(_, l, r)       => refs(l, name) || refs(r, name)
+      case JIf(c, t, e)        => refs(c, name) || refs(t, name) || refs(e, name)
+      case JObj(fs)            => fs.exists(x => refs(x._2, name))
+      case JArr(is)            => is.exists(refs(_, name))
+      case JJoin(_, a2)        => refs(a2, name)
+      case JFormat(_, as_)     => as_.exists(refs(_, name))
+      case JMap(_, b)          => refs(b, name)
+      case JFoldl(_, _, b, i)  => refs(b, name) || refs(i, name)
+      case _                   => false
+    }
+    val acc = f.acc
+    f.body match {
+      case JBin(op @ ("+" | "-" | "*" | "/"), JEvtPath(`acc`, Seq()), rhs)
+          if !refs(rhs, acc) && !isStringy(rhs) => Some((op, rhs))
+      case JBin(op @ ("+" | "*"), lhs, JEvtPath(`acc`, Seq()))
+          if !refs(lhs, acc) && !isStringy(lhs) => Some((op, lhs))
+      case _ => None
+    }
+  }
+
+  /** One fold step: jsonnet raises on a null operand (there is no jq
+    * null-is-identity `+` here), so the compiled tier raises too.
+    */
+  private def foldStep(op: String, acc: Column, x0: Column): Column = {
+    val x = when(x0.isNull, raise_error(lit(
+      "jsonnet compiled tier: std.foldl saw null (jsonnet raises here); gate GRAFT_JSONNET_BIN for the subprocess tier")).cast("double"))
+      .otherwise(x0)
+    op match {
+      case "+" => acc + x
+      case "-" => acc - x
+      case "*" => acc * x
+      case "/" => acc / x
+    }
+  }
+
   /** Aggregate-scope value: (column, contains-an-aggregate). */
   private def aggValue(ast: JAst): Option[(Column, Boolean)] = ast match {
     case JLit(s: String)  => Some((lit(s), false))
@@ -770,6 +845,21 @@ object JsonnetCompiler {
           case "/" => ln / rn
           case "%" => ln % rn
         }, la || ra)
+      }
+    case f: JFoldl =>
+      // arrival-ordered left fold from the literal init — the exact FP
+      // sequence jsonnet's std.foldl runs (same machinery as the jq
+      // compiled tier's `reduce`)
+      for {
+        opParts <- foldlParts(f)
+        initD <- f.init match { case JLit(d: Double) => Some(d); case _ => None }
+        opnd <- evalEvent(opParts._2, rowResolver)
+      } yield {
+        val ord = struct(col("__ts"), col("__seq"))
+        val items = transform(
+          array_sort(collect_list(struct(ord.as("__o"), opnd.cast("double").as("__v")))),
+          x => x.getField("__v"))
+        (aggregate(items, lit(initD), (acc0, x) => foldStep(opParts._1, acc0, x)), true)
       }
     case JLenOf(e) =>
       aggValue(e).map { case (c, a) => (length(c.cast("string")).cast("long"), a) }

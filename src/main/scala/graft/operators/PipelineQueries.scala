@@ -104,7 +104,7 @@ object PipelineQueries {
       |    window:
       |      events: 100
       |    reduce:
-      |      send-receive-jsonnet: 'function(events) {n: "agg", d: {n: std.length(events), t0: events[0].t[0].i}}'
+      |      send-receive-jsonnet: 'function(events) {n: "agg", d: {sum: std.foldl(function(acc, e) acc + e.d.k, events, 0), n: std.length(events), t0: events[0].t[0].i}}'
       |""".stripMargin
 
   /** The reference's stress-test sieve (examples/stress-test/
@@ -184,7 +184,61 @@ object PipelineQueries {
       |      send-receive-jq: '{n: "agg", d: {sum: (reduce .[] as $x (0; . + $x.d.k)), n: length, t0: .[0].t[0].i}}'
       |""".stripMargin
 
+  /** Window-vector ORDERING through jq `sort_by` — the reference's
+    * "sort the window before emitting" idiom — with the whole payload
+    * as the sorted element array. Runs on both tiers: the compiled
+    * tier lowers it to ONE aggregate (collect → stable comparator
+    * sort by (key, arrival) → to_json), byte-identical to the jq
+    * binary's rendering.
+    */
+  val sortbyYaml: String =
+    """name: replay
+      |window-key: global
+      |steps:
+      |  classify:
+      |    flatmap:
+      |      rename:
+      |        prepend: "app."
+      |  aggregate:
+      |    after: [classify]
+      |    match/drop:
+      |      not: "app.error"
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq: '{n: "agg", d: (sort_by(.n) | map({nm: .n, k: .d.k}))}'
+      |""".stripMargin
+
+  private def runSortbyPipeline(yaml: String)(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val input = ev.select(
+      col("event_type").as("n"),
+      col("props").as("d"),
+      col("event_id").as("__seq"),
+      (col("ts_us") / lit(1e6)).as("arrival"))
+    val tpl = Spec.parseYaml(yaml)
+    val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+    val out = BatchCompiler.compile(s, tpl, stamped).output
+    // d is the whole sorted-array JSON text; window identity is not in
+    // the payload, so the total order is the payload text itself.
+    // Canonicalize element-object key order through an explicit struct
+    // schema: the subprocess tier's variant re-render sorts object keys
+    // (k before nm), the compiled tier emits declaration order — the
+    // round-trip pins both to (nm, k), DuckDB's struct_pack order.
+    out.select(col("n"),
+        to_json(from_json(col("d"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<struct<nm:string,k:bigint>>"))).as("d"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, Q] = Map(
+    // sort_by pipeline through the real jq subprocess...
+    "pipeline_e2e_sortby" -> { (s, d) => runSortbyPipeline(sortbyYaml)(s, d) },
+    // ...and the compiled one-aggregate lowering — same oracle
+    "pipeline_e2e_sortby_compiled" -> { (s, d) =>
+      runSortbyPipeline("jq-tier: compiled\n" + sortbyYaml)(s, d)
+    },
+
     // reduce + entries pipeline through the real jq subprocess...
     "pipeline_e2e_reduce" -> { (s, d) => runPipeline(reduceYaml)(s, d) },
     // ...and through the compiled tier — same oracle, both exact
@@ -231,6 +285,7 @@ object PipelineQueries {
       val out = BatchCompiler.compile(s, tpl, stamped).output
       out.select(
           col("n"),
+          get_json_object(col("d"), "$.sum").cast("double").cast("long").as("sum_k"),
           get_json_object(col("d"), "$.n").cast("double").cast("long").as("n_events"),
           get_json_object(col("d"), "$.t0").cast("double").as("t0"))
         .orderBy("t0")
@@ -310,15 +365,9 @@ object PipelineQueries {
         |       COUNT(*) AS n_events, MIN(t0v) AS t0
         |FROM f GROUP BY et, (rn-1)//100 ORDER BY nm, t0""".stripMargin
 
-  // the jsonnet-subset pipeline carries count + window-head time (no
-  // sum — std.foldl is outside the compiled subset)
-  private val jsonnetOracle =
-      """WITH f AS (
-        |  SELECT epoch_us(ts)/1000000.0 AS t0v,
-        |         ROW_NUMBER() OVER (ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
-        |  FROM events WHERE event_type <> 'error')
-        |SELECT 'agg' AS n, COUNT(*) AS n_events, MIN(t0v) AS t0
-        |FROM f GROUP BY (rn-1)//100 ORDER BY t0""".stripMargin
+  // the jsonnet pipeline now carries the std.foldl sum too (compiled
+  // as an arrival-ordered left fold), so it shares the plain e2e
+  // oracle's exact shape
 
   private val stressOracle =
       """SELECT 'not.multiples.of.seven' AS n,
@@ -330,12 +379,27 @@ object PipelineQueries {
         |  AND TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 7 != 0
         |ORDER BY v""".stripMargin
 
+  // same window assignment as e2eOracle; the element list is ordered
+  // (nm, rn) = jq's stable sort_by(.n), rendered by DuckDB's to_json
+  // (byte-identical to jq -c and Spark to_json for these shapes)
+  private val sortbyOracle =
+      """WITH f AS (
+        |  SELECT 'app.' || event_type AS nm,
+        |         CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |         ROW_NUMBER() OVER (ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT 'agg' AS n,
+        |       CAST(to_json(list(struct_pack(nm := nm, k := k) ORDER BY nm, rn)) AS VARCHAR) AS d
+        |FROM f GROUP BY (rn-1)//100 ORDER BY d""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_e2e_sortby" -> sortbyOracle,
+    "pipeline_e2e_sortby_compiled" -> sortbyOracle,
     "pipeline_e2e_stress" -> stressOracle,
     "pipeline_e2e" -> e2eOracle,
     "pipeline_e2e_compiled" -> e2eOracle,
     "pipeline_e2e_variant" -> e2eOracle,
-    "pipeline_e2e_jsonnet" -> jsonnetOracle,
+    "pipeline_e2e_jsonnet" -> e2eOracle,
     "pipeline_e2e_keyed" -> keyedOracle,
     // strip is payload-1:1 and k is never null in the corpus, so the
     // window assignment and sums match the plain e2e oracle exactly

@@ -467,6 +467,81 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** `sort_by | map` programs: STRING keys only (.d.s / .n — keys
+    * compare as strings in the compiled tier, the group_by envelope),
+    * element fields drawn from numeric and string paths.
+    */
+  private val sortByGen: Gen[String] = for {
+    kp <- Gen.oneOf(".d.s", ".n")
+    p1 <- Gen.oneOf(numPaths)
+    p2 <- Gen.oneOf(".n", ".d.s")
+  } yield s"""{n: "agg", d: (sort_by($kp) | map({a: $p1, b: $p2}))}"""
+
+  /** `min_by`/`max_by` as object fields (first-minimal / last-maximal
+    * element, then a path off it) — string keys, same envelope.
+    */
+  private val minMaxByGen: Gen[String] = for {
+    fn <- Gen.oneOf("min_by", "max_by")
+    kp <- Gen.oneOf(".d.s", ".n")
+    vp <- Gen.oneOf(numPaths :+ ".n")
+  } yield s"""{n: "agg", d: {v: ($fn($kp) | $vp), c: length}}"""
+
+  test("sort_by fuzz: compiled stable sort == jq on 150 random programs") {
+    import JqCompiler._
+    samples(Gen.zip(sortByGen, vectorGen), 150).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val row = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        .select(pv.outName.as("n"), col("d").cast("string").as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
+    }
+  }
+
+  test("min_by/max_by fuzz: first-minimal/last-maximal tie rule == jq on 150 random programs") {
+    import JqCompiler._
+    samples(Gen.zip(minMaxByGen, vectorGen), 150).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val row = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        .select(pv.outName.as("n"), col("d").cast("string").as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
+    }
+  }
+
+  test("sort_by with a missing key field: null-key elements sort first, stably, matching jq") {
+    import JqCompiler._
+    val expr = """{n: "agg", d: (sort_by(.d.s) | map({nm: .n, k: .d.k}))}"""
+    val events = Seq(
+      ("a.b", """{"k":3,"m":1.5}"""),
+      ("a.b", """{"k":4,"m":0.5,"s":"beta"}"""),
+      ("a.c", """{"k":5,"m":2.0}"""),
+      ("a.b", """{"k":6,"m":0.0,"s":"alpha"}"""),
+      ("a.c", """{"k":7,"m":1.0,"s":"beta"}"""))
+    val Some(CompiledPerVector(pv)) = tryCompile(expr): @unchecked
+    val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+    val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+    val row = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      .select(pv.outName.as("n"), col("d").cast("string").as("d")).head()
+    val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+    val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+    assert(jqs.size == 1)
+    assert(approxEq(mine, jqs.head), s"DIVERGENCE: $mine vs ${jqs.head}")
+  }
+
   test("group_by with a missing key field: the null-key group counts and sorts first, matching jq") {
     import JqCompiler._
     val expr = """{n: "agg", d: (group_by(.d.s) | map({k: .[0].d.s, c: length, t: (map(.d.k) | add)}))}"""

@@ -137,7 +137,8 @@ class PlanSpec extends AnyFunSuite {
       "ev_amqp_replay", "ev_mqtt_replay", "ev_redis_replay",
       "pipeline_e2e", "pipeline_e2e_compiled", "pipeline_e2e_variant",
       "pipeline_e2e_jsonnet", "pipeline_e2e_keyed", "ev_jq_select_map",
-      "pipeline_e2e_reduce", "pipeline_e2e_reduce_compiled")
+      "pipeline_e2e_reduce", "pipeline_e2e_reduce_compiled",
+      "pipeline_e2e_sortby", "pipeline_e2e_sortby_compiled")
     val parseFns = Seq("get_json_object", "from_json", "json_tuple")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)

@@ -298,6 +298,33 @@ class BatchCompilerSpec extends AnyFunSuite {
     assert(idOut.output.select("n").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("jsonnet std.foldl moving aggregates compile natively (arrival-ordered fold, null raises)") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
+    val out = run(
+      """name: p
+        |window-key: global
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 3
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {s: std.foldl(function(acc, e) acc + e.d, events, 0), p: std.foldl(function(acc, e) acc * e.d, events, 1), c: std.length(events)}}'
+        |""".stripMargin,
+      events("a" -> "1", "b" -> "2", "c" -> "10"))
+    val ds = out.output.select("d").collect().map(_.getString(0))
+    assert(ds.length == 1 && ds.head.contains("\"s\":13.0") &&
+      ds.head.contains("\"p\":20.0") && ds.head.contains("\"c\":3"), ds.toSeq)
+    // an acc-only body (no per-event operand shape) stays gated
+    val e = intercept[IllegalArgumentException](Spec.parseYaml(
+      """name: p
+        |steps:
+        |  j:
+        |    flatmap:
+        |      send-receive-jsonnet: 'function(events) std.foldl(function(a, b) a, events, null)'
+        |""".stripMargin))
+    assert(e.getMessage.contains("GRAFT_JSONNET_BIN"))
+  }
+
   test("jsonnet widenings compile natively: locals, prelude functions, std.join/map, std.format, last-trace idiom") {
     assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
     // prelude `local` function + value local + std.format + std.length

@@ -275,6 +275,40 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming jsonnet std.foldl matches batch, binary-free (differential)") {
+    assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty) // precondition: no helper offline
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val yaml =
+      """name: sf
+        |steps:
+        |  agg:
+        |    window:
+        |      events: 2
+        |    reduce:
+        |      send-receive-jsonnet: 'function(events) {n: "agg", d: {s: std.foldl(function(acc, e) acc + e.d, events, 0), c: std.length(events)}}'
+        |""".stripMargin
+    val tpl = Spec.parseYaml(yaml)
+    val input = Seq(("a", "1"), ("b", "7"), ("a", "5"), ("a", "9"), ("b", "3"), ("a", "4"))
+    val batchIn = input.zipWithIndex
+      .map { case ((n, d), i) => (n, d, i.toLong, 1000.0 + i) }
+      .toDF("n", "d", "__seq", "arrival")
+    val stamped = graft.pipeline.BatchCompiler.stampInput(
+      tpl, batchIn, org.apache.spark.sql.functions.col("arrival"))
+    val expected = graft.pipeline.BatchCompiler.compile(spark, tpl, stamped)
+      .output.select("n", "d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected.size == 3 && expected.exists(_._2.contains("\"s\":6.0")))
+    val mem = MemoryStream[SEvent]
+    val compiled = StreamCompiler.compile(spark, tpl, mem.toDS())
+    val (name, q) = runToMemory(compiled.output.map(e => (e.n, e.d)))
+    mem.addData(input.zipWithIndex.map { case ((n, d), i) => ev(n, d, i.toLong) }: _*)
+    q.processAllAvailable()
+    val got = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("streaming jsonnet widenings (std.join/map, std.format, locals) match batch, binary-free") {
     assert(sys.env.get("GRAFT_JSONNET_BIN").isEmpty)
     import spark.implicits._
