@@ -515,6 +515,127 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- compressed audio: MP3 (MPEG audio) frame header + ID3v2 ----
+
+  val mp3MetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("bitrate_kbps", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** MPEG-1 Layer III bitrate table, kbps by header index 1..14
+    * (index 0 = free-format, 15 = forbidden — both fall to raw).
+    */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by header index 0..2 (3 = reserved → raw). */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Parse MP3 metadata: a REAL ID3v2 skip (the 4-byte SYNCSAFE size —
+    * 7 bits per byte, any high bit set is malformed → raw) followed by
+    * the first MPEG audio frame header (11-bit sync, version/layer
+    * bits, bitrate + sample-rate table indices, channel mode). The
+    * decode envelope is MPEG-1 Layer III (the ubiquitous corpus
+    * shape); other version/layer combos, free-format/forbidden
+    * bitrates, and reserved sample rates all land on the raw
+    * fallback — never an exception (the WAV/MP4 malformed-input
+    * lesson). `duration_ms` is the CBR estimate: audio bytes × 8 over
+    * kbps (= bits per millisecond), in integer division — mirrorable
+    * in oracle SQL.
+    */
+  def decodeMp3Bytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Int, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0, 0, 0, 0L)
+    // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+    var off = 0L
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val ss = Seq(u8(6), u8(7), u8(8), u8(9))
+      if (ss.exists(_ >= 0x80)) return raw // not syncsafe: malformed
+      off = 10L + ((ss(0) << 21) | (ss(1) << 14) | (ss(2) << 7) | ss(3))
+    }
+    if (off + 4 > len) return raw
+    val o = off.toInt
+    val (b1, b2, b3) = (u8(o + 1), u8(o + 2), u8(o + 3))
+    if (u8(o) != 0xff || (b1 & 0xe0) != 0xe0) return raw // 11-bit sync
+    val verBits = (b1 >> 3) & 3
+    val layerBits = (b1 >> 1) & 3
+    if (verBits != 3 || layerBits != 1) return raw // envelope: MPEG-1 Layer III
+    val layer = 4 - layerBits                      // bits 01 = Layer III
+    val biIdx = (b2 >> 4) & 0xf
+    val srIdx = (b2 >> 2) & 3
+    if (biIdx == 0 || biIdx == 15 || srIdx == 3) return raw
+    val kbps = Mp3Bitrates(biIdx)
+    val mode = (b3 >> 6) & 3
+    val channels = if (mode == 3) 1 else 2
+    val audioLen = len - off
+    (len, "mp3", layer, kbps, Mp3Rates(srIdx), channels, audioLen * 8L / kbps)
+  }
+
+  /** Deterministic spec-compliant MP3 fixture: every third doc carries
+    * an ID3v2 tag whose size (130 + docId % 700) needs genuine
+    * syncsafe decoding (≥ 128, so the two low groups both matter),
+    * then one MPEG-1 Layer III frame header with docId-derived
+    * bitrate/rate/mode indices and the payload as the audio body. The
+    * oracle recomputes every field arithmetically from doc_id.
+    */
+  def synthMp3Bytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val id3Size = if (docId % 3 == 0) 130 + (docId % 700).toInt else -1
+    val id3Total = if (id3Size >= 0) 10 + id3Size else 0
+    val biIdx = 1 + (docId % 14).toInt
+    val srIdx = (docId % 3).toInt
+    val mode = if (docId % 2 == 1) 3 else 0 // mono / stereo
+    val bb = java.nio.ByteBuffer.allocate(id3Total + 4 + payload.length)
+    if (id3Size >= 0) {
+      bb.put("ID3".getBytes("US-ASCII"))
+      bb.put(4.toByte); bb.put(0.toByte); bb.put(0.toByte) // v2.4, no flags
+      bb.put(((id3Size >> 21) & 0x7f).toByte); bb.put(((id3Size >> 14) & 0x7f).toByte)
+      bb.put(((id3Size >> 7) & 0x7f).toByte); bb.put((id3Size & 0x7f).toByte)
+      bb.put(new Array[Byte](id3Size))
+    }
+    bb.put(0xff.toByte); bb.put(0xfb.toByte) // sync + MPEG-1 + Layer III + no CRC
+    bb.put(((biIdx << 4) | (srIdx << 2)).toByte)
+    bb.put((mode << 6).toByte)
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Attach a synthetic MP3 binary per row (see [[attachSynthMedia]]). */
+  def attachSynthMp3(df: DataFrame, idCol: String, textCol: String,
+                     binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthMp3Bytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode an MP3 binary column per partition (the [[decodeMeta]]
+    * shape for compressed audio).
+    */
+  def decodeMp3Meta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ mp3MetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, layer, kbps, rate, ch, ms) =
+          decodeMp3Bytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, layer, kbps, rate, ch, ms)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
     * slices, fingerprinted.
     *

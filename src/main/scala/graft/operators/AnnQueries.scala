@@ -285,6 +285,18 @@ object AnnQueries {
       Multimodal.decodeAudioMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     },
 
+    // Multimodal compressed audio: spec-compliant synthetic MP3
+    // binaries (every third with an ID3v2 tag whose syncsafe size the
+    // decoder must genuinely decode; bitrate/rate/mode by doc_id
+    // arithmetic) parsed by the real frame-header walker; the oracle
+    // recomputes every field — bitrate/rate table lookups and the
+    // integer-division CBR duration — arithmetically from doc_id.
+    "mm_mp3_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthMp3(docs, "doc_id", "text", "bin")
+      Multimodal.decodeMp3Meta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
     // Multimodal video: spec-compliant synthetic MP4 (ISO-BMFF)
     // binaries — ftyp + every-third `free` box + moov/mvhd + mdat —
     // decoded by the real box-walking parser; the oracle recomputes
@@ -458,6 +470,26 @@ object AnnQueries {
         |  CAST(16 AS INT) AS bits,
         |  CAST(octet_length(CAST(text AS BLOB)) * 1000
         |    // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MP3 layout: optional ID3v2 (10 + syncsafe size, every third doc,
+    // size 130 + doc_id % 700) + 4-byte frame header + payload; CBR
+    // duration = audio bytes × 8 // kbps (kbps = bits per ms); table
+    // lookups mirror the MPEG-1 Layer III header indices.
+    "mm_mp3_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 10 + 130 + doc_id % 700 ELSE 0 END
+        |    + 4 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  'mp3' AS format,
+        |  CAST(3 AS INT) AS layer,
+        |  CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |    CAST(1 + doc_id % 14 AS INT)) AS INT) AS bitrate_kbps,
+        |  CAST(list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT)) AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+        |  CAST((4 + octet_length(CAST(text AS BLOB))) * 8
+        |    // list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |         CAST(1 + doc_id % 14 AS INT)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // MP4 layout: ftyp(16) + optional free(16) + moov(8 + mvhd 108 v0

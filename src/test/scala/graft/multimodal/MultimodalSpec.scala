@@ -164,4 +164,52 @@ class MultimodalSpec extends AnyFunSuite {
     evil(16) = 0; evil(17) = 0; evil(18) = 0; evil(19) = 3 // second box size = 3 < 8
     assert(Multimodal.decodeMp4Bytes(evil)._2 == "raw")
   }
+
+  test("MP3 decode: hand-assembled header, ID3v2 syncsafe skip, and fallbacks") {
+    // canonical bare frame: FF FB = sync + MPEG-1 + Layer III + no CRC;
+    // 0x92 = bitrate idx 9 (128 kbps) + sample-rate idx 0 (44100) +
+    // no padding; 0xC0 = mode 3 (mono). 128 kbps = 128 bits per ms.
+    val bare = b(0xff, 0xfb, 0x92, 0xc0) ++ new Array[Byte](1600)
+    assert(Multimodal.decodeMp3Bytes(bare) ==
+      (1604L, "mp3", 3, 128, 44100, 1, 1604L * 8 / 128))
+
+    // ID3v2 with a syncsafe size spanning two 7-bit groups: size 200 =
+    // 0b1_1001000 → bytes (0, 0, 0x01, 0x48); the header follows the tag
+    val id3 = b('I', 'D', '3', 4, 0, 0, 0, 0, 0x01, 0x48) ++
+      new Array[Byte](200) ++ b(0xff, 0xfb, 0x12, 0x00) ++ new Array[Byte](60)
+    val (l2, f2, _, k2, r2, c2, d2) = Multimodal.decodeMp3Bytes(id3)
+    assert((l2, f2, k2, r2, c2) == (274L, "mp3", 32, 44100, 2))
+    assert(d2 == 64L * 8 / 32) // audio len excludes the tag
+
+    // synth round-trip across the parameter grid
+    for (id <- 0L until 30L) {
+      val payload = ("p" * (10 + id.toInt)).getBytes("UTF-8")
+      val (l, f, lay, k, r, c, d) = Multimodal.decodeMp3Bytes(
+        Multimodal.synthMp3Bytes(id, payload))
+      val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(
+        (id % 14).toInt)
+      val id3Total = if (id % 3 == 0) 10 + 130 + (id % 700).toInt else 0
+      assert(f == "mp3" && lay == 3 && k == kbps, s"id=$id meta")
+      assert(r == Seq(44100, 48000, 32000)((id % 3).toInt), s"id=$id rate")
+      assert(c == (if (id % 2 == 1) 1 else 2), s"id=$id channels")
+      assert(l == id3Total + 4 + payload.length, s"id=$id len")
+      assert(d == (4L + payload.length) * 8 / kbps, s"id=$id dur")
+    }
+
+    // non-MP3 bytes stay opaque
+    assert(Multimodal.decodeMp3Bytes("plain text, no sync word anywhere here"
+      .getBytes("US-ASCII"))._2 == "raw")
+    // a non-syncsafe ID3 size byte (high bit set) is malformed → raw
+    assert(Multimodal.decodeMp3Bytes(
+      b('I', 'D', '3', 4, 0, 0, 0x80, 0, 0, 0) ++ b(0xff, 0xfb, 0x92, 0xc0))._2 == "raw")
+    // an ID3 size pointing past the end falls back, not an exception
+    assert(Multimodal.decodeMp3Bytes(
+      b('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++ b(0xff, 0xfb))._2 == "raw")
+    // free-format (idx 0) and forbidden (idx 15) bitrates → raw
+    assert(Multimodal.decodeMp3Bytes(b(0xff, 0xfb, 0x00, 0x00) ++ new Array[Byte](8))._2 == "raw")
+    assert(Multimodal.decodeMp3Bytes(b(0xff, 0xfb, 0xf0, 0x00) ++ new Array[Byte](8))._2 == "raw")
+    // MPEG-2 / other layers are outside the decode envelope → raw
+    assert(Multimodal.decodeMp3Bytes(b(0xff, 0xf3, 0x92, 0x00) ++ new Array[Byte](8))._2 == "raw")
+    assert(Multimodal.decodeMp3Bytes(b(0xff, 0xfd, 0x92, 0x00) ++ new Array[Byte](8))._2 == "raw")
+  }
 }
