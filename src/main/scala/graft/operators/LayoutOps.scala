@@ -268,6 +268,114 @@ object LayoutOps {
     (pruned, survivors.length, manifest.length)
   }
 
+  // ---- Bloom-filter manifests: FILE skipping for point lookups on a
+  // hash-distributed key, where [min, max] zone maps prune NOTHING
+  // (every file's range spans the whole domain). The sidecar carries
+  // one Bloom filter per data file; a point probe consults the blooms
+  // (kilobytes on the driver) and reads only files that might contain
+  // the key. False positives only ADD files — the residual filter
+  // still applies, so results equal the plain scan exactly (the same
+  // superset-prefilter contract as the zone maps above). At 100 TB
+  // this is "find document by id across the crawl" without touching
+  // 99% of files. ----
+
+  /** Per-file Bloom filter over a LONG key as a typed Aggregator
+    * (string keys: xxhash64 upstream). Buffer is the live sketch
+    * object (kryo at the exchange only); output is the serialized
+    * filter for the sidecar.
+    */
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    override def reduce(b: BloomFilter, x: Long): BloomFilter = { b.putLong(x); b }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+      a.mergeInPlace(b); a
+    }
+    override def finish(b: BloomFilter): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      b.writeTo(o); o.toByteArray
+    }
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[BloomFilter]
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Write `df` hash-partitioned on `keyCol` (the layout point lookups
+    * get from an upsert/bucketing pipeline — and exactly the one zone
+    * maps cannot prune) plus a `_bloom` sidecar of per-file
+    * (bloom, rows) for the key.
+    */
+  def writeWithBloomManifest(df: DataFrame, keyCol: String, path: String,
+                             files: Int = 32, expectedPerFile: Long = 1000000L,
+                             fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.functions._
+    df.repartition(files, col(keyCol))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val bloomUdaf = udaf(new BloomAgg(expectedPerFile, fpp))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(bloomUdaf(col(keyCol).cast("long")).as("bloom"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_bloom")
+  }
+
+  /** Append a batch to a bloom-tracked table: new files discovered by
+    * listing diff get their own filters; existing sidecar rows are
+    * untouched (Blooms never need rewriting on append — the same
+    * single-writer cadence as [[appendWithManifest]]).
+    */
+  def appendWithBloomManifest(df: DataFrame, keyCol: String, path: String,
+                              files: Int = 8, expectedPerFile: Long = 1000000L,
+                              fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val sidecar = s"$path/_bloom"
+    val old = spark.read.parquet(sidecar)
+      .select("file", "bloom", "rows").collect().toSeq
+    val before = listDataFiles(spark, path)
+    df.repartition(files, col(keyCol))
+      .write.mode("append").parquet(path)
+    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val bloomUdaf = udaf(new BloomAgg(expectedPerFile, fpp))
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(bloomUdaf(col(keyCol).cast("long")).as("bloom"),
+        count(lit(1)).as("rows"))
+    val schema = freshStats.schema
+    val merged = old ++ freshStats.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged, 1), schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sidecar)
+  }
+
+  /** Point-probe `path` for `keyCol == key`, consulting the bloom
+    * sidecar first: only files whose filter might contain the key
+    * reach Spark's reader (residual equality filter still applies).
+    * Returns the pruned frame plus (surviving, total) file counts.
+    */
+  def readPrunedByBloom(spark: SparkSession, path: String, keyCol: String,
+                        key: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val manifest = spark.read.parquet(s"$path/_bloom")
+      .select("file", "bloom").collect()
+    val survivors = manifest.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      bf.mightContainLong(key)
+    }.map(_.getString(0))
+    val pruned =
+      if (survivors.isEmpty)
+        spark.read.parquet(path).filter(col(keyCol) === lit(key) && lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*)
+        .filter(col(keyCol) === lit(key))
+    (pruned, survivors.length, manifest.length)
+  }
+
   /** Ordering across the numeric/orderable types a stats column can
     * carry (manifest values arrive as Any from Row.get).
     */

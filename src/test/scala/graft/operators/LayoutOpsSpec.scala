@@ -231,4 +231,67 @@ class LayoutOpsSpec extends AnyFunSuite {
       keys.getLong(1) + 1000, keys.getLong(1) + 2000)
     assert(s0 == 0 && none.count() == 0)
   }
+
+  test("bloom manifest skips most files on a point lookup where zone maps prune nothing") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    LayoutOps.writeWithBloomManifest(docs, "doc_id", dir,
+      files = 16, expectedPerFile = 1000L)
+
+    // a present key: pruned probe == plain scan, reading few files
+    val probe = docs.orderBy("doc_id").head().getLong(0) + 7
+    val (pruned, survivors, total) = LayoutOps.readPrunedByBloom(
+      spark, dir, "doc_id", probe)
+    val expect = spark.read.parquet(dir).filter(col("doc_id") === probe)
+      .collect().map(_.toString).sorted.toSeq
+    val got = pruned.collect().map(_.toString).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+    assert(total == 16, s"bloom sidecar should carry all 16 files, had $total")
+    // hash layout puts the key in exactly one file; fpp=1% could add
+    // a false-positive file or two, never most of them
+    assert(survivors <= 3,
+      s"blooms kept $survivors/$total files for a point probe")
+
+    // zone maps genuinely CANNOT prune this layout: every file's
+    // [min, max] spans ~the whole doc_id domain (the reason blooms
+    // exist). Build the range manifest over the same hash layout.
+    val ids = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+    val domain = docs.agg(max("doc_id")).head().getLong(0)
+    assert(ids.forall(r => r.getAs[Long]("hi") - r.getAs[Long]("lo") > domain / 2),
+      "hash layout should spread every file across the key domain")
+
+    // an absent key prunes to zero (or a rare false-positive) files,
+    // and the probe returns nothing either way
+    val (noneDf, s0, _) = LayoutOps.readPrunedByBloom(
+      spark, dir, "doc_id", domain + 999983L)
+    assert(s0 <= 1 && noneDf.count() == 0)
+  }
+
+  test("bloom manifest append adds filters for only the new files; probe parity holds") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-app").toString
+    val half = docs.count() / 2
+    LayoutOps.writeWithBloomManifest(docs.filter(col("doc_id") < half), "doc_id",
+      dir, files = 4, expectedPerFile = 1000L)
+    LayoutOps.appendWithBloomManifest(docs.filter(col("doc_id") >= half), "doc_id",
+      dir, files = 4, expectedPerFile = 1000L)
+
+    val sidecar = spark.read.parquet(s"$dir/_bloom").collect()
+    assert(sidecar.length == 8, s"4 + 4 files, had ${sidecar.length}")
+    assert(sidecar.map(_.getAs[Long]("rows")).sum == docs.count())
+
+    // probe a key from the APPENDED half: parity + pruning
+    val probe = half + 3
+    val (pruned, survivors, total) = LayoutOps.readPrunedByBloom(
+      spark, dir, "doc_id", probe)
+    val expect = spark.read.parquet(dir).filter(col("doc_id") === probe)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == expect && expect.nonEmpty)
+    assert(total == 8 && survivors <= 2,
+      s"blooms kept $survivors/$total files after append")
+  }
 }
