@@ -92,6 +92,9 @@ object CurationQueries {
   /** Document budget for `sample_temperature`'s expected total draw. */
   private[operators] val TempBudget = 150
 
+  /** Expected draw size for `sample_weighted`'s PPS inclusion probs. */
+  private[operators] val WeightedBudget = 200
+
   /** Per-source mixture weights in tenths for `sample_mixture_repeat`:
     * upsample the first five source shards 3.0x, the next five 1.5x,
     * keep the rest at 1.0x. A shared SQL string so the DuckDB oracle
@@ -258,6 +261,28 @@ object CurationQueries {
         .withColumn("t", expr(s"$TempBudget * 1000000 * sfp div stot div n"))
         .filter(expr(s"$mixSql % 1000000") < col("t"))
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Probability-proportional-to-size (Poisson/PPS) sampling: each
+    // document's inclusion probability is min(1, B·x_i/Σx) — the
+    // importance-sampling standard for token-budgeted corpus draws
+    // (long documents carry more tokens, so equal-probability draws
+    // under-weight them). All arithmetic after the one broadcast total
+    // is BIGINT fixed-point in a fixed order (B·1e6·x_i div Σx) and
+    // acceptance is the shared portable hash residue — deterministic,
+    // re-runnable, hash-exact in both engines. BIGINT headroom:
+    // B·1e6·x_i needs x_i ≲ 4.6e7 chars per doc at B=200 — two
+    // decades above real web documents. The 100-TB shape: one
+    // broadcast scalar, then a pure narrow filter.
+    "sample_weighted" -> { (s, d) =>
+      val tot = docs(s, d).agg(sum("n_chars").as("ctot"))
+      docs(s, d)
+        .crossJoin(broadcast(tot))
+        .withColumn("t", least(lit(1000000L),
+          expr(s"$WeightedBudget * 1000000 * n_chars div ctot")))
+        .filter(expr(s"$mixSql % 1000000") < col("t"))
+        .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
 
@@ -485,6 +510,13 @@ object CurationQueries {
          |SELECT doc_id, lang FROM documents
          |JOIN counts USING (lang) CROSS JOIN tot
          |WHERE $mixSql % 1000000 < $TempBudget * 1000000 * sfp // stot // n
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS ctot FROM documents)
+         |SELECT doc_id, lang, n_chars FROM documents CROSS JOIN tot
+         |WHERE $mixSql % 1000000 <
+         |  least(1000000, $WeightedBudget * 1000000 * n_chars // ctot)
          |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->

@@ -93,6 +93,26 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
   }
 
+  test("sample_weighted: exactly the PPS inclusion rule; long docs over-sampled") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ctot = rows.map(_._2).sum
+    val b = CurationQueries.WeightedBudget
+    def thr(nc: Long): Long = math.min(1000000L, b * 1000000L * nc / ctot)
+    val expect = rows.collect {
+      case (id, nc) if mix(id) % 1000000 < thr(nc) => id
+    }.toSet
+    val kept = SparkEntry.queries("sample_weighted")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == expect && kept.nonEmpty && kept.size < rows.length)
+    // PPS property: the kept set's mean length exceeds the corpus mean
+    val keptMean = rows.filter(r => kept(r._1)).map(_._2).sum.toDouble / kept.size
+    assert(keptMean > ctot.toDouble / rows.length,
+      s"PPS should over-sample long docs: kept mean $keptMean vs corpus ${ctot.toDouble / rows.length}")
+  }
+
   test("sample_quota: exactly K per stratum, ranked by the portable mix order") {
     val strata = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "lang").collect()
