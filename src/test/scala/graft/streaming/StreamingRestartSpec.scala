@@ -156,6 +156,40 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(got == expected, s"stream $got != batch $expected")
   }
 
+  test("theta overlap sketches survive kill/restart (k-smallest-hash state recovers, exact here)") {
+    import graft.operators.ThetaOps
+    val all = graft.sources.Tables.events(spark, dir)
+    val batch = all.filter(col("event_id") % 10 < 3)
+    val corpus = all.filter(col("event_id") % 10 >= 3)
+    val corpusSk = ThetaOps.groupSketches(corpus, "event_type", col("user_id"))
+    val batchSk = ThetaOps.groupSketches(batch, "event_type", col("user_id"))
+    val expected = batchSk.map { case (g, sb) =>
+      g -> (ThetaOps.estimate(sb),
+        corpusSk.get(g).map(ThetaOps.unionEstimate(sb, _)).getOrElse(ThetaOps.estimate(sb)),
+        corpusSk.get(g).map(ThetaOps.intersectionEstimate(sb, _)).getOrElse(0L))
+    }
+
+    val lines = batch.select("event_type", "user_id").collect()
+      .map(r => s"""{"event_type":"${r.getString(0)}","user_id":${r.getLong(1)}}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingTheta.overlapStream(corpus, stream, "event_type", "user_id")
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[ThetaEstimate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[Long]("est_stream"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_overlap"), r.getAs[Long]("bid")))
+    val maxBid = sink.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+    val got = sink.filter { case (g, _, _, _, b) => b == maxBid(g) }
+      .map { case (g, s, u, o, _) => g -> (s, u, o) }.toMap
+    assert(got == expected, s"stream $got != batch $expected")
+  }
+
   test("percentile histograms survive kill/restart (histogram state recovers, bit-exact)") {
     val li = graft.sources.Tables.lineitem(spark, dir)
     val batch = li.filter(col("l_orderkey") % 10 < 3)
