@@ -689,6 +689,35 @@ object TextQueries {
         .select(col("doc_id"), (col("score_fp").cast("double") / 1000000.0).as("bm25"))
     },
 
+    // N-gram novelty screen: for each NEW document (the incoming 30%
+    // by the same doc_id split the incremental-dedup family models),
+    // the fraction of its DISTINCT word-3grams absent from the corpus
+    // (the other 70%) — the diversity/novelty signal curation
+    // pipelines pair with dedup (near-zero novelty ⇒ boilerplate or
+    // near-dup; high ⇒ new content). Shape at 100 TB: both gram sets
+    // are map-side-combined distinct aggregates, then ONE equi-join on
+    // the gram key (batch side grows with the increment, corpus side
+    // scan-only) and a per-doc count — no all-pairs anything. The
+    // ratio is one IEEE double division of exact integer counts,
+    // bit-identical in both engines.
+    "text_novelty" -> { (s, d) =>
+      val t = withToks(docs(s, d))
+      val bg = t.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
+        .distinct()
+      val cg = t.filter(col("doc_id") % 10 >= 3)
+        .select(explode(shingles(col("toks"), 3)).as("gram"))
+        .distinct()
+        .withColumn("known", lit(1))
+      bg.join(cg, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+        .select("doc_id", "n_grams", "n_novel", "novelty")
+        .orderBy("doc_id")
+    },
+
     // Collocation extraction: the 50 word-bigrams whose observed
     // count most exceeds what their unigram frequencies predict —
     // PMI-ranked via the monotone-equivalent ratio
@@ -1047,6 +1076,18 @@ object TextQueries {
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000))
          |ORDER BY doc_id""".stripMargin
     },
+
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(${shinglesSql(3)}) AS gram FROM t WHERE doc_id % 10 < 3)),
+         |cg AS (SELECT DISTINCT gram FROM (
+         |  SELECT unnest(${shinglesSql(3)}) AS gram FROM t WHERE doc_id % 10 >= 3))
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN cg.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN cg.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+         |FROM bg LEFT JOIN cg USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_pmi_bigrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

@@ -284,6 +284,24 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(jac < 0.5, s"jaccard $jac should miss at the 0.5 dedup threshold")
   }
 
+  test("text_novelty matches a naive driver-side distinct-gram recompute") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq)
+    def grams(t: IndexedSeq[String]) =
+      t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val corpusGrams = toks.collect { case (id, t) if id % 10 >= 3 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = toks.collect { case (id, t) if id % 10 < 3 && grams(t).nonEmpty =>
+      val g = grams(t); val novel = g.count(!corpusGrams(_))
+      id -> (g.size.toLong, novel.toLong, novel.toDouble / g.size)
+    }.toMap
+    val got = SparkEntry.queries("text_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected && got.valuesIterator.exists(_._3 > 0.0))
+  }
+
   test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)
