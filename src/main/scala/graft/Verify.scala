@@ -294,7 +294,39 @@ object Verify {
       val pcaPass = orthoErr <= 1e-9 && eigDesc && varErr <= pcaCeil &&
         pcaExplained > pcaExplFloor && pcaExplained <= 1.0 + 1e-12
 
-      s"""{"emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
+      // text_compress_ratio: rows-only by design (DEFLATE has no DuckDB
+      // counterpart). Three-part stand-in: ratios bounded (real text is
+      // neither incompressible past ~1.2× nor 100×-compressible),
+      // run-to-run determinism (fixed zlib level ⇒ identical bytes),
+      // and the SIGNAL — text+text must deflate strictly better than
+      // text for every doc (back-references across the copy), which is
+      // what makes the ratio a repetition detector.
+      val (crBounded, crDeterministic, crDoubledBetterFrac) = {
+        def run() = graft.SparkEntry.queries("text_compress_ratio")(spark, sfDir)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        val a = run()
+        val b = run()
+        val bounded = a.valuesIterator.forall { case (_, _, ratio) =>
+          ratio > 0.01 && ratio < 1.2 }
+        val doubled = graft.sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")).collect()
+          .map { r =>
+            val t = r.getString(1)
+            val single = a(r.getLong(0))._3
+            val twice = graft.operators.TextQueries.deflateLen((t + t).getBytes("UTF-8"))
+              .toDouble / math.max(2 * t.getBytes("UTF-8").length, 1)
+            if (twice < single) 1 else 0
+          }
+        (bounded, a == b,
+          if (doubled.isEmpty) 1.0 else doubled.sum.toDouble / doubled.length)
+      }
+      val crFloor = 0.99
+
+      s"""{"text_compress_ratio": {"metric": "bounded_deterministic_doubled_compresses_better",
+         | "bounded": $crBounded, "deterministic": $crDeterministic,
+         | "doubled_better_frac": $crDoubledBetterFrac, "floor": $crFloor,
+         | "pass": ${crBounded && crDeterministic && crDoubledBetterFrac >= crFloor}},
+         | "emb_ann_lsh": {"metric": "recall_vs_brute_force_top5", "value": $recall,
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
          | "emb_ann_ivf": {"metric": "recall_vs_brute_force_top5", "value": $ivfRecall,
          | "floor": $recallFloor, "pass": ${ivfRecall >= recallFloor}},

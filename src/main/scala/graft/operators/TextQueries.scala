@@ -44,6 +44,23 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** DEFLATE output length at the default level — the compression
+    * side of `text_compress_ratio`. Deterministic for a given input
+    * (zlib with fixed level/strategy), which the Verify invariant
+    * asserts run-over-run.
+    */
+  def deflateLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   private def withToks(df: DataFrame): DataFrame = df.withColumn("toks", tokens(col("text")))
 
   /** Connected components over an (a, b) pair DataFrame: one row per
@@ -687,6 +704,27 @@ object TextQueries {
         .groupBy("doc_id").agg(sum("term_fp").as("score_fp"))
         .orderBy(col("score_fp").desc, col("doc_id")).limit(50)
         .select(col("doc_id"), (col("score_fp").cast("double") / 1000000.0).as("bm25"))
+    },
+
+    // Compression-ratio quality signal (the Gopher-family heuristic:
+    // text that deflates too well is boilerplate/repetition; text that
+    // barely deflates is noise/binary). DEFLATE bytes have no DuckDB
+    // counterpart, so the query is rows-only by design with a Verify
+    // invariant gating (1) ratio bounds, (2) run-to-run determinism,
+    // and (3) the signal itself — doubled text must compress strictly
+    // better than single text (back-references across the copy).
+    // Shape: embarrassingly parallel per-row work, no shuffle beyond
+    // presentation; one Deflater per partition, reused.
+    "text_compress_ratio" -> { (s, d) =>
+      import s.implicits._
+      docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val bytes = t.getBytes("UTF-8")
+            val z = deflateLen(bytes)
+            (id, bytes.length.toLong, z, z.toDouble / math.max(bytes.length, 1))
+          }
+        }.toDF("doc_id", "n_bytes", "z_bytes", "ratio").orderBy("doc_id")
     },
 
     // N-gram novelty screen: for each NEW document (the incoming 30%

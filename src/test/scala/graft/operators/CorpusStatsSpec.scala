@@ -284,6 +284,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(jac < 0.5, s"jaccard $jac should miss at the 0.5 dedup threshold")
   }
 
+  test("text_compress_ratio: deterministic, bounded, and ranks repetition below fresh text") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_compress_ratio")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == graft.sources.Tables.documents(spark, dir).count())
+    assert(got.valuesIterator.forall { case (n, z, r) =>
+      r > 0.01 && r < 1.2 && math.abs(r - z.toDouble / n) < 1e-12 })
+    // the signal on constructed inputs: a 100x-repeated phrase deflates
+    // far below a counter-varied text of the same length
+    val rep = ("all work and no play " * 100).trim.getBytes("UTF-8")
+    val varied = (1 to 100).map(i => s"token$i word$i item$i").mkString(" ")
+      .take(rep.length).getBytes("UTF-8")
+    val rRep = TextQueries.deflateLen(rep).toDouble / rep.length
+    val rVar = TextQueries.deflateLen(varied).toDouble / varied.length
+    assert(rRep < rVar * 0.5, s"repetition $rRep should deflate far below varied $rVar")
+  }
+
   test("text_novelty matches a naive driver-side distinct-gram recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)
