@@ -270,6 +270,42 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(s0 <= 1 && noneDf.count() == 0)
   }
 
+  test("streaming foreachBatch appends maintain the zone-map manifest; pruned reads stay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-stream").toString
+    // batch 0 seeds the table; each further micro-batch appends through
+    // the SAME driver-side manifest maintenance the daily-crawl shape
+    // uses — foreachBatch is exactly that cadence
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("l_orderkey", "l_quantity")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (bid == 0L) LayoutOps.writeWithManifest(df, "l_orderkey", dir, files = 4)
+        else LayoutOps.appendWithManifest(df, "l_orderkey", dir, files = 4)
+      }
+      .start()
+    try {
+      li.grouped(li.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+        // after EVERY batch the manifest must prune correctly
+        val (lo, hi) = (li.head._1, li.head._1 + (li.last._1 - li.head._1) / 10)
+        val (pruned, _, total) = LayoutOps.readPruned(spark, dir, "l_orderkey", lo, hi)
+        val expect = spark.read.parquet(dir)
+          .filter(col("l_orderkey").between(lo, hi)).count()
+        assert(pruned.count() == expect, s"parity broke at batch (files=$total)")
+      }
+    } finally q.stop()
+    val manifest = spark.read.parquet(s"$dir/_manifest").collect()
+    assert(manifest.length == 12, s"3 batches x 4 files, had ${manifest.length}")
+    assert(manifest.map(_.getAs[Long]("rows")).sum == li.length)
+  }
+
   test("bloom manifest append adds filters for only the new files; probe parity holds") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
       .select("doc_id", "source", "n_chars")
