@@ -51,6 +51,40 @@ class StreamingRetentionSpec extends AnyFunSuite {
       s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("retention cells are chopping-invariant: two irregular micro-batch patterns agree") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3)).toIndexedSeq
+
+    def runChopped(name: String, sizes: Iterator[Int]): Map[(Long, Long), Long] = {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val q = StreamingRetention.retentionHits(
+          mem.toDF().toDF("user_id", "ts_us", "event_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = rows
+        while (rest.nonEmpty) {
+          val n = math.min(sizes.next(), rest.length)
+          mem.addData(rest.take(n))
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+      } finally q.stop()
+      spark.table(name).groupBy("cohort_day", "day_offset").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    // two deliberately irregular, different chop patterns (prime-ish
+    // strides) — per-user state must make the cells identical
+    val a = runChopped("ret_chop_a", Iterator.continually(Seq(7, 131, 23, 977, 3)).flatten)
+    val b = runChopped("ret_chop_b", Iterator.continually(Seq(1999, 11, 401)).flatten)
+    assert(a == b && a.nonEmpty,
+      s"chopping changed the cells: only-a=${(a.toSet -- b.toSet).take(3)} only-b=${(b.toSet -- a.toSet).take(3)}")
+  }
+
   test("a day counted in batch 1 is not re-emitted in batch 2; a new day is") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
