@@ -115,6 +115,9 @@ object CurationQueries {
     */
   private[operators] val TokenBudget = 600
 
+  /** Output-shard count for `pack_shard_balance`. */
+  private[operators] val NShards = 16
+
   /** Chunking geometry for `text_chunk_overlap`: 64-token windows
     * every 48 tokens (16-token overlap) — small enough that the
     * ~50-token synthetic docs produce 2-chunk splits.
@@ -433,6 +436,35 @@ object CurationQueries {
           (col("cum") - col("n_toks")).as("tok_offset"),
           floor((col("cum") - col("n_toks")) / lit(PackBudget)).as("pack_id"))
         .orderBy("doc_id")
+    },
+
+    // Token-balanced output sharding (the "write N equal training
+    // shards" layout step): documents ranked heaviest-first by token
+    // count, dealt to NShards shards in SNAKE order (longest-
+    // processing-time-first round-robin with alternating direction —
+    // the classic deterministic balancer: each N-row wave adds one
+    // doc per shard, and reversing direction every wave cancels the
+    // within-wave bias). The global heaviest-first rank rides
+    // ParallelRank.withRowNumber — at corpus scale the rank is
+    // assembled from per-bucket local ranks + broadcast offsets, no
+    // single-task global sort; the shard assignment itself is pure
+    // integral per-row arithmetic (`div`, the repo's NTILE-boundary
+    // convention) and the output is NShards aggregate rows.
+    "pack_shard_balance" -> { (s, d) =>
+      val ranked = ParallelRank.withRowNumber(
+        docs(s, d)
+          .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+          .withColumn("negt", -col("n_toks")),
+        Seq.empty, Seq(col("negt"), col("doc_id")), "rn")
+      ranked
+        .withColumn("shard_id",
+          when(expr(s"(rn - 1) div $NShards") % 2 === 0,
+            expr(s"(rn - 1) % $NShards"))
+          .otherwise(lit(NShards - 1) - expr(s"(rn - 1) % $NShards")))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
+          max("n_toks").as("max_toks"), min("doc_id").as("first_doc"))
+        .orderBy("shard_id")
     }
   )
 
@@ -579,6 +611,22 @@ object CurationQueries {
          |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM (SELECT doc_id, source, len($toksSql) AS n_toks FROM documents))
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "pack_shard_balance" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, n_toks,
+         |    ROW_NUMBER() OVER (ORDER BY -n_toks, doc_id) AS rn
+         |  FROM (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |        FROM documents))
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+         |  MAX(n_toks) AS max_toks, MIN(doc_id) AS first_doc
+         |FROM (
+         |  SELECT doc_id, n_toks,
+         |    CASE WHEN ((rn - 1) // $NShards) % 2 = 0 THEN (rn - 1) % $NShards
+         |         ELSE ${NShards - 1} - (rn - 1) % $NShards END AS shard_id
+         |  FROM ranked)
+         |GROUP BY shard_id ORDER BY shard_id""".stripMargin
   )
 }

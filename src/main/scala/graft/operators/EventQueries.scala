@@ -390,6 +390,58 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), min("event_id").as("first_id"),
           max("event_id").as("last_id"))
         .orderBy("event_type", "vec_id")
+    },
+
+    // OHLC time-bucket rollup (the telemetry/market materialized
+    // view): per event_type × hour, the value of the earliest and
+    // latest event (open/close via min_by/max_by on a (ts, id) struct
+    // — a total order, so ties can't flip the answer), extrema, count
+    // and an exact-DECIMAL sum. One map-side-combinable hash
+    // aggregate keyed by (type, bucket) — bucket cardinality grows
+    // with the timeline, so the shuffle spreads at any corpus size.
+    "ev_ohlc" -> { (s, d) =>
+      val HourUs = 3600L * 1000000L
+      ev(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("bucket"))
+        .agg(
+          min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+          max("value").as("high"), min("value").as("low"),
+          count(lit(1)).as("n_events"),
+          sum(decVal).cast("double").as("sum_value"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // Robust rate-spike detection: per-minute event counts per type,
+    // flagged where count > median + 3·MAD (median absolute
+    // deviation — outlier-proof where mean/stddev are not). Medians
+    // ride the shared exact-percentile core (HistogramIndex
+    // .percentileFromCounts — value-histogram counts + distributed
+    // prefix sum, never one-task-per-type), and every comparison is
+    // integral: med_x2 = 2·median and mad_x4 = 4·MAD are exact longs
+    // (halves ×2), so the spike boolean carries no float-edge risk.
+    "ev_rate_anomaly" -> { (s, d) =>
+      val MinUs = 60L * 1000000L
+      val rates = ev(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $MinUs").as("minute_b"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = HistogramIndex.percentileFromCounts(
+          rates.groupBy(col("event_type"), col("cnt").as("__pv"))
+            .agg(count(lit(1)).as("__pc")),
+          "event_type", 0.5, "medv")
+        .select(col("event_type"), (col("medv") * 2).cast("long").as("med_x2"))
+      val dev = rates.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("cnt") * 2 - col("med_x2")))
+      val mad = HistogramIndex.percentileFromCounts(
+          dev.groupBy(col("event_type"), col("dev2").as("__pv"))
+            .agg(count(lit(1)).as("__pc")),
+          "event_type", 0.5, "madv")
+        .select(col("event_type"), (col("madv") * 2).cast("long").as("mad_x4"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("minute_b"), col("cnt"),
+          col("med_x2"), col("mad_x4"),
+          (col("cnt") * 4 > col("med_x2") * 2 + col("mad_x4") * 3).as("spike"))
+        .orderBy("event_type", "minute_b")
     }
   )
 
@@ -616,6 +668,39 @@ object EventQueries {
          |  FROM assign a JOIN base b ON b.k = a.k AND b.rn = a.rn + 1)
          |SELECT k AS event_type, vec AS vec_id, COUNT(*) AS cnt,
          |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
-         |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // arg_min/arg_max take no composite key in DuckDB, so the (ts,
+    // event_id) total order is packed into one HUGEINT: us·2^63 +
+    // event_id (exact, no overflow — HUGEINT peaks at 1.7e38).
+    "ev_ohlc" -> {
+      val key = s"epoch_us(ts)::HUGEINT * ((9223372036854775807::HUGEINT)+1) + event_id"
+      s"""SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         |  arg_min(value, $key) AS open,
+         |  arg_max(value, $key) AS close,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "ev_rate_anomaly" ->
+      s"""WITH rates AS (
+         |  SELECT event_type, $tsUs // 60000000 AS minute_b, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |med AS (
+         |  SELECT event_type, CAST(2 * quantile_cont(cnt, 0.5) AS BIGINT) AS med_x2
+         |  FROM rates GROUP BY 1),
+         |dev AS (
+         |  SELECT r.event_type, minute_b, cnt, med_x2,
+         |    abs(2 * cnt - med_x2) AS dev2
+         |  FROM rates r JOIN med USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad_x4
+         |  FROM dev GROUP BY 1)
+         |SELECT event_type, minute_b, cnt, med_x2, mad_x4,
+         |  4 * cnt > 2 * med_x2 + 3 * mad_x4 AS spike
+         |FROM dev JOIN mad USING (event_type)
+         |ORDER BY event_type, minute_b""".stripMargin
   )
 }

@@ -497,6 +497,33 @@ object RelationalQueries {
         .orderBy("s_nationkey")
     },
 
+    // Mode + exact median per group. Mode is argmax over a per-(group,
+    // value) count table — the table is bounded by #groups × #distinct
+    // segments, so the tie-break window rides a tiny two-level
+    // survivor set, never the fact table (lexicographically-least
+    // segment wins ties, pinned in both engines). Median rides the
+    // shared exact-percentile core (value-histogram counts +
+    // distributed prefix sum — the same bit-exact-vs-quantile_cont
+    // arithmetic agg_incremental_percentile gates).
+    "agg_mode_median" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.customer(s, d)
+      val cnts = cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      val mode = cnts.withColumn("rn", row_number().over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(col("cnt").desc, col("c_mktsegment"))))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_seg"),
+          col("cnt").as("mode_n"))
+      val med = exactPercentile(cust, "c_nationkey", "c_acctbal", 0.5, "median_bal")
+      val n = cust.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      mode.join(med, "c_nationkey").join(broadcast(n), "c_nationkey")
+        .select(col("c_nationkey"), col("mode_seg"), col("mode_n"),
+          col("median_bal").cast("double").as("median_bal"), col("n"))
+        .orderBy("c_nationkey")
+    },
+
     // Uncorrelated scalar subquery: customers above the mean balance.
     "subquery_scalar" -> { (s, d) =>
       val cust = Tables.customer(s, d)
@@ -819,6 +846,23 @@ object RelationalQueries {
     "agg_stringagg" ->
       """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "agg_mode_median" ->
+      """WITH cnts AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |best AS (
+        |  SELECT c_nationkey, c_mktsegment AS mode_seg, cnt AS mode_n FROM (
+        |    SELECT c_nationkey, c_mktsegment, cnt, ROW_NUMBER() OVER (
+        |      PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn
+        |    FROM cnts) WHERE rn = 1),
+        |med AS (
+        |  SELECT c_nationkey, CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS median_bal,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, mode_seg, mode_n, median_bal, n
+        |FROM best JOIN med USING (c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin,
 
     "agg_corr" -> {
       // Mirrors the Spark plan's exact-integer moment shape: cents-
