@@ -715,6 +715,24 @@ object TextQueries {
     // better than single text (back-references across the copy).
     // Shape: embarrassingly parallel per-row work, no shuffle beyond
     // presentation; one Deflater per partition, reused.
+    // Count-min sketch frequency estimates over the token stream
+    // (CmsOps): the sketch is a ≤ Depth×Width cell table from ONE
+    // map-side-combinable aggregate; probes broadcast it. True counts
+    // computed alongside purely to publish the CMS guarantee the
+    // oracle then re-derives bit-for-bit: overcount ≥ 0 always (CMS
+    // never undercounts), bounded by εN in expectation. The sketch is
+    // also an incremental index — CmsSpec pins merge-by-summation ==
+    // one-shot, and StreamingCms maintains it under micro-batches.
+    "text_cms_counts" -> { (s, d) =>
+      val toks = withToks(docs(s, d)).select(explode(col("toks")).as("tok"))
+      val truec = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      CmsOps.probeCms(CmsOps.buildCms(toks, col("tok")), truec, col("tok"))
+        .join(truec, "tok")
+        .select(col("tok"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .orderBy("tok")
+    },
+
     "text_compress_ratio" -> { (s, d) =>
       import s.implicits._
       docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1113,6 +1131,24 @@ object TextQueries {
          |FROM (SELECT doc_id, list_transform(toks, t -> ${thSql("t")}) AS hs
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 1000))
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_cms_counts" -> {
+      val cells = CmsOps.cellSql("d", "tok")
+      val pcells = CmsOps.cellSql("dp.d", "t.tok")
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |depths AS (SELECT unnest(range(0, ${CmsOps.Depth})) AS d),
+         |cells AS (
+         |  SELECT d, $cells AS cell, COUNT(*) AS cnt
+         |  FROM toks CROSS JOIN depths GROUP BY 1, 2),
+         |truec AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY 1),
+         |est AS (
+         |  SELECT tok, MIN(COALESCE(cnt, 0)) AS est_cnt FROM (
+         |    SELECT t.tok, dp.d, $pcells AS cell
+         |    FROM (SELECT DISTINCT tok FROM toks) t CROSS JOIN depths dp) p
+         |  LEFT JOIN cells USING (d, cell) GROUP BY tok)
+         |SELECT tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+         |FROM truec JOIN est USING (tok) ORDER BY tok""".stripMargin
     },
 
     "text_novelty" ->

@@ -318,4 +318,40 @@ class StreamingRestartSpec extends AnyFunSuite {
       s"only-batch=${(expected.keySet -- got.keySet).take(3)} diff=${
         expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
+
+  test("count-min cells survive kill/restart (sketch-array state recovers, exact)") {
+    import spark.implicits._
+    import graft.operators.CmsOps
+    val docRows = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    // batch truth: per-lang one-shot sketches
+    val expected = docRows.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+      CmsOps.buildCms(rs.map(_._2).toSeq.toDF("tok"), col("tok"))
+        .collect().map(r => (lang, r.getInt(0), r.getLong(1)) -> r.getLong(2)).toSeq
+    }.toMap
+
+    val lines = docRows.map { case (l, t) => s"""{"lang":"$l","tok":"$t"}""" }.toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("lang STRING, tok STRING")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingCms.cmsCells(stream, "lang", "tok")
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[CmsCell], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // counts are monotone and a cell's last update carries its final
+    // total, so max-per-cell absorbs both chopping and any replayed
+    // batch at the restart boundary
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .groupBy("group", "d", "cell").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong) -> r.getLong(3))
+      .toMap
+    assert(got.nonEmpty && got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
 }
