@@ -733,6 +733,64 @@ object TextQueries {
         .orderBy("tok")
     },
 
+    // CMS join-size estimation (the planner-grade cardinality
+    // primitive): |A ⋈ B| on the token key estimated as the
+    // min-over-depths INNER PRODUCT of two sketches — 4096-cell
+    // tables joined on (d, cell), never the corpora. Upper-bounds the
+    // true size (published alongside), with expected overcount
+    // ≤ N_A·N_B/Width per depth. Hash-exact: both engines build the
+    // identical sketches.
+    "text_cms_join_size" -> { (s, d) =>
+      val t = withToks(docs(s, d))
+      val a = t.filter(col("doc_id") % 2 === 0).select(explode(col("toks")).as("tok"))
+      val b = t.filter(col("doc_id") % 2 =!= 0).select(explode(col("toks")).as("tok"))
+      val est = CmsOps.buildCms(a, col("tok"))
+        .join(CmsOps.buildCms(b, col("tok")).withColumnRenamed("cnt", "cntb"),
+          Seq("d", "cell"))
+        .groupBy("d").agg(sum(col("cnt") * col("cntb")).as("ip"))
+        .agg(min("ip").as("est_size"))
+      val truth = a.groupBy("tok").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("tok").agg(count(lit(1)).as("cb")), "tok")
+        .agg(sum(col("ca") * col("cb")).as("true_size"))
+      truth.crossJoin(est) // two single-row scalars
+        .select(col("true_size"), col("est_size"),
+          (col("est_size") - col("true_size")).as("overcount"))
+    },
+
+    // Distribution-drift screen between an incoming crawl batch and
+    // the corpus (the data-quality gate next to novelty/dedup):
+    // per-language TOTAL-VARIATION distance between add-1-smoothed
+    // token distributions. Deliberately log-free (vs PSI/KL): the
+    // numerator Σ|‖(c_new+1)·D_corp − (c_corp+1)·D_new‖ is EXACT
+    // integer arithmetic and the distance is ONE correctly-rounded
+    // IEEE division at the end — bit-identical across engines, no
+    // libm. Shape: one conditional-count aggregate per (lang, token),
+    // broadcast per-lang totals, one summing aggregate.
+    "text_drift_tvd" -> { (s, d) =>
+      val t = withToks(docs(s, d))
+        .select(col("lang"), (col("doc_id") % 10 < 3).as("is_new"),
+          explode(col("toks")).as("tok"))
+      val counts = t.groupBy("lang", "tok").agg(
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"),
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("c_corp"))
+      val totals = counts.groupBy("lang").agg(
+        sum("c_new").as("n_new"), sum("c_corp").as("n_corp"),
+        count(lit(1)).as("v"))
+      counts.join(broadcast(totals), "lang")
+        .withColumn("num",
+          abs((col("c_new") + 1) * (col("n_corp") + col("v")) -
+            (col("c_corp") + 1) * (col("n_new") + col("v"))))
+        .groupBy("lang").agg(
+          first("n_new").as("n_new"), first("n_corp").as("n_corp"),
+          first("v").as("v"), sum("num").as("tvd_num"))
+        .withColumn("tvd",
+          col("tvd_num").cast("double") /
+            (lit(2.0) * (col("n_new") + col("v")).cast("double") *
+              (col("n_corp") + col("v")).cast("double")))
+        .select("lang", "n_new", "n_corp", "v", "tvd_num", "tvd")
+        .orderBy("lang")
+    },
+
     "text_compress_ratio" -> { (s, d) =>
       import s.implicits._
       docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1150,6 +1208,42 @@ object TextQueries {
          |SELECT tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
          |FROM truec JOIN est USING (tok) ORDER BY tok""".stripMargin
     },
+
+    "text_cms_join_size" -> {
+      val ca = CmsOps.cellSql("d", "tok")
+      s"""WITH ta AS (SELECT unnest($toksSql) AS tok FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest($toksSql) AS tok FROM documents WHERE doc_id % 2 = 1),
+         |depths AS (SELECT unnest(range(0, ${CmsOps.Depth})) AS d),
+         |ca AS (SELECT d, $ca AS cell, COUNT(*) AS cnt
+         |       FROM ta CROSS JOIN depths GROUP BY 1, 2),
+         |cb AS (SELECT d, $ca AS cell, COUNT(*) AS cnt
+         |       FROM tb CROSS JOIN depths GROUP BY 1, 2),
+         |est AS (SELECT MIN(ip) AS est_size FROM (
+         |  SELECT ca.d, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+         |  FROM ca JOIN cb USING (d, cell) GROUP BY 1)),
+         |tru AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS true_size FROM
+         |  (SELECT tok, COUNT(*) AS c FROM ta GROUP BY 1) a JOIN
+         |  (SELECT tok, COUNT(*) AS c FROM tb GROUP BY 1) b USING (tok))
+         |SELECT true_size, est_size, est_size - true_size AS overcount
+         |FROM tru, est""".stripMargin
+    },
+
+    "text_drift_tvd" ->
+      s"""WITH t AS (SELECT lang, doc_id % 10 < 3 AS is_new,
+         |    unnest($toksSql) AS tok FROM documents),
+         |counts AS (SELECT lang, tok,
+         |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new,
+         |  CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_corp
+         |  FROM t GROUP BY 1, 2),
+         |totals AS (SELECT lang, CAST(SUM(c_new) AS BIGINT) AS n_new,
+         |  CAST(SUM(c_corp) AS BIGINT) AS n_corp, COUNT(*) AS v
+         |  FROM counts GROUP BY 1)
+         |SELECT lang, n_new, n_corp, v,
+         |  CAST(SUM(abs((c_new + 1) * (n_corp + v) - (c_corp + 1) * (n_new + v))) AS BIGINT) AS tvd_num,
+         |  CAST(SUM(abs((c_new + 1) * (n_corp + v) - (c_corp + 1) * (n_new + v))) AS DOUBLE)
+         |    / (2.0 * CAST(n_new + v AS DOUBLE) * CAST(n_corp + v AS DOUBLE)) AS tvd
+         |FROM counts JOIN totals USING (lang)
+         |GROUP BY lang, n_new, n_corp, v ORDER BY lang""".stripMargin,
 
     "text_novelty" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

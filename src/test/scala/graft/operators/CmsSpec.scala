@@ -51,6 +51,33 @@ class CmsSpec extends AnyFunSuite {
     assert(merged == oneShot && oneShot.nonEmpty)
   }
 
+  test("text_cms_join_size: the sketch inner product upper-bounds the true join size") {
+    val r = SparkEntry.queries("text_cms_join_size")(spark, dir).collect()
+    assert(r.length == 1)
+    val (tru, est, over) = (r.head.getAs[Long]("true_size"),
+      r.head.getAs[Long]("est_size"), r.head.getAs[Long]("overcount"))
+    assert(tru > 0L)
+    assert(est >= tru, s"inner product undercounted: est=$est true=$tru")
+    assert(over == est - tru)
+  }
+
+  test("text_drift_tvd: distances in [0,1), numerators recompute client-side") {
+    val rows = SparkEntry.queries("text_drift_tvd")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tvd = r.getAs[Double]("tvd")
+      assert(tvd >= 0.0 && tvd < 1.0, s"TVD out of range: $r")
+      // tvd == num / (2 * (n_new+v) * (n_corp+v)) exactly
+      val dNew = r.getAs[Long]("n_new") + r.getAs[Long]("v")
+      val dCorp = r.getAs[Long]("n_corp") + r.getAs[Long]("v")
+      assert(tvd == r.getAs[Long]("tvd_num").toDouble / (2.0 * dNew * dCorp))
+    }
+    // identical distributions (a split that puts the same multiset on
+    // both sides) would give num driven only by smoothing: sanity that
+    // the real split actually drifts somewhere
+    assert(rows.exists(_.getAs[Long]("tvd_num") > 0L))
+  }
+
   test("text_cms_counts: estimates never undercount, and some token is estimated exactly") {
     val rows = SparkEntry.queries("text_cms_counts")(spark, dir).collect()
     assert(rows.nonEmpty)
