@@ -636,6 +636,149 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- WebP (RIFF) image metadata ----
+
+  val webpMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("has_alpha", BooleanType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false)))
+
+  /** Parse WebP metadata: RIFF/WEBP signature, then the real chunk
+    * walk (fourcc + LITTLE-endian u32 size + data, word-aligned like
+    * WAV), reading dimensions from whichever image chunk leads:
+    *   - `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A sync code,
+    *     then 14-bit width/height in u16le fields;
+    *   - `VP8L` (lossless): the 0x2F signature byte, then width-1 /
+    *     height-1 as two 14-bit fields of a u32le bitstream, with the
+    *     alpha-hint bit at bit 28;
+    *   - `VP8X` (extended): a flags byte (ALPHA at bit 4), 3 reserved
+    *     bytes, canvas width-1 / height-1 as 24-bit LE fields.
+    * Malformed or truncated input falls through to ("raw", 0, 0) —
+    * every read is bounds-guarded (the JPEG-SOF lesson).
+    */
+  def decodeWebpBytes(bytes: Array[Byte]): (Long, String, Int, Int, Boolean, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u24le(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def u32le(i: Int): Long = u24le(i).toLong | (u8(i + 3).toLong << 24)
+    def fourcc(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0, false, 0)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return raw
+    var off = 12
+    var n = 0
+    var out: Option[(String, Int, Int, Boolean)] = None
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(off)
+      val size = u32le(off + 4)
+      if (size > bytes.length - off - 8) return raw // truncated chunk
+      val p = off + 8
+      n += 1
+      if (out.isEmpty) id match {
+        case "VP8 " =>
+          if (size >= 10 && u8(p + 3) == 0x9d && u8(p + 4) == 0x01 && u8(p + 5) == 0x2a)
+            out = Some(("webp-lossy", u16le(p + 6) & 0x3fff, u16le(p + 8) & 0x3fff, false))
+          else return raw
+        case "VP8L" =>
+          if (size >= 5 && u8(p) == 0x2f) {
+            val b = u32le(p + 1)
+            out = Some(("webp-lossless", (b & 0x3fff).toInt + 1,
+              ((b >> 14) & 0x3fff).toInt + 1, ((b >> 28) & 1) == 1))
+          } else return raw
+        case "VP8X" =>
+          if (size >= 10)
+            out = Some(("webp-extended", u24le(p + 4) + 1, u24le(p + 7) + 1,
+              ((u8(p) >> 4) & 1) == 1))
+          else return raw
+        case _ => ()
+      }
+      off = p + size.toInt + (size.toInt & 1) // word-aligned
+    }
+    out match {
+      case Some((fmt, w, h, a)) => (len, fmt, w, h, a, n)
+      case None                 => raw
+    }
+  }
+
+  /** Deterministic spec-compliant WebP fixture, variant by doc_id % 3:
+    * 0 → lossy (`VP8 ` frame tag + sync + 14-bit dims), 1 → lossless
+    * (`VP8L` with the packed 14-bit dims-minus-one bitstream and the
+    * alpha bit — a 5-byte ODD payload, so the walker must honor the
+    * RIFF pad byte), 2 → extended (`VP8X` canvas dims + alpha flag,
+    * followed by a `VP8 ` image chunk — two chunks, as the spec
+    * requires). Dims and alpha derive from doc_id so the oracle
+    * recomputes every field arithmetically.
+    */
+  def synthWebpBytes(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 1000).toInt
+    val h = 16 + ((docId * 3) % 800).toInt
+    val alpha = docId % 2 == 1
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")); bb.putInt(payload.length); bb.put(payload)
+      bb.array()
+    }
+    def vp8Lossy: Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p.put(new Array[Byte](3)) // frame tag
+      p.put(0x9d.toByte); p.put(0x01.toByte); p.put(0x2a.toByte)
+      p.putShort(w.toShort); p.putShort(h.toShort)
+      chunk("VP8 ", p.array())
+    }
+    val body: Array[Byte] = (docId % 3) match {
+      case 0 => vp8Lossy
+      case 1 =>
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          ((if (alpha) 1L else 0L) << 28)
+        val p = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        p.put(0x2f.toByte); p.putInt(bits.toInt)
+        chunk("VP8L", p.array())
+      case _ =>
+        val p = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        p.put((if (alpha) 0x10 else 0x00).toByte) // ALPHA at bit 4
+        p.put(new Array[Byte](3))
+        p.put((w - 1).toByte); p.put(((w - 1) >> 8).toByte); p.put(((w - 1) >> 16).toByte)
+        p.put((h - 1).toByte); p.put(((h - 1) >> 8).toByte); p.put(((h - 1) >> 16).toByte)
+        chunk("VP8X", p.array()) ++ vp8Lossy
+    }
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(4 + body.length)
+    bb.put("WEBP".getBytes("US-ASCII")); bb.put(body)
+    bb.array()
+  }
+
+  /** Attach a synthetic WebP binary per row (see [[attachSynthMedia]]). */
+  def attachSynthWebp(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ synthWebpBytes(r.getLong(idIdx))))
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a WebP binary column per partition (the [[decodeMeta]]
+    * shape).
+    */
+  def decodeWebpMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ webpMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, w, h, a, nc) = decodeWebpBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, w, h, a, nc)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
     * slices, fingerprinted.
     *

