@@ -36,6 +36,13 @@ object TextQueries {
   /** Span length (tokens) for `text_dup_spans`. */
   val DupSpanLen = 16
 
+  /** Bloom admission-screen geometry (`dedup_bloom_screen`): M bits,
+    * K salted positions per document. At the sf0.01 corpus (n=350)
+    * the expected false-positive rate is (1−e^(−Kn/M))^K ≈ 1.6%.
+    */
+  private[operators] val BloomBits = 4096
+  private[operators] val BloomK = 3
+
   /** Misra-Gries counters per language for `text_heavy_hitters`;
     * Verify's invariant derives its error bound n/(k+1) from THIS
     * constant (shipped-constant rule).
@@ -445,6 +452,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter admission screen — the cheap tier BEFORE the exact
+    // index probe (the Dolma-style pattern): the corpus's content
+    // Bloom bits are a ≤ BloomBits-row table (broadcast, kilobytes);
+    // a batch doc probes its BloomK positions and is 'new' the moment
+    // any misses. The one-sided guarantee is published next to the
+    // ground truth so the oracle checks it row-by-row: every actual
+    // duplicate is maybe_dup (NO false negatives, ever); false
+    // positives are bounded by (1−e^(−Kn/M))^K. Positions use the
+    // depth-salted portable md5 hash, so the DuckDB oracle builds the
+    // identical filter — hash-exact, not a tolerance.
+    "dedup_bloom_screen" -> { (s, d) =>
+      val all = docs(s, d)
+      val batch = all.filter(col("doc_id") % 10 < 3)
+      val corpus = all.filter(col("doc_id") % 10 >= 3)
+      def pos(k: Column, text: Column): Column =
+        conv(substring(md5(concat(k.cast("string"), lit("|"), text)), 1, 8), 16, 10)
+          .cast("long") % BloomBits
+      val bits = corpus
+        .select(explode(sequence(lit(0), lit(BloomK - 1))).as("k"), col("text"))
+        .select(pos(col("k"), col("text")).as("pos")).distinct()
+        .withColumn("hit", lit(1L))
+      val maybe = batch
+        .select(col("doc_id"), explode(sequence(lit(0), lit(BloomK - 1))).as("k"),
+          col("text"))
+        .withColumn("pos", pos(col("k"), col("text")))
+        .join(broadcast(bits), Seq("pos"), "left")
+        .groupBy("doc_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))) === lit(BloomK.toLong)).as("maybe"))
+      val truth = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(corpus.select(md5(col("text")).as("h")).distinct()
+            .withColumn("dup", lit(true)),
+          Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("is_dup"))
+      maybe.join(truth, "doc_id")
+        .select(col("doc_id"),
+          when(col("maybe"), lit("maybe_dup")).otherwise(lit("new")).as("verdict"),
+          col("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // Incremental NEAR-dup: the same batch/corpus split probing a
     // MinHash band+signature index — each batch doc's best corpus
     // match at est-Jaccard >= the LSH threshold. The corpus side is
@@ -598,6 +645,36 @@ object TextQueries {
         .withColumn("rnk", row_number().over(byLang)).filter(col("rnk") <= TopN)
         .select("lang", "rnk", "gram", "cnt")
         .orderBy("lang", "rnk")
+    },
+
+    // Tokenizer-vocabulary coverage (the vocab-builder step): the
+    // top-V tokens by frequency with each prefix's cumulative share
+    // of the whole stream — "V entries cover X% of tokens", the
+    // number that sizes a vocabulary. Same salted two-level top-K as
+    // the other global ranks (no task ever sorts the vocabulary);
+    // the cumulative window runs over V survivor rows only. Coverage
+    // is one IEEE division of exact longs per row — hash-exact.
+    "text_vocab_coverage" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val V = 20
+      val Salt = 64
+      val counts = withToks(docs(s, d))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      val byBucket = Window.partitionBy(pmod(xxhash64(col("tok")), lit(Salt)))
+        .orderBy(col("cnt").desc, col("tok"))
+      val global = Window.orderBy(col("cnt").desc, col("tok"))
+      counts
+        .withColumn("rb", row_number().over(byBucket)).filter(col("rb") <= V)
+        .withColumn("rnk", row_number().over(global).cast("long")).filter(col("rnk") <= V)
+        .crossJoin(broadcast(total))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy(col("rnk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rnk"), col("tok"), col("cnt"), col("cum"),
+          (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
+        .orderBy("rnk")
     },
 
     // Exact duplicated-span detection (the substring-level dedup
@@ -1099,6 +1176,24 @@ object TextQueries {
         |  LEFT JOIN idx i USING (h)
         |ORDER BY doc_id""".stripMargin,
 
+    "dedup_bloom_screen" -> {
+      def posSql(t: String) =
+        s"CAST(('0x'||substring(md5(CAST(k AS VARCHAR)||'|'||$t),1,8)) AS BIGINT) % $BloomBits"
+      s"""WITH ks AS (SELECT unnest(range(0, $BloomK)) AS k),
+         |bits AS (SELECT DISTINCT ${posSql("text")} AS pos
+         |         FROM (SELECT text FROM documents WHERE doc_id % 10 >= 3) CROSS JOIN ks),
+         |probes AS (SELECT doc_id, ${posSql("text")} AS pos
+         |           FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 3) CROSS JOIN ks),
+         |verd AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = $BloomK AS maybe
+         |  FROM probes LEFT JOIN bits USING (pos) GROUP BY 1),
+         |tru AS (SELECT doc_id,
+         |    md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 10 >= 3) AS is_dup
+         |  FROM documents WHERE doc_id % 10 < 3)
+         |SELECT doc_id, CASE WHEN maybe THEN 'maybe_dup' ELSE 'new' END AS verdict, is_dup
+         |FROM verd JOIN tru USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_incremental_minhash" -> {
       val estTerms = (1 to K).map(i => s"CASE WHEN ma[$i] = mb[$i] THEN 1 ELSE 0 END")
         .mkString(" + ")
@@ -1208,6 +1303,19 @@ object TextQueries {
          |SELECT tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
          |FROM truec JOIN est USING (tok) ORDER BY tok""".stripMargin
     },
+
+    "text_vocab_coverage" ->
+      s"""WITH counts AS (SELECT tok, COUNT(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+         |top AS (SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+         |        FROM counts QUALIFY rnk <= 20)
+         |SELECT rnk, tok, cnt,
+         |  CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+         |  CAST(CAST(SUM(cnt) OVER w AS BIGINT) AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         |FROM top, tot
+         |WINDOW w AS (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY rnk""".stripMargin,
 
     "text_cms_join_size" -> {
       val ca = CmsOps.cellSql("d", "tok")

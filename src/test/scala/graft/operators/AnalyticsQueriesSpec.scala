@@ -148,5 +148,37 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.window.smallInputRows")
   }
 
+  test("dedup_bloom_screen: zero false negatives ever; false-positive rate under the design bound") {
+    val rows = SparkEntry.queries("dedup_bloom_screen")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the one-sided Bloom guarantee: an actual dup is NEVER 'new'
+    rows.filter(_.getAs[Boolean]("is_dup")).foreach { r =>
+      assert(r.getAs[String]("verdict") == "maybe_dup", s"false negative: $r")
+    }
+    // FP rate over the non-dups: design bound (1-e^(-Kn/M))^K with
+    // generous headroom for the small-sample variance
+    val nonDup = rows.filter(!_.getAs[Boolean]("is_dup"))
+    val fp = nonDup.count(_.getAs[String]("verdict") == "maybe_dup")
+    assert(nonDup.nonEmpty)
+    assert(fp.toDouble / nonDup.length <= 0.15,
+      s"FP rate ${fp.toDouble / nonDup.length} (fp=$fp of ${nonDup.length})")
+  }
+
+  test("text_vocab_coverage: ranks dense, counts non-increasing, coverage monotone to the cum/total ratio") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, dir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to 20L))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts not sorted")
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("cnt")
+      assert(r.getAs[Long]("cum") == cum)
+    }
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage not monotone")
+    assert(cov.last > 0.0 && cov.last <= 1.0)
+  }
+
   private val CuQ = CurationQueries
 }
