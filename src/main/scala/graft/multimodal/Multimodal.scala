@@ -779,6 +779,284 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- FLAC audio metadata ----
+
+  val flacMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("total_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false)))
+
+  private[multimodal] val FlacRates =
+    Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+  /** Parse FLAC metadata: the `fLaC` marker, then the metadata-block
+    * walk — each block is a header byte (bit 7 = last-block flag, bits
+    * 6..0 = type) + big-endian u24 length + payload. STREAMINFO (type
+    * 0, ≥34 bytes) carries the stream parameters in a PACKED 64-bit
+    * big-endian field at payload offset 10 whose sub-fields straddle
+    * byte boundaries (the genuinely-bit-packed case the byte-aligned
+    * walkers never exercise):
+    *   bits 63..44  sample rate (20 bits),
+    *   bits 43..41  channels − 1 (3 bits),
+    *   bits 40..36  bits-per-sample − 1 (5 bits),
+    *   bits 35..0   total samples (36 bits).
+    * Duration = total·1000 / rate in integer ms. Malformed or
+    * truncated input (bad marker, block running past the buffer, short
+    * STREAMINFO, rate 0 — invalid per spec) falls through to raw; every
+    * read is bounds-guarded.
+    */
+  def decodeFlacBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Long, Long, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u24be(i: Int): Int = (u8(i) << 16) | (u8(i + 1) << 8) | u8(i + 2)
+    def u64be(i: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < 8) { v = (v << 8) | u8(i + j); j += 1 }
+      v
+    }
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0, 0, 0L, 0L, 0)
+    if (bytes.length < 4 || new String(bytes, 0, 4, "US-ASCII") != "fLaC") return raw
+    var off = 4
+    var n = 0
+    var info: Option[(Int, Int, Int, Long)] = None
+    var last = false
+    while (!last) {
+      if (off + 4 > bytes.length) return raw
+      val hdr = u8(off)
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7f
+      val blen = u24be(off + 1)
+      if (off + 4 + blen > bytes.length) return raw // block past the buffer
+      if (tpe == 0 && info.isEmpty) {
+        if (blen < 34) return raw
+        val v = u64be(off + 4 + 10)
+        val rate = (v >>> 44).toInt
+        if (rate == 0) return raw
+        info = Some((rate, ((v >>> 41) & 0x7).toInt + 1,
+          ((v >>> 36) & 0x1f).toInt + 1, v & 0xfffffffffL))
+      }
+      n += 1
+      off += 4 + blen
+    }
+    info match {
+      case Some((rate, ch, bps, total)) =>
+        (len, "flac", rate, ch, bps, total, total * 1000L / rate, n)
+      case None => raw
+    }
+  }
+
+  /** Deterministic spec-compliant FLAC fixture: `fLaC` + STREAMINFO
+    * (docId-derived rate/channels/total-samples bit-packed exactly as
+    * the spec lays them out) + an every-third-doc VORBIS_COMMENT block
+    * (so the walker's last-block flag and block counting both carry
+    * signal) + the payload as the frame section. The oracle recomputes
+    * every field arithmetically from doc_id.
+    */
+  def synthFlacBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val rate = FlacRates((docId % 7).toInt)
+    val ch = 1 + (docId % 2).toInt
+    val bps = 16
+    val total = (docId % 100000L) * 441L + 1000L
+    val vcLen = if (docId % 3 == 0) 16 + (docId % 40).toInt else -1
+    val bb = java.nio.ByteBuffer
+      .allocate(4 + 4 + 34 + (if (vcLen >= 0) 4 + vcLen else 0) + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO header: last iff no vorbis comment follows
+    bb.put((if (vcLen >= 0) 0x00 else 0x80).toByte)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(34.toByte)
+    bb.putShort(4096.toShort); bb.putShort(4096.toShort) // min/max blocksize
+    bb.put(new Array[Byte](6))                           // min/max framesize u24
+    bb.putLong((rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | total)
+    bb.put(new Array[Byte](16)) // md5
+    if (vcLen >= 0) {
+      bb.put(0x84.toByte) // last | VORBIS_COMMENT
+      bb.put(((vcLen >> 16) & 0xff).toByte); bb.put(((vcLen >> 8) & 0xff).toByte)
+      bb.put((vcLen & 0xff).toByte)
+      bb.put(new Array[Byte](vcLen))
+    }
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Attach a synthetic FLAC binary per row (see [[attachSynthMedia]]). */
+  def attachSynthFlac(df: DataFrame, idCol: String, textCol: String,
+                      binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthFlacBytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a FLAC binary column per partition (the [[decodeMeta]]
+    * shape for lossless audio).
+    */
+  def decodeFlacMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ flacMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, rate, ch, bps, total, ms, nb) =
+          decodeFlacBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, rate, ch, bps, total, ms, nb)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---- TIFF image metadata ----
+
+  val tiffMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = false)))
+
+  /** Parse TIFF metadata: the byte-order header (`II*\0` little-endian
+    * or `MM\0*` big-endian — the ONE container whose endianness is
+    * per-file, so every multi-byte read below goes through the
+    * order-dispatched accessors), then the IFD chain walk: u32 offset
+    * → u16 entry count → 12-byte entries (tag u16, type u16, count
+    * u32, value field) → u32 next-IFD offset. Dimensions come from the
+    * FIRST IFD's tags 256 (ImageWidth) / 257 (ImageLength) / 258
+    * (BitsPerSample), read inline from the value field left-justified
+    * per spec (SHORT = first 2 bytes in file order, LONG = all 4);
+    * `n_pages` counts the chain. Malformed input (bad magic, IFD past
+    * the buffer, zero dims, offset cycle) falls through to raw.
+    */
+  def decodeTiffBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0, 0, 0)
+    if (bytes.length < 8) return raw
+    val little =
+      if (bytes(0) == 'I' && bytes(1) == 'I' && u8(2) == 42 && u8(3) == 0) true
+      else if (bytes(0) == 'M' && bytes(1) == 'M' && u8(2) == 0 && u8(3) == 42) false
+      else return raw
+    def u16(i: Int): Int =
+      if (little) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (little) u16(i).toLong | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2).toLong
+    var ifd = u32(4)
+    var pages = 0
+    var w = 0; var h = 0; var bits = 0
+    val seen = scala.collection.mutable.Set.empty[Long]
+    while (ifd != 0) {
+      if (ifd + 2 > len || !seen.add(ifd)) return raw // truncated or cyclic
+      val o = ifd.toInt
+      val n = u16(o)
+      if (o + 2 + 12 * n + 4 > len) return raw
+      if (pages == 0) {
+        var e = 0
+        while (e < n) {
+          val p = o + 2 + 12 * e
+          val tag = u16(p)
+          val tpe = u16(p + 2)
+          // inline value: LONG(4) = u32, SHORT(3) = first 2 bytes
+          val v = if (tpe == 4) u32(p + 8) else u16(p + 8).toLong
+          tag match {
+            case 256 => w = v.toInt
+            case 257 => h = v.toInt
+            case 258 => bits = v.toInt
+            case _   => ()
+          }
+          e += 1
+        }
+      }
+      pages += 1
+      ifd = u32(o + 2 + 12 * n)
+    }
+    if (pages == 0 || w <= 0 || h <= 0) raw
+    else (len, "tiff", w, h, bits, pages)
+  }
+
+  /** Deterministic spec-compliant TIFF fixture: endianness alternates
+    * by doc_id (`II` even / `MM` odd — both accessor paths exercised
+    * on every run), each IFD carries ImageWidth (LONG), ImageLength
+    * (LONG) and BitsPerSample (SHORT, inline left-justified), and
+    * every fourth doc chains a second page IFD before the payload.
+    * The oracle recomputes dims/layout arithmetically from doc_id.
+    */
+  def synthTiffBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val little = docId % 2 == 0
+    val w = 1 + (docId % 4096).toInt
+    val h = 1 + ((docId * 5) % 2048).toInt
+    val bits = 8 * (1 + (docId % 2).toInt)
+    val pages = if (docId % 4 == 0) 2 else 1
+    val IfdLen = 2 + 3 * 12 + 4
+    val bb = java.nio.ByteBuffer.allocate(8 + pages * IfdLen + payload.length)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42.toShort)
+    bb.putInt(8) // first IFD right after the header
+    var pg = 0
+    while (pg < pages) {
+      bb.putShort(3.toShort)
+      def entry(tag: Int, tpe: Int, value: Int): Unit = {
+        bb.putShort(tag.toShort); bb.putShort(tpe.toShort); bb.putInt(1)
+        if (tpe == 3) { bb.putShort(value.toShort); bb.putShort(0.toShort) }
+        else bb.putInt(value)
+      }
+      entry(256, 4, w)
+      entry(257, 4, h)
+      entry(258, 3, bits)
+      val next = if (pg + 1 < pages) 8 + (pg + 1) * IfdLen else 0
+      bb.putInt(next)
+      pg += 1
+    }
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Attach a synthetic TIFF binary per row (see [[attachSynthMedia]]). */
+  def attachSynthTiff(df: DataFrame, idCol: String, textCol: String,
+                      binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthTiffBytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a TIFF binary column per partition (the [[decodeMeta]]
+    * shape).
+    */
+  def decodeTiffMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ tiffMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, w, h, bits, pg) =
+          decodeTiffBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, w, h, bits, pg)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
     * slices, fingerprinted.
     *

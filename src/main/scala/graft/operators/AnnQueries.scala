@@ -318,6 +318,30 @@ object AnnQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val withBin = Multimodal.attachSynthWebp(docs, "doc_id", "bin")
       Multimodal.decodeWebpMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
+    // Multimodal lossless audio: spec-compliant synthetic FLAC
+    // binaries (STREAMINFO with the genuinely bit-packed 20/3/5/36-bit
+    // parameter field, every third doc chaining a VORBIS_COMMENT block
+    // so the last-block flag carries signal) decoded by the real
+    // metadata-block walker; the oracle recomputes rate/channels/
+    // total-samples and the integer-division duration arithmetically
+    // from doc_id.
+    "mm_flac_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthFlac(docs, "doc_id", "text", "bin")
+      Multimodal.decodeFlacMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
+    // Multimodal TIFF: synthetic IFD chains whose byte order alternates
+    // per doc (`II`/`MM` — the one per-file-endianness container), with
+    // inline LONG dims + SHORT bits entries and an every-fourth-doc
+    // second page; the oracle recomputes dims/bits/pages/byte-length
+    // arithmetically from doc_id.
+    "mm_tiff_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthTiff(docs, "doc_id", "text", "bin")
+      Multimodal.decodeTiffMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     }
   )
 
@@ -535,6 +559,38 @@ object AnnQueries {
         |  CAST(16 + (doc_id * 3) % 800 AS INT) AS height,
         |  (doc_id % 3 <> 0 AND doc_id % 2 = 1) AS has_alpha,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // FLAC layout: "fLaC"(4) + STREAMINFO(4+34) + every-third
+    // VORBIS_COMMENT(4 + 16 + doc_id%40) + payload; duration =
+    // total_samples × 1000 // rate (rate from the 7-entry table).
+    "mm_flac_meta" ->
+      """SELECT doc_id,
+        |  CAST(42 + CASE WHEN doc_id % 3 = 0 THEN 4 + 16 + doc_id % 40 ELSE 0 END
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  'flac' AS format,
+        |  CAST(list_extract([8000,16000,22050,24000,32000,44100,48000],
+        |    CAST(1 + doc_id % 7 AS INT)) AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST((doc_id % 100000) * 441 + 1000 AS BIGINT) AS total_samples,
+        |  CAST(((doc_id % 100000) * 441 + 1000) * 1000
+        |    // list_extract([8000,16000,22050,24000,32000,44100,48000],
+        |         CAST(1 + doc_id % 7 AS INT)) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_blocks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // TIFF layout: header(8) + 42-byte IFD per page (3 entries + next
+    // pointer), two pages every fourth doc, then the payload.
+    "mm_tiff_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + 42 * CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  'tiff' AS format,
+        |  CAST(1 + doc_id % 4096 AS INT) AS width,
+        |  CAST(1 + (doc_id * 5) % 2048 AS INT) AS height,
+        |  CAST(8 * (1 + doc_id % 2) AS INT) AS bits,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) AS n_pages
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -36,6 +36,12 @@ object TextQueries {
   /** Span length (tokens) for `text_dup_spans`. */
   val DupSpanLen = 16
 
+  /** Chunk length (tokens) for `text_chunk_dedup` — the "paragraph"
+    * unit of the CCNet-style exact-paragraph dedup; the oracle slices
+    * with THIS constant (shipped-constant rule).
+    */
+  val ChunkDedupLen = 32
+
   /** Bloom admission-screen geometry (`dedup_bloom_screen`): M bits,
     * K salted positions per document. At the sf0.01 corpus (n=350)
     * the expected false-positive rate is (1−e^(−Kn/M))^K ≈ 1.6%.
@@ -909,6 +915,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style paragraph dedup (Wenzek et al. 2020 dedups exact
+    // paragraphs corpus-wide before LM filtering): the corpus has no
+    // newlines, so "paragraphs" are fixed 32-token chunks. Keep-first
+    // semantics — a chunk instance survives iff it is the (doc_id,
+    // idx)-minimal occurrence of its exact text. Per doc: chunk count,
+    // dropped count, surviving token count, and the keep ratio (an
+    // exact integer-ratio double). Shape at 100 TB: chunking is
+    // map-side (one explode per doc, corpus-linear, NOT quadratic like
+    // shingling all-pairs); the only shuffles are one hash aggregate
+    // keyed on the chunk text (min(struct) is map-side combinable) and
+    // one equi-join back on that same key — both data-sized, no
+    // windows over unbounded groups, no driver state.
+    "text_chunk_dedup" -> { (s, d) =>
+      val L = ChunkDedupLen
+      val t = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val chunks = t.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), expr(s"(size(toks) - 1) div $L")),
+          j => array_join(slice(col("toks"), j * L + 1, lit(L)), " "))))
+        .toDF("doc_id", "idx", "chunk")
+        .withColumn("n_ctoks", size(split(col("chunk"), " ")).cast("long"))
+      val firsts = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      chunks.join(firsts, "chunk")
+        .withColumn("kept",
+          col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), col("n_ctoks")).otherwise(0L)).as("kept_tokens"))
+        .withColumn("keep_ratio",
+          (col("n_chunks") - col("n_dropped")).cast("double") / col("n_chunks"))
+        .select("doc_id", "n_chunks", "n_dropped", "kept_tokens", "keep_ratio")
+        .orderBy("doc_id")
+    },
+
     // Collocation extraction: the 50 word-bigrams whose observed
     // count most exceeds what their unigram frequencies predict —
     // PMI-ranked via the monotone-equivalent ratio
@@ -1364,6 +1405,29 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN cg.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
          |FROM bg LEFT JOIN cg USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_dedup" -> {
+      val L = ChunkDedupLen
+      s"""WITH t AS (SELECT doc_id, toks FROM
+         |    (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id,
+         |    unnest(range(0, (len(toks)-1)//$L + 1)) AS idx,
+         |    unnest(list_transform(range(0, (len(toks)-1)//$L + 1),
+         |      i -> array_to_string(toks[i*$L+1 : i*$L+$L], ' '))) AS chunk,
+         |    unnest(list_transform(range(0, (len(toks)-1)//$L + 1),
+         |      i -> least($L, len(toks) - i*$L))) AS n_ctoks
+         |  FROM t),
+         |k AS (SELECT doc_id, idx, n_ctoks,
+         |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+         |  FROM c)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN kept THEN n_ctoks ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CAST(COUNT(*) - SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) AS keep_ratio
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_pmi_bigrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

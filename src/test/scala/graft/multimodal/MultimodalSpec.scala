@@ -241,4 +241,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWebpBytes(
       Multimodal.synthWavBytes(2, new Array[Byte](16)))._2 == "raw")
   }
+
+  test("FLAC decode: bit-packed STREAMINFO round-trip, block walk, and fallbacks") {
+    val payload = "frame section stand-in".getBytes("UTF-8")
+    for (id <- 0L until 30L) {
+      val (l, f, rate, ch, bps, total, ms, nb) =
+        Multimodal.decodeFlacBytes(Multimodal.synthFlacBytes(id, payload))
+      assert(f == "flac", s"id=$id format")
+      assert(rate == Multimodal.FlacRates((id % 7).toInt), s"id=$id rate")
+      assert(ch == 1 + (id % 2).toInt && bps == 16, s"id=$id ch/bps")
+      assert(total == (id % 100000L) * 441L + 1000L, s"id=$id total")
+      assert(ms == total * 1000L / rate, s"id=$id duration")
+      assert(nb == (if (id % 3 == 0) 2 else 1), s"id=$id blocks")
+      val vc = if (id % 3 == 0) 4 + 16 + (id % 40) else 0
+      assert(l == 4 + 38 + vc + payload.length, s"id=$id len")
+    }
+    // hand-assembled: a 36-bit total-samples value with the high bits
+    // set proves the straddling fields decode independently
+    val big = Multimodal.synthFlacBytes(0, Array.emptyByteArray).clone()
+    // STREAMINFO packed field starts at 4 (marker) + 4 (hdr) + 10
+    val p = 18
+    val v = (48000L << 44) | (7L << 41) | (23L << 36) | 0xedcba9876L
+    for (j <- 0 until 8) big(p + j) = ((v >>> (8 * (7 - j))) & 0xff).toByte
+    val got = Multimodal.decodeFlacBytes(big)
+    assert(got._3 == 48000 && got._4 == 8 && got._5 == 24 && got._6 == 0xedcba9876L)
+    // malformed inputs fall through, never throw
+    assert(Multimodal.decodeFlacBytes("not flac".getBytes)._2 == "raw")
+    assert(Multimodal.decodeFlacBytes(
+      Multimodal.synthFlacBytes(1, payload).take(20))._2 == "raw")
+    // rate 0 is spec-invalid → raw
+    val z = Multimodal.synthFlacBytes(0, Array.emptyByteArray).clone()
+    for (j <- 0 until 3) z(p + j) = 0 // zero the 20-bit rate (and a bit more)
+    z(p + 2) = (z(p + 2) & 0x0f).toByte
+    assert(Multimodal.decodeFlacBytes(z)._2 == "raw")
+  }
+
+  test("TIFF decode: both endiannesses, inline SHORT/LONG entries, page chain, fallbacks") {
+    val payload = "strip data stand-in".getBytes("UTF-8")
+    for (id <- 0L until 30L) {
+      val (l, f, w, h, bits, pg) =
+        Multimodal.decodeTiffBytes(Multimodal.synthTiffBytes(id, payload))
+      assert(f == "tiff", s"id=$id format")
+      assert(w == 1 + (id % 4096).toInt && h == 1 + ((id * 5) % 2048).toInt, s"id=$id dims")
+      assert(bits == 8 * (1 + (id % 2).toInt), s"id=$id bits")
+      assert(pg == (if (id % 4 == 0) 2 else 1), s"id=$id pages")
+      assert(l == 8 + 42 * pg + payload.length, s"id=$id len")
+    }
+    // malformed inputs fall through, never throw
+    assert(Multimodal.decodeTiffBytes("II not a tiff".getBytes)._2 == "raw")
+    assert(Multimodal.decodeTiffBytes(
+      Multimodal.synthTiffBytes(2, payload).take(12))._2 == "raw")
+    // a next-IFD pointer cycling back to itself must terminate → raw
+    val cyc = Multimodal.synthTiffBytes(1, Array.emptyByteArray).clone() // MM, 1 page
+    val nextOff = 8 + 2 + 3 * 12 // big-endian u32 next pointer
+    cyc(nextOff) = 0; cyc(nextOff + 1) = 0; cyc(nextOff + 2) = 0; cyc(nextOff + 3) = 8
+    assert(Multimodal.decodeTiffBytes(cyc)._2 == "raw")
+    // an IFD offset past the buffer → raw
+    val far = Multimodal.synthTiffBytes(1, Array.emptyByteArray).clone()
+    far(4) = 0x7f.toByte // MM: high byte of the first-IFD offset
+    assert(Multimodal.decodeTiffBytes(far)._2 == "raw")
+  }
 }

