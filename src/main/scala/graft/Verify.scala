@@ -102,6 +102,18 @@ object Verify {
       val pqBatchRecall = if (brute.isEmpty) 1.0
         else brute.intersect(pqBatch).size.toDouble / brute.size
 
+      // emb_ann_mips_lsh: recall of the norm-augmentation LSH top-5 vs
+      // the exact MIPS top-5 on the same 10-query subset (the ranking
+      // target is the raw inner product, NOT cosine)
+      val mipsExact = graft.ann.Similarity.mipsTopK(emb,
+          emb.filter(col("vec_id") < nQ), 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mipsLsh = graft.ann.Similarity.mipsLshTopK(emb, 5, nQ,
+          dim = graft.operators.AnnQueries.Dim, numRows = nEmb)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mipsRecall = if (mipsExact.isEmpty) 1.0
+        else mipsExact.intersect(mipsLsh).size.toDouble / mipsExact.size
+
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx"),
@@ -345,6 +357,8 @@ object Verify {
          | "floor": $ivfPqFloor, "pass": ${ivfPqRecall >= ivfPqFloor}},
          | "emb_ann_pq_batch": {"metric": "recall_vs_brute_force_top5_all_queries", "value": $pqBatchRecall,
          | "floor": $ivfPqFloor, "pass": ${pqBatchRecall >= ivfPqFloor}},
+         | "emb_ann_mips_lsh": {"metric": "recall_vs_exact_mips_top5", "value": $mipsRecall,
+         | "floor": $recallFloor, "pass": ${mipsRecall >= recallFloor}},
          | "text_heavy_hitters": {"metric": "max_undercount_frac_and_no_overestimates", "value": $hhMaxUnderFrac,
          | "ceiling": $hhCeil, "overestimates": $hhOver, "pass": $hhPass},
          | "agg_corr": {"metric": "min_measure_nonnegative", "value": $minMeasure,

@@ -59,6 +59,75 @@ object Similarity {
       .select("qid", "rnk", "nid", "cos")
   }
 
+  /** Exact maximum-inner-product top-k for each query vector (queries
+    * broadcast) — the retrieval scoring used when embeddings are NOT
+    * length-normalized (recommendation / reward-model scoring), where
+    * cosine and MIPS rank differently.
+    */
+  def mipsTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = v.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("ip", dot(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "ip")
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction (Bachrach et
+    * al., RecSys'14; Neyshabur & Srebro, ICML'15): append to each corpus
+    * vector the component √(M² − |x|²) (M = max corpus norm) and to
+    * each query a 0 — in the (dim+1)-space every corpus vector has
+    * norm M, so the query's cosine ordering there IS its inner-product
+    * ordering in the original space, and the symmetric sign-LSH
+    * machinery applies unchanged. Candidates come from multi-table
+    * multi-probe bucket joins in the augmented space (query side tiny,
+    * broadcast); scoring is the EXACT dot on the original vectors, so
+    * augmentation costs nothing in score precision.
+    *
+    * Scale shape: M is one scalar aggregate; bucket assignment is
+    * map-side; the per-table candidate join is qid-bounded (nQueries ×
+    * bucket size); the top-k window partitions on qid (bounded groups).
+    */
+  def mipsLshTopK(vectors: DataFrame, k: Int, nQueries: Int, dim: Int,
+                  bits: Int = 0, tables: Int = 16, probes: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  numRows: Long = -1L): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
+    val effBits = if (bits > 0) bits else autoBits(n)
+    val m2 = b.agg(max(dot(col(vecCol), col(vecCol))).as("m2"))
+    val aug = b.crossJoin(broadcast(m2)).withColumn("avec",
+      concat(col(vecCol), array(
+        sqrt(greatest(lit(0.0), col("m2") - dot(col(vecCol), col(vecCol))))
+          .cast("float"))))
+    val allPlanes = (0 until tables).flatMap(t => hyperplanes(effBits, dim + 1, seed = 7L + t))
+    val width = probes + 1
+    // corpus side: one bucket per table; query side: multi-probe
+    val cBuckets = aug.withColumn("bs",
+        graft.functions.VectorExpressions.lshBuckets(col("avec"), allPlanes, dim + 1, effBits, 0))
+      .select(col(idCol).as("nid"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val qAug = b.filter(col(idCol) < nQueries).withColumn("avec",
+      concat(col(vecCol), array(lit(0.0f))))
+    val qBuckets = qAug.withColumn("bs",
+        graft.functions.VectorExpressions.lshBuckets(col("avec"), allPlanes, dim + 1, effBits, probes))
+      .select(col(idCol).as("qid"), posexplode(col("bs")).as(Seq("i", "bucket")))
+      .select(col("qid"), (col("i") / width).cast("int").as("tbl"), col("bucket"))
+    val cand = cBuckets.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+    val qSide = b.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .filter(col("qid") < nQueries)
+    val nSide = b.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = cand.join(broadcast(qSide), "qid")
+      .join(nSide.hint("shuffle_hash"), "nid")
+      .withColumn("ip", dot(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "ip")
+  }
+
   /** Deterministic pseudorandom hyperplanes (LCG, seed-fixed): `bits`
     * planes of dimension `dim`, components in [-1, 1).
     */

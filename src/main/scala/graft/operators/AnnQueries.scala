@@ -22,7 +22,7 @@ object AnnQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val Dim = 64
+  val Dim = 64
   private val TopK = 5
   val NQueries = 10
   // bits auto-tune to ~log2(n/32) so per-query candidates stay
@@ -70,6 +70,26 @@ object AnnQueries {
     "emb_ann_lsh" -> { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), TopK, LshBits, Dim, LshTables,
           numRows = Tables.cachedCount(s, d, "embeddings"), probes = LshProbes)
+        .orderBy("qid", "rnk")
+    },
+
+    // Exact maximum-inner-product top-k (un-normalized embeddings rank
+    // differently under dot than under cosine — the recommendation /
+    // reward-scoring retrieval mode). The dot is the same
+    // left-associated double sequence in both engines → hash-exact.
+    "emb_ann_mips" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") < NQueries), TopK)
+        .orderBy("qid", "rnk")
+    },
+
+    // Approximate MIPS via the norm-augmentation reduction to cosine
+    // sign-LSH (every corpus vector lifted to norm M in dim+1 space,
+    // queries augmented with 0, exact-dot re-rank). Rows-only by
+    // design; Verify checks recall vs the exact MIPS top-k.
+    "emb_ann_mips_lsh" -> { (s, d) =>
+      Similarity.mipsLshTopK(Tables.embeddings(s, d), TopK, NQueries, Dim,
+          numRows = Tables.cachedCount(s, d, "embeddings"))
         .orderBy("qid", "rnk")
     },
 
@@ -414,6 +434,18 @@ object AnnQueries {
          |SELECT qid, rnk, nid, cos FROM (
          |  SELECT qid, nid, cos,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    "emb_ann_mips" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries),
+         |v AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),
+         |scored AS (
+         |  SELECT qid, nid, (${dotSql("qvec", "nvec")}) AS ip
+         |  FROM q, v WHERE qid <> nid)
+         |SELECT qid, rnk, nid, ip FROM (
+         |  SELECT qid, nid, ip,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
 

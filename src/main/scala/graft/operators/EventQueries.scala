@@ -320,6 +320,30 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Salted skew join (SkewOps.saltedJoin's oracle row): events keyed
+    // on `event_type` — FIVE distinct values over the whole corpus, the
+    // pathological case where a plain shuffle join lands all 100 TB on
+    // five reducers. The big side salts each row into 32 deterministic
+    // buckets (hash of event_id, not rand() — stable under retries);
+    // the 5-row dim replicates ×32 (still broadcast-sized at any corpus
+    // scale). The weighted sum is fixed-point (floor(value·1e6 + 0.5)
+    // longs × integer weights) so the aggregate is exact integer
+    // arithmetic under any shuffle order; the oracle joins plain — the
+    // salt must be invisible in the result.
+    "join_skew_salted" -> { (s, d) =>
+      val events = ev(s, d)
+      val dim = events.select("event_type").distinct()
+        .withColumn("weight", (length(col("event_type")) % 7 + 1).cast("long"))
+      SkewOps.saltedJoin(events, dim, Seq("event_type"),
+          salts = 32, saltBy = Seq(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6 + 0.5).cast("long") * col("weight"))
+            .as("wsum_fp"))
+        .select("event_type", "n", "wsum_fp")
+        .orderBy("event_type")
+    },
+
     // Cohort retention (the activation dashboard): users cohort by
     // their first-seen day; each active (user, day) pair lands in the
     // (cohort_day, day_offset) cell. Two hash aggregates and one join
@@ -648,6 +672,19 @@ object EventQueries {
          |FROM bounds b LEFT JOIN (SELECT user_id, $tsUs AS us FROM events) e
          |  ON e.us BETWEEN b.start_us AND b.end_us AND e.user_id <> b.user_id
          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle joins PLAIN (no salt) — the salted plan must be
+    // result-invisible
+    "join_skew_salted" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) % 7 + 1 AS BIGINT) AS weight
+        |  FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(e.value * 1e6 + 0.5) AS BIGINT) * d.weight)
+        |    AS BIGINT) AS wsum_fp
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the anchored count-or-time semantics as a sequential recursive
     // CTE: one row per key per iteration, exactly the scan in

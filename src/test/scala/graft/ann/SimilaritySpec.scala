@@ -49,6 +49,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("MIPS: exact top-k ranks by raw inner product; norm-augmented LSH clears recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nQ = 10
+    val exact = Similarity.mipsTopK(emb, emb.filter(col("vec_id") < nQ), 5).collect()
+    // k rows per query, descending inner product, ties by nid
+    exact.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val ips = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ips.zip(ips.tail).forall { case (a, b) => a >= b })
+    }
+    val mipsSet = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // MIPS genuinely differs from cosine when norms vary: on a
+    // hand-built fixture a long near-miss vector beats a short perfectly
+    // aligned one under dot, and loses under cosine
+    locally {
+      import spark.implicits._
+      val fix = Seq(
+        (0L, Array(1.0f, 0.0f)),  // query
+        (1L, Array(0.9f, 0.0f)),  // aligned, short
+        (2L, Array(5.0f, 3.0f))). // misaligned, long
+        toDF("vec_id", "embedding")
+      val q = fix.filter(col("vec_id") === 0L)
+      val topDot = Similarity.mipsTopK(fix, q, 1).collect().head.getLong(2)
+      val topCos = Similarity.bruteForceTopK(fix, q, 1).collect().head.getLong(2)
+      assert(topDot == 2L && topCos == 1L, s"dot=$topDot cos=$topCos")
+    }
+    // the augmentation reduction: LSH in dim+1 space reaches the floor
+    val approx = Similarity.mipsLshTopK(emb, 5, nQ, dim = 64, numRows = n)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mipsSet.intersect(approx).size.toDouble / mipsSet.size
+    assert(recall >= 0.7, s"MIPS LSH recall too low: $recall")
+    assert(approx.forall { case (q, nb) => q != nb })
+  }
+
   test("IVF reaches usable recall vs brute force (sf0.001)") {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
