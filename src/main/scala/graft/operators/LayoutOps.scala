@@ -234,6 +234,67 @@ object LayoutOps {
       .write.mode("overwrite").parquet(sidecar)
   }
 
+  /** Compaction plan from the manifest alone (driver-side, the sidecar
+    * is kilobytes at any table size): the data files holding fewer than
+    * `targetRows` rows — the small-file debt the append cadence
+    * accumulates — plus how many target-sized outputs their union
+    * repacks into. Files already at or above target are never
+    * rewritten (no write amplification on settled data).
+    */
+  def compactionPlan(spark: SparkSession, path: String,
+                     targetRows: Long): (Seq[String], Seq[String], Int) = {
+    val rowsOf = spark.read.parquet(s"$path/_manifest")
+      .select("file", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val (small, keep) = rowsOf.partition(_._2 < targetRows)
+    val total = small.map(_._2).sum
+    val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+    (small.map(_._1).toSeq.sorted, keep.map(_._1).toSeq.sorted, nOut)
+  }
+
+  /** Execute the plan: ONE job range-repartitions the union of the
+    * small files on `statsCol` into `nOut` target-sized,
+    * range-clustered outputs (compaction must not destroy the zone-map
+    * locality the range writes bought — a hash repack would smear
+    * every range over every file), appends them, deletes the originals
+    * and rewrites the sidecar (kept rows + fresh stats for the new
+    * files). Only small-file bytes move; settled files are untouched.
+    * Single-writer cadence, like [[appendWithManifest]]. Returns
+    * (#files compacted away, #files written).
+    */
+  def compact(spark: SparkSession, path: String, statsCol: String,
+              targetRows: Long): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val (small, keep, nOut) = compactionPlan(spark, path, targetRows)
+    if (small.size <= 1) return (0, 0)
+    val sidecar = s"$path/_manifest"
+    val keptRows = spark.read.parquet(sidecar)
+      .filter(col("file").isin(keep: _*))
+      .select("file", "lo", "hi", "rows").collect().toSeq
+    val before = listDataFiles(spark, path)
+    spark.read.parquet(small: _*)
+      .repartitionByRange(nOut, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode("append").parquet(path)
+    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+        count(lit(1)).as("rows"))
+    val schema = freshStats.schema
+    val merged = keptRows ++ freshStats.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged, 1), schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sidecar)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    small.foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    (small.size, fresh.size)
+  }
+
   /** Data files (not sidecars/markers) under `path`, as Hadoop URIs. */
   private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -203,6 +203,49 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"manifest kept $survivors/$total files for a narrow range after appends")
   }
 
+  test("compaction repacks small files into range-clustered targets; data, manifest, and pruning parity hold") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val stripe = (kHi - kLo) / 4 + 1
+    def slice(i: Int) = li.filter(
+      col("l_orderkey").between(kLo + i * stripe, kLo + (i + 1) * stripe - 1))
+    LayoutOps.writeWithManifest(slice(0), "l_orderkey", dir, files = 4)
+    (1 to 3).foreach(i => LayoutOps.appendWithManifest(slice(i), "l_orderkey", dir, files = 4))
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val nRows = before.size.toLong
+
+    // every file is small vs a half-table target → all 16 repack
+    val target = nRows / 2 + 1
+    val (plannedSmall, plannedKeep, plannedOut) =
+      LayoutOps.compactionPlan(spark, dir, target)
+    assert(plannedSmall.size == 16 && plannedKeep.isEmpty && plannedOut == 2)
+    val (gone, born) = LayoutOps.compact(spark, dir, "l_orderkey", target)
+    assert(gone == 16 && born == 2)
+
+    // data parity: nothing lost, nothing duplicated
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+
+    // manifest parity: exactly the new files, totals preserved
+    val manifest = spark.read.parquet(s"$dir/_manifest").collect()
+    assert(manifest.length == 2 && manifest.map(_.getAs[Long]("rows")).sum == nRows)
+
+    // range clustering survived: a narrow scan still prunes to 1 file
+    val (pruned, survivors, total) =
+      LayoutOps.readPruned(spark, dir, "l_orderkey", kLo, kLo + stripe / 5)
+    val expect = spark.read.parquet(dir)
+      .filter(col("l_orderkey").between(kLo, kLo + stripe / 5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
+    assert(total == 2 && survivors == 1, s"$survivors/$total files for a narrow range")
+
+    // settled files are never rewritten: re-compact with a tiny target
+    assert(LayoutOps.compact(spark, dir, "l_orderkey", targetRows = 2) == ((0, 0)))
+  }
+
   test("manifest zone maps skip most FILES on a narrow range; results equal the plain scan") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select("l_orderkey", "l_partkey", "l_quantity")
