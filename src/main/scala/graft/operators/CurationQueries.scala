@@ -85,6 +85,9 @@ object CurationQueries {
   private[operators] val QuotaK = 20
   private[operators] val QuotaSalt = 64
 
+  /** Exact global sample size for `sample_fixed_n`. */
+  private[operators] val FixedN = 100
+
   /** `sample_split` slot boundaries (of 100): train / validation / rest test. */
   private[operators] val SplitTrainPct = 98
   private[operators] val SplitValPct = 1
@@ -326,6 +329,21 @@ object CurationQueries {
         .orderBy("lang", "rnk")
     },
 
+    // Exact-N global sample: the FixedN documents with the smallest
+    // portable-hash rank — the deterministic, re-runnable stand-in for
+    // "give me exactly N random docs" (reservoir sampling without the
+    // sequential reservoir). Shape: orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition N-row heaps merged on the
+    // driver, never a global sort; at 100 TB the driver sees
+    // partitions × N ids, nothing row-scaled.
+    "sample_fixed_n" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), expr(mixSql).as("mix"))
+        .orderBy(col("mix"), col("doc_id")).limit(FixedN)
+        .select("doc_id", "lang", "mix")
+        .orderBy("doc_id")
+    },
+
     // Mixture repetition planning (epoch-level source reweighting, the
     // Dolma/RedPajama-style "see shard X 3.0 times per epoch"): the
     // integer part of each source's weight repeats every document, the
@@ -555,6 +573,12 @@ object CurationQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $mixSql % 10 <
          |  CASE WHEN lang = 'en' THEN $EnTenths ELSE $OtherTenths END
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_fixed_n" ->
+      s"""SELECT doc_id, lang, mix FROM (
+         |  SELECT doc_id, lang, $mixSql AS mix FROM documents
+         |  ORDER BY mix, doc_id LIMIT $FixedN)
          |ORDER BY doc_id""".stripMargin,
 
     "sample_quota" ->

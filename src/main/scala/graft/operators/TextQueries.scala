@@ -1009,6 +1009,32 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"),
           (col("nll_fp").cast("double") / (col("n_tokens") * Fp)).as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // Per-document unigram entropy (the gibberish/boilerplate quality
+    // signal next to compress_ratio: near-zero entropy = one token
+    // repeated, high = diverse vocabulary). Same fixed-point discipline
+    // as text_perplexity — per-(doc, word) surprisal ln(n_d/c) is
+    // quantized to a BIGINT BEFORE the per-doc sum, so the aggregate is
+    // exact integer arithmetic under any shuffle order; here the
+    // distribution is the document's OWN token histogram, not the
+    // corpus LM. Shape: one (doc, word) hash aggregate, a per-doc
+    // total, and a join that reuses the doc_id partitioning.
+    "text_entropy" -> { (s, d) =>
+      val Fp = 1e6
+      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val nd = dc.groupBy("doc_id").agg(sum("c").as("n"))
+      dc.join(nd, "doc_id")
+        .withColumn("surp_fp",
+          floor(log(col("n").cast("double") / col("c")) * Fp + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(first(col("n")).as("n_tokens"),
+          sum(col("c") * col("surp_fp")).as("h_fp"))
+        .select(col("doc_id"), col("n_tokens"), col("h_fp"),
+          (col("h_fp").cast("double") / (col("n_tokens") * Fp)).as("entropy"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1516,6 +1542,22 @@ object TextQueries {
          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
          |  CAST(SUM(c * lp_fp) AS DOUBLE) / (SUM(c) * 1000000.0) AS avg_nll
          |FROM dc JOIN vfp USING (w)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH dc AS (
+         |  SELECT doc_id, w, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(toks) AS w
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |    WHERE len(toks) > 0)
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM dc GROUP BY 1),
+         |s AS (
+         |  SELECT doc_id, c, n,
+         |    CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1000000.0 + 0.5) AS BIGINT) AS surp_fp
+         |  FROM dc JOIN nd USING (doc_id))
+         |SELECT doc_id, n AS n_tokens, CAST(SUM(c * surp_fp) AS BIGINT) AS h_fp,
+         |  CAST(SUM(c * surp_fp) AS DOUBLE) / (n * 1000000.0) AS entropy
+         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   )
 }

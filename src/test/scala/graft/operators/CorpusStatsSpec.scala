@@ -347,6 +347,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.valuesIterator.map(_._2).sum >= 0L)
   }
 
+  test("text_entropy matches a naive driver-side fixed-point recompute; repetition scores lower") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq)
+      .filter(_._2.nonEmpty)
+    val expected = toks.map { case (id, t) =>
+      val n = t.size.toLong
+      val hFp = t.groupBy(identity).values.map { g =>
+        val c = g.size.toLong
+        c * math.floor(math.log(n.toDouble / c) * 1e6 + 0.5).toLong
+      }.sum
+      id -> (n, hFp, hFp.toDouble / (n * 1e6))
+    }.toMap
+    val got = SparkEntry.queries("text_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    // the signal: a one-token document has entropy 0, diverse text > 0
+    assert(got.valuesIterator.exists(_._3 > 1.0))
+  }
+
   test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)

@@ -113,6 +113,21 @@ class CurationQueriesSpec extends AnyFunSuite {
       s"PPS should over-sample long docs: kept mean $keptMean vs corpus ${ctot.toDouble / rows.length}")
   }
 
+  test("sample_fixed_n: exactly N docs, the mix-order prefix, via TakeOrdered not a global sort") {
+    import org.apache.spark.sql.functions._
+    val ids = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = ids.sortBy(id => (mix(id), id)).take(100).toSet
+    val q = SparkEntry.queries("sample_fixed_n")(spark, dir)
+    val got = q.collect().map(_.getAs[Long]("doc_id"))
+    assert(got.length == 100 && got.toSet == expect)
+    assert(got.sorted.sameElements(got), "presentation order is doc_id")
+    // scale shape: the limit plans as TakeOrdered (per-partition heaps
+    // merged on the driver), never a whole-table Sort+Exchange
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered"), s"expected TakeOrderedAndProject in:\n$p")
+  }
+
   test("sample_quota: exactly K per stratum, ranked by the portable mix order") {
     val strata = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "lang").collect()
