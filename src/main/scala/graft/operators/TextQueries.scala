@@ -227,6 +227,62 @@ object TextQueries {
     corpus.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("index_doc"))
 
+  /** One row per fixed-length token chunk of each document: (doc_id,
+    * idx, chunk) — the explode is PER ROW (no aggregation), so the
+    * same expression runs on a stream ([[chunkExplodeCols]]).
+    */
+  private[graft] def chunkRows(df: DataFrame): DataFrame =
+    withToks(df).filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(chunkArrayExpr(col("toks"))))
+      .toDF("doc_id", "idx", "chunk")
+
+  /** The chunk array of a token array — `ChunkDedupLen`-token slices
+    * joined back to strings. The last-chunk index is computed with the
+    * subtract-remainder form, whose double division is exact (the
+    * numerator is a multiple of L and IEEE division is correctly
+    * rounded) — no floored-double misrounding at integer boundaries
+    * (verify-skill note 10).
+    */
+  private[graft] def chunkArrayExpr(toks: Column): Column = {
+    val L = ChunkDedupLen
+    val n1 = size(toks) - 1
+    val lastIdx = ((n1 - pmod(n1, lit(L))) / L).cast("int")
+    transform(sequence(lit(0), lastIdx),
+      j => array_join(slice(toks, j * L + 1, lit(L)), " "))
+  }
+
+  /** Chunk-granular exact index over a settled corpus: one row per
+    * distinct chunk text (keyed by md5), carrying the (doc, idx)
+    * keeper. The chunk analogue of [[buildExactIndex]].
+    */
+  def buildChunkIndex(corpus: DataFrame): DataFrame =
+    chunkRows(corpus).groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
+      .select(col("h"), col("keeper.doc_id").as("index_doc"),
+        col("keeper.idx").as("index_idx"))
+
+  /** Per-chunk verdicts for a new batch against a chunk index:
+    * `corpus_dup` (chunk already admitted), `batch_dup` (an earlier
+    * (doc, idx) instance IN THIS BATCH holds it), or `unique`. Same
+    * probe discipline as [[probeExactIndex]]: the index side is probed
+    * with a BROADCAST of the batch's distinct chunk hashes — the
+    * corpus index is scanned once, shuffled never.
+    */
+  def probeChunkIndex(index: DataFrame, batchChunks: DataFrame): DataFrame = {
+    val hashed = batchChunks.withColumn("h", md5(col("chunk")))
+    val hits = index.join(broadcast(hashed.select("h").distinct()), "h")
+    val firstIn = hashed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    hashed
+      .join(firstIn, "h")
+      .join(hits, Seq("h"), "left")
+      .select(col("doc_id"), col("idx"),
+        when(col("index_doc").isNotNull, lit("corpus_dup"))
+          .when(col("doc_id") =!= col("f.doc_id") || col("idx") =!= col("f.idx"),
+            lit("batch_dup"))
+          .otherwise(lit("unique")).as("verdict"))
+  }
+
   /** Verdict per batch document against an exact index: `corpus_dup`
     * (hash already admitted — `dup_of` = the index keeper),
     * `batch_dup` (first seen earlier IN THIS BATCH — `dup_of` = the
@@ -455,6 +511,27 @@ object TextQueries {
       val batch = all.filter(col("doc_id") % 10 < 3)
       val corpus = all.filter(col("doc_id") % 10 >= 3)
       probeExactIndex(buildExactIndex(corpus), batch)
+        .orderBy("doc_id")
+    },
+
+    // Incremental CHUNK dedup: the daily-batch shape at paragraph
+    // granularity — the settled corpus's chunk index (one row per
+    // distinct 32-token chunk, min-(doc,idx) keeper) is probed by the
+    // incoming 30% split; per new document, how many of its chunks are
+    // already in the corpus, duplicated earlier within the batch, or
+    // genuinely new. Same scan-only-index discipline as
+    // dedup_incremental: batch hashes broadcast INTO the index scan,
+    // the corpus side never shuffles. Streaming arm:
+    // streaming/StreamingDedup.probeChunkIndexStream.
+    "dedup_incremental_chunks" -> { (s, d) =>
+      val all = docs(s, d)
+      val index = buildChunkIndex(all.filter(col("doc_id") % 10 >= 3))
+      probeChunkIndex(index, chunkRows(all.filter(col("doc_id") % 10 < 3)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("verdict") === "corpus_dup", 1L).otherwise(0L)).as("n_corpus_dup"),
+          sum(when(col("verdict") === "batch_dup", 1L).otherwise(0L)).as("n_batch_dup"),
+          sum(when(col("verdict") === "unique", 1L).otherwise(0L)).as("n_unique"))
         .orderBy("doc_id")
     },
 
@@ -928,12 +1005,7 @@ object TextQueries {
     // one equi-join back on that same key — both data-sized, no
     // windows over unbounded groups, no driver state.
     "text_chunk_dedup" -> { (s, d) =>
-      val L = ChunkDedupLen
-      val t = withToks(docs(s, d)).filter(size(col("toks")) > 0)
-      val chunks = t.select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), expr(s"(size(toks) - 1) div $L")),
-          j => array_join(slice(col("toks"), j * L + 1, lit(L)), " "))))
-        .toDF("doc_id", "idx", "chunk")
+      val chunks = chunkRows(docs(s, d))
         .withColumn("n_ctoks", size(split(col("chunk"), " ")).cast("long"))
       val firsts = chunks.groupBy("chunk")
         .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
@@ -1453,6 +1525,31 @@ object TextQueries {
          |  CAST(COUNT(*) - SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
          |    / COUNT(*) AS keep_ratio
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_incremental_chunks" -> {
+      val L = ChunkDedupLen
+      s"""WITH t AS (SELECT doc_id, toks FROM
+         |    (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id,
+         |    unnest(range(0, (len(toks)-1)//$L + 1)) AS idx,
+         |    unnest(list_transform(range(0, (len(toks)-1)//$L + 1),
+         |      i -> array_to_string(toks[i*$L+1 : i*$L+$L], ' '))) AS chunk
+         |  FROM t),
+         |k AS (SELECT DISTINCT chunk FROM c WHERE doc_id % 10 >= 3),
+         |b AS (SELECT doc_id, idx, chunk,
+         |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS first_b
+         |  FROM c WHERE doc_id % 10 < 3),
+         |v AS (SELECT b.doc_id,
+         |    CASE WHEN k.chunk IS NOT NULL THEN 'corpus_dup'
+         |         WHEN NOT first_b THEN 'batch_dup' ELSE 'unique' END AS verdict
+         |  FROM b LEFT JOIN k USING (chunk))
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN verdict = 'corpus_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_dup,
+         |  CAST(SUM(CASE WHEN verdict = 'batch_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
+         |  CAST(SUM(CASE WHEN verdict = 'unique' THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "text_pmi_bigrams" ->

@@ -18,6 +18,14 @@ final case class DedupVerdict(doc_id: Long, verdict: String, dup_of: Option[Long
 /** A streamed document's best near-dup match in the corpus index. */
 final case class MinhashMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
 
+/** A streamed chunk after the stream-static chunk-index join. */
+final case class ChunkProbe(docId: Long, idx: Int, h: String, indexDoc: Option[Long])
+
+/** The chunk-granular incremental-dedup verdict row, identical to the
+  * batch `TextQueries.probeChunkIndex` schema.
+  */
+final case class ChunkVerdict(doc_id: Long, idx: Int, verdict: String)
+
 /** Streaming incremental dedup: the ingestion-time arm of the
   * persisted-index probe. New documents arrive as a stream, the
   * corpus index is a STATIC table (stream-static left join — Spark
@@ -112,6 +120,56 @@ object StreamingDedup {
           val best = rows.toSeq.groupBy(_._2).view.mapValues(_.head._3).toSeq
             .sortBy { case (b, est) => (-est, b) }.head
           Iterator.single(MinhashMatch(a, best._1, best._2))
+      }
+  }
+
+  /** Streaming CHUNK-granular incremental dedup: each arriving
+    * document explodes into its 32-token chunks PER ROW (no
+    * aggregation — [[graft.operators.TextQueries.chunkArrayExpr]] is
+    * stream-safe), the chunk hashes stream-static-join the persisted
+    * chunk index, and within-stream duplicates resolve through
+    * `flatMapGroupsWithState` keyed on the chunk hash with the first
+    * (doc, idx) arrival as the remembered keeper. Verdicts match the
+    * batch [[graft.operators.TextQueries.probeChunkIndex]] when
+    * documents arrive in doc-id order, under ANY micro-batch chopping;
+    * state per chunk hash is one (long, int) keeper pair — bounded by
+    * distinct NEW chunks, not stream length.
+    */
+  def probeChunkIndexStream(index: DataFrame, docStream: DataFrame): Dataset[ChunkVerdict] = {
+    import graft.operators.TextQueries
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val chunks = docStream
+      .withColumn("toks", toks).filter(size(col("toks")) > 0)
+      .select(col("doc_id").cast("long").as("docId"),
+        posexplode(TextQueries.chunkArrayExpr(col("toks"))))
+      .toDF("docId", "idx", "chunk")
+      .withColumn("h", md5(col("chunk")))
+    val joined = chunks
+      .join(index.withColumnRenamed("index_doc", "indexDoc"), Seq("h"), "left")
+      .select(col("docId"), col("idx"), col("h"),
+        col("indexDoc").cast("long").as("indexDoc"))
+      .as[ChunkProbe]
+    joined.groupByKey(_.h)
+      .flatMapGroupsWithState[(Long, Int), ChunkVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[(Long, Int)]) =>
+          // (doc, idx) order inside the micro-batch: deterministic
+          // under any shuffle interleaving
+          val sorted = rows.toIndexedSeq.sortBy(r => (r.docId, r.idx))
+          var keeper: Option[(Long, Int)] = state.getOption
+          val out = sorted.map { r =>
+            if (r.indexDoc.isDefined) ChunkVerdict(r.docId, r.idx, "corpus_dup")
+            else keeper match {
+              case Some(_) => ChunkVerdict(r.docId, r.idx, "batch_dup")
+              case None =>
+                keeper = Some((r.docId, r.idx))
+                ChunkVerdict(r.docId, r.idx, "unique")
+            }
+          }
+          keeper.foreach(f => if (!state.exists || state.get != f) state.update(f))
+          out.iterator
       }
   }
 }

@@ -80,6 +80,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk probe equals the batch chunk probe across 3 micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batchDf = all.filter(col("doc_id") % 10 < 3)
+    val index = TextQueries.buildChunkIndex(all.filter(col("doc_id") % 10 >= 3))
+    val expected = TextQueries.probeChunkIndex(index, TextQueries.chunkRows(batchDf))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(expected.map(_._3).distinct.size == 3,
+      "sf0.001 split must exercise all three verdicts")
+
+    val docs = batchDf.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = StreamingDedup.probeChunkIndexStream(
+      index, mem.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("incdedup_chunk")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("incdedup_chunk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("keeper state crosses micro-batch boundaries (later dup points at first batch's keeper)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -124,6 +124,34 @@ class StreamingRestartSpec extends AnyFunSuite {
     out
   }
 
+  test("chunk-dedup verdicts survive kill/restart (per-chunk keeper state recovers)") {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batchDf = all.filter(col("doc_id") % 10 < 3)
+    val index = TextQueries.buildChunkIndex(all.filter(col("doc_id") % 10 >= 3))
+    val expected = TextQueries.probeChunkIndex(index, TextQueries.chunkRows(batchDf))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+
+    val lines = batchDf.select("doc_id", "text").collect().sortBy(_.getLong(0))
+      .map { r =>
+        val txt = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        s"""{"doc_id":${r.getLong(0)},"text":"$txt"}"""
+      }.toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingDedup.probeChunkIndexStream(index, stream)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(got.nonEmpty && got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("HLL distinct estimates survive kill/restart (register state recovers)") {
     import spark.implicits._
     val all = graft.sources.Tables.events(spark, dir)
