@@ -169,6 +169,44 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Hilbert value of two numeric columns: the same one-pass min/max
+    * 16-bit bucketing as [[zValue]], but interleaved along the
+    * order-16 Hilbert curve instead of Morton. Consecutive Hilbert
+    * indexes are always edge-adjacent cells (no quadrant-seam jumps),
+    * so a box predicate decomposes into fewer, longer index runs —
+    * measurably fewer row groups per scan than Z-order on the same
+    * data (LayoutOpsSpec measures both). The per-row cost is a 16-step
+    * codegen'd kernel loop ([[graft.functions.HilbertIndex2]]).
+    */
+  def hilbertValue(df: DataFrame, c1: String, c2: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val buckets = Seq(c1, c2).zipWithIndex.map { case (c, i) =>
+      val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536).cast("long"),
+        lit(65535L))
+    }
+    graft.functions.VectorExpressions.hilbert2(buckets(0), buckets(1))
+  }
+
+  /** Hilbert-ordered write — same layout contract as [[writeZOrdered]]
+    * (one range exchange at write time, small row groups for min/max
+    * pruning), curve order instead of Z.
+    */
+  def writeHilbertOrdered(df: DataFrame, c1: String, c2: String, path: String,
+                          files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__h", hilbertValue(df, c1, c2))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(path)
+  }
+
   // ---- File-level zone maps: a MANIFEST of per-file min/max stats.
   // Parquet footers already prune ROW GROUPS, but Spark still lists,
   // opens, and plans a task for every file — at 100 TB (hundreds of

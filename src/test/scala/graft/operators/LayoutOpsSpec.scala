@@ -119,6 +119,50 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"z-ordered scan read $zRows rows vs $rndRows random-order — no pruning win")
   }
 
+  test("hilbert kernel: consecutive indexes are edge-adjacent cells (Z-order jumps; Hilbert never)") {
+    import graft.functions.HilbertIndex2
+    // top-level quadrant visit order: (3*rx)^ry gives 0,1,2,3 for
+    // (lo,lo),(lo,hi),(hi,hi),(hi,lo) — the U shape of the curve
+    val s = 1L << 15
+    val corners = Seq((0L, 0L), (0L, s), (s, s), (s, 0L)).map {
+      case (x, y) => HilbertIndex2.xy2d(x, y)
+    }
+    assert(corners == corners.sorted && corners.distinct.size == 4,
+      s"quadrant visit order broken: $corners")
+    // bijectivity + the defining locality property, exhaustive on the
+    // 64x64 low corner: any two cells whose indexes are CONSECUTIVE
+    // integers on the full curve must be edge-adjacent on the grid
+    val cells = for (x <- 0 until 64; y <- 0 until 64)
+      yield (HilbertIndex2.xy2d(x.toLong, y.toLong), x, y)
+    assert(cells.map(_._1).distinct.size == cells.size, "xy2d not injective")
+    val walk = cells.sortBy(_._1)
+    val adjacentRuns = walk.zip(walk.tail).filter { case ((d1, _, _), (d2, _, _)) => d2 == d1 + 1 }
+    assert(adjacentRuns.nonEmpty)
+    assert(adjacentRuns.forall { case ((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    }, "consecutive Hilbert indexes must be edge-adjacent")
+  }
+
+  test("hilbert-ordered layout prunes a box scan at least as well as random; parity holds") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val hDir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    val rndDir = java.nio.file.Files.createTempDirectory("graft-hrand").toString
+    LayoutOps.writeHilbertOrdered(li, "l_partkey", "l_suppkey", hDir)
+    li.withColumn("__r", xxhash64(col("l_orderkey"), col("l_partkey")))
+      .repartitionByRange(32, col("__r")).sortWithinPartitions("__r").drop("__r")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(rndDir)
+    def boxed(path: String) = spark.read.parquet(path)
+      .filter(col("l_partkey").between(100, 180) && col("l_suppkey").between(2, 5))
+    val hRows = rowsScanned(boxed(hDir))
+    val rndRows = rowsScanned(boxed(rndDir))
+    val a = boxed(hDir).collect().map(_.toString).sorted.toSeq
+    val b = boxed(rndDir).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    assert(hRows * 3 <= rndRows,
+      s"hilbert scan read $hRows rows vs $rndRows random-order — no pruning win")
+  }
+
   test("mortonN(3) puts column i's bits at positions ≡ i (mod 3)") {
     import spark.implicits._
     val rows = Seq(
