@@ -244,6 +244,28 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "bucket")
     },
 
+    // Distributed PERCENT_RANK / CUME_DIST: both are pure functions of
+    // (row_number, group size) once the ordering is a total order
+    // (ties broken by key), so they ride ParallelRank's segmented row
+    // numbers + one broadcast count join — never a per-nation window
+    // that would cap the stage at 25 tasks on a 100-TB customer table.
+    // The divisions are the same (rn−1)/(n−1) and rn/n integer-operand
+    // doubles DuckDB's builtins compute — bit-identical.
+    "window_pct_rank" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val rn = ParallelRank.withRowNumber(cust, Seq(col("c_nationkey")),
+        Seq(col("c_acctbal"), col("c_custkey")), "rn")
+      val sizes = cust.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      rn.join(broadcast(sizes), "c_nationkey")
+        .select(col("c_nationkey"), col("c_custkey"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .as("pct_rank"),
+          (col("rn").cast("double") / col("n").cast("double")).as("cdist"))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+
     // Set operations (set semantics, like the reference's implicit
     // union upgraded to full algebra).
     "setop_intersect" -> { (s, d) =>
@@ -947,6 +969,14 @@ object RelationalQueries {
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "window_pct_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) AS cdist
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     "window_ntile" ->
       """SELECT c_mktsegment, bucket, COUNT(*) AS n_rows,

@@ -208,6 +208,10 @@ class ParallelRankSpec extends AnyFunSuite {
     queryDiff("pack_sequences")
   }
 
+  test("window_pct_rank: segmented percent_rank/cume_dist equals the plain window") {
+    queryDiff("window_pct_rank")
+  }
+
   test("agg_percentile: distributed order statistics equal the built-in percentile") {
     queryDiff("agg_percentile")
   }
