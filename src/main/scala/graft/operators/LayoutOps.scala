@@ -169,6 +169,18 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Write `df` hive-partitioned on `partCol` — the directory layout
+    * that turns partition-key predicates into LISTING-level pruning
+    * (no file is even opened) and lets Catalyst inject dynamic
+    * partition pruning into joins: a selective dimension filter
+    * becomes a runtime IN-subquery on the fact scan's PartitionFilters,
+    * so a 100-TB fact table joined to a filtered dim reads only the
+    * matching partitions. LayoutOpsSpec pins the `dynamicpruning`
+    * expression in the plan and row parity with the unpartitioned join.
+    */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Hilbert value of two numeric columns: the same one-pass min/max
     * 16-bit bucketing as [[zValue]], but interleaved along the
     * order-16 Hilbert curve instead of Morton. Consecutive Hilbert

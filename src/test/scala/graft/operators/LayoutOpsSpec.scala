@@ -119,6 +119,28 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"z-ordered scan read $zRows rows vs $rndRows random-order — no pruning win")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        (col("l_partkey") % 16).as("pk_bucket"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    LayoutOps.writePartitioned(li, "pk_bucket", dir)
+    val fact = spark.read.parquet(dir)
+    // a dim whose FILTER selects 2 of 16 partitions; the fact's
+    // partition column is only constrained THROUGH the join
+    val dim = spark.range(16).select(col("id").as("pk_bucket"),
+      (col("id") % 8).as("grp")).filter(col("grp") === 3)
+    val joined = fact.join(dim, "pk_bucket")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter in:\n${plan.take(2000)}")
+    // parity: DPP is an optimization, never a semantics change
+    val expect = li.filter(col("pk_bucket").isin(3L, 11L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = joined.collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("hilbert kernel: consecutive indexes are edge-adjacent cells (Z-order jumps; Hilbert never)") {
     import graft.functions.HilbertIndex2
     // top-level quadrant visit order: (3*rx)^ry gives 0,1,2,3 for
