@@ -514,6 +514,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The REWRITE pass chunk dedup exists to feed: drop every
+    // non-keeper chunk instance and re-materialize each surviving
+    // document (kept chunks re-joined in idx order) — the corpus a
+    // training run would actually read. Emits the rebuilt text's md5
+    // (not the text itself — presentation-safe at any doc size) plus
+    // kept/total token counts. Shape: the same two chunk-keyed
+    // shuffles as text_chunk_dedup plus one per-doc ordered
+    // reassembly — sort_array over the doc's own (idx, chunk) structs,
+    // a per-GROUP array sort (bounded by doc length), never a
+    // per-partition data sort.
+    "text_dedup_rewrite" -> { (s, d) =>
+      val chunks = chunkRows(docs(s, d))
+        .withColumn("n_ctoks", size(split(col("chunk"), " ")).cast("long"))
+      val firsts = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      chunks.join(firsts, "chunk")
+        .filter(col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_chunks"),
+          sum(col("n_ctoks")).as("kept_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("idx"), col("chunk")))),
+            e => e.getField("chunk")), " ")).as("rebuilt_md5"))
+        .select("doc_id", "kept_chunks", "kept_tokens", "rebuilt_md5")
+        .orderBy("doc_id")
+    },
+
     // Incremental CHUNK dedup: the daily-batch shape at paragraph
     // granularity — the settled corpus's chunk index (one row per
     // distinct 32-token chunk, min-(doc,idx) keeper) is probed by the
@@ -1525,6 +1552,27 @@ object TextQueries {
          |  CAST(COUNT(*) - SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
          |    / COUNT(*) AS keep_ratio
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "text_dedup_rewrite" -> {
+      val L = ChunkDedupLen
+      s"""WITH t AS (SELECT doc_id, toks FROM
+         |    (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id,
+         |    unnest(range(0, (len(toks)-1)//$L + 1)) AS idx,
+         |    unnest(list_transform(range(0, (len(toks)-1)//$L + 1),
+         |      i -> array_to_string(toks[i*$L+1 : i*$L+$L], ' '))) AS chunk,
+         |    unnest(list_transform(range(0, (len(toks)-1)//$L + 1),
+         |      i -> least($L, len(toks) - i*$L))) AS n_ctoks
+         |  FROM t),
+         |k AS (SELECT doc_id, idx, chunk, n_ctoks,
+         |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+         |  FROM c)
+         |SELECT doc_id, COUNT(*) AS kept_chunks,
+         |  CAST(SUM(n_ctoks) AS BIGINT) AS kept_tokens,
+         |  md5(string_agg(chunk, ' ' ORDER BY idx)) AS rebuilt_md5
+         |FROM k WHERE kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "dedup_incremental_chunks" -> {

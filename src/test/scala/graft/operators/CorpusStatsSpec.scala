@@ -368,6 +368,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.valuesIterator.exists(_._3 > 1.0))
   }
 
+  test("text_dedup_rewrite: rebuilt docs equal a naive keep-first reassembly") {
+    import org.apache.spark.sql.functions._
+    val L = TextQueries.ChunkDedupLen
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = toks.flatMap { case (id, t) =>
+      val kept = t.grouped(L).map(_.mkString(" ")).filter(seen.add).toIndexedSeq
+      if (kept.isEmpty) None
+      else {
+        val rebuilt = kept.mkString(" ")
+        val m = java.security.MessageDigest.getInstance("MD5")
+          .digest(rebuilt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        Some(id -> (kept.size.toLong,
+          kept.iterator.map(_.split(' ').length.toLong).sum, m))
+      }
+    }.toMap
+    val got = SparkEntry.queries("text_dedup_rewrite")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+  }
+
   test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)
