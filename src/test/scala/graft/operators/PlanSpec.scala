@@ -62,6 +62,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
   }
 
+  test("runtime bloom-filter injection fires on a selective shuffle join (the 100-TB shuffle reducer)") {
+    import org.apache.spark.sql.functions._
+    // thresholds sized for the fixture: at real scale the defaults
+    // (10 GB application side) gate the same rewrite
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 10 === 0)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      // Catalyst builds a bloom filter over the FILTERED dim's keys and
+      // pushes it into the fact scan side — most fact rows die before
+      // the shuffle instead of after the join
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"no runtime bloom filter in:\n${p.take(1200)}")
+      // semantics unchanged: same rows as the unfiltered-plan join
+      val expect = {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .count()
+      }
+      assert(j.count() == expect && expect > 0)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("minhash aggregation is partial (map-side) before the shuffle") {
     val p = plan("dedup_minhash_lsh")
     // partial_min markers appear in HashAggregate before the exchange
