@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Versioned-manifest contract: time travel across appends and
+  * compaction, snapshot-pinned pruning parity, crash-orphan
+  * invisibility, and vacuum reclaiming exactly the unreferenced files.
+  */
+class ManifestLogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    .select("l_orderkey", "l_partkey", "l_quantity")
+
+  test("append/compact write snapshots; every version time-travels exactly; vacuum reclaims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog").toString
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val stripe = (kHi - kLo) / 3 + 1
+    def slice(i: Int) = li.filter(
+      col("l_orderkey").between(kLo + i * stripe, kLo + (i + 1) * stripe - 1))
+    def sliceRows(n: Int) = (0 until n).map(slice).reduce(_ union _)
+      .collect().map(_.toString).sorted.toSeq
+
+    ManifestLog.write(slice(0), "l_orderkey", dir, files = 4)
+    ManifestLog.append(slice(1), "l_orderkey", dir, files = 4)
+    ManifestLog.append(slice(2), "l_orderkey", dir, files = 4)
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+
+    // time travel: version v sees exactly the first v slices
+    for (v <- 1 to 3) {
+      val (df, _, total) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey",
+        kLo, kHi, version = v)
+      assert(df.collect().map(_.toString).sorted.toSeq == sliceRows(v), s"v$v data")
+      assert(total == 4 * v, s"v$v file count")
+    }
+
+    // pinned pruning: a narrow range at v2 skips most of v2's files
+    val (pruned, survivors, total2) = ManifestLog.readPrunedAt(spark, dir,
+      "l_orderkey", kLo, kLo + stripe / 5, version = 2)
+    val expectNarrow = slice(0)
+      .filter(col("l_orderkey") <= kLo + stripe / 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == expectNarrow)
+    assert(total2 == 8 && survivors * 3 <= total2, s"$survivors/$total2 survived")
+
+    // compaction: v4 swaps the 12 small files for 2, data identical to
+    // v3; v3 still resolves because the originals stay on disk
+    val target = li.count() / 2 + 1
+    val (gone, born) = ManifestLog.compact(spark, dir, "l_orderkey", target)
+    assert(gone == 12 && born == 2)
+    val (v4, _, t4) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(v4.collect().map(_.toString).sorted.toSeq == sliceRows(3) && t4 == 2)
+    val (v3, _, t3) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, 3)
+    assert(v3.collect().map(_.toString).sorted.toSeq == sliceRows(3) && t3 == 12)
+
+    // a crashed append = data files with no snapshot: invisible to the
+    // latest reader, reclaimed by vacuum
+    slice(0).limit(100).coalesce(1).write.mode("append").parquet(dir)
+    val (afterOrphan, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(afterOrphan.collect().map(_.toString).sorted.toSeq == sliceRows(3),
+      "orphan files leaked into a snapshot read")
+
+    // vacuum(retain=1): the 12 originals + the orphan go; v4 survives
+    val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
+    assert(deleted == 13, s"deleted $deleted, expected 12 originals + 1 orphan")
+    assert(ManifestLog.versions(spark, dir) == Seq(4))
+    val (postVac, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(postVac.collect().map(_.toString).sorted.toSeq == sliceRows(3))
+    // the vacuumed version is gone, loudly
+    intercept[Exception] {
+      ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, 3)._1.collect()
+    }
+  }
+}
