@@ -404,6 +404,33 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // Time-CONSTRAINED funnel (the product-analytics conversion-window
+    // form): the first view within 7 days of first signup, the first
+    // purchase within 3 days of that view — stale conversions don't
+    // count. Same min-chained equi-join shape as ev_funnel (each stage
+    // is a hash aggregate + a user-keyed join that reuses the
+    // partitioning), with the window bound as a join-side filter.
+    "ev_funnel_windowed" -> { (s, d) =>
+      val ViewWinUs = 7L * 86400000000L
+      val BuyWinUs = 3L * 86400000000L
+      val e = ev(s, d).select("user_id", "event_type", "ts_us")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_us"))
+      val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("ts_us") >= col("s_us") &&
+          col("ts_us") <= col("s_us") + ViewWinUs)
+        .groupBy("user_id").agg(min("ts_us").as("v_us"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts_us") >= col("v_us") &&
+          col("ts_us") <= col("v_us") + BuyWinUs)
+        .groupBy("user_id").agg(min("ts_us").as("p_us"))
+      s1.join(s2.select("user_id", "v_us"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select("user_id", "s_us", "v_us", "p_us")
+        .orderBy("user_id")
+    },
+
     // §2.3 the exact anchored count-or-time hybrid (100 ev / 6h per name).
     // Oracle: recursive semantics — checked rows-only by the driver,
     // exact-checked by HybridWindowSpec goldens.
@@ -626,6 +653,20 @@ object EventQueries {
          |       WHERE event_type = 'view' AND us >= s_us GROUP BY 1),
          |s3 AS (SELECT user_id, MIN(us) AS p_us FROM e JOIN s2 USING (user_id)
          |       WHERE event_type = 'purchase' AND us >= v_us GROUP BY 1)
+         |SELECT user_id, s_us, v_us, p_us
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
+    "ev_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsUs AS us FROM events),
+         |s1 AS (SELECT user_id, MIN(us) AS s_us FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT user_id, MIN(us) AS v_us FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND us >= s_us
+         |         AND us <= s_us + 604800000000 GROUP BY 1),
+         |s3 AS (SELECT user_id, MIN(us) AS p_us FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND us >= v_us
+         |         AND us <= v_us + 259200000000 GROUP BY 1)
          |SELECT user_id, s_us, v_us, p_us
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
          |ORDER BY user_id""".stripMargin,

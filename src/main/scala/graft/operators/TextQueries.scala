@@ -49,6 +49,11 @@ object TextQueries {
   private[operators] val BloomBits = 4096
   private[operators] val BloomK = 3
 
+  /** The `text_blocklist` word list (C4-style bad-words screen) —
+    * synthetic-corpus stand-ins; the oracle interpolates THIS constant.
+    */
+  val Blocklist: Seq[String] = Seq("error", "slow", "dup")
+
   /** Misra-Gries counters per language for `text_heavy_hitters`;
     * Verify's invariant derives its error bound n/(k+1) from THIS
     * constant (shipped-constant rule).
@@ -511,6 +516,26 @@ object TextQueries {
       val batch = all.filter(col("doc_id") % 10 < 3)
       val corpus = all.filter(col("doc_id") % 10 >= 3)
       probeExactIndex(buildExactIndex(corpus), batch)
+        .orderBy("doc_id")
+    },
+
+    // C4-style blocklist screen (Raffel et al. 2020 drop pages
+    // containing any "bad words" list entry): per doc, total flagged
+    // token instances, distinct flagged words, and the clean verdict.
+    // Shape: a pure narrow per-row pass — the list rides as a plan
+    // literal (kilobytes at any real blocklist size), token membership
+    // is a codegen'd array filter, no shuffle but the presentation
+    // sort. The list here is synthetic-corpus words; swap the constant
+    // for a real blocklist in production.
+    "text_blocklist" -> { (s, d) =>
+      val listCol = array(Blocklist.map(lit): _*)
+      withToks(docs(s, d))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => array_contains(listCol, t)))
+            .cast("long").as("n_hits"),
+          size(filter(array_distinct(col("toks")), t => array_contains(listCol, t)))
+            .cast("long").as("n_distinct_hits"))
+        .withColumn("clean", col("n_hits") === 0L)
         .orderBy("doc_id")
     },
 
@@ -1552,6 +1577,17 @@ object TextQueries {
          |  CAST(COUNT(*) - SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
          |    / COUNT(*) AS keep_ratio
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "text_blocklist" -> {
+      val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(toks, t -> t IN ($listSql))) AS BIGINT) AS n_hits,
+         |  CAST(len(list_filter(list_distinct(toks), t -> t IN ($listSql))) AS BIGINT)
+         |    AS n_distinct_hits,
+         |  len(list_filter(toks, t -> t IN ($listSql))) = 0 AS clean
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "text_dedup_rewrite" -> {

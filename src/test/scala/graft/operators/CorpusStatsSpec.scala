@@ -368,6 +368,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.valuesIterator.exists(_._3 > 1.0))
   }
 
+  test("text_blocklist matches a naive recompute and separates clean from flagged docs") {
+    import org.apache.spark.sql.functions._
+    val bl = TextQueries.Blocklist.toSet
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val expected = toks.map { case (id, t) =>
+      val hits = t.count(bl); val dist = t.distinct.count(bl)
+      id -> (hits.toLong, dist.toLong, hits == 0)
+    }.toMap
+    val got = SparkEntry.queries("text_blocklist")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == expected)
+    val clean = got.valuesIterator.count(_._3)
+    assert(clean > 0 && clean < got.size, s"no separation: $clean/${got.size} clean")
+  }
+
+  test("ev_funnel_windowed: conversion windows strictly tighten the plain funnel") {
+    val plain = SparkEntry.queries("ev_funnel")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    val win = SparkEntry.queries("ev_funnel_windowed")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(win.keySet == plain.keySet, "stage-1 cohort must match")
+    // monotone: a user converted in the windowed funnel converted plainly
+    assert(win.forall { case (u, (vNull, pNull)) =>
+      val (pvNull, ppNull) = plain(u)
+      (vNull || !pvNull) && (pNull || !ppNull)
+    })
+    // and the bound actually bites on this corpus
+    assert(win.valuesIterator.count(!_._2) < plain.valuesIterator.count(!_._2) ||
+      win.valuesIterator.count(!_._1) < plain.valuesIterator.count(!_._1),
+      "windows never excluded a conversion — no signal")
+  }
+
   test("text_dedup_rewrite: rebuilt docs equal a naive keep-first reassembly") {
     import org.apache.spark.sql.functions._
     val L = TextQueries.ChunkDedupLen
