@@ -80,4 +80,32 @@ class ManifestLogSpec extends AnyFunSuite {
       ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, 3)._1.collect()
     }
   }
+
+  test("streaming foreachBatch appends write one snapshot per micro-batch; versions time-travel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-stream").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("l_orderkey", "l_quantity")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (bid == 0L) ManifestLog.write(df, "l_orderkey", dir, files = 4)
+        else ManifestLog.append(df, "l_orderkey", dir, files = 4)
+      }
+      .start()
+    val chunks = rows.grouped(rows.length / 3 + 1).toIndexedSeq
+    try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    assert(ManifestLog.versions(spark, dir) == (1 to chunks.length))
+    // every micro-batch's snapshot still resolves to exactly its prefix
+    for (v <- 1 to chunks.length) {
+      val (df, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey",
+        rows.head._1, rows.last._1, version = v)
+      assert(df.count() == chunks.take(v).map(_.size).sum, s"v$v prefix")
+    }
+  }
 }
