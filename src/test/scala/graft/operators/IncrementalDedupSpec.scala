@@ -74,6 +74,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     indexScanNeverShuffled(fromDisk, sigsDir)
   }
 
+  test("chunk index: parquet round-trip gives identical verdicts, index never shuffles") {
+    val dir = tmpDir("chunks")
+    TextQueries.buildChunkIndex(corpus).write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val fromDisk = TextQueries.probeChunkIndex(reread, TextQueries.chunkRows(batch))
+    val inMem = TextQueries.probeChunkIndex(
+      TextQueries.buildChunkIndex(corpus), TextQueries.chunkRows(batch))
+    val a = fromDisk.collect().map(_.toString).sorted.toSeq
+    val b = inMem.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    indexScanNeverShuffled(fromDisk, dir)
+  }
+
   test("exact probe verdicts partition the batch and point at real keepers") {
     val out = TextQueries.probeExactIndex(TextQueries.buildExactIndex(corpus), batch)
     val n = batch.count()
