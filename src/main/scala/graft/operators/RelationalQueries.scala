@@ -143,6 +143,30 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    // quantity total clears a threshold, joined back to customer and
+    // re-aggregated, global top-100. The HAVING aggregate is the
+    // semi-join driver (tiny survivor set at any scale — the threshold
+    // is the point), the join back to lineitem re-uses the orderkey
+    // partitioning, customer broadcasts, and the top-100 is
+    // TakeOrdered. Quantity sums are exact integral-cent longs.
+    "q18_topn_agg" -> { (s, d) =>
+      val QtyFloor = 150L
+      val li = Tables.lineitem(s, d)
+      val heavy = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("long").as("qty_c"))
+        .filter(col("qty_c") > QtyFloor * 100)
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+      heavy.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), (col("qty_c").cast("double") / 100.0).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey")).limit(100)
+    },
+
     // Left-semi: orders having at least one heavy lineitem (EXISTS).
     "join_semi" -> { (s, d) =>
       Tables.orders(s, d)
@@ -969,6 +993,17 @@ object RelationalQueries {
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q18_topn_agg" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY 1 HAVING qty_c > 15000)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(qty_c AS DOUBLE) / 100.0 AS total_qty
+        |FROM heavy JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "window_pct_rank" ->
       """SELECT c_nationkey, c_custkey,
