@@ -167,6 +167,40 @@ object RelationalQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey")).limit(100)
     },
 
+    // TPC-H Q21 shape (suppliers who kept waiting), adapted to this
+    // schema: per supplier, finished multi-supplier orders where THEIR
+    // item shipped late (> 60 days past the order date) and NO other
+    // supplier's item did — the sole-blame screen. The interesting
+    // plan is the EXISTS + NOT-EXISTS pair against the SAME fact
+    // table: one left-semi and one left-anti join, both orderkey-keyed
+    // equi-joins reusing the fact partitioning (DuckDB plans the
+    // correlated subqueries into exactly the same semi/anti pair).
+    "q21_sole_blame" -> { (s, d) =>
+      val LateDays = 60
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), LateDays))
+      val mine = l1.filter(col("late"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("osk"))
+      val othersLate = l1.filter(col("late"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("osk"))
+      val blamed = mine
+        .join(others, mine("ok") === others("ok") && col("sk") =!= col("osk"),
+          "left_semi")
+        .join(othersLate,
+          mine("ok") === othersLate("ok") && col("sk") =!= othersLate("osk"),
+          "left_anti")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_name")
+      blamed.join(broadcast(supp), col("sk") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+
     // Left-semi: orders having at least one heavy lineitem (EXISTS).
     "join_semi" -> { (s, d) =>
       Tables.orders(s, d)
@@ -993,6 +1027,23 @@ object RelationalQueries {
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q21_sole_blame" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM l1 JOIN supplier ON sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+        |      AND o3.o_orderstatus = 'F'
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q18_topn_agg" ->
       """WITH heavy AS (
