@@ -55,7 +55,10 @@ object ScaleBench {
     "dedup_cluster_resolve_dist", "ev_keep_when_str", "dedup_semantic_auto",
     "window_rank", "window_analytics", "pack_sequences",
     "dedup_incremental", "dedup_incremental_minhash", "agg_percentile",
-    "ev_interval_join")
+    "ev_interval_join",
+    "text_chunk_dedup", "dedup_incremental_chunks", "text_dedup_rewrite",
+    "emb_ann_mips_lsh", "join_skew_salted", "window_pct_rank",
+    "text_entropy", "q18_topn_agg", "q21_sole_blame")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
