@@ -184,6 +184,32 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(got == expected, s"stream $got != batch $expected")
   }
 
+  test("DAU distinct state survives kill/restart (no double-counted (day, user) pairs)") {
+    val batch = graft.SparkEntry.queries("ev_active_users")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lines = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "ts_us").collect().sortBy(_.getLong(1))
+      .map(r => s"""{"user_id":${r.getLong(0)},"ts_us":${r.getLong(1)}}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("user_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingActiveUsers.dauStream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch((df: DataFrame, bid: Long) => updateSink(base2(src))(df, bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("bid")))
+    // a replayed micro-batch must not re-admit its (day, user) pairs:
+    // the LAST emission per day equals the batch distinct exactly
+    val maxBid = sink.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = sink.filter { case (d, _, b) => b == maxBid(d) }
+      .map { case (d, v, _) => d -> v }.toMap
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("theta overlap sketches survive kill/restart (k-smallest-hash state recovers, exact here)") {
     import graft.operators.ThetaOps
     val all = graft.sources.Tables.events(spark, dir)
