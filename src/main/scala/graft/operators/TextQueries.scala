@@ -713,6 +713,24 @@ object TextQueries {
       clusterResolve(minhashPairs(s, d).select("a", "b"))
     },
 
+    // Quality-aware canonical selection: per near-dup cluster, KEEP
+    // the longest member (n_chars, ties to the lowest id) instead of
+    // the arbitrary min-id label — what real pipelines do (the best
+    // duplicate survives, the rest drop). One broadcast-sized join of
+    // the cluster labels to the documents' n_chars and a max_by
+    // aggregate per cluster — the labels table is duplicate-sized, not
+    // corpus-sized, so every stage here is small no matter the corpus.
+    "dedup_cluster_keeper" -> { (s, d) =>
+      val labels = clusterResolve(minhashPairs(s, d).select("a", "b"))
+      labels.join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("best"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("best.negid")).as("keeper_doc"), col("best.nc").as("keeper_chars"))
+        .orderBy("cluster_id")
+    },
+
     // The DISTRIBUTED tier of the same resolution, oracle-checked at
     // sf scale: budget forced to 0 so min-label propagation (the shape
     // that runs when the pair list exceeds driver memory at 100 TB)
@@ -1258,7 +1276,10 @@ object TextQueries {
     * truth for BOTH clusterResolve tiers (driver union-find and
     * distributed min-label propagation).
     */
-  private val clusterResolveSql: String =
+  /** The recursive-CTE prefix computing the `comp` (node, label)
+    * closure — shared by the plain, distributed, and keeper oracles.
+    */
+  private val clusterLabelCtes: String =
     s"""WITH RECURSIVE $minhashPairCtes,
        |edges AS (
        |  SELECT a AS src, b AS dst FROM filtered
@@ -1266,7 +1287,10 @@ object TextQueries {
        |comp AS (
        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
        |  UNION
-       |  SELECT e.dst AS node, c.lbl FROM comp c JOIN edges e ON e.src = c.node)
+       |  SELECT e.dst AS node, c.lbl FROM comp c JOIN edges e ON e.src = c.node)""".stripMargin
+
+  private val clusterResolveSql: String =
+    s"""$clusterLabelCtes
        |SELECT node AS doc_id, MIN(lbl) AS cluster_id
        |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin
 
@@ -1441,6 +1465,21 @@ object TextQueries {
     "dedup_cluster_resolve" -> clusterResolveSql,
     // distributed min-label tier, same ground truth
     "dedup_cluster_resolve_dist" -> clusterResolveSql,
+
+    // longest-member canonical selection over the same cluster labels
+    "dedup_cluster_keeper" ->
+      s"""$clusterLabelCtes,
+         |labels AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM comp GROUP BY node),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM labels JOIN documents USING (doc_id))
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keeper_doc,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "dedup_simhash_pairs" -> {
       val bitSums = (0 until 32).map { j =>
