@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *     branches) and `path // literal` alternatives (null, absent,
   *     and false are falsy, like jq; the non-falsy side passes
   *     through untyped)
+  *   - pipe-level bindings `<path> as $x | <body>` (the reference's
+  *     `.d as $n | "...\($n)..."` idiom) — expanded by substitution
+  *     when the body's non-final stages are all `select(...)` (so `$x`
+  *     and the inlined path see the same `.`); non-path values,
+  *     re-rooting bodies, and any unrecognized shape fall to the
+  *     subprocess tier, never a silent wrong value
   *   - vector `group_by(<path>) | map({...})` as the whole `d`
   *     payload: key / `length` / `map(<path>)|add` group fields,
   *     string-compared keys — the count-by / sum-by idiom
@@ -107,6 +113,12 @@ object JqCompiler {
   case class Reduce(src: Ast, varName: String, init: Ast, upd: Ast) extends Ast
   /** `$name<path>` — a variable reference with an optional trailing path. */
   case class VarPath(name: String, segs: Seq[Either[String, Int]]) extends Ast
+  /** `<value> as $name | <body>` — a pipe-level binding; the body is
+    * the rest of the pipe. Expanded before compilation by
+    * [[expandLet]] (path values only, `.`-preserving bodies only —
+    * everything else falls to the subprocess tier).
+    */
+  case class LetBind(name: String, value: Ast, body: Ast) extends Ast
   case object ToEntries extends Ast
   case object FromEntries extends Ast
   /** jq `keys` (sorted=true) / `keys_unsorted`. */
@@ -149,9 +161,62 @@ object JqCompiler {
 
   def tryCompile(expr: String): Option[Compiled] =
     try {
-      val ast = flatten(new Parser(expr).parsePipe())
+      val ast = flatten(expandLet(flatten(new Parser(expr).parsePipe())))
       compileTop(ast)
     } catch { case _: Exception => None }
+
+  /** Expand `<path> as $x | body` bindings by substitution — sound
+    * exactly when (a) the bound value is a plain path (evaluated on
+    * the `.` flowing into the binding) and (b) every body stage before
+    * the last is a `select(...)` (which passes `.` through unchanged),
+    * so `$x` and the inlined path always see the same input. Anything
+    * else raises → tryCompile's catch → the subprocess tier. A
+    * substitution that misses a `$x` inside an unhandled node shape is
+    * equally safe: the surviving [[VarPath]] fails compilation.
+    */
+  private def expandLet(ast: Ast): Ast = ast match {
+    case PipeSeq(st) => flatten(PipeSeq(st.map(expandLet)))
+    case LetBind(name, value, body0) =>
+      val body = expandLet(body0)
+      val p = value match {
+        case pp: Path => pp
+        case _ => throw new IllegalArgumentException(
+          "jq compiled tier: non-path binding value — subprocess tier")
+      }
+      val stages = body match { case PipeSeq(s) => s; case s => Seq(s) }
+      require(stages.init.forall(_.isInstanceOf[Select]),
+        "jq compiled tier: binding across a re-rooting stage — subprocess tier")
+      flatten(PipeSeq(stages.map(substVar(_, name, p))))
+    case other => other
+  }
+
+  /** Replace `$name<segs>` with `<p><segs>` everywhere the AST shape is
+    * known; unknown containers pass through unchanged (a surviving
+    * VarPath inside one fails compilation — never a silent wrong
+    * value). Inner binders of the same name shadow (their bodies are
+    * left alone); `reduce` with the same variable likewise.
+    */
+  private def substVar(a: Ast, n: String, p: Path): Ast = a match {
+    case VarPath(m, segs) if m == n => Path(p.segs ++ segs)
+    case PipeSeq(s)   => PipeSeq(s.map(substVar(_, n, p)))
+    case Select(c)    => Select(substVar(c, n, p))
+    case ObjCons(fs)  => ObjCons(fs.map { case (k, v) => k -> substVar(v, n, p) })
+    case Cmp(o, l, r) => Cmp(o, substVar(l, n, p), substVar(r, n, p))
+    case Logic(o, l, r) => Logic(o, substVar(l, n, p), substVar(r, n, p))
+    case Arith(o, l, r) => Arith(o, substVar(l, n, p), substVar(r, n, p))
+    case IfElse(c, t, e) =>
+      IfElse(substVar(c, n, p), substVar(t, n, p), substVar(e, n, p))
+    case Alt(l, r)    => Alt(substVar(l, n, p), substVar(r, n, p))
+    case StrInterp(parts) => StrInterp(parts.map {
+      case Right(x) => Right(substVar(x, n, p)); case l => l })
+    case MapExpr(i)   => MapExpr(substVar(i, n, p))
+    case Reduce(src, v, init, upd) if v != n =>
+      Reduce(substVar(src, n, p), v, substVar(init, n, p), substVar(upd, n, p))
+    case LetBind(m, v, b) if m != n =>
+      LetBind(m, substVar(v, n, p), substVar(b, n, p))
+    case LetBind(m, v, b) => LetBind(m, substVar(v, n, p), b) // shadowed
+    case other => other
+  }
 
   /** Compile a wrapped value stream: `.[]<path> | <conditional-drop
     * stages> | .` — the stress-test filter shape. The final value must
@@ -161,7 +226,7 @@ object JqCompiler {
     */
   def tryCompileWrapped(expr: String): Option[PerEventValue] =
     try {
-      flatten(new Parser(expr).parsePipe()) match {
+      flatten(expandLet(flatten(new Parser(expr).parsePipe()))) match {
         case PipeSeq(IterateAll +: rest) if rest.nonEmpty => compileValueStages(rest)
         case _ => None
       }
@@ -196,13 +261,40 @@ object JqCompiler {
     }
 
     def parsePipe(): Ast = {
-      val stages = Seq.newBuilder[Ast]
-      stages += parseAlt()
-      ws()
-      while (tryEat("|") && { ws(); true }) stages += parseAlt()
+      val ast = parsePipeStages()
       ws()
       require(pos >= src.length, s"trailing input at $pos: '${src.drop(pos)}'")
-      val s = stages.result()
+      ast
+    }
+
+    /** `as $var` after a stage binds it over the REST of the pipe —
+      * jq's binding scope. The lookahead requires a word boundary so
+      * a leading identifier like `ascii_downcase` is never split.
+      */
+    private def parsePipeStages(): Ast = {
+      val stages = Seq.newBuilder[Ast]
+      var binding: Option[Ast] = None
+      var done = false
+      while (!done) {
+        val st = parseAlt()
+        ws()
+        val atAs = src.startsWith("as", pos) &&
+          (pos + 2 >= src.length ||
+            (!src(pos + 2).isLetterOrDigit && src(pos + 2) != '_'))
+        if (atAs) {
+          pos += 2; ws()
+          require(peek == '$', s"expected '$$var' after 'as' at $pos"); pos += 1
+          val name = ident()
+          ws(); require(tryEat("|"), s"expected '|' after binding at $pos"); ws()
+          binding = Some(LetBind(name, st, parsePipeStages()))
+          done = true
+        } else {
+          stages += st
+          ws()
+          if (tryEat("|")) ws() else done = true
+        }
+      }
+      val s = stages.result() ++ binding
       if (s.size == 1) s.head else PipeSeq(s)
     }
 

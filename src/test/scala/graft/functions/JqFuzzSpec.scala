@@ -332,6 +332,57 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("binding fuzz: `path as $x` substitution == jq on 300 random programs") {
+    val bindGen = for {
+      bp <- Gen.oneOf(".d.k", ".d.m", ".d.o.x", ".d.o", ".d.s")
+      nSelPre <- Gen.choose(0, 1)
+      pre <- Gen.listOfN(nSelPre, condGen)
+      selVar <- Gen.oneOf(true, false)
+      cmp <- Gen.choose(0, 9)
+    } yield {
+      val vuse = if (bp == ".d.o") "$x.x" else "$x"
+      val numeric = bp != ".d.s"
+      val sel = if (selVar && numeric) Seq(s"select($vuse >= $cmp)") else Seq.empty
+      val out =
+        if (numeric) s"""{n: "out", d: {a: ($vuse + 1), b: $vuse}}"""
+        else s"""{n: "out", d: {a: $vuse, b: "v=\\($vuse)"}}"""
+      (Seq(".[]") ++ pre.map(c => s"select($c)") ++
+        Seq(s"$bp as $$x") ++ sel ++ Seq(out)).mkString(" | ")
+    }
+    import JqCompiler._
+    samples(Gen.zip(bindGen, vectorGen), 300).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("binding unit: shadowing substitutes the inner binder; re-rooting bodies fall back") {
+    import JqCompiler._
+    // inner $x shadows the outer — jq takes the inner value
+    val shadow = """.[] | .d.k as $x | .d.o.x as $x | {n: "out", d: {a: $x}}"""
+    val events = Seq(("e", """{"k": 3, "o": {"x": 9}}"""))
+    tryCompile(shadow) match {
+      case Some(CompiledPerEvent(pe)) =>
+        val got = eventsDf(events).select(pe.outPayloadJson).head().getString(0)
+        val jqD = canonLine(jqEval(shadow, inputJson(events)).head)
+          .asInstanceOf[Map[String, Any]]("d")
+        assert(canonLine(got) == jqD, s"shadowed binding: $got vs $jqD")
+      case other => fail(s"shadowed binding did not compile: $other")
+    }
+    // a body stage that re-roots `.` makes substitution unsound → None
+    assert(tryCompile(""".[] | .d.k as $x | .d.o | {n: "out", d: {a: $x}}""").isEmpty)
+    // non-path binding values stay subprocess-gated
+    assert(tryCompile(""".[] | (.d.k + 1) as $x | {n: "out", d: {a: $x}}""").isEmpty)
+  }
+
   test("conditional/alternative fuzz: if-values and `//` == jq on 400 random programs") {
     val progGen = for {
       nSel <- Gen.choose(0, 1)
