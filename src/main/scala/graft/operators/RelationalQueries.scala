@@ -167,6 +167,25 @@ object RelationalQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey")).limit(100)
     },
 
+    // TPC-H Q4 shape (order-priority checking): orders in a quarter
+    // with at least one late lineitem (shipped > 30 days after the
+    // order date — adapted to this schema's columns), counted per
+    // priority. The EXISTS is one orderkey-keyed left-semi join; the
+    // priority count is a tiny hash aggregate.
+    "q4_priority" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      val late = ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 30),
+        "left_semi")
+      late.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // TPC-H Q21 shape (suppliers who kept waiting), adapted to this
     // schema: per supplier, finished multi-supplier orders where THEIR
     // item shipped late (> 60 days past the order date) and NO other
@@ -1027,6 +1046,16 @@ object RelationalQueries {
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q21_sole_blame" ->
       """WITH l1 AS (
