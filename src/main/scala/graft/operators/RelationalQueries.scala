@@ -167,6 +167,27 @@ object RelationalQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey")).limit(100)
     },
 
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to
+    // returns per customer over a quarter, top 20. Fact filters push
+    // to the scans, the customer/nation dims broadcast, revenue rides
+    // the hi/lo fixed-point longs, and the top-20 is TakeOrdered.
+    "q10_returned_topk" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rev4", revCents)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(fpSum("rev4", 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // TPC-H Q4 shape (order-priority checking): orders in a quarter
     // with at least one late lineitem (shipped > 30 days after the
     // order date — adapted to this schema's columns), counted per
@@ -1046,6 +1067,18 @@ object RelationalQueries {
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q10_returned_topk" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  (CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) % 10000000) AS DOUBLE)) / 10000.0 AS revenue
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey
+         |  AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
