@@ -241,6 +241,241 @@ object RelationalQueries {
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
     },
 
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations per ship year. Both nation dims are filtered to the two
+    // names BEFORE their broadcast joins (the inner joins then carry
+    // the selectivity into the fact side); with exactly two surviving
+    // nations the classic pair disjunction reduces to
+    // supp_nation <> cust_nation.
+    "q7_nation_volume" -> { (s, d) =>
+      val natPair = Seq("NATION_1", "NATION_2")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(natPair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(natPair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("rev4", revCents)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(fpSum("rev4", 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 shape (national market share): of the ECONOMY-part
+    // revenue sold to AMERICA-region customers per order year, the
+    // fraction supplied by NATION_1. Numerator and denominator are both
+    // hi/lo fixed-point sums recombined in double; the ratio is
+    // quantized to 1e-12 (the agg_corr cross-engine pattern) so the
+    // single double division can't flip a ulp between engines.
+    "q8_market_share" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val prt = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val natC = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val reg = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      val natS = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .withColumn("rev4", revCents)
+        .withColumn("nrev4",
+          when(col("supp_nation") === "NATION_1", col("rev4")).otherwise(lit(0L)))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((floor((fpSum("nrev4", 10000.0) / fpSum("rev4", 10000.0)) *
+          lit(1e12) + lit(0.5)) / lit(1e12)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 shape (product-type profit): revenue from red parts per
+    // supplier nation per order year (no partsupp table in this schema,
+    // so profit omits the supplycost term — documented adaptation). The
+    // part screen broadcasts into the lineitem scan; orders joins on
+    // the orderkey fact partitioning.
+    "q9_product_profit" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val prt = Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("rev4", revCents)
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(fpSum("rev4", 10000.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q13 shape (customer order distribution): two-level
+    // aggregate — orders per customer (left join keeps zero-order
+    // customers), then customers per order count. The first aggregate
+    // shuffles on custkey; the second is count-domain-sized (tiny).
+    "q13_custdist" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 shape (promotion effect): percentage of one month's
+    // revenue from PROMO-type parts. Part dim broadcasts; the two
+    // revenue sums ride the hi/lo fixed-point longs and the final
+    // percentage is 1e-12-quantized (one double division).
+    "q14_promo_effect" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      val prt = Tables.part(s, d).select("p_partkey", "p_type")
+      li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .withColumn("rev4", revCents)
+        .withColumn("prev4",
+          when(col("p_type") === "PROMO", col("rev4")).otherwise(lit(0L)))
+        .agg((floor((lit(100.0) * fpSum("prev4", 10000.0) /
+          fpSum("rev4", 10000.0)) * lit(1e12) + lit(0.5)) / lit(1e12))
+          .as("promo_revenue"))
+    },
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep the max. Per-supplier revenue stays an EXACT long (integer
+    // ten-thousandths — one supplier's quarter is nowhere near 2^63
+    // even at 100 TB) so the argmax comparison is integral, not a
+    // double ulp race; the scalar max broadcasts back over the
+    // supplier-sized aggregate.
+    "q15_top_supplier" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val rev = li.withColumn("rev4", revCents)
+        .groupBy("l_suppkey")
+        .agg(sum(col("rev4")).as("revc"))
+      val top = rev.agg(max(col("revc")).as("max_revc"))
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_name")
+      rev.crossJoin(broadcast(top))
+        .filter(col("revc") === col("max_revc"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("revc").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16 shape (part-supplier relationship counts): distinct
+    // suppliers per surviving (brand, type, size), linked through
+    // lineitem (no partsupp table), excluding negative-balance
+    // suppliers (the complaints-list stand-in) via a broadcast
+    // left-anti. countDistinct plans the standard two-phase
+    // expand-and-dedup aggregate on (group, suppkey).
+    "q16_supplier_cnt" -> { (s, d) =>
+      val prt = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    // brand's small parts whose quantity is below 20% of that part's
+    // average. The correlated avg becomes a per-part aggregate joined
+    // back (broadcast — it's part-dimension-sized), and the 20% screen
+    // is the EXACT integral form 5·qty_c·cnt < sum_qty_c: no double
+    // division anywhere until the final /7.0 presentation scale.
+    "q17_small_qty" -> { (s, d) =>
+      val prt = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1" && col("p_size") <= 10)
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), cents("l_quantity").as("qc"),
+          cents("l_extendedprice").as("ec"))
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("cnt"))
+      li.join(broadcast(stats), col("l_partkey") === col("pk"))
+        .filter(lit(5L) * col("qc") * col("cnt") < col("sum_qc"))
+        .agg((sum(col("ec")).cast("double") / 700.0).as("avg_yearly"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    // OR of three (brand, size-range, quantity-range) conjunctions
+    // evaluated after the broadcast part join — the classic test that
+    // a disjunction over join-spanning columns still runs as one scan
+    // + one broadcast probe, not three unioned subplans.
+    "q19_disjunct_rev" -> { (s, d) =>
+      val prt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .withColumn("rev4", revCents)
+        .agg(fpSum("rev4", 10000.0).as("revenue"))
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): rich-but-idle
+    // customers — balance above the positive-balance average (the
+    // scalar average compares in EXACT integral form bc·cnt > sum_bc),
+    // no orders in the trailing two years (orderkey-keyed left-anti),
+    // counted and summed per nation.
+    "q22_idle_balance" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), cents("c_acctbal").as("bc"))
+      val pos = cust.filter(col("bc") > 0)
+        .agg(sum(col("bc")).as("sum_bc"), count(lit(1)).as("cnt_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-08-01").cast("timestamp"))
+        .select("o_custkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      cust.crossJoin(broadcast(pos))
+        .filter(col("bc") * col("cnt_pos") > col("sum_bc"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bc")).cast("double") / 100.0).as("totacctbal"))
+        .orderBy("n_name")
+    },
+
     // Left-semi: orders having at least one heavy lineitem (EXISTS).
     "join_semi" -> { (s, d) =>
       Tables.orders(s, d)
@@ -897,6 +1132,19 @@ object RelationalQueries {
   private val revSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
+  /** DuckDB mirror of [[revCents]]: price·(1−disc) in integer
+    * ten-thousandths.
+    */
+  private val rev4Sql =
+    "(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+
+  /** DuckDB mirror of [[fpSum]] — hi/lo split at 1e7, recombined in
+    * DOUBLE with the identical IEEE ops, scaled by `divisor`.
+    */
+  private def fpSumSql(v: String, divisor: String): String =
+    s"((CAST(SUM(($v) // $FpHi) AS DOUBLE) * ${FpHi.toDouble} + " +
+      s"CAST(SUM(($v) % $FpHi) AS DOUBLE)) / $divisor)"
+
   val oracleSql: Map[String, String] = Map(
     "window_analytics" ->
       """SELECT c_custkey, c_mktsegment, quartile, top_bal, cume FROM (
@@ -1117,6 +1365,148 @@ object RelationalQueries {
         |FROM heavy JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${fpSumSql("rev4", "10000.0")} AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS INT) AS l_year, $rev4Sql AS rev4
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    AND n1.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n1.n_name <> n2.n_name)
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT o_year,
+         |  floor((${fpSumSql("nrev4", "10000.0")} /
+         |    ${fpSumSql("rev4", "10000.0")}) * 1e12 + 0.5) / 1e12 AS mkt_share
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, $rev4Sql AS rev4,
+         |    CASE WHEN n1.n_name = 'NATION_1' THEN $rev4Sql ELSE 0 END AS nrev4
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN part ON l_partkey = p_partkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |    JOIN region ON n2.n_regionkey = r_regionkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |    AND p_type = 'ECONOMY' AND r_name = 'AMERICA')
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT nation, o_year, ${fpSumSql("rev4", "10000.0")} AS sum_profit
+         |FROM (
+         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |    $rev4Sql AS rev4
+         |  FROM lineitem
+         |    JOIN part ON l_partkey = p_partkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%red%')
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_effect" ->
+      s"""SELECT floor((100.0 * ${fpSumSql("prev4", "10000.0")} /
+         |    ${fpSumSql("rev4", "10000.0")}) * 1e12 + 0.5) / 1e12
+         |  AS promo_revenue
+         |FROM (
+         |  SELECT $rev4Sql AS rev4,
+         |    CASE WHEN p_type = 'PROMO' THEN $rev4Sql ELSE 0 END AS prev4
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-02-01')""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM($rev4Sql) AS BIGINT) AS revc
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(revc AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE revc = (SELECT MAX(revc) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH j AS (
+        |  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1' AND p_size <= 10),
+        |st AS (
+        |  SELECT l_partkey AS pk, CAST(SUM(qc) AS BIGINT) AS sum_qc,
+        |    COUNT(*) AS cnt
+        |  FROM j GROUP BY l_partkey)
+        |SELECT CAST(SUM(ec) AS DOUBLE) / 700.0 AS avg_yearly
+        |FROM j JOIN st ON l_partkey = pk
+        |WHERE 5 * qc * cnt < sum_qc""".stripMargin,
+
+    "q19_disjunct_rev" ->
+      s"""SELECT ${fpSumSql("rev4", "10000.0")} AS revenue
+         |FROM (
+         |  SELECT $rev4Sql AS rev4
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |         AND l_quantity BETWEEN 1 AND 11)
+         |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |         AND l_quantity BETWEEN 10 AND 20)
+         |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |         AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "q22_idle_balance" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bc
+        |  FROM customer),
+        |pos AS (
+        |  SELECT CAST(SUM(bc) AS BIGINT) AS sum_bc, COUNT(*) AS cnt_pos
+        |  FROM cust WHERE bc > 0)
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(bc) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM cust, pos, nation
+        |WHERE c_nationkey = n_nationkey
+        |  AND bc * cnt_pos > sum_bc
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-08-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "window_pct_rank" ->
       """SELECT c_nationkey, c_custkey,

@@ -56,6 +56,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_anti").contains("BroadcastHashJoin"))
   }
 
+  test("round-14 TPC-H shapes: dims broadcast, single-probe disjunction, no cartesians") {
+    // q7: four dimension joins (supp/n1/cust/n2) all broadcast; only
+    // the orders join may ride the fact partitioning
+    val p7 = plan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 4, p7.take(600))
+    // q8: six dimension joins broadcast (part/cust/natC/region/supp/natS)
+    val p8 = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 6, p8.take(600))
+    assert(!p8.contains("CartesianProduct"))
+    // q19: the OR-of-ANDs stays ONE scan + ONE broadcast probe, not
+    // three unioned subplans
+    val p19 = plan("q19_disjunct_rev")
+    assert("BroadcastHashJoin".r.findAllIn(p19).size == 1, p19.take(600))
+    assert(!p19.contains("SortMergeJoin") && !p19.contains("Union"))
+    // q16: part screen and the complaints anti-join both broadcast
+    val p16 = plan("q16_supplier_cnt")
+    assert("BroadcastHashJoin".r.findAllIn(p16).size >= 2, p16.take(600))
+    assert(!p16.contains("SortMergeJoin"))
+    // q17: the correlated-avg join back is broadcast (part-sized)
+    val p17 = plan("q17_small_qty")
+    assert(!p17.contains("SortMergeJoin"), p17.take(600))
+  }
+
   test("pattern routing compiles to RLIKE inside the scan filter, no UDFs") {
     val p = plan("ev_route_drop")
     assert(p.contains("RLIKE"))
