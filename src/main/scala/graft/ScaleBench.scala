@@ -58,7 +58,8 @@ object ScaleBench {
     "ev_interval_join",
     "text_chunk_dedup", "dedup_incremental_chunks", "text_dedup_rewrite",
     "emb_ann_mips_lsh", "join_skew_salted", "window_pct_rank",
-    "text_entropy", "q18_topn_agg", "q21_sole_blame")
+    "text_entropy", "q18_topn_agg", "q21_sole_blame",
+    "q7_nation_volume", "q9_product_profit")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
