@@ -130,6 +130,32 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Data profiling (the ANALYZE-TABLE face of pipeline health
+    // checks): per-column row/null/exact-distinct counts and binary
+    // min/max, computed in ONE scan — the five distinct aggregates
+    // share a single Expand (5× rows into one exchange), which beats
+    // the naive five-scans-one-per-column plan at any corpus size.
+    // min/max cast to string so all columns stack into one typed
+    // result; string comparison is byte order in both engines.
+    "profile_columns" -> { (s, d) =>
+      val profiled = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ profiled.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val one = docs(s, d).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = profiled.map(c =>
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+      one.select(col("n_rows"), expr(s"stack(${profiled.size}, $stackArgs) " +
+          "as (column_name, n_nonnull, n_distinct, min_s, max_s)"))
+        .select(col("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy("column_name")
+    },
+
     // PII redaction: count then mask emails, phone numbers and IPv4
     // addresses. Pure per-row regex work — at 100 TB this is a single
     // codegen'd scan, no shuffle but the final presentation sort.
@@ -497,6 +523,18 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "profile_columns" -> {
+      val per = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s FROM documents""".stripMargin
+      }
+      per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+    },
+
     "text_redact_pii" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(pii, '$EmailRe')) AS n_email,
