@@ -68,6 +68,29 @@ object Verify {
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivfRecall = if (brute.isEmpty) 1.0 else brute.intersect(ivf).size.toDouble / brute.size
 
+      // emb_ann_ivf_incremental: (1) EXACT probe equality — an index
+      // built as corpus-assign + batch-append must probe identically
+      // to a one-shot assignment of the union under the same quantizer
+      // (assignment is deterministic given centroids, so append can't
+      // drift); (2) recall floor vs brute force restricted to the
+      // batch's queries.
+      val (incIvfEq, incIvfRecall) = {
+        import org.apache.spark.sql.DataFrame
+        val corpus = emb.filter(col("vec_id") % 10 >= 3)
+        val batch = emb.filter(col("vec_id") % 10 < 3)
+        val cents = graft.ann.Similarity.ivfCentroids(corpus, nlist)
+        val incIdx = graft.ann.Similarity.ivfAssign(corpus, cents)
+          .unionAll(graft.ann.Similarity.ivfAssign(batch, cents))
+        val oneIdx = graft.ann.Similarity.ivfAssign(emb, cents)
+        def probe(idx: DataFrame): Set[(Long, Long)] =
+          graft.ann.Similarity.ivfProbe(idx, emb, batch, cents, 5, nprobe, numRows = nEmb)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val inc = probe(incIdx)
+        val bq = brute.filter(_._1 % 10 < 3)
+        val rec = if (bq.isEmpty) 1.0 else bq.intersect(inc).size.toDouble / bq.size
+        (inc == probe(oneIdx), rec)
+      }
+
       // emb_ann_pq: recall of the 64-bit-code ADC-shortlist + exact
       // re-rank top-5 vs brute force, on the query's own 10-query subset
       val nQ = graft.operators.AnnQueries.NQueries
@@ -342,6 +365,9 @@ object Verify {
          | "floor": $recallFloor, "pass": ${recall >= recallFloor}},
          | "emb_ann_ivf": {"metric": "recall_vs_brute_force_top5", "value": $ivfRecall,
          | "floor": $recallFloor, "pass": ${ivfRecall >= recallFloor}},
+         | "emb_ann_ivf_incremental": {"metric": "append_probe_equals_one_shot_and_recall",
+         | "equal": $incIvfEq, "recall": $incIvfRecall, "floor": $recallFloor,
+         | "pass": ${incIvfEq && incIvfRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,

@@ -611,4 +611,43 @@ object Similarity {
       .select("qid", "nid").repartition(col("qid"))
     scoreCandidates(cand, b, k, idCol, vecCol, n, broadcastMaxRows)
   }
+
+  /** Nearest-centroid assignment of every vector under FIXED
+    * centroids — the incremental-IVF append path: once the coarse
+    * quantizer is trained, admitting a new batch to the persisted
+    * index is ONE broadcast kernel pass over the batch (deterministic,
+    * embarrassingly parallel), never a retrain and never a corpus
+    * re-scan — the ANN analogue of the exact/minhash/chunk dedup
+    * indexes' append discipline. The returned (nid, cell) rows are the
+    * index's unit of append.
+    */
+  def ivfAssign(vectors: DataFrame, cents: Seq[Seq[Double]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("nid"),
+      element_at(graft.functions.VectorExpressions.topCells(col(vecCol), cents, 1), 1)
+        .as("cell"))
+
+  /** Probe a persisted IVF assignment table: top-`nprobe` cells per
+    * query route into the index's cell lists (one equi-join on cell —
+    * the index side is scanned, never widened), candidates re-key to
+    * `qid` for balance, and the exact-cosine re-rank keeps the top
+    * `k`. `vectors` supplies embeddings for both sides (the corpus the
+    * index describes plus the queries). Deterministic given the
+    * centroids: assignment and probe cells are pure functions of the
+    * data, so an incrementally-appended index probes IDENTICALLY to a
+    * one-shot assignment under the same quantizer.
+    */
+  def ivfProbe(assign: DataFrame, vectors: DataFrame, queries: DataFrame,
+               cents: Seq[Seq[Double]], k: Int, nprobe: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
+    val probes = queries.select(col(idCol).as("qid"),
+      explode(graft.functions.VectorExpressions.topCells(col(vecCol), cents, nprobe))
+        .as("cell"))
+    val cand = probes.join(assign, "cell").filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").repartition(col("qid"))
+    scoreCandidates(cand, b, k, idCol, vecCol, n, broadcastMaxRows)
+  }
 }

@@ -108,6 +108,27 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Incremental IVF: the corpus (vec_id%10 >= 3) trains the coarse
+    // quantizer and builds the assignment index; the new batch
+    // (vec_id%10 < 3) is admitted ASSIGN-ONLY (one broadcast kernel
+    // pass — no retrain, no corpus re-scan, the ANN analogue of the
+    // dedup indexes' append discipline), then probes the merged index
+    // for its top-k. Rows-only; Verify pins (1) EXACT probe equality
+    // of the appended index vs a one-shot assignment under the same
+    // quantizer and (2) recall vs brute force on the union.
+    "emb_ann_ivf_incremental" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 >= 3)
+      val batch = emb.filter(col("vec_id") % 10 < 3)
+      val n = Tables.cachedCount(s, d, "embeddings")
+      val (nlist, nprobe) = Similarity.autoIvfParams(n)
+      val cents = Similarity.ivfCentroids(corpus, nlist)
+      val idx = Similarity.ivfAssign(corpus, cents)
+        .unionAll(Similarity.ivfAssign(batch, cents))
+      Similarity.ivfProbe(idx, emb, batch, cents, TopK, nprobe, numRows = n)
+        .orderBy("qid", "rnk")
+    },
+
     // PQ top-k for the first 10 queries, the standard two-stage
     // pipeline: ADC over 64-bit codes (16 sub-codes x 16 centroids,
     // 32x smaller than raw floats) prunes to a 50-candidate shortlist,

@@ -383,6 +383,37 @@ object EventQueries {
       dau.join(wau, "day").orderBy("day")
     },
 
+    // Pipeline-health gap detection: per event type, hourly buckets
+    // with zero events between that type's first and last active hour
+    // — the "did ingestion silently stop for a while" check. No
+    // low-cardinality window anywhere: the first gap is found by
+    // anti-joining each present bucket's successor (h+1) against the
+    // present set — both shuffles key on (type, hour), data-sized.
+    // Missing counts are pure arithmetic (span − present) off the
+    // per-type aggregate.
+    "ev_gap_detect" -> { (s, d) =>
+      val HourUs = 3600000000L
+      val pres = ev(s, d)
+        .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
+        .distinct()
+      val r = pres.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"), count(lit(1)).as("n_present"))
+      val succ = pres.select(col("event_type"), (col("h") + 1).as("hc"))
+        .join(broadcast(r.select(col("event_type"), col("h1"))), Seq("event_type"))
+        .filter(col("hc") <= col("h1"))
+      val firstGap = succ
+        .join(pres.select(col("event_type"), col("h").as("hc")),
+          Seq("event_type", "hc"), "left_anti")
+        .groupBy("event_type").agg(min("hc").as("first_gap_hour"))
+      r.join(firstGap, Seq("event_type"), "left")
+        .select(col("event_type"),
+          (col("h1") - col("h0") + 1).as("n_expected"),
+          col("n_present"),
+          (col("h1") - col("h0") + 1 - col("n_present")).as("n_missing"),
+          col("first_gap_hour"))
+        .orderBy("event_type")
+    },
+
     // Ordered 3-stage funnel: signup -> first view at-or-after the
     // signup -> first purchase at-or-after that view, per user. Three
     // conditional-min aggregates, each joined back on user_id (the
@@ -644,6 +675,23 @@ object EventQueries {
          |        WHERE day IN (SELECT day FROM du) GROUP BY day)
          |SELECT day, dau, wau FROM dau JOIN wau USING (day)
          |ORDER BY day""".stripMargin,
+
+    "ev_gap_detect" ->
+      s"""WITH pres AS (
+         |  SELECT DISTINCT event_type, $tsUs // 3600000000 AS h FROM events),
+         |r AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+         |        COUNT(*) AS n_present FROM pres GROUP BY 1),
+         |fg AS (SELECT pres.event_type, MIN(pres.h + 1) AS first_gap_hour
+         |       FROM pres JOIN r ON pres.event_type = r.event_type
+         |       WHERE pres.h + 1 <= r.h1
+         |         AND NOT EXISTS (SELECT 1 FROM pres p2
+         |                         WHERE p2.event_type = pres.event_type
+         |                           AND p2.h = pres.h + 1)
+         |       GROUP BY pres.event_type)
+         |SELECT r.event_type, h1 - h0 + 1 AS n_expected, n_present,
+         |  h1 - h0 + 1 - n_present AS n_missing, first_gap_hour
+         |FROM r LEFT JOIN fg ON r.event_type = fg.event_type
+         |ORDER BY r.event_type""".stripMargin,
 
     "ev_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, $tsUs AS us FROM events),

@@ -476,6 +476,43 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // Referential-integrity audit (the data-quality face of the star
+    // schema): per FK relationship, child/orphan/parent/childless
+    // counts from ONE full-outer join of per-key count aggregates —
+    // both sides map-side combine to key cardinality before the join,
+    // so each relationship costs one key-sized exchange pair, never a
+    // row-sized one.
+    "dq_referential" -> { (s, d) =>
+      def audit(relName: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+        val c = child.groupBy(col(ck).cast("long").as("k"))
+          .agg(count(lit(1)).as("nc"))
+        val p = parent.groupBy(col(pk).cast("long").as("k"))
+          .agg(count(lit(1)).as("np"))
+        c.join(p, Seq("k"), "full_outer")
+          .agg(
+            sum(coalesce(col("nc"), lit(0L))).as("n_child"),
+            sum(when(col("np").isNull, col("nc")).otherwise(lit(0L))).as("n_orphan"),
+            sum(coalesce(col("np"), lit(0L))).as("n_parent"),
+            sum(when(col("nc").isNull && col("np").isNotNull, col("np"))
+              .otherwise(lit(0L))).as("n_childless"))
+          .select(lit(relName).as("relationship"), col("n_child"),
+            col("n_orphan"), col("n_parent"), col("n_childless"))
+      }
+      val li = Tables.lineitem(s, d)
+      audit("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+        .unionAll(audit("lineitem->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"))
+        .unionAll(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(audit("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("relationship")
+    },
+
     // Left-semi: orders having at least one heavy lineitem (EXISTS).
     "join_semi" -> { (s, d) =>
       Tables.orders(s, d)
@@ -1365,6 +1402,27 @@ object RelationalQueries {
         |FROM heavy JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "dq_referential" -> {
+      def auditSql(relName: String, childTbl: String, ck: String,
+                   parentTbl: String, pk: String): String =
+        s"""SELECT '$relName' AS relationship,
+           |  CAST(SUM(COALESCE(nc, 0)) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN np IS NULL THEN nc ELSE 0 END) AS BIGINT) AS n_orphan,
+           |  CAST(SUM(COALESCE(np, 0)) AS BIGINT) AS n_parent,
+           |  CAST(SUM(CASE WHEN nc IS NULL AND np IS NOT NULL THEN np ELSE 0 END) AS BIGINT) AS n_childless
+           |FROM (SELECT CAST($ck AS BIGINT) AS k, COUNT(*) AS nc
+           |      FROM $childTbl GROUP BY 1) c
+           |FULL JOIN (SELECT CAST($pk AS BIGINT) AS k, COUNT(*) AS np
+           |           FROM $parentTbl GROUP BY 1) p USING (k)""".stripMargin
+      Seq(
+        auditSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        auditSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        auditSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        auditSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        auditSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relationship")
+    },
 
     "q7_nation_volume" ->
       s"""SELECT supp_nation, cust_nation, l_year,
