@@ -383,6 +383,28 @@ object EventQueries {
       dau.join(wau, "day").orderBy("day")
     },
 
+    // Sequence-pattern matching (MATCH_RECOGNIZE-lite): per user, the
+    // ts-ordered event-initial string, then regex occurrence counts —
+    // adjacent view→purchase ("vp") and eventual view→…→purchase
+    // ("v[^p]*p", which both engines match ending at the FIRST
+    // purchase after each view, so non-overlapping counts agree).
+    // The ordered collect is the honest cost of sequence analytics:
+    // one user-keyed exchange, per-group array sort bounded by that
+    // user's activity.
+    "ev_seq_pattern" -> { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      e.groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("ch")))).as("seq"))
+        .select(col("user_id"),
+          array_join(transform(col("seq"), x => x("ch")), "").as("sq"))
+        .select(col("user_id"), length(col("sq")).cast("long").as("n_events"),
+          expr("regexp_count(sq, 'vp')").cast("long").as("n_adjacent"),
+          expr("regexp_count(sq, 'v[^p]*p')").cast("long").as("n_eventual"))
+        .orderBy("user_id")
+    },
+
     // Pipeline-health gap detection: per event type, hourly buckets
     // with zero events between that type's first and last active hour
     // — the "did ingestion silently stop for a while" check. No
@@ -675,6 +697,17 @@ object EventQueries {
          |        WHERE day IN (SELECT day FROM du) GROUP BY day)
          |SELECT day, dau, wau FROM dau JOIN wau USING (day)
          |ORDER BY day""".stripMargin,
+
+    "ev_seq_pattern" ->
+      s"""WITH seq AS (
+         |  SELECT user_id,
+         |    string_agg(substr(event_type, 1, 1), ''
+         |      ORDER BY $tsUs, event_id) AS sq
+         |  FROM events GROUP BY user_id)
+         |SELECT user_id, CAST(length(sq) AS BIGINT) AS n_events,
+         |  CAST(len(regexp_extract_all(sq, 'vp')) AS BIGINT) AS n_adjacent,
+         |  CAST(len(regexp_extract_all(sq, 'v[^p]*p')) AS BIGINT) AS n_eventual
+         |FROM seq ORDER BY user_id""".stripMargin,
 
     "ev_gap_detect" ->
       s"""WITH pres AS (

@@ -476,6 +476,24 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // Frequent-pair mining (the a-priori candidate step of
+    // market-basket analysis): top-20 part pairs by co-order count.
+    // The pair explosion is a SELF-JOIN ON THE ORDER KEY — fanout per
+    // order is C(n,2) with n bounded by order size (single digits
+    // here; a pathological mega-basket would be capped or salted), so
+    // pair volume stays linear in orders. Both join sides share the
+    // orderkey partitioning; the top-20 is TakeOrdered.
+    "agg_copurchase" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("ok"), col("pk").as("pa"))
+      val b = li.select(col("ok"), col("pk").as("pb"))
+      a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb")).limit(20)
+    },
+
     // Referential-integrity audit (the data-quality face of the star
     // schema): per FK relationship, child/orphan/parent/childless
     // counts from ONE full-outer join of per-key count aggregates —
@@ -1402,6 +1420,14 @@ object RelationalQueries {
         |FROM heavy JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "agg_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin,
 
     "dq_referential" -> {
       def auditSql(relName: String, childTbl: String, ck: String,
