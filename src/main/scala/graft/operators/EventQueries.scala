@@ -383,6 +383,29 @@ object EventQueries {
       dau.join(wau, "day").orderBy("day")
     },
 
+    // Markov transition estimation: adjacent (from, to) event-type
+    // pairs within each user's ts-ordered stream, with the conditional
+    // probability per source type. The lead() window rides the
+    // HIGH-cardinality user_id key; per-source totals are a 5-row
+    // aggregate broadcast back; the probability is one quantized
+    // double division of exact counts.
+    "ev_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cnt = ev(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+      cnt.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e12 + 0.5) / 1e12")
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Sequence-pattern matching (MATCH_RECOGNIZE-lite): per user, the
     // ts-ordered event-initial string, then regex occurrence counts —
     // adjacent view→purchase ("vp") and eventual view→…→purchase
@@ -697,6 +720,22 @@ object EventQueries {
          |        WHERE day IN (SELECT day FROM du) GROUP BY day)
          |SELECT day, dau, wau FROM dau JOIN wau USING (day)
          |ORDER BY day""".stripMargin,
+
+    "ev_transitions" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY $tsUs, event_id) AS next_type
+         |  FROM events),
+         |c AS (SELECT event_type AS from_type, next_type AS to_type,
+         |        COUNT(*) AS n
+         |      FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+         |      FROM c GROUP BY 1)
+         |SELECT from_type, to_type, n,
+         |  floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS p
+         |FROM c JOIN t USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin,
 
     "ev_seq_pattern" ->
       s"""WITH seq AS (

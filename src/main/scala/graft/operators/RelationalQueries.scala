@@ -476,6 +476,30 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // Higher-moment statistics per group: mean, stddev, skewness and
+    // excess kurtosis of quantity from EXACT integer power sums — qc^k
+    // fits a long per row (qc ≤ 5000) and the k≥2 sums ride the hi/lo
+    // split, so the only doubles are the final mirrored formula whose
+    // ops (div/mul/sub/sqrt) are all correctly-rounded IEEE —
+    // identical bits in both engines (pow is avoided: v·sqrt(v)
+    // replaces power(v, 1.5) because libm pow is NOT
+    // correctly-rounded). Standardized moments are scale-invariant, so
+    // the cents scaling cancels in skew/kurt.
+    "agg_moments" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), cents("l_quantity").as("qc"))
+        .withColumn("q2", col("qc") * col("qc"))
+        .withColumn("q3", col("qc") * col("qc") * col("qc"))
+        .withColumn("q4", col("q2") * col("q2"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qc").as("s1"),
+          fpSum("q2", 1.0).as("s2"), fpSum("q3", 1.0).as("s3"),
+          fpSum("q4", 1.0).as("s4"))
+        .select(col("l_returnflag") +: col("n") +:
+          MomentExprs.map { case (name, e) => expr(e).as(name) }: _*)
+        .orderBy("l_returnflag")
+    },
+
     // Frequent-pair mining (the a-priori candidate step of
     // market-basket analysis): top-20 part pairs by co-order count.
     // The pair explosion is a SELF-JOIN ON THE ORDER KEY — fanout per
@@ -1200,6 +1224,26 @@ object RelationalQueries {
     s"((CAST(SUM(($v) // $FpHi) AS DOUBLE) * ${FpHi.toDouble} + " +
       s"CAST(SUM(($v) % $FpHi) AS DOUBLE)) / $divisor)"
 
+  /** `agg_moments` output formulas over the named power sums
+    * (n, s1 long; s2..s4 already recombined doubles) — ONE string per
+    * measure, interpolated verbatim into both the Spark plan and the
+    * DuckDB oracle (the CorrExpr pattern). Every op is
+    * correctly-rounded IEEE (no pow), then 1e-12-quantized.
+    */
+  private val MomentExprs: Seq[(String, String)] = {
+    val nD = "CAST(n AS DOUBLE)"
+    val m = s"(CAST(s1 AS DOUBLE) / $nD)"
+    val v = s"(s2 / $nD - $m * $m)"
+    def q(x: String) = s"floor(($x) * 1e12 + 0.5) / 1e12"
+    Seq(
+      "mean_qty" -> q(s"$m / 100.0"),
+      "sd_qty" -> q(s"sqrt(greatest(0.0, $v)) / 100.0"),
+      "skew_qty" -> q(s"(s3 / $nD - 3 * $m * (s2 / $nD) + 2 * $m * $m * $m)" +
+        s" / greatest($v * sqrt($v), 1e-300)"),
+      "kurt_qty" -> q(s"(s4 / $nD - 4 * $m * (s3 / $nD) + 6 * $m * $m * (s2 / $nD)" +
+        s" - 3 * $m * $m * $m * $m) / greatest($v * $v, 1e-300) - 3"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "window_analytics" ->
       """SELECT c_custkey, c_mktsegment, quartile, top_bal, cume FROM (
@@ -1420,6 +1464,26 @@ object RelationalQueries {
         |FROM heavy JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "agg_moments" -> {
+      val outs = MomentExprs.map { case (name, e) => s"  $e AS $name" }
+        .mkString(",\n")
+      s"""SELECT l_returnflag, n,
+         |$outs
+         |FROM (
+         |  SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS s1,
+         |    ${fpSumSql("q2", "1.0")} AS s2,
+         |    ${fpSumSql("q3", "1.0")} AS s3,
+         |    ${fpSumSql("q4", "1.0")} AS s4
+         |  FROM (
+         |    SELECT l_returnflag, qc, qc * qc AS q2, qc * qc * qc AS q3,
+         |      (qc * qc) * (qc * qc) AS q4
+         |    FROM (SELECT l_returnflag,
+         |            CAST(round(l_quantity * 100) AS BIGINT) AS qc
+         |          FROM lineitem))
+         |  GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "agg_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
