@@ -147,6 +147,47 @@ object ManifestLog {
     (small.size, fresh.size)
   }
 
+  /** Copy-on-write MERGE (upsert by `statsCol` as the key): rows of
+    * `updates` replace every same-key row; new keys are inserted. Only
+    * data files whose [lo, hi] stats range CONTAINS at least one
+    * update key are rewritten — affected files are found by joining
+    * the update keys against the BROADCAST snapshot stats (one pass
+    * over the updates, no key collect) — and the untouched majority of
+    * the table carries into snapshot v+1 by reference. At 100 TB a
+    * daily upsert rewrites the handful of range-clustered files its
+    * keys land in, never the table; a reader pinned at v still sees
+    * the pre-merge rows (old files stay until [[vacuum]]). Returns
+    * (#files rewritten, #files carried untouched).
+    */
+  def merge(updates: DataFrame, statsCol: String, path: String,
+            files: Int = 8): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val v = currentVersion(spark, path)
+    require(v > 0, s"merge before write at $path")
+    val snapRows = snapshot(spark, path, v).collect().toSeq
+    val statsDf = snapshot(spark, path, v)
+    val affected = updates.select(col(statsCol).as("__k")).distinct()
+      .join(broadcast(statsDf),
+        col("__k") >= col("lo") && col("__k") <= col("hi"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val (touch, keep) = snapRows.partition(r => affected(r.getString(0)))
+    val keys = updates.select(col(statsCol)).distinct()
+    val out =
+      if (touch.isEmpty) updates
+      else spark.read.parquet(touch.map(_.getString(0)): _*)
+        .join(keys, Seq(statsCol), "left_anti")
+        .unionByName(updates)
+    val before = listDataFiles(spark, path)
+    out.repartitionByRange(files, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode("append").parquet(path)
+    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val st = statsOf(spark, fresh, statsCol)
+    writeSnapshot(spark, path, v + 1, keep ++ st.collect(), st.schema)
+    (touch.size, keep.size)
+  }
+
   /** Scan `statsCol ∈ [lo, hi]` AT a version (−1 = latest): zone-map
     * pruning inside the snapshot's file list, residual filter on top —
     * results equal a plain scan of exactly that version's files.

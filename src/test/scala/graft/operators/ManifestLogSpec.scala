@@ -81,6 +81,52 @@ class ManifestLogSpec extends AnyFunSuite {
     }
   }
 
+  test("merge rewrites only stat-affected files; upsert semantics exact; old version isolated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 16)
+
+    // updates: bump quantity for a NARROW key band + two brand-new keys
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val bandHi = kLo + (kHi - kLo) / 16
+    val changed = li.filter(col("l_orderkey").between(kLo, bandHi))
+      .withColumn("l_quantity", col("l_quantity") + 1000.0)
+    val inserted = spark.range(2)
+      .select((col("id") + kHi + 1).as("l_orderkey"),
+        lit(1L).as("l_partkey"), lit(7.0).as("l_quantity"))
+    val updates = changed.unionByName(inserted)
+
+    val beforeRows = li.collect().map(_.toString).sorted.toSeq
+    val (rewritten, kept) = ManifestLog.merge(updates, "l_orderkey", dir, files = 2)
+    // selectivity: the narrow band must NOT touch the whole table
+    assert(rewritten >= 1 && kept >= 1, s"rewritten=$rewritten kept=$kept")
+    assert(rewritten < rewritten + kept)
+
+    // upsert semantics: old rows of updated keys gone, updates present,
+    // untouched rows identical
+    val expected = (li.join(updates.select("l_orderkey").distinct(),
+        Seq("l_orderkey"), "left_anti").collect() ++ updates.collect())
+      .map(_.toString).sorted.toSeq
+    val got = ManifestLog.snapshot(spark, dir).collect().map(_.getString(0))
+    val gotRows = spark.read.parquet(got.toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotRows == expected)
+
+    // time travel: v1 still reads the pre-merge table byte-for-byte
+    val v1Files = ManifestLog.snapshot(spark, dir, 1).collect().map(_.getString(0))
+    val v1Rows = spark.read.parquet(v1Files.toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(v1Rows == beforeRows)
+
+    // vacuum to latest reclaims the replaced files
+    val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
+    assert(deleted == rewritten, s"deleted=$deleted rewritten=$rewritten")
+    val after = spark.read.parquet(
+      ManifestLog.snapshot(spark, dir).collect().map(_.getString(0)).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == expected)
+  }
+
   test("streaming foreachBatch appends write one snapshot per micro-batch; versions time-travel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
