@@ -188,6 +188,31 @@ object ManifestLog {
     (touch.size, keep.size)
   }
 
+  /** Change-data-capture between two versions: (added, removed) row
+    * frames. Data files are immutable, so rows can only change by file
+    * replacement — the diff scans ONLY the symmetric difference of the
+    * two file lists (a merge that rewrote 2 of 500 files diffs by
+    * reading ~4 files, not the table) and resolves row-level identity
+    * with two EXCEPT-ALL passes over those files. Multiset semantics:
+    * duplicate rows count, a row moved between files cancels out.
+    */
+  def diff(spark: SparkSession, path: String, vFrom: Int,
+           vTo: Int): (DataFrame, DataFrame) = {
+    def fileSet(v: Int) =
+      snapshot(spark, path, v).collect().map(_.getString(0)).toSet
+    val from = fileSet(vFrom)
+    val to = fileSet(vTo)
+    val onlyFrom = (from -- to).toSeq.sorted
+    val onlyTo = (to -- from).toSeq.sorted
+    def readOr(files: Seq[String], like: Seq[String]): DataFrame =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(like: _*)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    val oldRows = readOr(onlyFrom, (from ++ to).toSeq.sorted)
+    val newRows = readOr(onlyTo, (from ++ to).toSeq.sorted)
+    (newRows.exceptAll(oldRows), oldRows.exceptAll(newRows))
+  }
+
   /** Scan `statsCol ∈ [lo, hi]` AT a version (−1 = latest): zone-map
     * pruning inside the snapshot's file list, residual filter on top —
     * results equal a plain scan of exactly that version's files.

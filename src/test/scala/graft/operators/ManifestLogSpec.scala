@@ -118,6 +118,15 @@ class ManifestLogSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(v1Rows == beforeRows)
 
+    // CDC: diff v1 -> v2 scans only the symmetric-difference files and
+    // returns exactly (the updates, the replaced old rows)
+    val (added, removed) = ManifestLog.diff(spark, dir, 1, 2)
+    assert(added.collect().map(_.toString).sorted.toSeq ==
+      updates.collect().map(_.toString).sorted.toSeq)
+    assert(removed.collect().map(_.toString).sorted.toSeq ==
+      li.filter(col("l_orderkey").between(kLo, bandHi))
+        .collect().map(_.toString).sorted.toSeq)
+
     // vacuum to latest reclaims the replaced files
     val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
     assert(deleted == rewritten, s"deleted=$deleted rewritten=$rewritten")
