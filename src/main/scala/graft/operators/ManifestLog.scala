@@ -166,6 +166,9 @@ object ManifestLog {
     val v = currentVersion(spark, path)
     require(v > 0, s"merge before write at $path")
     val snapRows = snapshot(spark, path, v).collect().toSeq
+    // empty batch: no rewrite, no new version (the compact() guard's
+    // analogue — otherwise statsOf would read zero paths and throw)
+    if (updates.isEmpty) return (0, snapRows.size)
     val statsDf = snapshot(spark, path, v)
     val affected = updates.select(col(statsCol).as("__k")).distinct()
       .join(broadcast(statsDf),
@@ -198,6 +201,9 @@ object ManifestLog {
     */
   def diff(spark: SparkSession, path: String, vFrom: Int,
            vTo: Int): (DataFrame, DataFrame) = {
+    // explicit versions only — snapshot()'s v<=0 latest-fallback would
+    // silently diff the wrong pair
+    require(vFrom >= 1 && vTo >= 1, s"diff needs explicit versions, got $vFrom -> $vTo")
     def fileSet(v: Int) =
       snapshot(spark, path, v).collect().map(_.getString(0)).toSet
     val from = fileSet(vFrom)

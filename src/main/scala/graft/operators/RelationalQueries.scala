@@ -1238,10 +1238,16 @@ object RelationalQueries {
     Seq(
       "mean_qty" -> q(s"$m / 100.0"),
       "sd_qty" -> q(s"sqrt(greatest(0.0, $v)) / 100.0"),
-      "skew_qty" -> q(s"(s3 / $nD - 3 * $m * (s2 / $nD) + 2 * $m * $m * $m)" +
-        s" / greatest($v * sqrt($v), 1e-300)"),
-      "kurt_qty" -> q(s"(s4 / $nD - 4 * $m * (s3 / $nD) + 6 * $m * $m * (s2 / $nD)" +
-        s" - 3 * $m * $m * $m * $m) / greatest($v * $v, 1e-300) - 3"))
+      // degenerate (constant) groups: v can land at or just below 0.0
+      // in double — sqrt would make NaN (which greatest() can't catch:
+      // NaN sorts greatest in both engines), so gate the whole formula
+      // on v > 0 instead
+      "skew_qty" -> q(s"CASE WHEN $v <= 0.0 THEN 0.0 ELSE " +
+        s"(s3 / $nD - 3 * $m * (s2 / $nD) + 2 * $m * $m * $m)" +
+        s" / ($v * sqrt($v)) END"),
+      "kurt_qty" -> q(s"CASE WHEN $v <= 0.0 THEN 0.0 ELSE " +
+        s"(s4 / $nD - 4 * $m * (s3 / $nD) + 6 * $m * $m * (s2 / $nD)" +
+        s" - 3 * $m * $m * $m * $m) / ($v * $v) - 3 END"))
   }
 
   val oracleSql: Map[String, String] = Map(

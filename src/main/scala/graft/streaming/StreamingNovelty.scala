@@ -31,7 +31,15 @@ final case class NoveltyRow(doc_id: Long, n_grams: Long, n_novel: Long,
   */
 object StreamingNovelty {
 
-  /** The persisted corpus side: distinct 3-grams, one column `gram`. */
+  /** The corpus side: distinct 3-grams, one column `gram`. NOTE —
+    * Spark re-executes the static side of a stream-static join on
+    * EVERY micro-batch, so pass [[noveltyStream]] a MATERIALIZED
+    * index (parquet-backed, like the dedup corpus indexes, or
+    * cached), not this raw plan: materialized, each batch pays an
+    * index scan; raw, it would pay the full corpus re-tokenize +
+    * distinct shuffle per batch. The spec pins the parquet
+    * round-trip.
+    */
   def buildGramIndex(corpus: DataFrame): DataFrame =
     corpus.select(explode(
         TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("gram"))

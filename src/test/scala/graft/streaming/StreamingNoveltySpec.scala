@@ -32,7 +32,14 @@ class StreamingNoveltySpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val all = spark.read.parquet(s"$dir/documents.parquet")
-    val index = StreamingNovelty.buildGramIndex(all.filter(col("doc_id") % 10 >= 3))
+    // the persisted-index discipline: materialize the gram index to
+    // parquet and stream against THAT, so each micro-batch pays an
+    // index scan, not a corpus re-tokenize (the static side of a
+    // stream-static join re-executes per batch)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-gramidx").toString
+    StreamingNovelty.buildGramIndex(all.filter(col("doc_id") % 10 >= 3))
+      .write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
     val docs = all.filter(col("doc_id") % 10 < 3)
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
     val mem = MemoryStream[(Long, String)]
