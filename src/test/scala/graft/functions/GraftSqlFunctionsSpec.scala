@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL faces must evaluate identically to the Column/Expression
+  * API they wrap — checked value-for-value over real corpus text.
+  */
+class GraftSqlFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftSqlFunctions.register(s)
+    s
+  }
+
+  test("scalar faces: nfc, hilbert, dot, sorted_intersect literals") {
+    val r = spark.sql(
+      """SELECT graft_nfc('été') AS nfc,
+        |  graft_hilbert2(3L, 5L) AS h,
+        |  graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+        |  graft_sorted_intersect(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS si
+        |""".stripMargin).head()
+    assert(r.getAs[String]("nfc") == "été")
+    assert(r.getAs[Long]("h") ==
+      HilbertIndex2.xy2d(3L, 5L))
+    assert(r.getAs[Double]("d") == 1.5 * 4.0 + 2.0 * 0.5)
+    assert(r.getAs[Long]("si") == 2L)
+  }
+
+  test("sql faces equal the Column API over real documents") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash32(toks) AS sh,
+        |  graft_shingle_hashes(text, 3) AS gh
+        |FROM docs_sqlfn""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    val viaCol = spark.table("docs_sqlfn")
+      .select(col("doc_id"),
+        TextExpressions.simHash32(col("toks")).as("sh"),
+        TextExpressions.shingleHashes(col("text"), 3).as("gh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(viaSql.nonEmpty && viaSql.sortBy(_._1) == viaCol.sortBy(_._1))
+  }
+}
