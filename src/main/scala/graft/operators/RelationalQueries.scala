@@ -476,6 +476,26 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // Per-group OLS trend line (slope + intercept of order total vs
+    // days since epoch start): the agg_corr discipline — exact integer
+    // moment sums (hi/lo for the product term), ONE mirrored IEEE
+    // formula per output, 1e-12-quantized. Slope is cents/day scaled
+    // back to currency/day.
+    "agg_regression" -> { (s, d) =>
+      val x = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderpriority"), x.as("xd"), cents("o_totalprice").as("yc"))
+        .withColumn("xy", col("xd") * col("yc"))
+        .withColumn("xx", col("xd") * col("xd"))
+      ords.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("xd").as("sx"), sum("yc").as("sy"),
+          fpSum("xy", 1.0).as("sxy"), sum("xx").as("sxx"))
+        .select(col("o_orderpriority") +: col("n") +:
+          RegressionExprs.map { case (name, e) => expr(e).as(name) }: _*)
+        .orderBy("o_orderpriority")
+    },
+
     // Higher-moment statistics per group: mean, stddev, skewness and
     // excess kurtosis of quantity from EXACT integer power sums — qc^k
     // fits a long per row (qc ≤ 5000) and the k≥2 sums ride the hi/lo
@@ -1224,6 +1244,23 @@ object RelationalQueries {
     s"((CAST(SUM(($v) // $FpHi) AS DOUBLE) * ${FpHi.toDouble} + " +
       s"CAST(SUM(($v) % $FpHi) AS DOUBLE)) / $divisor)"
 
+  /** `agg_regression` output formulas over the named moment sums
+    * (n, sx, sy, sxx long; sxy an exact recombined double) — one
+    * string per output, interpolated into BOTH engines; slope/
+    * intercept convert cents to currency at the end.
+    */
+  private val RegressionExprs: Seq[(String, String)] = {
+    val nD = "CAST(n AS DOUBLE)"
+    val sxD = "CAST(sx AS DOUBLE)"
+    val syD = "CAST(sy AS DOUBLE)"
+    val sxxD = "CAST(sxx AS DOUBLE)"
+    val slope = s"((($nD * sxy - $sxD * $syD) / ($nD * $sxxD - $sxD * $sxD)))"
+    def q(x: String) = s"floor(($x) * 1e12 + 0.5) / 1e12"
+    Seq(
+      "slope_per_day" -> q(s"$slope / 100.0"),
+      "intercept" -> q(s"(($syD - $slope * $sxD) / $nD) / 100.0"))
+  }
+
   /** `agg_moments` output formulas over the named power sums
     * (n, s1 long; s2..s4 already recombined doubles) — ONE string per
     * measure, interpolated verbatim into both the Spark plan and the
@@ -1470,6 +1507,28 @@ object RelationalQueries {
         |FROM heavy JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "agg_regression" -> {
+      val outs = RegressionExprs.map { case (name, e) => s"  $e AS $name" }
+        .mkString(",\n")
+      s"""SELECT o_orderpriority, n,
+         |$outs
+         |FROM (
+         |  SELECT o_orderpriority, COUNT(*) AS n,
+         |    CAST(SUM(xd) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+         |    ${fpSumSql("xy", "1.0")} AS sxy,
+         |    CAST(SUM(xx) AS BIGINT) AS sxx
+         |  FROM (
+         |    SELECT o_orderpriority, xd, yc, xd * yc AS xy, xd * xd AS xx
+         |    FROM (
+         |      SELECT o_orderpriority,
+         |        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+         |          AS BIGINT) AS xd,
+         |        CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+         |      FROM orders))
+         |  GROUP BY o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin
+    },
 
     "agg_moments" -> {
       val outs = MomentExprs.map { case (name, e) => s"  $e AS $name" }
