@@ -528,6 +528,11 @@ object RelationalQueries {
     // pair volume stays linear in orders. Both join sides share the
     // orderkey partitioning; the top-20 is TakeOrdered.
     "agg_copurchase" -> { (s, d) =>
+      // the classic a⋈b plan deliberately: a collect_set +
+      // in-array-C(n,2) variant was measured SLOWER at sf0.1 (1.7 s vs
+      // 1.6 s — the object-hash set aggregate costs more than the
+      // extra codegen'd exchange), and the join form carries no
+      // per-group array memory at scale
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
