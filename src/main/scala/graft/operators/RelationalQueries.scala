@@ -717,6 +717,50 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    // Multiset set ops (the ALL forms — per-value count arithmetic,
+    // not dedup): returned-line partkeys EXCEPT ALL / INTERSECT ALL
+    // accepted-line partkeys, then a count per surviving key so the
+    // multiset multiplicity is what's checked. Spark plans both as a
+    // single count-difference aggregate plus a generate — one shuffle.
+    "setop_except_all" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .exceptAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")
+    },
+
+    "setop_intersect_all" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .intersectAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")
+    },
+
+    // Navigation window functions over a HIGH-cardinality key (the
+    // low-card segment trap doesn't apply: one window group per
+    // order): first/second/last partkey and the lag/lead quantity
+    // within each order's line sequence.
+    "window_navigation" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // l_linenumber DUPLICATES within an order in this data — break
+      // ties on (partkey, quantity) so navigation order is total and
+      // engine-independent
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_quantity")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .withColumn("first_pk", first("l_partkey").over(w))
+        .withColumn("second_pk", nth_value(col("l_partkey"), 2).over(wf))
+        .withColumn("last_pk", last("l_partkey").over(wf))
+        .withColumn("prev_qty", lag("l_quantity", 1).over(w))
+        .withColumn("next_qty", lead("l_quantity", 1).over(w))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    },
+
     // Distinct aggregation (shuffle-dedup then agg).
     "agg_distinct" -> { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
@@ -1758,6 +1802,35 @@ object RelationalQueries {
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "setop_except_all" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "setop_intersect_all" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "window_navigation" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  first_value(l_partkey) OVER w AS first_pk,
+        |  nth_value(l_partkey, 2) OVER wf AS second_pk,
+        |  last_value(l_partkey) OVER wf AS last_pk,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_quantity),
+        |  wf AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
 
     "setop_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
