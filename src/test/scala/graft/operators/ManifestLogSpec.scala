@@ -136,6 +136,47 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(after == expected)
   }
 
+  test("streaming upsert cadence: foreachBatch merge per micro-batch equals sequential batch merges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = li
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-stream").toString
+    ManifestLog.write(base, "l_orderkey", dir, files = 8)
+
+    // three update waves: overlapping narrow key bands, bumped amounts
+    val keys = base.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val span = (kHi - kLo) / 8 + 1
+    def wave(i: Int) = base
+      .filter(col("l_orderkey").between(kLo + i * span, kLo + (i + 1) * span - 1))
+      .withColumn("l_quantity", col("l_quantity") + lit((i + 1) * 1000.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toIndexedSeq
+    val waves = (0 until 3).map(wave)
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = mem.toDF().toDF("l_orderkey", "l_partkey", "l_quantity")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        ManifestLog.merge(df, "l_orderkey", dir, files = 2); ()
+      }
+      .start()
+    try waves.foreach { w => mem.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    assert(ManifestLog.versions(spark, dir) == (1 to 4))
+
+    // reference: the same three merges applied in batch mode
+    val refDir = java.nio.file.Files.createTempDirectory("graft-merge-ref").toString
+    ManifestLog.write(base, "l_orderkey", refDir, files = 8)
+    waves.foreach(w => ManifestLog.merge(
+      w.toDF("l_orderkey", "l_partkey", "l_quantity"), "l_orderkey", refDir, files = 2))
+    def tableAt(p: String): Seq[String] =
+      spark.read.parquet(ManifestLog.snapshot(spark, p).collect()
+        .map(_.getString(0)).toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(tableAt(dir) == tableAt(refDir))
+  }
+
   test("streaming foreachBatch appends write one snapshot per micro-batch; versions time-travel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
