@@ -408,4 +408,54 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected,
       s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
   }
+
+  test("gap rows survive kill/restart (last-seen-hour state recovers)") {
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select("event_type", "ts_us")
+    val expected = StreamingGaps.gapsBatch(evs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(expected.nonEmpty, "sf0.001 must contain hourly gaps")
+    val lines = evs.collect().sortBy(_.getLong(1)).map(r =>
+      s"""{"event_type":"${r.getString(0)}","ts_us":${r.getLong(1)}}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream.schema("event_type STRING, ts_us LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingGaps.gapStream(stream)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  test("transition pairs survive kill/restart (per-user last-event state recovers)") {
+    val expected = graft.SparkEntry.queries("ev_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lines = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type")
+      .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
+      .map(r => s"""{"user_id":${r.getLong(0)},"ts_us":${r.getLong(1)},""" +
+        s""""event_id":${r.getLong(2)},"event_type":"${r.getString(3)}"}""").toSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_us LONG, event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingTransitions.transitionStream(stream)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
 }
