@@ -2,14 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL faces of the library's native codegen'd expressions, so
   * `spark.sql("SELECT graft_nfc(text) ...")` works the same as the
-  * Column API. One list feeds BOTH registration paths: per-session
-  * ([[register]], for library callers on an existing session) and
-  * spark-submit config ([[graft.plans.GraftExtensions]] via
-  * `spark.sql.extensions`).
+  * Column API. ONE triple list ([[entries]]) feeds BOTH registration
+  * paths: per-session ([[register]], for library callers on an
+  * existing session) and spark-submit config
+  * ([[graft.plans.GraftExtensions]] via `spark.sql.extensions`).
   */
 object GraftSqlFunctions {
 
@@ -19,33 +20,46 @@ object GraftSqlFunctions {
       s"$fn: argument must be an INT literal, got $other")
   }
 
-  /** (name, usage, builder) for every exposed function. */
-  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("graft_nfc", "graft_nfc(str) - Unicode NFC normalization",
+  /** (name, usage, arity, raw builder) for every exposed function. */
+  private val defs: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_nfc", "graft_nfc(str) - Unicode NFC normalization", 1,
       es => NfcNormalize(es.head)),
     ("graft_simhash32",
-      "graft_simhash32(toks) - 32-bit SimHash of a token array",
+      "graft_simhash32(toks) - 32-bit SimHash of a token array", 1,
       es => SimHash32(es.head)),
     ("graft_shingle_hashes",
-      "graft_shingle_hashes(str, n) - 64-bit hashes of the n-token shingles",
+      "graft_shingle_hashes(str, n) - 64-bit hashes of the n-token shingles", 2,
       es => ShingleHashes(es.head, intLit(es(1), "graft_shingle_hashes"))),
-    ("graft_dot", "graft_dot(arr, arr) - float/double vector dot product",
+    ("graft_dot", "graft_dot(arr, arr) - float/double vector dot product", 2,
       es => DotProduct(es.head, es(1))),
-    ("graft_hilbert2", "graft_hilbert2(x, y) - order-16 Hilbert curve index",
+    ("graft_hilbert2", "graft_hilbert2(x, y) - order-16 Hilbert curve index", 2,
       es => HilbertIndex2(es.head, es(1))),
     ("graft_int8_quantize",
-      "graft_int8_quantize(arr) - symmetric int8 quantization of a float vector",
+      "graft_int8_quantize(arr) - symmetric int8 quantization of a float vector", 1,
       es => Int8Quantize(es.head)),
     ("graft_sorted_intersect",
-      "graft_sorted_intersect(arr, arr) - intersection size of two sorted arrays",
+      "graft_sorted_intersect(arr, arr) - intersection size of two sorted arrays", 2,
       es => SortedIntersectCount(es.head, es(1))))
 
-  /** Register every function on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = all.foreach {
-    case (name, usage, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
+  /** The registration triples, shared by both paths. Builders validate
+    * arity up front so a wrong-arg-count call reports the usage string
+    * instead of a raw IndexOutOfBounds from `es(1)`.
+    */
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    defs.map { case (name, usage, arity, raw) =>
+      val checked: FunctionBuilder = es => {
+        if (es.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${es.length}; usage: $usage")
+        raw(es)
+      }
+      (FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftSqlFunctions", name, usage),
-        builder)
+        checked)
+    }
+
+  /** Register every function on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = entries.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

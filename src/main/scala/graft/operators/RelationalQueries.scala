@@ -482,7 +482,12 @@ object RelationalQueries {
     // formula per output, 1e-12-quantized. Slope is cents/day scaled
     // back to currency/day.
     "agg_regression" -> { (s, d) =>
-      val x = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+      // epoch anchor (1970-01-01) keeps xd NON-NEGATIVE for any
+      // plausible order date — the hi/lo split's documented
+      // cross-engine precondition (Spark div truncates, the driver's
+      // DuckDB floors; they agree only at xd*yc >= 0). Slope is
+      // shift-invariant; intercept is the value AT the epoch anchor.
+      val x = datediff(col("o_orderdate"), lit("1970-01-01").cast("timestamp"))
         .cast("long")
       val ords = Tables.orders(s, d)
         .select(col("o_orderpriority"), x.as("xd"), cents("o_totalprice").as("yc"))
@@ -1303,11 +1308,18 @@ object RelationalQueries {
     val sxD = "CAST(sx AS DOUBLE)"
     val syD = "CAST(sy AS DOUBLE)"
     val sxxD = "CAST(sxx AS DOUBLE)"
-    val slope = s"((($nD * sxy - $sxD * $syD) / ($nD * $sxxD - $sxD * $sxD)))"
+    // denom = n·sxx − sx² ≥ 0 (Cauchy–Schwarz); == 0 when every x in
+    // the group is identical — guard it: Spark yields NaN for 0/0
+    // where DuckDB yields NULL, which would split the hash
+    val denom = s"($nD * $sxxD - $sxD * $sxD)"
+    val slope = s"((($nD * sxy - $sxD * $syD) / $denom))"
     def q(x: String) = s"floor(($x) * 1e12 + 0.5) / 1e12"
+    def guarded(x: String, degenerate: String) =
+      s"CASE WHEN $denom <= 0.0 THEN $degenerate ELSE $x END"
     Seq(
-      "slope_per_day" -> q(s"$slope / 100.0"),
-      "intercept" -> q(s"(($syD - $slope * $sxD) / $nD) / 100.0"))
+      "slope_per_day" -> q(guarded(s"$slope / 100.0", "0.0")),
+      "intercept" -> q(guarded(s"(($syD - $slope * $sxD) / $nD) / 100.0",
+        s"($syD / $nD) / 100.0")))
   }
 
   /** `agg_moments` output formulas over the named power sums
@@ -1571,7 +1583,7 @@ object RelationalQueries {
          |    SELECT o_orderpriority, xd, yc, xd * yc AS xy, xd * xd AS xx
          |    FROM (
          |      SELECT o_orderpriority,
-         |        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+         |        CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
          |          AS BIGINT) AS xd,
          |        CAST(round(o_totalprice * 100) AS BIGINT) AS yc
          |      FROM orders))

@@ -11,15 +11,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AnchoredWindowStrategy)
-    // SQL faces of the native expressions (same list the per-session
-    // GraftSqlFunctions.register uses)
-    graft.functions.GraftSqlFunctions.all.foreach {
-      case (name, usage, builder) =>
-        e.injectFunction((
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-            "graft.functions.GraftSqlFunctions", name, usage),
-          builder))
-    }
+    // SQL faces of the native expressions — the SAME triples the
+    // per-session GraftSqlFunctions.register uses
+    graft.functions.GraftSqlFunctions.entries.foreach(e.injectFunction)
   }
 }
