@@ -79,6 +79,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p17.contains("SortMergeJoin"), p17.take(600))
   }
 
+  test("session-4 additions: pair mining, navigation, set-ops, regression plan shapes") {
+    // copurchase: equi-join on the order key, never a cartesian
+    val pc = plan("agg_copurchase")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc.take(400))
+    assert(pc.contains("TakeOrderedAndProject"))
+    // navigation windows ride ONE orderkey exchange (no extra sorts
+    // beyond the window's own)
+    val pn = plan("window_navigation")
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(pn).size == 1, pn.take(600))
+    // regression/moments: single-scan aggregates, no joins at all
+    assert(!plan("agg_regression").contains("Join"))
+    assert(!plan("agg_moments").contains("Join"))
+    // multiset set ops plan as aggregates, not joins
+    val pe = plan("setop_except_all")
+    assert(!pe.contains("CartesianProduct"), pe.take(400))
+  }
+
   test("pattern routing compiles to RLIKE inside the scan filter, no UDFs") {
     val p = plan("ev_route_drop")
     assert(p.contains("RLIKE"))
