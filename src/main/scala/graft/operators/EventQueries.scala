@@ -459,6 +459,26 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // The per-gap row list (ev_gap_detect's summary sibling): one row
+    // per missing-hour run. The lag window partitions by event_type —
+    // LOW cardinality, but over the distinct (type, hour) table,
+    // which is METADATA-sized at any corpus scale (hours in the
+    // timeline × types, ~1e5 rows for years of data), so the 5-task
+    // stage is bounded work, not the events-table trap.
+    "ev_gap_list" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val HourUs = 3600000000L
+      val pres = ev(s, d)
+        .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      pres.withColumn("nh", lead("h", 1).over(w))
+        .filter(col("nh") > col("h") + 1)
+        .select(col("event_type"), (col("h") + 1).as("gap_start"),
+          (col("nh") - col("h") - 1).as("gap_len"))
+        .orderBy("event_type", "gap_start")
+    },
+
     // Ordered 3-stage funnel: signup -> first view at-or-after the
     // signup -> first purchase at-or-after that view, per user. Three
     // conditional-min aggregates, each joined back on user_id (the
@@ -747,6 +767,16 @@ object EventQueries {
          |  CAST(len(regexp_extract_all(sq, 'vp')) AS BIGINT) AS n_adjacent,
          |  CAST(len(regexp_extract_all(sq, 'v[^p]*p')) AS BIGINT) AS n_eventual
          |FROM seq ORDER BY user_id""".stripMargin,
+
+    "ev_gap_list" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type, $tsUs // 3600000000 AS h FROM events),
+         |l AS (SELECT event_type, h,
+         |        lead(h) OVER (PARTITION BY event_type ORDER BY h) AS nh
+         |      FROM d)
+         |SELECT event_type, h + 1 AS gap_start, nh - h - 1 AS gap_len
+         |FROM l WHERE nh > h + 1
+         |ORDER BY event_type, gap_start""".stripMargin,
 
     "ev_gap_detect" ->
       s"""WITH pres AS (

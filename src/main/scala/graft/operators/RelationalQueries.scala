@@ -766,6 +766,23 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     },
 
+    // Null-semantics battery: NULLIF-produced null keys flow through
+    // grouping (the null group is a real group), COUNT(col) vs
+    // COUNT(*) null-skipping, null-safe equality (<=> /
+    // IS NOT DISTINCT FROM), and explicit NULLS FIRST ordering (the
+    // engines' DEFAULTS differ: Spark sorts nulls first ASC, DuckDB
+    // last — the explicit modifier is what makes the contract
+    // portable).
+    "scalar_nulls" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("st", expr("nullif(o_orderstatus, 'O')"))
+      o.groupBy("st")
+        .agg(count(lit(1)).as("n"), count(col("st")).as("n_nonnull"),
+          sum(when(col("st") <=> lit(null).cast("string"), 1L)
+            .otherwise(0L)).as("n_nullsafe_null"))
+        .orderBy(col("st").asc_nulls_first)
+    },
+
     // Distinct aggregation (shuffle-dedup then agg).
     "agg_distinct" -> { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
@@ -1814,6 +1831,13 @@ object RelationalQueries {
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "scalar_nulls" ->
+      """SELECT st, COUNT(*) AS n, COUNT(st) AS n_nonnull,
+        |  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null
+        |FROM (SELECT NULLIF(o_orderstatus, 'O') AS st FROM orders)
+        |GROUP BY st ORDER BY st NULLS FIRST""".stripMargin,
 
     "setop_except_all" ->
       """SELECT l_partkey, COUNT(*) AS n FROM (
