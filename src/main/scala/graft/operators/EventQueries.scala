@@ -49,6 +49,15 @@ object EventQueries {
         sum(decVal).cast("double").as("sum_value"))
   }
 
+  /** Distinct (event_type, hour-bucket) rows — shared by the two gap
+    * queries (and mirrored by both oracles' `// 3600000000`), so the
+    * bucketing can never drift between the summary and the row list.
+    */
+  private def presHours(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("h"))
+      .distinct()
+
   val queries: Map[String, Q] = Map(
 
     // §2.2 match/drop: composite pattern filter, pure RLIKE + boolean algebra.
@@ -437,10 +446,7 @@ object EventQueries {
     // Missing counts are pure arithmetic (span − present) off the
     // per-type aggregate.
     "ev_gap_detect" -> { (s, d) =>
-      val HourUs = 3600000000L
-      val pres = ev(s, d)
-        .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
-        .distinct()
+      val pres = presHours(s, d)
       val r = pres.groupBy("event_type")
         .agg(min("h").as("h0"), max("h").as("h1"), count(lit(1)).as("n_present"))
       val succ = pres.select(col("event_type"), (col("h") + 1).as("hc"))
@@ -467,10 +473,7 @@ object EventQueries {
     // stage is bounded work, not the events-table trap.
     "ev_gap_list" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val HourUs = 3600000000L
-      val pres = ev(s, d)
-        .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
-        .distinct()
+      val pres = presHours(s, d)
       val w = Window.partitionBy("event_type").orderBy("h")
       pres.withColumn("nh", lead("h", 1).over(w))
         .filter(col("nh") > col("h") + 1)

@@ -84,16 +84,17 @@ class PlanSpec extends AnyFunSuite {
     val pc = plan("agg_copurchase")
     assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc.take(400))
     assert(pc.contains("TakeOrderedAndProject"))
-    // navigation windows ride ONE orderkey exchange (no extra sorts
-    // beyond the window's own)
+    // navigation windows ride ONE orderkey exchange and ONE sort (the
+    // window's own)
     val pn = plan("window_navigation")
     assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(pn).size == 1, pn.take(600))
+    assert("(?m)^\\s*[+:*]*\\s*Sort ".r.findAllIn(pn).size <= 2, pn.take(600))
     // regression/moments: single-scan aggregates, no joins at all
     assert(!plan("agg_regression").contains("Join"))
     assert(!plan("agg_moments").contains("Join"))
-    // multiset set ops plan as aggregates, not joins
+    // multiset set ops plan as aggregates + generate, never joins
     val pe = plan("setop_except_all")
-    assert(!pe.contains("CartesianProduct"), pe.take(400))
+    assert(!pe.contains("Join"), pe.take(400))
   }
 
   test("pattern routing compiles to RLIKE inside the scan filter, no UDFs") {
