@@ -13,14 +13,20 @@ final case class PctUpdate(group: String, pct: Double, version: Long)
   * ([[graft.operators.HistogramIndex]]): per-group state is the
   * (value → count) histogram — bounded by the measure's DISTINCT
   * values, the same compression contract as the batch index — seeded
-  * from the persisted per-shard index (collapsed and broadcast up
-  * front), folded forward by counting each micro-batch's values, and
-  * re-interpolated on every update with the exact weighted
-  * order-statistics arithmetic the batch path uses. Counts merge by
-  * summation, so the final streamed percentile is BIT-IDENTICAL to
-  * the batch `percentileWithBatch` over the same rows under any
-  * micro-batch chopping (StreamingPercentileSpec pins equality, not a
-  * tolerance).
+  * from the persisted per-shard index as `flatMapGroupsWithState`
+  * INITIAL STATE (the index collapses per group on executors and is
+  * shuffled straight into the state store — the driver never
+  * materializes it, so driver memory is O(1) no matter how many
+  * groups or distinct values the index holds), folded forward by
+  * counting each micro-batch's values, and re-interpolated on every
+  * update with the exact weighted order-statistics arithmetic the
+  * batch path uses. Counts merge by summation, so the final streamed
+  * percentile is BIT-IDENTICAL to the batch `percentileWithBatch`
+  * over the same rows under any micro-batch chopping
+  * (StreamingPercentileSpec pins equality, not a tolerance), and the
+  * state store carries the histograms across kill/restart
+  * (StreamingRestartSpec) — on restart the recovered store wins and
+  * the initial state is ignored, exactly Spark's contract.
   */
 object StreamingPercentile {
 
@@ -59,21 +65,30 @@ object StreamingPercentile {
                        value: String, p: Double): Dataset[PctUpdate] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val idx: Map[String, Map[Double, Long]] = index
+    // One state row per group, assembled ON EXECUTORS: collapse the
+    // sharded index with a sum-agg (map-side partial), then fold each
+    // group's (value, cnt) rows into the histogram map. Handing this
+    // KeyValueGroupedDataset to flatMapGroupsWithState shuffles it
+    // co-partitioned with the stream and loads it into the state
+    // store at batch 0 — no collect(), no broadcast.
+    val initState = index
       .groupBy(col(group).cast("string").as("g"), col("value").cast("double").as("v"))
       .agg(sum("cnt").as("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-      .groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
-    val bIdx = spark.sparkContext.broadcast(idx)
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (g, rows) =>
+        (g, (rows.map(r => r._2 -> r._3).toMap, 0L))
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
     stream.select(col(group).cast("string").as("_1"), col(value).cast("double").as("_2"))
       .as[(String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Map[Double, Long], Long), PctUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.NoTimeout, initState) {
         (key, rows, state: GroupState[(Map[Double, Long], Long)]) =>
           var (hist, version) = state.getOption
-            .getOrElse((bIdx.value.getOrElse(key, Map.empty[Double, Long]), 0L))
+            .getOrElse((Map.empty[Double, Long], 0L))
           rows.foreach { case (_, v) => hist = hist.updated(v, hist.getOrElse(v, 0L) + 1L) }
           version += 1
           state.update((hist, version))
