@@ -76,6 +76,65 @@ object RelationalQueries {
   /** price·(1−disc) as integer ten-thousandths: ec·(100−dc). */
   private def revCents = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
 
+  /** Deterministic derived `partsupp` — the one TPC-H table the
+    * shipped schema lacks (reference parity for Q2/Q11/Q20 needs it).
+    * Exactly 4 supplier slots per part; every column is a pure integer
+    * function of (p_partkey, slot, supplier count) mirrored TERMWISE
+    * in [[PartsuppCte]], so both engines synthesize the identical
+    * relation from the same parquet and the three hardest
+    * join/subquery shapes land hash-exact. (ps_partkey, ps_suppkey) is
+    * a true PK: 257·Δslot is never ≡ 0 mod the supplier count at any
+    * shipped sf (10/100/1000). Generated, never stored: a 4-row
+    * broadcast fan-out over the part scan — zero shuffles, and the
+    * cost stays 4×|part| scan work at any scale. Supply cost is kept
+    * as exact integer cents (`ps_costc`); the presentation double
+    * divides by 100.0 only at the edge.
+    */
+  private[operators] def derivedPartsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = Tables.supplier(s, d).agg((max(col("s_suppkey")) + 1).as("__ns"))
+    val slots = s.range(4).toDF("__slot")
+    val sk = (col("p_partkey") * 11 + col("__slot") * 257) % col("__ns")
+    Tables.part(s, d).select("p_partkey")
+      .crossJoin(broadcast(slots))
+      .crossJoin(broadcast(nSupp))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        sk.as("ps_suppkey"),
+        ((col("p_partkey") * 7 + col("__slot") * 13) % 9991 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 31 + sk * 17 + col("__slot") * 5) % 99900 + 100)
+          .as("ps_costc"))
+  }
+
+  /** DuckDB mirror of [[derivedPartsupp]] (same terms, same order). */
+  private val PartsuppCte: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey * 11 + s.slot * 257) % ns.n AS ps_suppkey,
+      |    (p_partkey * 7 + s.slot * 13) % 9991 + 1 AS ps_availqty,
+      |    (p_partkey * 31 + ((p_partkey * 11 + s.slot * 257) % ns.n) * 17 + s.slot * 5) % 99900 + 100 AS ps_costc
+      |  FROM part,
+      |    (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS s(slot),
+      |    (SELECT MAX(s_suppkey) + 1 AS n FROM supplier) AS ns)""".stripMargin
+
+  /** Derived Q12 transport columns — the schema ships no
+    * l_shipmode/l_commitdate/l_receiptdate, so they are pure functions
+    * of (l_orderkey, l_linenumber, l_shipdate), mirrored in the oracle
+    * SQL: shipmode cycles 5 carriers on a key hash, commit/receipt are
+    * day offsets off the ship date (commit can land up to 25 days
+    * BEFORE shipping, so the `l_shipdate < l_commitdate` late-shipping
+    * screen is selective in both directions).
+    */
+  private def withTransportCols(li: DataFrame): DataFrame = {
+    val m = (col("l_orderkey") * 7 + col("l_linenumber")) % 5
+    li.withColumn("l_shipmode",
+        when(m === 0, "MAIL").when(m === 1, "SHIP").when(m === 2, "AIR")
+          .when(m === 3, "RAIL").otherwise("TRUCK"))
+      .withColumn("l_commitdate", expr(
+        "timestampadd(DAY, CAST((l_orderkey * 5 + l_linenumber * 7) % 60 - 25 AS INT), l_shipdate)"))
+      .withColumn("l_receiptdate", expr(
+        "timestampadd(DAY, CAST((l_orderkey + l_linenumber * 3) % 30 + 1 AS INT), l_shipdate)"))
+  }
+
   /** Exact interpolated per-group percentile of `v` at probability
     * `p`, as distributed order statistics: per-(group, value) counts
     * (map-side combined — the shuffle carries distinct values, not
@@ -474,6 +533,114 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"),
           (sum(col("bc")).cast("double") / 100.0).as("totacctbal"))
         .orderBy("n_name")
+    },
+
+    // TPC-H Q2 (minimum-cost supplier) over the derived partsupp: the
+    // correlated min-cost subquery becomes a per-part window MIN over
+    // the region-filtered candidates — ps_partkey is |part|-cardinality
+    // so the window shuffle parallelizes fully, and each partition
+    // holds ≤4 rows. Supplier⋈nation⋈region collapses to one broadcast
+    // (it's supplier-dimension-sized), the part screen is applied
+    // BEFORE the window (the min is per part, so dropping other parts
+    // can't change it), and the min compares in exact integer cents.
+    "q2_min_cost_supp" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val eur = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val prt = Tables.part(s, d)
+        .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_brand")
+      val w = Window.partitionBy("ps_partkey")
+      derivedPartsupp(s, d)
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .withColumn("min_costc", min(col("ps_costc")).over(w))
+        .filter(col("ps_costc") === col("min_costc"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("ps_partkey"), col("p_brand"),
+          (col("ps_costc").cast("double") / 100.0).as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("ps_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q11 (important stock by nation) over the derived partsupp:
+    // per-part value sums against a global-share threshold. Values are
+    // exact integer cents·qty longs — the per-part sum is ≤4 rows so a
+    // plain long sum is exact forever; the GLOBAL sum rides the hi/lo
+    // split (fpSum) so it cannot wrap at any scale — and the threshold
+    // attaches as a broadcast scalar (the accepted crossJoin face).
+    "q11_value_share" -> { (s, d) =>
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = derivedPartsupp(s, d)
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("vc", col("ps_costc") * col("ps_availqty"))
+      val thresh = vals.agg((fpSum("vc", 100.0) * lit(0.0001)).as("thresh"))
+      vals.groupBy("ps_partkey")
+        .agg((sum(col("vc")).cast("double") / 100.0).as("value"))
+        .crossJoin(broadcast(thresh))
+        .filter(col("value") > col("thresh"))
+        .select(col("ps_partkey"), col("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    // TPC-H Q12 (shipmode vs priority) over the derived transport
+    // columns: the late-commit/late-receipt screens run IN the
+    // lineitem scan (pure key arithmetic — no dimension needed), then
+    // one orderkey shuffle join against orders and a 2-wide
+    // conditional aggregate.
+    "q12_shipmode_prio" -> { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      withTransportCols(Tables.lineitem(s, d))
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_receiptdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipmode")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    },
+
+    // TPC-H Q20 (excess availability) over the derived partsupp: the
+    // nested semi-join chain — parts by name prefix (broadcast
+    // left-semi into the generated partsupp), the correlated
+    // half-of-shipped-quantity subquery as a (partkey, suppkey)
+    // aggregate of the date-windowed lineitem scan (inner join ==
+    // NULL-excluding correlated comparison), then a left-semi into the
+    // nation-filtered supplier dim. Quantity sums are integer-valued
+    // doubles (exact in IEEE far past 2^50 rows per pair).
+    "q20_excess_avail" -> { (s, d) =>
+      val prt = Tables.part(s, d).filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+      val qualified = derivedPartsupp(s, d)
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty").cast("double") > lit(0.5) * col("qty"))
+        .select("ps_suppkey")
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_name").orderBy("s_name")
     },
 
     // Per-group OLS trend line (slope + intercept of order total vs
@@ -1414,6 +1581,72 @@ object RelationalQueries {
         |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE) AS ends_sum,
         |  label
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      s"""WITH $PartsuppCte
+         |SELECT s_acctbal, s_name, n_name, ps_partkey, p_brand,
+         |  CAST(ps_costc AS DOUBLE) / 100.0 AS ps_supplycost
+         |FROM partsupp ps1, part, supplier, nation, region
+         |WHERE ps1.ps_partkey = p_partkey AND ps1.ps_suppkey = s_suppkey
+         |  AND p_size <= 25 AND p_type = 'LARGE'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND ps_costc = (
+         |    SELECT MIN(ps2.ps_costc)
+         |    FROM partsupp ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = ps1.ps_partkey
+         |      AND ps2.ps_suppkey = s2.s_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey
+         |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, ps_partkey LIMIT 100""".stripMargin,
+
+    "q11_value_share" ->
+      s"""WITH $PartsuppCte,
+         |vals AS (
+         |  SELECT ps_partkey, ps_costc * ps_availqty AS vc
+         |  FROM partsupp, supplier, nation
+         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_7')
+         |SELECT ps_partkey, CAST(SUM(vc) AS DOUBLE) / 100.0 AS value
+         |FROM vals GROUP BY ps_partkey
+         |HAVING CAST(SUM(vc) AS DOUBLE) / 100.0 >
+         |  (SELECT ${fpSumSql("vc", "100.0")} * 0.0001 FROM vals)
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q12_shipmode_prio" ->
+      """SELECT l_shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CASE (l_orderkey * 7 + l_linenumber) % 5
+        |      WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+        |      WHEN 3 THEN 'RAIL' ELSE 'TRUCK' END AS l_shipmode,
+        |    l_shipdate + INTERVAL ((l_orderkey * 5 + l_linenumber * 7) % 60 - 25) DAY AS l_commitdate,
+        |    l_shipdate + INTERVAL ((l_orderkey + l_linenumber * 3) % 30 + 1) DAY AS l_receiptdate,
+        |    l_shipdate
+        |  FROM lineitem) li, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipmode IN ('MAIL', 'SHIP')
+        |  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+        |  AND l_receiptdate >= TIMESTAMP '1996-01-01'
+        |  AND l_receiptdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin,
+
+    "q20_excess_avail" ->
+      s"""WITH $PartsuppCte
+         |SELECT s_name FROM supplier, nation
+         |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM partsupp
+         |    WHERE ps_partkey IN
+         |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |      AND CAST(ps_availqty AS DOUBLE) > (
+         |        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+         |ORDER BY s_name""".stripMargin,
 
     "q6_selective" ->
       """SELECT (CAST(SUM(rd4 // 10000000) AS DOUBLE) * 10000000.0 + CAST(SUM(rd4 % 10000000) AS DOUBLE)) / 10000.0 AS revenue
