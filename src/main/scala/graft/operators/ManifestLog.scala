@@ -7,11 +7,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * core (Delta/Iceberg snapshots) reduced to its data-skipping
   * essence, on vanilla parquet.
   *
-  * Layout: data files land flat under `path` (append-only; a writer
-  * never mutates an existing data file), and every table MUTATION
-  * (initial write, append, compaction) writes one SNAPSHOT —
-  * `path/_mlog/v%05d` — holding the full (file, lo, hi, rows) stats
-  * list of exactly the files live at that version. Readers resolve a
+  * Layout: the initial load lands flat under `path`; every later
+  * MUTATION (append, compaction, merge) writes its data files into a
+  * uniquely-named `path/b-*` batch dir (append-only; a writer never
+  * mutates an existing data file, and unique dirs mean concurrent
+  * writers can each identify their own files without racing on a
+  * directory diff), and commits one SNAPSHOT — a pointer file
+  * `path/_mlog/v%05d` naming a payload dir that holds the full
+  * (file, lo, hi, rows) stats list of exactly the files live at that
+  * version. Readers resolve a
   * snapshot FIRST and read only its file list, never the directory:
   *  - a reader pinned at version N is untouched by later appends AND
   *    by compaction rewrites (old files stay on disk until vacuum);
@@ -23,8 +27,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot plus the expired snapshots themselves — the only
   * destructive operation, explicitly deferred like Delta's VACUUM.
   *
-  * Single-writer cadence (like [[LayoutOps.appendWithManifest]]);
-  * snapshots are kilobytes at any table size, so every planning
+  * CONCURRENCY: commits are optimistic. A snapshot's payload is
+  * written to a uniquely-named dir first; publishing version v is ONE
+  * atomic create-fails-if-exists of the pointer file `_mlog/v%05d`
+  * (the version CAS — the same primitive Delta's log uses). Two
+  * concurrent appends both survive: the loser re-reads the new head
+  * and re-commits old∪new at head+1 (appends always compose).
+  * Compact/merge re-validate on a lost race — the rewrite composes
+  * iff every file it replaced is still live at the new head (and, for
+  * merge, no concurrently-appended file overlaps the update keys);
+  * otherwise they throw instead of silently dropping the other
+  * writer's rows. A crashed commit leaves an unreferenced payload dir
+  * (invisible; vacuum reclaims it).
+  *
+  * Snapshots are kilobytes at any table size, so every planning
   * decision here is driver-side metadata work.
   */
 object ManifestLog {
@@ -37,13 +53,17 @@ object ManifestLog {
 
   private def vDir(path: String, v: Int) = f"${logDir(path)}/v$v%05d"
 
-  /** All snapshot versions present, ascending (empty = no table). */
+  private def metaPath(path: String) = s"${logDir(path)}/_meta"
+
+  /** All snapshot versions present, ascending (empty = no table).
+    * Pointer files are the CAS layout; directories are accepted for
+    * tables written by pre-CAS builds.
+    */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val dir = new org.apache.hadoop.fs.Path(logDir(path))
     val f = fs(spark, path)
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).iterator
-      .filter(_.isDirectory)
       .flatMap(s => "^v(\\d{5})$".r.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
       .toSeq.sorted
   }
@@ -51,20 +71,83 @@ object ManifestLog {
   def currentVersion(spark: SparkSession, path: String): Int =
     versions(spark, path).lastOption.getOrElse(0)
 
+  /** Resolve version v's payload dir: pointer file → named payload
+    * (re-read briefly if the pointer was created but its content not
+    * yet flushed by a concurrent committer); legacy directory → itself.
+    */
+  private def snapshotDir(spark: SparkSession, path: String, v: Int): String = {
+    val marker = new org.apache.hadoop.fs.Path(vDir(path, v))
+    val f = fs(spark, path)
+    if (f.getFileStatus(marker).isDirectory) return vDir(path, v)
+    var tries = 0
+    while (true) {
+      val in = f.open(marker)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (content.nonEmpty) return s"${logDir(path)}/$content"
+      tries += 1
+      require(tries < 200, s"snapshot pointer $marker stayed empty")
+      Thread.sleep(5)
+    }
+    sys.error("unreachable")
+  }
+
   /** The stats snapshot at `version` (−1 = latest): one row per live
     * data file, (file, lo, hi, rows).
     */
   def snapshot(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else currentVersion(spark, path)
     require(v > 0, s"no snapshots under $path")
-    spark.read.parquet(vDir(path, v)).select("file", "lo", "hi", "rows")
+    spark.read.parquet(snapshotDir(spark, path, v)).select("file", "lo", "hi", "rows")
   }
 
-  private def writeSnapshot(spark: SparkSession, path: String, v: Int,
-                            rows: Seq[org.apache.spark.sql.Row],
-                            schema: org.apache.spark.sql.types.StructType): Unit =
+  /** Write the snapshot payload, then publish version `v` by the
+    * atomic exclusive create of its pointer file. False = a concurrent
+    * writer took v first (payload stays orphaned until vacuum).
+    */
+  private def tryCommit(spark: SparkSession, path: String, v: Int,
+                        rows: Seq[org.apache.spark.sql.Row],
+                        schema: org.apache.spark.sql.types.StructType): Boolean = {
+    val payload = "s-" + java.util.UUID.randomUUID().toString.take(12)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.mode("overwrite").parquet(vDir(path, v))
+      .coalesce(1).write.mode("overwrite").parquet(s"${logDir(path)}/$payload")
+    val f = fs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(vDir(path, v))
+    try {
+      val out = f.create(marker, false) // throws if v already exists
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException =>
+        if (f.exists(marker)) false else throw e
+    }
+  }
+
+  /** Persist / validate the stats column the table is keyed on — a
+    * merge or append against a DIFFERENT column would compare its keys
+    * to the wrong lo/hi ranges and silently corrupt upsert semantics.
+    */
+  private def writeMeta(spark: SparkSession, path: String, statsCol: String): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val out = f.create(p, true)
+    try out.write(s"statsCol=$statsCol\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def checkStatsCol(spark: SparkSession, path: String, statsCol: String): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    if (!f.exists(p)) return // pre-meta table: nothing to validate against
+    val in = f.open(p)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val stored = content.linesIterator
+      .collectFirst { case l if l.startsWith("statsCol=") => l.stripPrefix("statsCol=").trim }
+    require(stored.forall(_ == statsCol),
+      s"table at $path is keyed on '${stored.get}', not '$statsCol'")
+  }
 
   private def statsOf(spark: SparkSession, files: Seq[String], statsCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -74,17 +157,28 @@ object ManifestLog {
         count(lit(1)).as("rows"))
   }
 
+  /** All data files under `path`, recursing into batch subdirs (every
+    * mutation writes its files into a UNIQUE `b-*` dir — claiming
+    * "my new files" by directory diff would race with a concurrent
+    * writer's files landing between the two listings).
+    */
   private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val root = new org.apache.hadoop.fs.Path(path)
     val f = fs(spark, path)
-    if (!f.exists(p)) return Set.empty
-    f.listStatus(p).iterator
-      .filter(_.isFile)
-      .map(_.getPath)
-      .filter(n => !n.getName.startsWith("_") && !n.getName.startsWith("."))
-      .map(_.toUri.toString)
-      .toSet
+    if (!f.exists(root)) return Set.empty
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[org.apache.hadoop.fs.Path] =
+      f.listStatus(p).iterator.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Iterator.empty
+        else if (s.isFile) Iterator.single(s.getPath)
+        else walk(s.getPath)
+      }
+    walk(root).map(_.toUri.toString).toSet
   }
+
+  /** A fresh uniquely-named dir for one mutation's data files. */
+  private def newBatchDir(path: String): String =
+    s"$path/b-${java.util.UUID.randomUUID().toString.take(12)}"
 
   /** Initial load: range-clustered data files + snapshot v1. */
   def write(df: DataFrame, statsCol: String, path: String, files: Int = 32): Unit = {
@@ -93,27 +187,37 @@ object ManifestLog {
     df.repartitionByRange(files, col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.mode("overwrite").parquet(path)
+    writeMeta(spark, path, statsCol)
     val st = statsOf(spark, listDataFiles(spark, path).toSeq.sorted, statsCol)
-    writeSnapshot(spark, path, 1, st.collect().toSeq, st.schema)
+    require(tryCommit(spark, path, 1, st.collect().toSeq, st.schema),
+      s"concurrent initial write at $path")
   }
 
   /** Append a batch: new data files + snapshot v+1 = old ∪ new. A
     * reader at v is unaffected; the append becomes visible atomically
-    * when its snapshot lands.
+    * when its snapshot pointer lands. Appends COMPOSE: on a lost
+    * version CAS the loser re-reads the new head and re-commits
+    * head∪new — two interleaved appends both survive, versions stay
+    * linear, no file list is ever lost.
     */
   def append(df: DataFrame, statsCol: String, path: String, files: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
-    val v = currentVersion(spark, path)
-    require(v > 0, s"append before write at $path")
-    val old = snapshot(spark, path, v).collect().toSeq
-    val before = listDataFiles(spark, path)
+    require(currentVersion(spark, path) > 0, s"append before write at $path")
+    checkStatsCol(spark, path, statsCol)
+    val batchDir = newBatchDir(path)
     df.repartitionByRange(files, col(statsCol))
       .sortWithinPartitions(statsCol)
-      .write.mode("append").parquet(path)
-    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+      .write.parquet(batchDir)
+    val fresh = listDataFiles(spark, batchDir).toSeq.sorted
     val st = statsOf(spark, fresh, statsCol)
-    writeSnapshot(spark, path, v + 1, old ++ st.collect(), st.schema)
+    val freshRows = st.collect().toSeq
+    var committed = false
+    while (!committed) {
+      val v = currentVersion(spark, path)
+      val old = snapshot(spark, path, v).collect().toSeq
+      committed = tryCommit(spark, path, v + 1, old ++ freshRows, st.schema)
+    }
   }
 
   /** Compact the current version's sub-target files into
@@ -127,24 +231,50 @@ object ManifestLog {
     import org.apache.spark.sql.functions._
     val v = currentVersion(spark, path)
     require(v > 0, s"compact before write at $path")
+    checkStatsCol(spark, path, statsCol)
     val cur = snapshot(spark, path, v)
       .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
     val (small, keep) = cur.partition(_._2 < targetRows)
     if (small.size <= 1) return (0, 0)
     val total = small.map(_._2).sum
     val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
-    val keptRows = snapshot(spark, path, v)
-      .filter(org.apache.spark.sql.functions.col("file")
-        .isin(keep.map(_._1): _*)).collect().toSeq
-    val before = listDataFiles(spark, path)
+    val batchDir = newBatchDir(path)
     spark.read.parquet(small.map(_._1): _*)
       .repartitionByRange(nOut, col(statsCol))
       .sortWithinPartitions(statsCol)
-      .write.mode("append").parquet(path)
-    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+      .write.parquet(batchDir)
+    val fresh = listDataFiles(spark, batchDir).toSeq.sorted
     val st = statsOf(spark, fresh, statsCol)
-    writeSnapshot(spark, path, v + 1, keptRows ++ st.collect(), st.schema)
+    val freshRows = st.collect().toSeq
+    commitRewrite(spark, path, small.map(_._1).toSet, freshRows, st.schema,
+      "compact")
     (small.size, fresh.size)
+  }
+
+  /** Commit a rewrite (compact/merge) under the version CAS: the
+    * rewrite composes with concurrent APPENDS iff every file it
+    * replaced is still live at the head — re-validate and re-commit on
+    * a lost race; a concurrent rewrite of the same files cannot be
+    * composed and throws (the caller retries the whole operation
+    * against the new head).
+    */
+  private def commitRewrite(spark: SparkSession, path: String,
+                            replaced: Set[String],
+                            freshRows: Seq[org.apache.spark.sql.Row],
+                            schema: org.apache.spark.sql.types.StructType,
+                            op: String): Unit = {
+    var committed = false
+    while (!committed) {
+      val v = currentVersion(spark, path)
+      val head = snapshot(spark, path, v).collect().toSeq
+      val live = head.map(_.getString(0)).toSet
+      val gone = replaced -- live
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"$op conflict at $path v$v: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the $op")
+      val keep = head.filterNot(r => replaced(r.getString(0)))
+      committed = tryCommit(spark, path, v + 1, keep ++ freshRows, schema)
+    }
   }
 
   /** Copy-on-write MERGE (upsert by `statsCol` as the key): rows of
@@ -159,36 +289,87 @@ object ManifestLog {
     * the pre-merge rows (old files stay until [[vacuum]]). Returns
     * (#files rewritten, #files carried untouched).
     */
-  def merge(updates: DataFrame, statsCol: String, path: String,
-            files: Int = 8): (Int, Int) = {
+  def merge(updates0: DataFrame, statsCol: String, path: String,
+            files: Int = 8, targetRows: Long = 0L): (Int, Int) = {
     import org.apache.spark.sql.functions._
-    val spark = updates.sparkSession
+    val spark = updates0.sparkSession
     val v = currentVersion(spark, path)
     require(v > 0, s"merge before write at $path")
-    val snapRows = snapshot(spark, path, v).collect().toSeq
-    // empty batch: no rewrite, no new version (the compact() guard's
-    // analogue — otherwise statsOf would read zero paths and throw)
-    if (updates.isEmpty) return (0, snapRows.size)
-    val statsDf = snapshot(spark, path, v)
-    val affected = updates.select(col(statsCol).as("__k")).distinct()
-      .join(broadcast(statsDf),
-        col("__k") >= col("lo") && col("__k") <= col("hi"))
-      .select("file").distinct().collect().map(_.getString(0)).toSet
-    val (touch, keep) = snapRows.partition(r => affected(r.getString(0)))
-    val keys = updates.select(col(statsCol)).distinct()
-    val out =
-      if (touch.isEmpty) updates
-      else spark.read.parquet(touch.map(_.getString(0)): _*)
-        .join(keys, Seq(statsCol), "left_anti")
-        .unionByName(updates)
-    val before = listDataFiles(spark, path)
-    out.repartitionByRange(files, col(statsCol))
-      .sortWithinPartitions(statsCol)
-      .write.mode("append").parquet(path)
-    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
-    val st = statsOf(spark, fresh, statsCol)
-    writeSnapshot(spark, path, v + 1, keep ++ st.collect(), st.schema)
-    (touch.size, keep.size)
+    checkStatsCol(spark, path, statsCol)
+    // The updates plan is consumed several times (emptiness, null
+    // screen, affected-files range join, the rewrite, the fan-out
+    // count) — persist once so an expensive or non-deterministic
+    // upstream (joins, sampling) can't recompute differently between
+    // the key-detection and write passes.
+    val updates = updates0.persist()
+    try {
+      val snapRows = snapshot(spark, path, v).collect().toSeq
+      // empty batch: no rewrite, no new version (the compact() guard's
+      // analogue — otherwise statsOf would read zero paths and throw)
+      if (updates.isEmpty) return (0, snapRows.size)
+      // a NULL key satisfies neither the [lo, hi] range join (stats
+      // ignore nulls) nor the replacement anti-join — it would silently
+      // re-insert on every merge instead of upserting; reject loudly
+      require(updates.filter(col(statsCol).isNull).isEmpty,
+        s"merge updates carry NULL '$statsCol' keys — upsert by a null key is undefined")
+      val statsDf = snapshot(spark, path, v)
+      val affected = updates.select(col(statsCol).as("__k")).distinct()
+        .join(broadcast(statsDf),
+          col("__k") >= col("lo") && col("__k") <= col("hi"))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val (touch, keep) = snapRows.partition(r => affected(r.getString(0)))
+      val keys = updates.select(col(statsCol)).distinct()
+      val out =
+        if (touch.isEmpty) updates
+        else spark.read.parquet(touch.map(_.getString(0)): _*)
+          .join(keys, Seq(statsCol), "left_anti")
+          .unionByName(updates)
+      // size the rewrite fan-out from the volume it actually carries
+      // (rewritten file rows + the update batch — the compact()
+      // discipline), so a large upsert keeps range clustering instead
+      // of squeezing into a fixed file count
+      val nOut =
+        if (targetRows > 0) {
+          val vol = touch.map(_.getLong(3)).sum + updates.count()
+          math.max(1L, (vol + targetRows - 1) / targetRows).toInt
+        } else files
+      val batchDir = newBatchDir(path)
+      out.repartitionByRange(nOut, col(statsCol))
+        .sortWithinPartitions(statsCol)
+        .write.parquet(batchDir)
+      val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+      val st = statsOf(spark, fresh, statsCol)
+      val freshRows = st.collect().toSeq
+      // update-key bounds for the concurrent-append overlap re-check
+      val Array(kmin, kmax) = updates
+        .agg(min(col(statsCol)), max(col(statsCol))).head()
+        .toSeq.toArray
+      var committed = false
+      while (!committed) {
+        val head = currentVersion(spark, path)
+        val headRows = snapshot(spark, path, head).collect().toSeq
+        val live = headRows.map(_.getString(0)).toSet
+        val gone = affected -- live
+        if (gone.nonEmpty)
+          throw new IllegalStateException(
+            s"merge conflict at $path v$head: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the merge")
+        // files that appeared AFTER our key detection and overlap the
+        // update key range may hold same-key rows we did not replace —
+        // composing would resurrect them, so that race must retry too
+        val snapFiles = snapRows.map(_.getString(0)).toSet
+        val lateOverlap = headRows.filter { r =>
+          val file = r.getString(0)
+          !snapFiles(file) && !freshRows.exists(_.getString(0) == file) &&
+            cmp(r.get(2), kmin) >= 0 && cmp(r.get(1), kmax) <= 0
+        }
+        if (lateOverlap.nonEmpty)
+          throw new IllegalStateException(
+            s"merge conflict at $path v$head: concurrent append overlaps the update keys (${lateOverlap.take(3).map(_.getString(0)).mkString(", ")}); retry the merge")
+        val keepNow = headRows.filterNot(r => affected(r.getString(0)))
+        committed = tryCommit(spark, path, head + 1, keepNow ++ freshRows, st.schema)
+      }
+      (touch.size, keep.size)
+    } finally updates.unpersist()
   }
 
   /** Change-data-capture between two versions: (added, removed) row
@@ -265,9 +446,27 @@ object ManifestLog {
     val f = fs(spark, path)
     val dead = (listDataFiles(spark, path) -- live).toSeq.sorted
     dead.foreach(d => f.delete(new org.apache.hadoop.fs.Path(new java.net.URI(d)), false))
+    // retained payload dirs (by pointer), then expired pointers +
+    // their payloads + orphan payloads from crashed/lost commits
+    // payload dirs have globally-unique s-* basenames, so retained-set
+    // membership compares by NAME (robust to relative-vs-URI paths)
+    val keepPayloadNames = keepVs
+      .map(v => new org.apache.hadoop.fs.Path(snapshotDir(spark, path, v)).getName)
+      .toSet
     vs.dropRight(retain).foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(vDir(path, v)), true)
     }
+    f.listStatus(new org.apache.hadoop.fs.Path(logDir(path))).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("s-"))
+      .map(_.getPath)
+      .filterNot(p => keepPayloadNames(p.getName))
+      .foreach(p => f.delete(p, true))
+    // drop batch dirs whose files were all reclaimed
+    f.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b-"))
+      .filter(s => f.listStatus(s.getPath).forall(c =>
+        c.getPath.getName.startsWith("_") || c.getPath.getName.startsWith(".")))
+      .foreach(s => f.delete(s.getPath, true))
     dead.size
   }
 }

@@ -204,4 +204,90 @@ class ManifestLogSpec extends AnyFunSuite {
       assert(df.count() == chunks.take(v).map(_.size).sum, s"v$v prefix")
     }
   }
+
+  test("two concurrent appends both survive the version CAS; versions stay linear") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-cas").toString
+    val base = li.filter(col("l_orderkey") % 3 === 0)
+    val a = li.filter(col("l_orderkey") % 3 === 1)
+    val b = li.filter(col("l_orderkey") % 3 === 2)
+    ManifestLog.write(base, "l_orderkey", dir, files = 4)
+
+    // interleave for real: both appenders race from v1 on two threads;
+    // the CAS loser must re-read the winner's head and re-commit on top
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appendTask(df: org.apache.spark.sql.DataFrame) = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        try ManifestLog.append(df, "l_orderkey", dir, files = 2)
+        catch { case t: Throwable => errs.add(t) }
+      }
+    })
+    val fa = appendTask(a)
+    val fb = appendTask(b)
+    gate.countDown()
+    fa.get(); fb.get(); pool.shutdown()
+    assert(errs.isEmpty, s"append threw: ${errs.peek()}")
+
+    // linear versions, no lost update: v3 holds ALL of base∪a∪b
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (v3, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey",
+      keys.getLong(0), keys.getLong(1))
+    assert(v3.count() == li.count(), "a concurrent append lost rows")
+    // and the intermediate v2 is exactly base plus ONE of the batches
+    val (v2, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey",
+      keys.getLong(0), keys.getLong(1), version = 2)
+    val n2 = v2.count()
+    assert(n2 == base.count() + a.count() || n2 == base.count() + b.count())
+  }
+
+  test("merge fan-out scales with rewrite volume; pruning parity preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-fan").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 4)
+    // an upsert touching the whole key range with targetRows far below
+    // the carried volume must fan out proportionally, not squeeze into
+    // the legacy 8 files
+    val updates = li.withColumn("l_quantity", col("l_quantity") + 1000.0)
+    val target = li.count() / 16 + 1
+    val (rewritten, _) = ManifestLog.merge(updates, "l_orderkey", dir,
+      targetRows = target)
+    assert(rewritten == 4)
+    val snap = ManifestLog.snapshot(spark, dir).collect()
+    assert(snap.length >= 12, s"merge wrote only ${snap.length} files for ~16 targets")
+    // range clustering held: a narrow slice still prunes most files
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val (pruned, survivors, total) = ManifestLog.readPrunedAt(spark, dir,
+      "l_orderkey", kLo, kLo + (kHi - kLo) / 8)
+    assert(survivors * 3 <= total, s"$survivors/$total survived a 1/8 slice")
+    val expect = updates.filter(col("l_orderkey").between(kLo, kLo + (kHi - kLo) / 8))
+    assert(pruned.count() == expect.count())
+  }
+
+  test("merge rejects NULL keys and a mismatched stats column, loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-guard").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 2)
+    // null keys would silently duplicate on every merge — refused
+    val withNull = li.limit(5)
+      .withColumn("l_orderkey", when(col("l_partkey") % 2 === 0, col("l_orderkey")))
+    intercept[IllegalArgumentException] {
+      ManifestLog.merge(withNull, "l_orderkey", dir)
+    }
+    // keying a merge/append/compact on a different column than the
+    // table was built with mis-detects affected files — refused
+    intercept[IllegalArgumentException] {
+      ManifestLog.merge(li.limit(5), "l_partkey", dir)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLog.append(li.limit(5), "l_partkey", dir)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLog.compact(spark, dir, "l_partkey", 10L)
+    }
+    // the table is untouched by all four refusals
+    assert(ManifestLog.versions(spark, dir) == Seq(1))
+  }
 }
