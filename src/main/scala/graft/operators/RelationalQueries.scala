@@ -73,6 +73,20 @@ object RelationalQueries {
     (sum(expr(s"$v div $FpHi")).cast("double") * lit(FpHi.toDouble) +
       sum(expr(s"$v % $FpHi")).cast("double")) / lit(divisor)
 
+  /** Three-lane fpSum for per-row values up to ~1e15 (the fourth-power
+    * moment sums): a two-lane split at 1e7 leaves hi terms of ~6e7
+    * that wrap the long sum at ~1.5e11 rows — plausible for a 100-TB
+    * lineitem, where Spark wraps silently but DuckDB promotes to
+    * HUGEINT and the engines diverge exactly at scale. hi/mid/lo at
+    * 1e14/1e7 keeps every lane's term ≤ 1e7, pushing the wrap past
+    * ~9e11 rows per group on all three lanes. Recombination is the
+    * same mirrored IEEE op order as [[fpSum]].
+    */
+  private def fpSum3(v: String, divisor: Double): Column =
+    (sum(expr(s"$v div ${FpHi * FpHi}")).cast("double") * lit((FpHi * FpHi).toDouble) +
+      sum(expr(s"($v div $FpHi) % $FpHi")).cast("double") * lit(FpHi.toDouble) +
+      sum(expr(s"$v % $FpHi")).cast("double")) / lit(divisor)
+
   /** price·(1−disc) as integer ten-thousandths: ec·(100−dc). */
   private def revCents = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
 
@@ -686,7 +700,7 @@ object RelationalQueries {
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("qc").as("s1"),
           fpSum("q2", 1.0).as("s2"), fpSum("q3", 1.0).as("s3"),
-          fpSum("q4", 1.0).as("s4"))
+          fpSum3("q4", 1.0).as("s4"))
         .select(col("l_returnflag") +: col("n") +:
           MomentExprs.map { case (name, e) => expr(e).as(name) }: _*)
         .orderBy("l_returnflag")
@@ -1482,6 +1496,12 @@ object RelationalQueries {
     s"((CAST(SUM(($v) // $FpHi) AS DOUBLE) * ${FpHi.toDouble} + " +
       s"CAST(SUM(($v) % $FpHi) AS DOUBLE)) / $divisor)"
 
+  /** DuckDB mirror of [[fpSum3]] — hi/mid/lo lanes at 1e14/1e7. */
+  private def fpSum3Sql(v: String, divisor: String): String =
+    s"((CAST(SUM(($v) // ${FpHi * FpHi}) AS DOUBLE) * ${(FpHi * FpHi).toDouble} + " +
+      s"CAST(SUM((($v) // $FpHi) % $FpHi) AS DOUBLE) * ${FpHi.toDouble} + " +
+      s"CAST(SUM(($v) % $FpHi) AS DOUBLE)) / $divisor)"
+
   /** `agg_regression` output formulas over the named moment sums
     * (n, sx, sy, sxx long; sxy an exact recombined double) — one
     * string per output, interpolated into BOTH engines; slope/
@@ -1850,7 +1870,7 @@ object RelationalQueries {
          |  SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS s1,
          |    ${fpSumSql("q2", "1.0")} AS s2,
          |    ${fpSumSql("q3", "1.0")} AS s3,
-         |    ${fpSumSql("q4", "1.0")} AS s4
+         |    ${fpSum3Sql("q4", "1.0")} AS s4
          |  FROM (
          |    SELECT l_returnflag, qc, qc * qc AS q2, qc * qc * qc AS q3,
          |      (qc * qc) * (qc * qc) AS q4
