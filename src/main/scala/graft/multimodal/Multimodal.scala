@@ -572,8 +572,32 @@ object Multimodal {
     val kbps = Mp3Bitrates(biIdx)
     val mode = (b3 >> 6) & 3
     val channels = if (mode == 3) 1 else 2
+    // VBR: real corpora are VBR-heavy, and a VBR file's CBR estimate
+    // (first frame's bitrate) is wrong — the Xing ("Xing" = VBR,
+    // "Info" = LAME CBR) block sits at the fixed layout offset past
+    // the first frame's side info (MPEG-1: 17 bytes mono, 32 stereo),
+    // carrying u32be flags; FRAMES flag bit 0 → u32be total frame
+    // count, duration = frames × 1152 samples / rate (integer ms,
+    // mirrorable). Bounds-guarded; absent/flagless falls to CBR.
+    val side = if (channels == 1) 17 else 32
+    val xo = o + 4 + side
+    val vbrMs: Option[Long] =
+      if (xo + 12L <= len &&
+          ((bytes(xo) == 'X' && bytes(xo + 1) == 'i' &&
+            bytes(xo + 2) == 'n' && bytes(xo + 3) == 'g') ||
+           (bytes(xo) == 'I' && bytes(xo + 1) == 'n' &&
+            bytes(xo + 2) == 'f' && bytes(xo + 3) == 'o'))) {
+        val flags = (u8(xo + 4) << 24) | (u8(xo + 5) << 16) |
+          (u8(xo + 6) << 8) | u8(xo + 7)
+        if ((flags & 1) != 0) {
+          val frames = (u8(xo + 8).toLong << 24) | (u8(xo + 9) << 16) |
+            (u8(xo + 10) << 8) | u8(xo + 11)
+          Some(frames * 1152L * 1000L / Mp3Rates(srIdx))
+        } else None
+      } else None
     val audioLen = len - off
-    (len, "mp3", layer, kbps, Mp3Rates(srIdx), channels, audioLen * 8L / kbps)
+    val ms = vbrMs.getOrElse(audioLen * 8L / kbps)
+    (len, "mp3", layer, kbps, Mp3Rates(srIdx), channels, ms)
   }
 
   /** Deterministic spec-compliant MP3 fixture: every third doc carries
@@ -589,7 +613,13 @@ object Multimodal {
     val biIdx = 1 + (docId % 14).toInt
     val srIdx = (docId % 3).toInt
     val mode = if (docId % 2 == 1) 3 else 0 // mono / stereo
-    val bb = java.nio.ByteBuffer.allocate(id3Total + 4 + payload.length)
+    // every fifth-ish doc is VBR: zeroed side info (17 mono / 32
+    // stereo) + "Xing" + FRAMES flag + u32be frame count, so the
+    // fixture mixes CBR and VBR files like a real corpus
+    val xing = docId % 5 == 2
+    val side = if (mode == 3) 17 else 32
+    val xingExtra = if (xing) side + 12 else 0
+    val bb = java.nio.ByteBuffer.allocate(id3Total + 4 + xingExtra + payload.length)
     if (id3Size >= 0) {
       bb.put("ID3".getBytes("US-ASCII"))
       bb.put(4.toByte); bb.put(0.toByte); bb.put(0.toByte) // v2.4, no flags
@@ -600,6 +630,12 @@ object Multimodal {
     bb.put(0xff.toByte); bb.put(0xfb.toByte) // sync + MPEG-1 + Layer III + no CRC
     bb.put(((biIdx << 4) | (srIdx << 2)).toByte)
     bb.put((mode << 6).toByte)
+    if (xing) {
+      bb.put(new Array[Byte](side))
+      bb.put("Xing".getBytes("US-ASCII"))
+      bb.putInt(1) // u32be flags: FRAMES present
+      bb.putInt((100 + (docId % 977)).toInt) // u32be frame count
+    }
     bb.put(payload)
     bb.array()
   }

@@ -562,13 +562,19 @@ object AnnQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // MP3 layout: optional ID3v2 (10 + syncsafe size, every third doc,
-    // size 130 + doc_id % 700) + 4-byte frame header + payload; CBR
-    // duration = audio bytes × 8 // kbps (kbps = bits per ms); table
-    // lookups mirror the MPEG-1 Layer III header indices.
+    // size 130 + doc_id % 700) + 4-byte frame header + payload, and
+    // every doc_id%5=2 doc carries a Xing VBR block (side info 17
+    // mono / 32 stereo + 12 tag bytes) whose u32be frame count sets
+    // duration = frames × 1152 × 1000 // rate; the rest are CBR:
+    // audio bytes × 8 // kbps (kbps = bits per ms). Table lookups
+    // mirror the MPEG-1 Layer III header indices.
     "mm_mp3_meta" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 10 + 130 + doc_id % 700 ELSE 0 END
-        |    + 4 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |    + 4
+        |    + CASE WHEN doc_id % 5 = 2
+        |        THEN CASE WHEN doc_id % 2 = 1 THEN 29 ELSE 44 END ELSE 0 END
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
         |  'mp3' AS format,
         |  CAST(3 AS INT) AS layer,
         |  CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
@@ -576,9 +582,14 @@ object AnnQueries {
         |  CAST(list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT)) AS INT)
         |    AS sample_rate,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
-        |  CAST((4 + octet_length(CAST(text AS BLOB))) * 8
-        |    // list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
-        |         CAST(1 + doc_id % 14 AS INT)) AS BIGINT) AS duration_ms
+        |  CAST(CASE WHEN doc_id % 5 = 2
+        |    THEN (100 + doc_id % 977) * 1152 * 1000
+        |      // list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT))
+        |    ELSE (4 + CASE WHEN doc_id % 5 = 2
+        |        THEN CASE WHEN doc_id % 2 = 1 THEN 29 ELSE 44 END ELSE 0 END
+        |      + octet_length(CAST(text AS BLOB))) * 8
+        |      // list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |           CAST(1 + doc_id % 14 AS INT)) END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // MP4 layout: ftyp(16) + optional free(16) + moov(8 + mvhd 108 v0

@@ -181,20 +181,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert((l2, f2, k2, r2, c2) == (274L, "mp3", 32, 44100, 2))
     assert(d2 == 64L * 8 / 32) // audio len excludes the tag
 
-    // synth round-trip across the parameter grid
+    // synth round-trip across the parameter grid (CBR and VBR mixed:
+    // id%5==2 docs carry a Xing block whose frame count wins)
     for (id <- 0L until 30L) {
       val payload = ("p" * (10 + id.toInt)).getBytes("UTF-8")
       val (l, f, lay, k, r, c, d) = Multimodal.decodeMp3Bytes(
         Multimodal.synthMp3Bytes(id, payload))
       val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(
         (id % 14).toInt)
+      val rate = Seq(44100, 48000, 32000)((id % 3).toInt)
       val id3Total = if (id % 3 == 0) 10 + 130 + (id % 700).toInt else 0
+      val xingExtra =
+        if (id % 5 == 2) (if (id % 2 == 1) 17 else 32) + 12 else 0
       assert(f == "mp3" && lay == 3 && k == kbps, s"id=$id meta")
-      assert(r == Seq(44100, 48000, 32000)((id % 3).toInt), s"id=$id rate")
+      assert(r == rate, s"id=$id rate")
       assert(c == (if (id % 2 == 1) 1 else 2), s"id=$id channels")
-      assert(l == id3Total + 4 + payload.length, s"id=$id len")
-      assert(d == (4L + payload.length) * 8 / kbps, s"id=$id dur")
+      assert(l == id3Total + 4 + xingExtra + payload.length, s"id=$id len")
+      val expectD =
+        if (id % 5 == 2) (100 + id % 977) * 1152L * 1000 / rate
+        else (4L + xingExtra + payload.length) * 8 / kbps
+      assert(d == expectD, s"id=$id dur")
     }
+
+    // hand-assembled VBR: stereo frame (side info 32), "Xing", FRAMES
+    // flag, 4000 frames at 44100 Hz → 4000·1152·1000/44100 ms
+    val xing = b(0xff, 0xfb, 0x92, 0x00) ++ new Array[Byte](32) ++
+      b('X', 'i', 'n', 'g', 0, 0, 0, 1, 0, 0, 0x0f, 0xa0) ++ new Array[Byte](500)
+    assert(Multimodal.decodeMp3Bytes(xing)._7 == 4000L * 1152 * 1000 / 44100)
+    // "Info" (LAME CBR) parses through the same path
+    val info = b(0xff, 0xfb, 0x92, 0x00) ++ new Array[Byte](32) ++
+      b('I', 'n', 'f', 'o', 0, 0, 0, 1, 0, 0, 0x0f, 0xa0) ++ new Array[Byte](500)
+    assert(Multimodal.decodeMp3Bytes(info)._7 == 4000L * 1152 * 1000 / 44100)
+    // a Xing tag WITHOUT the FRAMES flag falls back to the CBR estimate
+    val noframes = b(0xff, 0xfb, 0x92, 0x00) ++ new Array[Byte](32) ++
+      b('X', 'i', 'n', 'g', 0, 0, 0, 0, 0, 0, 0x0f, 0xa0) ++ new Array[Byte](500)
+    assert(Multimodal.decodeMp3Bytes(noframes)._7 == noframes.length * 8L / 128)
+    // a truncated would-be Xing offset stays bounds-safe → CBR
+    val trunc = b(0xff, 0xfb, 0x92, 0x00) ++ new Array[Byte](20)
+    assert(Multimodal.decodeMp3Bytes(trunc)._7 == trunc.length * 8L / 128)
 
     // non-MP3 bytes stay opaque
     assert(Multimodal.decodeMp3Bytes("plain text, no sync word anywhere here"
