@@ -566,6 +566,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // SPAN-level dedup rewrite — the full Lee et al. ExactSubstr
+    // operator: where text_dedup_rewrite drops fixed 32-token chunks,
+    // this cuts exactly the tokens covered by a DUPLICATED 16-token
+    // span (every occurrence after the global first, keep-first on
+    // (doc_id, position)), so only the overlapping substring is
+    // removed and the surrounding prose survives. Shape: one
+    // ShingleHashes128 kernel pass (full 128-bit keys — collisions
+    // impossible at corpus scale), a span-keyed exchange for the
+    // first-occurrence min-struct (map-side partial), a ×SpanLen
+    // position explode bounded by DUPLICATED volume only, one doc-keyed
+    // anti-join, and the bounded per-doc ordered reassembly of
+    // text_dedup_rewrite. No window over data-sized input anywhere.
+    "text_dedup_rewrite_spans" -> { (s, d) =>
+      val toked = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val spans = toked.select(col("doc_id"),
+        posexplode(graft.functions.TextExpressions
+          .shingleHashes128(col("text"), DupSpanLen)).as(Seq("p", "h")))
+        .select(col("doc_id"), col("p"), col("h.h1").as("h1"), col("h.h2").as("h2"))
+      // only spans seen >= 2 times matter downstream — the filter keeps
+      // the join's build side to duplicated spans, not the corpus
+      val firsts = spans.groupBy("h1", "h2")
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("p"))).as("f"))
+        .filter(col("n_occ") >= 2)
+      val removed = spans.join(firsts, Seq("h1", "h2"))
+        .filter(!(col("doc_id") === col("f.doc_id") && col("p") === col("f.p")))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + lit(DupSpanLen - 1))).as("pos"))
+        .distinct()
+      val toksPos = toked.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      val kept = toksPos.join(removed, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")), " ")).as("rebuilt_md5"))
+      toked.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
+        .orderBy("doc_id")
+    },
+
     // Incremental CHUNK dedup: the daily-batch shape at paragraph
     // granularity — the settled corpus's chunk index (one row per
     // distinct 32-token chunk, min-(doc,idx) keeper) is probed by the
@@ -1648,6 +1693,36 @@ object TextQueries {
          |  CAST(SUM(n_ctoks) AS BIGINT) AS kept_tokens,
          |  md5(string_agg(chunk, ' ' ORDER BY idx)) AS rebuilt_md5
          |FROM k WHERE kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "text_dedup_rewrite_spans" -> {
+      val L = DupSpanLen
+      s"""WITH t AS (SELECT doc_id, toks FROM
+         |    (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |sh AS (SELECT doc_id, ${shinglesSql(L)} AS sh FROM t),
+         |spans AS (SELECT doc_id,
+         |    unnest(range(0, len(sh))) AS p,
+         |    unnest(list_transform(sh, g -> ${th64Sql("g", 1)})) AS h1,
+         |    unnest(list_transform(sh, g -> ${th64Sql("g", 17)})) AS h2
+         |  FROM sh),
+         |dup AS (SELECT doc_id, p FROM (
+         |    SELECT doc_id, p,
+         |      ROW_NUMBER() OVER (PARTITION BY h1, h2 ORDER BY doc_id, p) AS rn
+         |    FROM spans) WHERE rn > 1),
+         |rem AS (SELECT DISTINCT doc_id, p + o.o AS pos
+         |  FROM dup, (SELECT unnest(range(0, $L)) AS o) o),
+         |tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+         |    unnest(toks) AS tok FROM t),
+         |k AS (SELECT tp.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY tp.pos)) AS rebuilt_md5
+         |  FROM tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.pos = rem.pos
+         |  WHERE rem.pos IS NULL GROUP BY tp.doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(k.kept_tokens, 0) AS kept_tokens,
+         |  COALESCE(k.rebuilt_md5, md5('')) AS rebuilt_md5
+         |FROM t LEFT JOIN k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dedup_incremental_chunks" -> {

@@ -426,6 +426,41 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("text_dedup_rewrite_spans: exactly the tokens covered by a non-first duplicated span are cut") {
+    import org.apache.spark.sql.functions._
+    val L = TextQueries.DupSpanLen
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    // global first occurrence per span key, in (doc_id, p) order
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, t) <- toks; p <- 0 to t.length - L)
+      first.getOrElseUpdate(t.slice(p, p + L).mkString(" "), (id, p))
+    val expected = toks.map { case (id, t) =>
+      val removed = Array.fill(t.length)(false)
+      for (p <- 0 to t.length - L)
+        if (first(t.slice(p, p + L).mkString(" ")) != ((id, p)))
+          (p until p + L).foreach(removed(_) = true)
+      val kept = t.indices.filterNot(removed).map(t)
+      id -> (t.length.toLong, kept.size.toLong, md5(kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("text_dedup_rewrite_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    // the cut is span-shaped, not chunk-shaped: some doc keeps a strict,
+    // non-empty subset of its tokens (partial removal happened)
+    assert(expected.exists { case (_, (n, k, _)) => k > 0 && k < n },
+      "fixture produced no partial span cuts")
+    // and docs with no duplicated span are byte-identical to the input
+    val untouched = expected.filter { case (_, (n, k, _)) => n == k }
+    assert(untouched.nonEmpty)
+    val origMd5 = toks.toMap.view.mapValues(t => md5(t.mkString(" "))).toMap
+    untouched.foreach { case (id, (_, _, m)) => assert(m == origMd5(id), s"doc $id") }
+  }
+
   test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)
