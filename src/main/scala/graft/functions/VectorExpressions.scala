@@ -142,6 +142,147 @@ case class HilbertIndex2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** N-dimensional Hilbert index (Skilling's transpose algorithm,
+  * "Programming the Hilbert curve", AIP 2004 — the standard public
+  * construction): coordinates → transposed Hilbert axes (the
+  * rotate/reflect walk as Gray-code bit surgery, O(n·bits)) → one
+  * MSB-first bit interleave into a long. Generalizes [[HilbertIndex2]]
+  * to the 3–4 real layout axes (source × language × date × size) that
+  * [[graft.operators.LayoutOps.mortonN]] already serves on the Z
+  * side, with the same locality win over Morton: consecutive indexes
+  * are ALWAYS edge-adjacent cells in every dimension count
+  * (exhaustively spec-pinned per n), so box predicates decompose into
+  * fewer, longer index runs. `bits` per axis must keep n·bits ≤ 63 so
+  * the index stays a non-negative long (ordering would break at the
+  * sign bit — 16 bits for n ≤ 3, 15 for n = 4).
+  */
+case class HilbertIndexN(children: Seq[Expression], bits: Int) extends Expression {
+  require(children.length >= 2 && children.length <= 4,
+    s"HilbertIndexN supports 2-4 axes, got ${children.length}")
+  require(children.length * bits <= 63, s"${children.length}x$bits bits overflow a long")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val xs = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    HilbertN.toIndex(bits, xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val xs = ctx.freshName("xs")
+    val anyNull = evals.map(e => s"(${e.isNull})").mkString(" || ")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        long[] $xs = new long[]{${evals.map(_.value).mkString(", ")}};
+        ${ev.value} = graft.functions.HilbertN.toIndex($bits, $xs);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object HilbertN {
+  /** Skilling transpose + interleave — static so generated code calls
+    * it directly. `xs` is mutated in place (callers pass a fresh
+    * per-row array).
+    */
+  def toIndex(bits: Int, xs: Array[Long]): Long = {
+    val n = xs.length
+    val mask = (1L << bits) - 1
+    var i = 0
+    while (i < n) { xs(i) &= mask; i += 1 }
+    val m = 1L << (bits - 1)
+    // inverse undo: top-down rotate/reflect
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((xs(i) & q) != 0) xs(0) ^= p
+        else { val t = (xs(0) ^ xs(i)) & p; xs(0) ^= t; xs(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    i = 1
+    while (i < n) { xs(i) ^= xs(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) {
+      if ((xs(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { xs(i) ^= t; i += 1 }
+    // MSB-first interleave of the transposed axes
+    var d = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      i = 0
+      while (i < n) {
+        d = (d << 1) | ((xs(i) >> j) & 1L)
+        i += 1
+      }
+      j -= 1
+    }
+    d
+  }
+
+  /** Decode an index back to its cell coordinates (the spec-side
+    * inverse for the exhaustive adjacency pins; not on any hot path).
+    */
+  def toAxes(bits: Int, n: Int, d: Long): Array[Long] = {
+    val xs = new Array[Long](n)
+    // de-interleave MSB-first
+    var j = bits - 1
+    var pos = n * bits - 1
+    while (j >= 0) {
+      var i = 0
+      while (i < n) {
+        xs(i) |= ((d >> pos) & 1L) << j
+        pos -= 1
+        i += 1
+      }
+      j -= 1
+    }
+    // Gray decode
+    var t = xs(n - 1) >> 1
+    var i = n - 1
+    while (i > 0) { xs(i) ^= xs(i - 1); i -= 1 }
+    xs(0) ^= t
+    // undo the rotate/reflect bottom-up
+    var q = 2L
+    while (q != (1L << bits)) {
+      val p = q - 1
+      i = n - 1
+      while (i >= 0) {
+        if ((xs(i) & q) != 0) xs(0) ^= p
+        else { val t2 = (xs(0) ^ xs(i)) & p; xs(0) ^= t2; xs(i) ^= t2 }
+        i -= 1
+      }
+      q <<= 1
+    }
+    xs
+  }
+}
+
 object HilbertIndex2 {
   /** The order-16 xy2d kernel — static so generated code calls it
     * directly (one non-virtual call per row).
@@ -699,4 +840,8 @@ object VectorExpressions {
   /** Hilbert index of two 16-bit cell ids (order-16 curve). */
   def hilbert2(a: Column, b: Column): Column =
     ColumnBridge.column(HilbertIndex2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** N-dimensional Hilbert index of 2–4 cell-id columns. */
+  def hilbertN(cols: Seq[Column], bits: Int): Column =
+    ColumnBridge.column(HilbertIndexN(cols.map(ColumnBridge.expression), bits))
 }

@@ -219,6 +219,48 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Hilbert value of 2–4 numeric columns — the n-ary twin of
+    * [[zValueN]]: one stats pass min/max-scales each column to a cell
+    * id, then the codegen'd Skilling kernel
+    * ([[graft.functions.HilbertIndexN]]) interleaves along the
+    * n-dimensional Hilbert curve. 16 bits per axis through 3 columns;
+    * 15 at 4 so the index stays a non-negative long (60 bits) and
+    * range ordering holds.
+    */
+  def hilbertValueN(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.length >= 2 && cols.length <= 4,
+      s"hilbertValueN supports 2-4 columns, got ${cols.length}")
+    val bits = if (cols.length == 4) 15 else 16
+    val cells = 1L << bits
+    val r = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*
+    ).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * cells).cast("long"),
+        lit(cells - 1))
+    }
+    graft.functions.VectorExpressions.hilbertN(buckets, bits)
+  }
+
+  /** Hilbert-ordered write over 2–4 axes (the [[writeHilbertOrdered]]
+    * contract, n-ary).
+    */
+  def writeHilbertOrderedN(df: DataFrame, cols: Seq[String], path: String,
+                           files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__h", hilbertValueN(df, cols))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(path)
+  }
+
   // ---- File-level zone maps: a MANIFEST of per-file min/max stats.
   // Parquet footers already prune ROW GROUPS, but Spark still lists,
   // opens, and plans a task for every file — at 100 TB (hundreds of

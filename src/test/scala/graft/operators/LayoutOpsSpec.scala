@@ -185,6 +185,63 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"hilbert scan read $hRows rows vs $rndRows random-order — no pruning win")
   }
 
+  test("hilbertN kernel: bijective with exact round-trip and edge-adjacent consecutive cells, per dimension count") {
+    import graft.functions.HilbertN
+    // exhaustive over the FULL curve at reduced order per n: every
+    // index decodes, re-encodes to itself, and consecutive indexes are
+    // Manhattan-distance-1 neighbors in exactly one axis — the
+    // defining Hilbert property, in 2, 3, and 4 dimensions
+    for ((n, bits) <- Seq((2, 8), (3, 5), (4, 3))) {
+      val total = 1L << (n * bits)
+      var d = 0L
+      var prev = HilbertN.toAxes(bits, n, 0L)
+      assert(HilbertN.toIndex(bits, prev.clone()) == 0L)
+      d = 1L
+      while (d < total) {
+        val cur = HilbertN.toAxes(bits, n, d)
+        assert(HilbertN.toIndex(bits, cur.clone()) == d, s"n=$n round-trip at d=$d")
+        val diff = (0 until n).map(i => math.abs(cur(i) - prev(i))).sum
+        assert(diff == 1, s"n=$n: d=${d - 1}->$d jumped distance $diff " +
+          s"(${prev.mkString(",")}) -> (${cur.mkString(",")})")
+        prev = cur
+        d += 1
+      }
+    }
+    // the interpreted eval and the codegen'd expression agree with the
+    // static kernel through a real plan
+    import spark.implicits._
+    val df = (0L until 512L).map(i => (i % 8, (i / 8) % 8, i / 64)).toDF("a", "b", "c")
+    val got = df.select(graft.functions.VectorExpressions
+        .hilbertN(Seq(col("a"), col("b"), col("c")), 3).as("h"),
+        col("a"), col("b"), col("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) ==
+        HilbertN.toIndex(3, Array(r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+  }
+
+  test("3-axis hilbert layout prunes a 3-axis box scan; parity holds") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val hDir = java.nio.file.Files.createTempDirectory("graft-hilbert3").toString
+    val rndDir = java.nio.file.Files.createTempDirectory("graft-h3rand").toString
+    LayoutOps.writeHilbertOrderedN(li, Seq("l_partkey", "l_suppkey", "l_quantity"), hDir)
+    li.withColumn("__r", xxhash64(col("l_orderkey"), col("l_partkey")))
+      .repartitionByRange(32, col("__r")).sortWithinPartitions("__r").drop("__r")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(rndDir)
+    def boxed(path: String) = spark.read.parquet(path)
+      .filter(col("l_partkey").between(100, 400) &&
+        col("l_suppkey").between(2, 20) && col("l_quantity").between(5, 30))
+    val hRows = rowsScanned(boxed(hDir))
+    val rndRows = rowsScanned(boxed(rndDir))
+    val a = boxed(hDir).collect().map(_.toString).sorted.toSeq
+    val b = boxed(rndDir).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    assert(hRows * 2 <= rndRows,
+      s"3-axis hilbert scan read $hRows rows vs $rndRows random-order — no pruning win")
+  }
+
   test("mortonN(3) puts column i's bits at positions ≡ i (mod 3)") {
     import spark.implicits._
     val rows = Seq(
