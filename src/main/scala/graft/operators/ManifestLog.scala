@@ -239,7 +239,7 @@ object ManifestLog {
     val total = small.map(_._2).sum
     val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
     val batchDir = newBatchDir(path)
-    spark.read.parquet(small.map(_._1): _*)
+    spark.read.option("mergeSchema", "true").parquet(small.map(_._1): _*)
       .repartitionByRange(nOut, col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.parquet(batchDir)
@@ -321,9 +321,10 @@ object ManifestLog {
       val keys = updates.select(col(statsCol)).distinct()
       val out =
         if (touch.isEmpty) updates
-        else spark.read.parquet(touch.map(_.getString(0)): _*)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touch.map(_.getString(0)): _*)
           .join(keys, Seq(statsCol), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
       // size the rewrite fan-out from the volume it actually carries
       // (rewritten file rows + the update batch — the compact()
       // discipline), so a large upsert keeps range clustering instead
@@ -392,12 +393,25 @@ object ManifestLog {
     val onlyFrom = (from -- to).toSeq.sorted
     val onlyTo = (to -- from).toSeq.sorted
     def readOr(files: Seq[String], like: Seq[String]): DataFrame =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
-      else spark.read.parquet(like: _*)
+      if (files.nonEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
+      else spark.read.option("mergeSchema", "true").parquet(like: _*)
         .filter(org.apache.spark.sql.functions.lit(false))
     val oldRows = readOr(onlyFrom, (from ++ to).toSeq.sorted)
     val newRows = readOr(onlyTo, (from ++ to).toSeq.sorted)
-    (newRows.exceptAll(oldRows), oldRows.exceptAll(newRows))
+    // a diff across a schema-evolution boundary compares frames with
+    // different column sets — align on the union (absent → NULL), so
+    // EXCEPT-ALL sees an added column as a row change, not an error
+    val allCols = (oldRows.schema ++ newRows.schema.filterNot(f =>
+      oldRows.schema.fieldNames.contains(f.name))).toSeq
+    def align(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      df.select(allCols.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    (align(newRows).exceptAll(align(oldRows)),
+      align(oldRows).exceptAll(align(newRows)))
   }
 
   /** Scan `statsCol ∈ [lo, hi]` AT a version (−1 = latest): zone-map
@@ -415,9 +429,10 @@ object ManifestLog {
     }.map(_.getString(0)).toSeq.sorted
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(snap.map(_.getString(0)).toSeq: _*)
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.map(_.getString(0)).toSeq: _*)
           .filter(lit(false))
-      else spark.read.parquet(survivors: _*)
+      else spark.read.option("mergeSchema", "true").parquet(survivors: _*)
         .filter(col(statsCol).between(lit(lo), lit(hi)))
     (df, survivors.size, snap.length)
   }

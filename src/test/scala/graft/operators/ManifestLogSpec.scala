@@ -267,6 +267,46 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(pruned.count() == expect.count())
   }
 
+  test("schema evolution: an appended column reads as NULL on old files; merge composes schemas; time travel keeps the old shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-evo").toString
+    val base = li.select("l_orderkey", "l_quantity")
+    ManifestLog.write(base.filter(col("l_orderkey") % 2 === 0), "l_orderkey", dir, files = 2)
+    // v2 appends rows CARRYING A NEW COLUMN
+    val widened = base.filter(col("l_orderkey") % 2 === 1)
+      .withColumn("l_note", concat(lit("n"), col("l_orderkey")))
+    ManifestLog.append(widened, "l_orderkey", dir, files = 2)
+
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    // latest read: the union schema, nulls on pre-evolution rows
+    val (v2, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(v2.columns.toSet == Set("l_orderkey", "l_quantity", "l_note"))
+    val byParity = v2.groupBy((col("l_orderkey") % 2).as("p"))
+      .agg(count(lit(1)).as("n"), sum(col("l_note").isNull.cast("long")).as("nulls"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byParity(0)._1 == byParity(0)._2, "old rows must read NULL l_note")
+    assert(byParity(1)._2 == 0L, "appended rows must keep their l_note")
+    // time travel: v1 still has the ORIGINAL shape
+    val (v1, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, version = 1)
+    assert(v1.columns.toSet == Set("l_orderkey", "l_quantity"))
+    // CDC across the evolution boundary aligns schemas instead of erroring
+    val (added, removed) = ManifestLog.diff(spark, dir, 1, 2)
+    assert(added.count() == widened.count() && removed.count() == 0)
+    // merge with the widened schema: rewritten v1 rows gain a NULL note
+    val upd = base.filter(col("l_orderkey") % 2 === 0).limit(50)
+      .withColumn("l_quantity", col("l_quantity") + 500.0)
+      .withColumn("l_note", lit("upd"))
+    ManifestLog.merge(upd, "l_orderkey", dir)
+    val (v3, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(v3.filter(col("l_note") === "upd").count() == 50)
+    // upsert-by-key: every pre-existing row of an updated key is gone
+    val updKeys = upd.select("l_orderkey").distinct()
+    val replaced = v2.join(updKeys, Seq("l_orderkey"), "left_semi").count()
+    assert(v3.count() == v2.count() - replaced + 50)
+    assert(v3.join(updKeys, Seq("l_orderkey"), "left_semi")
+      .filter(col("l_note").isNull || col("l_note") =!= "upd").count() == 0)
+  }
+
   test("merge rejects NULL keys and a mismatched stats column, loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-guard").toString
     ManifestLog.write(li, "l_orderkey", dir, files = 2)
