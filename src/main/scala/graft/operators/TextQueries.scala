@@ -776,6 +776,34 @@ object TextQueries {
         .orderBy("cluster_id")
     },
 
+    // Leakage-safe train/val/test split: near-identical documents
+    // must never straddle the split boundary (the classic train/test
+    // contamination source — a paraphrase of a test doc in train), so
+    // the split key is the near-dup CLUSTER label, not the doc id:
+    // every member of a cluster hashes to the same slot by
+    // construction, singletons key on their own id. Shape: the
+    // duplicate-sized labels table left-joins the corpus scan (labels
+    // broadcast — near-dup volume, not corpus volume), then the same
+    // multiplicative-mix slot arithmetic as sample_split; one scan,
+    // no new shuffle on data-sized input.
+    "sample_split_leakage_safe" -> { (s, d) =>
+      val labels = clusterResolve(minhashPairs(s, d).select("a", "b"))
+      val key = "((split_key % " + CurationQueries.MixMod + ") * " +
+        CurationQueries.SampleMix + ") % " + CurationQueries.MixMod + " % 100"
+      docs(s, d).select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("slot", expr(key))
+        .withColumn("split",
+          when(col("slot") < CurationQueries.SplitTrainPct, lit("train"))
+            .when(col("slot") <
+              CurationQueries.SplitTrainPct + CurationQueries.SplitValPct,
+              lit("validation"))
+            .otherwise(lit("test")))
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    },
+
     // The DISTRIBUTED tier of the same resolution, oracle-checked at
     // sf scale: budget forced to 0 so min-label propagation (the shape
     // that runs when the pair list exceeds driver memory at 100 TB)
@@ -1510,6 +1538,23 @@ object TextQueries {
     "dedup_cluster_resolve" -> clusterResolveSql,
     // distributed min-label tier, same ground truth
     "dedup_cluster_resolve_dist" -> clusterResolveSql,
+
+    "sample_split_leakage_safe" -> {
+      val key = s"((split_key % ${CurationQueries.MixMod}) * " +
+        s"${CurationQueries.SampleMix}) % ${CurationQueries.MixMod} % 100"
+      s"""$clusterLabelCtes,
+         |labels AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM comp GROUP BY node),
+         |keyed AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN labels l USING (doc_id))
+         |SELECT doc_id, split_key,
+         |  CASE WHEN $key < ${CurationQueries.SplitTrainPct} THEN 'train'
+         |       WHEN $key < ${CurationQueries.SplitTrainPct + CurationQueries.SplitValPct}
+         |         THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    },
 
     // longest-member canonical selection over the same cluster labels
     "dedup_cluster_keeper" ->

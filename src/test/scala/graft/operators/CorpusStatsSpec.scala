@@ -461,6 +461,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     untouched.foreach { case (id, (_, _, m)) => assert(m == origMd5(id), s"doc $id") }
   }
 
+  test("sample_split_leakage_safe: every near-dup cluster lands whole in one split") {
+    import org.apache.spark.sql.functions._
+    val split = SparkEntry.queries("sample_split_leakage_safe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clusters = SparkEntry.queries("dedup_cluster_resolve")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val multi = clusters.groupBy(_._2).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "fixture has no multi-member near-dup cluster")
+    val splitOf = split.map(r => r._1 -> r._3).toMap
+    multi.foreach { case (cid, members) =>
+      val splits = members.map(m => splitOf(m._1)).distinct
+      assert(splits.size == 1, s"cluster $cid straddles splits: $splits")
+    }
+    // and the naive split (keyed on doc_id) DOES straddle some cluster
+    // on this fixture — the leakage the operator exists to prevent
+    val naive = SparkEntry.queries("sample_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val straddled = multi.exists { case (_, members) =>
+      members.map(m => naive(m._1)).distinct.size > 1
+    }
+    assert(straddled, "fixture shows no naive-split leakage; test is vacuous")
+  }
+
   test("text_pmi_bigrams matches a naive driver-side PMI-ratio recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, dir)
