@@ -34,6 +34,11 @@ object GraftSqlFunctions {
       es => DotProduct(es.head, es(1))),
     ("graft_hilbert2", "graft_hilbert2(x, y) - order-16 Hilbert curve index", 2,
       es => HilbertIndex2(es.head, es(1))),
+    // negative arity = minimum count (variadic); HilbertIndexN's own
+    // require bounds the axis count at 4 and n·bits at 63
+    ("graft_hilbertn",
+      "graft_hilbertn(bits, x1, ..., xn) - n-dimensional Hilbert index (2-4 axes)", -3,
+      es => HilbertIndexN(es.tail, intLit(es.head, "graft_hilbertn"))),
     ("graft_int8_quantize",
       "graft_int8_quantize(arr) - symmetric int8 quantization of a float vector", 1,
       es => Int8Quantize(es.head)),
@@ -48,8 +53,10 @@ object GraftSqlFunctions {
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     defs.map { case (name, usage, arity, raw) =>
       val checked: FunctionBuilder = es => {
-        if (es.length != arity) throw new IllegalArgumentException(
-          s"$name expects $arity argument(s), got ${es.length}; usage: $usage")
+        val ok = if (arity >= 0) es.length == arity else es.length >= -arity
+        if (!ok) throw new IllegalArgumentException(
+          s"$name expects ${if (arity >= 0) arity.toString else s"at least ${-arity}"} " +
+            s"argument(s), got ${es.length}; usage: $usage")
         raw(es)
       }
       (FunctionIdentifier(name),

@@ -33,6 +33,9 @@ class GraftSqlFunctionsSpec extends AnyFunSuite {
       HilbertIndex2.xy2d(3L, 5L))
     assert(r.getAs[Double]("d") == 1.5 * 4.0 + 2.0 * 0.5)
     assert(r.getAs[Long]("si") == 2L)
+    val hn = spark.sql("SELECT graft_hilbertn(5, 3L, 5L, 7L) AS h3").head()
+    assert(hn.getAs[Long]("h3") == HilbertN.toIndex(5, Array(3L, 5L, 7L)))
+    intercept[Exception] { spark.sql("SELECT graft_hilbertn(5, 1L)").head() }
   }
 
   test("sql faces equal the Column API over real documents") {
