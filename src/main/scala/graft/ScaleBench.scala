@@ -59,7 +59,9 @@ object ScaleBench {
     "text_chunk_dedup", "dedup_incremental_chunks", "text_dedup_rewrite",
     "emb_ann_mips_lsh", "join_skew_salted", "window_pct_rank",
     "text_entropy", "q18_topn_agg", "q21_sole_blame",
-    "q7_nation_volume", "q9_product_profit")
+    "q7_nation_volume", "q9_product_profit",
+    "q2_min_cost_supp", "q12_shipmode_prio", "q20_excess_avail",
+    "text_dedup_rewrite_spans", "sample_split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
