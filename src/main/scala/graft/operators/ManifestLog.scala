@@ -345,32 +345,101 @@ object ManifestLog {
       val Array(kmin, kmax) = updates
         .agg(min(col(statsCol)), max(col(statsCol))).head()
         .toSeq.toArray
-      var committed = false
-      while (!committed) {
-        val head = currentVersion(spark, path)
-        val headRows = snapshot(spark, path, head).collect().toSeq
-        val live = headRows.map(_.getString(0)).toSet
-        val gone = affected -- live
-        if (gone.nonEmpty)
-          throw new IllegalStateException(
-            s"merge conflict at $path v$head: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the merge")
-        // files that appeared AFTER our key detection and overlap the
-        // update key range may hold same-key rows we did not replace —
-        // composing would resurrect them, so that race must retry too
-        val snapFiles = snapRows.map(_.getString(0)).toSet
-        val lateOverlap = headRows.filter { r =>
-          val file = r.getString(0)
-          !snapFiles(file) && !freshRows.exists(_.getString(0) == file) &&
-            cmp(r.get(2), kmin) >= 0 && cmp(r.get(1), kmax) <= 0
-        }
-        if (lateOverlap.nonEmpty)
-          throw new IllegalStateException(
-            s"merge conflict at $path v$head: concurrent append overlaps the update keys (${lateOverlap.take(3).map(_.getString(0)).mkString(", ")}); retry the merge")
-        val keepNow = headRows.filterNot(r => affected(r.getString(0)))
-        committed = tryCommit(spark, path, head + 1, keepNow ++ freshRows, st.schema)
-      }
+      commitKeyedRewrite(spark, path, "merge", affected,
+        snapRows.map(_.getString(0)).toSet, freshRows, st.schema, kmin, kmax)
       (touch.size, keep.size)
     } finally updates.unpersist()
+  }
+
+  /** Commit a KEYED rewrite (merge/delete) under the version CAS: the
+    * rewrite composes with concurrent appends UNLESS a replaced file
+    * vanished (a concurrent rewrite took it — composing would drop
+    * that writer's rows) or a file that appeared after key detection
+    * overlaps the key range (its same-key rows were never rewritten —
+    * composing would resurrect them); both throw a retryable conflict.
+    */
+  private def commitKeyedRewrite(spark: SparkSession, path: String, op: String,
+                                 affected: Set[String], snapFiles: Set[String],
+                                 freshRows: Seq[org.apache.spark.sql.Row],
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 kmin: Any, kmax: Any): Unit = {
+    var committed = false
+    while (!committed) {
+      val head = currentVersion(spark, path)
+      val headRows = snapshot(spark, path, head).collect().toSeq
+      val live = headRows.map(_.getString(0)).toSet
+      val gone = affected -- live
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"$op conflict at $path v$head: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the $op")
+      val lateOverlap = headRows.filter { r =>
+        val file = r.getString(0)
+        !snapFiles(file) && !freshRows.exists(_.getString(0) == file) &&
+          cmp(r.get(2), kmin) >= 0 && cmp(r.get(1), kmax) <= 0
+      }
+      if (lateOverlap.nonEmpty)
+        throw new IllegalStateException(
+          s"$op conflict at $path v$head: concurrent append overlaps the keys (${lateOverlap.take(3).map(_.getString(0)).mkString(", ")}); retry the $op")
+      val keepNow = headRows.filterNot(r => affected(r.getString(0)))
+      committed = tryCommit(spark, path, head + 1, keepNow ++ freshRows, schema)
+    }
+  }
+
+  /** Copy-on-write DELETE by key — the erasure pass a training-data
+    * pipeline must run (right-to-be-forgotten, contaminated-document
+    * removal): every row whose `statsCol` key appears in `keys0` is
+    * dropped. Same file-local discipline as [[merge]]: only files
+    * whose [lo, hi] range contains a delete key are rewritten (minus
+    * the keyed rows), the untouched majority carries by reference,
+    * fan-out sized from carried volume, commit under the version CAS
+    * with the same conflict re-checks. Old files remain until
+    * [[vacuum]] — a REAL erasure workflow runs delete() then
+    * vacuum(retain = 1) so the bytes are physically destroyed.
+    * Returns (#files rewritten, #rows deleted — exact, from the
+    * before/after stats).
+    */
+  def delete(keys0: DataFrame, statsCol: String, path: String,
+             files: Int = 8, targetRows: Long = 0L): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val spark = keys0.sparkSession
+    val v = currentVersion(spark, path)
+    require(v > 0, s"delete before write at $path")
+    checkStatsCol(spark, path, statsCol)
+    val keys = keys0.select(col(statsCol)).distinct().persist()
+    try {
+      if (keys.isEmpty) return (0, 0L)
+      require(keys.filter(col(statsCol).isNull).isEmpty,
+        s"delete keys carry NULL '$statsCol' — a null key never matches any row")
+      val snapRows = snapshot(spark, path, v).collect().toSeq
+      val statsDf = snapshot(spark, path, v)
+      val affected = keys.select(col(statsCol).as("__k"))
+        .join(broadcast(statsDf),
+          col("__k") >= col("lo") && col("__k") <= col("hi"))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val touch = snapRows.filter(r => affected(r.getString(0)))
+      if (touch.isEmpty) return (0, 0L)
+      val out = spark.read.option("mergeSchema", "true")
+        .parquet(touch.map(_.getString(0)): _*)
+        .join(keys, Seq(statsCol), "left_anti")
+      val touchRows = touch.map(_.getLong(3)).sum
+      val nOut =
+        if (targetRows > 0) math.max(1L, (touchRows + targetRows - 1) / targetRows).toInt
+        else files
+      val batchDir = newBatchDir(path)
+      out.repartitionByRange(nOut, col(statsCol))
+        .sortWithinPartitions(statsCol)
+        .write.parquet(batchDir)
+      val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+      val freshRows =
+        if (fresh.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+        else statsOf(spark, fresh, statsCol).collect().toSeq
+      val Array(kmin, kmax) = keys
+        .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
+      val schema = snapshot(spark, path, v).schema
+      commitKeyedRewrite(spark, path, "delete", affected,
+        snapRows.map(_.getString(0)).toSet, freshRows, schema, kmin, kmax)
+      (touch.size, touchRows - freshRows.map(_.getLong(3)).sum)
+    } finally keys.unpersist()
   }
 
   /** Change-data-capture between two versions: (added, removed) row

@@ -307,6 +307,85 @@ class ManifestLogSpec extends AnyFunSuite {
       .filter(col("l_note").isNull || col("l_note") =!= "upd").count() == 0)
   }
 
+  test("delete drops exactly the keyed rows file-locally; vacuum destroys the bytes; old version still resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-del").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 8)
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    // erase a narrow key band: only the files whose range holds it
+    // rewrite, the rest carry by reference
+    val band = li.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo, kLo + (kHi - kLo) / 10))
+    val bandRows = li.join(band, Seq("l_orderkey"), "left_semi").count()
+    val total = li.count()
+    val (rewritten, deleted) = ManifestLog.delete(band, "l_orderkey", dir)
+    assert(deleted == bandRows && rewritten >= 1 && rewritten <= 3,
+      s"rewrote $rewritten files, deleted $deleted of expected $bandRows")
+    val (v2, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(v2.count() == total - bandRows)
+    assert(v2.join(band, Seq("l_orderkey"), "left_semi").count() == 0,
+      "deleted keys still readable at the head")
+    // the pinned pre-delete version still sees them (until vacuum)
+    val (v1, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, version = 1)
+    assert(v1.count() == total)
+    // erasure completes with vacuum: pre-delete snapshots and their
+    // bytes are gone, the head is untouched
+    assert(ManifestLog.vacuum(spark, dir, retain = 1) == rewritten)
+    assert(ManifestLog.versions(spark, dir) == Seq(2))
+    intercept[Exception] {
+      ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, 1)._1.collect()
+    }
+    // deleting keys no file holds is a no-op (no new version)
+    val none = spark.range(1).select((lit(kHi) + 100000L).as("l_orderkey"))
+    assert(ManifestLog.delete(none, "l_orderkey", dir) == ((0, 0L)))
+    assert(ManifestLog.versions(spark, dir) == Seq(2))
+  }
+
+  test("two concurrent merges on the same keys: one composes or the loser throws; no lost or duplicated rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-mm").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 4)
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val band = li.filter(col("l_orderkey").between(kLo, kLo + (kHi - kLo) / 10))
+    val updA = band.withColumn("l_quantity", lit(111.0))
+    val updB = band.withColumn("l_quantity", lit(222.0))
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def mergeTask(df: org.apache.spark.sql.DataFrame) = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        try ManifestLog.merge(df, "l_orderkey", dir)
+        catch {
+          case _: IllegalStateException => conflicts.incrementAndGet()
+          case t: Throwable => errs.add(t)
+        }
+      }
+    })
+    val fa = mergeTask(updA)
+    val fb = mergeTask(updB)
+    gate.countDown()
+    fa.get(); fb.get(); pool.shutdown()
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    // serializable outcomes only: both applied in some order, or the
+    // loser detected the overlapping rewrite and threw the retryable
+    // conflict — never a silent last-writer-wins
+    val (head, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(head.count() == li.count(), "rows lost or duplicated")
+    val qs = head.join(band.select("l_orderkey").distinct(), Seq("l_orderkey"), "left_semi")
+      .select("l_quantity").distinct().collect().map(_.getDouble(0)).toSet
+    if (conflicts.get() == 0) {
+      assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+      assert(qs == Set(111.0) || qs == Set(222.0), s"mixed update values: $qs")
+    } else {
+      assert(conflicts.get() == 1, "both merges failed")
+      assert(ManifestLog.versions(spark, dir) == Seq(1, 2))
+      assert(qs == Set(111.0) || qs == Set(222.0), s"mixed update values: $qs")
+    }
+  }
+
   test("merge rejects NULL keys and a mismatched stats column, loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-guard").toString
     ManifestLog.write(li, "l_orderkey", dir, files = 2)
