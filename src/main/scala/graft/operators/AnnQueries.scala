@@ -73,6 +73,20 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Metadata-FILTERED exact retrieval (the RAG shape: "top-k
+    // neighbors WHERE label ∈ allowed"): the predicate applies to the
+    // corpus side BEFORE scoring, so it pushes into the parquet scan
+    // (plan-pinned) and the kernel only scores survivors — at 100 TB
+    // a selective filter prunes at the reader, and the same
+    // composition filters the IVF assign table for the approximate
+    // tier. Exact cosine over the filtered corpus, hash-exact oracle.
+    "emb_ann_filtered" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("label").isin(1, 5, 9)),
+          emb.filter(col("vec_id") < NQueries), TopK)
+        .orderBy("qid", "rnk")
+    },
+
     // Exact maximum-inner-product top-k (un-normalized embeddings rank
     // differently under dot than under cosine — the recommendation /
     // reward-scoring retrieval mode). The dot is the same
@@ -447,6 +461,20 @@ object AnnQueries {
     "emb_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries),
          |v AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    (${dotSql("qvec", "nvec")}) /
+         |      (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("nvec", "nvec")})) AS cos
+         |  FROM q, v WHERE qid <> nid)
+         |SELECT qid, rnk, nid, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    "emb_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries),
+         |v AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings WHERE label IN (1, 5, 9)),
          |scored AS (
          |  SELECT qid, nid,
          |    (${dotSql("qvec", "nvec")}) /
