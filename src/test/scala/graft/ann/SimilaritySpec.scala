@@ -84,6 +84,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.forall { case (q, nb) => q != nb })
   }
 
+  test("filtered IVF: restricting the assign table equals probing only the allowed corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val allowed = emb.filter(col("label").isin(1, 5, 9))
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    val (nlist, nprobe) = Similarity.autoIvfParams(n)
+    val cents = Similarity.ivfCentroids(emb, nlist)
+    // the RAG composition: filter the ASSIGN TABLE (index rows), never
+    // rebuild the index per filter
+    val filteredIdx = Similarity.ivfAssign(emb, cents)
+      .join(allowed.select(col("vec_id").as("nid")), Seq("nid"), "left_semi")
+    val got = Similarity.ivfProbe(filteredIdx, emb, queries, cents, 5, nprobe, numRows = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // identical to assigning only the allowed corpus under the same
+    // quantizer (the index-filter is exact, not approximate)
+    val direct = Similarity.ivfProbe(Similarity.ivfAssign(allowed, cents), emb,
+        queries, cents, 5, nprobe, numRows = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == direct && got.nonEmpty)
+    // every neighbor obeys the filter
+    val allowedIds = allowed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (_, _, nid) => allowedIds(nid) })
+    // and recall vs the exact FILTERED brute force clears the floor
+    val brute = Similarity.bruteForceTopK(allowed, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotPairs = got.map { case (q, _, nid) => (q, nid) }
+    val recall = brute.intersect(gotPairs).size.toDouble / brute.size
+    assert(recall >= 0.4, s"filtered IVF recall too low: $recall")
+  }
+
   test("IVF reaches usable recall vs brute force (sf0.001)") {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
