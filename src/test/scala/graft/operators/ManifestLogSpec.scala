@@ -177,6 +177,49 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(tableAt(dir) == tableAt(refDir))
   }
 
+  test("streaming erasure cadence: foreachBatch delete per micro-batch equals sequential batch deletes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = li
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-stream").toString
+    ManifestLog.write(base, "l_orderkey", dir, files = 8)
+
+    // three erasure waves of disjoint narrow key bands (the takedown
+    // queue a compliance pipeline drains)
+    val keys = base.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val span = (kHi - kLo) / 12 + 1
+    def wave(i: Int) = base.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + i * span, kLo + (i + 1) * span - 1))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val waves = (0 until 3).map(wave)
+
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("l_orderkey")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        ManifestLog.delete(df, "l_orderkey", dir, files = 2); ()
+      }
+      .start()
+    try waves.foreach { w => mem.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    assert(ManifestLog.versions(spark, dir) == (1 to 4))
+
+    val refDir = java.nio.file.Files.createTempDirectory("graft-del-ref").toString
+    ManifestLog.write(base, "l_orderkey", refDir, files = 8)
+    waves.foreach(w => ManifestLog.delete(
+      w.toDF("l_orderkey"), "l_orderkey", refDir, files = 2))
+    def tableAt(p: String): Seq[String] =
+      spark.read.parquet(ManifestLog.snapshot(spark, p).collect()
+        .map(_.getString(0)).toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    val got = tableAt(dir)
+    assert(got == tableAt(refDir))
+    val erased = waves.flatten.toSet
+    assert(got.nonEmpty && base.collect().count(r => erased(r.getLong(0))) > 0)
+  }
+
   test("streaming foreachBatch appends write one snapshot per micro-batch; versions time-travel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
