@@ -953,6 +953,164 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- Ogg/Opus container metadata ----
+
+  val oggMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pre_skip", IntegerType, nullable = false),
+    StructField("input_rate", IntegerType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  private[multimodal] val OpusRates = Array(8000, 12000, 16000, 24000, 48000)
+
+  /** Parse Ogg/Opus metadata: the real Ogg page walk — each page is
+    * `OggS` + version(0) + header-type flags + u64le granule position
+    * + u32le serial/sequence/crc + a segment count and its lacing
+    * table (payload length = Σ lacing values; the continuation
+    * mechanism Ogg actually uses, LITTLE-endian throughout, unlike the
+    * big-endian FLAC/MP4 walks) — with the `OpusHead` identification
+    * header in the FIRST (BOS) page's payload: version, channel
+    * count, u16le pre-skip, u32le input sample rate. Granule
+    * positions count 48 kHz output samples regardless of input rate
+    * (the Opus-in-Ogg mapping, RFC 7845), so duration =
+    * (last granule − pre-skip)·1000 / 48000 in integer ms. Malformed
+    * or truncated input (bad capture pattern, nonzero version, page
+    * past the buffer, short/missing OpusHead) falls to raw;
+    * bounds-guarded like every walker here.
+    */
+  def decodeOggBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Int, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def u64le(i: Int): Long = u32le(i) | (u32le(i + 4) << 32)
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0, 0, 0, 0L)
+    var off = 0
+    var nPages = 0
+    var lastGranule = 0L
+    var head: Option[(Int, Int, Int)] = None // channels, preSkip, rate
+    while (off + 27 <= bytes.length &&
+           bytes(off) == 'O' && bytes(off + 1) == 'g' &&
+           bytes(off + 2) == 'g' && bytes(off + 3) == 'S') {
+      if (u8(off + 4) != 0) return raw // stream_structure_version
+      val granule = u64le(off + 6)
+      val nSegs = u8(off + 26)
+      if (off + 27 + nSegs > bytes.length) return raw
+      var payloadLen = 0
+      var i = 0
+      while (i < nSegs) { payloadLen += u8(off + 27 + i); i += 1 }
+      val payloadOff = off + 27 + nSegs
+      if (payloadOff + payloadLen > bytes.length) return raw
+      if (nPages == 0) {
+        // BOS page must carry the OpusHead identification header
+        if ((u8(off + 5) & 0x02) == 0 || payloadLen < 19 ||
+            new String(bytes, payloadOff, 8, "US-ASCII") != "OpusHead")
+          return raw
+        head = Some((u8(payloadOff + 9), u16le(payloadOff + 10),
+          u32le(payloadOff + 12).toInt))
+      }
+      if (granule > 0) lastGranule = granule
+      nPages += 1
+      off = payloadOff + payloadLen
+    }
+    head match {
+      case Some((ch, preSkip, rate)) if nPages >= 1 =>
+        val ms = math.max(0L, lastGranule - preSkip) * 1000L / 48000L
+        (len, "opus", ch, preSkip, rate, nPages, ms)
+      case _ => raw
+    }
+  }
+
+  /** Deterministic spec-compliant Ogg/Opus fixture: a BOS page with a
+    * real OpusHead (docId-derived channels / pre-skip / input rate),
+    * an every-third-doc OpusTags comment page (so page counting and
+    * non-audio granule-0 pages both carry signal), and one EOS data
+    * page whose payload is the doc text, laced through the genuine
+    * 255-run segment table, with the final granule at
+    * pre-skip + (docId % 100000)·48 + 960. The oracle recomputes every
+    * field — including the lacing overhead ⌊len/255⌋+1 — from doc_id
+    * and octet_length(text).
+    */
+  def synthOggBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val ch = 1 + (docId % 2).toInt
+    val preSkip = (docId % 312).toInt
+    val rate = OpusRates((docId % 5).toInt)
+    val granule = preSkip + (docId % 100000L) * 48L + 960L
+    val tags = docId % 3 == 0
+    val nSegs = payload.length / 255 + 1
+    val tagsLen = if (tags) 27 + 1 + 16 else 0
+    val bb = java.nio.ByteBuffer
+      .allocate(47 + tagsLen + 27 + nSegs + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def page(flags: Int, gran: Long, seq: Int, lacing: Array[Byte]): Unit = {
+      bb.put("OggS".getBytes("US-ASCII"))
+      bb.put(0.toByte); bb.put(flags.toByte)
+      bb.putLong(gran)
+      bb.putInt((docId % 1000000L).toInt) // serial
+      bb.putInt(seq)
+      bb.putInt(0) // crc (not validated by the metadata walk)
+      bb.put(lacing.length.toByte)
+      bb.put(lacing)
+    }
+    page(0x02, 0L, 0, Array(19.toByte)) // BOS
+    bb.put("OpusHead".getBytes("US-ASCII"))
+    bb.put(1.toByte); bb.put(ch.toByte)
+    bb.putShort(preSkip.toShort)
+    bb.putInt(rate)
+    bb.putShort(0.toShort) // output gain
+    bb.put(0.toByte)       // mapping family
+    if (tags) {
+      page(0x00, 0L, 1, Array(16.toByte))
+      bb.put("OpusTags".getBytes("US-ASCII"))
+      bb.putInt(0); bb.putInt(0) // vendor len, comment count
+    }
+    val lacing = new Array[Byte](nSegs)
+    var rem = payload.length
+    var i = 0
+    while (i < nSegs) {
+      lacing(i) = math.min(rem, 255).toByte
+      rem -= math.min(rem, 255)
+      i += 1
+    }
+    page(0x04, granule, if (tags) 2 else 1, lacing) // EOS data page
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Attach a synthetic Ogg/Opus binary per row. */
+  def attachSynthOgg(df: DataFrame, idCol: String, textCol: String,
+                     binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthOggBytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode an Ogg/Opus binary column per partition. */
+  def decodeOggMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ oggMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, ch, ps, rate, np, ms) =
+          decodeOggBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, ch, ps, rate, np, ms)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ---- TIFF image metadata ----
 
   val tiffMetaSchema: StructType = StructType(Seq(

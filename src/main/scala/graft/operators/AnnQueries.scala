@@ -382,6 +382,18 @@ object AnnQueries {
     // metadata-block walker; the oracle recomputes rate/channels/
     // total-samples and the integer-division duration arithmetically
     // from doc_id.
+    // Multimodal compressed-speech container: spec-compliant Ogg/Opus
+    // binaries (real page walk with lacing tables, OpusHead in the BOS
+    // page, 48 kHz granule arithmetic per RFC 7845) decoded by the
+    // little-endian page walker; the oracle recomputes every field —
+    // including the 255-run lacing overhead — from doc_id and the
+    // payload length.
+    "mm_ogg_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthOgg(docs, "doc_id", "text", "bin")
+      Multimodal.decodeOggMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
     "mm_flac_meta" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withBin = Multimodal.attachSynthFlac(docs, "doc_id", "text", "bin")
@@ -656,6 +668,24 @@ object AnnQueries {
     // FLAC layout: "fLaC"(4) + STREAMINFO(4+34) + every-third
     // VORBIS_COMMENT(4 + 16 + doc_id%40) + payload; duration =
     // total_samples × 1000 // rate (rate from the 7-entry table).
+    // Ogg/Opus layout: BOS page 47 (27 header + 1 lacing + 19
+    // OpusHead) + every-third-doc OpusTags page 44 + EOS data page
+    // 27 + ⌊len/255⌋+1 lacing + len; duration from the 48 kHz granule
+    // minus pre-skip.
+    "mm_ogg_meta" ->
+      """SELECT doc_id,
+        |  CAST(47 + CASE WHEN doc_id % 3 = 0 THEN 44 ELSE 0 END
+        |    + 27 + (octet_length(CAST(text AS BLOB)) // 255 + 1)
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  'opus' AS format,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(doc_id % 312 AS INT) AS pre_skip,
+        |  CAST(list_extract([8000,12000,16000,24000,48000],
+        |    CAST(1 + doc_id % 5 AS INT)) AS INT) AS input_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_pages,
+        |  CAST(((doc_id % 100000) * 48 + 960) * 1000 // 48000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_flac_meta" ->
       """SELECT doc_id,
         |  CAST(42 + CASE WHEN doc_id % 3 = 0 THEN 4 + 16 + doc_id % 40 ELSE 0 END

@@ -165,6 +165,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp4Bytes(evil)._2 == "raw")
   }
 
+  test("Ogg/Opus decode: page walk, lacing sums, granule duration, and fallbacks") {
+    // synth round-trip across the parameter grid (incl. a payload past
+    // 255 bytes so the lacing table carries a genuine 255 run)
+    for (id <- 0L until 30L) {
+      val payload = ("q" * (200 + id.toInt * 20)).getBytes("UTF-8")
+      val (l, f, ch, ps, rate, np, ms) = Multimodal.decodeOggBytes(
+        Multimodal.synthOggBytes(id, payload))
+      val nSegs = payload.length / 255 + 1
+      assert(f == "opus", s"id=$id")
+      assert(ch == 1 + (id % 2).toInt && ps == (id % 312).toInt, s"id=$id head")
+      assert(rate == Seq(8000, 12000, 16000, 24000, 48000)((id % 5).toInt), s"id=$id rate")
+      assert(np == (if (id % 3 == 0) 3 else 2), s"id=$id pages")
+      assert(l == 47 + (if (id % 3 == 0) 44 else 0) + 27 + nSegs + payload.length,
+        s"id=$id len")
+      assert(ms == ((id % 100000L) * 48 + 960) * 1000 / 48000, s"id=$id dur")
+    }
+    // a payload of an exact 255 multiple needs the trailing 0 lacing
+    val exact = Multimodal.synthOggBytes(1L, ("x" * 510).getBytes("US-ASCII"))
+    assert(Multimodal.decodeOggBytes(exact)._2 == "opus")
+    // fallbacks: bad capture pattern, nonzero version, missing
+    // OpusHead, page running past the buffer — raw, never a throw
+    assert(Multimodal.decodeOggBytes("not an ogg stream at all".getBytes)._2 == "raw")
+    val badVer = Multimodal.synthOggBytes(2L, "p".getBytes); badVer(4) = 1
+    assert(Multimodal.decodeOggBytes(badVer)._2 == "raw")
+    val noHead = Multimodal.synthOggBytes(2L, "p".getBytes)
+    noHead(28) = 'X'.toByte // corrupt "OpusHead"
+    assert(Multimodal.decodeOggBytes(noHead)._2 == "raw")
+    val trunc = Multimodal.synthOggBytes(2L, ("y" * 300).getBytes)
+    assert(Multimodal.decodeOggBytes(trunc.take(80))._2 == "raw")
+  }
+
   test("MP3 decode: hand-assembled header, ID3v2 syncsafe skip, and fallbacks") {
     // canonical bare frame: FF FB = sync + MPEG-1 + Layer III + no CRC;
     // 0x92 = bitrate idx 9 (128 kbps) + sample-rate idx 0 (44100) +
