@@ -220,6 +220,60 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(got.nonEmpty && base.collect().count(r => erased(r.getLong(0))) > 0)
   }
 
+  test("DML cadence survives kill/restart from checkpoint; a replayed wave is content-idempotent") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val base = li
+    val dir = Files.createTempDirectory("graft-dml-restart").toString
+    ManifestLog.write(base, "l_orderkey", dir, files = 4)
+    val keys = base.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val span = (kHi - kLo) / 8 + 1
+    def wave(i: Int) = base
+      .filter(col("l_orderkey").between(kLo + i * span, kLo + (i + 1) * span - 1))
+      .withColumn("l_quantity", col("l_quantity") + lit((i + 1) * 1000.0))
+    def lines(i: Int) = wave(i).collect().map(r =>
+      s"""{"l_orderkey":${r.getLong(0)},"l_partkey":${r.getLong(1)},"l_quantity":${r.getDouble(2)}}""").toSeq
+
+    val root = Files.createTempDirectory("graft-dml-src")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    def publish(i: Int): Unit = {
+      val tmp = root.resolve(s"c$i.tmp")
+      Files.writeString(tmp, lines(i).mkString("", "\n", "\n"))
+      Files.move(tmp, srcDir.resolve(s"c$i.json"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    def startLife() = spark.readStream
+      .schema("l_orderkey LONG, l_partkey LONG, l_quantity DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        ManifestLog.merge(df, "l_orderkey", dir, files = 2); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    publish(0); publish(1)
+    val q1 = startLife(); q1.processAllAvailable(); q1.stop()
+    publish(2); publish(3)
+    val q2 = startLife(); q2.processAllAvailable(); q2.stop()
+
+    def tableAt(p: String): Seq[String] =
+      spark.read.parquet(ManifestLog.snapshot(spark, p).collect()
+        .map(_.getString(0)).toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    // checkpoint resume applied each wave exactly once across the kill
+    val refDir = Files.createTempDirectory("graft-dml-ref").toString
+    ManifestLog.write(base, "l_orderkey", refDir, files = 4)
+    (0 until 4).foreach(i => ManifestLog.merge(wave(i), "l_orderkey", refDir, files = 2))
+    assert(ManifestLog.versions(spark, dir) == (1 to 5))
+    assert(tableAt(dir) == tableAt(refDir))
+    // and an at-least-once REPLAY of the last wave (a mid-batch crash's
+    // worst case) is content-idempotent: a new version, the same rows
+    val before = tableAt(dir)
+    ManifestLog.merge(wave(3), "l_orderkey", dir, files = 2)
+    assert(ManifestLog.currentVersion(spark, dir) == 6)
+    assert(tableAt(dir) == before)
+  }
+
   test("streaming foreachBatch appends write one snapshot per micro-batch; versions time-travel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
