@@ -87,6 +87,42 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Embedding-space distribution drift (the vector-side sibling of
+    // text_drift_tvd): per label, the squared L2 shift between the
+    // incoming batch's mean vector and the corpus's. All arithmetic
+    // exact until one guarded step: per-element values quantize to
+    // 1e6 fixed point (long sums — exact), the per-dimension mean
+    // difference is the INTEGER cross product sum_b·n_c − sum_c·n_b
+    // (exact; bounds hold to n ≈ 1e9 per label side — past that,
+    // pre-aggregate the corpus per shard), divided once in double and
+    // re-quantized to 1e9 fixed point, so the final sum of squares is
+    // BIGINT in both engines — hash-exact, no order-dependent float
+    // summation anywhere. Shape: one posexplode (64 rows per vector)
+    // into a (label, dim)-keyed conditional aggregate with map-side
+    // partials — one exchange carrying labels×64 groups.
+    "emb_drift" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .withColumn("is_batch", col("vec_id") % 10 < 3)
+        .select(col("label"), col("is_batch"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")))
+            .as(Seq("dim", "fp")))
+      val perDim = emb.groupBy("label", "dim")
+        .agg(sum(when(col("is_batch"), col("fp")).otherwise(0L)).as("sum_b"),
+          sum(when(!col("is_batch"), col("fp")).otherwise(0L)).as("sum_c"),
+          sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_c"))
+      perDim
+        .withColumn("md_fp", floor(
+          (col("sum_b") * col("n_c") - col("sum_c") * col("n_b")).cast("double") /
+            (col("n_b") * col("n_c")).cast("double") * lit(1000.0) + lit(0.5))
+          .cast("long"))
+        .groupBy("label")
+        .agg(max(col("n_b")).as("n_batch"), max(col("n_c")).as("n_corpus"),
+          sum(col("md_fp") * col("md_fp")).as("l2sq_fp"))
+        .orderBy("label")
+    },
+
     // Exact maximum-inner-product top-k (un-normalized embeddings rank
     // differently under dot than under cosine — the recommendation /
     // reward-scoring retrieval mode). The dot is the same
@@ -483,6 +519,29 @@ object AnnQueries {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    "emb_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 10 < 3 AS is_batch,
+        |    unnest(range(0, 64)) AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS fp
+        |  FROM embeddings),
+        |pd AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CASE WHEN is_batch THEN fp ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(SUM(CASE WHEN is_batch THEN 0 ELSE fp END) AS BIGINT) AS sum_c,
+        |    CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+        |  FROM ex GROUP BY label, dim),
+        |md AS (
+        |  SELECT label, n_b, n_c,
+        |    CAST(floor(CAST(sum_b * n_c - sum_c * n_b AS DOUBLE) /
+        |      CAST(n_b * n_c AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS md_fp
+        |  FROM pd)
+        |SELECT label, MAX(n_b) AS n_batch, MAX(n_c) AS n_corpus,
+        |  CAST(SUM(md_fp * md_fp) AS BIGINT) AS l2sq_fp
+        |FROM md GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_ann_filtered" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries),
