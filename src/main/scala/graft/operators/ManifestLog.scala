@@ -442,6 +442,28 @@ object ManifestLog {
     } finally keys.unpersist()
   }
 
+  /** RESTORE the table to an earlier snapshot — published as a NEW
+    * version whose file list is exactly version `toVersion`'s (the
+    * Delta RESTORE shape: history is never rewritten, the rollback is
+    * itself a versioned, CAS-committed mutation, and the rolled-back
+    * versions stay readable until vacuum). No data files move or
+    * rewrite — this is pure snapshot metadata. Returns the new head
+    * version.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Int): Int = {
+    require(toVersion >= 1, s"restore needs an explicit version, got $toVersion")
+    val target = snapshot(spark, path, toVersion).collect().toSeq
+    val schema = snapshot(spark, path, toVersion).schema
+    var head = currentVersion(spark, path)
+    require(toVersion <= head, s"restore to v$toVersion but head is v$head")
+    var committed = false
+    while (!committed) {
+      head = currentVersion(spark, path)
+      committed = tryCommit(spark, path, head + 1, target, schema)
+    }
+    head + 1
+  }
+
   /** Change-data-capture between two versions: (added, removed) row
     * frames. Data files are immutable, so rows can only change by file
     * replacement — the diff scans ONLY the symmetric difference of the

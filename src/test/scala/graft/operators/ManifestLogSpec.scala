@@ -483,6 +483,32 @@ class ManifestLogSpec extends AnyFunSuite {
     }
   }
 
+  test("restore publishes an old snapshot as a new version; history intact; vacuum honors the restored head") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-restore").toString
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    ManifestLog.write(li, "l_orderkey", dir, files = 4)
+    // v2: a destructive-looking merge bumps every quantity
+    ManifestLog.merge(li.withColumn("l_quantity", col("l_quantity") + 9999.0),
+      "l_orderkey", dir)
+    def rows(v: Int) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, v)
+      ._1.collect().map(_.toString).sorted.toSeq
+    val v1Rows = rows(1)
+    assert(rows(2) != v1Rows)
+    // v3 = restore to v1: pure metadata, the bad merge stays readable
+    assert(ManifestLog.restore(spark, dir, 1) == 3)
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+    assert(rows(3) == v1Rows, "restored head must equal the target snapshot")
+    assert(rows(2) != v1Rows, "history must not be rewritten")
+    // vacuum(retain=1) keeps the restored head's files (they are v1's
+    // original files, still referenced by the new head) and reclaims
+    // the bad merge's rewrite
+    val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
+    assert(deleted > 0)
+    assert(ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+      ._1.collect().map(_.toString).sorted.toSeq == v1Rows)
+  }
+
   test("merge rejects NULL keys and a mismatched stats column, loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-guard").toString
     ManifestLog.write(li, "l_orderkey", dir, files = 2)
