@@ -341,6 +341,32 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(n2 == base.count() + a.count() || n2 == base.count() + b.count())
   }
 
+  test("four concurrent appenders all survive under CAS contention; versions linear, union exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-cas4").toString
+    val parts = (0 until 5).map(i => li.filter(col("l_orderkey") % 5 === i))
+    ManifestLog.write(parts(0), "l_orderkey", dir, files = 2)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val fs = (1 to 4).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          try ManifestLog.append(parts(i), "l_orderkey", dir, files = 2)
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    gate.countDown(); fs.foreach(_.get()); pool.shutdown()
+    assert(errs.isEmpty, s"append threw: ${errs.peek()}")
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3, 4, 5))
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (head, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey",
+      keys.getLong(0), keys.getLong(1))
+    assert(head.count() == li.count(), "a batch was lost or duplicated under contention")
+  }
+
   test("merge fan-out scales with rewrite volume; pruning parity preserved") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-fan").toString
     ManifestLog.write(li, "l_orderkey", dir, files = 4)
