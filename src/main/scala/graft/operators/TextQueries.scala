@@ -519,6 +519,54 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The WHOLE curation pipeline in ONE declarative plan — the
+    // flagship composition a training run executes end-to-end:
+    // language screen → quality screens (length / stopword density /
+    // type-token ratio, all in INTEGER form — no float threshold can
+    // flip between engines) → C4 blocklist screen → exact-dedup
+    // keep-first → leakage-consistent split keyed on the dedup keeper
+    // → the per-(split, source) training MANIFEST (doc and token
+    // budgets). Catalyst fuses the screens into the one corpus scan
+    // (pushed lang filter + codegen'd token arithmetic), the dedup
+    // adds the single content-keyed exchange, and the rollup is a
+    // ~splits×sources-group aggregate: a 100-TB curation pass is ONE
+    // scan + two small shuffles, not five chained jobs.
+    "pipeline_curate_e2e" -> { (s, d) =>
+      val listCol = array(Blocklist.map(lit): _*)
+      val screened = withToks(docs(s, d).filter(col("lang") === "en"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop", listHits(col("toks"), stopwords.head._2))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_block",
+          size(filter(col("toks"), t => array_contains(listCol, t))).cast("long"))
+        .filter(col("n_tokens") >= 20 &&
+          col("n_stop") * 50 >= col("n_tokens") &&
+          col("n_distinct") * 100 >= col("n_tokens") * 30 &&
+          col("n_block") === 0L)
+        .withColumn("__h", md5(col("text")))
+      // keep-first WITHOUT a self-join: a min window over the content
+      // hash (|distinct docs|-cardinality partitions) keeps the plan a
+      // single corpus pass — the diamond-shaped groupBy+join-back form
+      // would scan the corpus twice (ReuseExchange is not reliable
+      // across pushed-filter specialization; the r10/r13 lesson)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+      val mix = s"((keeper % ${CurationQueries.MixMod}) * " +
+        s"${CurationQueries.SampleMix}) % ${CurationQueries.MixMod} % 100"
+      screened
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keeper"))
+        .withColumn("slot", expr(mix))
+        .withColumn("split",
+          when(col("slot") < CurationQueries.SplitTrainPct, lit("train"))
+            .when(col("slot") <
+              CurationQueries.SplitTrainPct + CurationQueries.SplitValPct,
+              lit("validation"))
+            .otherwise(lit("test")))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("split", "source")
+    },
+
     // C4-style blocklist screen (Raffel et al. 2020 drop pages
     // containing any "bad words" list entry): per doc, total flagged
     // token instances, distinct flagged words, and the clean verdict.
@@ -1706,6 +1754,35 @@ object TextQueries {
          |  CAST(COUNT(*) - SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
          |    / COUNT(*) AS keep_ratio
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "pipeline_curate_e2e" -> {
+      val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+      val mix = s"((keeper % ${CurationQueries.MixMod}) * " +
+        s"${CurationQueries.SampleMix}) % ${CurationQueries.MixMod} % 100"
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, $toksSql AS toks
+         |  FROM documents WHERE lang = 'en'),
+         |sc AS (
+         |  SELECT doc_id, source, text, len(toks) AS n_tokens
+         |  FROM t
+         |  WHERE len(toks) >= 20
+         |    AND len(list_filter(toks, x -> x IN ($stopSqlEn))) * 50 >= len(toks)
+         |    AND len(list_distinct(toks)) * 100 >= len(toks) * 30
+         |    AND len(list_filter(toks, x -> x IN ($listSql))) = 0),
+         |k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM sc GROUP BY 1),
+         |kept AS (
+         |  SELECT sc.doc_id, sc.source, sc.n_tokens, k.keeper
+         |  FROM sc JOIN k ON md5(sc.text) = k.h
+         |  WHERE sc.doc_id = k.keeper)
+         |SELECT
+         |  CASE WHEN $mix < ${CurationQueries.SplitTrainPct} THEN 'train'
+         |       WHEN $mix < ${CurationQueries.SplitTrainPct + CurationQueries.SplitValPct}
+         |         THEN 'validation'
+         |       ELSE 'test' END AS split,
+         |  source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY split, source ORDER BY split, source""".stripMargin
     },
 
     "text_blocklist" -> {
