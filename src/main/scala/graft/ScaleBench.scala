@@ -61,7 +61,8 @@ object ScaleBench {
     "text_entropy", "q18_topn_agg", "q21_sole_blame",
     "q7_nation_volume", "q9_product_profit",
     "q2_min_cost_supp", "q12_shipmode_prio", "q20_excess_avail",
-    "text_dedup_rewrite_spans", "sample_split_leakage_safe")
+    "text_dedup_rewrite_spans", "sample_split_leakage_safe",
+    "pipeline_curate_e2e", "emb_drift", "emb_ann_filtered")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
