@@ -159,7 +159,22 @@ case class HilbertIndex2(left: Expression, right: Expression)
 case class HilbertIndexN(children: Seq[Expression], bits: Int) extends Expression {
   require(children.length >= 2 && children.length <= 4,
     s"HilbertIndexN supports 2-4 axes, got ${children.length}")
+  require(bits >= 1, s"HilbertIndexN needs bits >= 1, got $bits " +
+    "(bits = 0 would shift the cell mask into the sign bit)")
   require(children.length * bits <= 63, s"${children.length}x$bits bits overflow a long")
+
+  // analysis-time rejection of non-long axes (a raw ClassCastException
+  // at eval otherwise); callers cast explicitly like the Z-order face.
+  // (The declarative ExpectsInputTypes form needs private[sql]
+  // AbstractDataType, so the check is spelled out.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    children.zipWithIndex.find(_._1.dataType != LongType) match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some((c, i)) => TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbertn axes must be BIGINT; axis ${i + 1} is ${c.dataType.simpleString}")
+    }
+  }
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

@@ -1013,6 +1013,12 @@ object Multimodal {
         head = Some((u8(payloadOff + 9), u16le(payloadOff + 10),
           u32le(payloadOff + 12).toInt))
       }
+      // granule moves the duration clock only when it is a real
+      // position: -1 (all-ones u64) is the RFC 3533 "no packet
+      // completes on this page" sentinel for continued packets —
+      // u64le folds it to -1L so the `> 0` guard skips it (spec-pinned
+      // with a continued-packet page) — and granule-0 header pages
+      // (OpusTags) carry no audio time either.
       if (granule > 0) lastGranule = granule
       nPages += 1
       off = payloadOff + payloadLen

@@ -38,7 +38,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * merge, no concurrently-appended file overlaps the update keys);
   * otherwise they throw instead of silently dropping the other
   * writer's rows. A crashed commit leaves an unreferenced payload dir
-  * (invisible; vacuum reclaims it).
+  * (invisible; vacuum reclaims it once it ages past the retention
+  * window), or — if the crash hit between creating the pointer and
+  * writing the payload name into it — an empty pointer, which any
+  * later reader repairs away after a 1 s grace (resolvePayload).
+  *
+  * The pointer CAS requires `FileSystem.create(path, overwrite=false)`
+  * to be ATOMIC-EXCLUSIVE — true of HDFS, local FS, and ABFS, NOT of
+  * bare S3A (Delta needs an external LogStore there for the same
+  * reason); on an S3-backed deployment front this log with such a
+  * coordination layer.
   *
   * Snapshots are kilobytes at any table size, so every planning
   * decision here is driver-side metadata work.
@@ -74,23 +83,34 @@ object ManifestLog {
   /** Resolve version v's payload dir: pointer file → named payload
     * (re-read briefly if the pointer was created but its content not
     * yet flushed by a concurrent committer); legacy directory → itself.
+    * None = v is a CRASHED commit: the committer died between creating
+    * the pointer and writing the payload name into it. After the retry
+    * budget (~1 s, far past any create→write gap of a live committer)
+    * the empty pointer is deleted — best-effort repair, so the version
+    * slot frees up and later reads and commits proceed instead of
+    * every reader of v (and vacuum) failing forever.
     */
-  private def snapshotDir(spark: SparkSession, path: String, v: Int): String = {
+  private def resolvePayload(spark: SparkSession, path: String, v: Int): Option[String] = {
     val marker = new org.apache.hadoop.fs.Path(vDir(path, v))
     val f = fs(spark, path)
-    if (f.getFileStatus(marker).isDirectory) return vDir(path, v)
+    if (f.getFileStatus(marker).isDirectory) return Some(vDir(path, v))
     var tries = 0
-    while (true) {
+    while (tries < 200) {
       val in = f.open(marker)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      if (content.nonEmpty) return s"${logDir(path)}/$content"
+      if (content.nonEmpty) return Some(s"${logDir(path)}/$content")
       tries += 1
-      require(tries < 200, s"snapshot pointer $marker stayed empty")
       Thread.sleep(5)
     }
-    sys.error("unreachable")
+    try f.delete(marker, false) catch { case _: java.io.IOException => () }
+    None
   }
+
+  private def snapshotDir(spark: SparkSession, path: String, v: Int): String =
+    resolvePayload(spark, path, v).getOrElse(sys.error(
+      s"version $v under $path was a crashed commit (pointer created, payload name " +
+        "never written) — the empty pointer has been repaired away; retry the read"))
 
   /** The stats snapshot at `version` (−1 = latest): one row per live
     * data file, (file, lo, hi, rows).
@@ -100,6 +120,16 @@ object ManifestLog {
     require(v > 0, s"no snapshots under $path")
     spark.read.parquet(snapshotDir(spark, path, v)).select("file", "lo", "hi", "rows")
   }
+
+  /** Head snapshot rows for the commit retry loops: None = the head
+    * pointer was a crashed commit (now repaired away) — the caller
+    * re-reads the head and retries instead of surfacing the error.
+    */
+  private def headRows(spark: SparkSession, path: String,
+                       v: Int): Option[Seq[org.apache.spark.sql.Row]] =
+    resolvePayload(spark, path, v).map { dir =>
+      spark.read.parquet(dir).select("file", "lo", "hi", "rows").collect().toSeq
+    }
 
   /** Write the snapshot payload, then publish version `v` by the
     * atomic exclusive create of its pointer file. False = a concurrent
@@ -215,8 +245,11 @@ object ManifestLog {
     var committed = false
     while (!committed) {
       val v = currentVersion(spark, path)
-      val old = snapshot(spark, path, v).collect().toSeq
-      committed = tryCommit(spark, path, v + 1, old ++ freshRows, st.schema)
+      headRows(spark, path, v) match {
+        case None      => () // crashed head repaired — re-read and retry
+        case Some(old) =>
+          committed = tryCommit(spark, path, v + 1, old ++ freshRows, st.schema)
+      }
     }
   }
 
@@ -266,7 +299,11 @@ object ManifestLog {
     var committed = false
     while (!committed) {
       val v = currentVersion(spark, path)
-      val head = snapshot(spark, path, v).collect().toSeq
+      val headOpt = headRows(spark, path, v)
+      if (headOpt.isEmpty) {
+        // crashed head repaired — re-read and retry
+      } else {
+      val head = headOpt.get
       val live = head.map(_.getString(0)).toSet
       val gone = replaced -- live
       if (gone.nonEmpty)
@@ -274,6 +311,7 @@ object ManifestLog {
           s"$op conflict at $path v$v: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the $op")
       val keep = head.filterNot(r => replaced(r.getString(0)))
       committed = tryCommit(spark, path, v + 1, keep ++ freshRows, schema)
+      }
     }
   }
 
@@ -536,28 +574,54 @@ object ManifestLog {
     case _ => throw new IllegalArgumentException(s"incomparable manifest bounds: $a vs $b")
   }
 
+  /** Default vacuum retention window (7 days — Delta's
+    * `deletedFileRetentionDuration` default): unreferenced files and
+    * payload dirs YOUNGER than this are presumed to belong to an
+    * in-flight concurrent commit (data and payload land BEFORE the
+    * pointer CAS, so for a moment they are indistinguishable from
+    * crash orphans) and are skipped.
+    */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** Reclaim: keep the newest `retain` snapshots, delete every data
     * file referenced by NONE of them (including crashed-append
     * orphans no snapshot ever saw) and the expired snapshot dirs.
     * Returns the number of data files deleted.
+    *
+    * SAFE WITH CONCURRENT WRITERS via `minAgeMs`: an in-flight commit
+    * writes its data files and snapshot payload first and publishes
+    * the pointer last, so an unreferenced-but-young file may be a
+    * commit about to land — only entries older than `minAgeMs` are
+    * reclaimed. Pass `minAgeMs = 0` ONLY when no writer is running
+    * (the single-writer maintenance window), where it reclaims
+    * everything unreferenced immediately.
     */
-  def vacuum(spark: SparkSession, path: String, retain: Int = 1): Int = {
+  def vacuum(spark: SparkSession, path: String, retain: Int = 1,
+             minAgeMs: Long = DefaultVacuumRetentionMs): Int = {
     require(retain >= 1, "must retain at least the latest snapshot")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshots under $path")
     val keepVs = vs.takeRight(retain)
-    val live: Set[String] = keepVs.flatMap { v =>
-      snapshot(spark, path, v).collect().map(_.getString(0))
-    }.toSet
     val f = fs(spark, path)
+    val now = System.currentTimeMillis()
+    def aged(p: org.apache.hadoop.fs.Path): Boolean =
+      minAgeMs <= 0 || (try now - f.getFileStatus(p).getModificationTime >= minAgeMs
+      catch { case _: java.io.FileNotFoundException => false })
+    // a retained version that resolves to None was a crashed commit
+    // (repaired by resolvePayload) — skip it rather than fail the sweep
+    val keepDirs = keepVs.flatMap(v => resolvePayload(spark, path, v))
+    val live: Set[String] = keepDirs.flatMap { dir =>
+      spark.read.parquet(dir).select("file").collect().map(_.getString(0))
+    }.toSet
     val dead = (listDataFiles(spark, path) -- live).toSeq.sorted
+      .filter(d => aged(new org.apache.hadoop.fs.Path(new java.net.URI(d))))
     dead.foreach(d => f.delete(new org.apache.hadoop.fs.Path(new java.net.URI(d)), false))
     // retained payload dirs (by pointer), then expired pointers +
     // their payloads + orphan payloads from crashed/lost commits
     // payload dirs have globally-unique s-* basenames, so retained-set
     // membership compares by NAME (robust to relative-vs-URI paths)
-    val keepPayloadNames = keepVs
-      .map(v => new org.apache.hadoop.fs.Path(snapshotDir(spark, path, v)).getName)
+    val keepPayloadNames = keepDirs
+      .map(d => new org.apache.hadoop.fs.Path(d).getName)
       .toSet
     vs.dropRight(retain).foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(vDir(path, v)), true)
@@ -566,6 +630,7 @@ object ManifestLog {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("s-"))
       .map(_.getPath)
       .filterNot(p => keepPayloadNames(p.getName))
+      .filter(aged)
       .foreach(p => f.delete(p, true))
     // drop batch dirs whose files were all reclaimed
     f.listStatus(new org.apache.hadoop.fs.Path(path)).iterator

@@ -36,6 +36,14 @@ class GraftSqlFunctionsSpec extends AnyFunSuite {
     val hn = spark.sql("SELECT graft_hilbertn(5, 3L, 5L, 7L) AS h3").head()
     assert(hn.getAs[Long]("h3") == HilbertN.toIndex(5, Array(3L, 5L, 7L)))
     intercept[Exception] { spark.sql("SELECT graft_hilbertn(5, 1L)").head() }
+    // bits = 0 would shift the cell mask into the sign bit and return
+    // silent garbage — rejected at construction with a clear message
+    intercept[Exception] { spark.sql("SELECT graft_hilbertn(0, 3L, 5L)").head() }
+    // non-long axes are an ANALYSIS error (ExpectsInputTypes), not a
+    // runtime ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbertn(5, 'a', 'b')").head()
+    }
   }
 
   test("sql faces equal the Column API over real documents") {

@@ -196,6 +196,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeOggBytes(trunc.take(80))._2 == "raw")
   }
 
+  test("Ogg granule sentinel: a continued-packet page (granule -1) never moves the duration clock") {
+    // real-world Opus files split large packets across pages; the page
+    // that completes no packet carries granule 0xFFFF_FFFF_FFFF_FFFF
+    // (RFC 3533). If the walk treated that as a position, duration
+    // would explode; the fixtures never emit it, so pin it by hand.
+    val base = Multimodal.synthOggBytes(7L, ("z" * 100).getBytes("US-ASCII"))
+    val (_, f0, _, _, _, np0, ms0) = Multimodal.decodeOggBytes(base)
+    assert(f0 == "opus" && ms0 > 0)
+    val payload = ("c" * 40).getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(28 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes("US-ASCII"))
+    bb.put(0.toByte); bb.put(0x01.toByte)     // version 0, continuation flag
+    bb.putLong(-1L)                           // the sentinel
+    bb.putInt(7); bb.putInt(3); bb.putInt(0)  // serial / seq / crc
+    bb.put(1.toByte); bb.put(payload.length.toByte)
+    bb.put(payload)
+    val (_, f1, _, _, _, np1, ms1) = Multimodal.decodeOggBytes(base ++ bb.array())
+    assert(f1 == "opus")
+    assert(np1 == np0 + 1, "sentinel page still counts as a page")
+    assert(ms1 == ms0, s"sentinel moved the clock: $ms0 -> $ms1")
+  }
+
   test("MP3 decode: hand-assembled header, ID3v2 syncsafe skip, and fallbacks") {
     // canonical bare frame: FF FB = sync + MPEG-1 + Layer III + no CRC;
     // 0x92 = bitrate idx 9 (128 kbps) + sample-rate idx 0 (44100) +

@@ -70,7 +70,7 @@ class ManifestLogSpec extends AnyFunSuite {
       "orphan files leaked into a snapshot read")
 
     // vacuum(retain=1): the 12 originals + the orphan go; v4 survives
-    val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
+    val deleted = ManifestLog.vacuum(spark, dir, retain = 1, minAgeMs = 0L)
     assert(deleted == 13, s"deleted $deleted, expected 12 originals + 1 orphan")
     assert(ManifestLog.versions(spark, dir) == Seq(4))
     val (postVac, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
@@ -128,7 +128,7 @@ class ManifestLogSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq)
 
     // vacuum to latest reclaims the replaced files
-    val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
+    val deleted = ManifestLog.vacuum(spark, dir, retain = 1, minAgeMs = 0L)
     assert(deleted == rewritten, s"deleted=$deleted rewritten=$rewritten")
     val after = spark.read.parquet(
       ManifestLog.snapshot(spark, dir).collect().map(_.getString(0)).toIndexedSeq: _*)
@@ -453,7 +453,7 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(v1.count() == total)
     // erasure completes with vacuum: pre-delete snapshots and their
     // bytes are gone, the head is untouched
-    assert(ManifestLog.vacuum(spark, dir, retain = 1) == rewritten)
+    assert(ManifestLog.vacuum(spark, dir, retain = 1, minAgeMs = 0L) == rewritten)
     assert(ManifestLog.versions(spark, dir) == Seq(2))
     intercept[Exception] {
       ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi, 1)._1.collect()
@@ -529,7 +529,7 @@ class ManifestLogSpec extends AnyFunSuite {
     // vacuum(retain=1) keeps the restored head's files (they are v1's
     // original files, still referenced by the new head) and reclaims
     // the bad merge's rewrite
-    val deleted = ManifestLog.vacuum(spark, dir, retain = 1)
+    val deleted = ManifestLog.vacuum(spark, dir, retain = 1, minAgeMs = 0L)
     assert(deleted > 0)
     assert(ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
       ._1.collect().map(_.toString).sorted.toSeq == v1Rows)
@@ -557,5 +557,63 @@ class ManifestLogSpec extends AnyFunSuite {
     }
     // the table is untouched by all four refusals
     assert(ManifestLog.versions(spark, dir) == Seq(1))
+  }
+
+  test("vacuum retention window: young unreferenced files survive (in-flight commit safety); aged ones go") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-age").toString
+    ManifestLog.write(li.limit(200), "l_orderkey", dir, files = 2)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a "crashed or in-flight commit": data batch + snapshot payload
+    // that no pointer references — at vacuum time these are
+    // indistinguishable from a commit whose pointer CAS is about to
+    // land, so the default retention window must spare them
+    li.limit(50).coalesce(1).write.parquet(s"$dir/b-inflight")
+    li.limit(3).coalesce(1).write.parquet(s"$dir/_mlog/s-inflight")
+    assert(ManifestLog.vacuum(spark, dir, retain = 1) == 0,
+      "default retention reclaimed young unreferenced files")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/b-inflight")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/_mlog/s-inflight")))
+    // age everything unreferenced past the window; now it is a true
+    // crash orphan and the same sweep reclaims data AND payload
+    val old = System.currentTimeMillis() - ManifestLog.DefaultVacuumRetentionMs - 60000L
+    def ageTree(p: org.apache.hadoop.fs.Path): Unit = {
+      f.setTimes(p, old, -1)
+      if (f.getFileStatus(p).isDirectory) f.listStatus(p).foreach(s => ageTree(s.getPath))
+    }
+    ageTree(new org.apache.hadoop.fs.Path(s"$dir/b-inflight"))
+    ageTree(new org.apache.hadoop.fs.Path(s"$dir/_mlog/s-inflight"))
+    assert(ManifestLog.vacuum(spark, dir, retain = 1) >= 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/b-inflight")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_mlog/s-inflight")))
+    // the table read is untouched throughout
+    assert(ManifestLog.snapshot(spark, dir).count() >= 1)
+  }
+
+  test("a crashed commit's empty pointer is repaired: reads recover, the version slot is reused by the next append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-crash").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
+    ManifestLog.append(li.limit(150), "l_orderkey", dir, files = 2)
+    val rowsV2 = ManifestLog.snapshot(spark, dir).agg(sum("rows")).head().getLong(0)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the committer died between create(pointer) and writing the
+    // payload name: an empty v00003 — previously this bricked every
+    // later read of the head with no repair path
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_mlog/v00003"), false).close()
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+    // a head reader waits out the grace, repairs the pointer, reports
+    // the crash loudly once — and the NEXT read resolves v2 normally
+    intercept[Exception] { ManifestLog.snapshot(spark, dir).collect() }
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2))
+    assert(ManifestLog.snapshot(spark, dir)
+      .agg(sum("rows")).head().getLong(0) == rowsV2)
+    // crash again; an APPEND repairs inline inside its retry loop and
+    // commits into the freed slot — versions stay linear
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_mlog/v00003"), false).close()
+    ManifestLog.append(li.limit(30), "l_orderkey", dir, files = 1)
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+    assert(ManifestLog.snapshot(spark, dir)
+      .agg(sum("rows")).head().getLong(0) == rowsV2 + 30)
   }
 }
