@@ -33,10 +33,15 @@ object ThetaOps {
     */
   val NominalEntries = 4096
 
-  /** One compact theta sketch of `value` per group: per-partition
-    * build, per-group union.
+  /** One compact theta sketch of `value` per group, DISTRIBUTED:
+    * per-partition build (the classic hand-rolled partial aggregate —
+    * the shuffle carries one compact sketch per partition per group,
+    * never rows), per-group union. The streaming arm loads this
+    * straight into the state store as initial state; the batch set
+    * algebra collects it (bounded by group-key cardinality).
     */
-  def groupSketches(df: DataFrame, group: String, value: Column): Map[String, Array[Byte]] = {
+  def groupSketchesDs(df: DataFrame, group: String,
+                      value: Column): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(group).cast("string").as("g"), value.cast("long").as("v"))
@@ -56,8 +61,13 @@ object ThetaOps {
         parts.foreach { case (_, b) => u.union(heapify(b)) }
         (g, u.getResult.toByteArray)
       }
-      .collect().toMap
   }
+
+  /** One compact theta sketch of `value` per group, as a driver map —
+    * for the pairwise set algebra, which is #groups-bounded by design.
+    */
+  def groupSketches(df: DataFrame, group: String, value: Column): Map[String, Array[Byte]] =
+    groupSketchesDs(df, group, value).collect().toMap
 
   def heapify(b: Array[Byte]): CompactSketch =
     Sketches.heapifyCompactSketch(Memory.wrap(b))

@@ -26,7 +26,13 @@ final case class DriftUpdate(label: Long, n_batch: Long, l2sq_fp: Long, version:
   * final streamed row is BIT-IDENTICAL to the batch `emb_drift` over
   * the same rows under any micro-batch chopping (StreamingDriftSpec
   * pins equality, not a tolerance), and the state store carries the
-  * sums across kill/restart.
+  * sums across kill/restart. Initial state is applied for EVERY
+  * corpus label at batch 0 (Spark invokes the function with an empty
+  * row iterator for initial-state-only keys and checkpoints the
+  * seeded state), so a label first streamed only after a restart
+  * still finds its corpus sums — nC is never 0 for an indexed label
+  * (the late-first-seen mechanism is pinned in StreamingRestartSpec
+  * on the percentile/HLL arms; the state machinery is identical).
   */
 object StreamingDrift {
 

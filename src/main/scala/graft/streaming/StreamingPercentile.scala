@@ -26,7 +26,14 @@ final case class PctUpdate(group: String, pct: Double, version: Long)
   * (StreamingPercentileSpec pins equality, not a tolerance), and the
   * state store carries the histograms across kill/restart
   * (StreamingRestartSpec) — on restart the recovered store wins and
-  * the initial state is ignored, exactly Spark's contract.
+  * the initial state is ignored, exactly Spark's contract. Initial
+  * state is applied for EVERY index group at batch 0 — Spark invokes
+  * the function with an empty row iterator for keys that have initial
+  * state but no batch-0 data, and the seeded state is checkpointed —
+  * so a group whose first arrival lands only after a kill/restart
+  * still builds on its seed (StreamingRestartSpec pins the
+  * late-first-seen case: median over seed ∪ post-restart arrivals,
+  * never arrivals alone).
   */
 object StreamingPercentile {
 

@@ -19,48 +19,60 @@ final case class ThetaEstimate(group: String, est_stream: Long,
   * ([[graft.operators.ThetaOps]]): the ingestion-time view of "how
   * much of this group's arriving traffic is already-known
   * population". The static corpus collapses to ONE compact sketch per
-  * group up front (kilobytes, broadcast — the stream never rescans the
-  * corpus); each micro-batch folds its values into a per-group state
-  * sketch via a theta Union, and every update emits (stream, union,
-  * overlap) estimates against the index.
+  * group ON EXECUTORS ([[ThetaOps.groupSketchesDs]] — per-partition
+  * partials, per-group union) and loads into the state store as
+  * `flatMapGroupsWithState` INITIAL STATE, the StreamingPercentile
+  * discipline: no collect(), no broadcast, driver memory O(1) in the
+  * group count. The state is (corpus sketch, stream sketch); each
+  * micro-batch folds its values into the stream half via a theta
+  * Union, and every update emits (stream, union, overlap) estimates
+  * against the carried corpus half — the identical set algebra the
+  * broadcast formulation ran.
   *
   * Exactness contract: theta sketches retain the k smallest hashes
   * under a fixed seed, so the state is deterministic in the arrived
   * SET — chopping, shuffle, and merge order all irrelevant — and
   * below ~k distinct values per group the estimates are EXACT, which
   * is what the StreamingThetaSpec differential pins against the batch
-  * operators. State is one ≤ ~32 KB compact sketch per group
-  * regardless of stream length.
+  * operators. State is two ≤ ~32 KB compact sketches per group
+  * regardless of stream length. Initial state is written for EVERY
+  * corpus group at batch 0 whether or not it has batch-0 data, so the
+  * index survives restart for groups first seen afterwards
+  * (StreamingRestartSpec pins the late-first-seen case for the HLL
+  * twin; the mechanism is the same operator).
   */
 object StreamingTheta {
+
+  private def emptyCompact: Array[Byte] =
+    UpdateSketch.builder().setNominalEntries(ThetaOps.NominalEntries)
+      .build().compact().toByteArray
 
   def overlapStream(corpus: DataFrame, stream: DataFrame,
                     group: String, value: String): Dataset[ThetaEstimate] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val idx: Map[String, Array[Byte]] =
-      ThetaOps.groupSketches(corpus, group, col(value))
-    val bIdx = spark.sparkContext.broadcast(idx)
+    val initState = ThetaOps.groupSketchesDs(corpus, group, col(value))
+      .map { case (g, sk) => (g, (Option(sk), emptyCompact)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
     stream.select(col(group).cast("string").as("_1"), col(value).cast("long").as("_2"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Byte], ThetaEstimate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key, rows, state: GroupState[Array[Byte]]) =>
+      .flatMapGroupsWithState[(Option[Array[Byte]], Array[Byte]), ThetaEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, initState) {
+        (key, rows, state: GroupState[(Option[Array[Byte]], Array[Byte])]) =>
+          val (idxOpt, prev) = state.getOption
+            .getOrElse((None: Option[Array[Byte]], emptyCompact))
           val fresh = UpdateSketch.builder()
             .setNominalEntries(ThetaOps.NominalEntries).build()
           rows.foreach { case (_, v) => fresh.update(v) }
-          val merged = state.getOption match {
-            case Some(prev) =>
-              val u = SetOperation.builder()
-                .setNominalEntries(ThetaOps.NominalEntries).buildUnion()
-              u.union(ThetaOps.heapify(prev))
-              u.union(fresh.compact())
-              u.getResult.toByteArray
-            case None => fresh.compact().toByteArray
-          }
-          state.update(merged)
-          val (un, ov) = bIdx.value.get(key) match {
+          val u = SetOperation.builder()
+            .setNominalEntries(ThetaOps.NominalEntries).buildUnion()
+          u.union(ThetaOps.heapify(prev))
+          u.union(fresh.compact())
+          val merged = u.getResult.toByteArray
+          state.update((idxOpt, merged))
+          val (un, ov) = idxOpt match {
             case Some(ib) => (ThetaOps.unionEstimate(merged, ib),
               ThetaOps.intersectionEstimate(merged, ib))
             case None => (ThetaOps.estimate(merged), 0L)

@@ -277,6 +277,79 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(got == expected, s"stream $got != batch $expected")
   }
 
+  test("initial state covers a group whose FIRST arrival lands after the restart (percentile seed survives)") {
+    import spark.implicits._
+    // group b is in the index but streams nothing before the kill: if
+    // initial state applied only to keys with batch-0 data, b would
+    // restart from an empty histogram and report median{30,40} = 35.
+    // Spark writes initial state for EVERY key at batch 0 (the
+    // function runs with an empty row iterator), so b's post-restart
+    // median is over seed {10,20} ∪ arrivals {30,40} = 25 — the
+    // documented bit-identical-to-batch contract holds for
+    // late-first-seen groups too.
+    val index = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 1L),
+      ("b", 10.0, 1L), ("b", 20.0, 1L)).toDF("g", "value", "cnt")
+    val chunks = Seq(
+      Seq("""{"g":"a","v":5}"""), Seq("""{"g":"a","v":6}"""),   // life 1
+      Seq("""{"g":"b","v":30}"""), Seq("""{"g":"b","v":40}""")) // life 2
+    val base = twoLives(chunks) { (src, ckpt) =>
+      val stream = spark.readStream.schema("g STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingPercentile.percentileStream(index, stream, "g", "v", 0.5)
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[PctUpdate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[Double]("pct"),
+        r.getAs[Long]("version")))
+    val maxVer = sink.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = sink.filter { case (g, _, v) => v == maxVer(g) }
+      .map { case (g, m, _) => g -> m }.toMap
+    assert(got("b") == 25.0, s"late-first-seen group lost its seed: ${got("b")}")
+    assert(got("a") == 3.5, s"pre-restart group drifted: ${got("a")}")
+  }
+
+  test("initial state covers a group whose FIRST arrival lands after the restart (HLL index survives)") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(u => ("a", u)) ++ (100L to 130L).map(u => ("b", u))
+    val corpusDf = corpus.toDF("g", "user_id")
+    val index = SketchIndex.buildDistinctIndex(corpusDf, Seq("g"),
+      (col("user_id") % 4).cast("string"), col("user_id"))
+    // life 1 streams only a; b's first arrivals (2 known + 2 new
+    // users) land after the restart — the estimate must still count
+    // the 31 corpus users it never re-sees
+    val chunks = Seq(
+      Seq("""{"g":"a","user_id":1}"""), Seq("""{"g":"a","user_id":200}"""),
+      Seq("""{"g":"b","user_id":100}""", """{"g":"b","user_id":300}"""),
+      Seq("""{"g":"b","user_id":301}"""))
+    val streamed = Seq(("a", 1L), ("a", 200L), ("b", 100L), ("b", 300L), ("b", 301L))
+    val expected = SketchIndex.estimateWithBatch(index, streamed.toDF("g", "user_id"),
+        Seq("g"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = twoLives(chunks) { (src, ckpt) =>
+      val stream = spark.readStream.schema("g STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingSketch.estimateStream(index, stream, "g", "user_id")
+        .writeStream.outputMode("update")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[GroupEstimate], bid: Long) =>
+          updateSink(base2(src))(ds.toDF(), bid))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val sink = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("bid")))
+    val maxBid = sink.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = sink.filter { case (g, _, b) => b == maxBid(g) }
+      .map { case (g, e, _) => g -> e }.toMap
+    assert(got == expected, s"stream $got != batch $expected")
+    // at these cardinalities HLL is exact: b = 31 corpus ∪ {100,300,301} = 33
+    assert(got("b") == 33L, s"late-first-seen group lost its index: ${got("b")}")
+  }
+
   test("funnel stage state survives kill/restart (per-user stage timestamps recover)") {
     val dir1 = dir
     val expected = graft.SparkEntry.queries("ev_funnel")(spark, dir1).collect()
