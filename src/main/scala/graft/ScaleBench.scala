@@ -62,7 +62,8 @@ object ScaleBench {
     "q7_nation_volume", "q9_product_profit",
     "q2_min_cost_supp", "q12_shipmode_prio", "q20_excess_avail",
     "text_dedup_rewrite_spans", "sample_split_leakage_safe",
-    "pipeline_curate_e2e", "emb_drift", "emb_ann_filtered")
+    "pipeline_curate_e2e", "emb_drift", "emb_ann_filtered",
+    "q12_bucketed")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -119,6 +119,38 @@ object RelationalQueries {
           .as("ps_costc"))
   }
 
+  /** Bucketed twins of the q12 join inputs, written ONCE per session:
+    * the transport-columned lineitem and the (orderkey, priority)
+    * orders projection, each as a bucketed bucket-sorted table on its
+    * order key (hash(key) mod 8 file groups + in-file key order —
+    * [[LayoutOps.writeBucketed]]). The write pays the q12 shuffle at
+    * LAYOUT time; every later equi-join on the key reads matching
+    * buckets side by side with no Exchange on either side. Tables are
+    * tagged by the sf dir so Verify/Bench/ScaleBench runs over
+    * different data never collide; re-invocations inside one session
+    * (bench warm runs) reuse the catalog entry, which is exactly the
+    * amortization being demonstrated.
+    */
+  private def q12BucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+    val li = s"graft_bkt_li_$tag"
+    val ord = s"graft_bkt_ord_$tag"
+    synchronized {
+      if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
+        val base = java.nio.file.Files.createTempDirectory("graft-q12-bkt")
+        LayoutOps.writeBucketed(
+          withTransportCols(Tables.lineitem(s, d))
+            .select("l_orderkey", "l_shipmode", "l_shipdate",
+              "l_commitdate", "l_receiptdate"),
+          li, base.resolve("li").toString, "l_orderkey", buckets = 8)
+        LayoutOps.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          ord, base.resolve("ord").toString, "o_orderkey", buckets = 8)
+      }
+    }
+    (li, ord)
+  }
+
   /** DuckDB mirror of [[derivedPartsupp]] (same terms, same order). */
   private val PartsuppCte: String =
     """partsupp AS (
@@ -622,6 +654,33 @@ object RelationalQueries {
         .select("l_orderkey", "l_shipmode")
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    },
+
+    // The bucketed-layout twin of q12 — the battery's one honest
+    // big-big shuffle, re-run over order-key-bucketed derivatives so
+    // the lineitem⋈orders join is EXCHANGE-FREE on both sides: the
+    // shuffle is paid once at layout-write time, and every repeated
+    // run (the nightly-aggregate shape a 100-TB fact table amortizes)
+    // reads matching buckets side by side. hint("merge") keeps the
+    // plan a SortMergeJoin so the elision is the bucket spec's doing,
+    // not a broadcast hiding the question (PlanSpec pins zero
+    // Exchanges under the join). Values hash-identical to
+    // q12_shipmode_prio — same oracle.
+    "q12_bucketed" -> { (s, d) =>
+      val (liT, ordT) = q12BucketedTables(s, d)
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      s.table(liT)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_receiptdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipmode")
+        .join(s.table(ordT).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_shipmode")
         .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
@@ -1634,6 +1693,28 @@ object RelationalQueries {
          |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     "q12_shipmode_prio" ->
+      """SELECT l_shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CASE (l_orderkey * 7 + l_linenumber) % 5
+        |      WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+        |      WHEN 3 THEN 'RAIL' ELSE 'TRUCK' END AS l_shipmode,
+        |    l_shipdate + INTERVAL ((l_orderkey * 5 + l_linenumber * 7) % 60 - 25) DAY AS l_commitdate,
+        |    l_shipdate + INTERVAL ((l_orderkey + l_linenumber * 3) % 30 + 1) DAY AS l_receiptdate,
+        |    l_shipdate
+        |  FROM lineitem) li, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipmode IN ('MAIL', 'SHIP')
+        |  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+        |  AND l_receiptdate >= TIMESTAMP '1996-01-01'
+        |  AND l_receiptdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin,
+
+    // the bucketed twin computes the identical relation — layout, not
+    // semantics, is what changes
+    "q12_bucketed" ->
       """SELECT l_shipmode,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
