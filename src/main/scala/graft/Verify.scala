@@ -91,6 +91,30 @@ object Verify {
         (inc == probe(oneIdx), rec)
       }
 
+      // emb_ann_ivf_filtered: (1) EXACT equality — filtering the assign
+      // table's index rows (the RAG composition) must probe identically
+      // to assigning only the allowed corpus under the same quantizer;
+      // (2) recall floor vs the exact FILTERED brute force (the same
+      // target emb_ann_filtered computes hash-exactly).
+      val (filtIvfEq, filtIvfRecall) = {
+        import org.apache.spark.sql.DataFrame
+        val allowed = emb.filter(col("label").isin(1, 5, 9))
+        val qs = emb.filter(col("vec_id") < graft.operators.AnnQueries.NQueries)
+        val cents = graft.ann.Similarity.ivfCentroids(emb, nlist)
+        val filtIdx = graft.ann.Similarity.ivfAssign(emb, cents)
+          .join(allowed.select(col("vec_id").as("nid")), Seq("nid"), "left_semi")
+        def probe(idx: DataFrame): Set[(Long, Long)] =
+          graft.ann.Similarity.ivfProbe(idx, emb, qs, cents, 5, nprobe, numRows = nEmb)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = probe(filtIdx)
+        val direct = probe(graft.ann.Similarity.ivfAssign(allowed, cents))
+        val bruteF = graft.ann.Similarity.bruteForceTopK(allowed, qs, 5)
+          .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rec = if (bruteF.isEmpty) 1.0
+          else bruteF.intersect(got).size.toDouble / bruteF.size
+        (got == direct, rec)
+      }
+
       // emb_ann_pq: recall of the 64-bit-code ADC-shortlist + exact
       // re-rank top-5 vs brute force, on the query's own 10-query subset
       val nQ = graft.operators.AnnQueries.NQueries
@@ -368,6 +392,9 @@ object Verify {
          | "emb_ann_ivf_incremental": {"metric": "append_probe_equals_one_shot_and_recall",
          | "equal": $incIvfEq, "recall": $incIvfRecall, "floor": $recallFloor,
          | "pass": ${incIvfEq && incIvfRecall >= recallFloor}},
+         | "emb_ann_ivf_filtered": {"metric": "index_filter_equals_filtered_assign_and_recall",
+         | "equal": $filtIvfEq, "recall": $filtIvfRecall, "floor": $recallFloor,
+         | "pass": ${filtIvfEq && filtIvfRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,

@@ -179,6 +179,29 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Metadata-FILTERED IVF probe — the approximate tier of the RAG
+    // retrieval shape emb_ann_filtered runs exactly ("top-k neighbors
+    // WHERE label ∈ allowed" over an index too big to brute-force).
+    // The label predicate restricts the ASSIGN TABLE by a left-semi
+    // join against the pushed-filter corpus scan (plan-pinned): the
+    // index is NEVER rebuilt per filter — SimilaritySpec pins
+    // index-row filtering == assigning only the allowed corpus under
+    // the same quantizer, exactly — and the probe only scores
+    // surviving cells' rows. Rows-only by design; Verify gates recall
+    // vs the exact FILTERED brute force and re-checks the equality.
+    "emb_ann_ivf_filtered" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val n = Tables.cachedCount(s, d, "embeddings")
+      val (nlist, nprobe) = Similarity.autoIvfParams(n)
+      val cents = Similarity.ivfCentroids(emb, nlist)
+      val idx = Similarity.ivfAssign(emb, cents)
+        .join(emb.filter(col("label").isin(1, 5, 9))
+          .select(col("vec_id").as("nid")), Seq("nid"), "left_semi")
+      Similarity.ivfProbe(idx, emb, emb.filter(col("vec_id") < NQueries), cents,
+          TopK, nprobe, numRows = n)
+        .orderBy("qid", "rnk")
+    },
+
     // PQ top-k for the first 10 queries, the standard two-stage
     // pipeline: ADC over 64-bit codes (16 sub-codes x 16 centroids,
     // 32x smaller than raw floats) prunes to a 50-candidate shortlist,
