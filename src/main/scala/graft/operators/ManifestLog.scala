@@ -136,8 +136,9 @@ object ManifestLog {
     * writer took v first (payload stays orphaned until vacuum).
     */
   private def tryCommit(spark: SparkSession, path: String, v: Int,
-                        rows: Seq[org.apache.spark.sql.Row],
-                        schema: org.apache.spark.sql.types.StructType): Boolean = {
+                        rows0: Seq[org.apache.spark.sql.Row],
+                        schema0: org.apache.spark.sql.types.StructType): Boolean = {
+    val (rows, schema) = harmonize(rows0, schema0)
     val payload = "s-" + java.util.UUID.randomUUID().toString.take(12)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"${logDir(path)}/$payload")
@@ -185,6 +186,112 @@ object ManifestLog {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
         count(lit(1)).as("rows"))
+  }
+
+  // ---- schema evolution: add-column AND type widening ----
+
+  /** The sanctioned widenings (int→long, float→double, int→double) —
+    * value-preserving casts only. long→double would silently lose
+    * integers past 2^53, so it is refused like any other incompatible
+    * evolution.
+    */
+  private def widenType(a: org.apache.spark.sql.types.DataType,
+                        b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x, y) if x == y => x
+      case (IntegerType, LongType) | (LongType, IntegerType)     => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType)     => DoubleType
+      case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+      case _ => throw new IllegalArgumentException(
+        s"incompatible schema evolution: ${a.simpleString} vs ${b.simpleString} " +
+          "(supported widenings: int->long, float->double, int->double)")
+    }
+  }
+
+  /** Union of two file schemas under the widening lattice: common
+    * columns widen, one-sided columns join as nullable (the
+    * add-column rule).
+    */
+  private def mergeWiden(a: org.apache.spark.sql.types.StructType,
+                         b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val bMap = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { f =>
+      bMap.get(f.name) match {
+        case Some(g) => StructField(f.name, widenType(f.dataType, g.dataType),
+          f.nullable || g.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val extra = b.fields.filterNot(f => a.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(merged ++ extra)
+  }
+
+  /** Read a snapshot's data files with evolution alignment. Fast path:
+    * plain mergeSchema (handles add-column; zero overhead — the
+    * overwhelmingly common case). A widened column makes mergeSchema
+    * throw CANNOT_MERGE_SCHEMAS; then the union schema is computed
+    * under the widening lattice (one driver footer read per file —
+    * manifest file counts are bounded by the compaction discipline)
+    * and ALL files are read under the explicit widened schema: the
+    * parquet vectorized reader upcasts int32→int64 / float→double in
+    * place and fills absent columns with NULL, so old files read AS
+    * the new type with no rewrite — time travel to a pre-widening
+    * version reads only old files, one schema group, and keeps the
+    * old types.
+    */
+  private[operators] def readAligned(spark: SparkSession, files: Seq[String]): DataFrame =
+    try spark.read.option("mergeSchema", "true").parquet(files: _*)
+    catch {
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("CANNOT_MERGE_SCHEMAS") =>
+        val target = files.map(f => spark.read.parquet(f).schema).reduce(mergeWiden)
+        spark.read.schema(target).parquet(files: _*)
+    }
+
+  /** Harmonize manifest rows before a commit: composing an old
+    * snapshot's (lo, hi) stats with a widened batch's mixes Int and
+    * Long values under one declared type — coerce every value to the
+    * widened common type so the snapshot parquet stays one schema.
+    */
+  private def harmonize(rows: Seq[org.apache.spark.sql.Row],
+                        schema: org.apache.spark.sql.types.StructType)
+      : (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types._
+    def typeOf(v: Any): Option[DataType] = v match {
+      case _: Int => Some(IntegerType)
+      case _: Long => Some(LongType)
+      case _: Float => Some(FloatType)
+      case _: Double => Some(DoubleType)
+      case _ => None
+    }
+    val declared = schema("lo").dataType
+    val target = rows.iterator
+      .flatMap(r => Iterator(r.get(1), r.get(2)).flatMap(typeOf))
+      .foldLeft(declared)(widenType)
+    def coerce(v: Any): Any = (v, target) match {
+      case (null, _) => null
+      case (x: Int, LongType) => x.toLong
+      case (x: Int, DoubleType) => x.toDouble
+      case (x: Float, DoubleType) => x.toDouble
+      case _ => v
+    }
+    val needs = target != declared ||
+      rows.exists(r => typeOf(r.get(1)).exists(_ != target) ||
+        typeOf(r.get(2)).exists(_ != target))
+    if (!needs) (rows, schema)
+    else {
+      val out = rows.map { r =>
+        org.apache.spark.sql.Row(r.get(0), coerce(r.get(1)), coerce(r.get(2)), r.get(3))
+      }
+      val fields = schema.fields.map {
+        case f if f.name == "lo" || f.name == "hi" => f.copy(dataType = target)
+        case f => f
+      }
+      (out, StructType(fields))
+    }
   }
 
   /** All data files under `path`, recursing into batch subdirs (every
@@ -272,7 +379,7 @@ object ManifestLog {
     val total = small.map(_._2).sum
     val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
     val batchDir = newBatchDir(path)
-    spark.read.option("mergeSchema", "true").parquet(small.map(_._1): _*)
+    readAligned(spark, small.map(_._1))
       .repartitionByRange(nOut, col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.parquet(batchDir)
@@ -359,8 +466,7 @@ object ManifestLog {
       val keys = updates.select(col(statsCol)).distinct()
       val out =
         if (touch.isEmpty) updates
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touch.map(_.getString(0)): _*)
+        else readAligned(spark, touch.map(_.getString(0)))
           .join(keys, Seq(statsCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       // size the rewrite fan-out from the volume it actually carries
@@ -456,8 +562,7 @@ object ManifestLog {
         .select("file").distinct().collect().map(_.getString(0)).toSet
       val touch = snapRows.filter(r => affected(r.getString(0)))
       if (touch.isEmpty) return (0, 0L)
-      val out = spark.read.option("mergeSchema", "true")
-        .parquet(touch.map(_.getString(0)): _*)
+      val out = readAligned(spark, touch.map(_.getString(0)))
         .join(keys, Seq(statsCol), "left_anti")
       val touchRows = touch.map(_.getLong(3)).sum
       val nOut =
@@ -522,20 +627,21 @@ object ManifestLog {
     val onlyFrom = (from -- to).toSeq.sorted
     val onlyTo = (to -- from).toSeq.sorted
     def readOr(files: Seq[String], like: Seq[String]): DataFrame =
-      if (files.nonEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
-      else spark.read.option("mergeSchema", "true").parquet(like: _*)
+      if (files.nonEmpty) readAligned(spark, files)
+      else readAligned(spark, like)
         .filter(org.apache.spark.sql.functions.lit(false))
     val oldRows = readOr(onlyFrom, (from ++ to).toSeq.sorted)
     val newRows = readOr(onlyTo, (from ++ to).toSeq.sorted)
     // a diff across a schema-evolution boundary compares frames with
-    // different column sets — align on the union (absent → NULL), so
-    // EXCEPT-ALL sees an added column as a row change, not an error
-    val allCols = (oldRows.schema ++ newRows.schema.filterNot(f =>
-      oldRows.schema.fieldNames.contains(f.name))).toSeq
+    // different column sets (added columns) or widened types — align
+    // on the union under the widening lattice (absent → NULL, narrow →
+    // cast), so EXCEPT-ALL sees the evolution as row changes, not an
+    // analysis error
+    val allCols = mergeWiden(oldRows.schema, newRows.schema).fields.toSeq
     def align(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
       df.select(allCols.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
@@ -558,10 +664,9 @@ object ManifestLog {
     }.map(_.getString(0)).toSeq.sorted
     val df =
       if (survivors.isEmpty)
-        spark.read.option("mergeSchema", "true")
-          .parquet(snap.map(_.getString(0)).toSeq: _*)
+        readAligned(spark, snap.map(_.getString(0)).toSeq)
           .filter(lit(false))
-      else spark.read.option("mergeSchema", "true").parquet(survivors: _*)
+      else readAligned(spark, survivors)
         .filter(col(statsCol).between(lit(lo), lit(hi)))
     (df, survivors.size, snap.length)
   }

@@ -430,6 +430,51 @@ class ManifestLogSpec extends AnyFunSuite {
       .filter(col("l_note").isNull || col("l_note") =!= "upd").count() == 0)
   }
 
+  test("schema evolution: widened types (int->long, float->double) align at read; time travel keeps old types; CDC aligns; lossy widening refused") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-widen").toString
+    // v1: INT key, FLOAT measure (halves — exact in float AND double,
+    // so the widening cast preserves every value bit-for-bit)
+    ManifestLog.write((1 to 100).map(i => (i, i.toFloat / 2)).toDF("k", "x"),
+      "k", dir, files = 2)
+    // v2 appends rows with k LONG and x DOUBLE — the widened shape
+    ManifestLog.append((101L to 200L).map(i => (i, i.toDouble / 2)).toDF("k", "x"),
+      "k", dir, files = 2)
+    // latest read: ONE widened schema; old int32/float files upcast in
+    // place (no rewrite), every value preserved
+    val (all, _, _) = ManifestLog.readPrunedAt(spark, dir, "k", 1L, 200L)
+    assert(all.schema("k").dataType == LongType &&
+      all.schema("x").dataType == DoubleType, all.schema.simpleString)
+    assert(all.count() == 200)
+    assert(all.agg(sum("k")).head().getLong(0) == (1L to 200L).sum)
+    assert(all.agg(sum("x")).head().getDouble(0) == (1 to 200).map(_.toDouble / 2).sum)
+    // time travel: v1 keeps the ORIGINAL types (one schema group —
+    // the fast path never widens what it doesn't have to)
+    val (v1r, _, _) = ManifestLog.readPrunedAt(spark, dir, "k", 1, 100, version = 1)
+    assert(v1r.schema("k").dataType == IntegerType &&
+      v1r.schema("x").dataType == FloatType, v1r.schema.simpleString)
+    assert(v1r.count() == 100)
+    // CDC across the widening boundary aligns instead of erroring
+    val (added, removed) = ManifestLog.diff(spark, dir, 1, 2)
+    assert(added.count() == 100 && removed.count() == 0)
+    // merge with widened updates: rewrites a narrow file, composes the
+    // manifest (mixed int/long lo-hi harmonize to long), upsert exact
+    ManifestLog.merge(Seq((50L, 999.0)).toDF("k", "x"), "k", dir)
+    val (v3r, _, _) = ManifestLog.readPrunedAt(spark, dir, "k", 1L, 200L)
+    assert(v3r.filter(col("x") === 999.0).count() == 1 && v3r.count() == 200)
+    // zone-map pruning still works over the mixed-type manifest
+    val (pruned, surv, tot) = ManifestLog.readPrunedAt(spark, dir, "k", 150L, 160L)
+    assert(pruned.count() == 11 && surv < tot, s"$surv/$tot survived")
+    // long->double is LOSSY (integers past 2^53) — refused loudly,
+    // like any other incompatible evolution
+    intercept[Exception] {
+      ManifestLog.append(Seq((300.5, 1.0)).toDF("k", "x"), "k", dir)
+    }
+    // the refusal left no new version behind
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3))
+  }
+
   test("delete drops exactly the keyed rows file-locally; vacuum destroys the bytes; old version still resolves") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-del").toString
     ManifestLog.write(li, "l_orderkey", dir, files = 8)
