@@ -81,6 +81,43 @@ object TextQueries {
 
   private def withToks(df: DataFrame): DataFrame = df.withColumn("toks", tokens(col("text")))
 
+  /** The `pipeline_curate_e2e` admission screens — language → integer
+    * quality screens (length / stopword density / type-token ratio) →
+    * C4 blocklist → content hash — factored so the STREAMING admission
+    * arm ([[graft.streaming.StreamingCurate]]) runs the byte-identical
+    * expressions per micro-batch. Integer-form thresholds throughout:
+    * no float comparison can flip between engines or between the batch
+    * and streamed runs.
+    */
+  private[graft] def curateScreened(df: DataFrame): DataFrame = {
+    val listCol = array(Blocklist.map(lit): _*)
+    withToks(df.filter(col("lang") === "en"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", listHits(col("toks"), stopwords.head._2))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_block",
+        size(filter(col("toks"), t => array_contains(listCol, t))).cast("long"))
+      .filter(col("n_tokens") >= 20 &&
+        col("n_stop") * 50 >= col("n_tokens") &&
+        col("n_distinct") * 100 >= col("n_tokens") * 30 &&
+        col("n_block") === 0L)
+      .withColumn("__h", md5(col("text")))
+  }
+
+  /** The leakage-consistent split of a dedup KEEPER id — the same
+    * integer mix as the batch pipeline (and the oracle): paraphrase
+    * groups collapse to their keeper before splitting, so near-dups
+    * can never straddle train/test.
+    */
+  private[graft] def curateSplit(keeper: Column): Column = {
+    val m = lit(CurationQueries.MixMod)
+    val slot = ((keeper % m) * lit(CurationQueries.SampleMix)) % m % lit(100)
+    when(slot < CurationQueries.SplitTrainPct, lit("train"))
+      .when(slot < CurationQueries.SplitTrainPct + CurationQueries.SplitValPct,
+        lit("validation"))
+      .otherwise(lit("test"))
+  }
+
   /** Connected components over an (a, b) pair DataFrame: one row per
     * member node, labeled with its component's min id. Driver
     * union-find while the pair list fits `maxDriverPairs` (near-dup
@@ -532,36 +569,17 @@ object TextQueries {
     // ~splits×sources-group aggregate: a 100-TB curation pass is ONE
     // scan + two small shuffles, not five chained jobs.
     "pipeline_curate_e2e" -> { (s, d) =>
-      val listCol = array(Blocklist.map(lit): _*)
-      val screened = withToks(docs(s, d).filter(col("lang") === "en"))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("n_stop", listHits(col("toks"), stopwords.head._2))
-        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("n_block",
-          size(filter(col("toks"), t => array_contains(listCol, t))).cast("long"))
-        .filter(col("n_tokens") >= 20 &&
-          col("n_stop") * 50 >= col("n_tokens") &&
-          col("n_distinct") * 100 >= col("n_tokens") * 30 &&
-          col("n_block") === 0L)
-        .withColumn("__h", md5(col("text")))
+      val screened = curateScreened(docs(s, d))
       // keep-first WITHOUT a self-join: a min window over the content
       // hash (|distinct docs|-cardinality partitions) keeps the plan a
       // single corpus pass — the diamond-shaped groupBy+join-back form
       // would scan the corpus twice (ReuseExchange is not reliable
       // across pushed-filter specialization; the r10/r13 lesson)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-      val mix = s"((keeper % ${CurationQueries.MixMod}) * " +
-        s"${CurationQueries.SampleMix}) % ${CurationQueries.MixMod} % 100"
       screened
         .withColumn("keeper", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("keeper"))
-        .withColumn("slot", expr(mix))
-        .withColumn("split",
-          when(col("slot") < CurationQueries.SplitTrainPct, lit("train"))
-            .when(col("slot") <
-              CurationQueries.SplitTrainPct + CurationQueries.SplitValPct,
-              lit("validation"))
-            .otherwise(lit("test")))
+        .withColumn("split", curateSplit(col("keeper")))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("split", "source")
