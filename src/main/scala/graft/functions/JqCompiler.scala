@@ -83,6 +83,12 @@ object JqCompiler {
   case object IterateAll extends Ast
   case object Length extends Ast
   case object Add extends Ast
+  /** 0-arity `any` / `all` — jq's boolean fold over an array (here the
+    * `map(<cond>) | any` vector-aggregate idiom). */
+  case class AnyAll(isAll: Boolean) extends Ast
+  /** `limit(n; .[] | ...)` — the first n OUTPUTS of the inner stream,
+    * per vector (jq's limit builtin). */
+  case class LimitN(n: Int, body: Ast) extends Ast
   case class MapExpr(inner: Ast) extends Ast
   case class First(path: Path) extends Ast // .[0].x.y
   case object Empty extends Ast
@@ -158,6 +164,12 @@ object JqCompiler {
   sealed trait Compiled
   final case class CompiledPerEvent(p: PerEvent) extends Compiled
   final case class CompiledPerVector(v: PerVector) extends Compiled
+  /** `limit(n; .[] | ...)` — the per-event form plus a per-vector
+    * output cap: the first n outputs of the inner stream in arrival
+    * order, per vector (each event emits ≤ 1 output, so the first n
+    * outputs are the outputs of the first n surviving events).
+    */
+  final case class CompiledPerEventLimited(p: PerEvent, n: Int) extends Compiled
 
   def tryCompile(expr: String): Option[Compiled] =
     try {
@@ -425,6 +437,22 @@ object JqCompiler {
       else if (tryEat("max")) Fn1("max", None)
       else if (tryEat("length")) Length
       else if (tryEat("add")) Add
+      else if (tryEat("any")) AnyAll(isAll = false)
+      else if (tryEat("all")) AnyAll(isAll = true)
+      else if (tryEat("limit(")) {
+        ws()
+        val start = pos
+        while (pos < src.length && src(pos).isDigit) pos += 1
+        require(pos > start, "limit needs an integer literal count")
+        val n = src.substring(start, pos).toInt
+        // jq 1.6's limit(0; g) BUG emits one output (fixed only in
+        // 1.7) — the compiled tier must not be cleaner than the
+        // binary the subprocess tier runs, so n = 0 falls back
+        require(n >= 1, "jq 1.6 limit(0; g) emits one output — subprocess tier")
+        ws(); eat(';')
+        val body = parseInnerPipe(); eat(')')
+        LimitN(n, body)
+      }
       else if (tryEat("to_entries")) ToEntries
       else if (tryEat("from_entries")) FromEntries
       else if (tryEat("keys_unsorted")) KeysFn(sorted = false)
@@ -612,6 +640,15 @@ object JqCompiler {
     // `.[] | stages...` => per-event
     case PipeSeq(IterateAll +: rest) if rest.nonEmpty => compilePerEvent(rest)
     case IterateAll => compilePerEvent(Seq(Path(Seq.empty)))
+    // `limit(n; .[] | ...)` => per-event capped at n outputs per vector
+    case LimitN(n, body) =>
+      flatten(body) match {
+        case PipeSeq(IterateAll +: rest) if rest.nonEmpty =>
+          compilePerEvent(rest).collect {
+            case CompiledPerEvent(pe) => CompiledPerEventLimited(pe, n)
+          }
+        case _ => None
+      }
     // vector-level object construction => per-vector aggregates
     case o: ObjCons => compilePerVector(o)
     case _ => None
@@ -1416,6 +1453,20 @@ object JqCompiler {
     case r: Reduce => reduceAgg(r)
     case PipeSeq(Seq(MapExpr(p: Path), Add)) =>
       eventValue(p).map(c => (_: Column) => sum(c.cast("double")))
+    // `map(<cond>) | any` / `| all`: jq's boolean fold over the mapped
+    // conditions. A per-element NULL (an absent-path compare) counts
+    // false — exactly how select() treats the same condition (SQL
+    // filter drops null = jq's falsy). Vectors are non-empty by
+    // construction (no rows → no group), so jq's empty-array defaults
+    // are unreachable; the outer coalesce only guards the SQL
+    // aggregate's null on impossible all-null input.
+    case PipeSeq(Seq(MapExpr(cond), AnyAll(isAll))) =>
+      boolCond(cond).map { c0 =>
+        val c = coalesce(c0, lit(false))
+        (_: Column) =>
+          if (isAll) coalesce(bool_and(c), lit(true))
+          else coalesce(bool_or(c), lit(false))
+      }
     // `map(<path>) | join(sep)`: arrival-ordered string concatenation
     case PipeSeq(Seq(MapExpr(p: Path), JoinFn(sep))) =>
       eventValue(p).map { c => (ord: Column) =>

@@ -298,6 +298,28 @@ object PipelineQueries {
       runPipeline("jq-tier: compiled\n" + pipelineYaml)(s, d)
     },
 
+    // `limit(n; .[] | ...)` through the COMPILED tier — the round-16
+    // fallback-inventory widening: the first 3 k>5 matches of every
+    // 100-event window, as a keyed row_number over the step's vector
+    // ids (never a global sort; JqFuzzSpec pins the compiled semantics
+    // against the jq binary on random programs)
+    "pipeline_e2e_limit" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val input = ev.select(
+        col("event_type").as("n"),
+        col("props").as("d"),
+        col("event_id").as("__seq"),
+        (col("ts_us") / lit(1e6)).as("arrival"))
+      val tpl = Spec.parseYaml(limitYaml)
+      val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
+      val out = BatchCompiler.compile(s, tpl, stamped).output
+      out.select(
+          col("n"),
+          get_json_object(col("d"), "$.k").cast("double").cast("long").as("k"),
+          get_json_object(col("d"), "$.t0").cast("double").as("t0"))
+        .orderBy("t0", "k")
+    },
+
     // the compiled pipeline AGAIN on the VariantType payload tier
     // (SURVEY §1.3): `d` parsed once into a Spark 4 variant column that
     // rides between steps, compiled-jq field access reading the binary
@@ -344,6 +366,28 @@ object PipelineQueries {
         .orderBy("t0")
     }
   )
+
+  /** The limit-form pipeline: a count-windowed per-event jq stream
+    * capped at the first 3 matches per window, compiled tier.
+    */
+  val limitYaml: String =
+    """name: replay
+      |window-key: global
+      |jq-tier: compiled
+      |steps:
+      |  classify:
+      |    flatmap:
+      |      rename:
+      |        prepend: "app."
+      |  pick:
+      |    after: [classify]
+      |    match/drop:
+      |      not: "app.error"
+      |    window:
+      |      events: 100
+      |    reduce:
+      |      send-receive-jq: 'limit(3; .[] | select(.d.k > 5) | {n: "pick", d: {k: .d.k, t0: .t[0].i}})'
+      |""".stripMargin
 
   private val e2eOracle =
       """WITH f AS (
@@ -404,5 +448,17 @@ object PipelineQueries {
     // strip is payload-1:1 and k is never null in the corpus, so the
     // window assignment and sums match the plain e2e oracle exactly
     "pipeline_e2e_reduce" -> e2eOracle,
-    "pipeline_e2e_reduce_compiled" -> e2eOracle)
+    "pipeline_e2e_reduce_compiled" -> e2eOracle,
+    // window assignment over ALL surviving events (the select runs
+    // INSIDE each window's jq program), then the first 3 k>5 matches
+    // per window in arrival order
+    "pipeline_e2e_limit" ->
+      """WITH f AS (
+        |  SELECT epoch_us(ts)/1000000.0 AS t0v,
+        |         TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |         ROW_NUMBER() OVER (ORDER BY epoch_us(ts)/1000000.0, event_id) AS rn
+        |  FROM events WHERE event_type <> 'error'),
+        |g AS (SELECT k, t0v, rn, (rn-1)//100 AS w FROM f WHERE k > 5),
+        |h AS (SELECT k, t0v, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS r FROM g)
+        |SELECT 'pick' AS n, k, t0v AS t0 FROM h WHERE r <= 3 ORDER BY t0, k""".stripMargin)
 }

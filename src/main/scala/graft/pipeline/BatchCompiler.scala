@@ -331,6 +331,31 @@ object BatchCompiler {
           pe.outPayloadJson.as("d"),
           tCol.as("t"),
           col("__ts"), col("__seq"))
+      case CompiledPerEventLimited(pe, n) =>
+        // `limit(n; .[] | ...)`: the per-event form capped at n outputs
+        // PER VECTOR — the jq program runs once per window vector, so
+        // the cap is vector-scoped, a keyed row_number over the step's
+        // vector ids in arrival order (never a global sort); singleton
+        // steps get vec_id = __seq, where any n >= 1 passes everything
+        // — exactly the subprocess's per-vector behavior
+        val vd = vectorized(tpl, df, step)
+        val vCols = vecCols(tpl)
+        val filteredL = pe.filter.fold(vd)(vd.filter)
+        val wL = org.apache.spark.sql.expressions.Window
+          .partitionBy(vCols.map(col): _*)
+          .orderBy(col("__ts"), col("__seq"))
+        val tColL =
+          if (pe.keepTrace) col("t")
+          else EventFunctions.appendTrace(lit(null).cast(eventType("t").dataType),
+            EventFunctions.tracePoint(col("__ts"), tpl.name, sig))
+        filteredL
+          .withColumn("__rn", row_number().over(wL))
+          .filter(col("__rn") <= n)
+          .select(
+            pe.outName.as("n"),
+            pe.outPayloadJson.as("d"),
+            tColL.as("t"),
+            col("__ts"), col("__seq"))
       case CompiledPerVector(pv) =>
         val vd = vectorized(tpl, df, step)
         val vCols = vecCols(tpl)

@@ -496,6 +496,65 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("any/all fuzz: compiled boolean folds == jq on 200 random programs") {
+    // round-16 widening from the fallback inventory: `map(<cond>) |
+    // any` / `| all` as vector aggregates (bool_or/bool_and with the
+    // select()-identical null-is-false element rule)
+    val anyAllGen = for { c1 <- condGen; c2 <- condGen } yield
+      s"""{n: "agg", d: {x: (map($c1) | any), y: (map($c2) | all), c: length}}"""
+    import JqCompiler._
+    samples(Gen.zip(anyAllGen, vectorGen), 200).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val payload = pv.keys match {
+        case Seq("d") => col("d").cast("string")
+        case keys     => to_json(struct(keys.map(col): _*))
+      }
+      val row = agged.select(pv.outName.as("n"), payload.as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
+    }
+  }
+
+  test("limit fuzz: compiled per-vector output cap == jq on 200 random programs") {
+    // round-16 widening: `limit(n; .[] | ...)` — the first n OUTPUTS
+    // of the inner stream (each event emits <= 1 output, so that is
+    // the outputs of the first n surviving events, in arrival order)
+    // n >= 1 only: jq 1.6's limit(0; g) emits ONE output (its
+    // documented bug, fixed in 1.7) — limit(0) is refused to the
+    // subprocess tier so both tiers show the binary's behavior
+    assert(JqCompiler.tryCompile(
+      """limit(0; .[] | {n: "out", d: {a: .d.k}})""").isEmpty)
+    val limitGen = for {
+      n <- Gen.choose(1, 6)
+      nSel <- Gen.choose(0, 2)
+      conds <- Gen.listOfN(nSel, condGen)
+      a <- valueGen
+    } yield s"limit($n; " + (Seq(".[]") ++ conds.map(c => s"select($c)") ++
+      Seq(s"""{n: "out", d: {a: $a}}""")).mkString(" | ") + ")"
+    import JqCompiler._
+    samples(Gen.zip(limitGen, vectorGen), 200).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEventLimited(pe, n)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().take(n)
+        .map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(mine == jqs, s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
   test("group_by fuzz: compiled count-by/sum-by == jq on 150 random programs") {
     import JqCompiler._
     samples(Gen.zip(groupByGen, vectorGen), 150).foreach { case (expr, events) =>
