@@ -44,23 +44,43 @@ import graft.operators.{ManifestLog, TextQueries}
   */
 object StreamingCurate {
 
-  /** Admit one wave. Safe to call from a foreachBatch sink; also the
-    * direct batch-mode entry the differential spec drives.
+  /** The admission probe for one wave: the screened keep-first keepers
+    * NOT yet in the persisted hash index. Probe discipline matches the
+    * incremental-dedup indexes (IncrementalDedupSpec's contract): the
+    * wave's distinct hashes BROADCAST into ONE index scan (inner join
+    * — the corpus-sized side is scanned once and shuffled never), and
+    * the wave-bounded hit list broadcasts back into the wave-sized
+    * anti-join. The naive `wave LEFT ANTI index` would shuffle the
+    * whole index every wave at scale: left-anti can only broadcast
+    * its RIGHT side, and the index is the big one.
+    * StreamingCurateSpec pins the plan: no index file scan under a
+    * ShuffleExchange.
     */
-  def admitWave(wave: DataFrame, manifestPath: String, indexDir: String): Unit = {
+  def probeFresh(wave: DataFrame, indexDir: String): DataFrame = {
     val spark = wave.sparkSession
     val screened = TextQueries.curateScreened(wave)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
     val keepers = screened
       .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keeper"))
-    val indexed = indexExists(spark, indexDir)
-    val fresh =
-      if (indexed)
-        keepers.join(spark.read.parquet(indexDir).select(col("h").as("__h")),
-          Seq("__h"), "left_anti")
-      else keepers
-    val admitted = fresh
+    if (!indexExists(spark, indexDir)) keepers
+    else {
+      // no distinct on hits: it would put a shuffle ABOVE the index
+      // scan, and duplicate hit rows (a replayed wave's re-appended
+      // index entries) are harmless to an anti-join — the broadcast
+      // stays wave-bounded either way
+      val hits = spark.read.parquet(indexDir).select(col("h").as("__h"))
+        .join(broadcast(keepers.select("__h").distinct()), Seq("__h"))
+      keepers.join(broadcast(hits), Seq("__h"), "left_anti")
+    }
+  }
+
+  /** Admit one wave. Safe to call from a foreachBatch sink; also the
+    * direct batch-mode entry the differential spec drives.
+    */
+  def admitWave(wave: DataFrame, manifestPath: String, indexDir: String): Unit = {
+    val spark = wave.sparkSession
+    val admitted = probeFresh(wave, indexDir)
       .withColumn("split", TextQueries.curateSplit(col("keeper")))
       .select(col("doc_id"), col("__h").as("h"), col("source"),
         col("split"), col("n_tokens"))

@@ -100,5 +100,32 @@ class StreamingCurateSpec extends AnyFunSuite {
       .withColumn("expect", graft.operators.TextQueries.curateSplit(col("doc_id")))
       .filter(col("split") =!= col("expect")).count()
     assert(bad == 0L)
+
+    // probe plan discipline: the persisted index's parquet scan never
+    // sits under a ShuffleExchange — the wave's hashes broadcast INTO
+    // the one index scan (at 100 TB the index is scanned once and
+    // moved never, the IncrementalDedupSpec contract)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case other                    => other +: other.children.flatMap(walk)
+    }
+    val probe = StreamingCurate.probeFresh(docs, idx)
+    val nodes = walk(probe.queryExecution.executedPlan)
+    // the pin has teeth: the probe plan must actually contain the
+    // index scan and at least one (wave-sized) exchange
+    assert(nodes.exists {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains(idx))
+      case _ => false
+    }, "probe plan lost the index scan")
+    val offenders = nodes.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.collect { case s: FileSourceScanExec => s })
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+    assert(offenders.isEmpty,
+      s"index scan under a ShuffleExchange:\n${nodes.head.toString.take(1200)}")
   }
 }
