@@ -539,14 +539,36 @@ object BatchCompiler {
   private def formatted(spark: SparkSession, tpl: PipelineTemplate, step: StepSpec,
                         df: DataFrame, jq: Option[String]): DataFrame = {
     import spark.implicits._
-    val lines = df.orderBy("__ts", "__seq").select(eventJson.as("line"))
     jq match {
-      case None => lines
+      case None => df.orderBy("__ts", "__seq").select(eventJson.as("line"))
       case Some(expr) =>
+        // the reference writes each step VECTOR to the processor as ONE
+        // JSON array line (json-processor.ts:166 — stringify(Event[]) +
+        // "\n"; the channel's send item is the whole vector), so jq's
+        // `.` is the event array: `map(.d)` projects payloads, `.[]`
+        // iterates events. Un-windowed send steps have singleton
+        // vectors — each event arrives as a 1-element array, exactly
+        // like the reference's un-windowed channels.
         val prelude = tpl.jqPrelude // local: don't serialize the template
-        lines.as[String].mapPartitions(it =>
+        vectorArrayLines(tpl, df, step).as[String].mapPartitions(it =>
           JqPipe.pipePartition(it, expr, prelude)).toDF("line")
     }
+  }
+
+  /** One JSON array line per step vector, in vector order — the exact
+    * processor input the reference produces
+    * (src/io/json-processor.ts:166).
+    */
+  private def vectorArrayLines(tpl: PipelineTemplate, df: DataFrame,
+                               step: StepSpec): DataFrame = {
+    val vd = vectorized(tpl, df, step)
+    val vCols = vecCols(tpl).map(col)
+    vd.groupBy(vCols: _*)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__ts"), col("__seq"), eventJson.as("ej")))),
+        x => x.getField("ej")), ",").as("body"))
+      .orderBy(vCols: _*)
+      .select(concat(lit("["), col("body"), lit("]")).as("line"))
   }
 
   /** send-receive-jq: vectors in, replacement events out. */

@@ -275,24 +275,29 @@ object StreamCompiler {
 
       case SendStdout(jq) =>
         sinks(step.name) = StreamSinkSpec(
-          formatLines(spark, tpl, step, ds, jq, globalWindows).toDF("line"),
+          formatLines(spark, tpl, ds, jq,
+            windowVectors(ds).map(v => vectorJson(v.events))).toDF("line"),
           graft.pipeline.BatchCompiler.ToStdout)
         ds
 
       case SendFile(path, jq, distributed) =>
         sinks(s"${step.name}:$path") = StreamSinkSpec(
-          formatLines(spark, tpl, step, ds, jq, globalWindows).toDF("line"),
+          formatLines(spark, tpl, ds, jq,
+            windowVectors(ds).map(v => vectorJson(v.events))).toDF("line"),
           graft.pipeline.BatchCompiler.ToFile(path, distributed))
         ds
 
       case SendHttp(target, method, headers, jq) =>
         // one NDJSON body per vector; the runner posts each micro-batch
-        val bodies = windowVectors(ds).map(v => v.events.map(eventJsonStr).mkString("\n"))
         val formattedBodies = jq match {
-          case None => bodies
+          case None =>
+            windowVectors(ds).map(v => v.events.map(eventJsonStr).mkString("\n"))
           case Some(expr) =>
+            // jq receives the vector as ONE JSON array line (the
+            // reference's processor input), one request per result
             val prelude = tpl.jqPrelude
-            bodies.mapPartitions(it => graft.io.JqPool.pipe(it, expr, prelude))
+            windowVectors(ds).map(v => vectorJson(v.events))
+              .mapPartitions(it => graft.io.JqPool.pipe(it, expr, prelude))
         }
         sinks(step.name) = StreamSinkSpec(formattedBodies.toDF("line"),
           graft.pipeline.BatchCompiler.ToHttp(target, method, headers))
@@ -300,7 +305,8 @@ object StreamCompiler {
 
       case SendRedis(host, port, target, mode, jq) =>
         sinks(step.name) = StreamSinkSpec(
-          formatLines(spark, tpl, step, ds, jq, globalWindows).toDF("line"),
+          formatLines(spark, tpl, ds, jq,
+            windowVectors(ds).map(v => vectorJson(v.events))).toDF("line"),
           graft.pipeline.BatchCompiler.ToRedis(host, port, target, mode))
         ds
 
@@ -322,7 +328,8 @@ object StreamCompiler {
                   org.apache.spark.sql.Encoders.scalaDouble))
               .toDF("line", "__vts")
           case Some(expr) =>
-            formatLines(spark, tpl, step, ds, Some(expr), globalWindows).toDF("line")
+            formatLines(spark, tpl, ds, Some(expr),
+              windowVectors(ds).map(v => vectorJson(v.events))).toDF("line")
         }
         sinks(step.name) = StreamSinkSpec(amqpLines,
           graft.pipeline.BatchCompiler.ToAmqp(conf))
@@ -336,7 +343,8 @@ object StreamCompiler {
           case None =>
             windowVectors(ds).map(v => v.events.map(eventJsonStr).mkString("\n")).toDF("line")
           case Some(expr) =>
-            formatLines(spark, tpl, step, ds, Some(expr), globalWindows).toDF("line")
+            formatLines(spark, tpl, ds, Some(expr),
+              windowVectors(ds).map(v => vectorJson(v.events))).toDF("line")
         }
         sinks(step.name) = StreamSinkSpec(mqttLines,
           graft.pipeline.BatchCompiler.ToMqtt(conf))
@@ -478,16 +486,23 @@ object StreamCompiler {
     }
   }
 
-  private def formatLines(spark: SparkSession, tpl: PipelineTemplate, step: StepSpec,
+  /** Sink line formatting: NDJSON events without jq; with jq the step
+    * VECTOR goes to the processor as ONE JSON array line
+    * (json-processor.ts:166 — stringify(Event[])), so jq's `.` is the
+    * event array — `map(.d)` projects payloads, `.[]` iterates events;
+    * un-windowed sends feed singleton arrays. Same semantics as the
+    * batch compiler's vectorArrayLines. `vecLines` is by-name: it is
+    * only built (and only plans the windowing) when jq is set.
+    */
+  private def formatLines(spark: SparkSession, tpl: PipelineTemplate,
                           ds: Dataset[SEvent], jq: Option[String],
-                          globalWindows: Boolean): Dataset[String] = {
+                          vecLines: => Dataset[String]): Dataset[String] = {
     import spark.implicits._
-    val base = ds.map(e => eventJsonStr(e))
     jq match {
-      case None       => base
+      case None       => ds.map(e => eventJsonStr(e))
       case Some(expr) =>
         val prelude = tpl.jqPrelude
-        base.mapPartitions(it => graft.io.JqPool.pipe(it, expr, prelude))
+        vecLines.mapPartitions(it => graft.io.JqPool.pipe(it, expr, prelude))
     }
   }
 

@@ -34,6 +34,42 @@ class BatchCompilerSpec extends AnyFunSuite {
     BatchCompiler.compile(spark, tpl, stamped)
   }
 
+  test("send-sink jq receives the step VECTOR as one JSON array line (reference processor input)") {
+    // the reference writes stringify(Event[]) + "\n" to the processor
+    // (json-processor.ts:166): jq's `.` is the event ARRAY. Pin with
+    // the identity program (whose output IS the processor input), then
+    // differentially against the real jq binary for map(.d) — the
+    // reference's own send-http example form.
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft-sinkjq")
+    def yaml(path: java.nio.file.Path, expr: String) =
+      s"""name: p
+         |window-key: global
+         |steps:
+         |  tap:
+         |    window:
+         |      events: 4
+         |    reduce:
+         |      send-file:
+         |        path: "$path"
+         |        jq-expr: '$expr'
+         |""".stripMargin
+    val input = events((1 to 10).map(i => "ev" -> i.toString): _*)
+    val f1 = base.resolve("ident.ndjson")
+    val f2 = base.resolve("mapd.ndjson")
+    BatchRunner.run(run(yaml(f1, "."), input))
+    BatchRunner.run(run(yaml(f2, "map(.d)"), input))
+    val ident = java.nio.file.Files.readAllLines(f1).asScala.toList
+    val mapd = java.nio.file.Files.readAllLines(f2).asScala.toList
+    // 10 events in 4-event windows = 3 vectors (4, 4, 2), each ONE line
+    assert(ident.size == 3, ident.mkString("\n"))
+    assert(ident.forall(l => l.startsWith("[{\"n\":") && l.endsWith("}]")))
+    // our jq tap == the real binary over the same processor input
+    val viaBinary = graft.io.JqPipe.pipePartition(ident.iterator, "map(.d)", None).toList
+    assert(mapd == viaBinary, s"$mapd != $viaBinary")
+    assert(mapd.head == "[1,2,3,4]" && mapd.last == "[9,10]")
+  }
+
   test("rename + match/drop route only matching events") {
     val out = run(
       """name: p
