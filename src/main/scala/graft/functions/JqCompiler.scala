@@ -177,6 +177,32 @@ object JqCompiler {
       compileTop(ast)
     } catch { case _: Exception => None }
 
+  /** Compiled SINK-VECTOR form: `map(<.d-path>)` over a send step's
+    * event vector — the reference's own send-http example
+    * (`jq-expr: map(.d)` — one request body per vector, the array of
+    * mapped values). The builder takes the arrival ordering column and
+    * yields ONE aggregate Column rendering the whole body line: each
+    * element re-renders through the variant round-trip, the same
+    * normalization the vector lines themselves get (eventJson), so the
+    * compiled body is byte-identical to piping those lines through the
+    * jq binary (JqFuzzSpec differential). Null/absent elements render
+    * as jq's `null` (array_join drops SQL nulls — the coalesce is
+    * load-bearing).
+    */
+  def tryCompileSinkMap(expr: String): Option[Column => Column] =
+    try {
+      flatten(new Parser(expr).parsePipe()) match {
+        case MapExpr(p: Path) if p.segs.headOption.contains(Left("d")) =>
+          eventValue(p).map { c => (ord: Column) =>
+            concat(lit("["), array_join(transform(
+              array_sort(collect_list(struct(ord.as("__o"),
+                coalesce(to_json(c), lit("null")).as("__v")))),
+              x => x.getField("__v")), ","), lit("]"))
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   /** Expand `<path> as $x | body` bindings by substitution — sound
     * exactly when (a) the bound value is a plain path (evaluated on
     * the `.` flowing into the binding) and (b) every body stage before

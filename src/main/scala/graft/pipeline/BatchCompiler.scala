@@ -550,8 +550,23 @@ object BatchCompiler {
         // vectors — each event arrives as a 1-element array, exactly
         // like the reference's un-windowed channels.
         val prelude = tpl.jqPrelude // local: don't serialize the template
-        vectorArrayLines(tpl, df, step).as[String].mapPartitions(it =>
-          JqPipe.pipePartition(it, expr, prelude)).toDF("line")
+        val compiledBody =
+          if (tpl.jqTier == "compiled" && prelude.isEmpty)
+            graft.functions.JqCompiler.tryCompileSinkMap(expr)
+          else None
+        compiledBody match {
+          case Some(body) =>
+            // in-subset sink form (map(.d-path)) runs as ONE native
+            // aggregate per vector — no subprocess on the sink path
+            val vd = vectorized(tpl, df, step)
+            val vCols = vecCols(tpl).map(col)
+            val ord = struct(col("__ts"), col("__seq"))
+            vd.groupBy(vCols: _*).agg(body(ord).as("line"))
+              .orderBy(vCols: _*).select("line")
+          case None =>
+            vectorArrayLines(tpl, df, step).as[String].mapPartitions(it =>
+              JqPipe.pipePartition(it, expr, prelude)).toDF("line")
+        }
     }
   }
 

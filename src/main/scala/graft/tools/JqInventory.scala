@@ -18,7 +18,7 @@ object JqInventory {
     */
   val corpus: Seq[(String, String)] = Seq(
     // ---- reference-example shapes (examples/*.yaml) ----
-    "ref: map(.d) vector projection" -> "map(.d)",
+    "ref: map(.d) sink projection  [r16 widened]" -> "map(.d)",
     "ref: fmod drop filter (wrapped)" -> ".[].d | if fmod(.; 2) == 0 then empty else . end",
     // ---- per-event stream forms ----
     "per-event: select + object" -> """.[] | select(.d.k > 3) | {n: "out", d: {a: .d.k}}""",
@@ -65,7 +65,8 @@ object JqInventory {
     import graft.functions.JqCompiler
     val rows = corpus.map { case (family, prog) =>
       val compiled = JqCompiler.tryCompile(prog).isDefined ||
-        JqCompiler.tryCompileWrapped(prog).isDefined
+        JqCompiler.tryCompileWrapped(prog).isDefined ||
+        JqCompiler.tryCompileSinkMap(prog).isDefined
       (family, prog, compiled)
     }
     val (in, out) = rows.partition(_._3)

@@ -555,6 +555,23 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sink-map fuzz: compiled map(.d-path) bodies == jq over the same vectors on 150 random programs") {
+    // r16 widening of the reference's own send-http example form:
+    // one body line per vector = the array of mapped payload values
+    val gen = Gen.oneOf("map(.d)", "map(.d.k)", "map(.d.s)", "map(.d.o)",
+      "map(.d.mb)", "map(.d.o.x)", "map(.d.ns)")
+    samples(Gen.zip(gen, vectorGen), 150).foreach { case (expr, events) =>
+      val b = JqCompiler.tryCompileSinkMap(expr)
+      assert(b.isDefined, s"generator left the subset: $expr")
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val line = df.groupBy().agg(b.get(col("__ord")).as("line")).head().getString(0)
+      val jqs = jqEval(expr, inputJson(events)).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(approxEq(canonLine(line), canonLine(jqs.head)),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $line vs ${jqs.head}")
+    }
+  }
+
   test("group_by fuzz: compiled count-by/sum-by == jq on 150 random programs") {
     import JqCompiler._
     samples(Gen.zip(groupByGen, vectorGen), 150).foreach { case (expr, events) =>

@@ -68,6 +68,11 @@ class BatchCompilerSpec extends AnyFunSuite {
     val viaBinary = graft.io.JqPipe.pipePartition(ident.iterator, "map(.d)", None).toList
     assert(mapd == viaBinary, s"$mapd != $viaBinary")
     assert(mapd.head == "[1,2,3,4]" && mapd.last == "[9,10]")
+    // the COMPILED sink tier (r16 widening): byte-identical bodies,
+    // zero subprocesses on the sink path
+    val f3 = base.resolve("mapd_compiled.ndjson")
+    BatchRunner.run(run("jq-tier: compiled\n" + yaml(f3, "map(.d)"), input))
+    assert(java.nio.file.Files.readAllLines(f3).asScala.toList == mapd)
   }
 
   test("rename + match/drop route only matching events") {
