@@ -858,10 +858,55 @@ object JqCompiler {
       case "%" => lc % rc
     }
 
+  /** Value-form `if` with DYNAMICALLY-typed branches (the
+    * `if c then .d.k else 0 end` shape — round-16 inventory widening):
+    * when the static-kind proof of [[valueExpr]] fails, both branches
+    * ride the VARIANT envelope — `.d` path values verbatim, literals
+    * as their JSON text — so the when() is single-typed and the
+    * RUNTIME kind flows through to the JSON renderer, like jq's. Only
+    * offered in JSON-VALUE positions (object fields / whole payload):
+    * a string-kinded variant renders WITH quotes, so comparison
+    * operands and interpolations stay on the kind-proved path.
+    */
+  private def variantIf(a: Ast): Option[Column] = a match {
+    case IfElse(c, t, e) =>
+      for { cc <- boolCond(c); tc <- variantValue(t); ec <- variantValue(e) }
+        yield when(cc, tc).otherwise(ec)
+    case _ => None
+  }
+
+  private def variantValue(a: Ast): Option[Column] = a match {
+    case p: Path if p.segs.headOption.contains(Left("d")) => eventValue(p)
+    case Lit(d: Double) =>
+      // integer-valued literals render integer, like jq's number output
+      val txt = if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+                else d.toString
+      Some(try_parse_json(lit(txt)))
+    case Lit(s: String)  => Some(try_parse_json(lit(jsonQuote(s))))
+    case Lit(b: Boolean) => Some(try_parse_json(lit(b.toString)))
+    case ife: IfElse     => variantIf(ife) // nested ifs compose
+    case _ => None
+  }
+
+  private def jsonQuote(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   /** A value rendered as JSON text (for the d payload). */
   private def jsonValueExpr(ast: Ast): Option[Column] = ast match {
     case ObjCons(fields) =>
-      val cols = fields.map { case (k, v) => valueExpr(v).map(_.as(k)) }
+      val cols = fields.map { case (k, v) =>
+        (valueExpr(v) orElse variantIf(v)).map(_.as(k)) }
       if (cols.exists(_.isEmpty)) None else Some(to_json(struct(cols.flatten: _*)))
     // a from_entries-terminated chain IS JSON text already (the
     // filter-object-by-entries idiom); nested inside an object it
@@ -869,8 +914,9 @@ object JqCompiler {
     case PipeSeq((p: Path) +: fns)
         if fns.lastOption.contains(FromEntries) && fns.forall(isChainFn) =>
       chainValueKind(p, fns).collect { case (c, 'j') => c }
-    case other => valueExpr(other).map(c => to_json(struct(c.as("v"))).substr(
-      lit(6), length(to_json(struct(c.as("v")))) - 6))
+    case other => (valueExpr(other) orElse variantIf(other)).map(c =>
+      to_json(struct(c.as("v"))).substr(
+        lit(6), length(to_json(struct(c.as("v")))) - 6))
   }
 
   private def valueExpr(ast: Ast): Option[Column] = ast match {

@@ -201,6 +201,19 @@ class JqFuzzSpec extends AnyFunSuite {
   private val ifValGen: Gen[String] = Gen.frequency(
     2 -> (for { c <- condGen; a <- arithGen; l <- intGen }
       yield s"(if $c then $a else $l end)"),
+    // r16 widening: DYNAMICALLY-typed branches (bare path vs literal,
+    // mixed kinds) ride the variant envelope
+    2 -> (for {
+      c <- condGen
+      p <- Gen.oneOf(".d.k", ".d.m", ".d.s", ".d.o", ".d.o.x")
+      l <- Gen.frequency(2 -> intGen.map(_.toString),
+        1 -> strGen.map(s => s""""$s""""))
+      flip <- Gen.oneOf(true, false)
+    } yield
+      if (flip) s"(if $c then $l else $p end)"
+      else s"(if $c then $p else $l end)"),
+    2 -> (for { c <- condGen; p <- Gen.oneOf(".d.k", ".d.s"); q <- Gen.oneOf(".d.m", ".d.o") }
+      yield s"(if $c then $p else $q end)"),
     1 -> (for { c <- condGen; a <- strGen; b <- Gen.oneOf("(.d.s | tostring)", "(.n | tostring)") }
       yield s"""(if $c then "$a" else $b end)"""),
     1 -> (for { c <- condGen; c2 <- condGen; a <- intGen; b <- arithGen; l <- dblGen }
