@@ -340,7 +340,12 @@ object JqCompiler {
       val stages = Seq.newBuilder[Ast]
       stages += parseAlt()
       while ({ ws(); peek == '|' && !src.startsWith("||", pos) }) { pos += 1; stages += parseAlt() }
-      val s = stages.result()
+      // splice desugared multi-stage atoms (del → entries idiom) so
+      // chain matchers see a flat fn list
+      val s = stages.result().flatMap {
+        case PipeSeq(inner) => inner
+        case x => Seq(x)
+      }
       if (s.size == 1) s.head else PipeSeq(s)
     }
 
@@ -478,6 +483,24 @@ object JqCompiler {
         ws(); eat(';')
         val body = parseInnerPipe(); eat(')')
         LimitN(n, body)
+      }
+      else if (tryEat("del(")) {
+        // jq del(.k1, .k2) — desugared at parse time to the compiled
+        // entries idiom: to_entries | map(select(.key != "k1" and …)) |
+        // from_entries. Rides the existing whole-`.d` entries chain, so
+        // it compiles exactly where that idiom does (`.d | del(.k)`);
+        // nested-path deletion (del(.a.b)) falls to the subprocess.
+        val keys = scala.collection.mutable.ArrayBuffer[String]()
+        var more = true
+        while (more) {
+          ws(); eat('.')
+          keys += ident()
+          ws(); if (peek == ',') { pos += 1 } else more = false
+        }
+        eat(')')
+        val cond = keys.map(k => Cmp("!=", Path(Seq(Left("key"))), Lit(k)): Ast)
+          .reduce((a, b) => Logic("and", a, b))
+        PipeSeq(Seq(ToEntries, MapExpr(Select(cond)), FromEntries))
       }
       else if (tryEat("to_entries")) ToEntries
       else if (tryEat("from_entries")) FromEntries

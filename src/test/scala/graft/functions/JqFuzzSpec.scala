@@ -299,6 +299,15 @@ class JqFuzzSpec extends AnyFunSuite {
   private val entriesGen: Gen[String] = Gen.frequency(
     3 -> entryCondGen.map(c =>
       s""".[] | {n: .n, d: (.d | to_entries | map(select($c)) | from_entries)}"""),
+    // r16 widening: del(.k) desugars to the entries idiom — present,
+    // absent (zz), and multi-key deletions
+    2 -> (for {
+      k <- Gen.oneOf("k", "m", "s", "o", "ns", "fl", "mb", "ms", "zz")
+    } yield s""".[] | {n: .n, d: (.d | del(.$k))}"""),
+    1 -> (for {
+      k1 <- Gen.oneOf("k", "m", "s", "zz")
+      k2 <- Gen.oneOf("o", "ns", "fl", "mb")
+    } yield s""".[] | {n: .n, d: (.d | del(.$k1, .$k2))}"""),
     1 -> Gen.choose(5, 9).map(n =>
       s""".[] | select((.d | to_entries | length) >= $n) | {n: .n, d: .d}"""),
     1 -> Gen.oneOf(
