@@ -737,11 +737,20 @@ object ManifestLog {
       .filterNot(p => keepPayloadNames(p.getName))
       .filter(aged)
       .foreach(p => f.delete(p, true))
-    // drop batch dirs whose files were all reclaimed
+    // drop batch dirs whose files were all reclaimed — age-guarded
+    // like everything else: an IN-FLIGHT write's b-dir holds only its
+    // _temporary staging tree for a moment and would otherwise read as
+    // "all reclaimed" (the race the concurrent-appender spec pins)
     f.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("b-"))
-      .filter(s => f.listStatus(s.getPath).forall(c =>
-        c.getPath.getName.startsWith("_") || c.getPath.getName.startsWith(".")))
+      .filter { s =>
+        val kids = f.listStatus(s.getPath)
+        kids.forall(c => c.getPath.getName.startsWith("_") ||
+          c.getPath.getName.startsWith(".")) &&
+          // age the CHILDREN, not the dir: deleting reclaimed data
+          // files above just bumped the dir's own mtime
+          (if (kids.isEmpty) aged(s.getPath) else kids.forall(c => aged(c.getPath)))
+      }
       .foreach(s => f.delete(s.getPath, true))
     dead.size
   }

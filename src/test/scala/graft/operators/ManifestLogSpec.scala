@@ -635,6 +635,35 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.snapshot(spark, dir).count() >= 1)
   }
 
+  test("vacuum with the default retention window is safe under a concurrent appender") {
+    // the round-15 ADVICE scenario: vacuum racing an in-flight commit
+    // must not delete the commit's just-written (unreferenced-for-a-
+    // moment) data files. With the age window, young files are spared;
+    // retain covers the appender's head reads.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-race").toString
+    ManifestLog.write(li.limit(300), "l_orderkey", dir, files = 2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t = new Thread(() => try {
+      (1 to 5).foreach { _ =>
+        ManifestLog.append(li.limit(40), "l_orderkey", dir, files = 1)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+    t.start()
+    (1 to 5).foreach { _ =>
+      ManifestLog.vacuum(spark, dir, retain = 3)
+      Thread.sleep(15)
+    }
+    t.join()
+    assert(errs.isEmpty, s"appender failed under concurrent vacuum: ${errs.peek()}")
+    // no appended batch lost a file to the sweeps
+    val total = ManifestLog.snapshot(spark, dir)
+      .agg(sum("rows")).head().getLong(0)
+    assert(total == 300L + 5 * 40, s"rows after race: $total")
+    val table = spark.read.parquet(ManifestLog.snapshot(spark, dir)
+      .collect().map(_.getString(0)).toIndexedSeq: _*)
+    assert(table.count() == 300L + 5 * 40)
+  }
+
   test("a crashed commit's empty pointer is repaired: reads recover, the version slot is reused by the next append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-crash").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
