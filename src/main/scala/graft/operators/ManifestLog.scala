@@ -148,7 +148,11 @@ object ManifestLog {
       val out = f.create(marker, false) // throws if v already exists
       try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      true
+      // a committer stalled past resolvePayload's repair grace between
+      // create and write may find its pointer repaired away — verify
+      // it survived, and report a lost race (the caller retries, and
+      // appends compose) instead of a phantom commit
+      f.exists(marker)
     } catch {
       case e: java.io.IOException =>
         if (f.exists(marker)) false else throw e
