@@ -529,6 +529,32 @@ object LayoutOps {
     (pruned, survivors.length, manifest.length)
   }
 
+  /** SET probe of a bloom-manifested table: keep a file iff its filter
+    * might contain ANY of `keys` — the incremental-admission shape
+    * (probe a persisted dedup index with a crawl wave's hashes without
+    * touching files that can't match). The key set is wave-bounded
+    * (the same contract as the broadcast index probes) and the blooms
+    * are kilobytes per file, so the pruning decision is driver-side
+    * metadata work; false positives only ADD files, and the caller's
+    * residual join keeps results exact. Returns (pruned frame,
+    * surviving files, total files).
+    */
+  def readPrunedByBloomSet(spark: SparkSession, path: String, keyCol: String,
+                           keys: Seq[Long]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val manifest = spark.read.parquet(s"$path/_bloom")
+      .select("file", "bloom").collect()
+    val survivors = manifest.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      keys.exists(bf.mightContainLong)
+    }.map(_.getString(0))
+    val pruned =
+      if (survivors.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*)
+    (pruned, survivors.length, manifest.length)
+  }
+
   /** Ordering across the numeric/orderable types a stats column can
     * carry (manifest values arrive as Any from Row.get).
     */
