@@ -27,6 +27,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot plus the expired snapshots themselves — the only
   * destructive operation, explicitly deferred like Delta's VACUUM.
   *
+  * DELETES come in two disciplines: [[delete]] is copy-on-write
+  * (affected files rewrite minus the keyed rows — pay the rewrite
+  * now, reads stay plain scans) and [[deleteMor]] is merge-on-read
+  * (affected files gain a DELETION VECTOR — a (file, row position)
+  * parquet sidecar named by the snapshot's `dv` column; reads apply
+  * it as one anti-join via [[read]], and the next [[compact]] of
+  * those files turns the tombstones into a physical purge). At 100 TB
+  * the MOR path is the only affordable frequent-erasure shape: a
+  * daily right-to-be-forgotten batch touches kilobytes of sidecar
+  * instead of rewriting every terabyte file that holds a match.
+  *
   * CONCURRENCY: commits are optimistic. A snapshot's payload is
   * written to a uniquely-named dir first; publishing version v is ONE
   * atomic create-fails-if-exists of the pointer file `_mlog/v%05d`
@@ -113,12 +124,23 @@ object ManifestLog {
         "never written) — the empty pointer has been repaired away; retry the read"))
 
   /** The stats snapshot at `version` (−1 = latest): one row per live
-    * data file, (file, lo, hi, rows).
+    * data file, (file, lo, hi, rows, dv). `dv` is the deletion-vector
+    * batch dir holding this file's dead row positions (NULL = none);
+    * payloads written before the MOR-delete era lack the column and
+    * normalize to NULL.
     */
   def snapshot(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else currentVersion(spark, path)
     require(v > 0, s"no snapshots under $path")
-    spark.read.parquet(snapshotDir(spark, path, v)).select("file", "lo", "hi", "rows")
+    normalizeSnap(spark.read.parquet(snapshotDir(spark, path, v)))
+  }
+
+  private def normalizeSnap(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val withDv =
+      if (df.columns.contains("dv")) df
+      else df.withColumn("dv", lit(null).cast("string"))
+    withDv.select("file", "lo", "hi", "rows", "dv")
   }
 
   /** Head snapshot rows for the commit retry loops: None = the head
@@ -128,7 +150,7 @@ object ManifestLog {
   private def headRows(spark: SparkSession, path: String,
                        v: Int): Option[Seq[org.apache.spark.sql.Row]] =
     resolvePayload(spark, path, v).map { dir =>
-      spark.read.parquet(dir).select("file", "lo", "hi", "rows").collect().toSeq
+      normalizeSnap(spark.read.parquet(dir)).collect().toSeq
     }
 
   /** Write the snapshot payload, then publish version `v` by the
@@ -190,6 +212,7 @@ object ManifestLog {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
         count(lit(1)).as("rows"))
+      .withColumn("dv", lit(null).cast("string"))
   }
 
   // ---- schema evolution: add-column AND type widening ----
@@ -255,6 +278,45 @@ object ManifestLog {
         spark.read.schema(target).parquet(files: _*)
     }
 
+  /** Read data files APPLYING their deletion vectors: rows whose
+    * (file, position) appears in a referenced DV are filtered by one
+    * anti-join against the union of the files' DV batches. Positions
+    * come from the parquet reader's own `_metadata.row_index` (stable
+    * because data files are immutable), so no key column is needed —
+    * a DV can tombstone rows of any shape. DV batches are
+    * deleted-row-sized (16 bytes a row), so the anti-join side is
+    * tiny relative to the table and AQE broadcasts it in the common
+    * case; file paths are globally unique (UUID batch dirs, never
+    * reused), so a DV row can never leak onto a rewritten file.
+    */
+  private def readWithDv(spark: SparkSession,
+                         fileDv: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = readAligned(spark, fileDv.map(_._1))
+    val dvs = fileDv.flatMap(p => Option(p._2)).distinct.sorted
+    if (dvs.isEmpty) base
+    else {
+      val dead = spark.read.parquet(dvs: _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      base
+        .withColumn("__file", input_file_name())
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dead,
+          col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+          "left_anti")
+        .drop("__file", "__pos")
+    }
+  }
+
+  /** The table AT a version (−1 = latest): the snapshot's file list
+    * with deletion vectors applied — the one read entry point that is
+    * correct across COW rewrites AND MOR deletes.
+    */
+  def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
+    val snap = snapshot(spark, path, version).collect()
+    readWithDv(spark, snap.map(r => (r.getString(0), r.getString(4))).toSeq)
+  }
+
   /** Harmonize manifest rows before a commit: composing an old
     * snapshot's (lo, hi) stats with a widened batch's mixes Int and
     * Long values under one declared type — coerce every value to the
@@ -287,8 +349,10 @@ object ManifestLog {
         typeOf(r.get(2)).exists(_ != target))
     if (!needs) (rows, schema)
     else {
+      // rebuild positionally so trailing fields (dv) survive coercion
       val out = rows.map { r =>
-        org.apache.spark.sql.Row(r.get(0), coerce(r.get(1)), coerce(r.get(2)), r.get(3))
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(1, coerce(r.get(1))).updated(2, coerce(r.get(2))))
       }
       val fields = schema.fields.map {
         case f if f.name == "lo" || f.name == "hi" => f.copy(dataType = target)
@@ -376,21 +440,27 @@ object ManifestLog {
     val v = currentVersion(spark, path)
     require(v > 0, s"compact before write at $path")
     checkStatsCol(spark, path, statsCol)
-    val cur = snapshot(spark, path, v)
-      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
-    val (small, keep) = cur.partition(_._2 < targetRows)
-    if (small.size <= 1) return (0, 0)
-    val total = small.map(_._2).sum
+    val cur = snapshot(spark, path, v).collect().toSeq
+    // a DV'd file compacts regardless of size — compaction is where
+    // MOR tombstones become a physical purge (read applies the DV,
+    // the rewrite drops the pointer, vacuum reclaims the old bytes)
+    val (small, keep) = cur.partition(r =>
+      r.getLong(3) < targetRows || r.getString(4) != null)
+    // one sub-target file with no DV has nothing to gain; one DV'd
+    // file still rewrites (that IS the purge)
+    if (small.isEmpty || (small.size == 1 && small.head.getString(4) == null))
+      return (0, 0)
+    val total = small.map(_.getLong(3)).sum
     val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
     val batchDir = newBatchDir(path)
-    readAligned(spark, small.map(_._1))
+    readWithDv(spark, small.map(r => (r.getString(0), r.getString(4))))
       .repartitionByRange(nOut, col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.parquet(batchDir)
     val fresh = listDataFiles(spark, batchDir).toSeq.sorted
     val st = statsOf(spark, fresh, statsCol)
     val freshRows = st.collect().toSeq
-    commitRewrite(spark, path, small.map(_._1).toSet, freshRows, st.schema,
+    commitRewrite(spark, path, small.map(_.getString(0)).toSet, freshRows, st.schema,
       "compact")
     (small.size, fresh.size)
   }
@@ -470,7 +540,7 @@ object ManifestLog {
       val keys = updates.select(col(statsCol)).distinct()
       val out =
         if (touch.isEmpty) updates
-        else readAligned(spark, touch.map(_.getString(0)))
+        else readWithDv(spark, touch.map(r => (r.getString(0), r.getString(4))))
           .join(keys, Seq(statsCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       // size the rewrite fan-out from the volume it actually carries
@@ -566,9 +636,17 @@ object ManifestLog {
         .select("file").distinct().collect().map(_.getString(0)).toSet
       val touch = snapRows.filter(r => affected(r.getString(0)))
       if (touch.isEmpty) return (0, 0L)
-      val out = readAligned(spark, touch.map(_.getString(0)))
+      val out = readWithDv(spark, touch.map(r => (r.getString(0), r.getString(4))))
         .join(keys, Seq(statsCol), "left_anti")
-      val touchRows = touch.map(_.getLong(3)).sum
+      // physical row counts minus rows ALREADY dead under a DV — so
+      // the returned delete count stays exact when COW follows MOR
+      val touchDvs = touch.flatMap(r => Option(r.getString(4))).distinct.sorted
+      val touchSet = touch.map(_.getString(0))
+      val dvDead =
+        if (touchDvs.isEmpty) 0L
+        else spark.read.parquet(touchDvs: _*)
+          .filter(col("file").isin(touchSet: _*)).count()
+      val touchRows = touch.map(_.getLong(3)).sum - dvDead
       val nOut =
         if (targetRows > 0) math.max(1L, (touchRows + targetRows - 1) / targetRows).toInt
         else files
@@ -586,6 +664,131 @@ object ManifestLog {
       commitKeyedRewrite(spark, path, "delete", affected,
         snapRows.map(_.getString(0)).toSet, freshRows, schema, kmin, kmax)
       (touch.size, touchRows - freshRows.map(_.getLong(3)).sum)
+    } finally keys.unpersist()
+  }
+
+  /** Merge-on-read DELETE by key — the erasure shape for a 100 TB
+    * table where copy-on-write would rewrite terabyte files to drop a
+    * few rows each: instead of rewriting, the keyed rows' POSITIONS
+    * (from `_metadata.row_index`) are written as a deletion-vector
+    * batch (16 bytes a row) and the affected files' manifest rows are
+    * repointed at it — a pure-metadata commit plus a kilobytes-scale
+    * sidecar write (Delta's deletion vectors / Iceberg's v2 position
+    * deletes). Readers apply DVs via [[read]]'s anti-join; the
+    * physical purge is DEFERRED to the next [[compact]] of those
+    * files (which reads DV-applied and drops the pointer) +
+    * [[vacuum]] (which reclaims the replaced bytes) — so a real
+    * right-to-be-forgotten pass is deleteMor() now, compact()+vacuum()
+    * inside the compliance window.
+    *
+    * Repeated MOR deletes COMPOSE: each affected file's new DV is the
+    * union of its old positions and the fresh hits, so one `dv`
+    * pointer per file is always the complete tombstone set (time
+    * travel to any version applies exactly that version's DVs).
+    * Returns (#files repointed, #rows newly deleted — exact; rows
+    * already dead under an earlier DV don't recount).
+    *
+    * Concurrency: composes with appends OUTSIDE the key range under
+    * the same CAS retry as keyed rewrites; throws a retryable conflict
+    * if an affected file was concurrently rewritten, if its dv pointer
+    * moved (a racing MOR delete — composing would clobber its
+    * positions), or if a late append overlaps the key range (its rows
+    * were never scanned).
+    */
+  def deleteMor(keys0: DataFrame, statsCol: String, path: String): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val spark = keys0.sparkSession
+    val v = currentVersion(spark, path)
+    require(v > 0, s"deleteMor before write at $path")
+    checkStatsCol(spark, path, statsCol)
+    val keys = keys0.select(col(statsCol)).distinct().persist()
+    try {
+      if (keys.isEmpty) return (0, 0L)
+      require(keys.filter(col(statsCol).isNull).isEmpty,
+        s"deleteMor keys carry NULL '$statsCol' — a null key never matches any row")
+      val snapRows = snapshot(spark, path, v).collect().toSeq
+      val statsDf = snapshot(spark, path, v)
+      val affected = keys.select(col(statsCol).as("__k"))
+        .join(broadcast(statsDf),
+          col("__k") >= col("lo") && col("__k") <= col("hi"))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val touch = snapRows.filter(r => affected(r.getString(0)))
+      if (touch.isEmpty) return (0, 0L)
+      val touchFiles = touch.map(_.getString(0))
+      // keyed row positions in the RAW affected files (one scan of
+      // just those files — the untouched majority is never read)
+      val hits = readAligned(spark, touchFiles)
+        .select(input_file_name().as("file"),
+          col("_metadata.row_index").as("pos"), col(statsCol).as("__k"))
+        .join(keys.withColumnRenamed(statsCol, "__k"), Seq("__k"), "left_semi")
+        .select("file", "pos")
+      // positions already dead under the files' existing DVs: rows the
+      // raw scan re-matches but this delete must not recount
+      val oldDvs = touch.flatMap(r => Option(r.getString(4))).distinct.sorted
+      val existing =
+        if (oldDvs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType))))
+        else spark.read.parquet(oldDvs: _*).select("file", "pos")
+          .filter(col("file").isin(touchFiles: _*))
+      val freshDead = hits.exceptAll(existing).persist()
+      try {
+        val deleted = freshDead.count()
+        if (deleted == 0L) return (0, 0L)
+        // one DV batch per commit: each touched file's COMPLETE
+        // tombstone set (old ∪ fresh), clustered by file; sized off
+        // the position count so a billion-row erasure still fans out
+        val merged = freshDead.unionByName(existing).distinct()
+        val dvDir = newBatchDir(path)
+        val nOut = math.max(1L, (deleted + 8000000L - 1) / 8000000L).toInt
+        merged.repartition(nOut, col("file")).sortWithinPartitions("file", "pos")
+          .write.parquet(dvDir)
+        // only files that actually carry tombstones repoint (a file
+        // whose stats range matched but held no key keeps its row
+        // byte-identical, so CDC sees no phantom change)
+        val withDead = merged.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val plannedDv = touch.map(r => r.getString(0) -> r.getString(4)).toMap
+        val Array(kmin, kmax) = keys
+          .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
+        val snapFiles = snapRows.map(_.getString(0)).toSet
+        val schema = snapshot(spark, path, v).schema
+        var committed = false
+        while (!committed) {
+          val head = currentVersion(spark, path)
+          headRows(spark, path, head) match {
+            case None => () // crashed head repaired — re-read and retry
+            case Some(hr) =>
+              val live = hr.map(_.getString(0)).toSet
+              val gone = affected -- live
+              if (gone.nonEmpty)
+                throw new IllegalStateException(
+                  s"deleteMor conflict at $path v$head: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the deleteMor")
+              val dvNow = hr.filter(r => affected(r.getString(0)))
+                .map(r => r.getString(0) -> r.getString(4)).toMap
+              if (dvNow != plannedDv)
+                throw new IllegalStateException(
+                  s"deleteMor conflict at $path v$head: a concurrent delete moved a dv pointer; retry the deleteMor")
+              val lateOverlap = hr.filter { r =>
+                val file = r.getString(0)
+                !snapFiles(file) &&
+                  cmp(r.get(2), kmin) >= 0 && cmp(r.get(1), kmax) <= 0
+              }
+              if (lateOverlap.nonEmpty)
+                throw new IllegalStateException(
+                  s"deleteMor conflict at $path v$head: concurrent append overlaps the keys (${lateOverlap.take(3).map(_.getString(0)).mkString(", ")}); retry the deleteMor")
+              val updated = hr.map { r =>
+                if (withDead(r.getString(0)))
+                  org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(4, dvDir))
+                else r
+              }
+              committed = tryCommit(spark, path, head + 1, updated, schema)
+          }
+        }
+        (withDead.size, deleted)
+      } finally freshDead.unpersist()
     } finally keys.unpersist()
   }
 
@@ -624,18 +827,26 @@ object ManifestLog {
     // explicit versions only — snapshot()'s v<=0 latest-fallback would
     // silently diff the wrong pair
     require(vFrom >= 1 && vTo >= 1, s"diff needs explicit versions, got $vFrom -> $vTo")
-    def fileSet(v: Int) =
-      snapshot(spark, path, v).collect().map(_.getString(0)).toSet
-    val from = fileSet(vFrom)
-    val to = fileSet(vTo)
-    val onlyFrom = (from -- to).toSeq.sorted
-    val onlyTo = (to -- from).toSeq.sorted
-    def readOr(files: Seq[String], like: Seq[String]): DataFrame =
-      if (files.nonEmpty) readAligned(spark, files)
+    // identity is (file, dv): a MOR delete changes no file list, only
+    // a dv pointer — the pair-diff reads that file on both sides (old
+    // DV vs merged DV) and EXCEPT-ALL leaves exactly the newly dead
+    // rows; unchanged (file, dv) pairs are never read
+    def fileDvs(v: Int): Map[String, String] =
+      snapshot(spark, path, v).collect()
+        .map(r => r.getString(0) -> r.getString(4)).toMap
+    val from = fileDvs(vFrom)
+    val to = fileDvs(vTo)
+    val onlyFrom = from.toSeq
+      .filterNot { case (f, d) => to.get(f).contains(d) }.sortBy(_._1)
+    val onlyTo = to.toSeq
+      .filterNot { case (f, d) => from.get(f).contains(d) }.sortBy(_._1)
+    def readOr(pairs: Seq[(String, String)], like: Seq[String]): DataFrame =
+      if (pairs.nonEmpty) readWithDv(spark, pairs)
       else readAligned(spark, like)
         .filter(org.apache.spark.sql.functions.lit(false))
-    val oldRows = readOr(onlyFrom, (from ++ to).toSeq.sorted)
-    val newRows = readOr(onlyTo, (from ++ to).toSeq.sorted)
+    val allFiles = (from.keySet ++ to.keySet).toSeq.sorted
+    val oldRows = readOr(onlyFrom, allFiles)
+    val newRows = readOr(onlyTo, allFiles)
     // a diff across a schema-evolution boundary compares frames with
     // different column sets (added columns) or widened types — align
     // on the union under the widening lattice (absent → NULL, narrow →
@@ -665,12 +876,12 @@ object ManifestLog {
     val survivors = snap.filter { r =>
       val flo = r.get(1); val fhi = r.get(2)
       cmp(fhi, lo) >= 0 && cmp(flo, hi) <= 0
-    }.map(_.getString(0)).toSeq.sorted
+    }.sortBy(_.getString(0)).toSeq
     val df =
       if (survivors.isEmpty)
         readAligned(spark, snap.map(_.getString(0)).toSeq)
           .filter(lit(false))
-      else readAligned(spark, survivors)
+      else readWithDv(spark, survivors.map(r => (r.getString(0), r.getString(4))))
         .filter(col(statsCol).between(lit(lo), lit(hi)))
     (df, survivors.size, snap.length)
   }
@@ -719,10 +930,17 @@ object ManifestLog {
     // a retained version that resolves to None was a crashed commit
     // (repaired by resolvePayload) — skip it rather than fail the sweep
     val keepDirs = keepVs.flatMap(v => resolvePayload(spark, path, v))
-    val live: Set[String] = keepDirs.flatMap { dir =>
-      spark.read.parquet(dir).select("file").collect().map(_.getString(0))
-    }.toSet
+    val keepSnaps = keepDirs.map(dir => normalizeSnap(spark.read.parquet(dir)).collect())
+    val live: Set[String] = keepSnaps.flatten.map(_.getString(0)).toSet
+    // deletion-vector batches referenced by a retained snapshot are as
+    // live as the data files they tombstone — the dv column names the
+    // batch DIR, so survival is a prefix test over its part files
+    val liveDvDirs: Seq[String] = keepSnaps.flatten
+      .flatMap(r => Option(r.getString(4))).distinct
+      .map(d => f.makeQualified(new org.apache.hadoop.fs.Path(d)).toUri.toString)
+    def underLiveDv(d: String) = liveDvDirs.exists(dv => d.startsWith(dv + "/"))
     val dead = (listDataFiles(spark, path) -- live).toSeq.sorted
+      .filterNot(underLiveDv)
       .filter(d => aged(new org.apache.hadoop.fs.Path(new java.net.URI(d))))
     dead.foreach(d => f.delete(new org.apache.hadoop.fs.Path(new java.net.URI(d)), false))
     // retained payload dirs (by pointer), then expired pointers +

@@ -664,6 +664,171 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(table.count() == 300L + 5 * 40)
   }
 
+  test("MOR delete: tombstones without rewriting, repeated deletes compose, CDC sees exactly the newly dead rows, compact purges, vacuum destroys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-mor").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 8)
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val tenth = (kHi - kLo) / 10
+    def band(i: Int) = li.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + i * tenth, kLo + (i + 1) * tenth - 1))
+    def bandRows(i: Int) = li.join(band(i), Seq("l_orderkey"), "left_semi").count()
+    val total = li.count()
+    val filesV1 = ManifestLog.snapshot(spark, dir).collect().map(_.getString(0)).toSet
+
+    val (repointed, deleted) = ManifestLog.deleteMor(band(0), "l_orderkey", dir)
+    assert(deleted == bandRows(0) && repointed >= 1,
+      s"repointed $repointed, deleted $deleted of expected ${bandRows(0)}")
+    // NO data file was rewritten — that is the whole point
+    val snapV2 = ManifestLog.snapshot(spark, dir).collect()
+    assert(snapV2.map(_.getString(0)).toSet == filesV1, "MOR delete rewrote data files")
+    assert(snapV2.count(_.getString(4) != null) == repointed)
+    // reads apply the DV; the pinned pre-delete version does not
+    assert(ManifestLog.read(spark, dir).count() == total - bandRows(0))
+    assert(ManifestLog.read(spark, dir)
+      .join(band(0), Seq("l_orderkey"), "left_semi").count() == 0)
+    assert(ManifestLog.read(spark, dir, version = 1).count() == total)
+    // pruned scan parity under DVs
+    val (pruned, _, _) = ManifestLog.readPrunedAt(spark, dir, "l_orderkey", kLo, kHi)
+    assert(pruned.count() == total - bandRows(0))
+    // deleting the same keys again is a no-op: already-dead rows don't recount
+    val vBefore = ManifestLog.versions(spark, dir)
+    assert(ManifestLog.deleteMor(band(0), "l_orderkey", dir) == ((0, 0L)))
+    assert(ManifestLog.versions(spark, dir) == vBefore)
+    // a second band COMPOSES: cumulative tombstones, still no rewrite
+    val (_, deleted2) = ManifestLog.deleteMor(band(2), "l_orderkey", dir)
+    assert(deleted2 == bandRows(2))
+    assert(ManifestLog.snapshot(spark, dir).collect()
+      .map(_.getString(0)).toSet == filesV1)
+    assert(ManifestLog.read(spark, dir).count() == total - bandRows(0) - bandRows(2))
+    // CDC keyed on (file, dv): each boundary shows exactly ITS newly
+    // dead rows as removed, nothing added, nothing recounted
+    val (add1, rem1) = ManifestLog.diff(spark, dir, 1, 2)
+    assert(add1.count() == 0 && rem1.count() == bandRows(0))
+    val (add2, rem2) = ManifestLog.diff(spark, dir, 2, 3)
+    assert(add2.count() == 0 && rem2.count() == bandRows(2))
+    assert(rem2.join(band(0), Seq("l_orderkey"), "left_semi").count() == 0,
+      "band-0 rows recounted in the band-2 CDC window")
+    // compact turns the tombstones into a physical purge
+    val headContent = ManifestLog.read(spark, dir).orderBy("l_orderkey", "l_partkey", "l_quantity")
+      .collect().toSeq
+    val (purged, written) = ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 2L * total)
+    assert(purged >= repointed && written >= 1)
+    val snapAfter = ManifestLog.snapshot(spark, dir).collect()
+    assert(snapAfter.forall(_.getString(4) == null), "compact left a dv pointer")
+    // the RAW files (no DV applied) no longer hold the dead rows
+    val raw = spark.read.parquet(snapAfter.map(_.getString(0)).toIndexedSeq: _*)
+    assert(raw.count() == total - bandRows(0) - bandRows(2))
+    assert(ManifestLog.read(spark, dir).orderBy("l_orderkey", "l_partkey", "l_quantity")
+      .collect().toSeq == headContent, "compaction changed table content")
+    // vacuum destroys the replaced bytes AND the now-unreferenced DV batches
+    val dvDirs = snapV2.flatMap(r => Option(r.getString(4))).toSet ++
+      ManifestLog.snapshot(spark, dir, 3).collect().flatMap(r => Option(r.getString(4)))
+    assert(dvDirs.nonEmpty)
+    assert(ManifestLog.vacuum(spark, dir, retain = 1, minAgeMs = 0L) > 0)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dvDirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      assert(!fsys.exists(p) ||
+        !fsys.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")),
+        s"vacuum left tombstone bytes in $d")
+    }
+    assert(ManifestLog.read(spark, dir).count() == total - bandRows(0) - bandRows(2))
+  }
+
+  test("MOR delete interops with COW: merge and delete apply tombstones, dead rows never resurrect, restore revives them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-mor2").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 4)
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val tenth = (kHi - kLo) / 10
+    def band(i: Int) = li.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + i * tenth, kLo + (i + 1) * tenth - 1))
+    def bandRows(i: Int) = li.join(band(i), Seq("l_orderkey"), "left_semi").count()
+    val total = li.count()
+    ManifestLog.deleteMor(band(0), "l_orderkey", dir) // v2
+    ManifestLog.deleteMor(band(5), "l_orderkey", dir) // v3 — mid-keyspace file
+    // COW delete of band 1: with files=4 it shares a file with band
+    // 0's tombstones — the rewrite must apply them, and the returned
+    // count must not include already-dead rows
+    val (_, cowDeleted) = ManifestLog.delete(band(1), "l_orderkey", dir) // v4
+    assert(cowDeleted == bandRows(1), s"COW count $cowDeleted vs ${bandRows(1)}")
+    val head = ManifestLog.read(spark, dir)
+    assert(head.count() == total - bandRows(0) - bandRows(1) - bandRows(5))
+    assert(head.join(band(0), Seq("l_orderkey"), "left_semi").count() == 0,
+      "MOR-dead rows resurrected by the COW rewrite")
+    // merge over keys ADJACENT to band 5: the rewrite hits the file
+    // still carrying band 5's tombstones — upsert applies, the dead
+    // rows stay dead
+    val updKeys = li.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + 6 * tenth, kLo + 6 * tenth + tenth / 4))
+    val upd = li.join(updKeys, Seq("l_orderkey"), "left_semi")
+      .withColumn("l_quantity", lit(999.0))
+    ManifestLog.merge(upd, "l_orderkey", dir) // v5
+    val afterMerge = ManifestLog.read(spark, dir)
+    assert(afterMerge.filter(col("l_quantity") === 999.0).count() == upd.count())
+    assert(afterMerge.join(band(5), Seq("l_orderkey"), "left_semi").count() == 0,
+      "MOR-dead rows resurrected by merge")
+    assert(afterMerge.count() == total - bandRows(0) - bandRows(1) - bandRows(5))
+    // restore to v1: everything is back — DVs are snapshot-scoped metadata
+    ManifestLog.restore(spark, dir, 1)
+    assert(ManifestLog.read(spark, dir).count() == total)
+    // restore forward to v3: bands 0+5 dead again, via the RESTORED dv pointers
+    ManifestLog.restore(spark, dir, 3)
+    assert(ManifestLog.read(spark, dir).count() == total - bandRows(0) - bandRows(5))
+  }
+
+  test("two concurrent MOR deletes on overlapping files: the loser throws a retryable conflict; retries compose to both bands dead") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-mor3").toString
+    // files=1: both deletes hit the SAME file, guaranteeing the dv
+    // pointer race
+    ManifestLog.write(li, "l_orderkey", dir, files = 1)
+    val sub = li
+    val keys = sub.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val tenth = (kHi - kLo) / 10
+    def band(i: Int) = sub.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + i * tenth, kLo + (i + 1) * tenth - 1))
+    val expect = (0 to 1).map(i =>
+      sub.join(band(i), Seq("l_orderkey"), "left_semi").count()).sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def task(i: Int) = pool.submit(new Runnable {
+      override def run(): Unit = {
+        gate.await()
+        var done = false
+        var tries = 0
+        while (!done && tries < 10) {
+          tries += 1
+          try { counts.add(ManifestLog.deleteMor(band(i), "l_orderkey", dir)._2); done = true }
+          catch {
+            case e: IllegalStateException if e.getMessage.contains("deleteMor conflict") =>
+              Thread.sleep(20) // retryable: re-plan against the new head
+            case e: Throwable => errs.add(e); done = true
+          }
+        }
+        if (!done) errs.add(new IllegalStateException("deleteMor starved after 10 retries"))
+      }
+    })
+    val (fa, fb) = (task(0), task(1))
+    gate.countDown(); fa.get(); fb.get(); pool.shutdown()
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    val sum = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.map(_.toLong).sum
+    }
+    assert(counts.size == 2 && sum == expect,
+      s"deleted counts $counts vs expected total $expect")
+    assert(ManifestLog.read(spark, dir).count() == sub.count() - expect)
+    assert(ManifestLog.read(spark, dir)
+      .join(band(0).union(band(1)), Seq("l_orderkey"), "left_semi").count() == 0)
+    val vs = ManifestLog.versions(spark, dir)
+    assert(vs == (1 to vs.max), s"versions not linear: $vs")
+  }
+
   test("a crashed commit's empty pointer is repaired: reads recover, the version slot is reused by the next append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-crash").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
