@@ -127,6 +127,9 @@ object JqCompiler {
   case class LetBind(name: String, value: Ast, body: Ast) extends Ast
   case object ToEntries extends Ast
   case object FromEntries extends Ast
+  // jq `p |= f` (update-assign); compiled only as with_entries'
+  // `.value |= tostring/tonumber` body
+  case class UpdatePath(path: Path, body: Ast) extends Ast
   /** jq `keys` (sorted=true) / `keys_unsorted`. */
   case class KeysFn(sorted: Boolean) extends Ast
 
@@ -339,7 +342,18 @@ object JqCompiler {
     private def parseInnerPipe(): Ast = {
       val stages = Seq.newBuilder[Ast]
       stages += parseAlt()
-      while ({ ws(); peek == '|' && !src.startsWith("||", pos) }) { pos += 1; stages += parseAlt() }
+      ws()
+      if (src.startsWith("|=", pos)) {
+        pos += 2
+        val target = stages.result().head match {
+          case p: Path => p
+          case _ => throw new IllegalArgumentException(
+            "|= target must be a plain path: subprocess tier")
+        }
+        return UpdatePath(target, parseInnerPipe())
+      }
+      while ({ ws(); peek == '|' && !src.startsWith("||", pos) &&
+               !src.startsWith("|=", pos) }) { pos += 1; stages += parseAlt() }
       // splice desugared multi-stage atoms (del → entries idiom) so
       // chain matchers see a flat fn list
       val s = stages.result().flatMap {
@@ -501,6 +515,23 @@ object JqCompiler {
         val cond = keys.map(k => Cmp("!=", Path(Seq(Left("key"))), Lit(k)): Ast)
           .reduce((a, b) => Logic("and", a, b))
         PipeSeq(Seq(ToEntries, MapExpr(Select(cond)), FromEntries))
+      }
+      else if (tryEat("with_entries(")) {
+        // jq with_entries(f) ≡ to_entries | map(f) | from_entries —
+        // desugared at parse time so it rides the compiled entries
+        // chain exactly where that idiom does. Compiled bodies:
+        // select(cond) (the filter-object face) and `.value |=
+        // tostring/tonumber` (value normalization); anything else
+        // (key rewrites, arbitrary updates) → subprocess tier.
+        val body = parseInnerPipe(); eat(')')
+        val inner = body match {
+          case s: Select => MapExpr(s)
+          case u @ UpdatePath(Path(Seq(Left("value"))), ToString | ToNumber) =>
+            MapExpr(u)
+          case _ => throw new IllegalArgumentException(
+            "with_entries body beyond select / .value |= tostring|tonumber: subprocess tier")
+        }
+        PipeSeq(Seq(ToEntries, inner, FromEntries))
       }
       else if (tryEat("to_entries")) ToEntries
       else if (tryEat("from_entries")) FromEntries
@@ -872,6 +903,60 @@ object JqCompiler {
     case _ => None
   }
 
+  /** jq-exact number TEXT for a double column — the [[toStringOf]]
+    * envelope factored out: integral < 1e15 prints without the
+    * decimal point, non-integral inside [1e-3, 1e7) prints
+    * Java-shortest == jq-dtoa, anything else raises (Java would flip
+    * to scientific notation where jq does not).
+    */
+  private def jqNumText(d: Column): Column = {
+    val a = abs(d)
+    when(d === floor(d) && a < lit(1e15), d.cast("long").cast("string"))
+      .when(d =!= floor(d) && a >= lit(1e-3) && a < lit(1e7), d.cast("string"))
+      .otherwise(raise_error(concat(
+        lit("jq compiled tier: number "), d.cast("string"),
+        lit(" is outside the exact rendering envelope (would print Java-style, not jq-style); run this step via the subprocess tier"))))
+  }
+
+  private val variantNumKinds =
+    Seq("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT")
+
+  /** with_entries `.value |= tostring` on one entry value: scalars
+    * normalize to a jq-rendered JSON string; objects/arrays raise —
+    * their text would re-render through the variant (sorted keys),
+    * a silent divergence from jq's document-order rendering.
+    */
+  private def entryToString(v: Column): Column = {
+    val t = schema_of_variant(v)
+    when(t === lit("VOID"), parse_json(lit("\"null\"")))
+      .when(t === lit("STRING"), v)
+      .when(t === lit("BOOLEAN"),
+        parse_json(concat(lit("\""), v.cast("string"), lit("\""))))
+      .when(t.isin(variantNumKinds: _*) || t.startsWith("DECIMAL"),
+        parse_json(concat(lit("\""),
+          jqNumText(v.cast("string").cast("double")), lit("\""))))
+      .otherwise(raise_error(lit(
+        "jq compiled tier: with_entries tostring on an object/array value (variant rendering would reorder keys); run this step via the subprocess tier"))
+        .cast(org.apache.spark.sql.types.VariantType))
+  }
+
+  /** with_entries `.value |= tonumber`: numbers pass VERBATIM (an
+    * integer stays an integer), numeric strings re-parse through the
+    * jq rendering envelope, anything else raises like jq does.
+    */
+  private def entryToNumber(v: Column): Column = {
+    val t = schema_of_variant(v)
+    val s = v.cast("string")
+    val d = s.try_cast("double")
+    when(t.isin(variantNumKinds: _*) || t.startsWith("DECIMAL"), v)
+      .when(t === lit("STRING") && d.isNotNull, parse_json(jqNumText(d)))
+      .otherwise(raise_error(concat(
+        lit("jq compiled tier: tonumber cannot parse "),
+        coalesce(s, lit("null")),
+        lit(" (jq raises here); run this step via the subprocess tier")))
+        .cast(org.apache.spark.sql.types.VariantType))
+  }
+
   private def arith(op: String, l: Ast, r: Ast): Option[Column] =
     for { lc <- numOrStr(l, r); rc <- numOrStr(r, l) } yield op match {
       case "+" => lc + rc
@@ -907,8 +992,44 @@ object JqCompiler {
       Some(try_parse_json(lit(txt)))
     case Lit(s: String)  => Some(try_parse_json(lit(jsonQuote(s))))
     case Lit(b: Boolean) => Some(try_parse_json(lit(b.toString)))
+    case Lit(null)       => Some(try_parse_json(lit("null")))
     case ife: IfElse     => variantIf(ife) // nested ifs compose
     case _ => None
+  }
+
+  /** jq object merge `.d + {k: v, …}` as one columnar expression:
+    * document key order is PRESERVED (from_json to a map keeps it —
+    * the same contract to_entries rides), keys present in the payload
+    * are overwritten IN PLACE, new keys append in literal order —
+    * exactly jq's `+` on objects. Values ride the variant envelope
+    * (literals as their JSON text, `.d` paths verbatim, value-ifs).
+    * A non-object payload raises with the subprocess pointer (jq
+    * errors there too, except `null + obj` — rare enough to leave on
+    * the subprocess tier rather than special-case silently).
+    */
+  private def objectMergeExpr(fields: Seq[(String, Ast)]): Option[Column] = {
+    val vals = fields.map { case (k, v) => k -> variantValue(v) }
+    if (vals.exists(_._2.isEmpty)) return None
+    val t = schema_of_variant(try_parse_json(col("d")))
+    var c: Column = map_entries(from_json(col("d"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.VariantType)))
+    vals.foreach {
+      case (k, Some(vc)) =>
+        val present = exists(c, e => e.getField("key") === lit(k))
+        val replaced = transform(c, e => struct(e.getField("key").as("key"),
+          when(e.getField("key") === lit(k), vc)
+            .otherwise(e.getField("value")).as("value")))
+        c = when(present, replaced)
+          .otherwise(concat(c, array(struct(lit(k).as("key"), vc.as("value")))))
+      case _ => ()
+    }
+    Some(when(t.startsWith("OBJECT"), to_json(map_from_entries(c)))
+      .otherwise(raise_error(concat(
+        lit("jq compiled tier: object merge `+` saw a non-object payload ("),
+        coalesce(t, lit("null")),
+        lit("); run this step via the subprocess tier")))))
   }
 
   private def jsonQuote(s: String): String = {
@@ -937,6 +1058,10 @@ object JqCompiler {
     case PipeSeq((p: Path) +: fns)
         if fns.lastOption.contains(FromEntries) && fns.forall(isChainFn) =>
       chainValueKind(p, fns).collect { case (c, 'j') => c }
+    // jq object merge `.d + {…}` — whole-payload position only, like
+    // the entries idiom (the result is JSON text already)
+    case Arith("+", Path(Seq(Left("d"))), ObjCons(fields)) =>
+      objectMergeExpr(fields)
     case other => (valueExpr(other) orElse variantIf(other)).map(c =>
       to_json(struct(c.as("v"))).substr(
         lit(6), length(to_json(struct(c.as("v")))) - 6))
@@ -1011,6 +1136,8 @@ object JqCompiler {
     case ToEntries | FromEntries | _: KeysFn => true
     case MapExpr(Path(Seq(Left("key"))))     => true // entries .key projection
     case MapExpr(Select(_))                  => true // entries filter
+    case MapExpr(UpdatePath(Path(Seq(Left("value"))), ToString | ToNumber)) =>
+      true // with_entries value normalization
     case _ => false
   }
 
@@ -1219,6 +1346,15 @@ object JqCompiler {
           case Some(f0) => c = filter(c, e => f0(e))
           case None     => return None
         }
+      // with_entries(.value |= tostring/tonumber): the value stays a
+      // VARIANT (parse_json of the jq-rendered text) so FromEntries'
+      // renderer treats it like any other entry value
+      case MapExpr(UpdatePath(Path(Seq(Left("value"))), ToString)) if kind == 'e' =>
+        c = transform(c, e => struct(e.getField("key").as("key"),
+          entryToString(e.getField("value")).as("value")))
+      case MapExpr(UpdatePath(Path(Seq(Left("value"))), ToNumber)) if kind == 'e' =>
+        c = transform(c, e => struct(e.getField("key").as("key"),
+          entryToNumber(e.getField("value")).as("value")))
       // jq from_entries: object in entry order — map_from_entries +
       // to_json preserve it, and map-valued to_json renders null
       // values (ignoreNullFields only affects structs), so the text

@@ -493,6 +493,100 @@ class JqFuzzSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
   }
 
+  // scalar-only payload for `with_entries(.value |= tostring)` — an
+  // object/array value RAISES on the compiled tier by design (variant
+  // rendering would reorder its keys), so the generator stays in the
+  // compiled envelope like real pipelines do
+  private val scalarPayloadGen: Gen[String] = for {
+    k <- intGen; m <- dblGen; s <- strGen; ns <- intGen
+    fl <- Gen.oneOf("true", "false", "null")
+  } yield s"""{"k":$k,"m":$m,"s":"$s","ns":"$ns","fl":$fl}"""
+  private val scalarVectorGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 6).flatMap(sz => Gen.listOfN(sz,
+      for { n <- nameGen; d <- scalarPayloadGen } yield (n, d)))
+
+  // numbers-or-numeric-strings only, the tonumber domain (jq raises
+  // elsewhere, and so does the compiled tier)
+  private val numericPayloadGen: Gen[String] = for {
+    k <- intGen; m <- dblGen; ns <- intGen; nd <- dblGen
+  } yield s"""{"k":$k,"m":$m,"ns":"$ns","nd":"$nd"}"""
+  private val numericVectorGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 6).flatMap(sz => Gen.listOfN(sz,
+      for { n <- nameGen; d <- numericPayloadGen } yield (n, d)))
+
+  /** jq object merge `.d + {…}`: literal and path values, overwrite
+    * and append keys, one or two pairs.
+    */
+  private val mergeGen: Gen[String] = {
+    val valGen: Gen[String] = Gen.frequency(
+      3 -> intGen.map(_.toString),
+      2 -> strGen.map("\"" + _ + "\""),
+      1 -> Gen.oneOf("true", "false", "null"),
+      2 -> Gen.oneOf(".d.k", ".d.s", ".d.o"))
+    for {
+      k1 <- Gen.oneOf("k", "s", "fl", "tag", "zz")
+      v1 <- valGen
+      second <- Gen.option(
+        for { k2 <- Gen.oneOf("m", "o", "pp"); v2 <- valGen } yield s", $k2: $v2")
+    } yield s""".[] | {n: .n, d: (.d + {$k1: $v1${second.getOrElse("")}})}"""
+  }
+
+  test("with_entries/object-merge fuzz: compiled tier == jq on 250 random programs") {
+    import JqCompiler._
+    val gen: Gen[(String, List[(String, String)])] = Gen.frequency(
+      3 -> Gen.zip(Gen.const(
+        """.[] | {n: .n, d: (.d | with_entries(.value |= tostring))}"""),
+        scalarVectorGen),
+      2 -> Gen.zip(Gen.const(
+        """.[] | {n: .n, d: (.d | with_entries(.value |= tonumber))}"""),
+        numericVectorGen),
+      2 -> Gen.zip(entryCondGen.map(c =>
+        s""".[] | {n: .n, d: (.d | with_entries(select($c)))}"""), vectorGen),
+      4 -> Gen.zip(mergeGen, vectorGen))
+    samples(gen, 250).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+  }
+
+  test("with_entries/object-merge unit: in-place overwrite, append order, value normalization, loud guards") {
+    import JqCompiler._
+    // value normalization keeps document order, renders jq-style
+    val df = eventsDf(Seq(("a.b", """{"zz":3,"aa":"x","fl":true,"nn":null,"m":4.0}""")))
+    val Some(CompiledPerEvent(pe)) = tryCompile(
+      """.[] | {n: .n, d: (.d | with_entries(.value |= tostring))}"""): @unchecked
+    assert(df.select(pe.outPayloadJson).head().getString(0) ==
+      """{"zz":"3","aa":"x","fl":"true","nn":"null","m":"4"}""")
+    // merge: existing key overwrites IN PLACE, new keys append in
+    // literal order — jq's `+`
+    val df2 = eventsDf(Seq(("a.b", """{"b":1,"a":2}""")))
+    val Some(CompiledPerEvent(pe2)) = tryCompile(
+      """.[] | {n: .n, d: (.d + {a: 9, z: "w"})}"""): @unchecked
+    assert(df2.select(pe2.outPayloadJson).head().getString(0) ==
+      """{"b":1,"a":9,"z":"w"}""")
+    // non-object payload under `+` raises with the subprocess pointer
+    val df3 = eventsDf(Seq(("a.b", "5")))
+    val ex = intercept[Exception] { df3.select(pe2.outPayloadJson).collect() }
+    assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
+    // with_entries tostring on an object value raises (variant
+    // rendering would reorder nested keys — loud, never silent)
+    val df4 = eventsDf(Seq(("a.b", """{"o":{"x":1}}""")))
+    val ex2 = intercept[Exception] { df4.select(pe.outPayloadJson).collect() }
+    assert(ex2.getMessage.contains("subprocess tier"), ex2.getMessage)
+    // with_entries bodies beyond the compiled envelope stay on the
+    // subprocess tier
+    assert(tryCompile(
+      """.[] | {n: .n, d: (.d | with_entries(.key |= ascii_upcase))}""").isEmpty)
+  }
+
   test("per-vector fuzz: compiled aggregates == jq on 150 random map/add programs") {
     import JqCompiler._
     samples(Gen.zip(perVectorGen, vectorGen), 150).foreach { case (expr, events) =>
