@@ -161,6 +161,18 @@ object Verify {
       val mipsRecall = if (mipsExact.isEmpty) 1.0
         else mipsExact.intersect(mipsLsh).size.toDouble / mipsExact.size
 
+      // emb_ann_binary: recall of the 1-bit sign-code Hamming
+      // prefilter + exact-rerank top-5 vs brute force on the same
+      // 10-query subset (the 32×-compressed-scan path)
+      val bruteQ = graft.ann.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < nQ), 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bq = graft.ann.Similarity.binaryTopK(emb, 5,
+          graft.operators.AnnQueries.Dim, nQ, numRows = nEmb)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bqRecall = if (bruteQ.isEmpty) 1.0
+        else bruteQ.intersect(bq).size.toDouble / bruteQ.size
+
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx"),
@@ -395,6 +407,8 @@ object Verify {
          | "emb_ann_ivf_filtered": {"metric": "index_filter_equals_filtered_assign_and_recall",
          | "equal": $filtIvfEq, "recall": $filtIvfRecall, "floor": $recallFloor,
          | "pass": ${filtIvfEq && filtIvfRecall >= recallFloor}},
+         | "emb_ann_binary": {"metric": "recall_vs_brute_force_top5", "value": $bqRecall,
+         | "floor": $recallFloor, "pass": ${bqRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,

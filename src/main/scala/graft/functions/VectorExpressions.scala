@@ -476,6 +476,49 @@ private[functions] trait VectorInput { self: Expression =>
     if (vecIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
 }
 
+/** 1-bit sign quantization of a vector against per-dimension anchors
+  * (the sampled component means): bit i is set iff v[i] >= anchor[i].
+  * dim ≤ 64 packs the whole vector into ONE long, so the downstream
+  * Hamming prefilter is xor + bit_count on an 8-byte code — 32×
+  * smaller than the 64-float vector, the classic binary-quantization
+  * compressed-scan deployment. One reference-object call per row
+  * keeps the stage inside whole-stage codegen (a 64-term Column
+  * conditional chain would blow the method budget, the TopCells
+  * lesson).
+  */
+case class SignPack(child: Expression, anchors: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  require(anchors.nonEmpty && anchors.length <= 64,
+    s"SignPack packs into one long: 1..64 dims, got ${anchors.length}")
+
+  override protected def vecChild: Expression = child
+
+  override def dataType: DataType = LongType
+
+  def compute(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), anchors.length)
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      if (elem(v, i) >= anchors(i)) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signPack", this, classOf[SignPack].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Top `nprobe` IVF cells for a vector in ONE kernel pass: `nlist`
   * dot products against the flattened centroid matrix, then selection
   * by (score desc, cell desc) — byte-identical ordering to the
@@ -819,6 +862,10 @@ object VectorExpressions {
   /** Column-level handle for [[LongDot]]. */
   def longDot(a: Column, b: Column): Column =
     ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level handle for [[SignPack]]. */
+  def signPack(vec: Column, anchors: Seq[Double]): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(vec), anchors.toArray))
 
   /** Column-level handle for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -73,6 +73,17 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Binary sign-quantization ANN: 1 bit per dimension packed into
+    // ONE long, Hamming prefilter over codes only (xor + bit_count —
+    // a 32×-compressed corpus scan), exact cosine rerank of the top-C
+    // survivors. Rows-only; recall floor + prefilter-exactness are
+    // the Verify invariant.
+    "emb_ann_binary" -> { (s, d) =>
+      Similarity.binaryTopK(Tables.embeddings(s, d), TopK, Dim, NQueries,
+          numRows = Tables.cachedCount(s, d, "embeddings"))
+        .orderBy("qid", "rnk")
+    },
+
     // Metadata-FILTERED exact retrieval (the RAG shape: "top-k
     // neighbors WHERE label ∈ allowed"): the predicate applies to the
     // corpus side BEFORE scoring, so it pushes into the parquet scan

@@ -49,6 +49,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("binary sign quantization: recall floor, exact salted top-C, deterministic, one-long codes") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.binaryTopK(emb, 5, 64, 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(bq).size.toDouble / brute.size
+    assert(recall >= 0.7, s"binary-code recall too low: $recall")
+    // deterministic end-to-end (anchors from the hash-ordered sample,
+    // ties by nid)
+    assert(Similarity.binaryTopK(emb, 5, 64, 10).collect().toSeq ==
+      Similarity.binaryTopK(emb, 5, 64, 10).collect().toSeq)
+    // the salted two-level top-C is EXACT: forcing a single salt
+    // (the naive global window) returns the identical result set
+    assert(Similarity.binaryTopK(emb, 5, 64, 10, salts = 1).collect().toSeq ==
+      Similarity.binaryTopK(emb, 5, 64, 10, salts = 32).collect().toSeq)
+  }
+
+  test("SignPack: bit i set iff component clears its anchor; Hamming via xor + bit_count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)),
+      (2L, Seq(1.0f, 1.0f, -0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val anchors = Seq(0.0, 0.0, 0.0, 0.0)
+    val codes = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.signPack(col("embedding"), anchors).as("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(codes(1L) == 0x5L, s"expected 0b0101, got ${codes(1L).toBinaryString}") // bits 0,2
+    assert(codes(2L) == 0x3L, s"expected 0b0011, got ${codes(2L).toBinaryString}") // bits 0,1
+    assert(java.lang.Long.bitCount(codes(1L) ^ codes(2L)) == 2)
+    // non-zero anchors shift the split point
+    val c2 = df.select(graft.functions.VectorExpressions.signPack(
+        col("embedding"), Seq(2.0, -2.0, 0.0, 0.0)).as("code"))
+      .collect().map(_.getLong(0))
+    assert(c2(0) == 0x6L) // 1.0 < 2.0 -> bit0 off; -1.0 >= -2.0 -> bit1 on; 0.5 -> bit2 on
+  }
+
   test("MIPS: exact top-k ranks by raw inner product; norm-augmented LSH clears recall") {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
