@@ -1257,6 +1257,208 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- Matroska / WebM (EBML) container metadata ----
+
+  val mkvMetaSchema: StructType = StructType(Seq(
+    StructField("bin_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_clusters", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  private[multimodal] val MkvRates = Array(8000, 16000, 44100, 48000)
+
+  /** Parse Matroska/WebM metadata: a real EBML walk (RFC 8794 +
+    * the public Matroska element registry). Element IDs are VINTs
+    * with the length-marker bits KEPT (0x1A45DFA3 EBML, 0x18538067
+    * Segment, …); sizes are VINTs with the marker stripped, where the
+    * all-ones value means UNKNOWN SIZE — the streaming-file case —
+    * which this walker resolves as "to the end of the enclosing
+    * container" (how live-muxed .webm actually ships). The walk
+    * descends only into the known containers (EBML header, Segment,
+    * Info, Tracks, TrackEntry, Video, Audio), captures the known
+    * leaves (DocType, TimestampScale, Duration float32/64-BE,
+    * PixelWidth/Height, Channels, SamplingFrequency), counts Cluster
+    * elements WITHOUT parsing their blocks (media data stays opaque,
+    * per the multimodal mandate), and skips everything unknown by
+    * size — the property that makes EBML forward-compatible.
+    * duration_ms = Duration ticks × TimestampScale (ns) / 1e6.
+    * Malformed input (bad magic, VINT past the buffer, alien doctype,
+    * over-deep nesting) falls to raw.
+    */
+  def decodeMkvBytes(bytes: Array[Byte]): (Long, String, Int, Int, Int, Int, Int, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val len = bytes.length.toLong
+    val raw = (len, "raw", 0, 0, 0, 0, 0, 0L)
+    def vintWidth(b: Int): Int = {
+      if ((b & 0x80) != 0) 1 else if ((b & 0x40) != 0) 2
+      else if ((b & 0x20) != 0) 3 else if ((b & 0x10) != 0) 4
+      else if ((b & 0x08) != 0) 5 else if ((b & 0x04) != 0) 6
+      else if ((b & 0x02) != 0) 7 else if ((b & 0x01) != 0) 8 else 0
+    }
+    def uintAt(off: Int, sz: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < sz) { v = (v << 8) | u8(off + i); i += 1 }
+      v
+    }
+    def floatAt(off: Int, sz: Int): Double =
+      if (sz == 4) java.lang.Float.intBitsToFloat(uintAt(off, 4).toInt).toDouble
+      else if (sz == 8) java.lang.Double.longBitsToDouble(uintAt(off, 8))
+      else 0.0
+    var docType = ""
+    var tsScale = 1000000L // EBML default: 1 ms ticks
+    var durTicks = 0.0
+    var width = 0; var height = 0
+    var channels = 0; var rate = 0
+    var clusters = 0
+    // returns false on any structural violation -> raw
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      if (depth > 8) return false
+      var off = start
+      while (off < end) {
+        if (off >= bytes.length) return false
+        val iw = vintWidth(u8(off))
+        if (iw == 0 || iw > 4 || off + iw > end) return false
+        val id = uintAt(off, iw)
+        val so = off + iw
+        if (so >= end) return false
+        val sw = vintWidth(u8(so))
+        if (sw == 0 || so + sw > end) return false
+        var sv = (u8(so) & (0xFF >>> sw)).toLong
+        var i = 1
+        while (i < sw) { sv = (sv << 8) | u8(so + i); i += 1 }
+        val unknown = sv == (1L << (7 * sw)) - 1
+        val body = so + sw
+        val sz = if (unknown) (end - body).toLong else sv
+        if (body + sz > end) return false
+        val bodyEnd = (body + sz).toInt
+        id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL |
+               0xAEL | 0xE0L | 0xE1L =>
+            if (!walk(body, bodyEnd, depth + 1)) return false
+          case 0x4282L   => docType = new String(bytes, body, sz.toInt, "US-ASCII")
+          case 0x2AD7B1L => tsScale = uintAt(body, sz.toInt)
+          case 0x4489L   => durTicks = floatAt(body, sz.toInt)
+          case 0xB0L     => width = uintAt(body, sz.toInt).toInt
+          case 0xBAL     => height = uintAt(body, sz.toInt).toInt
+          case 0x9FL     => channels = uintAt(body, sz.toInt).toInt
+          case 0xB5L     => rate = math.round(floatAt(body, sz.toInt)).toInt
+          case 0x1F43B675L => clusters += 1 // blocks stay opaque
+          case _ => () // unknown element: skip by size
+        }
+        off = bodyEnd
+      }
+      true
+    }
+    if (bytes.length < 4 || uintAt(0, 4) != 0x1A45DFA3L) return raw
+    if (!walk(0, bytes.length, 0)) return raw
+    if (docType != "webm" && docType != "matroska") return raw
+    val ms = math.round(durTicks * tsScale / 1e6)
+    (len, docType, width, height, channels, rate, clusters, ms)
+  }
+
+  /** Deterministic spec-compliant Matroska/WebM fixture: EBML header
+    * with an alternating doctype (every fifth doc "matroska", else
+    * "webm"), Segment → Info (explicit 1 ms TimestampScale + float64
+    * Duration), Tracks (one video TrackEntry; an audio TrackEntry on
+    * even docs), and the doc text as SimpleBlock payload in one
+    * Cluster — split across TWO clusters every fourth doc. Every
+    * field — including the fixed per-element framing overhead — is
+    * docId/length arithmetic the oracle recomputes.
+    */
+  def synthMkvBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val dt = if (docId % 5 == 0) "matroska" else "webm"
+    val width = 160 + (docId % 640).toInt
+    val height = 120 + (docId % 480).toInt
+    val hasAudio = docId % 2 == 0
+    val rate = MkvRates((docId % 4).toInt)
+    val durTicks = (docId % 3600000L) + 500L
+    val parts: Seq[Array[Byte]] =
+      if (docId % 4 == 0) {
+        val h = payload.length / 2
+        Seq(payload.take(h), payload.drop(h))
+      } else Seq(payload)
+    val tracksContent = 15 + (if (hasAudio) 20 else 0)
+    val segContent = 24 + 5 + tracksContent +
+      parts.map(20 + _.length).sum
+    val total = 8 + dt.length + 8 + segContent
+    val bb = java.nio.ByteBuffer.allocate(total) // BE, EBML's order
+    def size1(v: Int): Unit = bb.put((0x80 | v).toByte)
+    def size4(v: Int): Unit = {
+      bb.put((0x10 | (v >>> 24)).toByte); bb.put((v >>> 16).toByte)
+      bb.put((v >>> 8).toByte); bb.put(v.toByte)
+    }
+    // EBML header: DocType only (defaults cover the rest)
+    bb.putInt(0x1A45DFA3); size1(3 + dt.length)
+    bb.putShort(0x4282.toShort); size1(dt.length)
+    bb.put(dt.getBytes("US-ASCII"))
+    // Segment
+    bb.putInt(0x18538067); size4(segContent)
+    //   Info: TimestampScale(u32) + Duration(float64)
+    bb.putInt(0x1549A966); size1(19)
+    bb.put(0x2A.toByte); bb.put(0xD7.toByte); bb.put(0xB1.toByte)
+    size1(4); bb.putInt(1000000)
+    bb.putShort(0x4489.toShort); size1(8); bb.putDouble(durTicks.toDouble)
+    //   Tracks
+    bb.putInt(0x1654AE6B); size1(tracksContent)
+    bb.put(0xAE.toByte); size1(13) // video TrackEntry
+    bb.put(0x83.toByte); size1(1); bb.put(1.toByte)
+    bb.put(0xE0.toByte); size1(8)
+    bb.put(0xB0.toByte); size1(2); bb.putShort(width.toShort)
+    bb.put(0xBA.toByte); size1(2); bb.putShort(height.toShort)
+    if (hasAudio) {
+      bb.put(0xAE.toByte); size1(18) // audio TrackEntry
+      bb.put(0x83.toByte); size1(1); bb.put(2.toByte)
+      bb.put(0xE1.toByte); size1(13)
+      bb.put(0x9F.toByte); size1(1); bb.put(2.toByte)
+      bb.put(0xB5.toByte); size1(8); bb.putDouble(rate.toDouble)
+    }
+    //   Cluster(s): Timestamp + one SimpleBlock carrying the part
+    parts.foreach { part =>
+      bb.putInt(0x1F43B675); size4(12 + part.length)
+      bb.put(0xE7.toByte); size1(1); bb.put(0.toByte)
+      bb.put(0xA3.toByte); size4(4 + part.length)
+      bb.put(0x81.toByte)          // track number VINT
+      bb.putShort(0.toShort)       // relative timecode
+      bb.put(0x80.toByte)          // keyframe flag
+      bb.put(part)
+    }
+    bb.array()
+  }
+
+  /** Attach a synthetic Matroska/WebM binary per row. */
+  def attachSynthMkv(df: DataFrame, idCol: String, textCol: String,
+                     binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getString(txtIdx).getBytes("UTF-8")
+        Row.fromSeq(r.toSeq :+ synthMkvBytes(r.getLong(idIdx), payload))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a Matroska/WebM binary column per partition. */
+  def decodeMkvMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(
+      Seq(df.schema.fields(idIdx)) ++ mkvMetaSchema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, fmt, w, h, ch, rate, cl, ms) =
+          decodeMkvBytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), len, fmt, w, h, ch, rate, cl, ms)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling stub: the first `nFrames` `frameBytes`-sized
     * slices, fingerprinted.
     *

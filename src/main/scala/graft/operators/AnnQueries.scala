@@ -470,6 +470,18 @@ object AnnQueries {
       Multimodal.decodeFlacMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     },
 
+    // Multimodal Matroska/WebM: a real EBML walk (VINT ids/sizes,
+    // unknown-size resolution, skip-by-size forward compatibility)
+    // over spec-compliant fixtures — video dims, audio
+    // channels/rate, cluster count, TimestampScale×Duration ms; the
+    // oracle recomputes every field including the per-element framing
+    // overhead from doc_id and the payload length.
+    "mm_mkv_meta" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withBin = Multimodal.attachSynthMkv(docs, "doc_id", "text", "bin")
+      Multimodal.decodeMkvMeta(withBin, "bin", "doc_id").orderBy("doc_id")
+    },
+
     // Multimodal TIFF: synthetic IFD chains whose byte order alternates
     // per doc (`II`/`MM` — the one per-file-endianness container), with
     // inline LONG dims + SHORT bits entries and an every-fourth-doc
@@ -793,6 +805,26 @@ object AnnQueries {
         |    // list_extract([8000,16000,22050,24000,32000,44100,48000],
         |         CAST(1 + doc_id % 7 AS INT)) AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_blocks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Matroska/WebM layout: EBML header 8+doctype + Segment header 8
+    // + Info 24 + Tracks header 5 + video TrackEntry 15 + audio
+    // TrackEntry 20 on even docs + 20-byte cluster framing per
+    // cluster (two clusters every fourth doc) + the payload.
+    "mm_mkv_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 4 END + 8 + 24 + 5 + 15
+        |    + CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 0 END
+        |    + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END * 20
+        |    + octet_length(CAST(text AS BLOB)) AS BIGINT) AS bin_len,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'matroska' ELSE 'webm' END AS format,
+        |  CAST(160 + doc_id % 640 AS INT) AS width,
+        |  CAST(120 + doc_id % 480 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN list_extract([8000,16000,44100,48000],
+        |    CAST(1 + doc_id % 4 AS INT)) ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) AS n_clusters,
+        |  CAST(doc_id % 3600000 + 500 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // TIFF layout: header(8) + 42-byte IFD per page (3 entries + next

@@ -379,4 +379,51 @@ class MultimodalSpec extends AnyFunSuite {
     far(4) = 0x7f.toByte // MM: high byte of the first-IFD offset
     assert(Multimodal.decodeTiffBytes(far)._2 == "raw")
   }
+
+  test("Matroska/WebM decode: EBML walk across the grid, doctype split, cluster count, fallbacks") {
+    val payload = "block data stand-in for a coded frame".getBytes("UTF-8")
+    for (id <- 0L until 30L) {
+      val (l, f, w, h, ch, rate, cl, ms) =
+        Multimodal.decodeMkvBytes(Multimodal.synthMkvBytes(id, payload))
+      assert(f == (if (id % 5 == 0) "matroska" else "webm"), s"id=$id format $f")
+      assert(w == 160 + (id % 640).toInt && h == 120 + (id % 480).toInt, s"id=$id dims")
+      if (id % 2 == 0) {
+        assert(ch == 2 && rate == Seq(8000, 16000, 44100, 48000)((id % 4).toInt), s"id=$id audio")
+      } else assert(ch == 0 && rate == 0, s"id=$id no-audio")
+      assert(cl == (if (id % 4 == 0) 2 else 1), s"id=$id clusters")
+      assert(ms == (id % 3600000L) + 500L, s"id=$id duration")
+      val dtLen = if (id % 5 == 0) 8 else 4
+      assert(l == 8 + dtLen + 8 + 24 + 5 + 15 +
+        (if (id % 2 == 0) 20 else 0) + cl * 20 + payload.length, s"id=$id len")
+    }
+    // malformed inputs fall through, never throw
+    assert(Multimodal.decodeMkvBytes("not ebml at all".getBytes)._2 == "raw")
+    assert(Multimodal.decodeMkvBytes(
+      Multimodal.synthMkvBytes(3, payload).take(40))._2 == "raw")
+    // alien doctype → raw (we only claim webm/matroska)
+    val alien = Multimodal.synthMkvBytes(1, payload).clone()
+    alien(8) = 'a'.toByte // first doctype byte ("webm" -> "aebm")
+    assert(Multimodal.decodeMkvBytes(alien)._2 == "raw")
+    // UNKNOWN-SIZE segment (live-muxed webm): all-ones size VINT
+    // resolves to "rest of the buffer" and the walk still lands
+    val base = Multimodal.synthMkvBytes(2, payload).clone()
+    val segSizeOff = 8 + 4 + 4 // EBML header (8+4) + segment id (4)
+    base(segSizeOff) = 0x1F.toByte; base(segSizeOff + 1) = 0xFF.toByte
+    base(segSizeOff + 2) = 0xFF.toByte; base(segSizeOff + 3) = 0xFF.toByte
+    val (_, f2, w2, _, _, _, cl2, ms2) = Multimodal.decodeMkvBytes(base)
+    assert(f2 == "webm" && w2 == 162 && cl2 == 1 && ms2 == 502L,
+      s"unknown-size segment: $f2 $w2 $cl2 $ms2")
+    // a 4-byte float Duration reads through the same element
+    // (float32 carries small integers exactly)
+    val bb = java.nio.ByteBuffer.allocate(32) // 12 header + 5 segment + 15 content
+    bb.putInt(0x1A45DFA3); bb.put(0x87.toByte) // header, content 7
+    bb.putShort(0x4282.toShort); bb.put(0x84.toByte); bb.put("webm".getBytes)
+    bb.putInt(0x18538067); bb.put(0x8F.toByte) // segment, content 15 = info(4+1+10)
+    bb.putInt(0x1549A966); bb.put(0x8A.toByte) // info, content 10
+    bb.putShort(0x4489.toShort); bb.put(0x84.toByte)
+    bb.putFloat(1234.0f)
+    bb.put(0xEC.toByte); bb.put(0x81.toByte); bb.put(0.toByte) // Void: unknown, skipped
+    val (_, f3, _, _, _, _, _, ms3) = Multimodal.decodeMkvBytes(bb.array())
+    assert(f3 == "webm" && ms3 == 1234L, s"float32 duration: $f3 $ms3")
+  }
 }
