@@ -220,6 +220,58 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(got.nonEmpty && base.collect().count(r => erased(r.getLong(0))) > 0)
   }
 
+  test("streaming MOR erasure cadence: foreachBatch deleteMor per micro-batch equals COW deletes; replay is a no-op; compact+vacuum finishes the erasure") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = li
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor-stream").toString
+    ManifestLog.write(base, "l_orderkey", dir, files = 8)
+    val keys = base.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val span = (kHi - kLo) / 12 + 1
+    def wave(i: Int) = base.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + i * span, kLo + (i + 1) * span - 1))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val waves = (0 until 3).map(wave)
+
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("l_orderkey")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        ManifestLog.deleteMor(df, "l_orderkey", dir); ()
+      }
+      .start()
+    try waves.foreach { w => mem.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    // each wave is one metadata-only version; no data file ever rewrote
+    assert(ManifestLog.versions(spark, dir) == (1 to 4))
+    val filesNow = ManifestLog.snapshot(spark, dir).collect().map(_.getString(0)).toSet
+    assert(filesNow == ManifestLog.snapshot(spark, dir, 1).collect()
+      .map(_.getString(0)).toSet, "streamed MOR delete rewrote data files")
+    // content equals the COW-erasure reference
+    val refDir = java.nio.file.Files.createTempDirectory("graft-mor-ref").toString
+    ManifestLog.write(base, "l_orderkey", refDir, files = 8)
+    waves.foreach(w => ManifestLog.delete(
+      w.toDF("l_orderkey"), "l_orderkey", refDir, files = 2))
+    def content(p: String): Seq[String] =
+      ManifestLog.read(spark, p).collect().map(_.toString).sorted.toSeq
+    assert(content(dir) == content(refDir))
+    // an at-least-once REPLAY of the last wave (mid-batch crash's
+    // worst case) deletes 0 rows and publishes no version
+    val vBefore = ManifestLog.versions(spark, dir)
+    assert(ManifestLog.deleteMor(
+      waves(2).toDF("l_orderkey"), "l_orderkey", dir) == ((0, 0L)))
+    assert(ManifestLog.versions(spark, dir) == vBefore)
+    // the compliance window closes: compact applies the tombstones,
+    // vacuum destroys the bytes, content unchanged
+    val before = content(dir)
+    ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 2L * base.count())
+    assert(ManifestLog.vacuum(spark, dir, retain = 1, minAgeMs = 0L) > 0)
+    assert(content(dir) == before)
+    assert(ManifestLog.snapshot(spark, dir).collect().forall(_.getString(4) == null))
+  }
+
   test("DML cadence survives kill/restart from checkpoint; a replayed wave is content-idempotent") {
     import java.nio.file.{Files, StandardCopyOption}
     val base = li
