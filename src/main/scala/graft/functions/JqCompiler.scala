@@ -130,6 +130,10 @@ object JqCompiler {
   // jq `p |= f` (update-assign); compiled only as with_entries'
   // `.value |= tostring/tonumber` body
   case class UpdatePath(path: Path, body: Ast) extends Ast
+  // jq slice `.[from:to]` — non-negative literal bounds only
+  case class Slice(from: Int, to: Int) extends Ast
+  // jq `first(.[] | p)` / `last(.[] | p)` over the step vector
+  case class FirstLast(path: Path, isLast: Boolean) extends Ast
   /** jq `keys` (sorted=true) / `keys_unsorted`. */
   case class KeysFn(sorted: Boolean) extends Ast
 
@@ -516,6 +520,18 @@ object JqCompiler {
           .reduce((a, b) => Logic("and", a, b))
         PipeSeq(Seq(ToEntries, MapExpr(Select(cond)), FromEntries))
       }
+      else if (src.startsWith("first(", pos) || src.startsWith("last(", pos)) {
+        // jq first(g)/last(g): g's first/last output — compiled for
+        // g = `.[] | <path>` (the per-vector arrival-order form)
+        val isLast = src(pos) == 'l'
+        pos += (if (isLast) 5 else 6)
+        val body = parseInnerPipe(); eat(')')
+        body match {
+          case PipeSeq(Seq(IterateAll, p: Path)) => FirstLast(p, isLast)
+          case _ => throw new IllegalArgumentException(
+            "first/last body beyond `.[] | path`: subprocess tier")
+        }
+      }
       else if (tryEat("with_entries(")) {
         // jq with_entries(f) ≡ to_entries | map(f) | from_entries —
         // desugared at parse time so it rides the compiled entries
@@ -621,6 +637,18 @@ object JqCompiler {
           }
           else {
             val n = parseNumber().asInstanceOf[Lit].v.asInstanceOf[Double].toInt
+            ws()
+            if (peek == ':') {
+              // jq slice `p[from:to]` — TRAILING only (anything after
+              // the slice breaks the outer parse -> subprocess tier)
+              pos += 1; ws()
+              val m = parseNumber().asInstanceOf[Lit].v.asInstanceOf[Double].toInt
+              eat(']')
+              require(n >= 0 && m >= n, s"slice [$n:$m]: subprocess tier")
+              require(!iterate && !idx0, "slice after .[] or [0]: subprocess tier")
+              return if (segs.nonEmpty) PipeSeq(Seq(Path(segs.toSeq), Slice(n, m)))
+                     else Slice(n, m)
+            }
             eat(']')
             if (first && n == 0 && segs.isEmpty) idx0 = true
             else segs += Right(n)
@@ -1075,6 +1103,21 @@ object JqCompiler {
     case Lit(null)        => Some(lit(null))
     case PipeSeq(Seq(p: Path, ToNumber)) => toNumberOf(p)
     case PipeSeq(Seq(p: Path, ToString)) => toStringOf(p)
+    // jq string slice `p[from:to]`: CODEPOINT-indexed, exactly SQL
+    // substring's unit (both clamp out-of-range). Non-string values
+    // raise with the subprocess pointer — jq's array slice in a
+    // scalar position isn't kind-provable here.
+    case PipeSeq(Seq(p: Path, Slice(a, b))) => p.segs match {
+      case Seq(Left("n")) => // statically a string column
+        Some(substring(col("n"), a + 1, b - a))
+      case _ => eventValue(p).map { v =>
+        val t = schema_of_variant(v)
+        when(t === lit("STRING"), substring(v.cast("string"), a + 1, b - a))
+          .otherwise(raise_error(concat(
+            lit("jq compiled tier: slice on a "), coalesce(t, lit("null")),
+            lit(" value (only string slices compile as scalars); run this step via the subprocess tier"))))
+      }
+    }
     case si: StrInterp    => interpString(si)
     case PipeSeq((p: Path) +: fns) if fns.nonEmpty && fns.forall(isChainFn) =>
       chainValue(p, fns)
@@ -1099,6 +1142,7 @@ object JqCompiler {
   private def kindOf(a: Ast): Option[Char] = a match {
     case Lit(_: String) | _: StrInterp           => Some('s')
     case PipeSeq(Seq(_: Path, ToString))         => Some('s')
+    case PipeSeq(Seq(_: Path, Slice(_, _)))      => Some('s')
     case Lit(_: Double)                          => Some('n')
     case PipeSeq(Seq(_: Path, ToNumber))         => Some('n')
     case Arith(_, _, _)                          => Some('n')
@@ -1672,6 +1716,19 @@ object JqCompiler {
       case Seq(("d", sb @ PipeSeq(Seq(SortByKey(_), MapExpr(_: ObjCons))))) =>
         sortByAgg(sb).map(b =>
           CompiledPerVector(PerVector(nExpr.get, Seq("d" -> b))))
+      // `map(<path>) | .[from:to]` as the whole d payload: arrival-
+      // ordered values, sliced, rendered as JSON array text (raw-text
+      // position, like the group_by builders — nested in an object it
+      // would double-escape, so that shape stays on the subprocess
+      // tier). Spark's slice clamps out-of-range exactly like jq's.
+      case Seq(("d", PipeSeq(Seq(MapExpr(p: Path), Slice(a, b))))) =>
+        eventValue(p).map { c =>
+          val builder = (ord: Column) =>
+            to_json(slice(transform(
+              array_sort(collect_list(struct(ord.as("__o"), c.as("__v"))), arrivalCmp),
+              x => x.getField("__v")), a + 1, b - a))
+          CompiledPerVector(PerVector(nExpr.get, Seq("d" -> builder)))
+        }
       case flds =>
         val aggs = flds.map { case (k, v) => vectorAgg(v).map(k -> _) }
         if (aggs.exists(_.isEmpty)) None
@@ -1714,6 +1771,11 @@ object JqCompiler {
       }
     case First(p) =>
       eventValue(p).map(c => (ord: Column) => min_by(c, ord))
+    // jq first(.[] | p) / last(.[] | p): the first/last event's value
+    // in arrival order — one min_by/max_by, no collect of the vector
+    case FirstLast(p, isLast) =>
+      eventValue(p).map(c => (ord: Column) =>
+        if (isLast) max_by(c, ord) else min_by(c, ord))
     // `(min_by(<key>) | <path>)` / `(max_by(<key>) | <path>)` as an
     // object field: jq picks the FIRST minimal / LAST maximal element
     // (stable sort + .[0]/.[-1], verified vs jq 1.6), then the path
@@ -1876,6 +1938,14 @@ object JqCompiler {
     * stable by-key order. Explicit because the value fields may be
     * VARIANT, which default struct ordering cannot compare.
     */
+  /** Arrival-order comparator on the `__o` field alone — for entry
+    * structs carrying VARIANT values, which the default struct
+    * ordering cannot compare.
+    */
+  private val arrivalCmp: (Column, Column) => Column = (l, r) =>
+    when(l.getField("__o") < r.getField("__o"), -1)
+      .when(l.getField("__o") > r.getField("__o"), 1).otherwise(0)
+
   private val keyArrivalCmp: (Column, Column) => Column = (l, r) => {
     val lk = l.getField("__k")
     val rk = r.getField("__k")

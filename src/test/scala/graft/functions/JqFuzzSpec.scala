@@ -612,6 +612,63 @@ class JqFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("slice/first/last fuzz: compiled tier == jq on 250 random programs") {
+    import JqCompiler._
+    // round-16 widenings from the fallback inventory: array slice
+    // (map(p) | .[a:b] as the whole d payload), string slice
+    // (p[a:b] codepoint-indexed), first/last (.[] | p arrival order)
+    val vecSliceGen = for {
+      p <- Gen.oneOf(".d.k", ".d.m", ".d.s", ".n")
+      a <- Gen.choose(0, 4); w <- Gen.choose(0, 5)
+    } yield s"""{n: "agg", d: (map($p) | .[$a:${a + w}])}"""
+    val firstLastGen = for {
+      p1 <- Gen.oneOf(".d.k", ".d.s", ".d.o.x")
+      p2 <- Gen.oneOf(".d.m", ".n", ".d.k")
+    } yield s"""{n: "agg", d: {f: first(.[] | $p1), l: last(.[] | $p2), c: length}}"""
+    val strSliceGen = for {
+      a <- Gen.choose(0, 3); w <- Gen.choose(0, 6)
+    } yield s""".[] | {n: .n, d: {a: .d.s[$a:${a + w}], b: (.n[0:2])}}"""
+    val vecGen: Gen[(String, List[(String, String)])] = Gen.frequency(
+      2 -> Gen.zip(vecSliceGen, vectorGen),
+      2 -> Gen.zip(firstLastGen, vectorGen))
+    samples(vecGen, 150).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val payload = pv.keys match {
+        case Seq("d") => col("d").cast("string")
+        case keys     => to_json(struct(keys.map(col): _*))
+      }
+      val row = agged.select(pv.outName.as("n"), payload.as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1, s"jq emitted ${jqs.size} rows for '$expr'")
+      assert(approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs ${jqs.head}")
+    }
+    samples(Gen.zip(strSliceGen, vectorGen), 100).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+    // loud guard: a slice on a non-string scalar raises, never silently
+    val Some(CompiledPerEvent(pg)) = tryCompile(
+      """.[] | {n: .n, d: {a: .d.k[0:2]}}"""): @unchecked
+    val dfg = eventsDf(Seq(("a.b", """{"k":7}""")))
+    val ex = intercept[Exception] { dfg.select(pg.outPayloadJson).collect() }
+    assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
+  }
+
   test("any/all fuzz: compiled boolean folds == jq on 200 random programs") {
     // round-16 widening from the fallback inventory: `map(<cond>) |
     // any` / `| all` as vector aggregates (bool_or/bool_and with the
