@@ -73,6 +73,34 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion — the production
+    // RAG shape: a lexical arm (the BM25 top-50 under the fixed query
+    // terms, reused from text_bm25_topk) and a vector arm (the exact
+    // cosine top-50 for query vec 0) fused by RRF(k=60) on RANKS
+    // alone. Rank-only fusion is what makes the shape scale-honest:
+    // either arm swaps for its ANN/index variant (ivfProbe, the
+    // binary-code path, a pruned BM25) without touching the fusion,
+    // because no score crosses the arm boundary. Both arms and the
+    // fusion are exactly mirrored in the DuckDB oracle (integer
+    // ranks, identical IEEE 1/(60+r) sums) — hash-exact.
+    "retrieval_hybrid_rrf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextQueries.queries("text_bm25_topk")(s, d)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "r_lex")
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), 50)
+        .select(col("nid").as("doc_id"), col("rnk").as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select("doc_id", "r_lex", "r_vec", "rrf")
+    },
+
     // Binary sign-quantization ANN: 1 bit per dimension packed into
     // ONE long, Hamming prefilter over codes only (xor + bit_count —
     // a 32×-compressed corpus scan), exact cosine rerank of the top-C
@@ -565,6 +593,33 @@ object AnnQueries {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    // Hybrid RRF: the bm25 oracle rides in as a nested-CTE subquery;
+    // the vector arm mirrors emb_cosine_topk's termwise cosine; ranks
+    // cast to INT to match Spark's row_number type.
+    "retrieval_hybrid_rrf" ->
+      s"""WITH lex AS (${graft.operators.TextQueries.oracleSql("text_bm25_topk")}),
+         |lexr AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
+         |  FROM lex),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id AS doc_id,
+         |    (${dotSql("qvec", "nvec")}) /
+         |      (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("nvec", "nvec")})) AS cos
+         |  FROM (SELECT vec_id, embedding AS nvec FROM embeddings), q
+         |  WHERE vec_id <> 0),
+         |vecr AS (
+         |  SELECT doc_id, r_vec FROM (
+         |    SELECT doc_id,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_vec
+         |    FROM scored)
+         |  WHERE r_vec <= 50)
+         |SELECT doc_id, r_lex, r_vec,
+         |  COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_vec), 0.0) AS rrf
+         |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "emb_drift" ->
       """WITH ex AS (
