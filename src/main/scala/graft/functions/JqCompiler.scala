@@ -132,6 +132,9 @@ object JqCompiler {
   case class UpdatePath(path: Path, body: Ast) extends Ast
   // jq slice `.[from:to]` — non-negative literal bounds only
   case class Slice(from: Int, to: Int) extends Ast
+  case object FormatCsv extends Ast    // jq `@csv` over a mapped vector
+  case object FormatBase64 extends Ast // jq `@base64` over a string value
+  case object ToJson extends Ast       // jq `tojson` — scalar values only
   // jq `first(.[] | p)` / `last(.[] | p)` over the step vector
   case class FirstLast(path: Path, isLast: Boolean) extends Ast
   /** jq `keys` (sorted=true) / `keys_unsorted`. */
@@ -578,6 +581,9 @@ object JqCompiler {
       }
       else if (tryEat("tostring")) ToString
       else if (tryEat("tonumber")) ToNumber
+      else if (tryEat("tojson")) ToJson
+      else if (tryEat("@csv")) FormatCsv
+      else if (tryEat("@base64")) FormatBase64
       else if (tryEat("empty")) Empty
       else if (tryEat("fmod(")) {
         val a = parseInnerPipe(); eat(';'); val b = parseInnerPipe(); eat(')')
@@ -968,6 +974,46 @@ object JqCompiler {
         .cast(org.apache.spark.sql.types.VariantType))
   }
 
+  /** jq's implicit `@text` conversion (tostring semantics) for a
+    * variant scalar, as a plain STRING column: strings/booleans pass,
+    * numbers render through the exact envelope, null is "null",
+    * objects/arrays raise (variant rendering would reorder keys).
+    */
+  private def jqToText(v: Column): Column = {
+    val t = schema_of_variant(v)
+    when(t === lit("VOID"), lit("null"))
+      .when(t === lit("STRING") || t === lit("BOOLEAN"), v.cast("string"))
+      .when(t.isin(variantNumKinds: _*) || t.startsWith("DECIMAL"),
+        jqNumText(v.cast("string").cast("double")))
+      .otherwise(raise_error(concat(
+        lit("jq compiled tier: string conversion of a "), t,
+        lit(" value (variant rendering would reorder keys); run this step via the subprocess tier"))))
+  }
+
+  /** JSON-quote a string column with full escaping — to_json's own
+    * escaper via the struct-strip idiom.
+    */
+  private def jsonQuoteCol(s: Column): Column = {
+    val j = to_json(struct(s.as("v")))
+    j.substr(lit(6), length(j) - 6)
+  }
+
+  /** One jq `@csv` cell: strings CSV-quote (embedded quotes double),
+    * numbers render bare through the exact envelope, null is the
+    * empty cell; booleans/objects raise exactly where jq raises.
+    */
+  private def csvCell(v: Column): Column = {
+    val t = schema_of_variant(v)
+    when(v.isNull || t === lit("VOID"), lit(""))
+      .when(t === lit("STRING"),
+        concat(lit("\""), regexp_replace(v.cast("string"), "\"", "\"\""), lit("\"")))
+      .when(t.isin(variantNumKinds: _*) || t.startsWith("DECIMAL"),
+        jqNumText(v.cast("string").cast("double")))
+      .otherwise(raise_error(concat(
+        lit("jq compiled tier: @csv saw a "), t,
+        lit(" cell (jq raises on booleans/objects in csv rows); run this step via the subprocess tier"))))
+  }
+
   /** with_entries `.value |= tonumber`: numbers pass VERBATIM (an
     * integer stays an integer), numeric strings re-parse through the
     * jq rendering envelope, anything else raises like jq does.
@@ -1107,6 +1153,38 @@ object JqCompiler {
     // substring's unit (both clamp out-of-range). Non-string values
     // raise with the subprocess pointer — jq's array slice in a
     // scalar position isn't kind-provable here.
+    // jq `@base64`: implicit @text conversion, then RFC 4648 base64
+    // of the UTF-8 bytes — identical alphabet/padding to Spark's
+    case PipeSeq(Seq(p: Path, FormatBase64)) => p.segs match {
+      case Seq(Left("n")) => Some(base64(col("n").cast("binary")))
+      // whole-`.d` is REFUSED at compile time, not gated at runtime:
+      // the payload is an object in essentially every real pipeline,
+      // so compiling it would turn a working subprocess fallback into
+      // a guaranteed runtime raise. Subpaths are typically scalars —
+      // they compile with the runtime kind gate.
+      case Seq(Left("d")) => None
+      case _ => eventValue(p).map(v => base64(jqToText(v).cast("binary")))
+    }
+    // jq `tojson` for SCALAR values: strings JSON-quote with full
+    // escaping, numbers render through the exact envelope, booleans
+    // and null print their literals; objects/arrays stay on the
+    // subprocess tier (jq re-renders them in document order, which
+    // the variant encoding normalizes away)
+    case PipeSeq(Seq(p: Path, ToJson)) => p.segs match {
+      case Seq(Left("n")) => Some(jsonQuoteCol(col("n")))
+      case Seq(Left("d")) => None // see FormatBase64: object-certain, stay subprocess
+      case _ => eventValue(p).map { v =>
+        val t = schema_of_variant(v)
+        when(t === lit("VOID"), lit("null"))
+          .when(t === lit("STRING"), jsonQuoteCol(v.cast("string")))
+          .when(t === lit("BOOLEAN"), v.cast("string"))
+          .when(t.isin(variantNumKinds: _*) || t.startsWith("DECIMAL"),
+            jqNumText(v.cast("string").cast("double")))
+          .otherwise(raise_error(concat(
+            lit("jq compiled tier: tojson of a "), t,
+            lit(" value (variant rendering would reorder keys); run this step via the subprocess tier"))))
+      }
+    }
     case PipeSeq(Seq(p: Path, Slice(a, b))) => p.segs match {
       case Seq(Left("n")) => // statically a string column
         Some(substring(col("n"), a + 1, b - a))
@@ -1143,6 +1221,8 @@ object JqCompiler {
     case Lit(_: String) | _: StrInterp           => Some('s')
     case PipeSeq(Seq(_: Path, ToString))         => Some('s')
     case PipeSeq(Seq(_: Path, Slice(_, _)))      => Some('s')
+    case PipeSeq(Seq(_: Path, FormatBase64))     => Some('s')
+    case PipeSeq(Seq(_: Path, ToJson))           => Some('s')
     case Lit(_: Double)                          => Some('n')
     case PipeSeq(Seq(_: Path, ToNumber))         => Some('n')
     case Arith(_, _, _)                          => Some('n')
@@ -1727,6 +1807,24 @@ object JqCompiler {
             to_json(slice(transform(
               array_sort(collect_list(struct(ord.as("__o"), c.as("__v"))), arrivalCmp),
               x => x.getField("__v")), a + 1, b - a))
+          CompiledPerVector(PerVector(nExpr.get, Seq("d" -> builder)))
+        }
+      // `map(<path>) | @csv` as the whole d payload: one CSV line of
+      // the arrival-ordered cells, emitted as a JSON STRING (the
+      // struct-strip quoting, full escaping)
+      case Seq(("d", PipeSeq(Seq(MapExpr(p: Path), FormatCsv)))) =>
+        eventValue(p).map { c =>
+          val isN = p.segs == Seq(Left("n"))
+          val builder = (ord: Column) => {
+            val items = transform(array_sort(
+              collect_list(struct(ord.as("__o"), c.as("__v"))), arrivalCmp),
+              x => x.getField("__v"))
+            val line = array_join(transform(items,
+              v => if (isN) concat(lit("\""),
+                regexp_replace(v.cast("string"), "\"", "\"\""), lit("\""))
+              else csvCell(v)), ",")
+            jsonQuoteCol(line)
+          }
           CompiledPerVector(PerVector(nExpr.get, Seq("d" -> builder)))
         }
       case flds =>

@@ -669,6 +669,65 @@ class JqFuzzSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
   }
 
+  test("csv/base64/tojson fuzz: compiled tier == jq on 200 random programs") {
+    import JqCompiler._
+    // round-16 widenings: map(p) | @csv (vector), p | @base64 and
+    // p | tojson (scalar @text/tojson envelopes)
+    val csvGen = for {
+      p <- Gen.oneOf(".d.k", ".d.m", ".d.s", ".d.ms", ".n")
+    } yield s"""{n: "agg", d: (map($p) | @csv)}"""
+    val scalGen = for {
+      p1 <- Gen.oneOf(".d.k", ".d.m", ".d.s", ".d.fl", ".n")
+      p2 <- Gen.oneOf(".d.k", ".d.ns", ".d.s", ".d.fl")
+    } yield s""".[] | {n: .n, d: {b: ($p1 | @base64), j: ($p2 | tojson)}}"""
+    samples(Gen.zip(csvGen, vectorGen), 100).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerVector(pv)) = compiled: @unchecked
+      val df = eventsDf(events).withColumn("__ord", monotonically_increasing_id())
+      val aggCols = pv.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+      val agged = df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val row = agged.select(pv.outName.as("n"), col("d").cast("string").as("d")).head()
+      val mine = Map("n" -> row.getString(0), "d" -> canonLine(row.getString(1)))
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(jqs.size == 1 && approxEq(mine, jqs.head),
+        s"DIVERGENCE on '$expr' with ${inputJson(events)}: $mine vs $jqs")
+    }
+    samples(Gen.zip(scalGen, vectorGen), 100).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = pe.filter.fold(df)(df.filter)
+        .select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+    // loud guards: tojson/@csv on shapes jq renders but the variant
+    // would reorder (objects) raise instead of diverging silently
+    val Some(CompiledPerEvent(pg)) = tryCompile(
+      """.[] | {n: .n, d: {j: (.d.o | tojson)}}"""): @unchecked
+    val dfg = eventsDf(Seq(("a.b", """{"o":{"x":1}}""")))
+    val ex = intercept[Exception] { dfg.select(pg.outPayloadJson).collect() }
+    assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
+    // whole-`.d` tojson/@base64 REFUSE to compile (object-certain
+    // payloads: compiling would turn a working subprocess fallback
+    // into a guaranteed runtime raise)
+    assert(tryCompile(""".[] | {n: .n, d: {j: (.d | tojson)}}""").isEmpty)
+    assert(tryCompile(""".[] | {n: .n, d: {b: (.d | @base64)}}""").isEmpty)
+    val Some(CompiledPerVector(pvg)) = tryCompile(
+      """{n: "agg", d: (map(.d.fl) | @csv)}"""): @unchecked
+    val dfb = eventsDf(Seq(("a.b", """{"fl":true}""")))
+      .withColumn("__ord", monotonically_increasing_id())
+    val ag = pvg.aggs(col("__ord")).map { case (k, c) => c.as(k) }
+    val ex2 = intercept[Exception] {
+      dfb.groupBy().agg(ag.head, ag.tail: _*).collect()
+    }
+    assert(ex2.getMessage.contains("subprocess tier"), ex2.getMessage)
+  }
+
   test("any/all fuzz: compiled boolean folds == jq on 200 random programs") {
     // round-16 widening from the fallback inventory: `map(<cond>) |
     // any` / `| all` as vector aggregates (bool_or/bool_and with the
