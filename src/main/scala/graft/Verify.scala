@@ -173,6 +173,31 @@ object Verify {
       val bqRecall = if (bruteQ.isEmpty) 1.0
         else bruteQ.intersect(bq).size.toDouble / bruteQ.size
 
+      // emb_ann_binary_incremental: (1) EXACT probe equality — a code
+      // table built as corpus-assign + batch-append must probe
+      // identically to a one-shot assignment of the union under the
+      // same anchors (SignPack is deterministic given anchors);
+      // (2) recall floor vs brute force restricted to the batch's
+      // queries.
+      val (incBqEq, incBqRecall) = {
+        import org.apache.spark.sql.DataFrame
+        val corpus = emb.filter(col("vec_id") % 10 >= 3)
+        val batch = emb.filter(col("vec_id") % 10 < 3)
+        val anchors = graft.ann.Similarity.binaryAnchors(corpus,
+          graft.operators.AnnQueries.Dim)
+        val incIdx = graft.ann.Similarity.binaryAssign(corpus, anchors)
+          .unionAll(graft.ann.Similarity.binaryAssign(batch, anchors))
+        val oneIdx = graft.ann.Similarity.binaryAssign(emb, anchors)
+        val probeQ = batch.filter(col("vec_id") < nQ * 4) // the query's fixed subset
+        def probe(idx: DataFrame): Set[(Long, Long)] =
+          graft.ann.Similarity.binaryProbe(idx, emb, probeQ, anchors, 5, numRows = nEmb)
+            .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val inc = probe(incIdx)
+        val bqSub = brute.filter(p => p._1 % 10 < 3 && p._1 < nQ * 4)
+        val rec = if (bqSub.isEmpty) 1.0 else bqSub.intersect(inc).size.toDouble / bqSub.size
+        (inc == probe(oneIdx), rec)
+      }
+
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx"),
@@ -409,6 +434,9 @@ object Verify {
          | "pass": ${filtIvfEq && filtIvfRecall >= recallFloor}},
          | "emb_ann_binary": {"metric": "recall_vs_brute_force_top5", "value": $bqRecall,
          | "floor": $recallFloor, "pass": ${bqRecall >= recallFloor}},
+         | "emb_ann_binary_incremental": {"metric": "append_probe_equals_one_shot_and_recall",
+         | "equal": $incBqEq, "recall": $incBqRecall, "floor": $recallFloor,
+         | "pass": ${incBqEq && incBqRecall >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,

@@ -149,6 +149,49 @@ object Similarity {
     require(dim <= 64, s"binaryTopK packs into one long: dim <= 64, got $dim")
     val b = vectors.select(col(idCol), col(vecCol))
     val n = if (numRows >= 0) numRows else b.count()
+    val anchors = binaryAnchors(vectors, dim, idCol, vecCol)
+    binaryProbe(binaryAssign(vectors, anchors, idCol, vecCol),
+      vectors, vectors.filter(col(idCol) < nQueries), anchors, k,
+      cand, salts, idCol, vecCol, n, broadcastMaxRows)
+  }
+
+  /** The trained sign anchors for a corpus (memoized like
+    * centroids/codebooks — an INDEX artifact, deterministic).
+    */
+  def binaryAnchors(vectors: DataFrame, dim: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Seq[Double] = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    memoTrain(b, s"bq-anchors-$dim")(trainAnchors(b, dim, idCol, vecCol))
+  }
+
+  /** Sign-code assignment under FIXED anchors — the binary index's
+    * unit of append: once the anchors are trained, admitting a new
+    * batch to the persisted code table is ONE codegen'd SignPack pass
+    * (deterministic, embarrassingly parallel), never a retrain and
+    * never a corpus re-scan — the same append discipline as
+    * [[ivfAssign]] and the dedup indexes.
+    */
+  def binaryAssign(vectors: DataFrame, anchors: Seq[Double],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("nid"),
+      graft.functions.VectorExpressions.signPack(col(vecCol), anchors).as("code"))
+
+  /** Probe a persisted code table: Hamming prefilter over CODES only
+    * (query codes broadcast; xor + bit_count per pair — the
+    * 32×-compressed scan), exact salted two-level top-C, exact cosine
+    * rerank. Codes are pure functions of (vector, anchors), so an
+    * incrementally-appended table probes IDENTICALLY to a one-shot
+    * assignment of the union under the same anchors.
+    */
+  def binaryProbe(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
+                  anchors: Seq[Double], k: Int,
+                  cand: Int = 0, salts: Int = 32,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
     // Shortlist depth: 64-bit codes are COARSE (the fixture's dim is
     // 64, so one plane per dimension), so holding recall needs the
     // shortlist to track corpus size — n/8 measured recall@5
@@ -158,13 +201,9 @@ object Similarity {
     // the fixed 4–8×k regime binary rerank is deployed with.
     val effCand = if (cand > 0) cand
       else math.max(128L, math.min(4096L, n / 8)).toInt
-    val anchors = memoTrain(b, s"bq-anchors-$dim")(trainAnchors(b, dim, idCol, vecCol))
-    val coded = b.select(col(idCol),
-      graft.functions.VectorExpressions.signPack(col(vecCol), anchors).as("code"))
-    val qC = coded.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("qid"), col("code").as("qcode"))
-    val pairs = coded.select(col(idCol).as("nid"), col("code"))
-      .join(broadcast(qC), col("qid") =!= col("nid"))
+    val qC = queries.select(col(idCol).as("qid"),
+      graft.functions.VectorExpressions.signPack(col(vecCol), anchors).as("qcode"))
+    val pairs = codes.join(broadcast(qC), col("qid") =!= col("nid"))
       .withColumn("ham", bit_count(col("code").bitwiseXOR(col("qcode"))))
       .select("qid", "nid", "ham")
     // exact top-C per query in two levels: per-salt top-C (salts ×

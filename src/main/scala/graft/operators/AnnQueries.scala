@@ -218,6 +218,31 @@ object AnnQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Incremental binary-code index: the corpus (vec_id%10 >= 3)
+    // trains the sign anchors and builds the code table; the new
+    // batch (vec_id%10 < 3) is admitted ASSIGN-ONLY (one codegen'd
+    // SignPack pass — no retrain, no corpus re-scan), then probes the
+    // merged table for its top-k. Rows-only; Verify pins (1) EXACT
+    // probe equality of the appended table vs a one-shot assignment
+    // under the same anchors and (2) recall vs brute force on the
+    // union.
+    "emb_ann_binary_incremental" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 >= 3)
+      val batch = emb.filter(col("vec_id") % 10 < 3)
+      val anchors = Similarity.binaryAnchors(corpus, Dim)
+      val idx = Similarity.binaryAssign(corpus, anchors)
+        .unionAll(Similarity.binaryAssign(batch, anchors))
+      // probe a FIXED query subset of the admitted batch: the append
+      // differential is about the TABLE (assign-only admission), not
+      // the query count — a batch-as-queries probe would grow the
+      // query set with the corpus and go quadratic at scale
+      Similarity.binaryProbe(idx, emb,
+          batch.filter(col("vec_id") < NQueries * 4), anchors, TopK,
+          numRows = Tables.cachedCount(s, d, "embeddings"))
+        .orderBy("qid", "rnk")
+    },
+
     // Metadata-FILTERED IVF probe — the approximate tier of the RAG
     // retrieval shape emb_ann_filtered runs exactly ("top-k neighbors
     // WHERE label ∈ allowed" over an index too big to brute-force).

@@ -67,6 +67,26 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.binaryTopK(emb, 5, 64, 10, salts = 32).collect().toSeq)
   }
 
+  test("binary index append: corpus-assign + batch-append probes identically to one-shot; probe path == binaryTopK") {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 10 >= 3)
+    val batch = emb.filter(col("vec_id") % 10 < 3)
+    val anchors = Similarity.binaryAnchors(corpus, 64)
+    val inc = Similarity.binaryAssign(corpus, anchors)
+      .unionAll(Similarity.binaryAssign(batch, anchors))
+    val one = Similarity.binaryAssign(emb, anchors)
+    val pInc = Similarity.binaryProbe(inc, emb, batch, anchors, 5).collect().toSeq
+    val pOne = Similarity.binaryProbe(one, emb, batch, anchors, 5).collect().toSeq
+    assert(pInc == pOne, "appended code table diverged from one-shot assignment")
+    assert(pInc.nonEmpty)
+    // the assign+probe split composes back to exactly binaryTopK
+    val full = Similarity.binaryAnchors(emb, 64)
+    val viaProbe = Similarity.binaryProbe(
+      Similarity.binaryAssign(emb, full), emb,
+      emb.filter(col("vec_id") < 10), full, 5).collect().toSeq
+    assert(viaProbe == Similarity.binaryTopK(emb, 5, 64, 10).collect().toSeq)
+  }
+
   test("SignPack: bit i set iff component clears its anchor; Hamming via xor + bit_count") {
     import spark.implicits._
     val df = Seq(
