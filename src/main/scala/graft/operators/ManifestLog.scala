@@ -193,6 +193,113 @@ object ManifestLog {
     finally out.close()
   }
 
+  private def readMetaLines(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.linesIterator.toSeq
+    finally in.close()
+  }
+
+  private def writeMetaLines(spark: SparkSession, path: String,
+                             lines: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(path)), true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----
+
+  /** The table's CHECK constraints, (name, sql-predicate) in
+    * registration order.
+    */
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] =
+    readMetaLines(spark, path).collect {
+      case l if l.startsWith("constraint.") =>
+        val body = l.stripPrefix("constraint.")
+        val i = body.indexOf('=')
+        (body.take(i), body.drop(i + 1))
+    }
+
+  /** Register a CHECK constraint: every future append/merge batch
+    * must satisfy `check` (standard CHECK semantics — a row violates
+    * only when the predicate is FALSE; NULL passes, so NOT NULL is
+    * spelled `col IS NOT NULL`). The EXISTING head is validated
+    * first — like Delta, the ADD fails if current data violates.
+    * Enforcement validates the WRITTEN batch files before the commit
+    * publishes (one aggregate pass over the fresh files), so a
+    * violating write leaves neither a new version nor orphan files.
+    * Metadata op — run from the admin path, not concurrently with
+    * another constraint change.
+    */
+  def addConstraint(spark: SparkSession, path: String,
+                    name: String, check: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"constraint name '$name': [A-Za-z0-9_]+ only")
+    require(!check.contains("\n") && !check.contains("\r"),
+      "constraint predicate must be one line")
+    require(currentVersion(spark, path) > 0, s"addConstraint before write at $path")
+    import org.apache.spark.sql.functions.{expr, not}
+    val bad = read(spark, path).filter(not(expr(check))).count()
+    require(bad == 0,
+      s"cannot add constraint '$name': $bad existing rows violate CHECK ($check)")
+    val kept = readMetaLines(spark, path)
+      .filterNot(_.startsWith(s"constraint.$name="))
+    writeMetaLines(spark, path, kept :+ s"constraint.$name=$check")
+  }
+
+  /** Remove a CHECK constraint (future writes stop validating it). */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Unit =
+    writeMetaLines(spark, path,
+      readMetaLines(spark, path).filterNot(_.startsWith(s"constraint.$name=")))
+
+  /** Validate freshly-written batch files against the table's
+    * constraints in ONE aggregate pass; throws naming the first
+    * violated constraint. Callers delete the batch dir on failure —
+    * validating the files as WRITTEN (not the input plan) means a
+    * non-deterministic upstream can't pass the check and then write
+    * different rows.
+    */
+  private def enforceConstraints(spark: SparkSession, path: String,
+                                 files: Seq[String]): Unit = {
+    val cs = constraints(spark, path)
+    if (cs.isEmpty || files.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, lit, not, sum, when}
+    val aggs = cs.map { case (n, s) =>
+      sum(when(not(expr(s)), 1L).otherwise(0L)).as(n) }
+    val row = readAligned(spark, files).agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, s), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw new IllegalArgumentException(
+          s"constraint '$n' violated by ${row.getLong(i)} batch rows: CHECK ($s)")
+    }
+  }
+
+  // ---- timestamp time travel (Delta's AS OF TIMESTAMP) ----
+
+  /** The latest version whose COMMIT INSTANT (the pointer file's
+    * modification time — the atomic publish moment) is ≤ `tsMillis`.
+    * Vacuumed-away history throws rather than silently serving a
+    * later snapshot.
+    */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val f = fs(spark, path)
+    val ok = versions(spark, path).filter { v =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v)))
+        .getModificationTime <= tsMillis
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    require(ok.nonEmpty,
+      s"no snapshot at or before timestamp $tsMillis under $path (earlier history may be vacuumed)")
+    ok.max
+  }
+
+  /** The table AS OF a wall-clock instant, deletion vectors applied. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, versionAsOf(spark, path, tsMillis))
+
   private def checkStatsCol(spark: SparkSession, path: String, statsCol: String): Unit = {
     val f = fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(metaPath(path))
@@ -415,6 +522,12 @@ object ManifestLog {
       .sortWithinPartitions(statsCol)
       .write.parquet(batchDir)
     val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+    // a constraint-violating batch leaves neither a version nor orphans
+    try enforceConstraints(spark, path, fresh)
+    catch { case e: Throwable =>
+      fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+      throw e
+    }
     val st = statsOf(spark, fresh, statsCol)
     val freshRows = st.collect().toSeq
     var committed = false
@@ -557,6 +670,13 @@ object ManifestLog {
         .sortWithinPartitions(statsCol)
         .write.parquet(batchDir)
       val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+      // the rewrite carries pre-validated rows; a violation can only
+      // come from the updates — reject before anything publishes
+      try enforceConstraints(spark, path, fresh)
+      catch { case e: Throwable =>
+        fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+        throw e
+      }
       val st = statsOf(spark, fresh, statsCol)
       val freshRows = st.collect().toSeq
       // update-key bounds for the concurrent-append overlap re-check

@@ -881,6 +881,79 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(vs == (1 to vs.max), s"versions not linear: $vs")
   }
 
+  test("CHECK constraints: adds validate existing data, violating writes publish nothing (no version, no orphans), drop re-opens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-ck").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 4)
+    val total = li.count()
+    // adding a constraint the head violates is refused
+    val exAdd = intercept[IllegalArgumentException] {
+      ManifestLog.addConstraint(spark, dir, "qty_huge", "l_quantity > 1000.0")
+    }
+    assert(exAdd.getMessage.contains("existing rows violate"), exAdd.getMessage)
+    ManifestLog.addConstraint(spark, dir, "qty_pos", "l_quantity > 0.0")
+    ManifestLog.addConstraint(spark, dir, "key_nn", "l_orderkey IS NOT NULL")
+    assert(ManifestLog.constraints(spark, dir).map(_._1) == Seq("qty_pos", "key_nn"))
+    // a violating append: exception names the constraint, NO new
+    // version, NO orphan batch files on disk
+    val vBefore = ManifestLog.versions(spark, dir)
+    val filesBefore = ManifestLog.snapshot(spark, dir).count()
+    val bad = li.limit(20).withColumn("l_quantity", lit(-1.0))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestLog.append(bad, "l_orderkey", dir, files = 1)
+    }
+    assert(ex.getMessage.contains("qty_pos") && ex.getMessage.contains("CHECK"), ex.getMessage)
+    assert(ManifestLog.versions(spark, dir) == vBefore)
+    assert(ManifestLog.read(spark, dir).count() == total)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanDirs = fsys.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b-"))
+      .filter(s => fsys.listStatus(s.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+    assert(orphanDirs.isEmpty, s"violating append left data files: $orphanDirs")
+    // a valid append passes; a violating MERGE is rejected the same way
+    ManifestLog.append(li.limit(30), "l_orderkey", dir, files = 1)
+    assert(ManifestLog.read(spark, dir).count() == total + 30)
+    val exM = intercept[IllegalArgumentException] {
+      ManifestLog.merge(bad, "l_orderkey", dir)
+    }
+    assert(exM.getMessage.contains("qty_pos"), exM.getMessage)
+    assert(ManifestLog.read(spark, dir).count() == total + 30)
+    // dropped constraint stops gating
+    ManifestLog.dropConstraint(spark, dir, "qty_pos")
+    ManifestLog.append(bad, "l_orderkey", dir, files = 1)
+    assert(ManifestLog.read(spark, dir).filter(col("l_quantity") < 0).count() == 20)
+  }
+
+  test("AS OF timestamp: commit instants map to versions; pre-history throws; DVs apply") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-asof").toString
+    val t0 = System.currentTimeMillis() - 5
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1) // v1
+    Thread.sleep(1200)
+    val t1 = System.currentTimeMillis() - 5
+    ManifestLog.append(li.limit(150), "l_orderkey", dir, files = 1) // v2
+    Thread.sleep(1200)
+    val t2 = System.currentTimeMillis() - 5
+    ManifestLog.append(li.limit(60), "l_orderkey", dir, files = 1) // v3
+    assert(ManifestLog.versionAsOf(spark, dir, t1) == 1)
+    assert(ManifestLog.versionAsOf(spark, dir, t2) == 2)
+    assert(ManifestLog.versionAsOf(spark, dir, System.currentTimeMillis() + 1000) == 3)
+    assert(ManifestLog.readAsOf(spark, dir, t1).count() == 100)
+    assert(ManifestLog.readAsOf(spark, dir, t2).count() == 250)
+    intercept[IllegalArgumentException] {
+      ManifestLog.versionAsOf(spark, dir, t0)
+    }
+    // a MOR delete's commit instant time-travels like any other: the
+    // as-of read right before it still sees the dead rows
+    Thread.sleep(1200)
+    val t3 = System.currentTimeMillis() - 5
+    val keys = ManifestLog.read(spark, dir).select("l_orderkey").distinct().limit(5)
+    val (_, deleted) = ManifestLog.deleteMor(keys, "l_orderkey", dir) // v4
+    assert(deleted > 0)
+    assert(ManifestLog.readAsOf(spark, dir, t3).count() == 310)
+    assert(ManifestLog.readAsOf(spark, dir, System.currentTimeMillis() + 1000)
+      .count() == 310 - deleted)
+  }
+
   test("a crashed commit's empty pointer is repaired: reads recover, the version slot is reused by the next append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-crash").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
