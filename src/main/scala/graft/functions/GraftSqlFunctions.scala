@@ -20,6 +20,28 @@ object GraftSqlFunctions {
       s"$fn: argument must be an INT literal, got $other")
   }
 
+  private def doubleArrayLit(e: Expression, fn: String): Array[Double] = {
+    import org.apache.spark.sql.types._
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: anchors must be a foldable array literal, got $e")
+    e.dataType match {
+      case ArrayType(et, _) =>
+        val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until ad.numElements()).map { i =>
+          et match {
+            case DoubleType  => ad.getDouble(i)
+            case FloatType   => ad.getFloat(i).toDouble
+            case IntegerType => ad.getInt(i).toDouble
+            case LongType    => ad.getLong(i).toDouble
+            case other => throw new IllegalArgumentException(
+              s"$fn: numeric anchors only, got array<$other>")
+          }
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"$fn: anchors must be an array literal, got $other")
+    }
+  }
+
   /** (name, usage, arity, raw builder) for every exposed function. */
   private val defs: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
     ("graft_nfc", "graft_nfc(str) - Unicode NFC normalization", 1,
@@ -44,7 +66,12 @@ object GraftSqlFunctions {
       es => Int8Quantize(es.head)),
     ("graft_sorted_intersect",
       "graft_sorted_intersect(arr, arr) - intersection size of two sorted arrays", 2,
-      es => SortedIntersectCount(es.head, es(1))))
+      es => SortedIntersectCount(es.head, es(1))),
+    // Hamming distance between two codes is already native SQL:
+    // bit_count(a ^ b) — no face needed, only the packer is custom
+    ("graft_signpack",
+      "graft_signpack(vec, anchors) - 1-bit sign quantization of a <=64-dim vector into one long (anchors: foldable numeric array)", 2,
+      es => SignPack(es.head, doubleArrayLit(es(1), "graft_signpack"))))
 
   /** The registration triples, shared by both paths. Builders validate
     * arity up front so a wrong-arg-count call reports the usage string

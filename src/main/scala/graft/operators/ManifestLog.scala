@@ -1014,6 +1014,78 @@ object ManifestLog {
     case _ => throw new IllegalArgumentException(s"incomparable manifest bounds: $a vs $b")
   }
 
+  // ---- table tailing (the Delta-streaming-source shape) ----
+
+  /** Follow a manifest table as an incremental consumer: deliver the
+    * rows APPENDED by each new version since the checkpointed cursor,
+    * one call to `f(batch, version)` per version, committing the
+    * cursor AFTER `f` returns — at-least-once across crashes (pair
+    * with an idempotent sink, e.g. a keyed [[merge]] or the dedup
+    * indexes' anti-join admission). A fresh checkpoint starts AFTER
+    * the current head (only future appends flow) unless
+    * `fromVersion` rewinds it (1 replays the whole table).
+    *
+    * Non-append commits (compact/merge/COW delete — a version that
+    * REMOVES files) are where every table-tailing design must choose:
+    * their fresh files carry mostly OLD rows, so emitting them
+    * re-delivers data. Strict mode (default) THROWS, naming the
+    * version — the Delta-source default for the same reason; with
+    * `skipRewrites = true` the version's files are skipped wholesale
+    * (rewritten data is never re-delivered; rows INSERTED by a merge
+    * are skipped with it — documented, like Delta's ignoreChanges).
+    * Pure-metadata versions (MOR delete, restore) add no files and
+    * deliver nothing.
+    *
+    * Returns the number of versions CONSUMED this call (delivered,
+    * skipped, or metadata-only). Single consumer per checkpoint path
+    * (the cursor file is plain read/write); history older than the
+    * vacuum retention throws when replayed, like any expired source.
+    */
+  def follow(spark: SparkSession, path: String, checkpoint: String,
+             skipRewrites: Boolean = false, fromVersion: Int = -1)
+            (f: (DataFrame, Int) => Unit): Int = {
+    val fsys = fs(spark, checkpoint)
+    val cur = new org.apache.hadoop.fs.Path(s"$checkpoint/cursor")
+    def readCursor(): Option[Int] =
+      if (!fsys.exists(cur)) None
+      else {
+        val in = fsys.open(cur)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    def writeCursor(v: Int): Unit = {
+      val out = fsys.create(cur, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val head = currentVersion(spark, path)
+    var last = readCursor().getOrElse {
+      val start = if (fromVersion >= 1) fromVersion - 1 else head
+      writeCursor(start); start
+    }
+    var delivered = 0
+    while (last < head) {
+      val v = last + 1
+      val prev: Set[String] =
+        if (v == 1) Set.empty
+        else snapshot(spark, path, v - 1).collect().map(_.getString(0)).toSet
+      val now = snapshot(spark, path, v).collect()
+      val nowFiles = now.map(_.getString(0)).toSet
+      val removed = prev -- nowFiles
+      val added = now.filter(r => !prev(r.getString(0)))
+      if (removed.nonEmpty && !skipRewrites)
+        throw new IllegalStateException(
+          s"follow($path) hit a non-append commit at v$v (${removed.size} files rewritten); " +
+            "restart from a fresh checkpoint or pass skipRewrites = true (rewritten data will not re-deliver)")
+      if (added.nonEmpty && removed.isEmpty)
+        f(readWithDv(spark, added.map(r => (r.getString(0), r.getString(4))).toSeq), v)
+      delivered += 1
+      writeCursor(v)
+      last = v
+    }
+    delivered
+  }
+
   /** Default vacuum retention window (7 days — Delta's
     * `deletedFileRetentionDuration` default): unreferenced files and
     * payload dirs YOUNGER than this are presumed to belong to an

@@ -46,6 +46,26 @@ class GraftSqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_signpack: bits against anchors, Hamming via native bit_count(^)") {
+    val r = spark.sql(
+      """SELECT graft_signpack(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT),
+        |                            CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)),
+        |                      array(0.0D, 0.0D, 0.0D, 0.0D)) AS a,
+        |  graft_signpack(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT),
+        |                       CAST(-0.5 AS FLOAT), CAST(-0.5 AS FLOAT)),
+        |                 array(0.0D, 0.0D, 0.0D, 0.0D)) AS b
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("a") == 0x5L && r.getAs[Long]("b") == 0x3L)
+    val h = spark.sql(
+      "SELECT bit_count(graft_signpack(array(CAST(1.0 AS FLOAT)), array(0.0D)) ^ " +
+        "graft_signpack(array(CAST(-1.0 AS FLOAT)), array(0.0D))) AS ham").head()
+    assert(h.getAs[Int]("ham") == 1)
+    // anchors must be a foldable numeric array, loudly
+    intercept[Exception] {
+      spark.sql("SELECT graft_signpack(array(CAST(1.0 AS FLOAT)), array('x'))").head()
+    }
+  }
+
   test("sql faces equal the Column API over real documents") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)

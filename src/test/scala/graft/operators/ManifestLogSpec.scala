@@ -954,6 +954,49 @@ class ManifestLogSpec extends AnyFunSuite {
       .count() == 310 - deleted)
   }
 
+  test("follow: appends deliver exactly once across restart, rewrites throw strict / skip with the flag, MOR deletes are silent metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-follow").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-follow-ckpt").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1) // v1
+    val got = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    def tail(skip: Boolean = false): Int =
+      ManifestLog.follow(spark, dir, ckpt, skipRewrites = skip) {
+        (df, v) => got += ((v, df.count()))
+      }
+    // a fresh checkpoint starts after the current head
+    assert(tail() == 0 && got.isEmpty)
+    ManifestLog.append(li.limit(150), "l_orderkey", dir, files = 1) // v2
+    ManifestLog.append(li.limit(60), "l_orderkey", dir, files = 1)  // v3
+    assert(tail() == 2)
+    assert(got.toSeq == Seq((2, 150L), (3, 60L)))
+    // nothing new -> nothing delivered; a fresh call object (a
+    // "restart") resumes from the same cursor
+    assert(tail() == 0)
+    ManifestLog.append(li.limit(25), "l_orderkey", dir, files = 1)  // v4
+    assert(tail() == 1 && got.last == ((4, 25L)))
+    // full replay from a fresh checkpoint covers the whole table
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-follow-ckpt2").toString
+    var replayed = 0L
+    ManifestLog.follow(spark, dir, ckpt2, fromVersion = 1) {
+      (df, _) => replayed += df.count()
+    }
+    assert(replayed == 100L + 150L + 60L + 25L)
+    // a MOR delete is metadata-only: consumed, nothing delivered
+    val keys = ManifestLog.read(spark, dir).select("l_orderkey").distinct().limit(3)
+    ManifestLog.deleteMor(keys, "l_orderkey", dir) // v5
+    val before = got.size
+    assert(tail() == 1 && got.size == before)
+    // a compact is a REWRITE: strict mode throws naming the version
+    // and does not advance; skipRewrites consumes without delivering
+    ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 10000L) // v6
+    val ex = intercept[IllegalStateException] { tail() }
+    assert(ex.getMessage.contains("v6") && ex.getMessage.contains("skipRewrites"), ex.getMessage)
+    assert(tail(skip = true) == 1 && got.size == before)
+    // and the tail keeps flowing afterwards
+    ManifestLog.append(li.limit(10), "l_orderkey", dir, files = 1) // v7
+    assert(tail() == 1 && got.last == ((7, 10L)))
+  }
+
   test("a crashed commit's empty pointer is repaired: reads recover, the version slot is reused by the next append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-crash").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
