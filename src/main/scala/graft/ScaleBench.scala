@@ -64,7 +64,8 @@ object ScaleBench {
     "text_dedup_rewrite_spans", "sample_split_leakage_safe",
     "pipeline_curate_e2e", "emb_drift", "emb_ann_filtered",
     "q12_bucketed", "emb_ann_ivf_filtered", "emb_ann_binary", "mm_mkv_meta",
-    "retrieval_hybrid_rrf", "emb_ann_binary_incremental")
+    "retrieval_hybrid_rrf", "emb_ann_binary_incremental",
+    "retrieval_hybrid_rrf_ann", "ev_attribution_last_touch")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -198,6 +198,16 @@ object Verify {
         (inc == probe(oneIdx), rec)
       }
 
+      // retrieval_hybrid_rrf_ann: swapping the vector arm for the
+      // binary index must keep the fused HEAD stable — top-10 doc
+      // overlap vs the exact-arm fusion (rank-only fusion means arm
+      // noise attenuates through 1/(60+r))
+      val hybridExact = graft.operators.AnnQueries.queries("retrieval_hybrid_rrf")(spark, sfDir)
+        .limit(10).select("doc_id").collect().map(_.getLong(0)).toSet
+      val hybridAnn = graft.operators.AnnQueries.queries("retrieval_hybrid_rrf_ann")(spark, sfDir)
+        .limit(10).select("doc_id").collect().map(_.getLong(0)).toSet
+      val hybridOverlap = hybridExact.intersect(hybridAnn).size / 10.0
+
       val li = graft.sources.Tables.lineitem(spark, sfDir)
       val errs = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx"),
@@ -437,6 +447,9 @@ object Verify {
          | "emb_ann_binary_incremental": {"metric": "append_probe_equals_one_shot_and_recall",
          | "equal": $incBqEq, "recall": $incBqRecall, "floor": $recallFloor,
          | "pass": ${incBqEq && incBqRecall >= recallFloor}},
+         | "retrieval_hybrid_rrf_ann": {"metric": "top10_overlap_vs_exact_arm_fusion",
+         | "value": $hybridOverlap, "floor": $recallFloor,
+         | "pass": ${hybridOverlap >= recallFloor}},
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,

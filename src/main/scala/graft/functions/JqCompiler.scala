@@ -135,6 +135,7 @@ object JqCompiler {
   case object FormatCsv extends Ast    // jq `@csv` over a mapped vector
   case object FormatBase64 extends Ast // jq `@base64` over a string value
   case object ToJson extends Ast       // jq `tojson` — scalar values only
+  case object FromJson extends Ast     // jq `fromjson` — object-free values only
   // jq `first(.[] | p)` / `last(.[] | p)` over the step vector
   case class FirstLast(path: Path, isLast: Boolean) extends Ast
   /** jq `keys` (sorted=true) / `keys_unsorted`. */
@@ -582,6 +583,7 @@ object JqCompiler {
       else if (tryEat("tostring")) ToString
       else if (tryEat("tonumber")) ToNumber
       else if (tryEat("tojson")) ToJson
+      else if (tryEat("fromjson")) FromJson
       else if (tryEat("@csv")) FormatCsv
       else if (tryEat("@base64")) FormatBase64
       else if (tryEat("empty")) Empty
@@ -1068,6 +1070,27 @@ object JqCompiler {
     case Lit(b: Boolean) => Some(try_parse_json(lit(b.toString)))
     case Lit(null)       => Some(try_parse_json(lit("null")))
     case ife: IfElse     => variantIf(ife) // nested ifs compose
+    // jq `fromjson` on a string field: the parsed value rides the
+    // variant envelope so its runtime kind flows to the renderer.
+    // Values containing OBJECTS anywhere raise (the variant encoding
+    // sorts object keys — jq re-renders in document order); scalars
+    // and arrays-of-scalars are order-exact. Unparsable text raises
+    // where jq raises.
+    case PipeSeq(Seq(p: Path, FromJson)) =>
+      eventValue(p).map { v =>
+        val s = v.cast("string")
+        val parsed = try_parse_json(s)
+        val t = schema_of_variant(parsed)
+        when(schema_of_variant(v) =!= lit("STRING"), raise_error(lit(
+          "jq compiled tier: fromjson of a non-string (jq raises here); run this step via the subprocess tier")).cast(org.apache.spark.sql.types.VariantType))
+          .when(parsed.isNull, raise_error(concat(
+            lit("jq compiled tier: fromjson cannot parse "), coalesce(s, lit("null")),
+            lit(" (jq raises here); run this step via the subprocess tier")))
+            .cast(org.apache.spark.sql.types.VariantType))
+          .when(t.contains("OBJECT") || t.contains("STRUCT"), raise_error(lit(
+            "jq compiled tier: fromjson yielded an object (variant rendering would reorder keys); run this step via the subprocess tier")).cast(org.apache.spark.sql.types.VariantType))
+          .otherwise(parsed)
+      }
     case _ => None
   }
 
@@ -1124,7 +1147,10 @@ object JqCompiler {
   private def jsonValueExpr(ast: Ast): Option[Column] = ast match {
     case ObjCons(fields) =>
       val cols = fields.map { case (k, v) =>
-        (valueExpr(v) orElse variantIf(v)).map(_.as(k)) }
+        (valueExpr(v) orElse variantIf(v) orElse (v match {
+          case fj @ PipeSeq(Seq(_: Path, FromJson)) => variantValue(fj)
+          case _ => None
+        })).map(_.as(k)) }
       if (cols.exists(_.isEmpty)) None else Some(to_json(struct(cols.flatten: _*)))
     // a from_entries-terminated chain IS JSON text already (the
     // filter-object-by-entries idiom); nested inside an object it

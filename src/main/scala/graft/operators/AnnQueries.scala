@@ -101,6 +101,32 @@ object AnnQueries {
         .select("doc_id", "r_lex", "r_vec", "rrf")
     },
 
+    // The same fusion with the vector arm SWAPPED for the binary-code
+    // index probe — the "either arm swaps for its index variant"
+    // claim as running code: lexical ranks and the RRF arithmetic are
+    // untouched, only the rank source changed. Rows-only; Verify
+    // gates top-10 overlap vs the exact-arm fusion.
+    "retrieval_hybrid_rrf_ann" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextQueries.queries("text_bm25_topk")(s, d)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "r_lex")
+      val emb = Tables.embeddings(s, d)
+      val n = Tables.cachedCount(s, d, "embeddings")
+      val anchors = Similarity.binaryAnchors(emb, Dim)
+      val vec = Similarity.binaryProbe(
+          Similarity.binaryAssign(emb, anchors), emb,
+          emb.filter(col("vec_id") === 0), anchors, 50, numRows = n)
+        .select(col("nid").as("doc_id"), col("rnk").as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select("doc_id", "r_lex", "r_vec", "rrf")
+    },
+
     // Binary sign-quantization ANN: 1 bit per dimension packed into
     // ONE long, Hamming prefilter over codes only (xor + bit_count —
     // a 32×-compressed corpus scan), exact cosine rerank of the top-C

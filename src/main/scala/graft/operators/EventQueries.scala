@@ -308,6 +308,35 @@ object EventQueries {
     // once — no post-join dedup), the join is a plain equi-join on the
     // bin, and the exact BETWEEN + user inequality filter after it.
     // IntervalJoinSpec asserts no nested-loop/cartesian in the plan.
+    // Last-touch attribution — the marketing face of the event
+    // battery: each purchase credits the user's most recent
+    // click/view STRICTLY before it (total order (ts_us, event_id))
+    // within a 7-day window; no touch in window → 'direct'. ONE pass:
+    // a per-user ordered window carries the last touch forward as a
+    // single struct (no self-join, no range join — the window
+    // partitions on user_id, which scales with the data), then a
+    // #channels-group rollup. Revenue in exact cents (the fixed-point
+    // discipline), so the oracle hash-matches.
+    "ev_attribution_last_touch" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(col("ts_us").as("t_us"), col("event_type").as("t_type")))
+      e.withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("last_touch").isNotNull &&
+               col("last_touch.t_us") >= col("ts_us") - lit(604800000000L),
+            col("last_touch.t_type")).otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("revenue_cents"))
+        .orderBy("channel")
+    },
+
     "ev_interval_join" -> { (s, d) =>
       val BinUs = 3600L * 1000000L
       val sess = sessionTable(s, d)
@@ -842,6 +871,27 @@ object EventQueries {
          |  CAST(SUM(v) AS DOUBLE) AS sum_value,
          |  MAX(us) - MIN(us) AS dur_us
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Two last_value windows over the same frame/order pick the same
+    // row, so (t_us, t_type) stay consistent like Spark's struct.
+    "ev_attribution_last_touch" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, $tsUs AS us, value FROM events),
+         |attr AS (
+         |  SELECT user_id, us, value, event_type,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN us END IGNORE NULLS)
+         |      OVER w AS t_us,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+         |      OVER w AS t_type
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT CASE WHEN t_us IS NOT NULL AND t_us >= us - 604800000000 THEN t_type
+         |            ELSE 'direct' END AS channel,
+         |  COUNT(*) AS n_purchases,
+         |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM attr WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB evaluates the BETWEEN range join directly (IEJoin) — the
     // declarative ground truth for the Spark side's bin decomposition

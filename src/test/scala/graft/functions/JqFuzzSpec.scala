@@ -712,6 +712,34 @@ class JqFuzzSpec extends AnyFunSuite {
     val dfg = eventsDf(Seq(("a.b", """{"o":{"x":1}}""")))
     val ex = intercept[Exception] { dfg.select(pg.outPayloadJson).collect() }
     assert(ex.getMessage.contains("subprocess tier"), ex.getMessage)
+    // fromjson round-trips scalar/flat-array JSON text exactly
+    val fjGen: Gen[(String, List[(String, String)])] = {
+      val jsTextGen: Gen[String] = Gen.oneOf(
+        "\"alpha\"", "3", "-4.5", "true", "false", "null", "[1,2,3]",
+        "[\"a\",\"b\"]", "[1.5,true,\"x\"]")
+      val evGen = for { n <- nameGen; js <- jsTextGen; k <- intGen }
+        yield (n, s"""{"k":$k,"js":${mapper.writeValueAsString(js)}}""")
+      Gen.zip(
+        Gen.const(""".[] | {n: .n, d: {v: (.d.js | fromjson), k: .d.k}}"""),
+        Gen.choose(1, 5).flatMap(sz => Gen.listOfN(sz, evGen)))
+    }
+    samples(fjGen, 60).foreach { case (expr, events) =>
+      val compiled = tryCompile(expr)
+      assert(compiled.isDefined, s"generator left the subset: $expr")
+      val Some(CompiledPerEvent(pe)) = compiled: @unchecked
+      val df = eventsDf(events)
+      val mine = df.select(pe.outName, pe.outPayloadJson)
+        .collect().map(r => Map("n" -> r.getString(0), "d" -> canonLine(r.getString(1))))
+        .toList
+      val jqs = jqEval(expr, inputJson(events)).map(canonLine).toList
+      assert(approxEq(mine, jqs), s"DIVERGENCE on '$expr' with ${inputJson(events)}")
+    }
+    // fromjson yielding an object raises (variant key reordering)
+    val Some(CompiledPerEvent(pf)) = tryCompile(
+      """.[] | {n: .n, d: {v: (.d.js | fromjson)}}"""): @unchecked
+    val dfo = eventsDf(Seq(("a.b", """{"js":"{\"b\":1,\"a\":2}"}""")))
+    val exf = intercept[Exception] { dfo.select(pf.outPayloadJson).collect() }
+    assert(exf.getMessage.contains("subprocess tier"), exf.getMessage)
     // whole-`.d` tojson/@base64 REFUSE to compile (object-certain
     // payloads: compiling would turn a working subprocess fallback
     // into a guaranteed runtime raise)
