@@ -87,6 +87,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaProbe == Similarity.binaryTopK(emb, 5, 64, 10).collect().toSeq)
   }
 
+  test("binary prefilter is codes-only: no top-C stage touches the float vectors") {
+    // the 32×-compressed-scan claim as a plan property — the Hamming
+    // top-C windows must see (id, code, ham) only; the 64-float
+    // embedding column joins back exclusively at the exact rerank
+    val emb = Tables.embeddings(spark, dir)
+    val plan = Similarity.binaryTopK(emb, 5, 64, 10)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size >= 2, s"expected the two top-C windows, got ${windows.size}")
+    windows.init.foreach { w => // the last window is the rerank's top-k
+      assert(!w.inputSet.exists(_.name == "embedding"),
+        s"a Hamming top-C stage carries the float vectors: $w")
+    }
+  }
+
   test("SignPack: bit i set iff component clears its anchor; Hamming via xor + bit_count") {
     import spark.implicits._
     val df = Seq(
