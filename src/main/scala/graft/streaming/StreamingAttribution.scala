@@ -9,8 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `ev_attribution_last_touch` rule), 'direct' otherwise. Revenue in
   * exact cents, same fixed-point as the batch side.
   */
-final case class AttributedPurchase(user_id: Long, purchase_us: Long,
-                                    channel: String, revenue_cents: Long)
+final case class AttributedPurchase(user_id: Long, event_id: Long,
+                                    purchase_us: Long, channel: String,
+                                    revenue_cents: Long)
 
 /** Streaming arm of `ev_attribution_last_touch`: per-user last-touch
   * attribution as a `flatMapGroupsWithState` fold. State per user is
@@ -21,7 +22,8 @@ final case class AttributedPurchase(user_id: Long, purchase_us: Long,
   * run).
   *
   * Each purchase emits EXACTLY ONE attributed row at the micro-batch
-  * that carries it, using the state as of that point in the per-user
+  * that carries it (append semantics — rows are never revised, so
+  * the arm writes straight to append-only file sinks), using the state as of that point in the per-user
   * (ts_us, event_id) order — in-batch arrivals are sorted before the
   * fold, so shuffle interleaving never reorders it, and the
   * differential pins stream == batch under any micro-batch chopping.
@@ -45,18 +47,19 @@ object StreamingAttribution {
       .as[(Long, String, Long, Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, String), AttributedPurchase](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[(Long, String)]) =>
           var (touchUs, touchType) = state.getOption.getOrElse((Long.MinValue, ""))
           val out = Seq.newBuilder[AttributedPurchase]
           rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach {
-            case (_, et, us, _, v) =>
+            case (_, et, us, eid, v) =>
               if (et == "purchase") {
                 val channel =
                   if (touchUs != Long.MinValue && touchUs >= us - WindowUs) touchType
                   else "direct"
-                // same fixed-point as the batch side's floor(v*100+0.5)
-                out += AttributedPurchase(user, us, channel,
+                // same fixed-point as the batch side's floor(v*100+0.5);
+                // event_id makes the row a natural idempotent-sink key
+                out += AttributedPurchase(user, eid, us, channel,
                   math.floor(v * 100.0 + 0.5).toLong)
               } else { touchUs = us; touchType = et }
           }

@@ -36,7 +36,7 @@ class StreamingAttributionSpec extends AnyFunSuite {
     val out = StreamingAttribution.attributionStream(
       mem.toDF().toDF("user_id", "event_type", "ts_us", "event_id", "value"))
     val q = out.writeStream.format("memory").queryName("attr_diff")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
         mem.addData(chunk.toIndexedSeq)
@@ -60,7 +60,7 @@ class StreamingAttributionSpec extends AnyFunSuite {
     val out = StreamingAttribution.attributionStream(
       mem.toDF().toDF("user_id", "event_type", "ts_us", "event_id", "value"))
     val q = out.writeStream.format("memory").queryName("attr_state")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       // batch 1: purchase BEFORE any touch -> direct; then a click
       mem.addData((7L, "purchase", 100L, 1L, 1.0), (7L, "click", 200L, 2L, 0.0))

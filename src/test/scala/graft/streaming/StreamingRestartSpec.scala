@@ -507,6 +507,37 @@ class StreamingRestartSpec extends AnyFunSuite {
       s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("attribution last-touch state survives kill/restart (per-user touch pair recovers; event_id keys the at-least-once sink)") {
+    val all = graft.sources.Tables.events(spark, dir)
+    val expected = graft.SparkEntry.queries("ev_attribution_last_touch")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val lines = all.select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().sortBy(r => (r.getLong(2), r.getLong(3))) // event-time order
+      .map(r => s"""{"user_id":${r.getLong(0)},"event_type":"${r.getString(1)}",""" +
+        s""""ts_us":${r.getLong(2)},"event_id":${r.getLong(3)},"value":${r.getDouble(4)}}""")
+      .toIndexedSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts_us LONG, event_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingAttribution.attributionStream(stream)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // a batch replayed at the restart boundary appends identical rows;
+    // event_id is the natural key, so distinct-by-key == exactly-once
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .dropDuplicates("event_id")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n"), sum("revenue_cents").as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("transition pairs survive kill/restart (per-user last-event state recovers)") {
     val expected = graft.SparkEntry.queries("ev_transitions")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
