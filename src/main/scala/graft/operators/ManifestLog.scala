@@ -137,10 +137,16 @@ object ManifestLog {
 
   private def normalizeSnap(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val withDv =
-      if (df.columns.contains("dv")) df
-      else df.withColumn("dv", lit(null).cast("string"))
-    withDv.select("file", "lo", "hi", "rows", "dv")
+    var out = df
+    if (!out.columns.contains("dv"))
+      out = out.withColumn("dv", lit(null).cast("string"))
+    // lo2/hi2: per-file stats of the optional SECOND (clustering)
+    // column — always LONG (integral columns only), NULL = unknown
+    // (the pruner keeps the file; see readPruned2)
+    if (!out.columns.contains("lo2"))
+      out = out.withColumn("lo2", lit(null).cast("long"))
+        .withColumn("hi2", lit(null).cast("long"))
+    out.select("file", "lo", "hi", "rows", "dv", "lo2", "hi2")
   }
 
   /** Head snapshot rows for the commit retry loops: None = the head
@@ -320,6 +326,25 @@ object ManifestLog {
       .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
         count(lit(1)).as("rows"))
       .withColumn("dv", lit(null).cast("string"))
+      .withColumn("lo2", lit(null).cast("long"))
+      .withColumn("hi2", lit(null).cast("long"))
+  }
+
+  /** Two-column stats: the primary lo/hi plus LONG lo2/hi2 for the
+    * clustering column (integral columns only — one canonical manifest
+    * type keeps every commit's snapshot schema stable).
+    */
+  private def statsOf2(spark: SparkSession, files: Seq[String],
+                       statsCol: String, statsCol2: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+        count(lit(1)).as("rows"),
+        min(col(statsCol2)).cast("long").as("lo2"),
+        max(col(statsCol2)).cast("long").as("hi2"))
+      .withColumn("dv", lit(null).cast("string"))
+      .select("file", "lo", "hi", "rows", "dv", "lo2", "hi2")
   }
 
   // ---- schema evolution: add-column AND type widening ----
@@ -503,6 +528,106 @@ object ManifestLog {
     val st = statsOf(spark, listDataFiles(spark, path).toSeq.sorted, statsCol)
     require(tryCommit(spark, path, 1, st.collect().toSeq, st.schema),
       s"concurrent initial write at $path")
+  }
+
+  /** Initial load CLUSTERED on the Hilbert curve of
+    * (statsCol, statsCol2) — MULTI-DIMENSIONAL data skipping under
+    * the versioned log (Delta's Z-order + file-stats shape, on the
+    * better curve): the Hilbert order gives BOTH columns tight
+    * per-file ranges, the manifest records lo/hi for the primary and
+    * LONG lo2/hi2 for the second, and [[readPruned2]] skips files on
+    * either predicate before Spark ever lists them. The primary
+    * statsCol still routes merge/delete — range overlap stays CORRECT
+    * under any layout, clustering only trades its selectivity for the
+    * second dimension's. Rewrites (compact/merge/COW delete) emit
+    * NULL col2 stats for their fresh files: unknown ranges are KEPT
+    * by the pruner, never skipped — conservative by construction —
+    * and a re-clustering write restores them. statsCol2 must be an
+    * integral column (one canonical LONG manifest type).
+    */
+  def writeClustered(df: DataFrame, statsCol: String, statsCol2: String,
+                     path: String, files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    df.withColumn("__h", LayoutOps.hilbertValueN(df, Seq(statsCol, statsCol2)))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+    writeMeta(spark, path, statsCol)
+    writeMetaLines(spark, path,
+      readMetaLines(spark, path) :+ s"statsCol2=$statsCol2")
+    val st = statsOf2(spark, listDataFiles(spark, path).toSeq.sorted,
+      statsCol, statsCol2)
+    require(tryCommit(spark, path, 1, st.collect().toSeq, st.schema),
+      s"concurrent initial write at $path")
+  }
+
+  /** Append a batch to a CLUSTERED table: the batch itself is
+    * Hilbert-ordered (its own value ranges — local clustering, the
+    * daily-crawl shape) and lands with BOTH columns' stats; commits
+    * compose exactly like [[append]].
+    */
+  def appendClustered(df: DataFrame, path: String, files: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    require(currentVersion(spark, path) > 0, s"appendClustered before write at $path")
+    val statsCol = readMetaLines(spark, path)
+      .collectFirst { case l if l.startsWith("statsCol=") => l.stripPrefix("statsCol=").trim }
+      .getOrElse(sys.error(s"no statsCol meta at $path"))
+    val statsCol2 = readMetaLines(spark, path)
+      .collectFirst { case l if l.startsWith("statsCol2=") => l.stripPrefix("statsCol2=").trim }
+      .getOrElse(sys.error(s"$path is not a clustered table (no statsCol2 meta)"))
+    val batchDir = newBatchDir(path)
+    df.withColumn("__h", LayoutOps.hilbertValueN(df, Seq(statsCol, statsCol2)))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.parquet(batchDir)
+    val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+    try enforceConstraints(spark, path, fresh)
+    catch { case e: Throwable =>
+      fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+      throw e
+    }
+    val st = statsOf2(spark, fresh, statsCol, statsCol2)
+    val freshRows = st.collect().toSeq
+    var committed = false
+    while (!committed) {
+      val v = currentVersion(spark, path)
+      headRows(spark, path, v) match {
+        case None      => ()
+        case Some(old) =>
+          committed = tryCommit(spark, path, v + 1, old ++ freshRows, st.schema)
+      }
+    }
+  }
+
+  /** Two-predicate pruned scan at a version: a file survives iff its
+    * primary range overlaps [lo, hi] AND its col2 range overlaps
+    * [lo2, hi2] — where NULL col2 stats (a rewritten file) always
+    * survive (unknown = keep, never skip). Residual filters on top;
+    * deletion vectors applied. Returns (frame, survivors, total).
+    */
+  def readPruned2(spark: SparkSession, path: String,
+                  statsCol: String, lo: Any, hi: Any,
+                  statsCol2: String, lo2: Long, hi2: Long,
+                  version: Int = -1): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, path, version).collect()
+    val survivors = snap.filter { r =>
+      val ok1 = cmp(r.get(2), lo) >= 0 && cmp(r.get(1), hi) <= 0
+      val ok2 = r.isNullAt(5) || (r.getLong(6) >= lo2 && r.getLong(5) <= hi2)
+      ok1 && ok2
+    }.sortBy(_.getString(0)).toSeq
+    val df =
+      if (survivors.isEmpty)
+        readAligned(spark, snap.map(_.getString(0)).toSeq)
+          .filter(lit(false))
+      else readWithDv(spark, survivors.map(r => (r.getString(0), r.getString(4))))
+        .filter(col(statsCol).between(lit(lo), lit(hi)) &&
+          col(statsCol2).between(lit(lo2), lit(hi2)))
+    (df, survivors.size, snap.length)
   }
 
   /** Append a batch: new data files + snapshot v+1 = old ∪ new. A

@@ -853,16 +853,19 @@ class ManifestLogSpec extends AnyFunSuite {
         gate.await()
         var done = false
         var tries = 0
-        while (!done && tries < 10) {
+        // generous budget: under full-suite load a retry pass (scan +
+        // DV write + CAS) can take long enough that the default-ish
+        // bound starves spuriously
+        while (!done && tries < 25) {
           tries += 1
           try { counts.add(ManifestLog.deleteMor(band(i), "l_orderkey", dir)._2); done = true }
           catch {
             case e: IllegalStateException if e.getMessage.contains("deleteMor conflict") =>
-              Thread.sleep(20) // retryable: re-plan against the new head
+              Thread.sleep(25) // retryable: re-plan against the new head
             case e: Throwable => errs.add(e); done = true
           }
         }
-        if (!done) errs.add(new IllegalStateException("deleteMor starved after 10 retries"))
+        if (!done) errs.add(new IllegalStateException("deleteMor starved after 25 retries"))
       }
     })
     val (fa, fb) = (task(0), task(1))
@@ -952,6 +955,60 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.readAsOf(spark, dir, t3).count() == 310)
     assert(ManifestLog.readAsOf(spark, dir, System.currentTimeMillis() + 1000)
       .count() == 310 - deleted)
+  }
+
+  test("clustered writes: two-column zone maps prune on either predicate; rewrites degrade col2 stats to unknown (kept, never skipped)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-clu").toString
+    val data = li // (l_orderkey, l_partkey, l_quantity)
+    ManifestLog.writeClustered(data, "l_orderkey", "l_partkey", dir, files = 16)
+    val r = data.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    val (kLo, kHi, pLo, pHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (kA, pA) = (kLo + (kHi - kLo) / 4, pLo + (pHi - pLo) / 4)
+    def exact(k1: Long, k2: Long, p1: Long, p2: Long): Seq[String] =
+      data.filter(col("l_orderkey").between(k1, k2) &&
+        col("l_partkey").between(p1, p2))
+        .collect().map(_.toString).sorted.toSeq
+    // a box narrow in BOTH dims: exact parity + real skipping
+    val (bdf, bSurv, bTotal) = ManifestLog.readPruned2(spark, dir,
+      "l_orderkey", kLo, kA, "l_partkey", pLo, pA)
+    assert(bdf.collect().map(_.toString).sorted.toSeq == exact(kLo, kA, pLo, pA))
+    assert(bTotal == 16 && bSurv * 2 <= bTotal, s"box scan kept $bSurv/$bTotal files")
+    // a SECOND-column-only predicate prunes too (the dimension a
+    // single-key layout cannot skip on)
+    val (cdf, cSurv, _) = ManifestLog.readPruned2(spark, dir,
+      "l_orderkey", kLo, kHi, "l_partkey", pLo, pA)
+    assert(cdf.collect().map(_.toString).sorted.toSeq == exact(kLo, kHi, pLo, pA))
+    assert(cSurv < bTotal, s"col2-only scan kept $cSurv/$bTotal files")
+    // clustered append: both-column stats on the fresh files, parity holds
+    val extra = data.filter(col("l_orderkey").between(kLo, kLo + (kA - kLo) / 2))
+    ManifestLog.appendClustered(extra, dir, files = 2)
+    val snap = ManifestLog.snapshot(spark, dir).collect()
+    assert(snap.length == 18 && snap.forall(!_.isNullAt(5)),
+      "appendClustered lost col2 stats")
+    val (adf, _, aTotal) = ManifestLog.readPruned2(spark, dir,
+      "l_orderkey", kLo, kA, "l_partkey", pLo, pHi)
+    val expectUnion = data.filter(col("l_orderkey").between(kLo, kA))
+      .unionAll(extra.filter(col("l_orderkey").between(kLo, kA)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(adf.collect().map(_.toString).sorted.toSeq == expectUnion)
+    assert(aTotal == 18)
+    // a COW delete rewrites some files: their col2 stats degrade to
+    // NULL (unknown), and the pruned read STAYS exact — unknown files
+    // are kept, never skipped
+    val band = data.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo, kLo + (kHi - kLo) / 10))
+    ManifestLog.delete(band, "l_orderkey", dir)
+    val snapDel = ManifestLog.snapshot(spark, dir).collect()
+    assert(snapDel.exists(_.isNullAt(5)), "rewrite kept col2 stats it cannot know")
+    val postDel = data.unionAll(extra)
+      .join(band, Seq("l_orderkey"), "left_anti")
+      .filter(col("l_orderkey").between(kLo, kA) && col("l_partkey").between(pLo, pA))
+      .collect().map(_.toString).sorted.toSeq
+    val (ddf, dSurv, dTotal) = ManifestLog.readPruned2(spark, dir,
+      "l_orderkey", kLo, kA, "l_partkey", pLo, pA)
+    assert(ddf.collect().map(_.toString).sorted.toSeq == postDel)
+    assert(dSurv <= dTotal)
   }
 
   test("follow: appends deliver exactly once across restart, rewrites throw strict / skip with the flag, MOR deletes are silent metadata") {
