@@ -1139,6 +1139,43 @@ object ManifestLog {
     case _ => throw new IllegalArgumentException(s"incomparable manifest bounds: $a vs $b")
   }
 
+  /** DESCRIBE HISTORY: one row per version — commit instant (pointer
+    * mtime), files added/removed vs the previous snapshot, physical
+    * row delta, dv-pointer changes, and a derived operation label
+    * (write/append/rewrite/mor-delete/restore-or-noop). Pure
+    * metadata — snapshots are kilobytes at any table size. Vacuumed
+    * history is simply absent, like the versions themselves.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val snaps = vs.map(v => v -> snapshot(spark, path, v).collect()).toMap
+    val rows = vs.map { v =>
+      val now = snaps(v)
+      val prev = if (vs.contains(v - 1)) snaps(v - 1) else Array.empty[org.apache.spark.sql.Row]
+      val prevFiles = prev.map(_.getString(0)).toSet
+      val nowFiles = now.map(_.getString(0)).toSet
+      val added = now.count(r => !prevFiles(r.getString(0)))
+      val removed = prev.count(r => !nowFiles(r.getString(0)))
+      val rowDelta = now.map(_.getLong(3)).sum - prev.map(_.getLong(3)).sum
+      val prevDv = prev.map(r => r.getString(0) -> r.getString(4)).toMap
+      val dvChanged = now.count(r =>
+        prevFiles(r.getString(0)) && prevDv(r.getString(0)) != r.getString(4))
+      val op =
+        if (prev.isEmpty) "write"
+        else if (removed > 0) "rewrite"
+        else if (added > 0) "append"
+        else if (dvChanged > 0) "mor-delete"
+        else "restore-or-noop"
+      val ts = try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v)))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => 0L }
+      (v, new java.sql.Timestamp(ts), op, added, removed, rowDelta, dvChanged)
+    }
+    spark.createDataFrame(rows).toDF("version", "commit_ts", "operation",
+      "files_added", "files_removed", "rows_delta", "dv_changes")
+  }
+
   // ---- table tailing (the Delta-streaming-source shape) ----
 
   /** Follow a manifest table as an incremental consumer: deliver the

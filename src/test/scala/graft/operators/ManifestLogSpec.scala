@@ -1011,6 +1011,28 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(dSurv <= dTotal)
   }
 
+  test("history: one labeled row per version (write/append/rewrite/mor-delete/restore)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-hist").toString
+    ManifestLog.write(li.limit(200), "l_orderkey", dir, files = 2)      // v1
+    ManifestLog.append(li.limit(100), "l_orderkey", dir, files = 1)     // v2
+    val keys = ManifestLog.read(spark, dir).select("l_orderkey").distinct().limit(4)
+    ManifestLog.deleteMor(keys, "l_orderkey", dir)                      // v3
+    ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 100000L) // v4
+    ManifestLog.restore(spark, dir, 2)                                  // v5
+    val h = ManifestLog.history(spark, dir).orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(6)))
+    assert(h.map(x => (x._1, x._2)).toSeq == Seq(
+      (1, "write"), (2, "append"), (3, "mor-delete"), (4, "rewrite"),
+      (5, "rewrite")), h.mkString(", "))
+    assert(h(0)._3 == 2 && h(1)._3 == 1, "file-add counts")
+    assert(h(2)._5 >= 1 && h(2)._3 == 0 && h(2)._4 == 0, "MOR delete is dv-only")
+    assert(h(3)._4 >= 1, "compact removes files")
+    // commit instants are monotone non-decreasing
+    val ts = ManifestLog.history(spark, dir).orderBy("version")
+      .collect().map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("follow: appends deliver exactly once across restart, rewrites throw strict / skip with the flag, MOR deletes are silent metadata") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-follow").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-follow-ckpt").toString
