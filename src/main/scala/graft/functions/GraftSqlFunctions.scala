@@ -28,6 +28,10 @@ object GraftSqlFunctions {
       case ArrayType(et, _) =>
         val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         (0 until ad.numElements()).map { i =>
+          // a NULL element would read as 0.0 through the primitive
+          // getters and silently skew that dimension's code bit
+          if (ad.isNullAt(i)) throw new IllegalArgumentException(
+            s"$fn: anchors array has a NULL element at index $i")
           et match {
             case DoubleType  => ad.getDouble(i)
             case FloatType   => ad.getFloat(i).toDouble

@@ -285,18 +285,30 @@ object ManifestLog {
 
   // ---- timestamp time travel (Delta's AS OF TIMESTAMP) ----
 
-  /** The latest version whose COMMIT INSTANT (the pointer file's
-    * modification time — the atomic publish moment) is ≤ `tsMillis`.
+  /** The latest version whose COMMIT INSTANT is ≤ `tsMillis`. The raw
+    * instant is the pointer file's modification time (the atomic
+    * publish moment), but raw mtimes are not guaranteed monotonic with
+    * version number (clock skew, restored log dirs, coarse FS mtime
+    * granularity) — so each version's EFFECTIVE timestamp is adjusted
+    * to max(own mtime, predecessor's effective timestamp), exactly
+    * Delta's commit-timestamp monotonicity rule, which makes "AS OF t"
+    * a prefix of the version chain rather than a scattered subset.
     * Vacuumed-away history throws rather than silently serving a
     * later snapshot.
     */
   def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
     val f = fs(spark, path)
-    val ok = versions(spark, path).filter { v =>
-      try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v)))
-        .getModificationTime <= tsMillis
-      catch { case _: java.io.FileNotFoundException => false }
+    val vs = versions(spark, path)
+    var eff = Long.MinValue
+    val stamped = vs.flatMap { v =>
+      try {
+        val raw = f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v)))
+          .getModificationTime
+        eff = math.max(eff, raw)
+        Some(v -> eff)
+      } catch { case _: java.io.FileNotFoundException => None }
     }
+    val ok = stamped.filter(_._2 <= tsMillis).map(_._1)
     require(ok.nonEmpty,
       s"no snapshot at or before timestamp $tsMillis under $path (earlier history may be vacuumed)")
     ok.max
@@ -698,23 +710,29 @@ object ManifestLog {
     val fresh = listDataFiles(spark, batchDir).toSeq.sorted
     val st = statsOf(spark, fresh, statsCol)
     val freshRows = st.collect().toSeq
-    commitRewrite(spark, path, small.map(_.getString(0)).toSet, freshRows, st.schema,
+    commitRewrite(spark, path,
+      small.map(r => r.getString(0) -> r.getString(4)).toMap, freshRows, st.schema,
       "compact")
     (small.size, fresh.size)
   }
 
   /** Commit a rewrite (compact/merge) under the version CAS: the
     * rewrite composes with concurrent APPENDS iff every file it
-    * replaced is still live at the head — re-validate and re-commit on
-    * a lost race; a concurrent rewrite of the same files cannot be
-    * composed and throws (the caller retries the whole operation
-    * against the new head).
+    * replaced is still live at the head WITH the dv pointer the
+    * rewrite read — re-validate and re-commit on a lost race; a
+    * concurrent rewrite of the same files, OR a concurrent MOR delete
+    * that moved a replaced file's dv pointer (the rewrite's output
+    * was built from the stale tombstone set — composing would
+    * resurrect the newly deleted rows), cannot be composed and throws
+    * (the caller retries the whole operation against the new head).
+    * `replacedDv` is the (file -> dv) map AS READ by the rewrite.
     */
-  private def commitRewrite(spark: SparkSession, path: String,
-                            replaced: Set[String],
+  private[operators] def commitRewrite(spark: SparkSession, path: String,
+                            replacedDv: Map[String, String],
                             freshRows: Seq[org.apache.spark.sql.Row],
                             schema: org.apache.spark.sql.types.StructType,
                             op: String): Unit = {
+    val replaced = replacedDv.keySet
     var committed = false
     while (!committed) {
       val v = currentVersion(spark, path)
@@ -728,6 +746,12 @@ object ManifestLog {
       if (gone.nonEmpty)
         throw new IllegalStateException(
           s"$op conflict at $path v$v: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the $op")
+      val dvMoved = head.filter(r => replaced(r.getString(0)) &&
+        replacedDv(r.getString(0)) != r.getString(4))
+      if (dvMoved.nonEmpty)
+        throw new IllegalStateException(
+          s"$op conflict at $path v$v: a concurrent delete moved a dv pointer on " +
+            s"${dvMoved.take(3).map(_.getString(0)).mkString(", ")}; retry the $op")
       val keep = head.filterNot(r => replaced(r.getString(0)))
       committed = tryCommit(spark, path, v + 1, keep ++ freshRows, schema)
       }
@@ -808,7 +832,8 @@ object ManifestLog {
       val Array(kmin, kmax) = updates
         .agg(min(col(statsCol)), max(col(statsCol))).head()
         .toSeq.toArray
-      commitKeyedRewrite(spark, path, "merge", affected,
+      commitKeyedRewrite(spark, path, "merge",
+        touch.map(r => r.getString(0) -> r.getString(4)).toMap,
         snapRows.map(_.getString(0)).toSet, freshRows, st.schema, kmin, kmax)
       (touch.size, keep.size)
     } finally updates.unpersist()
@@ -817,15 +842,20 @@ object ManifestLog {
   /** Commit a KEYED rewrite (merge/delete) under the version CAS: the
     * rewrite composes with concurrent appends UNLESS a replaced file
     * vanished (a concurrent rewrite took it — composing would drop
-    * that writer's rows) or a file that appeared after key detection
-    * overlaps the key range (its same-key rows were never rewritten —
-    * composing would resurrect them); both throw a retryable conflict.
+    * that writer's rows), a replaced file's dv pointer moved (a
+    * concurrent MOR delete — the rewrite's output carries the stale
+    * tombstone state and would resurrect the newly deleted rows), or
+    * a file that appeared after key detection overlaps the key range
+    * (its same-key rows were never rewritten — composing would
+    * resurrect them); all three throw a retryable conflict.
+    * `affectedDv` is the (file -> dv) map AS READ by the rewrite.
     */
-  private def commitKeyedRewrite(spark: SparkSession, path: String, op: String,
-                                 affected: Set[String], snapFiles: Set[String],
+  private[operators] def commitKeyedRewrite(spark: SparkSession, path: String, op: String,
+                                 affectedDv: Map[String, String], snapFiles: Set[String],
                                  freshRows: Seq[org.apache.spark.sql.Row],
                                  schema: org.apache.spark.sql.types.StructType,
                                  kmin: Any, kmax: Any): Unit = {
+    val affected = affectedDv.keySet
     var committed = false
     while (!committed) {
       val head = currentVersion(spark, path)
@@ -835,6 +865,12 @@ object ManifestLog {
       if (gone.nonEmpty)
         throw new IllegalStateException(
           s"$op conflict at $path v$head: concurrently rewritten files ${gone.take(3).mkString(", ")}; retry the $op")
+      val dvMoved = headRows.filter(r => affected(r.getString(0)) &&
+        affectedDv(r.getString(0)) != r.getString(4))
+      if (dvMoved.nonEmpty)
+        throw new IllegalStateException(
+          s"$op conflict at $path v$head: a concurrent delete moved a dv pointer on " +
+            s"${dvMoved.take(3).map(_.getString(0)).mkString(", ")}; retry the $op")
       val lateOverlap = headRows.filter { r =>
         val file = r.getString(0)
         !snapFiles(file) && !freshRows.exists(_.getString(0) == file) &&
@@ -906,7 +942,8 @@ object ManifestLog {
       val Array(kmin, kmax) = keys
         .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
       val schema = snapshot(spark, path, v).schema
-      commitKeyedRewrite(spark, path, "delete", affected,
+      commitKeyedRewrite(spark, path, "delete",
+        touch.map(r => r.getString(0) -> r.getString(4)).toMap,
         snapRows.map(_.getString(0)).toSet, freshRows, schema, kmin, kmax)
       (touch.size, touchRows - freshRows.map(_.getLong(3)).sum)
     } finally keys.unpersist()
@@ -1144,36 +1181,54 @@ object ManifestLog {
     * row delta, dv-pointer changes, and a derived operation label
     * (write/append/rewrite/mor-delete/restore-or-noop). Pure
     * metadata — snapshots are kilobytes at any table size. Vacuumed
-    * history is simply absent, like the versions themselves.
+    * history is simply absent — and the OLDEST retained version after
+    * a vacuum (v > 1 with v−1 gone) is labeled `truncated-history`
+    * with NULL deltas, not mislabeled as the initial `write` with the
+    * whole live file set counted as additions.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val snaps = vs.map(v => v -> snapshot(spark, path, v).collect()).toMap
     val rows = vs.map { v =>
       val now = snaps(v)
-      val prev = if (vs.contains(v - 1)) snaps(v - 1) else Array.empty[org.apache.spark.sql.Row]
-      val prevFiles = prev.map(_.getString(0)).toSet
-      val nowFiles = now.map(_.getString(0)).toSet
-      val added = now.count(r => !prevFiles(r.getString(0)))
-      val removed = prev.count(r => !nowFiles(r.getString(0)))
-      val rowDelta = now.map(_.getLong(3)).sum - prev.map(_.getLong(3)).sum
-      val prevDv = prev.map(r => r.getString(0) -> r.getString(4)).toMap
-      val dvChanged = now.count(r =>
-        prevFiles(r.getString(0)) && prevDv(r.getString(0)) != r.getString(4))
-      val op =
-        if (prev.isEmpty) "write"
-        else if (removed > 0) "rewrite"
-        else if (added > 0) "append"
-        else if (dvChanged > 0) "mor-delete"
-        else "restore-or-noop"
+      val truncated = v > 1 && !vs.contains(v - 1)
       val ts = try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v)))
         .getModificationTime
       catch { case _: java.io.FileNotFoundException => 0L }
-      (v, new java.sql.Timestamp(ts), op, added, removed, rowDelta, dvChanged)
+      if (truncated)
+        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+          "truncated-history", null, null, null, null)
+      else {
+        val prev = if (vs.contains(v - 1)) snaps(v - 1) else Array.empty[org.apache.spark.sql.Row]
+        val prevFiles = prev.map(_.getString(0)).toSet
+        val nowFiles = now.map(_.getString(0)).toSet
+        val added = now.count(r => !prevFiles(r.getString(0)))
+        val removed = prev.count(r => !nowFiles(r.getString(0)))
+        val rowDelta = now.map(_.getLong(3)).sum - prev.map(_.getLong(3)).sum
+        val prevDv = prev.map(r => r.getString(0) -> r.getString(4)).toMap
+        val dvChanged = now.count(r =>
+          prevFiles(r.getString(0)) && prevDv(r.getString(0)) != r.getString(4))
+        val op =
+          if (prev.isEmpty) "write"
+          else if (removed > 0) "rewrite"
+          else if (added > 0) "append"
+          else if (dvChanged > 0) "mor-delete"
+          else "restore-or-noop"
+        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op,
+          added, removed, rowDelta, dvChanged)
+      }
     }
-    spark.createDataFrame(rows).toDF("version", "commit_ts", "operation",
-      "files_added", "files_removed", "rows_delta", "dv_changes")
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("commit_ts", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("files_added", IntegerType, nullable = true),
+      StructField("files_removed", IntegerType, nullable = true),
+      StructField("rows_delta", LongType, nullable = true),
+      StructField("dv_changes", IntegerType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   // ---- table tailing (the Delta-streaming-source shape) ----
@@ -1212,13 +1267,34 @@ object ManifestLog {
       if (!fsys.exists(cur)) None
       else {
         val in = fsys.open(cur)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
+        // an unparsable cursor must NOT read as "fresh checkpoint" —
+        // that would silently restart the consumer at the head and
+        // drop every version in between; name the repair instead
+        content.toIntOption match {
+          case Some(v) => Some(v)
+          case None => throw new IllegalStateException(
+            s"follow checkpoint cursor at $cur is unreadable (content: " +
+              s"'${content.take(40)}') — repair by writing the last fully " +
+              "consumed version number into it, or delete the checkpoint " +
+              "dir to restart from the current head")
+        }
       }
+    // crash-safe cursor commit: write a uniquely-named temp file, then
+    // atomically rename it over the cursor (FileContext rename with
+    // OVERWRITE — atomic on HDFS and local FS). A crash mid-write
+    // leaves the OLD cursor intact (at-least-once redelivery), never a
+    // truncated cursor that wedges every later readCursor.
+    lazy val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      cur.toUri, spark.sparkContext.hadoopConfiguration)
     def writeCursor(v: Int): Unit = {
-      val out = fsys.create(cur, true)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$checkpoint/.cursor-tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      val out = fsys.create(tmp, false)
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      fctx.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     val head = currentVersion(spark, path)
     var last = readCursor().getOrElse {

@@ -64,6 +64,13 @@ class GraftSqlFunctionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT graft_signpack(array(CAST(1.0 AS FLOAT)), array('x'))").head()
     }
+    // a NULL anchor element would silently read as 0.0 through the
+    // primitive getter and skew that dimension's code bit — refused
+    val exNull = intercept[Exception] {
+      spark.sql("SELECT graft_signpack(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(0.0D, CAST(NULL AS DOUBLE)))").head()
+    }
+    assert(exNull.getMessage.contains("NULL element"), exNull.getMessage)
   }
 
   test("sql faces equal the Column API over real documents") {

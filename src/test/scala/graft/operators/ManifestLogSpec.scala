@@ -1102,4 +1102,121 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.snapshot(spark, dir)
       .agg(sum("rows")).head().getLong(0) == rowsV2 + 30)
   }
+
+  test("a rewrite whose replaced file's dv pointer moved underneath it throws; a fresh compact sees the new tombstones (no resurrection)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-dvrace").toString
+    // ONE data file so any MOR delete and any compact contend on it
+    ManifestLog.write(li, "l_orderkey", dir, files = 1)
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val tenth = (kHi - kLo) / 10
+    def band(i: Int) = li.select("l_orderkey").distinct()
+      .filter(col("l_orderkey").between(kLo + i * tenth, kLo + (i + 1) * tenth - 1))
+    ManifestLog.deleteMor(band(0), "l_orderkey", dir) // v2: file gains a DV
+    // a compact/merge/COW-delete captures the head's (file -> dv)
+    // state when it READS; model that read here...
+    val readState = ManifestLog.snapshot(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    // ...then a concurrent MOR delete lands FIRST, moving the pointer
+    val (_, freshDead) = ManifestLog.deleteMor(band(1), "l_orderkey", dir) // v3
+    assert(freshDead > 0)
+    // the stale rewrite must NOT compose: its output was built from
+    // the v2 tombstone set, so publishing it would resurrect band(1)
+    val schema = ManifestLog.snapshot(spark, dir).schema
+    val exR = intercept[IllegalStateException] {
+      ManifestLog.commitRewrite(spark, dir, readState, Seq.empty, schema, "compact")
+    }
+    assert(exR.getMessage.contains("moved a dv pointer"), exR.getMessage)
+    val exK = intercept[IllegalStateException] {
+      ManifestLog.commitKeyedRewrite(spark, dir, "merge", readState,
+        readState.keySet, Seq.empty, schema, kLo, kHi)
+    }
+    assert(exK.getMessage.contains("moved a dv pointer"), exK.getMessage)
+    assert(ManifestLog.versions(spark, dir) == Seq(1, 2, 3), "no stale version published")
+    // the RETRY (a fresh compact against the new head) purges BOTH
+    // bands — the rows band(1) tombstoned stay dead
+    val expect = ManifestLog.read(spark, dir).count()
+    ManifestLog.compact(spark, dir, "l_orderkey", targetRows = li.count())
+    assert(ManifestLog.read(spark, dir).count() == expect)
+    assert(ManifestLog.read(spark, dir)
+      .join(band(0).union(band(1)), Seq("l_orderkey"), "left_semi").count() == 0,
+      "MOR-deleted rows resurrected by the rewrite")
+    // and the compacted head carries no dv pointers (physical purge)
+    assert(ManifestLog.snapshot(spark, dir).filter(col("dv").isNotNull).count() == 0)
+  }
+
+  test("follow cursor commits are crash-atomic: no truncated cursor ever; an unparsable legacy cursor names its repair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-cur").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mlog-cur-ck").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1)
+    var seen = Vector.empty[Int]
+    ManifestLog.follow(spark, dir, ckpt, fromVersion = 1) { (_, v) => seen :+= v }
+    ManifestLog.append(li.limit(50), "l_orderkey", dir, files = 1)
+    ManifestLog.follow(spark, dir, ckpt) { (_, v) => seen :+= v }
+    assert(seen == Vector(1, 2))
+    val fsys = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the temp-then-rename commit leaves no .cursor-tmp-* litter
+    val litter = fsys.listStatus(new org.apache.hadoop.fs.Path(ckpt)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(".cursor-tmp-"))
+    assert(litter.isEmpty, s"cursor temp files leaked: $litter")
+    // a pre-fix checkpoint wedged by a crash mid-write (empty cursor):
+    // the consumer now fails ACTIONABLY instead of NumberFormatException
+    // forever — and crucially does NOT read as a fresh checkpoint
+    // (which would silently skip to the head)
+    val cur = new org.apache.hadoop.fs.Path(s"$ckpt/cursor")
+    fsys.create(cur, true).close()
+    val ex = intercept[IllegalStateException] {
+      ManifestLog.follow(spark, dir, ckpt) { (_, _) => () }
+    }
+    assert(ex.getMessage.contains("repair"), ex.getMessage)
+    // the named repair works: write the last consumed version back
+    val out = fsys.create(cur, true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    ManifestLog.append(li.limit(25), "l_orderkey", dir, files = 1)
+    var tail = Vector.empty[Long]
+    ManifestLog.follow(spark, dir, ckpt) { (df, _) => tail :+= df.count() }
+    assert(tail == Vector(25L))
+  }
+
+  test("history after vacuum labels the oldest retained version truncated-history with NULL deltas, not a phantom initial write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-hvac").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
+    ManifestLog.append(li.limit(40), "l_orderkey", dir, files = 1)
+    ManifestLog.append(li.limit(20), "l_orderkey", dir, files = 1)
+    ManifestLog.vacuum(spark, dir, retain = 2, minAgeMs = 0)
+    assert(ManifestLog.versions(spark, dir) == Seq(2, 3))
+    val h = ManifestLog.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(2, 3))
+    val v2 = h(0)
+    // v2's predecessor is vacuumed: the deltas are UNKNOWABLE — they
+    // must be NULL, and the label must say so (previously: 'write'
+    // with the whole live file set counted as files_added)
+    assert(v2.getString(2) == "truncated-history", v2.toString)
+    assert(v2.isNullAt(3) && v2.isNullAt(4) && v2.isNullAt(5) && v2.isNullAt(6))
+    val v3 = h(1)
+    assert(v3.getString(2) == "append" && v3.getInt(3) == 1 && v3.getLong(5) == 20L)
+  }
+
+  test("AS OF under non-monotonic pointer mtimes: effective timestamps are forced monotone, so AS OF t is a prefix of the chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-skew").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1)
+    ManifestLog.append(li.limit(40), "l_orderkey", dir, files = 1)
+    ManifestLog.append(li.limit(20), "l_orderkey", dir, files = 1)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def setT(v: Int, t: Long): Unit =
+      fsys.setTimes(new org.apache.hadoop.fs.Path(f"$dir/_mlog/v$v%05d"), t, -1)
+    // clock skew / restored log dir: v3's raw mtime PRECEDES v2's
+    val base = 1700000000000L
+    setT(1, base); setT(2, base + 5000); setT(3, base + 3000)
+    // raw-mtime resolution would return v3 for t = base+4000 — a
+    // version that committed AFTER v2 serving for an instant before
+    // it; the monotone rule clamps v3's effective time to base+5000
+    assert(ManifestLog.versionAsOf(spark, dir, base + 4000) == 1)
+    assert(ManifestLog.versionAsOf(spark, dir, base + 5000) == 3)
+    assert(ManifestLog.versionAsOf(spark, dir, base) == 1)
+    assert(ManifestLog.readAsOf(spark, dir, base + 4000).count() == 100)
+    assert(ManifestLog.readAsOf(spark, dir, base + 5000).count() == 160)
+  }
 }
