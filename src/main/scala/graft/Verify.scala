@@ -173,6 +173,26 @@ object Verify {
       val bqRecall = if (bruteQ.isEmpty) 1.0
         else bruteQ.intersect(bq).size.toDouble / bruteQ.size
 
+      // emb_ann_binary_wide: the production-WIDTH binary path — recall
+      // of the multi-word (4×64-bit array<long>) sign-code prefilter
+      // + exact rerank on the 256-dim derived fixture vs brute force
+      // over the SAME fixture; plus the fixture's own exactness
+      // guarantee (each tile is a signed permutation, so cosine and
+      // therefore the brute-force top-k are IDENTICAL to the base
+      // corpus — checked as set equality).
+      val (bqWideRecall, wideFixtureExact) = {
+        val wide = graft.operators.AnnQueries.wideEmbeddings(spark, sfDir)
+        val bruteW = graft.ann.Similarity.bruteForceTopK(wide,
+            wide.filter(col("vec_id") < nQ), 5)
+          .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bqW = graft.ann.Similarity.binaryTopKN(wide, 5,
+            graft.operators.AnnQueries.WideDim, nQ, numRows = nEmb)
+          .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rec = if (bruteW.isEmpty) 1.0
+          else bruteW.intersect(bqW).size.toDouble / bruteW.size
+        (rec, bruteW == bruteQ)
+      }
+
       // emb_ann_binary_incremental: (1) EXACT probe equality — a code
       // table built as corpus-assign + batch-append must probe
       // identically to a one-shot assignment of the union under the
@@ -447,6 +467,10 @@ object Verify {
          | "emb_ann_binary_incremental": {"metric": "append_probe_equals_one_shot_and_recall",
          | "equal": $incBqEq, "recall": $incBqRecall, "floor": $recallFloor,
          | "pass": ${incBqEq && incBqRecall >= recallFloor}},
+         | "emb_ann_binary_wide": {"metric": "multiword_recall_vs_brute_force_top5_256dim",
+         | "value": $bqWideRecall, "fixture_preserves_cosine": $wideFixtureExact,
+         | "floor": $recallFloor,
+         | "pass": ${wideFixtureExact && bqWideRecall >= recallFloor}},
          | "retrieval_hybrid_rrf_ann": {"metric": "top10_overlap_vs_exact_arm_fusion",
          | "value": $hybridOverlap, "floor": $recallFloor,
          | "pass": ${hybridOverlap >= recallFloor}},

@@ -219,6 +219,75 @@ object Similarity {
     scoreCandidates(candSet, b, k, idCol, vecCol, n, broadcastMaxRows)
   }
 
+  /** [[binaryTopK]] lifted past 64 dimensions — the production-width
+    * deployment (768/1024/4096-dim embedding stores): codes are
+    * `array<long>` of ⌈dim/64⌉ words ([[graft.functions.VectorExpressions.SignPackN]]),
+    * Hamming is one native word-loop kernel
+    * ([[graft.functions.VectorExpressions.CodeHamming]] — Σ
+    * bit_count(xor) per word, codegen'd), and the salted two-level
+    * top-C + exact cosine rerank are IDENTICAL to the one-long path.
+    * The compression ratio is the same 32× at any width (1 bit per
+    * 32-bit float), so at 100 TB of 1024-dim vectors the prefilter
+    * scans ~3 TB of codes and the floats never leave parquet until
+    * rerank.
+    */
+  def binaryTopKN(vectors: DataFrame, k: Int, dim: Int, nQueries: Int,
+                  cand: Int = 0, salts: Int = 32,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
+    val anchors = binaryAnchors(vectors, dim, idCol, vecCol)
+    binaryProbeN(binaryAssignN(vectors, anchors, idCol, vecCol),
+      vectors, vectors.filter(col(idCol) < nQueries), anchors, k,
+      cand, salts, idCol, vecCol, n, broadcastMaxRows)
+  }
+
+  /** Multi-word sign-code assignment under FIXED anchors — the same
+    * assign-only append unit as [[binaryAssign]], at any dimension.
+    */
+  def binaryAssignN(vectors: DataFrame, anchors: Seq[Double],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("nid"),
+      graft.functions.VectorExpressions.signPackN(col(vecCol), anchors).as("code"))
+
+  /** Probe a persisted MULTI-WORD code table: Hamming prefilter over
+    * the array<long> codes only (query codes broadcast; one
+    * [[graft.functions.VectorExpressions.CodeHamming]] kernel call
+    * per pair), exact salted two-level top-C, exact cosine rerank —
+    * the [[binaryProbe]] contract at production dims. Same
+    * determinism: an incrementally-appended table probes identically
+    * to a one-shot assignment under the same anchors.
+    */
+  def binaryProbeN(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
+                   anchors: Seq[Double], k: Int,
+                   cand: Int = 0, salts: Int = 32,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   numRows: Long = -1L, broadcastMaxRows: Long = 2_000_000L): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol))
+    val n = if (numRows >= 0) numRows else b.count()
+    // Past 64 dims the Hamming resolution sharpens (more planes than
+    // the one-long fixture), so the shortlist can sit closer to the
+    // fixed-oversample regime — but keep the same corpus-tracking
+    // floor as binaryProbe so small fixtures hold recall.
+    val effCand = if (cand > 0) cand
+      else math.max(128L, math.min(4096L, n / 8)).toInt
+    val qC = queries.select(col(idCol).as("qid"),
+      graft.functions.VectorExpressions.signPackN(col(vecCol), anchors).as("qcode"))
+    val pairs = codes.join(broadcast(qC), col("qid") =!= col("nid"))
+      .withColumn("ham",
+        graft.functions.VectorExpressions.codeHamming(col("code"), col("qcode")))
+      .select("qid", "nid", "ham")
+    val w1 = Window.partitionBy("qid", "salt").orderBy(col("ham").asc, col("nid"))
+    val lvl1 = pairs.withColumn("salt", pmod(hash(col("nid")), lit(salts)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= effCand)
+    val w2 = Window.partitionBy("qid").orderBy(col("ham").asc, col("nid"))
+    val candSet = lvl1.withColumn("r2", row_number().over(w2))
+      .filter(col("r2") <= effCand).select("qid", "nid")
+    scoreCandidates(candSet, b, k, idCol, vecCol, n, broadcastMaxRows)
+  }
+
   /** Per-dimension component means over the deterministic hash-ordered
     * training sample — the SignPack anchors.
     */

@@ -75,7 +75,13 @@ object GraftSqlFunctions {
     // bit_count(a ^ b) — no face needed, only the packer is custom
     ("graft_signpack",
       "graft_signpack(vec, anchors) - 1-bit sign quantization of a <=64-dim vector into one long (anchors: foldable numeric array)", 2,
-      es => SignPack(es.head, doubleArrayLit(es(1), "graft_signpack"))))
+      es => SignPack(es.head, doubleArrayLit(es(1), "graft_signpack"))),
+    ("graft_signpackn",
+      "graft_signpackn(vec, anchors) - 1-bit sign quantization of an any-dim vector into array<bigint> words (anchors: foldable numeric array)", 2,
+      es => SignPackN(es.head, doubleArrayLit(es(1), "graft_signpackn"))),
+    ("graft_hamming",
+      "graft_hamming(code_a, code_b) - Hamming distance between two array<bigint> binary codes", 2,
+      es => CodeHamming(es.head, es(1))))
 
   /** The registration triples, shared by both paths. Builders validate
     * arity up front so a wrong-arg-count call reports the usage string

@@ -519,6 +519,100 @@ case class SignPack(child: Expression, anchors: Array[Double])
     copy(child = newChild)
 }
 
+/** Multi-word 1-bit sign quantization — [[SignPack]] lifted past 64
+  * dimensions to production embedding widths (768/1024/4096): the code
+  * is `array<long>` of ⌈dim/64⌉ words, dimension d lands in word d/64
+  * bit d%64 (word 0 holds dims 0–63, so a ≤64-dim code's single word
+  * equals SignPack's long exactly). A 1024-dim float vector (4 KiB)
+  * codes to 16 longs (128 B) — the same 32× compressed prefilter scan
+  * at any width. One reference-object call per row keeps the stage
+  * inside whole-stage codegen.
+  */
+case class SignPackN(child: Expression, anchors: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with VectorInput {
+
+  require(anchors.nonEmpty, "SignPackN needs at least one anchor dimension")
+
+  private val words = (anchors.length + 63) / 64
+
+  override protected def vecChild: Expression = child
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), anchors.length)
+    val code = new Array[Long](words)
+    var i = 0
+    while (i < n) {
+      if (elem(v, i) >= anchors(i)) code(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(code)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signPackN", this, classOf[SignPackN].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two multi-word binary codes
+  * (`array<long>`): Σ over words of `bit_count(a ⊕ b)`. Missing
+  * trailing words on either side count as zero words, so codes from
+  * anchor sets of different (compatible-prefix) widths still compare.
+  * This is THE hot kernel of the wide binary prefilter — it runs once
+  * per (query, row) pair; a `zip_with`+`aggregate` formulation would
+  * drop the stage out of whole-stage codegen (higher-order functions
+  * are interpreted) and box per element, so it's a native expression
+  * with a primitive word loop, like [[DotProduct]] vs `dotHof`.
+  */
+case class CodeHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def checkType(e: Expression): Unit = e.dataType match {
+    case ArrayType(LongType, _) => ()
+    case other => throw new IllegalArgumentException(
+      s"CodeHamming needs array<bigint> codes, got $other")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    val shared = math.min(na, nb)
+    var h = 0
+    var i = 0
+    while (i < shared) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    while (i < na) { h += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    while (i < nb) { h += java.lang.Long.bitCount(b.getLong(i)); i += 1 }
+    h
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    checkType(left); checkType(right)
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    checkType(left); checkType(right)
+    val ref = ctx.addReferenceObj("codeHamming", this, classOf[CodeHamming].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Top `nprobe` IVF cells for a vector in ONE kernel pass: `nlist`
   * dot products against the flattened centroid matrix, then selection
   * by (score desc, cell desc) — byte-identical ordering to the
@@ -866,6 +960,14 @@ object VectorExpressions {
   /** Column-level handle for [[SignPack]]. */
   def signPack(vec: Column, anchors: Seq[Double]): Column =
     ColumnBridge.column(SignPack(ColumnBridge.expression(vec), anchors.toArray))
+
+  /** Column-level handle for [[SignPackN]] (array<long> codes, any dim). */
+  def signPackN(vec: Column, anchors: Seq[Double]): Column =
+    ColumnBridge.column(SignPackN(ColumnBridge.expression(vec), anchors.toArray))
+
+  /** Column-level handle for [[CodeHamming]]. */
+  def codeHamming(a: Column, b: Column): Column =
+    ColumnBridge.column(CodeHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-level handle for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -49,6 +49,41 @@ object AnnQueries {
   /** Embedding dimensionality, shared with Verify's PCA invariant. */
   val EmbDim: Int = Dim
 
+  /** Production-width binary-ANN fixture geometry: the 64-dim corpus
+    * tiled to 256 dims (see [[wideEmbeddings]]).
+    */
+  val WideTiles = 4
+  val WideDim: Int = Dim * WideTiles
+
+  /** A ≥256-dim embedding corpus DERIVED deterministically from the
+    * 64-dim fixture, for the production-width (multi-long-code)
+    * binary-ANN path: tile t's component j is `sign(t,j) ·
+    * v[perm_t(j)]` with per-tile bijective index maps (odd multiplier
+    * mod 64) and fixed ±1 signs. Each tile is a signed permutation,
+    * so `<f(u), f(v)> = tiles · <u, v>` and `|f(v)|² = tiles · |v|²`
+    * EXACTLY — cosine, and therefore every neighbor ordering and the
+    * brute-force ground truth, is preserved from the base corpus
+    * while the code path exercises real ⌈256/64⌉ = 4-word packing,
+    * the word-loop Hamming kernel, and array-typed salted top-C.
+    */
+  def wideEmbeddings(s: SparkSession, d: String,
+                     tiles: Int = WideTiles): DataFrame = {
+    val mult = Array(1, 5, 9, 13, 17, 21, 25, 29)
+    val idx: Seq[Int] = (0 until tiles).flatMap { t =>
+      (0 until Dim).map(j => (mult(t % mult.length) * j + 7 * t) % Dim)
+    }
+    val sgn: Seq[Float] = (0 until tiles).flatMap { t =>
+      (0 until Dim).map { j =>
+        if ((((t * Dim + j) * 2654435761L) % 1000003L) % 2L == 0L) 1.0f else -1.0f
+      }
+    }
+    val idxLit = array(idx.map(i => lit(i + 1)): _*) // element_at is 1-based
+    val sgnLit = array(sgn.map(lit): _*)
+    Tables.embeddings(s, d).withColumn("embedding",
+      zip_with(idxLit, sgnLit,
+        (p, sg) => (element_at(col("embedding"), p) * sg).cast("float")))
+  }
+
   // SemDedup geometry: 5 sign-hyperplanes (32 buckets — ~16 members
   // per bucket at sf0.01, ~60 at sf0.1, far under the ~1e5 BIGINT
   // headroom bound in SemDedup's doc) and a 0.30-cosine duplicate
@@ -134,6 +169,20 @@ object AnnQueries {
     // the Verify invariant.
     "emb_ann_binary" -> { (s, d) =>
       Similarity.binaryTopK(Tables.embeddings(s, d), TopK, Dim, NQueries,
+          numRows = Tables.cachedCount(s, d, "embeddings"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Production-WIDTH binary ANN: the same 1-bit prefilter on a
+    // 256-dim corpus (the derived wide fixture) — codes are 4-long
+    // ARRAYS (SignPackN), Hamming is the native word-loop kernel
+    // (CodeHamming), everything downstream (salted top-C, exact
+    // cosine rerank) identical. This is the shape a real 768/1024-dim
+    // embedding store runs; the one-long emb_ann_binary is its ≤64-dim
+    // special case. Rows-only; recall floor + wide-fixture cosine
+    // preservation are Verify invariants.
+    "emb_ann_binary_wide" -> { (s, d) =>
+      Similarity.binaryTopKN(wideEmbeddings(s, d), TopK, WideDim, NQueries,
           numRows = Tables.cachedCount(s, d, "embeddings"))
         .orderBy("qid", "rnk")
     },

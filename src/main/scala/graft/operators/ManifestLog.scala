@@ -342,6 +342,30 @@ object ManifestLog {
       .withColumn("hi2", lit(null).cast("long"))
   }
 
+  /** The clustering (second stats) column registered for a table, if
+    * any — present exactly on tables created by [[writeClustered]].
+    */
+  private def statsCol2Of(spark: SparkSession, path: String): Option[String] =
+    readMetaLines(spark, path)
+      .collectFirst { case l if l.startsWith("statsCol2=") => l.stripPrefix("statsCol2=").trim }
+
+  /** Fresh-file stats for a REWRITE (compact/merge/COW delete): on a
+    * clustered table the rewriter has the rows in hand anyway, so it
+    * computes BOTH columns' lo/hi — second-dimension pruning survives
+    * maintenance instead of degrading to NULL (= kept-never-skipped)
+    * until a full re-clustering write. Falls back to primary-only
+    * stats when the table isn't clustered or the rewrite output lacks
+    * the column (a schema-evolution edge — NULL stays the safe
+    * unknown).
+    */
+  private def statsOfRewrite(spark: SparkSession, path: String,
+                             files: Seq[String], statsCol: String): DataFrame =
+    statsCol2Of(spark, path) match {
+      case Some(c2) if spark.read.parquet(files: _*).columns.contains(c2) =>
+        statsOf2(spark, files, statsCol, c2)
+      case _ => statsOf(spark, files, statsCol)
+    }
+
   /** Two-column stats: the primary lo/hi plus LONG lo2/hi2 for the
     * clustering column (integral columns only — one canonical manifest
     * type keeps every commit's snapshot schema stable).
@@ -551,10 +575,12 @@ object ManifestLog {
     * either predicate before Spark ever lists them. The primary
     * statsCol still routes merge/delete — range overlap stays CORRECT
     * under any layout, clustering only trades its selectivity for the
-    * second dimension's. Rewrites (compact/merge/COW delete) emit
-    * NULL col2 stats for their fresh files: unknown ranges are KEPT
-    * by the pruner, never skipped — conservative by construction —
-    * and a re-clustering write restores them. statsCol2 must be an
+    * second dimension's. Rewrites (compact/merge/COW delete) compute
+    * BOTH columns' stats for their fresh files (the rows are in hand
+    * anyway — see [[statsOfRewrite]]), so second-dimension pruning
+    * survives maintenance; compaction additionally re-clusters on the
+    * Hilbert curve. A NULL col2 range (schema-evolution edge) is KEPT
+    * by the pruner, never skipped. statsCol2 must be an
     * integral column (one canonical LONG manifest type).
     */
   def writeClustered(df: DataFrame, statsCol: String, statsCol2: String,
@@ -665,7 +691,7 @@ object ManifestLog {
       fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
       throw e
     }
-    val st = statsOf(spark, fresh, statsCol)
+    val st = statsOfRewrite(spark, path, fresh, statsCol)
     val freshRows = st.collect().toSeq
     var committed = false
     while (!committed) {
@@ -703,12 +729,25 @@ object ManifestLog {
     val total = small.map(_.getLong(3)).sum
     val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
     val batchDir = newBatchDir(path)
-    readWithDv(spark, small.map(r => (r.getString(0), r.getString(4))))
-      .repartitionByRange(nOut, col(statsCol))
-      .sortWithinPartitions(statsCol)
-      .write.parquet(batchDir)
+    val out = readWithDv(spark, small.map(r => (r.getString(0), r.getString(4))))
+    // compacting a CLUSTERED table re-clusters on the Hilbert curve —
+    // the rewrite pays the pass anyway, so maintenance RESTORES
+    // two-dimensional locality instead of eroding it to a single-key
+    // layout (primary lo/hi pruning is correct under any order)
+    statsCol2Of(spark, path) match {
+      case Some(c2) if out.columns.contains(c2) =>
+        out.withColumn("__h", LayoutOps.hilbertValueN(out, Seq(statsCol, c2)))
+          .repartitionByRange(nOut, col("__h"))
+          .sortWithinPartitions("__h")
+          .drop("__h")
+          .write.parquet(batchDir)
+      case _ =>
+        out.repartitionByRange(nOut, col(statsCol))
+          .sortWithinPartitions(statsCol)
+          .write.parquet(batchDir)
+    }
     val fresh = listDataFiles(spark, batchDir).toSeq.sorted
-    val st = statsOf(spark, fresh, statsCol)
+    val st = statsOfRewrite(spark, path, fresh, statsCol)
     val freshRows = st.collect().toSeq
     commitRewrite(spark, path,
       small.map(r => r.getString(0) -> r.getString(4)).toMap, freshRows, st.schema,
@@ -826,7 +865,7 @@ object ManifestLog {
         fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
         throw e
       }
-      val st = statsOf(spark, fresh, statsCol)
+      val st = statsOfRewrite(spark, path, fresh, statsCol)
       val freshRows = st.collect().toSeq
       // update-key bounds for the concurrent-append overlap re-check
       val Array(kmin, kmax) = updates
@@ -938,7 +977,7 @@ object ManifestLog {
       val fresh = listDataFiles(spark, batchDir).toSeq.sorted
       val freshRows =
         if (fresh.isEmpty) Seq.empty[org.apache.spark.sql.Row]
-        else statsOf(spark, fresh, statsCol).collect().toSeq
+        else statsOfRewrite(spark, path, fresh, statsCol).collect().toSeq
       val Array(kmin, kmax) = keys
         .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
       val schema = snapshot(spark, path, v).schema

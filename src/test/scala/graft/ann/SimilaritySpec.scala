@@ -87,6 +87,99 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaProbe == Similarity.binaryTopK(emb, 5, 64, 10).collect().toSeq)
   }
 
+  test("SignPackN: word w bit b = dim 64w+b; word 0 of a wide code equals SignPack's one long; CodeHamming sums per-word bit_count") {
+    import spark.implicits._
+    // 70 dims: crosses the word boundary (dims 64..69 land in word 1)
+    val v1 = (0 until 70).map(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val v2 = (0 until 70).map(i => if (i % 5 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val anchors = Seq.fill(70)(0.0)
+    val codes = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.signPackN(col("embedding"), anchors).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(1L).length == 2 && codes(2L).length == 2, "70 dims -> 2 words")
+    // reference semantics straight from the definition
+    def refCode(v: Seq[Float]): Seq[Long] = {
+      val w = new Array[Long](2)
+      v.indices.foreach(i => if (v(i) >= 0.0f) w(i >>> 6) |= (1L << (i & 63)))
+      w.toSeq
+    }
+    assert(codes(1L) == refCode(v1) && codes(2L) == refCode(v2))
+    // word 0 equals the one-long SignPack of the first 64 dims exactly
+    val oneLong = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.signPack(col("embedding"), Seq.fill(64)(0.0)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(1L).head == oneLong(1L) && codes(2L).head == oneLong(2L))
+    // CodeHamming == sum of per-word xor bit_counts
+    val expHam = codes(1L).zip(codes(2L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    val ham = df.filter(col("vec_id") === 1L)
+      .crossJoin(df.filter(col("vec_id") === 2L).select(col("embedding").as("e2")))
+      .select(graft.functions.VectorExpressions.codeHamming(
+        graft.functions.VectorExpressions.signPackN(col("embedding"), anchors),
+        graft.functions.VectorExpressions.signPackN(col("e2"), anchors)).as("h"))
+      .head().getInt(0)
+    assert(ham == expHam, s"CodeHamming $ham vs reference $expHam")
+    // unequal code widths: missing trailing words count as zero words
+    val hamShort = df.filter(col("vec_id") === 1L)
+      .select(graft.functions.VectorExpressions.codeHamming(
+        graft.functions.VectorExpressions.signPackN(col("embedding"), anchors),
+        graft.functions.VectorExpressions.signPackN(col("embedding"), anchors.take(64))).as("h"))
+      .head().getInt(0)
+    assert(hamShort == java.lang.Long.bitCount(codes(1L)(1)),
+      s"short-vs-wide Hamming should count word 1 against zero, got $hamShort")
+  }
+
+  test("wide fixture preserves cosine structure exactly; binaryTopKN holds recall, determinism, salted exactness, append==one-shot") {
+    val base = Tables.embeddings(spark, dir)
+    val wide = graft.operators.AnnQueries.wideEmbeddings(spark, dir)
+    assert(wide.select(size(col("embedding"))).head().getInt(0) == 256)
+    // each tile is a signed permutation: <f(u),f(v)> = 4<u,v> and
+    // |f(v)| = 2|v|, so cosine — and every neighbor ordering — is
+    // IDENTICAL to the base corpus
+    val qBase = Similarity.bruteForceTopK(base, base.filter(col("vec_id") < 10), 5)
+      .select("qid", "rnk", "nid").collect().toSet
+    val qWide = Similarity.bruteForceTopK(wide, wide.filter(col("vec_id") < 10), 5)
+      .select("qid", "rnk", "nid").collect().toSet
+    assert(qBase == qWide, "wide fixture changed the exact neighbor structure")
+    // multi-word recall floor vs the wide brute force
+    val brute = qWide.map(r => (r.getLong(0), r.getLong(2)))
+    val bq = Similarity.binaryTopKN(wide, 5, 256, 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(bq).size.toDouble / brute.size
+    assert(recall >= 0.7, s"wide binary-code recall too low: $recall")
+    // deterministic; salted two-level top-C exact at any salt count
+    assert(Similarity.binaryTopKN(wide, 5, 256, 10).collect().toSeq ==
+      Similarity.binaryTopKN(wide, 5, 256, 10).collect().toSeq)
+    assert(Similarity.binaryTopKN(wide, 5, 256, 10, salts = 1).collect().toSeq ==
+      Similarity.binaryTopKN(wide, 5, 256, 10, salts = 32).collect().toSeq)
+    // assign-only append == one-shot under fixed anchors (multi-word)
+    val corpus = wide.filter(col("vec_id") % 10 >= 3)
+    val batch = wide.filter(col("vec_id") % 10 < 3)
+    val anchors = Similarity.binaryAnchors(corpus, 256)
+    assert(anchors.length == 256)
+    val inc = Similarity.binaryAssignN(corpus, anchors)
+      .unionAll(Similarity.binaryAssignN(batch, anchors))
+    val one = Similarity.binaryAssignN(wide, anchors)
+    val pInc = Similarity.binaryProbeN(inc, wide, batch, anchors, 5).collect().toSeq
+    val pOne = Similarity.binaryProbeN(one, wide, batch, anchors, 5).collect().toSeq
+    assert(pInc == pOne && pInc.nonEmpty,
+      "appended multi-word code table diverged from one-shot assignment")
+  }
+
+  test("wide binary prefilter is codes-only: no top-C stage touches the float vectors") {
+    val wide = graft.operators.AnnQueries.wideEmbeddings(spark, dir)
+    val plan = Similarity.binaryTopKN(wide, 5, 256, 10)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size >= 2, s"expected the two top-C windows, got ${windows.size}")
+    windows.init.foreach { w =>
+      assert(!w.inputSet.exists(_.name == "embedding"),
+        s"a wide Hamming top-C stage carries the float vectors: $w")
+    }
+  }
+
   test("binary prefilter is codes-only: no top-C stage touches the float vectors") {
     // the 32×-compressed-scan claim as a plan property — the Hamming
     // top-C windows must see (id, code, ham) only; the 64-float

@@ -73,6 +73,24 @@ class GraftSqlFunctionsSpec extends AnyFunSuite {
     assert(exNull.getMessage.contains("NULL element"), exNull.getMessage)
   }
 
+  test("graft_signpackn / graft_hamming: multi-word codes and word-summed Hamming from SQL") {
+    // 4 dims in one word: word 0 must equal graft_signpack's long
+    val r = spark.sql(
+      """SELECT graft_signpackn(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT),
+        |                             CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)),
+        |                       array(0.0D, 0.0D, 0.0D, 0.0D)) AS c""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(0x5L))
+    val h = spark.sql(
+      "SELECT graft_hamming(graft_signpackn(array(CAST(1.0 AS FLOAT)), array(0.0D)), " +
+        "graft_signpackn(array(CAST(-1.0 AS FLOAT)), array(0.0D))) AS ham").head()
+    assert(h.getAs[Int]("ham") == 1)
+    // a NULL anchor is refused like the one-long face
+    intercept[Exception] {
+      spark.sql("SELECT graft_signpackn(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(NULL AS DOUBLE)))").head()
+    }
+  }
+
   test("sql faces equal the Column API over real documents") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)

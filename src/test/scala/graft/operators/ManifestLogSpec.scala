@@ -957,7 +957,7 @@ class ManifestLogSpec extends AnyFunSuite {
       .count() == 310 - deleted)
   }
 
-  test("clustered writes: two-column zone maps prune on either predicate; rewrites degrade col2 stats to unknown (kept, never skipped)") {
+  test("clustered writes: two-column zone maps prune on either predicate; rewrites keep col2 stats (computed from the rows in hand)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-clu").toString
     val data = li // (l_orderkey, l_partkey, l_quantity)
     ManifestLog.writeClustered(data, "l_orderkey", "l_partkey", dir, files = 16)
@@ -993,14 +993,15 @@ class ManifestLogSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(adf.collect().map(_.toString).sorted.toSeq == expectUnion)
     assert(aTotal == 18)
-    // a COW delete rewrites some files: their col2 stats degrade to
-    // NULL (unknown), and the pruned read STAYS exact — unknown files
-    // are kept, never skipped
+    // a COW delete rewrites some files: the rewriter has the rows in
+    // hand, so the fresh files carry BOTH columns' stats — no file in
+    // the head is ever stats-blind — and the pruned read stays exact
     val band = data.select("l_orderkey").distinct()
       .filter(col("l_orderkey").between(kLo, kLo + (kHi - kLo) / 10))
     ManifestLog.delete(band, "l_orderkey", dir)
     val snapDel = ManifestLog.snapshot(spark, dir).collect()
-    assert(snapDel.exists(_.isNullAt(5)), "rewrite kept col2 stats it cannot know")
+    assert(snapDel.forall(!_.isNullAt(5)),
+      "a rewrite degraded col2 stats it could have computed")
     val postDel = data.unionAll(extra)
       .join(band, Seq("l_orderkey"), "left_anti")
       .filter(col("l_orderkey").between(kLo, kA) && col("l_partkey").between(pLo, pA))
@@ -1009,6 +1010,42 @@ class ManifestLogSpec extends AnyFunSuite {
       "l_orderkey", kLo, kA, "l_partkey", pLo, pA)
     assert(ddf.collect().map(_.toString).sorted.toSeq == postDel)
     assert(dSurv <= dTotal)
+  }
+
+  test("compact on a clustered table re-clusters: col2 stats survive maintenance and second-dimension file-skipping still prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-cluc").toString
+    val data = li
+    ManifestLog.writeClustered(data, "l_orderkey", "l_partkey", dir, files = 16)
+    val r = data.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    val (kLo, kHi, pLo, pHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (kA, pA) = (kLo + (kHi - kLo) / 4, pLo + (pHi - pLo) / 4)
+    def quarterBox() = ManifestLog.readPruned2(spark, dir,
+      "l_orderkey", kLo, kA, "l_partkey", pLo, pA)
+    val (beforeDf, beforeSurv, beforeTotal) = quarterBox()
+    val expect = beforeDf.collect().map(_.toString).sorted.toSeq
+    assert(beforeSurv * 2 <= beforeTotal, s"pre-compact box kept $beforeSurv/$beforeTotal")
+    // compact the whole table into ~4 files — a maintenance pass that
+    // previously blinded the second dimension (NULL col2 stats)
+    val (gone, born) = ManifestLog.compact(spark, dir, "l_orderkey",
+      targetRows = data.count() / 4 + 1)
+    assert(gone == 16 && born >= 2)
+    val snap = ManifestLog.snapshot(spark, dir).collect()
+    assert(snap.forall(!_.isNullAt(5)), "compact degraded col2 stats")
+    // same box: exact parity, and the compacted layout STILL skips
+    // files on the two-dimensional predicate (Hilbert re-clustering)
+    val (afterDf, afterSurv, afterTotal) = quarterBox()
+    assert(afterDf.collect().map(_.toString).sorted.toSeq == expect)
+    assert(afterTotal == born)
+    assert(afterSurv < afterTotal,
+      s"post-compact box kept every file ($afterSurv/$afterTotal) — second-dimension pruning lost")
+    // a col2-only predicate also still prunes after maintenance
+    val (c2df, c2Surv, _) = ManifestLog.readPruned2(spark, dir,
+      "l_orderkey", kLo, kHi, "l_partkey", pLo, pA)
+    val exact2 = data.filter(col("l_partkey").between(pLo, pA))
+      .collect().map(_.toString).sorted.toSeq
+    assert(c2df.collect().map(_.toString).sorted.toSeq == exact2)
+    assert(c2Surv < afterTotal, s"col2-only scan kept $c2Surv/$afterTotal files")
   }
 
   test("history: one labeled row per version (write/append/rewrite/mor-delete/restore)") {
