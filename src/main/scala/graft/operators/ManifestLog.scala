@@ -132,7 +132,7 @@ object ManifestLog {
   def snapshot(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else currentVersion(spark, path)
     require(v > 0, s"no snapshots under $path")
-    normalizeSnap(spark.read.parquet(snapshotDir(spark, path, v)))
+    readPayloadDir(spark, snapshotDir(spark, path, v))
   }
 
   private def normalizeSnap(df: DataFrame): DataFrame = {
@@ -149,6 +149,18 @@ object ManifestLog {
     out.select("file", "lo", "hi", "rows", "dv", "lo2", "hi2")
   }
 
+  /** Payload parquet reads — the unit the log-checkpoint design
+    * bounds: a chain walk (history/follow) must read O(versions since
+    * the last checkpoint) payloads, not O(all versions). Test-visible
+    * so the spec can count.
+    */
+  private[operators] val payloadReads = new java.util.concurrent.atomic.AtomicLong
+
+  private def readPayloadDir(spark: SparkSession, dir: String): DataFrame = {
+    payloadReads.incrementAndGet()
+    normalizeSnap(spark.read.parquet(dir))
+  }
+
   /** Head snapshot rows for the commit retry loops: None = the head
     * pointer was a crashed commit (now repaired away) — the caller
     * re-reads the head and retries instead of surfacing the error.
@@ -156,7 +168,7 @@ object ManifestLog {
   private def headRows(spark: SparkSession, path: String,
                        v: Int): Option[Seq[org.apache.spark.sql.Row]] =
     resolvePayload(spark, path, v).map { dir =>
-      normalizeSnap(spark.read.parquet(dir)).collect().toSeq
+      readPayloadDir(spark, dir).collect().toSeq
     }
 
   /** Write the snapshot payload, then publish version `v` by the
@@ -180,7 +192,13 @@ object ManifestLog {
       // create and write may find its pointer repaired away — verify
       // it survived, and report a lost race (the caller retries, and
       // appends compose) instead of a phantom commit
-      f.exists(marker)
+      val ok = f.exists(marker)
+      // every Nth commit folds the chain into a log checkpoint
+      // (best-effort — a failed checkpoint never fails the commit; the
+      // next trigger or an explicit checkpointLog catches up)
+      if (ok && v % CheckpointInterval == 0)
+        try checkpointUpTo(spark, path, v) catch { case _: Throwable => () }
+      ok
     } catch {
       case e: java.io.IOException =>
         if (f.exists(marker)) false else throw e
@@ -1215,6 +1233,121 @@ object ManifestLog {
     case _ => throw new IllegalArgumentException(s"incomparable manifest bounds: $a vs $b")
   }
 
+  // ---- log checkpoints (Delta's _last_checkpoint discipline) ----
+
+  /** Every `CheckpointInterval`-th commit also writes a LOG CHECKPOINT
+    * (best-effort, post-CAS): the per-version FILE DELTAS
+    * (add/remove/dv-move) of every version up to the commit, folded
+    * onto the previous checkpoint. [[history]] and [[follow]] then
+    * read ONE checkpoint parquet plus only the payloads of versions
+    * PAST it — a 1000-version table's chain walk costs O(interval)
+    * payload reads instead of O(versions). Snapshot resolution itself
+    * was never the problem (payloads are full snapshots, so
+    * time-travel is O(1)); the checkpoint bounds the walks that need
+    * every version's delta.
+    */
+  val CheckpointInterval = 16
+
+  private val ckptRe = "^ckpt-v(\\d{5})-.*$".r
+
+  /** Newest checkpoint (version, payload dir), if any. Ties on version
+    * (two racing maintenance calls) break deterministically by name.
+    */
+  private def latestCkpt(spark: SparkSession, path: String): Option[(Int, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(logDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) return None
+    f.listStatus(dir).iterator.flatMap { s =>
+      ckptRe.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toInt, s"${logDir(path)}/${s.getPath.getName}"))
+    }.toSeq.sorted.lastOption
+  }
+
+  private val ckptSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("dv", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Checkpoint the log up to the current head. Returns the
+    * checkpointed version (the previous checkpoint's if already
+    * current). Safe under races: each attempt writes a uniquely-named
+    * dir and readers take the newest — a lost race costs an orphan
+    * checkpoint that [[vacuum]] reclaims.
+    */
+  def checkpointLog(spark: SparkSession, path: String): Int =
+    checkpointUpTo(spark, path, currentVersion(spark, path))
+
+  private def checkpointUpTo(spark: SparkSession, path: String, head: Int): Int = {
+    val prev = latestCkpt(spark, path)
+    val startV = prev.map(_._1).getOrElse(0)
+    if (head <= startV) return startV
+    val prevRows = prev
+      .map(p => spark.read.schema(ckptSchema).parquet(p._2).collect().toSeq)
+      .getOrElse(Seq.empty)
+    val allVs = versions(spark, path)
+    val live = allVs.filter(v => v > startV && v <= head)
+    if (live.isEmpty) return startV
+    val f = fs(spark, path)
+    def ptrTs(v: Int): Long =
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v))).getModificationTime
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    import org.apache.spark.sql.Row
+    // predecessor state for the first walked version: absent (vacuumed
+    // or crash-gap) marks that version `truncated` — deltas unknowable
+    var prevOpt: Option[Seq[Row]] =
+      if (live.head == 1) Some(Seq.empty)
+      else if (allVs.contains(live.head - 1))
+        Some(snapshot(spark, path, live.head - 1).collect().toSeq)
+      else None
+    live.foreach { v =>
+      val cur = snapshot(spark, path, v).collect().toSeq
+      val ts = ptrTs(v)
+      prevOpt match {
+        case None =>
+          buf += Row(v, "truncated", null, null, null, ts)
+        case Some(prevS) =>
+          val prevFiles = prevS.map(_.getString(0)).toSet
+          val curFiles = cur.map(_.getString(0)).toSet
+          val prevDv = prevS.map(r => r.getString(0) -> r.getString(4)).toMap
+          var any = false
+          cur.filterNot(r => prevFiles(r.getString(0))).foreach { r =>
+            buf += Row(v, "add", r.getString(0), r.getString(4),
+              r.getLong(3): java.lang.Long, ts); any = true
+          }
+          prevS.filterNot(r => curFiles(r.getString(0))).foreach { r =>
+            buf += Row(v, "remove", r.getString(0), null,
+              r.getLong(3): java.lang.Long, ts); any = true
+          }
+          cur.filter(r => prevFiles(r.getString(0)) &&
+              prevDv(r.getString(0)) != r.getString(4)).foreach { r =>
+            buf += Row(v, "dvmove", r.getString(0), r.getString(4), null, ts)
+            any = true
+          }
+          if (!any) buf += Row(v, "none", null, null, null, ts)
+      }
+      prevOpt = Some(cur)
+    }
+    val name = f"ckpt-v${live.last}%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(prevRows ++ buf, 1), ckptSchema)
+      .coalesce(1).write.parquet(s"${logDir(path)}/$name")
+    live.last
+  }
+
+  /** Checkpoint rows grouped by version (one parquet read), for the
+    * chain walks. Empty when no checkpoint exists.
+    */
+  private def ckptByVersion(spark: SparkSession,
+                            path: String): Map[Int, Seq[org.apache.spark.sql.Row]] =
+    latestCkpt(spark, path)
+      .map(p => spark.read.schema(ckptSchema).parquet(p._2)
+        .collect().toSeq.groupBy(_.getInt(0)))
+      .getOrElse(Map.empty)
+
   /** DESCRIBE HISTORY: one row per version — commit instant (pointer
     * mtime), files added/removed vs the previous snapshot, physical
     * row delta, dv-pointer changes, and a derived operation label
@@ -1229,34 +1362,53 @@ object ManifestLog {
     import org.apache.spark.sql.types._
     val f = fs(spark, path)
     val vs = versions(spark, path)
-    val snaps = vs.map(v => v -> snapshot(spark, path, v).collect()).toMap
+    // versions covered by the log checkpoint take their deltas from
+    // ONE parquet read; only versions past it read payloads (lazily,
+    // each at most once) — O(interval) payload reads at any age
+    val ck = ckptByVersion(spark, path)
+    val snapCache = scala.collection.mutable.Map.empty[Int, Array[org.apache.spark.sql.Row]]
+    def snapOf(v: Int): Array[org.apache.spark.sql.Row] =
+      snapCache.getOrElseUpdate(v, snapshot(spark, path, v).collect())
     val rows = vs.map { v =>
-      val now = snaps(v)
-      val truncated = v > 1 && !vs.contains(v - 1)
       val ts = try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v)))
         .getModificationTime
       catch { case _: java.io.FileNotFoundException => 0L }
-      if (truncated)
-        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
-          "truncated-history", null, null, null, null)
-      else {
-        val prev = if (vs.contains(v - 1)) snaps(v - 1) else Array.empty[org.apache.spark.sql.Row]
-        val prevFiles = prev.map(_.getString(0)).toSet
-        val nowFiles = now.map(_.getString(0)).toSet
-        val added = now.count(r => !prevFiles(r.getString(0)))
-        val removed = prev.count(r => !nowFiles(r.getString(0)))
-        val rowDelta = now.map(_.getLong(3)).sum - prev.map(_.getLong(3)).sum
-        val prevDv = prev.map(r => r.getString(0) -> r.getString(4)).toMap
-        val dvChanged = now.count(r =>
-          prevFiles(r.getString(0)) && prevDv(r.getString(0)) != r.getString(4))
-        val op =
-          if (prev.isEmpty) "write"
-          else if (removed > 0) "rewrite"
-          else if (added > 0) "append"
-          else if (dvChanged > 0) "mor-delete"
-          else "restore-or-noop"
-        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op,
-          added, removed, rowDelta, dvChanged)
+      def label(v: Int, added: Int, removed: Int, dvChanged: Int): String =
+        if (v == 1) "write"
+        else if (removed > 0) "rewrite"
+        else if (added > 0) "append"
+        else if (dvChanged > 0) "mor-delete"
+        else "restore-or-noop"
+      ck.get(v) match {
+        case Some(drs) if drs.exists(_.getString(1) == "truncated") =>
+          org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+            "truncated-history", null, null, null, null)
+        case Some(drs) =>
+          val added = drs.count(_.getString(1) == "add")
+          val removed = drs.count(_.getString(1) == "remove")
+          val dvChanged = drs.count(_.getString(1) == "dvmove")
+          val rowDelta =
+            drs.filter(_.getString(1) == "add").map(_.getLong(4)).sum -
+              drs.filter(_.getString(1) == "remove").map(_.getLong(4)).sum
+          val effTs = if (ts != 0L) ts else drs.head.getLong(5)
+          org.apache.spark.sql.Row(v, new java.sql.Timestamp(effTs),
+            label(v, added, removed, dvChanged), added, removed, rowDelta, dvChanged)
+        case None if v > 1 && !vs.contains(v - 1) =>
+          org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+            "truncated-history", null, null, null, null)
+        case None =>
+          val now = snapOf(v)
+          val prev = if (v == 1) Array.empty[org.apache.spark.sql.Row] else snapOf(v - 1)
+          val prevFiles = prev.map(_.getString(0)).toSet
+          val nowFiles = now.map(_.getString(0)).toSet
+          val added = now.count(r => !prevFiles(r.getString(0)))
+          val removed = prev.count(r => !nowFiles(r.getString(0)))
+          val rowDelta = now.map(_.getLong(3)).sum - prev.map(_.getLong(3)).sum
+          val prevDv = prev.map(r => r.getString(0) -> r.getString(4)).toMap
+          val dvChanged = now.count(r =>
+            prevFiles(r.getString(0)) && prevDv(r.getString(0)) != r.getString(4))
+          org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+            label(v, added, removed, dvChanged), added, removed, rowDelta, dvChanged)
       }
     }
     val schema = StructType(Seq(
@@ -1341,21 +1493,43 @@ object ManifestLog {
       writeCursor(start); start
     }
     var delivered = 0
+    // versions covered by the log checkpoint take their deltas from
+    // ONE parquet read; only versions past it walk payloads, with the
+    // previous version's file set carried forward — a rewind replay of
+    // a long-lived table costs O(interval) payload reads
+    val ck = if (last < head) ckptByVersion(spark, path)
+             else Map.empty[Int, Seq[org.apache.spark.sql.Row]]
+    var carryFiles: Option[(Int, Set[String])] = None
     while (last < head) {
       val v = last + 1
-      val prev: Set[String] =
-        if (v == 1) Set.empty
-        else snapshot(spark, path, v - 1).collect().map(_.getString(0)).toSet
-      val now = snapshot(spark, path, v).collect()
-      val nowFiles = now.map(_.getString(0)).toSet
-      val removed = prev -- nowFiles
-      val added = now.filter(r => !prev(r.getString(0)))
-      if (removed.nonEmpty && !skipRewrites)
+      val (removedCount, added): (Int, Seq[(String, String)]) = ck.get(v) match {
+        case Some(drs) if drs.exists(_.getString(1) == "truncated") =>
+          throw new IllegalStateException(
+            s"follow($path) cannot replay v$v: its predecessor was vacuumed before " +
+              "the log checkpoint covered it — restart from a fresh checkpoint")
+        case Some(drs) =>
+          (drs.count(_.getString(1) == "remove"),
+            drs.filter(_.getString(1) == "add")
+              .map(r => (r.getString(2), r.getString(3))))
+        case None =>
+          val prev: Set[String] =
+            if (v == 1) Set.empty
+            else carryFiles match {
+              case Some((pv, s)) if pv == v - 1 => s
+              case _ => snapshot(spark, path, v - 1).collect().map(_.getString(0)).toSet
+            }
+          val now = snapshot(spark, path, v).collect()
+          carryFiles = Some((v, now.map(_.getString(0)).toSet))
+          ((prev -- carryFiles.get._2).size,
+            now.filter(r => !prev(r.getString(0)))
+              .map(r => (r.getString(0), r.getString(4))).toSeq)
+      }
+      if (removedCount > 0 && !skipRewrites)
         throw new IllegalStateException(
-          s"follow($path) hit a non-append commit at v$v (${removed.size} files rewritten); " +
+          s"follow($path) hit a non-append commit at v$v ($removedCount files rewritten); " +
             "restart from a fresh checkpoint or pass skipRewrites = true (rewritten data will not re-deliver)")
-      if (added.nonEmpty && removed.isEmpty)
-        f(readWithDv(spark, added.map(r => (r.getString(0), r.getString(4))).toSeq), v)
+      if (added.nonEmpty && removedCount == 0)
+        f(readWithDv(spark, added), v)
       delivered += 1
       writeCursor(v)
       last = v
@@ -1428,6 +1602,16 @@ object ManifestLog {
       .filterNot(p => keepPayloadNames(p.getName))
       .filter(aged)
       .foreach(p => f.delete(p, true))
+    // superseded log checkpoints: the newest is self-contained (it
+    // folds every predecessor), so aged older ones reclaim like
+    // expired payloads
+    val newestCkptName = latestCkpt(spark, path)
+      .map(p => new org.apache.hadoop.fs.Path(p._2).getName)
+    f.listStatus(new org.apache.hadoop.fs.Path(logDir(path))).iterator
+      .filter(s => s.isDirectory && ckptRe.findFirstMatchIn(s.getPath.getName).isDefined)
+      .filterNot(s => newestCkptName.contains(s.getPath.getName))
+      .filter(s => aged(s.getPath))
+      .foreach(s => f.delete(s.getPath, true))
     // drop batch dirs whose files were all reclaimed — age-guarded
     // like everything else: an IN-FLIGHT write's b-dir holds only its
     // _temporary staging tree for a moment and would otherwise read as

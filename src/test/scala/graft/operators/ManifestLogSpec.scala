@@ -1235,6 +1235,66 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(v3.getString(2) == "append" && v3.getInt(3) == 1 && v3.getLong(5) == 20L)
   }
 
+  test("log checkpoints bound chain walks: history/follow on a long chain read O(interval) payloads; semantics and vacuum unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-ckpt").toString
+    val interval = ManifestLog.CheckpointInterval
+    val nVersions = 2 * interval + interval / 2 // 40: two auto-ckpts + a tail
+    ManifestLog.write(li.limit(10), "l_orderkey", dir, files = 1)
+    (2 to nVersions).foreach { _ =>
+      ManifestLog.append(li.limit(3), "l_orderkey", dir, files = 1)
+    }
+    assert(ManifestLog.versions(spark, dir).size == nVersions)
+    // history: the 2·interval checkpointed versions come from ONE
+    // checkpoint parquet; only the tail walks payloads
+    ManifestLog.payloadReads.set(0L)
+    val h = ManifestLog.history(spark, dir).orderBy("version").collect()
+    val histReads = ManifestLog.payloadReads.get()
+    assert(h.length == nVersions)
+    assert(h.head.getString(2) == "write" && h.head.getInt(3) == 1)
+    assert(h.tail.forall(r => r.getString(2) == "append" && r.getInt(3) == 1 &&
+      r.getLong(5) == 3L), "checkpointed history rows lost their deltas")
+    assert(histReads <= (nVersions - 2 * interval) + 2,
+      s"history read $histReads payloads for a $nVersions-version chain " +
+        s"(checkpoint covers ${2 * interval})")
+    // follow rewound to v1: checkpointed versions deliver from the
+    // checkpoint's (file, dv) deltas — payload reads stay O(tail)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mlog-ckpt-cur").toString
+    ManifestLog.payloadReads.set(0L)
+    var got = Vector.empty[(Int, Long)]
+    val consumed = ManifestLog.follow(spark, dir, ckpt, fromVersion = 1) {
+      (df, v) => got :+= (v, df.count())
+    }
+    val followReads = ManifestLog.payloadReads.get()
+    assert(consumed == nVersions)
+    assert(got.map(_._1) == (1 to nVersions).toVector)
+    assert(got.head._2 == 10L && got.tail.forall(_._2 == 3L))
+    assert(followReads <= (nVersions - 2 * interval) + 3,
+      s"follow read $followReads payloads for a $nVersions-version replay")
+    // explicit checkpointLog folds the tail; the next walk is O(1)
+    assert(ManifestLog.checkpointLog(spark, dir) == nVersions)
+    ManifestLog.payloadReads.set(0L)
+    assert(ManifestLog.history(spark, dir).count() == nVersions)
+    assert(ManifestLog.payloadReads.get() <= 1,
+      "history after a fresh checkpoint still walked payloads")
+    // time travel is untouched (payloads are full snapshots)
+    assert(ManifestLog.read(spark, dir, version = 5).count() == 10 + 4 * 3)
+    // vacuum: superseded checkpoints reclaim, the newest survives and
+    // keeps serving history — covered versions keep REAL deltas even
+    // though their predecessors' payloads are gone
+    ManifestLog.vacuum(spark, dir, retain = 2, minAgeMs = 0)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpts = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_mlog")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("ckpt-"))
+    assert(ckpts.size == 1 && ckpts.head.startsWith(f"ckpt-v$nVersions%05d-"),
+      s"vacuum kept the wrong checkpoints: $ckpts")
+    val hv = ManifestLog.history(spark, dir).orderBy("version").collect()
+    assert(hv.map(_.getInt(0)).toSeq == Seq(nVersions - 1, nVersions))
+    assert(hv.forall(r => r.getString(2) == "append" && r.getLong(5) == 3L),
+      "checkpoint-covered history lost deltas after vacuum")
+    assert(ManifestLog.read(spark, dir).count() == 10 + (nVersions - 1) * 3)
+  }
+
   test("AS OF under non-monotonic pointer mtimes: effective timestamps are forced monotone, so AS OF t is a prefix of the chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-skew").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1)
