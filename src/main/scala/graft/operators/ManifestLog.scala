@@ -1338,6 +1338,46 @@ object ManifestLog {
     live.last
   }
 
+  /** Per-version deltas for the table-tailing consumers ([[follow]]
+    * and the DSv2 streaming source): one entry per version in
+    * (fromV, toV] — (version, #files removed, added (file, dv) pairs).
+    * Checkpoint-covered versions cost ONE parquet read total; the tail
+    * walks payloads with the predecessor file set carried forward.
+    * Throws on a version whose predecessor was vacuumed before any
+    * checkpoint covered it (deltas unknowable — like any expired
+    * source).
+    */
+  private[graft] def followDeltas(spark: SparkSession, path: String,
+                                  fromV: Int, toV: Int): Seq[(Int, Int, Seq[(String, String)])] = {
+    if (toV <= fromV) return Seq.empty
+    val ck = ckptByVersion(spark, path)
+    var carryFiles: Option[(Int, Set[String])] = None
+    ((fromV + 1) to toV).map { v =>
+      ck.get(v) match {
+        case Some(drs) if drs.exists(_.getString(1) == "truncated") =>
+          throw new IllegalStateException(
+            s"cannot replay $path v$v: its predecessor was vacuumed before " +
+              "the log checkpoint covered it — restart from a fresh checkpoint")
+        case Some(drs) =>
+          (v, drs.count(_.getString(1) == "remove"),
+            drs.filter(_.getString(1) == "add")
+              .map(r => (r.getString(2), r.getString(3))))
+        case None =>
+          val prev: Set[String] =
+            if (v == 1) Set.empty
+            else carryFiles match {
+              case Some((pv, s)) if pv == v - 1 => s
+              case _ => snapshot(spark, path, v - 1).collect().map(_.getString(0)).toSet
+            }
+          val now = snapshot(spark, path, v).collect()
+          carryFiles = Some((v, now.map(_.getString(0)).toSet))
+          (v, (prev -- carryFiles.get._2).size,
+            now.filter(r => !prev(r.getString(0)))
+              .map(r => (r.getString(0), r.getString(4))).toSeq)
+      }
+    }
+  }
+
   /** Checkpoint rows grouped by version (one parquet read), for the
     * chain walks. Empty when no checkpoint exists.
     */
@@ -1493,37 +1533,10 @@ object ManifestLog {
       writeCursor(start); start
     }
     var delivered = 0
-    // versions covered by the log checkpoint take their deltas from
-    // ONE parquet read; only versions past it walk payloads, with the
-    // previous version's file set carried forward — a rewind replay of
-    // a long-lived table costs O(interval) payload reads
-    val ck = if (last < head) ckptByVersion(spark, path)
-             else Map.empty[Int, Seq[org.apache.spark.sql.Row]]
-    var carryFiles: Option[(Int, Set[String])] = None
-    while (last < head) {
-      val v = last + 1
-      val (removedCount, added): (Int, Seq[(String, String)]) = ck.get(v) match {
-        case Some(drs) if drs.exists(_.getString(1) == "truncated") =>
-          throw new IllegalStateException(
-            s"follow($path) cannot replay v$v: its predecessor was vacuumed before " +
-              "the log checkpoint covered it — restart from a fresh checkpoint")
-        case Some(drs) =>
-          (drs.count(_.getString(1) == "remove"),
-            drs.filter(_.getString(1) == "add")
-              .map(r => (r.getString(2), r.getString(3))))
-        case None =>
-          val prev: Set[String] =
-            if (v == 1) Set.empty
-            else carryFiles match {
-              case Some((pv, s)) if pv == v - 1 => s
-              case _ => snapshot(spark, path, v - 1).collect().map(_.getString(0)).toSet
-            }
-          val now = snapshot(spark, path, v).collect()
-          carryFiles = Some((v, now.map(_.getString(0)).toSet))
-          ((prev -- carryFiles.get._2).size,
-            now.filter(r => !prev(r.getString(0)))
-              .map(r => (r.getString(0), r.getString(4))).toSeq)
-      }
+    // one followDeltas pass: checkpoint-covered versions cost ONE
+    // parquet read total; only the tail walks payloads — a rewind
+    // replay of a long-lived table costs O(interval) payload reads
+    followDeltas(spark, path, last, head).foreach { case (v, removedCount, added) =>
       if (removedCount > 0 && !skipRewrites)
         throw new IllegalStateException(
           s"follow($path) hit a non-append commit at v$v ($removedCount files rewritten); " +

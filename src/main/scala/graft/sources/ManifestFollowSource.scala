@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.ManifestLog
+
+/** A [[graft.operators.ManifestLog]] table as a REAL Structured
+  * Streaming source (the Delta-streaming-source shape, as DataSourceV2
+  * `MicroBatchStream`) — the piece that lets manifest tables feed the
+  * engine's own streaming arms instead of a driver-side foreachBatch
+  * tailer:
+  *
+  *   - the streaming OFFSET IS the snapshot version, checkpointed
+  *     through Spark's WAL — exactly-once with transactional sinks
+  *     comes from the same determinism the batch [[ManifestLog.follow]]
+  *     argues: snapshots are immutable, so a replayed (start, end]
+  *     version range plans byte-identical partitions;
+  *   - `planInputPartitions` enforces the SAME non-append contract as
+  *     `follow`: a version that REMOVES files (compact/merge/COW
+  *     delete) THROWS in strict mode (default, the Delta-source
+  *     default) naming the version, or is skipped wholesale with
+  *     `skipRewrites=true` (rewritten data never re-delivers; rows a
+  *     merge inserted are skipped with it — Delta's ignoreChanges);
+  *     pure-metadata versions (MOR delete, restore-to-same) plan
+  *     nothing;
+  *   - version deltas come from [[ManifestLog.followDeltas]], so a
+  *     rewound replay of a long-lived table reads the log CHECKPOINT
+  *     plus O(interval) payloads, never the whole chain;
+  *   - each added file is ONE input partition (appends are written
+  *     range-clustered across `files` partitions, so a batch
+  *     parallelizes), read by a plain parquet row walk with add-column
+  *     / int-widening alignment to the declared schema; every row
+  *     carries `_commit_version` — the idempotent-sink key a
+  *     downstream MERGE wants.
+  *
+  * Scope (documented, loudly enforced): added files carrying a
+  * deletion vector at their add version do not occur under the
+  * append-only contract this source admits (DVs arrive via `dvmove`
+  * on EXISTING files — a metadata-only version); if one is ever seen
+  * the plan throws rather than resurrecting dead rows. Column types
+  * cover the manifest tables' surface (bool/int/long/float/double/
+  * string/binary/date/timestamp); nested types throw.
+  *
+  * Usage: `spark.readStream.format(classOf[ManifestFollowSource].getName)
+  * .option("path", dir).option("fromVersion", "1").load()` or
+  * [[ManifestFollowSource.stream]].
+  */
+class ManifestFollowSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "manifest-follow source needs a 'path' option")
+    ManifestFollowSource.readSchemaOf(SparkSession.active, path)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ManifestFollowTable(
+      opts.get("path"),
+      Option(opts.get("skipRewrites")).exists(_.toBoolean),
+      Option(opts.get("fromVersion")).map(_.toInt).getOrElse(-1),
+      schema)
+  }
+}
+
+object ManifestFollowSource {
+
+  /** The column stamping each row with the version that appended it. */
+  val VersionCol = "_commit_version"
+
+  private[sources] def readSchemaOf(spark: SparkSession, path: String): StructType = {
+    val base = ManifestLog.read(spark, path).schema
+    StructType(base.fields :+ StructField(VersionCol, IntegerType, nullable = false))
+  }
+
+  /** Convenience handle mirroring [[IngestSources]]' helpers. */
+  def stream(spark: SparkSession, path: String,
+             skipRewrites: Boolean = false, fromVersion: Int = -1): DataFrame = {
+    var r = spark.readStream.format(classOf[ManifestFollowSource].getName)
+      .option("path", path)
+      .option("skipRewrites", skipRewrites.toString)
+    if (fromVersion >= 1) r = r.option("fromVersion", fromVersion.toString)
+    r.load()
+  }
+}
+
+private[sources] class ManifestFollowTable(path: String, skipRewrites: Boolean,
+                                           fromVersion: Int, schema0: StructType)
+    extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "manifest-follow source needs a 'path' option")
+
+  override def name(): String = s"manifest-follow($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ManifestFollowStream(path, skipRewrites, fromVersion, schema0)
+      }
+    }
+}
+
+/** The snapshot version as the streaming offset. */
+case class ManifestVersionOffset(version: Int) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+private[sources] class ManifestFollowStream(path: String, skipRewrites: Boolean,
+                                            fromVersion: Int, readSchema: StructType)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset =
+    ManifestVersionOffset(
+      if (fromVersion >= 1) fromVersion - 1
+      else ManifestLog.currentVersion(spark, path))
+
+  override def latestOffset(): Offset =
+    ManifestVersionOffset(ManifestLog.currentVersion(spark, path))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """"version"\s*:\s*(\d+)""".r
+    ManifestVersionOffset(m.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestVersionOffset].version
+    val e = end.asInstanceOf[ManifestVersionOffset].version
+    ManifestLog.followDeltas(spark, path, s, e).flatMap {
+      case (v, removedCount, _) if removedCount > 0 && !skipRewrites =>
+        throw new IllegalStateException(
+          s"manifest-follow($path) hit a non-append commit at v$v ($removedCount files " +
+            "rewritten); restart from a fresh checkpoint or set skipRewrites=true " +
+            "(rewritten data will not re-deliver)")
+      case (_, removedCount, _) if removedCount > 0 => Seq.empty // skipRewrites
+      case (v, _, added) => added.map { case (file, dv) =>
+        if (dv != null) throw new IllegalStateException(
+          s"manifest-follow($path) v$v added file $file WITH a deletion vector — " +
+            "outside the append-only contract; use ManifestLog.follow for this table")
+        ManifestFilePartition(file, v, readSchema.json)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ManifestFollowReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One appended parquet file at its appending version. The target
+  * schema rides along as JSON so the executor-side reader can align
+  * the file's own (possibly older/narrower) schema to it.
+  */
+case class ManifestFilePartition(file: String, version: Int,
+                                 schemaJson: String) extends InputPartition
+
+object ManifestFollowReaderFactory extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ManifestFilePartition(file, version, schemaJson) =
+      partition.asInstanceOf[ManifestFilePartition]
+    val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new PartitionReader[InternalRow] {
+      import org.apache.parquet.example.data.Group
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+      private val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(file))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build()
+      private var current: Group = _
+
+      override def next(): Boolean = {
+        current = reader.read()
+        current != null
+      }
+
+      private def convert(g: Group, f: StructField): Any = {
+        if (f.name == ManifestFollowSource.VersionCol) return version
+        val gt = g.getType
+        if (!gt.containsField(f.name)) return null // column added after this file
+        val idx = gt.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) return null
+        val pt = gt.getType(idx)
+        require(pt.isPrimitive,
+          s"manifest-follow: nested column '${f.name}' unsupported — use ManifestLog.follow")
+        val prim = pt.asPrimitiveType().getPrimitiveTypeName
+        (f.dataType, prim) match {
+          case (LongType, INT64)   => g.getLong(idx, 0)
+          case (LongType, INT32)   => g.getInteger(idx, 0).toLong // widened table
+          case (IntegerType, INT32) => g.getInteger(idx, 0)
+          case (DoubleType, DOUBLE) => g.getDouble(idx, 0)
+          case (DoubleType, FLOAT)  => g.getFloat(idx, 0).toDouble
+          case (DoubleType, INT32)  => g.getInteger(idx, 0).toDouble
+          case (DoubleType, INT64)  => g.getLong(idx, 0).toDouble
+          case (FloatType, FLOAT)   => g.getFloat(idx, 0)
+          case (BooleanType, BOOLEAN) => g.getBoolean(idx, 0)
+          case (StringType, BINARY) => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case (BinaryType, BINARY) => g.getBinary(idx, 0).getBytes
+          case (DateType, INT32)    => g.getInteger(idx, 0)
+          case (TimestampType | TimestampNTZType, INT64) =>
+            pt.getLogicalTypeAnnotation match {
+              case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit match {
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+                    g.getLong(idx, 0)
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                    g.getLong(idx, 0) * 1000L
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
+                    Math.floorDiv(g.getLong(idx, 0), 1000L)
+                }
+              case other => throw new IllegalStateException(
+                s"manifest-follow: timestamp column '${f.name}' with annotation $other unsupported")
+            }
+          case (dt, p) => throw new IllegalStateException(
+            s"manifest-follow: column '${f.name}' $p -> ${dt.simpleString} unsupported — " +
+              "use ManifestLog.follow")
+        }
+      }
+
+      override def get(): InternalRow =
+        new GenericInternalRow(target.fields.map(f => convert(current, f)))
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ManifestLog
+
+/** The ManifestLog DSv2 streaming source contract: versions as
+  * WAL-checkpointed offsets with exactly-once file-sink delivery equal
+  * to the foreachBatch tailer, the strict / skipRewrites non-append
+  * rules enforced at planning, and add-column alignment in the
+  * partition reader.
+  */
+class ManifestFollowStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    .select("l_orderkey", "l_partkey", "l_quantity")
+
+  test("kill/restart differential: the DSv2 source through a file sink delivers exactly the foreachBatch tailer's rows, once") {
+    val dir = Files.createTempDirectory("mfs-tbl").toString
+    val out = Files.createTempDirectory("mfs-out").toString
+    val ckpt = Files.createTempDirectory("mfs-ckpt").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
+    ManifestLog.append(li.limit(140).except(li.limit(100)), "l_orderkey", dir, files = 2)
+
+    def run() = ManifestFollowSource.stream(spark, dir, fromVersion = 1)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    // kill happened; more versions land while the query is down
+    ManifestLog.append(li.limit(170).except(li.limit(140)), "l_orderkey", dir, files = 1)
+    ManifestLog.deleteMor(li.limit(5).select("l_orderkey"), "l_orderkey", dir) // metadata-only
+    ManifestLog.append(li.limit(180).except(li.limit(170)), "l_orderkey", dir, files = 1)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the reference consumer: the foreachBatch tailer replaying the
+    // whole chain, rows stamped with their version
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val tailCkpt = Files.createTempDirectory("mfs-tailck").toString
+    ManifestLog.follow(spark, dir, tailCkpt, fromVersion = 1) { (df, v) =>
+      df.collect().foreach(r =>
+        expected += ((r.getLong(0), r.getLong(1), r.getDouble(2), v)))
+    }
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // exactly-once: multiset equality (no dropped rows, no duplicates),
+    // and the version stamps agree with the tailer's per-version calls
+    assert(got.sorted == expected.toSeq.sorted,
+      s"DSv2 delivery diverged: got ${got.size} rows vs tailer ${expected.size}")
+    // the MOR delete delivered nothing: 180 appended rows total
+    assert(got.size == 180)
+  }
+
+  test("strict mode throws at a rewrite version naming it; skipRewrites skips the version wholesale and keeps consuming") {
+    val dir = Files.createTempDirectory("mfs-rw").toString
+    ManifestLog.write(li.limit(60), "l_orderkey", dir, files = 4)
+    ManifestLog.append(li.limit(80).except(li.limit(60)), "l_orderkey", dir, files = 1)
+    ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 1000000L) // v3 removes files
+
+    val strictCkpt = Files.createTempDirectory("mfs-rw-ck1").toString
+    val q = ManifestFollowSource.stream(spark, dir, fromVersion = 1)
+      .writeStream.format("memory").queryName("mfs_strict")
+      .option("checkpointLocation", strictCkpt).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(ex.getMessage.contains("non-append commit at v3") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-append commit at v3")),
+      s"wrong failure: ${ex.getMessage}")
+
+    // skipRewrites: v1-v2 deliver, v3 skips wholesale, a post-compact
+    // append still flows
+    ManifestLog.append(li.limit(90).except(li.limit(80)), "l_orderkey", dir, files = 1)
+    val skipCkpt = Files.createTempDirectory("mfs-rw-ck2").toString
+    val q2 = ManifestFollowSource.stream(spark, dir, skipRewrites = true, fromVersion = 1)
+      .writeStream.format("memory").queryName("mfs_skip")
+      .option("checkpointLocation", skipCkpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val vs = spark.table("mfs_skip").groupBy("_commit_version").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(vs == Map(1 -> 60L, 2 -> 20L, 4 -> 10L), s"got $vs")
+  }
+
+  test("an added column aligns: old files read as NULL through the partition reader") {
+    val dir = Files.createTempDirectory("mfs-evo").toString
+    ManifestLog.write(li.limit(30), "l_orderkey", dir, files = 1)
+    ManifestLog.append(
+      li.limit(40).except(li.limit(30)).withColumn("source", lit("crawl-2")),
+      "l_orderkey", dir, files = 1)
+    val ckpt = Files.createTempDirectory("mfs-evo-ck").toString
+    val q = ManifestFollowSource.stream(spark, dir, fromVersion = 1)
+      .writeStream.format("memory").queryName("mfs_evo")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("mfs_evo")
+    assert(rows.count() == 40)
+    assert(rows.filter(col("source").isNull).count() == 30)
+    assert(rows.filter(col("source") === "crawl-2").count() == 10)
+  }
+}
