@@ -337,6 +337,85 @@ object EventQueries {
         .orderBy("channel")
     },
 
+    // LINEAR multi-touch attribution: a purchase's value splits evenly
+    // across every click/view in the 7 days strictly before it (none →
+    // 'direct' keeps it all). Exactness: value in cents (BIGINT), each
+    // (purchase, channel) credit is the integer floor-division
+    // (vc·10000·n_ch) div n_tot — hundredths of a cent, identical
+    // remainder-drop in both engines, no float anywhere. Shape: the
+    // SAME per-user ordered pass as last-touch — two RANGE-frame
+    // window counts (one WindowExec, no self-join, no range join), so
+    // the data cost stays the per-user sort the 100×-scale row already
+    // prices.
+    "ev_attribution_linear" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400000000L
+      val e = ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-7 * DayUs, -1)
+      val p = e
+        .withColumn("n_click", count(when(col("event_type") === "click", 1)).over(w))
+        .withColumn("n_view", count(when(col("event_type") === "view", 1)).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("vc", floor(col("value") * 100.0 + 0.5).cast("long"))
+        .withColumn("n_tot", col("n_click") + col("n_view"))
+      val click = p.filter(col("n_click") > 0)
+        .select(lit("click").as("channel"),
+          expr("(vc * 10000 * n_click) div n_tot").as("credit_fp"))
+      val view = p.filter(col("n_view") > 0)
+        .select(lit("view").as("channel"),
+          expr("(vc * 10000 * n_view) div n_tot").as("credit_fp"))
+      val direct = p.filter(col("n_tot") === 0)
+        .select(lit("direct").as("channel"),
+          expr("vc * 10000").as("credit_fp"))
+      click.unionAll(view).unionAll(direct)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credited"), sum("credit_fp").as("credit_fp"))
+        .orderBy("channel")
+    },
+
+    // TIME-DECAY multi-touch attribution: a touch's weight halves per
+    // day of age — weight 2^(6−b) for age bucket b (b·1d, (b+1)·1d],
+    // seven integer buckets spanning the 7-day window. Exactness: the
+    // bucket weights are integers, the per-(purchase, channel) credit
+    // is (vc·10000·w_ch) div w_tot — all-BIGINT, mirrored termwise.
+    // Shape: 14 RANGE-frame counts over ONE (user_id, ts_us) window
+    // spec — a single WindowExec pass computes every frame, so decay
+    // costs the same per-user sort as last-touch, not 7 self-joins.
+    "ev_attribution_time_decay" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400000000L
+      val e = ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))
+      def frame(b: Int) = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-(b + 1) * DayUs, -(b * DayUs + 1))
+      var df = e
+      for (b <- 0 to 6) df = df
+        .withColumn(s"ck$b", count(when(col("event_type") === "click", 1)).over(frame(b)))
+        .withColumn(s"vw$b", count(when(col("event_type") === "view", 1)).over(frame(b)))
+      val wClick = (0 to 6).map(b => col(s"ck$b") * lit(1L << (6 - b))).reduce(_ + _)
+      val wView = (0 to 6).map(b => col(s"vw$b") * lit(1L << (6 - b))).reduce(_ + _)
+      val p = df
+        .withColumn("w_click", wClick).withColumn("w_view", wView)
+        .filter(col("event_type") === "purchase")
+        .withColumn("vc", floor(col("value") * 100.0 + 0.5).cast("long"))
+        .withColumn("w_tot", col("w_click") + col("w_view"))
+      val click = p.filter(col("w_click") > 0)
+        .select(lit("click").as("channel"),
+          expr("(vc * 10000 * w_click) div w_tot").as("credit_fp"))
+      val view = p.filter(col("w_view") > 0)
+        .select(lit("view").as("channel"),
+          expr("(vc * 10000 * w_view) div w_tot").as("credit_fp"))
+      val direct = p.filter(col("w_tot") === 0)
+        .select(lit("direct").as("channel"),
+          expr("vc * 10000").as("credit_fp"))
+      click.unionAll(view).unionAll(direct)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credited"), sum("credit_fp").as("credit_fp"))
+        .orderBy("channel")
+    },
+
     "ev_interval_join" -> { (s, d) =>
       val BinUs = 3600L * 1000000L
       val sess = sessionTable(s, d)
@@ -892,6 +971,68 @@ object EventQueries {
          |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
          |FROM attr WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_attribution_linear" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, $tsUs AS us, value FROM events),
+         |cnt AS (
+         |  SELECT user_id, event_type, us, value,
+         |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w7 AS n_click,
+         |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w7 AS n_view
+         |  FROM e
+         |  WINDOW w7 AS (PARTITION BY user_id ORDER BY us
+         |                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+         |p AS (
+         |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         |    n_click, n_view, n_click + n_view AS n_tot
+         |  FROM cnt WHERE event_type = 'purchase'),
+         |arms AS (
+         |  SELECT 'click' AS channel, (vc * 10000 * n_click) // n_tot AS credit_fp
+         |    FROM p WHERE n_click > 0
+         |  UNION ALL
+         |  SELECT 'view', (vc * 10000 * n_view) // n_tot FROM p WHERE n_view > 0
+         |  UNION ALL
+         |  SELECT 'direct', vc * 10000 FROM p WHERE n_tot = 0)
+         |SELECT channel, COUNT(*) AS n_credited,
+         |  CAST(SUM(credit_fp) AS BIGINT) AS credit_fp
+         |FROM arms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_attribution_time_decay" -> {
+      val DayUs = 86400000000L
+      val buckets = (0 to 6).map { b =>
+        val lo = (b + 1) * DayUs
+        val hi = b * DayUs + 1
+        s"""    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER
+           |      (PARTITION BY user_id ORDER BY us
+           |       RANGE BETWEEN $lo PRECEDING AND $hi PRECEDING) AS ck$b,
+           |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER
+           |      (PARTITION BY user_id ORDER BY us
+           |       RANGE BETWEEN $lo PRECEDING AND $hi PRECEDING) AS vw$b""".stripMargin
+      }.mkString(",\n")
+      val wc = (0 to 6).map(b => s"ck$b * ${1L << (6 - b)}").mkString(" + ")
+      val wv = (0 to 6).map(b => s"vw$b * ${1L << (6 - b)}").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, $tsUs AS us, value FROM events),
+         |cnt AS (
+         |  SELECT user_id, event_type, us, value,
+         |$buckets
+         |  FROM e),
+         |p AS (
+         |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         |    $wc AS w_click, $wv AS w_view,
+         |    $wc + $wv AS w_tot
+         |  FROM cnt WHERE event_type = 'purchase'),
+         |arms AS (
+         |  SELECT 'click' AS channel, (vc * 10000 * w_click) // w_tot AS credit_fp
+         |    FROM p WHERE w_click > 0
+         |  UNION ALL
+         |  SELECT 'view', (vc * 10000 * w_view) // w_tot FROM p WHERE w_view > 0
+         |  UNION ALL
+         |  SELECT 'direct', vc * 10000 FROM p WHERE w_tot = 0)
+         |SELECT channel, COUNT(*) AS n_credited,
+         |  CAST(SUM(credit_fp) AS BIGINT) AS credit_fp
+         |FROM arms GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // DuckDB evaluates the BETWEEN range join directly (IEJoin) — the
     // declarative ground truth for the Spark side's bin decomposition

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One (purchase, channel) credit under a multi-touch model, in the
+  * batch queries' exact fixed point: hundredths of a cent via
+  * (vc·10000·w_channel) div w_total. `(event_id, channel)` is the
+  * idempotent sink key.
+  */
+final case class AttributedCredit(user_id: Long, event_id: Long,
+                                  purchase_us: Long, channel: String,
+                                  credit_fp: Long)
+
+/** Streaming arm of `ev_attribution_linear` / `ev_attribution_time_decay`:
+  * per-user MULTI-touch attribution as a `flatMapGroupsWithState`
+  * fold. State per user is the touch list inside the trailing 7-day
+  * window — BOUNDED BY THE WINDOW, not the stream: every arrival
+  * prunes touches older than (now − 7d), since no future purchase
+  * (event time only moves forward) can credit them; a hard
+  * [[StreamingMultiTouch.MaxTouches]] cap (documented divergence:
+  * oldest beyond the cap drop first) guards a pathological
+  * single-user flood. Compare the batch side's per-user RANGE-frame
+  * window pass, which re-sorts history every run.
+  *
+  * Weights mirror the batch queries termwise: linear = 1 per touch;
+  * time-decay = 2^(6−b) for age bucket b = (offset−1) div 1d,
+  * offsets 1us..7d (same-timestamp touches excluded, exactly the
+  * RANGE frame's `-1` upper bound). Per purchase it emits one row per
+  * channel with weight > 0, or a single 'direct' row — identical row
+  * granularity to the batch arms, so the differential aggregates to
+  * equality. In-batch arrivals sort by (ts_us, event_id) before the
+  * fold; cross-batch event-time order is the source's contract.
+  *
+  * `events` needs (user_id, event_type, ts_us, event_id, value).
+  */
+object StreamingMultiTouch {
+
+  val WindowUs: Long = 7L * 24 * 3600 * 1000000L
+  val DayUs: Long = 24L * 3600 * 1000000L
+  val MaxTouches: Int = 65536
+
+  /** `decay = false` → linear weights, `true` → per-day halving. */
+  def creditStream(events: DataFrame, decay: Boolean): Dataset[AttributedCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("ts_us").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, String, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Boolean)], AttributedCredit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[List[(Long, Boolean)]]) =>
+          // (touch ts_us, isClick), oldest first
+          var touches = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[AttributedCredit]
+          rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach {
+            case (_, et, us, eid, v) =>
+              touches = touches.dropWhile(_._1 < us - WindowUs)
+              if (et == "purchase") {
+                val vc = math.floor(v * 100.0 + 0.5).toLong
+                var wClick = 0L; var wView = 0L
+                touches.foreach { case (t, isClick) =>
+                  val offset = us - t
+                  if (offset >= 1 && offset <= WindowUs) {
+                    val w =
+                      if (!decay) 1L
+                      else 1L << (6 - ((offset - 1) / DayUs)).toInt
+                    if (isClick) wClick += w else wView += w
+                  }
+                }
+                val wTot = wClick + wView
+                if (wTot == 0L)
+                  out += AttributedCredit(user, eid, us, "direct", vc * 10000L)
+                else {
+                  if (wClick > 0)
+                    out += AttributedCredit(user, eid, us, "click",
+                      vc * 10000L * wClick / wTot)
+                  if (wView > 0)
+                    out += AttributedCredit(user, eid, us, "view",
+                      vc * 10000L * wView / wTot)
+                }
+              } else {
+                touches = touches :+ (us, et == "click")
+                if (touches.length > MaxTouches) touches = touches.tail
+              }
+          }
+          state.update(touches)
+          out.result().iterator
+      }
+  }
+}

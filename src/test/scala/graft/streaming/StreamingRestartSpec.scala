@@ -538,6 +538,38 @@ class StreamingRestartSpec extends AnyFunSuite {
       s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("multi-touch attribution state survives kill/restart (per-user touch LIST recovers; (event_id, channel) keys the sink)") {
+    // time-decay mode — the stronger differential: recovering the list
+    // wrong by one touch changes a weight, not just a count
+    val expected = graft.SparkEntry.queries("ev_attribution_time_decay")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lines = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().sortBy(r => (r.getLong(2), r.getLong(3))) // event-time order
+      .map(r => s"""{"user_id":${r.getLong(0)},"event_type":"${r.getString(1)}",""" +
+        s""""ts_us":${r.getLong(2)},"event_id":${r.getLong(3)},"value":${r.getDouble(4)}}""")
+      .toIndexedSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts_us LONG, event_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingMultiTouch.creditStream(stream, decay = true)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // a batch replayed at the restart boundary appends identical rows;
+    // (event_id, channel) is the natural key → distinct == exactly-once
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .dropDuplicates("event_id", "channel")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n"), sum("credit_fp").as("fp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("transition pairs survive kill/restart (per-user last-event state recovers)") {
     val expected = graft.SparkEntry.queries("ev_transitions")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
