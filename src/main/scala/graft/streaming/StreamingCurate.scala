@@ -75,6 +75,67 @@ object StreamingCurate {
     }
   }
 
+  /** [[probeFresh]] against a BUCKETED hash index (the scaladoc's own
+    * scale candidate, landed): the index is a catalog table written
+    * through `bucketBy(h)`, so the hit-detection join is a
+    * SortMergeJoin whose index side reads bucket-aligned with ZERO
+    * exchange — only the wave's hashes shuffle (wave-sized, any wave
+    * size). This removes [[probeFresh]]'s one scale assumption: the
+    * broadcast-into-scan probe needs the WAVE to be broadcastable,
+    * which a backfill wave isn't — the bucketed shape shuffles the
+    * wave instead of broadcasting it and still never moves the index.
+    * StreamingCurateSpec pins the plan (index scan `Bucketed: true`,
+    * no exchange above it below the join).
+    */
+  def probeFreshBucketed(wave: DataFrame, indexTable: String): DataFrame = {
+    val spark = wave.sparkSession
+    val screened = TextQueries.curateScreened(wave)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val keepers = screened
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+    if (!spark.catalog.tableExists(indexTable)) keepers
+    else {
+      // force the merge join so the bucket spec (not a broadcast)
+      // carries the index side; the hit list is wave-bounded and
+      // broadcasts back into the wave-sized anti-join
+      val hits = spark.table(indexTable).select(col("h").as("__h"))
+        .hint("merge")
+        .join(keepers.select("__h").distinct(), Seq("__h"))
+      keepers.join(broadcast(hits), Seq("__h"), "left_anti")
+    }
+  }
+
+  /** [[admitWave]] with the bucketed index: identical merge-then-index
+    * crash ordering and convergence argument; the index append goes
+    * through the catalog so every wave's files land bucket-aligned
+    * under the same spec.
+    */
+  def admitWaveBucketed(wave: DataFrame, manifestPath: String,
+                        indexTable: String, indexPath: String,
+                        buckets: Int = 8): Unit = {
+    val spark = wave.sparkSession
+    val admitted = probeFreshBucketed(wave, indexTable)
+      .withColumn("split", TextQueries.curateSplit(col("keeper")))
+      .select(col("doc_id"), col("__h").as("h"), col("source"),
+        col("split"), col("n_tokens"))
+      .persist()
+    try {
+      if (!admitted.isEmpty) {
+        if (ManifestLog.versions(spark, manifestPath).isEmpty)
+          ManifestLog.write(admitted, "doc_id", manifestPath, files = 4)
+        else
+          ManifestLog.merge(admitted, "doc_id", manifestPath, files = 4)
+        var wr = admitted.select(col("h"), col("doc_id").as("index_doc"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "h").sortBy("h")
+        if (!spark.catalog.tableExists(indexTable))
+          wr = wr.option("path", indexPath)
+        wr.saveAsTable(indexTable)
+      }
+    } finally admitted.unpersist()
+  }
+
   /** Admit one wave. Safe to call from a foreachBatch sink; also the
     * direct batch-mode entry the differential spec drives.
     */

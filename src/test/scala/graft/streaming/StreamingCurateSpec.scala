@@ -128,4 +128,65 @@ class StreamingCurateSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"index scan under a ShuffleExchange:\n${nodes.head.toString.take(1200)}")
   }
+
+  test("bucketed-index admission: differential unchanged vs batch; probe is a SortMergeJoin with a bucket-aligned, exchange-free index side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val expected = graft.SparkEntry.queries("pipeline_curate_e2e")(spark, dir)
+      .collect().map(_.toString).toSeq
+
+    val base = Files.createTempDirectory("graft-curate-bkt")
+    val manifest = base.resolve("mlog").toString
+    val idxPath = base.resolve("bidx").toString
+    val tbl = "curate_bidx_" + java.util.UUID.randomUUID().toString.take(6)
+
+    // three doc-id-ordered waves through the bucketed admission
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val waves = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    waves.foreach(w => StreamingCurate.admitWaveBucketed(w, manifest, tbl, idxPath))
+
+    // the admission differential is UNCHANGED by the index layout
+    val got = StreamingCurate.manifestRollup(spark, manifest)
+      .collect().map(_.toString).toSeq
+    assert(got == expected, s"bucketed admission $got != batch $expected")
+
+    // wholesale replay is still a no-op
+    val vBefore = graft.operators.ManifestLog.currentVersion(spark, manifest)
+    StreamingCurate.admitWaveBucketed(docs, manifest, tbl, idxPath)
+    assert(graft.operators.ManifestLog.currentVersion(spark, manifest) == vBefore,
+      "replayed bucketed admission wrote a new version")
+
+    // plan pin: the hit-detection join is a SortMergeJoin; the index
+    // side reads BUCKETED with no exchange anywhere above its scan —
+    // only the (wave-sized) hash side shuffles
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case other                    => other +: other.children.flatMap(walk)
+    }
+    val probe = StreamingCurate.probeFreshBucketed(docs, tbl)
+    val nodes = walk(probe.queryExecution.executedPlan)
+    val idxScans = nodes.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("bidx")) => s
+    }
+    assert(idxScans.nonEmpty, "probe plan lost the bucketed index scan")
+    assert(idxScans.forall(_.bucketedScan),
+      "index scan lost the bucket spec:\n" + nodes.head.toString.take(1200))
+    assert(nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "hit detection did not plan as a SortMergeJoin:\n" + nodes.head.toString.take(1200))
+    val offenders = nodes.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.collect { case s: FileSourceScanExec => s })
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("bidx")))
+    assert(offenders.isEmpty,
+      s"bucketed index scan under a ShuffleExchange:\n${nodes.head.toString.take(1200)}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
