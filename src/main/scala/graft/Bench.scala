@@ -103,6 +103,60 @@ object Bench {
     } catch { case _: Exception => None }
   }
 
+  /** Fixed 5-probe CONTAINER CALIBRATION, run before the battery and
+    * committed with every record: five primitives whose PLANS never
+    * change round over round, one per path environmental drift moves —
+    * parquet scan, shuffle aggregate, sort/window, raw codegen CPU,
+    * and subprocess spawn (the jq-pipeline pump cost). Cross-round
+    * comparisons divide by the calibration ratio first, so a container
+    * swap (r16's +22.8% flat-total shift) reads as "calibration moved
+    * ×1.2, queries moved with it — no plan regression" instead of a
+    * per-query reconciliation essay. Same cold + 3-warm-median
+    * discipline as the battery.
+    */
+  private def calibration(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val probes: Seq[(String, () => Unit)] = Seq(
+      "calib_scan" -> (() => spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()),
+      "calib_shuffle" -> (() => spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_orderkey").count()
+        .write.format("noop").mode("overwrite").save()),
+      "calib_window" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_partkey")
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("rn", row_number().over(w))
+          .write.format("noop").mode("overwrite").save()
+      }),
+      "calib_cpu" -> (() => spark.range(0L, 20000000L, 1L, 32)
+        .select(expr("bit_xor(xxhash64(id))")) // xor: no ANSI overflow
+        .write.format("noop").mode("overwrite").save()),
+      "calib_spawn" -> (() => (1 to 24).foreach { _ =>
+        new ProcessBuilder("/usr/bin/env", "true").start().waitFor()
+      }))
+    probes.map { case (name, f) =>
+      f() // cold: JIT/codegen warmup
+      val runs = Seq.fill(3) {
+        System.gc(); Thread.sleep(20)
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> runs(1)
+    }
+  }
+
+  /** Median current/prior ratio over the shared calibration probes —
+    * the container-drift factor cross-round comparisons divide out.
+    * 1.0 when the prior record predates the calibration block.
+    */
+  def calibrationScale(cur: Seq[(String, Double)],
+                       prior: Map[String, Double]): Double = {
+    val ratios = cur.collect {
+      case (n, v) if prior.get(n).exists(_ > 0) => v / prior(n)
+    }.sorted
+    if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     args.toList match {
       case "--isolated" :: name :: Nil => isolatedChild(name); return
@@ -137,6 +191,12 @@ object Bench {
     // the comparison base for flagging movers.
     val priorFile = Bench.priorRecord(new java.io.File("."))
     val prior: Map[String, Double] = priorFile.map(Bench.parsePrior).getOrElse(Map.empty)
+    val priorCalib: Map[String, Double] =
+      priorFile.map(Bench.parsePriorCalibration).getOrElse(Map.empty)
+
+    // container calibration first — a clean JVM, nothing cached yet
+    val calib = calibration(spark, sfDir)
+    val calibScale = Bench.calibrationScale(calib, priorCalib)
 
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -154,7 +214,10 @@ object Bench {
     // battery interference distorts hardest (r9: a 17 s battery median
     // against a 1.7 s isolated re-read), so they always get a clean
     // isolated number printed next to the battery one.
-    val movers = Bench.moversOf(results.map { case (n, _, w) => (n, w) }, prior)
+    // movers judged on ratio-vs-calibration: a query moving WITH the
+    // container (scale ≈ its own drift) is not a mover
+    val movers = Bench.moversOf(results.map { case (n, _, w) => (n, w) },
+      prior, calibScale)
     val slowest = results.sortBy(-_._3).take(8).map(_._1)
     val toIsolate = (movers ++ slowest).distinct.sorted
 
@@ -190,14 +253,16 @@ object Bench {
     // warm_total repeated as the LAST field: the driver wrapper keeps only
     // the final 2000 chars of stdout, and the head (where "value" sits)
     // gets truncated once the battery grows — the tail always survives.
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"isolated_mode":"$isoMode","movers":$moverList,"prior_record":$priorName,"cold_total":$coldTotal,"sf":"$sfDir","warm_total":$warmTotal}""")
+    val calibJson = calib.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"isolated":$iso,"isolated_mode":"$isoMode","movers":$moverList,"prior_record":$priorName,"cold_total":$coldTotal,"sf":"$sfDir","calibration":$calibJson,"calibration_scale":$calibScale,"warm_total":$warmTotal}""")
     // SPARK_GRAFT_BENCH_OUT=<path>: also write the UNTRUNCATED flat
     // per-query map to a file. The driver wrapper keeps only the last
     // 2000 chars of stdout, so round-over-round diffs need a committed
     // full record (BENCH_r*.json.flat convention) — this emits it as
     // part of the same run instead of a hand-pasted copy.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), qs + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""{"queries":$qs,"calibration":$calibJson,"calibration_scale":$calibScale}""" + "\n")
     }
     org.apache.spark.sql.SparkSession.getDefaultSession.foreach(_.stop())
   }
@@ -258,19 +323,54 @@ object Bench {
     } catch { case _: Exception => Map.empty[String, Double] }
   }
 
-  /** Queries whose battery median moved vs the prior record: >20% either
-    * way for anyone, or >15% for the 10 slowest (by current battery time)
-    * — the expensive queries ARE the headline numbers, so smaller drifts
+  /** Queries whose battery median moved vs the prior record AFTER
+    * dividing out the container-calibration drift (`scale` — 1.0 when
+    * the prior record has no calibration block): >20% either way for
+    * anyone, or >15% for the 10 slowest (by current battery time) —
+    * the expensive queries ARE the headline numbers, so smaller drifts
     * there deserve an isolated re-read (r8 verdict: q1_agg drifted +19%
     * across two rounds while sitting under the old 30% threshold).
     */
-  def moversOf(results: Seq[(String, Double)], prior: Map[String, Double]): Seq[String] = {
+  def moversOf(results: Seq[(String, Double)], prior: Map[String, Double],
+               scale: Double = 1.0): Seq[String] = {
     val top10 = results.sortBy(-_._2).take(10).map(_._1).toSet
+    val s = if (scale > 0) scale else 1.0
     results.collect {
       case (name, w) if prior.get(name).exists { p =>
         val lim = if (top10(name)) 1.15 else 1.2
-        p > 0 && (w / p > lim || p / w > lim)
+        val adj = p * s
+        p > 0 && (w / adj > lim || adj / w > lim)
       } => name
     }
+  }
+
+  /** Calibration probe medians from a prior record, same three shapes
+    * as [[parsePrior]] (own line / driver "parsed" / head-truncated
+    * "tail"). Empty for records that predate the calibration block.
+    */
+  def parsePriorCalibration(f: java.io.File): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    def calibMap(root: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
+      Option(root.get("calibration")).map { qs =>
+        qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }.getOrElse(Map.empty[String, Double])
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val direct = calibMap(root)
+      if (direct.nonEmpty) direct
+      else {
+        val parsed = Option(root.get("parsed")).filterNot(_.isNull)
+          .map(calibMap).getOrElse(Map.empty[String, Double])
+        if (parsed.nonEmpty) parsed
+        else {
+          val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
+          """"calibration":\{([^}]*)\}""".r.findFirstMatchIn(tail).map { m =>
+            """"(calib_[a-z]+)":([0-9]+(?:\.[0-9]+)?)""".r
+              .findAllMatchIn(m.group(1))
+              .map(x => x.group(1) -> x.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+        }
+      }
+    } catch { case _: Exception => Map.empty[String, Double] }
   }
 }

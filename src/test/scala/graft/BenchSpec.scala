@@ -55,6 +55,41 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.moversOf(results, prior).sorted == Seq("q01", "q12"))
   }
 
+  test("calibration discipline: scale = median probe ratio; movers divide it out; block parses from every record shape") {
+    // a uniform container slowdown: every probe ×1.2
+    val priorCalib = Map("calib_scan" -> 1.0, "calib_shuffle" -> 2.0,
+      "calib_window" -> 3.0, "calib_cpu" -> 1.0, "calib_spawn" -> 0.5)
+    val curCalib = priorCalib.toSeq.map { case (k, v) => k -> v * 1.2 }
+    val scale = Bench.calibrationScale(curCalib, priorCalib)
+    assert(math.abs(scale - 1.2) < 1e-9, s"scale $scale")
+    // no prior calibration (a pre-r17 record) → neutral 1.0
+    assert(Bench.calibrationScale(curCalib, Map.empty) == 1.0)
+    // a query that moved +22% raw but only +1.7% after the container
+    // drift is NOT a mover under the calibrated comparison — the r16
+    // container-swap reconciliation, automated
+    val prior = Map("big" -> 10.0, "small" -> 0.1)
+    val results = Seq("big" -> 12.2, "small" -> 0.11)
+    assert(Bench.moversOf(results, prior).contains("big"), "sanity: raw flags it")
+    assert(Bench.moversOf(results, prior, scale).isEmpty,
+      "calibrated comparison still flagged the container drift")
+    // a true regression still surfaces through the calibrated lens
+    assert(Bench.moversOf(Seq("big" -> 18.0, "small" -> 0.11), prior, scale)
+      == Seq("big"))
+    // parse: own-line shape and the driver tail shape
+    val f = Files.createTempFile("benchcal", ".json").toFile
+    f.deleteOnExit()
+    Files.writeString(f.toPath,
+      """{"metric":"total","calibration":{"calib_scan":1.5,"calib_cpu":0.7}}""")
+    assert(Bench.parsePriorCalibration(f) ==
+      Map("calib_scan" -> 1.5, "calib_cpu" -> 0.7))
+    val t = Files.createTempFile("benchcaltail", ".json").toFile
+    t.deleteOnExit()
+    Files.writeString(t.toPath,
+      """{"rc":0,"tail":"...movers\":[],\"calibration\":{\"calib_scan\":1.5,\"calib_spawn\":0.25},\"calibration_scale\":1.0,\"warm_total\":9}"}""")
+    assert(Bench.parsePriorCalibration(t) ==
+      Map("calib_scan" -> 1.5, "calib_spawn" -> 0.25))
+  }
+
   test("parsePrior still reads the bench's own top-level queries shape") {
     val f = Files.createTempFile("bench", ".json").toFile
     f.deleteOnExit()
