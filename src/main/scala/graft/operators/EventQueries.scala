@@ -354,24 +354,27 @@ object EventQueries {
         col("event_type"), col("ts_us"), col("value"))
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
         .rangeBetween(-7 * DayUs, -1)
-      val p = e
-        .withColumn("n_click", count(when(col("event_type") === "click", 1)).over(w))
-        .withColumn("n_view", count(when(col("event_type") === "view", 1)).over(w))
+      // both counts in ONE select → one Window node over one
+      // exchange+sort; the three credit arms EXPLODE from a per-row
+      // array instead of a 3-way union, which would re-evaluate the
+      // whole window subtree per arm (pushed-filter diamonds don't
+      // reuse exchanges — three scans measured before the rewrite)
+      val p = e.select(col("*"),
+          count(when(col("event_type") === "click", 1)).over(w).as("n_click"),
+          count(when(col("event_type") === "view", 1)).over(w).as("n_view"))
         .filter(col("event_type") === "purchase")
         .withColumn("vc", floor(col("value") * 100.0 + 0.5).cast("long"))
         .withColumn("n_tot", col("n_click") + col("n_view"))
-      val click = p.filter(col("n_click") > 0)
-        .select(lit("click").as("channel"),
-          expr("(vc * 10000 * n_click) div n_tot").as("credit_fp"))
-      val view = p.filter(col("n_view") > 0)
-        .select(lit("view").as("channel"),
-          expr("(vc * 10000 * n_view) div n_tot").as("credit_fp"))
-      val direct = p.filter(col("n_tot") === 0)
-        .select(lit("direct").as("channel"),
-          expr("vc * 10000").as("credit_fp"))
-      click.unionAll(view).unionAll(direct)
-        .groupBy("channel")
-        .agg(count(lit(1)).as("n_credited"), sum("credit_fp").as("credit_fp"))
+      val arms = array(
+        when(col("n_click") > 0, struct(lit("click").as("channel"),
+          expr("(vc * 10000 * n_click) div n_tot").as("credit_fp"))),
+        when(col("n_view") > 0, struct(lit("view").as("channel"),
+          expr("(vc * 10000 * n_view) div n_tot").as("credit_fp"))),
+        when(col("n_tot") === 0, struct(lit("direct").as("channel"),
+          expr("vc * 10000").as("credit_fp"))))
+      p.select(explode(filter(arms, x => x.isNotNull)).as("a"))
+        .groupBy(col("a.channel").as("channel"))
+        .agg(count(lit(1)).as("n_credited"), sum("a.credit_fp").as("credit_fp"))
         .orderBy("channel")
     },
 
@@ -390,29 +393,31 @@ object EventQueries {
         col("event_type"), col("ts_us"), col("value"))
       def frame(b: Int) = Window.partitionBy("user_id").orderBy(col("ts_us"))
         .rangeBetween(-(b + 1) * DayUs, -(b * DayUs + 1))
-      var df = e
-      for (b <- 0 to 6) df = df
-        .withColumn(s"ck$b", count(when(col("event_type") === "click", 1)).over(frame(b)))
-        .withColumn(s"vw$b", count(when(col("event_type") === "view", 1)).over(frame(b)))
+      // all 14 counts in ONE select: frames group into Window nodes
+      // over a single exchange+sort; credit arms explode from an
+      // array (see ev_attribution_linear — a 3-way union re-evaluates
+      // the whole window subtree per arm)
+      val bucketCounts = (0 to 6).flatMap { b =>
+        Seq(count(when(col("event_type") === "click", 1)).over(frame(b)).as(s"ck$b"),
+          count(when(col("event_type") === "view", 1)).over(frame(b)).as(s"vw$b"))
+      }
       val wClick = (0 to 6).map(b => col(s"ck$b") * lit(1L << (6 - b))).reduce(_ + _)
       val wView = (0 to 6).map(b => col(s"vw$b") * lit(1L << (6 - b))).reduce(_ + _)
-      val p = df
+      val p = e.select(col("*") +: bucketCounts: _*)
         .withColumn("w_click", wClick).withColumn("w_view", wView)
         .filter(col("event_type") === "purchase")
         .withColumn("vc", floor(col("value") * 100.0 + 0.5).cast("long"))
         .withColumn("w_tot", col("w_click") + col("w_view"))
-      val click = p.filter(col("w_click") > 0)
-        .select(lit("click").as("channel"),
-          expr("(vc * 10000 * w_click) div w_tot").as("credit_fp"))
-      val view = p.filter(col("w_view") > 0)
-        .select(lit("view").as("channel"),
-          expr("(vc * 10000 * w_view) div w_tot").as("credit_fp"))
-      val direct = p.filter(col("w_tot") === 0)
-        .select(lit("direct").as("channel"),
-          expr("vc * 10000").as("credit_fp"))
-      click.unionAll(view).unionAll(direct)
-        .groupBy("channel")
-        .agg(count(lit(1)).as("n_credited"), sum("credit_fp").as("credit_fp"))
+      val arms = array(
+        when(col("w_click") > 0, struct(lit("click").as("channel"),
+          expr("(vc * 10000 * w_click) div w_tot").as("credit_fp"))),
+        when(col("w_view") > 0, struct(lit("view").as("channel"),
+          expr("(vc * 10000 * w_view) div w_tot").as("credit_fp"))),
+        when(col("w_tot") === 0, struct(lit("direct").as("channel"),
+          expr("vc * 10000").as("credit_fp"))))
+      p.select(explode(filter(arms, x => x.isNotNull)).as("a"))
+        .groupBy(col("a.channel").as("channel"))
+        .agg(count(lit(1)).as("n_credited"), sum("a.credit_fp").as("credit_fp"))
         .orderBy("channel")
     },
 
