@@ -165,6 +165,11 @@ class SimilaritySpec extends AnyFunSuite {
     val pOne = Similarity.binaryProbeN(one, wide, batch, anchors, 5).collect().toSeq
     assert(pInc == pOne && pInc.nonEmpty,
       "appended multi-word code table diverged from one-shot assignment")
+    // the one-long tier IS the <=64-dim special case: at dim 64 the
+    // N-path's single-word codes rank identically to binaryTopK
+    assert(Similarity.binaryTopKN(base, 5, 64, 10).collect().toSeq ==
+      Similarity.binaryTopK(base, 5, 64, 10).collect().toSeq,
+      "binaryTopKN diverged from binaryTopK at dim 64")
   }
 
   test("wide binary prefilter is codes-only: no top-C stage touches the float vectors") {
