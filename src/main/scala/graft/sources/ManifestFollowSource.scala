@@ -50,7 +50,8 @@ import graft.operators.ManifestLog
   * on EXISTING files — a metadata-only version); if one is ever seen
   * the plan throws rather than resurrecting dead rows. Column types
   * cover the manifest tables' surface (bool/int/long/float/double/
-  * string/binary/date/timestamp); nested types throw.
+  * string/binary/date/timestamp, plus LIST-annotated arrays of
+  * primitives — the embedding-column shape); other nested types throw.
   *
   * Usage: `spark.readStream.format(classOf[ManifestFollowSource].getName)
   * .option("path", dir).option("fromVersion", "1").load()` or
@@ -193,6 +194,36 @@ object ManifestFollowReaderFactory extends PartitionReaderFactory {
         current != null
       }
 
+      /** One LIST-annotated array column (Spark's 3-level layout:
+        * `optional group f (LIST) { repeated group list { element } }`)
+        * into a Catalyst ArrayData of the target element type — the
+        * shape every `array<float>` embedding column on disk has.
+        */
+      private def convertArray(g: Group, idx: Int, et: DataType,
+                               name: String): Any = {
+        val outer = g.getGroup(idx, 0) // the single repeated-list group
+        val n = outer.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val entry = outer.getGroup(0, i)
+          out(i) =
+            if (entry.getFieldRepetitionCount(0) == 0) null
+            else et match {
+              case FloatType   => entry.getFloat(0, 0)
+              case DoubleType  => entry.getDouble(0, 0)
+              case IntegerType => entry.getInteger(0, 0)
+              case LongType    => entry.getLong(0, 0)
+              case StringType  => UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+              case other => throw new IllegalStateException(
+                s"manifest-follow: array<${other.simpleString}> column '$name' " +
+                  "unsupported — use ManifestLog.follow")
+            }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+
       private def convert(g: Group, f: StructField): Any = {
         if (f.name == ManifestFollowSource.VersionCol) return version
         val gt = g.getType
@@ -200,8 +231,15 @@ object ManifestFollowReaderFactory extends PartitionReaderFactory {
         val idx = gt.getFieldIndex(f.name)
         if (g.getFieldRepetitionCount(idx) == 0) return null
         val pt = gt.getType(idx)
-        require(pt.isPrimitive,
-          s"manifest-follow: nested column '${f.name}' unsupported — use ManifestLog.follow")
+        if (!pt.isPrimitive) {
+          val isList = pt.getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.listType()
+          (f.dataType, isList) match {
+            case (ArrayType(et, _), true) => return convertArray(g, idx, et, f.name)
+            case _ => throw new IllegalStateException(
+              s"manifest-follow: nested column '${f.name}' unsupported — use ManifestLog.follow")
+          }
+        }
         val prim = pt.asPrimitiveType().getPrimitiveTypeName
         (f.dataType, prim) match {
           case (LongType, INT64)   => g.getLong(idx, 0)

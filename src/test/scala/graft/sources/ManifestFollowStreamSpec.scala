@@ -146,6 +146,59 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     assert(got == expected, s"table-tailed curation $got != batch $expected")
   }
 
+  test("composition: streaming binary-ANN index admission tails an embeddings TABLE; appended code table probes identically to one-shot") {
+    import graft.ann.Similarity
+    // upstream: a manifest table of embeddings (array<float> column —
+    // exercises the reader's LIST path); corpus lands first, two
+    // append waves stream through assign-only admission
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label")
+    val corpus = emb.filter(col("vec_id") % 10 >= 3)
+    val w1 = emb.filter(col("vec_id") % 10 === 0)
+    val w2 = emb.filter(col("vec_id") % 10 === 1 || col("vec_id") % 10 === 2)
+
+    val base = Files.createTempDirectory("mfs-ann")
+    val tbl = base.resolve("embt").toString
+    val codeDir = base.resolve("codes").toString
+    val ckpt = base.resolve("ckpt").toString
+    ManifestLog.write(corpus, "vec_id", tbl, files = 2)
+    // anchors train ONCE on the corpus (the incremental-index
+    // discipline); admission is one deterministic SignPackN pass
+    val anchors = Similarity.binaryAnchors(corpus, 64)
+    Similarity.binaryAssignN(corpus, anchors)
+      .write.mode("append").parquet(codeDir)
+
+    def start() = ManifestFollowSource.stream(spark, tbl, fromVersion = 2)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          Similarity.binaryAssignN(
+              df.select(col("vec_id"), col("embedding")), anchors)
+            .write.mode("append").parquet(codeDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    ManifestLog.append(w1, "vec_id", tbl, files = 1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    ManifestLog.append(w2, "vec_id", tbl, files = 1) // lands while down
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // the streamed-in code table probes BYTE-IDENTICALLY to a one-shot
+    // assignment of the whole corpus under the same anchors
+    val queries = emb.filter(col("vec_id") < 10)
+    val streamed = Similarity.binaryProbeN(
+        spark.read.parquet(codeDir), emb, queries, anchors, 5)
+      .collect().toSeq
+    val oneShot = Similarity.binaryProbeN(
+        Similarity.binaryAssignN(emb, anchors), emb, queries, anchors, 5)
+      .collect().toSeq
+    assert(streamed == oneShot && streamed.nonEmpty,
+      "table-tailed index admission diverged from one-shot assignment")
+    // and the code table holds exactly one code per vector
+    assert(spark.read.parquet(codeDir).count() == emb.count())
+  }
+
   test("an added column aligns: old files read as NULL through the partition reader") {
     val dir = Files.createTempDirectory("mfs-evo").toString
     ManifestLog.write(li.limit(30), "l_orderkey", dir, files = 1)
