@@ -1350,10 +1350,17 @@ object ManifestLog {
       }
       prevOpt = Some(cur)
     }
+    // write under a temp name, then PUBLISH by directory rename
+    // (atomic on local FS and HDFS): a concurrent latestCkpt must
+    // never list a half-written parquet dir and silently read half
+    // the deltas — the same visibility discipline as the pointer CAS
     val name = f"ckpt-v${live.last}%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = s"${logDir(path)}/.tmp-$name"
     spark.createDataFrame(
         spark.sparkContext.parallelize(prevRows ++ buf, 1), ckptSchema)
-      .coalesce(1).write.parquet(s"${logDir(path)}/$name")
+      .coalesce(1).write.parquet(tmp)
+    f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"${logDir(path)}/$name"))
     live.last
   }
 
@@ -1640,7 +1647,9 @@ object ManifestLog {
     val newestCkptName = latestCkpt(spark, path)
       .map(p => new org.apache.hadoop.fs.Path(p._2).getName)
     f.listStatus(new org.apache.hadoop.fs.Path(logDir(path))).iterator
-      .filter(s => s.isDirectory && ckptRe.findFirstMatchIn(s.getPath.getName).isDefined)
+      .filter(s => s.isDirectory &&
+        (ckptRe.findFirstMatchIn(s.getPath.getName).isDefined ||
+          s.getPath.getName.startsWith(".tmp-ckpt-"))) // crashed publish
       .filterNot(s => newestCkptName.contains(s.getPath.getName))
       .filter(s => aged(s.getPath))
       .foreach(s => f.delete(s.getPath, true))

@@ -1295,6 +1295,64 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.read(spark, dir).count() == 10 + (nVersions - 1) * 3)
   }
 
+  test("auto-checkpoints under 3-appender CAS contention: versions linear across trigger boundaries, checkpointed history/follow equal ground truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-ckrace").toString
+    val interval = ManifestLog.CheckpointInterval
+    ManifestLog.write(li.limit(10), "l_orderkey", dir, files = 1)
+    // 3 threads × 12 appends = 36 appends → 37 versions, crossing the
+    // v16 and v32 auto-checkpoint triggers WHILE other committers race
+    val perThread = (2 * interval + 4) / 3 // 12
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(3)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val fs = (0 until 3).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          try (0 until perThread).foreach { i =>
+            ManifestLog.append(li.limit(10 * (t * perThread + i) + 13)
+              .except(li.limit(10 * (t * perThread + i) + 10)),
+              "l_orderkey", dir, files = 1)
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    gate.countDown(); fs.foreach(_.get()); pool.shutdown()
+    assert(errs.isEmpty, s"append threw under contention: ${errs.peek()}")
+    val vs = ManifestLog.versions(spark, dir)
+    assert(vs == (1 to (1 + 3 * perThread)), s"versions not linear: $vs")
+    // at least one auto-checkpoint landed at a trigger boundary
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpts = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_mlog")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("ckpt-"))
+    assert(ckpts.nonEmpty, "no auto-checkpoint landed across two trigger boundaries")
+    // checkpointed history equals a ground-truth recompute from the
+    // raw snapshots — every version, every delta
+    val hist = ManifestLog.history(spark, dir).orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getInt(3), r.getLong(5)))
+    val truth = vs.map { v =>
+      val now = ManifestLog.snapshot(spark, dir, v).collect()
+      val prev = if (v == 1) Array.empty[org.apache.spark.sql.Row]
+        else ManifestLog.snapshot(spark, dir, v - 1).collect()
+      val prevFiles = prev.map(_.getString(0)).toSet
+      val added = now.count(r => !prevFiles(r.getString(0)))
+      val op = if (v == 1) "write" else "append"
+      (v, op, added, now.map(_.getLong(3)).sum - prev.map(_.getLong(3)).sum)
+    }
+    assert(hist.toSeq == truth, {
+      val bad = hist.toSeq.zip(truth).filter(p => p._1 != p._2).take(3)
+      s"checkpointed history diverged from snapshot ground truth: $bad"
+    })
+    // follow replay from v1 delivers exactly the table's rows
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-mlog-ckrace-cur").toString
+    var total = 0L
+    ManifestLog.follow(spark, dir, ckptDir, fromVersion = 1) { (df, _) => total += df.count() }
+    assert(total == ManifestLog.read(spark, dir).count(),
+      s"follow delivered $total rows vs table ${ManifestLog.read(spark, dir).count()}")
+  }
+
   test("AS OF under non-monotonic pointer mtimes: effective timestamps are forced monotone, so AS OF t is a prefix of the chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-skew").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1)
