@@ -915,6 +915,134 @@ object ManifestLog {
     } finally updates.unpersist()
   }
 
+  /** Full MERGE INTO clause semantics by `statsCol` as the join key —
+    * the Delta `MERGE INTO target USING source` shape the plain
+    * [[merge]] (unconditional upsert) specializes:
+    *
+    *   - `WHEN MATCHED AND <matchedDelete> THEN DELETE` — matched
+    *     target rows satisfying the predicate drop;
+    *   - `WHEN MATCHED AND <matchedUpdate> THEN UPDATE SET *` — each
+    *     remaining matched target row is replaced by its source row
+    *     (all columns; `None` = unconditional, like Delta's bare
+    *     UPDATE). Delete wins when both predicates match, Delta's
+    *     clause-order rule with DELETE listed first;
+    *   - `WHEN NOT MATCHED THEN INSERT *` — source rows whose key
+    *     exists nowhere in the table insert, unless
+    *     `insertNotMatched = false`.
+    *
+    * Predicates are SQL strings over the joined row: target columns
+    * by name, source columns as `src_<name>` — e.g.
+    * `"src_l_quantity > l_quantity"`. Source rows must be unique per
+    * key (enforced), matching Delta's multiple-source-match error; a
+    * key matching N target rows applies its clause to each of the N.
+    *
+    * Same scale discipline as [[merge]]: only files whose stats range
+    * contains a source key rewrite, the untouched majority carries by
+    * reference, the commit re-validates under the version CAS with the
+    * dv-aware keyed-rewrite conflict rules. Returns
+    * (#files rewritten, #rows deleted, #rows updated, #rows inserted).
+    */
+  def mergeInto(source0: DataFrame, statsCol: String, path: String,
+                matchedUpdate: Option[String] = None,
+                matchedDelete: Option[String] = None,
+                insertNotMatched: Boolean = true,
+                files: Int = 8, targetRows: Long = 0L): (Int, Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val spark = source0.sparkSession
+    val v = currentVersion(spark, path)
+    require(v > 0, s"mergeInto before write at $path")
+    checkStatsCol(spark, path, statsCol)
+    val source = source0.persist()
+    try {
+      val snapRows = snapshot(spark, path, v).collect().toSeq
+      if (source.isEmpty) return (0, 0L, 0L, 0L)
+      require(source.filter(col(statsCol).isNull).isEmpty,
+        s"mergeInto source carries NULL '$statsCol' keys")
+      val dupKeys = source.groupBy(col(statsCol)).count().filter(col("count") > 1)
+      require(dupKeys.isEmpty,
+        s"mergeInto source has duplicate '$statsCol' keys — multiple source " +
+          "matches per target row are ambiguous (Delta raises the same error)")
+      val statsDf = snapshot(spark, path, v)
+      val affected = source.select(col(statsCol).as("__k")).distinct()
+        .join(broadcast(statsDf),
+          col("__k") >= col("lo") && col("__k") <= col("hi"))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val (touch, keep) = snapRows.partition(r => affected(r.getString(0)))
+      val tgtCols = if (touch.nonEmpty)
+          readWithDv(spark, touch.map(r => (r.getString(0), r.getString(4)))).columns.toSeq
+        else source.columns.toSeq
+      val srcPrefixed = source.columns.foldLeft(source)((d, c) =>
+        d.withColumnRenamed(c, s"src_$c"))
+      // matched work happens only over the affected files' rows
+      val joined =
+        if (touch.isEmpty) null
+        else readWithDv(spark, touch.map(r => (r.getString(0), r.getString(4))))
+          .join(srcPrefixed, col(statsCol) === col(s"src_$statsCol"), "left")
+      val matched = if (joined == null) null
+        else joined.filter(col(s"src_$statsCol").isNotNull)
+      val unmatchedTgt = if (joined == null) null
+        else joined.filter(col(s"src_$statsCol").isNull).select(tgtCols.map(col): _*)
+      val delCond = matchedDelete.map(expr).getOrElse(lit(false))
+      val updCond = matchedUpdate.map(expr).getOrElse(lit(true))
+      val deleted = if (matched == null) 0L else matched.filter(delCond).count()
+      val afterDelete = if (matched == null) null else matched.filter(!delCond)
+      val updated = if (afterDelete == null) 0L else afterDelete.filter(updCond).count()
+      // updated rows take the SOURCE row (SET *); untouched matched keep
+      val updatedRows = if (afterDelete == null) null
+        else afterDelete.filter(updCond)
+          .select(source.columns.toSeq.map(c => col(s"src_$c").as(c)): _*)
+      val keptMatched = if (afterDelete == null) null
+        else afterDelete.filter(!updCond).select(tgtCols.map(col): _*)
+      // inserts: source keys matching NO target row anywhere (a key in
+      // range of an affected file but absent still counts as new)
+      val matchedKeys = if (matched == null)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            source.select(col(statsCol)).schema)
+        else matched.select(col(s"src_$statsCol").as(statsCol)).distinct()
+      val inserts =
+        if (!insertNotMatched) source.limit(0)
+        else source.join(matchedKeys, Seq(statsCol), "left_anti")
+      val inserted = inserts.count()
+      if (deleted == 0 && updated == 0 && inserted == 0) return (0, 0L, 0L, 0L)
+      // pure-insert outcome: no matched row changed, so the touched
+      // files carry by reference and only the inserts land (an
+      // append-shaped commit, not a rewrite)
+      val insertOnly = deleted == 0 && updated == 0
+      val outParts =
+        if (insertOnly) Seq(inserts)
+        else Seq(Option(unmatchedTgt), Option(updatedRows),
+          Option(keptMatched), Some(inserts)).flatten
+      val out = outParts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val nOut =
+        if (targetRows > 0) {
+          val vol = (if (insertOnly) 0L else touch.map(_.getLong(3)).sum) + inserted
+          math.max(1L, (vol + targetRows - 1) / targetRows).toInt
+        } else files
+      val batchDir = newBatchDir(path)
+      out.repartitionByRange(nOut, col(statsCol))
+        .sortWithinPartitions(statsCol)
+        .write.parquet(batchDir)
+      val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+      try enforceConstraints(spark, path, fresh)
+      catch { case e: Throwable =>
+        fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+        throw e
+      }
+      val freshRows =
+        if (fresh.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+        else statsOfRewrite(spark, path, fresh, statsCol).collect().toSeq
+      val Array(kmin, kmax) = source
+        .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
+      val schema = snapshot(spark, path, v).schema
+      val replacedDv =
+        if (insertOnly) Map.empty[String, String]
+        else touch.map(r => r.getString(0) -> r.getString(4)).toMap
+      commitKeyedRewrite(spark, path, "mergeInto", replacedDv,
+        snapRows.map(_.getString(0)).toSet, freshRows, schema, kmin, kmax)
+      (if (insertOnly) 0 else touch.size, deleted, updated, inserted)
+    } finally source.unpersist()
+  }
+
   /** Commit a KEYED rewrite (merge/delete) under the version CAS: the
     * rewrite composes with concurrent appends UNLESS a replaced file
     * vanished (a concurrent rewrite took it — composing would drop

@@ -1295,6 +1295,76 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.read(spark, dir).count() == 10 + (nVersions - 1) * 3)
   }
 
+  test("mergeInto clause semantics: conditional update, matched delete (delete wins), not-matched insert, pure-insert is append-shaped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-mi").toString
+    // unique-key target: one row per orderkey (sum of quantities)
+    val tgt = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).cast("long").as("n"))
+    ManifestLog.write(tgt, "l_orderkey", dir, files = 4)
+    val total = tgt.count()
+    val keys = tgt.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val mid = (kLo + kHi) / 2
+
+    // source: half existing keys (qty bumped +1000), plus brand-new keys
+    val existingSrc = tgt.filter(col("l_orderkey") <= mid)
+      .withColumn("qty", col("qty") + 1000.0)
+    val newSrc = tgt.filter(col("l_orderkey") > mid)
+      .select((col("l_orderkey") + kHi + 100).as("l_orderkey"),
+        col("qty"), col("n"))
+    val src = existingSrc.unionByName(newSrc)
+
+    // UPDATE only where the target row is "small" (n <= 2); DELETE
+    // where n >= 7; delete wins over update when both would match
+    val (rw, del, upd, ins) = ManifestLog.mergeInto(src, "l_orderkey", dir,
+      matchedUpdate = Some("n <= 2"),
+      matchedDelete = Some("n >= 7"))
+    val expDel = tgt.filter(col("l_orderkey") <= mid && col("n") >= 7).count()
+    val expUpd = tgt.filter(col("l_orderkey") <= mid && col("n") <= 2).count()
+    val expIns = newSrc.count()
+    assert((del, upd, ins) == (expDel, expUpd, expIns), s"($del,$upd,$ins)")
+    assert(rw > 0)
+    val now = ManifestLog.read(spark, dir)
+    assert(now.count() == total - expDel + expIns)
+    // updated rows carry the source qty; kept matched rows the old one
+    assert(now.filter(col("l_orderkey") <= mid && col("n") <= 2)
+      .join(tgt.select(col("l_orderkey"), (col("qty") + 1000.0).as("want")),
+        "l_orderkey")
+      .filter(col("qty") =!= col("want")).count() == 0, "update missed rows")
+    assert(now.filter(col("n") >= 7 && col("l_orderkey") <= mid).count() == 0,
+      "deletes survived")
+    assert(now.filter(col("l_orderkey") > mid && col("l_orderkey") <= kHi)
+      .exceptAll(tgt.filter(col("l_orderkey") > mid)).count() == 0,
+      "unmatched target rows changed")
+    // duplicate source keys are refused (Delta's multiple-match error)
+    val exDup = intercept[IllegalArgumentException] {
+      ManifestLog.mergeInto(src.unionAll(src.limit(1)), "l_orderkey", dir)
+    }
+    assert(exDup.getMessage.contains("duplicate"), exDup.getMessage)
+    // pure-insert outcome is APPEND-shaped: no file rewrites, history
+    // says append, old version still time-travels
+    val vBefore = ManifestLog.currentVersion(spark, dir)
+    val fresh = newSrc.select((col("l_orderkey") + 1000000).as("l_orderkey"),
+      col("qty"), col("n"))
+    val (rw2, del2, upd2, ins2) = ManifestLog.mergeInto(fresh, "l_orderkey", dir,
+      matchedUpdate = Some("n <= 2"))
+    assert((rw2, del2, upd2) == (0, 0L, 0L) && ins2 == fresh.count())
+    val h = ManifestLog.history(spark, dir).orderBy("version").collect().last
+    assert(h.getInt(0) == vBefore + 1 && h.getString(2) == "append", h.toString)
+    assert(ManifestLog.read(spark, dir, version = vBefore).count() ==
+      total - expDel + expIns, "time travel broken by mergeInto")
+    // delete-only mergeInto == delete() on a twin table
+    val twin = java.nio.file.Files.createTempDirectory("graft-mlog-mi2").toString
+    ManifestLog.write(tgt, "l_orderkey", twin, files = 4)
+    val band = tgt.filter(col("l_orderkey") <= mid).select("l_orderkey")
+    val (_, delOnly, u0, i0) = ManifestLog.mergeInto(band, "l_orderkey", twin,
+      matchedDelete = Some("true"), insertNotMatched = false)
+    assert((u0, i0) == (0L, 0L))
+    assert(delOnly == band.count())
+    assert(ManifestLog.read(spark, twin).collect().map(_.toString).sorted.toSeq ==
+      tgt.filter(col("l_orderkey") > mid).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("auto-checkpoints under 3-appender CAS contention: versions linear across trigger boundaries, checkpointed history/follow equal ground truth") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-ckrace").toString
     val interval = ManifestLog.CheckpointInterval
