@@ -982,11 +982,24 @@ object ManifestLog {
         else joined.filter(col(s"src_$statsCol").isNotNull)
       val unmatchedTgt = if (joined == null) null
         else joined.filter(col(s"src_$statsCol").isNull).select(tgtCols.map(col): _*)
-      val delCond = matchedDelete.map(expr).getOrElse(lit(false))
-      val updCond = matchedUpdate.map(expr).getOrElse(lit(true))
-      val deleted = if (matched == null) 0L else matched.filter(delCond).count()
+      // NULL-valued clause predicates mean "clause not taken" (SQL
+      // three-valued logic would otherwise silently DROP a row from
+      // the !delCond filter without counting it deleted)
+      val delCond = coalesce(matchedDelete.map(expr).getOrElse(lit(false)), lit(false))
+      val updCond = coalesce(matchedUpdate.map(expr).getOrElse(lit(true)), lit(false))
+      // ONE aggregate pass over the matched rows for both clause
+      // counts — separate .filter().count() jobs would re-scan the
+      // affected files once per clause
+      val (deleted, updated) =
+        if (matched == null) (0L, 0L)
+        else {
+          val r = matched.agg(
+            sum(when(delCond, 1L).otherwise(0L)),
+            sum(when(!delCond && updCond, 1L).otherwise(0L))).head()
+          (if (r.isNullAt(0)) 0L else r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
       val afterDelete = if (matched == null) null else matched.filter(!delCond)
-      val updated = if (afterDelete == null) 0L else afterDelete.filter(updCond).count()
       // updated rows take the SOURCE row (SET *); untouched matched keep
       val updatedRows = if (afterDelete == null) null
         else afterDelete.filter(updCond)
