@@ -72,6 +72,7 @@ class ManifestFollowSource extends TableProvider {
       opts.get("path"),
       Option(opts.get("skipRewrites")).exists(_.toBoolean),
       Option(opts.get("fromVersion")).map(_.toInt).getOrElse(-1),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0),
       schema)
   }
 }
@@ -88,17 +89,21 @@ object ManifestFollowSource {
 
   /** Convenience handle mirroring [[IngestSources]]' helpers. */
   def stream(spark: SparkSession, path: String,
-             skipRewrites: Boolean = false, fromVersion: Int = -1): DataFrame = {
+             skipRewrites: Boolean = false, fromVersion: Int = -1,
+             maxVersionsPerTrigger: Int = 0): DataFrame = {
     var r = spark.readStream.format(classOf[ManifestFollowSource].getName)
       .option("path", path)
       .option("skipRewrites", skipRewrites.toString)
     if (fromVersion >= 1) r = r.option("fromVersion", fromVersion.toString)
+    if (maxVersionsPerTrigger > 0)
+      r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     r.load()
   }
 }
 
 private[sources] class ManifestFollowTable(path: String, skipRewrites: Boolean,
-                                           fromVersion: Int, schema0: StructType)
+                                           fromVersion: Int, maxVersions: Int,
+                                           schema0: StructType)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty, "manifest-follow source needs a 'path' option")
 
@@ -112,7 +117,7 @@ private[sources] class ManifestFollowTable(path: String, skipRewrites: Boolean,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestFollowStream(path, skipRewrites, fromVersion, schema0)
+          new ManifestFollowStream(path, skipRewrites, fromVersion, maxVersions, schema0)
       }
     }
 }
@@ -123,22 +128,45 @@ case class ManifestVersionOffset(version: Int) extends Offset {
 }
 
 private[sources] class ManifestFollowStream(path: String, skipRewrites: Boolean,
-                                            fromVersion: Int, readSchema: StructType)
+                                            fromVersion: Int, maxVersions: Int,
+                                            readSchema: StructType)
     extends MicroBatchStream {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset =
-    ManifestVersionOffset(
-      if (fromVersion >= 1) fromVersion - 1
-      else ManifestLog.currentVersion(spark, path))
+  // high-water of handed-out offsets, so the per-trigger admission cap
+  // advances from the last batch's end even before its commit lands
+  @volatile private var highWater = -1
 
-  override def latestOffset(): Offset =
-    ManifestVersionOffset(ManifestLog.currentVersion(spark, path))
+  override def initialOffset(): Offset = {
+    val v = if (fromVersion >= 1) fromVersion - 1
+      else ManifestLog.currentVersion(spark, path)
+    highWater = math.max(highWater, v)
+    ManifestVersionOffset(v)
+  }
+
+  override def latestOffset(): Offset = {
+    // maxVersionsPerTrigger (0 = unbounded) bounds one micro-batch's
+    // admission — a consumer rewound to v1 of a 10k-version table
+    // drains in bounded slices instead of planning one giant batch,
+    // the same backpressure face as the tail source's byte budget.
+    // Self-seed: on a fresh query Spark asks for the latest offset
+    // BEFORE the initial one, and on restart the WAL's
+    // deserializeOffset has already bumped the high-water.
+    if (highWater < 0) initialOffset()
+    val head = ManifestLog.currentVersion(spark, path)
+    val cap =
+      if (maxVersions > 0 && highWater >= 0) math.min(head, highWater + maxVersions)
+      else head
+    highWater = math.max(highWater, cap)
+    ManifestVersionOffset(cap)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = """"version"\s*:\s*(\d+)""".r
-    ManifestVersionOffset(m.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0))
+    val v = m.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+    highWater = math.max(highWater, v)
+    ManifestVersionOffset(v)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -199,6 +199,32 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(codeDir).count() == emb.count())
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to N versions; the rewind still drains completely") {
+    val dir = Files.createTempDirectory("mfs-mvpt").toString
+    ManifestLog.write(li.limit(30), "l_orderkey", dir, files = 1)
+    (1 to 3).foreach { i =>
+      ManifestLog.append(li.limit(30 * i + 20).except(li.limit(30 * i)),
+        "l_orderkey", dir, files = 1)
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Int]]()
+    val q = ManifestFollowSource.stream(spark, dir, fromVersion = 1,
+        maxVersionsPerTrigger = 1)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (vs.nonEmpty) batches.add(vs)
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("mfs-mvpt-ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val seen = batches.asScala.toSeq
+    assert(seen.forall(_.size == 1), s"a micro-batch carried >1 version: $seen")
+    assert(seen.flatten.toSet == Set(1, 2, 3, 4), s"rewind did not drain: $seen")
+  }
+
   test("an added column aligns: old files read as NULL through the partition reader") {
     val dir = Files.createTempDirectory("mfs-evo").toString
     ManifestLog.write(li.limit(30), "l_orderkey", dir, files = 1)
