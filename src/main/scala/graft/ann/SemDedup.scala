@@ -113,4 +113,54 @@ object SemDedup {
       .select(col("id"), col("bucket"), col("cscore"),
         col("_d").isNull.as("kept"))
   }
+
+  /** The ADMISSION-ORDER twin of [[dedupSemantic]]: per bucket, items
+    * fold in ascending id and x is kept iff no ALREADY-KEPT y has
+    * cos_fp(x, y) ≥ tauFp — the greedy rule every incremental/online
+    * pipeline actually runs (you can't un-admit a kept document when a
+    * more central duplicate arrives later), and the batch reference
+    * the streaming arm ([[graft.streaming.StreamingSemDedup]]) must
+    * equal under any chopping. Differs from the dominance rule by
+    * DESIGN: dominance may keep a later, more diverse representative;
+    * admission keeps the first arrival.
+    *
+    * Scale shape: same single kernel pass and one bucket exchange; the
+    * per-bucket fold is sequential but buckets are bounded by the
+    * [[autoBits]] policy (~`target` members), so the fold is
+    * embarrassingly parallel across 2^bits groups.
+    */
+  def dedupSemanticSequential(emb: DataFrame, dim: Int, bits: Int, tauFp: Long,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val keyed = emb
+      .select(col(idCol).cast("long").as("id"),
+        VectorExpressions.semDedupKey(col(vecCol), dim, bits).as("z"))
+      .select(col("id"), col("z.u").as("u"), col("z.bucket").as("bucket"))
+      .as[(Long, Seq[Long], Int)]
+    keyed.groupByKey(_._3)
+      .flatMapGroups { (bucket, rows) =>
+        var kept = List.empty[Array[Long]]
+        rows.toIndexedSeq.sortBy(_._1).iterator.map { case (id, u, _) =>
+          val uv = u.toArray
+          val dup = kept.exists(k => dotFp(uv, k) >= tauFp)
+          if (!dup) kept = uv :: kept
+          (id, bucket, !dup)
+        }
+      }
+      .toDF("id", "bucket", "kept")
+  }
+
+  /** Fixed-point dot of two 1e6-scaled unit vectors (≥ tauFp = the
+    * SemDeDup duplicate test) — the executor-side scalar form of the
+    * LongDot kernel.
+    */
+  private[graft] def dotFp(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 }

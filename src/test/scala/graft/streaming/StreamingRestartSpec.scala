@@ -538,6 +538,37 @@ class StreamingRestartSpec extends AnyFunSuite {
       s"only-batch=${(expected.toSet -- got.toSet).take(3)} only-stream=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("semantic-dedup verdicts survive kill/restart (per-bucket kept-representative vectors recover)") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val dim = 64
+    val bits = graft.operators.AnnQueries.SemBits
+    val tau = graft.operators.AnnQueries.SemTauFp
+    val expected = graft.ann.SemDedup
+      .dedupSemanticSequential(emb, dim, bits, tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val lines = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => s"""{"vec_id":${r.getLong(0)},"embedding":[${
+        r.getSeq[Float](1).mkString(",")}]}""").toIndexedSeq
+    val base = twoLives(chunk4(lines)) { (src, ckpt) =>
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      StreamingSemDedup.verdictStream(stream, dim, bits, tau)
+        .writeStream.format("parquet")
+        .option("path", base2(src).toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // a batch replayed at the restart boundary appends identical rows;
+    // vec_id keys the at-least-once sink
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .dropDuplicates("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(got == expected,
+      s"only-batch=${(expected -- got).take(3)} only-stream=${(got -- expected).take(3)}")
+  }
+
   test("multi-touch attribution state survives kill/restart (per-user touch LIST recovers; (event_id, channel) keys the sink)") {
     // time-decay mode — the stronger differential: recovering the list
     // wrong by one touch changes a weight, not just a count
