@@ -66,7 +66,8 @@ object ScaleBench {
     "q12_bucketed", "emb_ann_ivf_filtered", "emb_ann_binary", "mm_mkv_meta",
     "retrieval_hybrid_rrf", "emb_ann_binary_incremental",
     "retrieval_hybrid_rrf_ann", "ev_attribution_last_touch",
-    "emb_ann_binary_wide", "ev_attribution_linear", "ev_attribution_time_decay")
+    "emb_ann_binary_wide", "ev_attribution_linear", "ev_attribution_time_decay",
+    "dedup_semantic_seq")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -377,6 +377,33 @@ object Verify {
         got == want
       }
 
+      // dedup_semantic_seq: the ADMISSION-ORDER verdicts rechecked
+      // id-for-id against a driver-side greedy fold over the same
+      // fixed-point vectors (first arrival keeps; a newcomer within
+      // tau of any already-kept same-bucket rep drops) — the rule the
+      // streaming arm equals under chopping/restart.
+      val semSeqMatch = {
+        val dim = graft.operators.AnnQueries.EmbDim
+        val tauFp = graft.operators.AnnQueries.SemTauFp
+        val bits = graft.operators.AnnQueries.SemBits
+        val keyed = emb.select(col("vec_id"),
+            graft.functions.VectorExpressions.semDedupKey(
+              col("embedding"), dim, bits).as("z"))
+          .select(col("vec_id"), col("z.u"), col("z.bucket"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+        val want = keyed.groupBy(_._3).iterator.flatMap { case (b, ms) =>
+          var kept = List.empty[Array[Long]]
+          ms.sortBy(_._1).map { case (id, u, _) =>
+            val dup = kept.exists(k => graft.ann.SemDedup.dotFp(u, k) >= tauFp)
+            if (!dup) kept = u :: kept
+            id -> ((b, !dup))
+          }
+        }.toMap
+        val got = graft.SparkEntry.queries("dedup_semantic_seq")(spark, sfDir)
+          .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+        got == want
+      }
+
       // agg_corr: the hi/lo split's cross-engine agreement assumes
       // NON-NEGATIVE measures (Spark `div` truncates toward zero,
       // DuckDB `//` floors — identical only on non-negatives). The
@@ -497,6 +524,8 @@ object Verify {
          | "floor": 0.0, "pass": ${minMeasure >= 0.0}},
          | "dedup_semantic_auto": {"metric": "verdicts_equal_reference_id_for_id",
          | "pass": $semMatch},
+         | "dedup_semantic_seq": {"metric": "admission_verdicts_equal_greedy_reference",
+         | "pass": $semSeqMatch},
          | "emb_pca_project": {"metric": "max_projvar_vs_eigenvalue_err", "value": $varErr,
          | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc,
          | "explained_variance_ratio": $pcaExplained, "explained_floor": $pcaExplFloor,

@@ -510,6 +510,20 @@ object AnnQueries {
         .orderBy("id")
     },
 
+    // The ADMISSION-ORDER form of semantic dedup — the rule an
+    // online/incremental pipeline actually runs (first arrival keeps;
+    // a newcomer within tau of any already-kept representative drops;
+    // you can't un-admit a kept doc when a more central duplicate
+    // arrives later). Per-bucket greedy fold, buckets bounded by the
+    // bits policy so the folds parallelize across 2^bits groups.
+    // Rows-only; Verify's invariant RECHECKS the greedy rule verdict
+    // by verdict from the fixed-point vectors, and the streaming arm
+    // (StreamingSemDedup) is pinned equal under chopping/restart.
+    "dedup_semantic_seq" -> { (s, d) =>
+      SemDedup.dedupSemanticSequential(Tables.embeddings(s, d), Dim, SemBits, SemTauFp)
+        .orderBy("id")
+    },
+
     // Multimodal: spec-compliant synthetic PNG/JPEG/GIF binaries
     // (real header bytes, doc_id-derived dimensions) decoded by the
     // real header parsers in a partition-batched pass. The oracle
