@@ -1363,6 +1363,43 @@ object ManifestLog {
       align(oldRows).exceptAll(align(newRows)))
   }
 
+  /** CHANGE FEED over a version range (Delta's table_changes /
+    * readChangeFeed): every row added or removed by each version in
+    * (fromV, toV], tagged `_change_type` ('insert' | 'delete') and
+    * `_commit_version`. Built on [[diff]]'s pair discipline, so each
+    * version reads ONLY its changed (file, dv) pairs — an append
+    * costs its new files, a MOR delete its repointed files (old DV vs
+    * merged DV, EXCEPT-ALL leaves exactly the newly dead rows), and
+    * untouched versions cost nothing. An upsert surfaces as
+    * delete+insert of the changed rows, like Delta CDF without the
+    * update_pre/postimage refinement (documented). Multiset
+    * semantics per version, same as diff.
+    */
+  def changeFeed(spark: SparkSession, path: String,
+                 fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 1 && toV >= fromV, s"changeFeed needs 1 <= fromV <= toV, got $fromV..$toV")
+    val vs = versions(spark, path).filter(v => v > fromV && v <= toV)
+    require(vs.nonEmpty || fromV == toV,
+      s"no versions in ($fromV, $toV] under $path (vacuumed?)")
+    val frames = vs.flatMap { v =>
+      require(versions(spark, path).contains(v - 1),
+        s"changeFeed cannot diff v$v: its predecessor was vacuumed")
+      val (added, removed) = diff(spark, path, v - 1, v)
+      Seq(
+        added.withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)),
+        removed.withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
+    }
+    if (frames.isEmpty) {
+      import org.apache.spark.sql.functions.lit
+      read(spark, path, fromV).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+    } else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Scan `statsCol ∈ [lo, hi]` AT a version (−1 = latest): zone-map
     * pruning inside the snapshot's file list, residual filter on top —
     * results equal a plain scan of exactly that version's files.

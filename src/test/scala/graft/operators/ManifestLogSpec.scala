@@ -1295,6 +1295,58 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.read(spark, dir).count() == 10 + (nVersions - 1) * 3)
   }
 
+  test("changeFeed: tagged insert/delete rows per version across append, MOR delete, merge, restore; net equals the endpoint diff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-cdf").toString
+    val base = li.limit(200)
+    ManifestLog.write(base, "l_orderkey", dir, files = 2)            // v1
+    val extra = li.limit(240).except(li.limit(200))
+    ManifestLog.append(extra, "l_orderkey", dir, files = 1)          // v2: +40
+    val band = base.select("l_orderkey").distinct().limit(5)
+    val (_, morDead) = ManifestLog.deleteMor(band, "l_orderkey", dir) // v3: -morDead
+    val upd = base.join(band, Seq("l_orderkey"), "left_anti").limit(20)
+      .withColumn("l_quantity", col("l_quantity") + 500.0)
+    ManifestLog.merge(upd, "l_orderkey", dir)                        // v4: upsert
+    ManifestLog.restore(spark, dir, 2)                               // v5: rollback
+
+    val cdf = ManifestLog.changeFeed(spark, dir, 1, 5).persist()
+    try {
+      val byV = cdf.groupBy("_commit_version", "_change_type").count()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      // v2: pure append — inserts only
+      assert(byV.get((2, "insert")).contains(extra.count()) && !byV.contains((2, "delete")),
+        s"v2 $byV")
+      // v3: MOR delete — deletes only, exactly the tombstoned rows
+      assert(byV.get((3, "delete")).contains(morDead) && !byV.contains((3, "insert")),
+        s"v3 $byV")
+      // v4: upsert — the 20 changed rows appear as delete+insert pairs
+      assert(byV((4, "insert")) == 20L && byV((4, "delete")) == 20L, s"v4 $byV")
+      // v4 inserts carry the updated quantity
+      assert(cdf.filter(col("_commit_version") === 4 && col("_change_type") === "insert")
+        .filter(col("l_quantity") < 500.0).count() == 0)
+      // v5: restore back to v2 — the merge's rows revert and the MOR
+      // tombstones resurrect
+      assert(byV((5, "insert")) == 20L + morDead && byV((5, "delete")) == 20L, s"v5 $byV")
+      // NET of the feed equals the endpoint diff: per row key set,
+      // inserts minus deletes across v2..v5 == diff(v1, v5)
+      val (addedEnd, removedEnd) = ManifestLog.diff(spark, dir, 1, 5)
+      val cols = addedEnd.columns.map(col)
+      val netIns = cdf.filter(col("_change_type") === "insert").select(cols: _*)
+        .exceptAll(cdf.filter(col("_change_type") === "delete").select(cols: _*))
+      val netDel = cdf.filter(col("_change_type") === "delete").select(cols: _*)
+        .exceptAll(cdf.filter(col("_change_type") === "insert").select(cols: _*))
+      assert(netIns.exceptAll(addedEnd).count() == 0 &&
+        addedEnd.exceptAll(netIns).count() == 0, "net inserts != endpoint diff")
+      assert(netDel.exceptAll(removedEnd).count() == 0 &&
+        removedEnd.exceptAll(netDel).count() == 0, "net deletes != endpoint diff")
+    } finally cdf.unpersist()
+    // a vacuumed predecessor is refused loudly
+    ManifestLog.vacuum(spark, dir, retain = 2, minAgeMs = 0)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestLog.changeFeed(spark, dir, 1, 5)
+    }
+    assert(ex.getMessage.contains("vacuumed"), ex.getMessage)
+  }
+
   test("mergeInto clause semantics: conditional update, matched delete (delete wins), not-matched insert, pure-insert is append-shaped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-mi").toString
     // unique-key target: one row per orderkey (sum of quantities)
