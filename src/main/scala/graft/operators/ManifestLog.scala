@@ -86,7 +86,10 @@ object ManifestLog {
     val f = fs(spark, path)
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).iterator
-      .flatMap(s => "^v(\\d{5})$".r.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
+      // \d+ not \d{5}: %05d PADS to 5 digits but prints 6+ past v99999 —
+      // an anchored {5} would silently stop listing a long-lived table's
+      // newest versions (and stop vacuuming its checkpoints)
+      .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
       .toSeq.sorted
   }
 
@@ -1364,21 +1367,33 @@ object ManifestLog {
   }
 
   /** CHANGE FEED over a version range (Delta's table_changes /
-    * readChangeFeed): every row added or removed by each version in
-    * (fromV, toV], tagged `_change_type` ('insert' | 'delete') and
-    * `_commit_version`. Built on [[diff]]'s pair discipline, so each
-    * version reads ONLY its changed (file, dv) pairs — an append
-    * costs its new files, a MOR delete its repointed files (old DV vs
-    * merged DV, EXCEPT-ALL leaves exactly the newly dead rows), and
-    * untouched versions cost nothing. An upsert surfaces as
-    * delete+insert of the changed rows, like Delta CDF without the
-    * update_pre/postimage refinement (documented). Multiset
-    * semantics per version, same as diff.
+    * readChangeFeed shape): every row added or removed by each version
+    * in **(afterVersion, toV] — EXCLUSIVE of `afterVersion`**, tagged
+    * `_change_type` ('insert' | 'delete') and `_commit_version`.
+    *
+    * DIVERGENCE FROM DELTA, stated loudly: Delta's `startingVersion`
+    * is INCLUSIVE (table_changes(2, 5) includes v2's changes); this
+    * parameter is the version AFTER which changes flow —
+    * `changeFeed(path, 2, 5)` covers v3..v5. The exclusive bound is
+    * deliberate: it composes with [[diff]] (`diff(a, b)` is the net of
+    * (a, b]) and with [[follow]]'s cursor ("everything after what I
+    * consumed"), so the endpoint identity `changeFeed(a, b)` net ==
+    * `diff(a, b)` holds with the same bounds on both sides. Port
+    * Delta's table_changes(start, end) as `changeFeed(start - 1, end)`.
+    *
+    * Built on [[diff]]'s pair discipline, so each version reads ONLY
+    * its changed (file, dv) pairs — an append costs its new files, a
+    * MOR delete its repointed files (old DV vs merged DV, EXCEPT-ALL
+    * leaves exactly the newly dead rows), and untouched versions cost
+    * nothing. An upsert surfaces as delete+insert of the changed rows,
+    * like Delta CDF without the update_pre/postimage refinement
+    * (documented). Multiset semantics per version, same as diff.
     */
   def changeFeed(spark: SparkSession, path: String,
-                 fromV: Int, toV: Int): DataFrame = {
+                 afterVersion: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    require(fromV >= 1 && toV >= fromV, s"changeFeed needs 1 <= fromV <= toV, got $fromV..$toV")
+    val fromV = afterVersion
+    require(fromV >= 1 && toV >= fromV, s"changeFeed needs 1 <= afterVersion <= toV, got $fromV..$toV")
     val vs = versions(spark, path).filter(v => v > fromV && v <= toV)
     require(vs.nonEmpty || fromV == toV,
       s"no versions in ($fromV, $toV] under $path (vacuumed?)")
@@ -1445,7 +1460,7 @@ object ManifestLog {
     */
   val CheckpointInterval = 16
 
-  private val ckptRe = "^ckpt-v(\\d{5})-.*$".r
+  private val ckptRe = "^ckpt-v(\\d+)-.*$".r // \d+: names grow past 5 digits at v100000
 
   /** Newest checkpoint (version, payload dir), if any. Ties on version
     * (two racing maintenance calls) break deterministically by name.
@@ -1481,12 +1496,29 @@ object ManifestLog {
     val prev = latestCkpt(spark, path)
     val startV = prev.map(_._1).getOrElse(0)
     if (head <= startV) return startV
-    val prevRows = prev
+    val prevRows0 = prev
       .map(p => spark.read.schema(ckptSchema).parquet(p._2).collect().toSeq)
       .getOrElse(Seq.empty)
     val allVs = versions(spark, path)
     val live = allVs.filter(v => v > startV && v <= head)
     if (live.isEmpty) return startV
+    // VACUUM-ALIGNED HORIZON: folding every predecessor's delta rows
+    // forever makes the checkpoint O(total historical churn) — each
+    // 16th commit would rewrite rows for file adds vacuumed years ago,
+    // quadratic cumulative on a long-lived table. A version whose
+    // pointer is GONE (vacuumed) can never be replayed anyway
+    // (followDeltas throws, history never lists it), so its deltas
+    // compress to ONE `truncated` marker — kept, not dropped, so a
+    // rewound consumer gets the named restart-your-checkpoint error
+    // instead of a FileNotFound from a payload probe. Checkpoint size
+    // now tracks churn-within-retention + one row per expired version.
+    val liveSet = allVs.toSet
+    val prevRows = prevRows0.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .flatMap { case (v, rs) =>
+        if (liveSet(v)) rs
+        else Seq(org.apache.spark.sql.Row(
+          v, "truncated", null, null, null, rs.map(_.getLong(5)).min))
+      }
     val f = fs(spark, path)
     def ptrTs(v: Int): Long =
       try f.getFileStatus(new org.apache.hadoop.fs.Path(vDir(path, v))).getModificationTime
@@ -1544,39 +1576,53 @@ object ManifestLog {
 
   /** Per-version deltas for the table-tailing consumers ([[follow]]
     * and the DSv2 streaming source): one entry per version in
-    * (fromV, toV] — (version, #files removed, added (file, dv) pairs).
-    * Checkpoint-covered versions cost ONE parquet read total; the tail
-    * walks payloads with the predecessor file set carried forward.
-    * Throws on a version whose predecessor was vacuumed before any
-    * checkpoint covered it (deltas unknowable — like any expired
-    * source).
+    * (fromV, toV] — (version, #files removed, #dv pointers moved,
+    * added (file, dv) pairs). Checkpoint-covered versions cost ONE
+    * parquet read total; the tail walks payloads with the predecessor
+    * (file → dv) map carried forward. Returns a LAZY iterator: a
+    * truncated-predecessor throw at version v surfaces only when the
+    * consumer REACHES v, so every deliverable version before it still
+    * delivers (and [[follow]] still advances its cursor past them)
+    * instead of the whole range aborting up front.
     */
-  private[graft] def followDeltas(spark: SparkSession, path: String,
-                                  fromV: Int, toV: Int): Seq[(Int, Int, Seq[(String, String)])] = {
-    if (toV <= fromV) return Seq.empty
+  private[graft] def followDeltas(spark: SparkSession, path: String, fromV: Int,
+                                  toV: Int): Iterator[(Int, Int, Int, Seq[(String, String)])] = {
+    if (toV <= fromV) return Iterator.empty
     val ck = ckptByVersion(spark, path)
-    var carryFiles: Option[(Int, Set[String])] = None
-    ((fromV + 1) to toV).map { v =>
+    lazy val liveVs = versions(spark, path).toSet
+    var carryDvs: Option[(Int, Map[String, String])] = None
+    ((fromV + 1) to toV).iterator.map { v =>
       ck.get(v) match {
+        case None if !liveVs(v) =>
+          // vacuumed with no checkpoint coverage at all: same named
+          // repair as the truncated marker, not a payload FileNotFound
+          throw new IllegalStateException(
+            s"cannot replay $path v$v: it was vacuumed before any log " +
+              "checkpoint covered it — restart from a fresh checkpoint")
         case Some(drs) if drs.exists(_.getString(1) == "truncated") =>
           throw new IllegalStateException(
             s"cannot replay $path v$v: its predecessor was vacuumed before " +
               "the log checkpoint covered it — restart from a fresh checkpoint")
         case Some(drs) =>
           (v, drs.count(_.getString(1) == "remove"),
+            drs.count(_.getString(1) == "dvmove"),
             drs.filter(_.getString(1) == "add")
               .map(r => (r.getString(2), r.getString(3))))
         case None =>
-          val prev: Set[String] =
-            if (v == 1) Set.empty
-            else carryFiles match {
-              case Some((pv, s)) if pv == v - 1 => s
-              case _ => snapshot(spark, path, v - 1).collect().map(_.getString(0)).toSet
+          val prev: Map[String, String] =
+            if (v == 1) Map.empty
+            else carryDvs match {
+              case Some((pv, m)) if pv == v - 1 => m
+              case _ => snapshot(spark, path, v - 1).collect()
+                .map(r => r.getString(0) -> r.getString(4)).toMap
             }
           val now = snapshot(spark, path, v).collect()
-          carryFiles = Some((v, now.map(_.getString(0)).toSet))
-          (v, (prev -- carryFiles.get._2).size,
-            now.filter(r => !prev(r.getString(0)))
+          val nowMap = now.map(r => r.getString(0) -> r.getString(4)).toMap
+          carryDvs = Some((v, nowMap))
+          (v, (prev.keySet -- nowMap.keySet).size,
+            now.count(r => prev.get(r.getString(0))
+              .exists(_ != r.getString(4))),
+            now.filter(r => !prev.contains(r.getString(0)))
               .map(r => (r.getString(0), r.getString(4))).toSeq)
       }
     }
@@ -1685,16 +1731,25 @@ object ManifestLog {
     * `skipRewrites = true` the version's files are skipped wholesale
     * (rewritten data is never re-delivered; rows INSERTED by a merge
     * are skipped with it — documented, like Delta's ignoreChanges).
-    * Pure-metadata versions (MOR delete, restore) add no files and
-    * deliver nothing.
+    * A MOR-delete version (dv pointers moved, no files added) also
+    * THROWS in strict mode: it deleted rows an append-only consumer
+    * will never hear about — Delta's source likewise errors on change
+    * commits unless opted out. `ignoreDeletes = true` (Delta's option
+    * name) consumes such versions silently (delivering nothing — the
+    * deletions are the caller's problem); `skipRewrites` implies it.
+    * Restore-to-same and other no-op versions deliver nothing.
     *
     * Returns the number of versions CONSUMED this call (delivered,
     * skipped, or metadata-only). Single consumer per checkpoint path
     * (the cursor file is plain read/write); history older than the
-    * vacuum retention throws when replayed, like any expired source.
+    * vacuum retention throws when replayed, like any expired source —
+    * versions BEFORE the truncation point still deliver and commit
+    * the cursor first (followDeltas is lazy), so a later retry resumes
+    * at the failure, not the start.
     */
   def follow(spark: SparkSession, path: String, checkpoint: String,
-             skipRewrites: Boolean = false, fromVersion: Int = -1)
+             skipRewrites: Boolean = false, fromVersion: Int = -1,
+             ignoreDeletes: Boolean = false)
             (f: (DataFrame, Int) => Unit): Int = {
     val fsys = fs(spark, checkpoint)
     val cur = new org.apache.hadoop.fs.Path(s"$checkpoint/cursor")
@@ -1740,11 +1795,16 @@ object ManifestLog {
     // one followDeltas pass: checkpoint-covered versions cost ONE
     // parquet read total; only the tail walks payloads — a rewind
     // replay of a long-lived table costs O(interval) payload reads
-    followDeltas(spark, path, last, head).foreach { case (v, removedCount, added) =>
+    followDeltas(spark, path, last, head).foreach { case (v, removedCount, dvMoved, added) =>
       if (removedCount > 0 && !skipRewrites)
         throw new IllegalStateException(
           s"follow($path) hit a non-append commit at v$v ($removedCount files rewritten); " +
             "restart from a fresh checkpoint or pass skipRewrites = true (rewritten data will not re-deliver)")
+      if (removedCount == 0 && dvMoved > 0 && !skipRewrites && !ignoreDeletes)
+        throw new IllegalStateException(
+          s"follow($path) hit a MOR delete at v$v ($dvMoved deletion-vector pointers moved); " +
+            "an append-only consumer would silently keep the deleted rows — pass " +
+            "ignoreDeletes = true to consume past it, or restart from a fresh checkpoint")
       if (added.nonEmpty && removedCount == 0)
         f(readWithDv(spark, added), v)
       delivered += 1

@@ -32,8 +32,12 @@ import graft.operators.ManifestLog
   *     default) naming the version, or is skipped wholesale with
   *     `skipRewrites=true` (rewritten data never re-delivers; rows a
   *     merge inserted are skipped with it — Delta's ignoreChanges);
-  *     pure-metadata versions (MOR delete, restore-to-same) plan
-  *     nothing;
+  *     a MOR-delete version (dv pointers moved) ALSO throws in strict
+  *     mode — it deleted rows this append-only source can never
+  *     surface, and Delta's source likewise errors on change commits
+  *     unless opted out — with `ignoreDeletes=true` (Delta's option
+  *     name) consuming it silently; restore-to-same and other no-op
+  *     versions plan nothing;
   *   - version deltas come from [[ManifestLog.followDeltas]], so a
   *     rewound replay of a long-lived table reads the log CHECKPOINT
   *     plus O(interval) payloads, never the whole chain;
@@ -71,6 +75,7 @@ class ManifestFollowSource extends TableProvider {
     new ManifestFollowTable(
       opts.get("path"),
       Option(opts.get("skipRewrites")).exists(_.toBoolean),
+      Option(opts.get("ignoreDeletes")).exists(_.toBoolean),
       Option(opts.get("fromVersion")).map(_.toInt).getOrElse(-1),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0),
       schema)
@@ -90,10 +95,12 @@ object ManifestFollowSource {
   /** Convenience handle mirroring [[IngestSources]]' helpers. */
   def stream(spark: SparkSession, path: String,
              skipRewrites: Boolean = false, fromVersion: Int = -1,
-             maxVersionsPerTrigger: Int = 0): DataFrame = {
+             maxVersionsPerTrigger: Int = 0,
+             ignoreDeletes: Boolean = false): DataFrame = {
     var r = spark.readStream.format(classOf[ManifestFollowSource].getName)
       .option("path", path)
       .option("skipRewrites", skipRewrites.toString)
+      .option("ignoreDeletes", ignoreDeletes.toString)
     if (fromVersion >= 1) r = r.option("fromVersion", fromVersion.toString)
     if (maxVersionsPerTrigger > 0)
       r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
@@ -101,7 +108,28 @@ object ManifestFollowSource {
   }
 }
 
+/** A java-serializable Hadoop `Configuration` (the Writable protocol
+  * over object streams — the standard connector discipline): the
+  * executor-side parquet readers must see the SESSION's effective
+  * Hadoop configuration (`spark.hadoop.*` keys, credentials, custom
+  * filesystem impls), not a bare `new Configuration()` that only ever
+  * resolves the default local filesystem.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class ManifestFollowTable(path: String, skipRewrites: Boolean,
+                                           ignoreDeletes: Boolean,
                                            fromVersion: Int, maxVersions: Int,
                                            schema0: StructType)
     extends Table with SupportsRead {
@@ -117,7 +145,8 @@ private[sources] class ManifestFollowTable(path: String, skipRewrites: Boolean,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestFollowStream(path, skipRewrites, fromVersion, maxVersions, schema0)
+          new ManifestFollowStream(path, skipRewrites, ignoreDeletes,
+            fromVersion, maxVersions, schema0)
       }
     }
 }
@@ -128,6 +157,7 @@ case class ManifestVersionOffset(version: Int) extends Offset {
 }
 
 private[sources] class ManifestFollowStream(path: String, skipRewrites: Boolean,
+                                            ignoreDeletes: Boolean,
                                             fromVersion: Int, maxVersions: Int,
                                             readSchema: StructType)
     extends MicroBatchStream {
@@ -173,13 +203,18 @@ private[sources] class ManifestFollowStream(path: String, skipRewrites: Boolean,
     val s = start.asInstanceOf[ManifestVersionOffset].version
     val e = end.asInstanceOf[ManifestVersionOffset].version
     ManifestLog.followDeltas(spark, path, s, e).flatMap {
-      case (v, removedCount, _) if removedCount > 0 && !skipRewrites =>
+      case (v, removedCount, _, _) if removedCount > 0 && !skipRewrites =>
         throw new IllegalStateException(
           s"manifest-follow($path) hit a non-append commit at v$v ($removedCount files " +
             "rewritten); restart from a fresh checkpoint or set skipRewrites=true " +
             "(rewritten data will not re-deliver)")
-      case (_, removedCount, _) if removedCount > 0 => Seq.empty // skipRewrites
-      case (v, _, added) => added.map { case (file, dv) =>
+      case (_, removedCount, _, _) if removedCount > 0 => Seq.empty // skipRewrites
+      case (v, _, dvMoved, _) if dvMoved > 0 && !skipRewrites && !ignoreDeletes =>
+        throw new IllegalStateException(
+          s"manifest-follow($path) hit a MOR delete at v$v ($dvMoved deletion-vector " +
+            "pointers moved); this append-only source can never surface the deletions — " +
+            "set ignoreDeletes=true to consume past it, or restart from a fresh checkpoint")
+      case (v, _, _, added) => added.map { case (file, dv) =>
         if (dv != null) throw new IllegalStateException(
           s"manifest-follow($path) v$v added file $file WITH a deletion vector — " +
             "outside the append-only contract; use ManifestLog.follow for this table")
@@ -188,7 +223,14 @@ private[sources] class ManifestFollowStream(path: String, skipRewrites: Boolean,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = ManifestFollowReaderFactory
+  // the session's effective Hadoop conf is captured ON THE DRIVER at
+  // stream start and shipped once per scan inside the factory — the
+  // executor readers must open parquet through the same credentials /
+  // endpoints / fs impls the driver planned with (a bare
+  // `new Configuration()` silently pins the source to the default FS)
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestFollowReaderFactory(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -200,7 +242,8 @@ private[sources] class ManifestFollowStream(path: String, skipRewrites: Boolean,
 case class ManifestFilePartition(file: String, version: Int,
                                  schemaJson: String) extends InputPartition
 
-object ManifestFollowReaderFactory extends PartitionReaderFactory {
+case class ManifestFollowReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ManifestFilePartition(file, version, schemaJson) =
@@ -213,7 +256,7 @@ object ManifestFollowReaderFactory extends PartitionReaderFactory {
       private val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
           new org.apache.hadoop.fs.Path(file))
-        .withConf(new org.apache.hadoop.conf.Configuration())
+        .withConf(conf.value)
         .build()
       private var current: Group = _
 

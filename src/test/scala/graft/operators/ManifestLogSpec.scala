@@ -1070,13 +1070,14 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
-  test("follow: appends deliver exactly once across restart, rewrites throw strict / skip with the flag, MOR deletes are silent metadata") {
+  test("follow: appends deliver exactly once across restart, rewrites throw strict / skip with the flag, MOR deletes throw strict / consume with ignoreDeletes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlog-follow").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-follow-ckpt").toString
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 1) // v1
     val got = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    def tail(skip: Boolean = false): Int =
-      ManifestLog.follow(spark, dir, ckpt, skipRewrites = skip) {
+    def tail(skip: Boolean = false, ignoreDel: Boolean = false): Int =
+      ManifestLog.follow(spark, dir, ckpt, skipRewrites = skip,
+          ignoreDeletes = ignoreDel) {
         (df, v) => got += ((v, df.count()))
       }
     // a fresh checkpoint starts after the current head
@@ -1097,11 +1098,16 @@ class ManifestLogSpec extends AnyFunSuite {
       (df, _) => replayed += df.count()
     }
     assert(replayed == 100L + 150L + 60L + 25L)
-    // a MOR delete is metadata-only: consumed, nothing delivered
+    // a MOR delete THROWS in strict mode (the consumer would silently
+    // keep deleted rows — Delta's change-commit rule) and does not
+    // advance; ignoreDeletes consumes it, delivering nothing
     val keys = ManifestLog.read(spark, dir).select("l_orderkey").distinct().limit(3)
     ManifestLog.deleteMor(keys, "l_orderkey", dir) // v5
     val before = got.size
-    assert(tail() == 1 && got.size == before)
+    val morEx = intercept[IllegalStateException] { tail() }
+    assert(morEx.getMessage.contains("MOR delete at v5") &&
+      morEx.getMessage.contains("ignoreDeletes"), morEx.getMessage)
+    assert(tail(ignoreDel = true) == 1 && got.size == before)
     // a compact is a REWRITE: strict mode throws naming the version
     // and does not advance; skipRewrites consumes without delivering
     ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 10000L) // v6
@@ -1293,6 +1299,57 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(hv.forall(r => r.getString(2) == "append" && r.getLong(5) == 3L),
       "checkpoint-covered history lost deltas after vacuum")
     assert(ManifestLog.read(spark, dir).count() == 10 + (nVersions - 1) * 3)
+  }
+
+  test("log checkpoints stay BOUNDED under vacuum: expired versions compress to one truncated marker each, so checkpoint size tracks churn-within-retention, not table age") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog-ckbound").toString
+    ManifestLog.write(li.limit(20), "l_orderkey", dir, files = 4)          // v1: 4 adds
+    val cycles = 6
+    (1 to cycles).foreach { _ =>
+      ManifestLog.append(li.limit(9), "l_orderkey", dir, files = 3)
+      ManifestLog.append(li.limit(9), "l_orderkey", dir, files = 3)
+      ManifestLog.compact(spark, dir, "l_orderkey", targetRows = 1000000L) // rewrite churn
+      ManifestLog.vacuum(spark, dir, retain = 2, minAgeMs = 0)
+    }
+    val nv = 1 + 3 * cycles // 19 versions ever committed
+    val head = ManifestLog.checkpointLog(spark, dir)
+    assert(head == nv)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckName = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_mlog")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("ckpt-v"))
+      .maxBy(n => "\\d+".r.findFirstIn(n.stripPrefix("ckpt-v")).get.toInt)
+    val ck = spark.read.parquet(s"$dir/_mlog/$ckName").collect()
+    val byV = ck.groupBy(_.getInt(0))
+    val liveVs = ManifestLog.versions(spark, dir).toSet
+
+    // every VACUUMED version that still has rows holds exactly ONE
+    // truncated marker — its full delta history (6+ rows per compact
+    // cycle) is gone from the fold
+    val expired = byV.filter { case (v, _) => !liveVs(v) }
+    assert(expired.nonEmpty, "scenario failed to expire any checkpointed versions")
+    expired.foreach { case (v, rs) =>
+      assert(rs.length == 1 && rs.head.getString(1) == "truncated",
+        s"expired v$v kept ${rs.length} rows (${rs.map(_.getString(1)).toSet})")
+    }
+    // the whole checkpoint is O(versions + retained churn): the
+    // UNBOUNDED fold would hold every historical add/remove — ~15 rows
+    // per cycle (~90 here), growing forever with churn
+    assert(ck.length <= nv + 16,
+      s"checkpoint holds ${ck.length} rows for a $nv-version table — unbounded fold?")
+
+    // semantics unchanged: history lists exactly the live versions,
+    // the newest with REAL deltas; a rewound replay names the repair
+    val hv = ManifestLog.history(spark, dir).orderBy("version").collect()
+    assert(hv.map(_.getInt(0)).toSeq == liveVs.toSeq.sorted)
+    assert(hv.last.getString(2) == "rewrite", s"head label: ${hv.last.getString(2)}")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckbound-cur").toString
+    val ex = intercept[IllegalStateException] {
+      ManifestLog.follow(spark, dir, ckptDir, fromVersion = 1) { (_, _) => () }
+    }
+    assert(ex.getMessage.contains("restart from a fresh checkpoint"), ex.getMessage)
+    // and the table itself reads exactly the head state
+    assert(ManifestLog.read(spark, dir).count() == 20L + cycles * 18L)
   }
 
   test("changeFeed: tagged insert/delete rows per version across append, MOR delete, merge, restore; net equals the endpoint diff") {

@@ -14,6 +14,15 @@ import graft.operators.ManifestLog
   * rules enforced at planning, and add-column alignment in the
   * partition reader.
   */
+/** A filesystem reachable ONLY through a conf key (`fs.graftfs.impl`)
+  * set on the session — the probe for conf propagation into the
+  * executor-side readers. Delegates to the local filesystem.
+  */
+class GraftConfOnlyFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+  override def getScheme: String = "graftfs"
+}
+
 class ManifestFollowStreamSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -33,7 +42,10 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)
     ManifestLog.append(li.limit(140).except(li.limit(100)), "l_orderkey", dir, files = 2)
 
-    def run() = ManifestFollowSource.stream(spark, dir, fromVersion = 1)
+    // ignoreDeletes: the chain crosses a MOR delete below — strict
+    // mode (asserted separately) refuses it like Delta's source
+    def run() = ManifestFollowSource.stream(spark, dir, fromVersion = 1,
+        ignoreDeletes = true)
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .start()
@@ -44,6 +56,34 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     ManifestLog.append(li.limit(170).except(li.limit(140)), "l_orderkey", dir, files = 1)
     ManifestLog.deleteMor(li.limit(5).select("l_orderkey"), "l_orderkey", dir) // metadata-only
     ManifestLog.append(li.limit(180).except(li.limit(170)), "l_orderkey", dir, files = 1)
+
+    // a STRICT consumer rewound over the MOR delete refuses it by
+    // name: it deleted rows an append-only stream can never surface
+    val strictCk = Files.createTempDirectory("mfs-strict-mor").toString
+    val qs = ManifestFollowSource.stream(spark, dir, fromVersion = 1)
+      .writeStream.format("memory").queryName("mfs_mor_strict")
+      .option("checkpointLocation", strictCk).start()
+    val morEx = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qs.processAllAvailable()
+    }
+    qs.stop()
+    assert(morEx.getMessage.contains("MOR delete at v4") ||
+      Option(morEx.getCause).exists(_.getMessage.contains("MOR delete at v4")),
+      s"wrong strict-MOR failure: ${morEx.getMessage}")
+    // and the strict foreachBatch tailer refuses the SAME version —
+    // but only after delivering and checkpointing v1..v3 (laziness):
+    // the retry resumes at the failure, not the start
+    val strictTail = Files.createTempDirectory("mfs-stricttail").toString
+    var strictSeen = Vector.empty[Int]
+    val tailEx = intercept[IllegalStateException] {
+      ManifestLog.follow(spark, dir, strictTail, fromVersion = 1) {
+        (_, v) => strictSeen :+= v
+      }
+    }
+    assert(tailEx.getMessage.contains("MOR delete at v4"), tailEx.getMessage)
+    assert(strictSeen == Vector(1, 2, 3),
+      s"strict tailer should deliver everything before the MOR version: $strictSeen")
+
     val q2 = run()
     try q2.processAllAvailable() finally q2.stop()
 
@@ -51,7 +91,8 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     // whole chain, rows stamped with their version
     val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
     val tailCkpt = Files.createTempDirectory("mfs-tailck").toString
-    ManifestLog.follow(spark, dir, tailCkpt, fromVersion = 1) { (df, v) =>
+    ManifestLog.follow(spark, dir, tailCkpt, fromVersion = 1,
+        ignoreDeletes = true) { (df, v) =>
       df.collect().foreach(r =>
         expected += ((r.getLong(0), r.getLong(1), r.getDouble(2), v)))
     }
@@ -223,6 +264,59 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     val seen = batches.asScala.toSeq
     assert(seen.forall(_.size == 1), s"a micro-batch carried >1 version: $seen")
     assert(seen.flatten.toSet == Set(1, 2, 3, 4), s"rewind did not drain: $seen")
+  }
+
+  test("the session Hadoop conf reaches the executor-side parquet reader: spark.hadoop keys survive the factory's serialization and resolve a conf-registered filesystem") {
+    // a custom scheme registered ONLY in the session Hadoop conf: the
+    // old `new Configuration()` reader could never resolve it (no
+    // core-site on the classpath mentions graftfs), so a successful
+    // read IS the proof the session conf reached the executor side
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftConfOnlyFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl.disable.cache", "true") // force per-read conf resolution
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.test.conf.marker", "r18-marker")
+    try {
+      val dir = Files.createTempDirectory("mfs-conf").toString
+      ManifestLog.write(li.limit(25), "l_orderkey", dir, files = 1)
+      val target = ManifestFollowSource.readSchemaOf(spark, dir)
+
+      val stream = new ManifestFollowStream(dir, skipRewrites = false,
+        ignoreDeletes = false, fromVersion = 1, maxVersions = 0, target)
+      val factory = stream.createReaderFactory()
+        .asInstanceOf[ManifestFollowReaderFactory]
+
+      // the exact round trip Spark's scheduler performs shipping the
+      // factory to an executor
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(factory); oos.close()
+      val revived = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[ManifestFollowReaderFactory]
+      assert(revived.conf.value.get("graft.test.conf.marker") == "r18-marker",
+        "session spark.hadoop marker key lost across factory serialization")
+
+      // read the committed data file back through the graftfs:/ scheme —
+      // resolvable only via the shipped conf
+      val snap = ManifestLog.snapshot(spark, dir).collect()
+      val file = snap.head.getString(0)
+      val local = new java.net.URI(file).getPath
+      val reader = revived.createReader(
+        ManifestFilePartition(s"graftfs:$local", 1, target.json))
+      var n = 0
+      while (reader.next()) {
+        val row = reader.get()
+        assert(row.getInt(target.fieldIndex(ManifestFollowSource.VersionCol)) == 1)
+        n += 1
+      }
+      reader.close()
+      assert(n == 25, s"graftfs read through the shipped conf returned $n rows")
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftfs.impl")
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftfs.impl.disable.cache")
+      spark.sparkContext.hadoopConfiguration.unset("graft.test.conf.marker")
+    }
   }
 
   test("an added column aligns: old files read as NULL through the partition reader") {
