@@ -19,4 +19,13 @@ object PlanScans {
   def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
     allScans(df.queryExecution.executedPlan)
       .flatMap(_.relation.location.rootPaths.map(_.toString))
+
+  /** Every physical node, unwrapping AQE wrappers — for shape pins
+    * that count exchanges/windows, not just scans.
+    */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec        => p +: allNodes(q.plan)
+    case other => p +: other.children.flatMap(allNodes)
+  }
 }
