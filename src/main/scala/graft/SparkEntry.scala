@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
       TextQueries.queries ++ AnnQueries.queries ++ PipelineQueries.queries ++
-      IngestQueries.queries ++ CurationQueries.queries
+      IngestQueries.queries ++ CurationQueries.queries ++ LakeQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
       TextQueries.oracleSql ++ AnnQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      IngestQueries.oracleSql ++ CurationQueries.oracleSql
+      IngestQueries.oracleSql ++ CurationQueries.oracleSql ++ LakeQueries.oracleSql
 }

@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.ManifestLog
+
+/** The BATCH SQL face of a [[graft.operators.ManifestLog]] table — the
+  * read path for every non-Scala consumer (the Delta
+  * `spark.read.format("delta").option("versionAsOf", …)` shape):
+  *
+  * {{{
+  * spark.read.format("graft.sources.ManifestBatchSource")
+  *   .option("path", dir)
+  *   .option("versionAsOf", "3")        // or timestampAsOf
+  *   .load()
+  *   .createOrReplaceTempView("t")      // → plain SQL from here
+  * }}}
+  *
+  * Semantics are exactly [[ManifestLog.read]] / [[ManifestLog.readAsOf]]:
+  * the chosen snapshot's file list, MOR deletion vectors APPLIED,
+  * schema evolution aligned (added columns NULL on old files, widened
+  * ints/floats promoted) — value-for-value parity is spec-pinned.
+  *
+  * Plan shape at scale: ONE input partition per live data file (plus
+  * its dv pointer), so a 10k-file table reads with 10k-way
+  * parallelism; each file's tombstone positions load once, executor-
+  * side, from the deleted-row-sized DV batch — never a driver-side
+  * anti-join. Options resolve on the DRIVER at `load()` (version
+  * pinning is metadata), and the partition readers reuse the follow
+  * source's aligning [[ManifestGroupRowReader]] with the session's
+  * Hadoop configuration shipped along.
+  *
+  * `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`
+  * (session-zone-free SQL form) or ISO-8601 instants, mapped through
+  * [[ManifestLog.versionAsOf]]'s monotone effective-timestamp rule.
+  */
+class ManifestBatchSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "manifest batch source needs a 'path' option")
+    val spark = SparkSession.active
+    ManifestLog.read(spark, path,
+      ManifestBatchSource.resolveVersion(spark, path, options)).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    val spark = SparkSession.active
+    new ManifestBatchTable(path,
+      ManifestBatchSource.resolveVersion(spark, path, opts), schema)
+  }
+}
+
+object ManifestBatchSource {
+
+  /** Convenience handle: `read(spark, dir)`, `read(spark, dir, versionAsOf = 3)`. */
+  def read(spark: SparkSession, path: String, versionAsOf: Int = -1,
+           timestampAsOf: String = null): DataFrame = {
+    var r = spark.read.format(classOf[ManifestBatchSource].getName)
+      .option("path", path)
+    if (versionAsOf >= 1) r = r.option("versionAsOf", versionAsOf.toString)
+    if (timestampAsOf != null) r = r.option("timestampAsOf", timestampAsOf)
+    r.load()
+  }
+
+  private[sources] def resolveVersion(spark: SparkSession, path: String,
+                                      opts: CaseInsensitiveStringMap): Int = {
+    val v = Option(opts.get("versionAsOf"))
+    val ts = Option(opts.get("timestampAsOf"))
+    require(v.isEmpty || ts.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    v.map(_.toInt)
+      .orElse(ts.map(s => ManifestLog.versionAsOf(spark, path, parseTsMillis(s))))
+      .getOrElse(ManifestLog.currentVersion(spark, path))
+  }
+
+  private def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch {
+        case _: IllegalArgumentException => java.time.Instant.parse(s).toEpochMilli
+      }
+    }
+}
+
+private[sources] class ManifestBatchTable(path: String, version: Int,
+                                          schema0: StructType)
+    extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "manifest batch source needs a 'path' option")
+
+  override def name(): String = s"manifest($path@v$version)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toBatch: Batch = new ManifestBatchScan(path, version, schema0)
+      }
+    }
+}
+
+private[sources] class ManifestBatchScan(path: String, version: Int,
+                                         schema0: StructType) extends Batch {
+  private def spark = SparkSession.active
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ManifestLog.snapshot(spark, path, version).collect()
+      .map(r => ManifestBatchPartition(r.getString(0), r.getString(4),
+        schema0.json): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestBatchReaderFactory(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+}
+
+/** One live data file and its deletion-vector batch dir (null = none). */
+case class ManifestBatchPartition(file: String, dv: String,
+                                  schemaJson: String) extends InputPartition
+
+case class ManifestBatchReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ManifestBatchPartition(file, dv, schemaJson) =
+      partition.asInstanceOf[ManifestBatchPartition]
+    val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new ManifestGroupRowReader(file, target, conf.value, -1, deadPositions(file, dv))
+  }
+
+  /** This file's tombstoned row indexes from its DV batch (executor-
+    * side, deleted-row-sized). DV rows name files by the scan-time
+    * `input_file_name()` URI, the snapshot by the commit-time path —
+    * compare by filesystem path component, which both share.
+    */
+  private def deadPositions(file: String, dv: String): util.Set[java.lang.Long] = {
+    if (dv == null) return null
+    import org.apache.parquet.example.data.Group
+    val filePath = new java.net.URI(file).getPath
+    val dead = new util.HashSet[java.lang.Long]()
+    val dvPath = new org.apache.hadoop.fs.Path(dv)
+    val fs = dvPath.getFileSystem(conf.value)
+    fs.listStatus(dvPath).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        val r = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), s.getPath)
+          .withConf(conf.value)
+          .build()
+        try {
+          var g: Group = r.read()
+          while (g != null) {
+            val gt = g.getType
+            val fIdx = gt.getFieldIndex("file")
+            val pIdx = gt.getFieldIndex("pos")
+            if (g.getFieldRepetitionCount(fIdx) > 0 &&
+                g.getFieldRepetitionCount(pIdx) > 0) {
+              val f = g.getBinary(fIdx, 0).toStringUsingUTF8
+              if (new java.net.URI(f).getPath == filePath)
+                dead.add(g.getLong(pIdx, 0))
+            }
+            g = r.read()
+          }
+        } finally r.close()
+      }
+    dead
+  }
+}

@@ -249,21 +249,43 @@ case class ManifestFollowReaderFactory(conf: SerializableHadoopConf)
     val ManifestFilePartition(file, version, schemaJson) =
       partition.asInstanceOf[ManifestFilePartition]
     val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new PartitionReader[InternalRow] {
-      import org.apache.parquet.example.data.Group
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    new ManifestGroupRowReader(file, target, conf.value, version, null)
+  }
+}
 
-      private val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-          new org.apache.hadoop.fs.Path(file))
-        .withConf(conf.value)
-        .build()
-      private var current: Group = _
+/** The shared executor-side parquet row walk (follow source AND batch
+  * SQL face): plain Group reads aligned to the declared table schema —
+  * add-column → NULL, int-widening, LIST-annotated primitive arrays —
+  * with optional `_commit_version` stamping and optional MOR
+  * deletion-vector application (`dead` = this file's tombstoned
+  * row indexes; Group reads are sequential, so the running row counter
+  * IS `_metadata.row_index`).
+  */
+private[sources] class ManifestGroupRowReader(
+    file: String, target: StructType,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    version: Int, dead: java.util.Set[java.lang.Long])
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-      override def next(): Boolean = {
-        current = reader.read()
-        current != null
-      }
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(file))
+    .withConf(hadoopConf)
+    .build()
+  private var current: Group = _
+  private var rowIdx = -1L
+
+  override def next(): Boolean = {
+    current = reader.read()
+    rowIdx += 1
+    while (current != null && dead != null && dead.contains(rowIdx)) {
+      current = reader.read()
+      rowIdx += 1
+    }
+    current != null
+  }
 
       /** One LIST-annotated array column (Spark's 3-level layout:
         * `optional group f (LIST) { repeated group list { element } }`)
@@ -349,6 +371,4 @@ case class ManifestFollowReaderFactory(conf: SerializableHadoopConf)
         new GenericInternalRow(target.fields.map(f => convert(current, f)))
 
       override def close(): Unit = reader.close()
-    }
-  }
 }

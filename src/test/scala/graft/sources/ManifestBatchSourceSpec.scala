@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ManifestLog
+
+/** The batch SQL face: `spark.read.format(ManifestBatchSource)` must
+  * be value-for-value [[ManifestLog.read]] — latest, versionAsOf,
+  * timestampAsOf — including MOR deletion vectors and add-column
+  * schema evolution, and must plan one partition per live file.
+  */
+class ManifestBatchSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    .select("l_orderkey", "l_partkey", "l_quantity")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  test("SQL read == ManifestLog.read value-for-value: latest with DVs applied, versionAsOf, timestampAsOf, evolved schema; SQL statements run against the view") {
+    val dir = Files.createTempDirectory("mbs-tbl").toString
+    ManifestLog.write(li.limit(100), "l_orderkey", dir, files = 2)        // v1
+    ManifestLog.append(li.limit(140).except(li.limit(100)), "l_orderkey", dir, files = 2) // v2
+    // v3: MOR delete — dv pointers, no rewrite
+    val keys = ManifestLog.read(spark, dir).select("l_orderkey").distinct().limit(7)
+    val (_, deleted) = ManifestLog.deleteMor(keys, "l_orderkey", dir)
+    assert(deleted > 0L, "fixture: the MOR delete must tombstone rows")
+    // v4: schema evolution — an added column, NULL on old files
+    ManifestLog.append(
+      li.limit(160).except(li.limit(140)).withColumn("source", lit("crawl-2")),
+      "l_orderkey", dir, files = 1)
+
+    // latest: DV'd + evolved
+    val sqlLatest = ManifestBatchSource.read(spark, dir)
+    assert(canon(sqlLatest) == canon(ManifestLog.read(spark, dir)),
+      "latest SQL read diverged from ManifestLog.read")
+    assert(sqlLatest.columns.contains("source"))
+    assert(sqlLatest.filter(col("source").isNull).count() == 140 - deleted)
+
+    // time travel by version: pre-delete, pre-evolution shape
+    val sqlV2 = ManifestBatchSource.read(spark, dir, versionAsOf = 2)
+    assert(canon(sqlV2) == canon(ManifestLog.read(spark, dir, version = 2)))
+    assert(!sqlV2.columns.contains("source") && sqlV2.count() == 140)
+
+    // time travel by timestamp: v2's commit instant maps back to v2
+    val ts2 = ManifestLog.history(spark, dir)
+      .filter(col("version") === 2).head().getTimestamp(1)
+    val sqlTs = ManifestBatchSource.read(spark, dir, timestampAsOf = ts2.toString)
+    assert(canon(sqlTs) == canon(ManifestLog.read(spark, dir, version = 2)))
+    // epoch-millis form resolves identically
+    assert(canon(ManifestBatchSource.read(spark, dir,
+      timestampAsOf = ts2.getTime.toString)) == canon(sqlTs))
+
+    // the point of the face: plain SQL from a registered view
+    sqlLatest.createOrReplaceTempView("mbs_t")
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, count(source) AS tagged FROM mbs_t").head()
+    assert(viaSql.getLong(0) == ManifestLog.read(spark, dir).count())
+    assert(viaSql.getLong(1) == 20)
+
+    // scale shape: one input partition per live data file
+    val parts = new ManifestBatchScan(dir,
+      ManifestLog.currentVersion(spark, dir), sqlLatest.schema).planInputPartitions()
+    assert(parts.length == ManifestLog.snapshot(spark, dir).count(),
+      "batch scan must fan out one partition per live file")
+
+    // conflicting options are refused
+    intercept[IllegalArgumentException] {
+      spark.read.format(classOf[ManifestBatchSource].getName)
+        .option("path", dir).option("versionAsOf", "1")
+        .option("timestampAsOf", "12345").load()
+    }
+  }
+}
