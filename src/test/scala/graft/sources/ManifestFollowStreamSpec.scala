@@ -240,6 +240,77 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(codeDir).count() == emb.count())
   }
 
+  test("stream-stream composition: two follow sources through a watermarked interval join into a windowed aggregation equal the batch plan, across kill/restart") {
+    // the two-tails end state: a fact tail joined to a late-arriving
+    // second tail with Spark's own stateful join machinery, then a
+    // SECOND stateful operator (windowed agg) — proving the DSv2
+    // source propagates watermarks and replays exactly under the WAL
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_us")
+    val evA = ev.filter(col("event_id") % 2 === 0)
+    val evB = ev.filter(col("event_id") % 2 === 1)
+    // waves split by event TIME so the restart never replays rows
+    // behind the committed watermark (which would drop them)
+    val cutUs = ev.selectExpr("percentile_approx(ts_us, 0.5)").head().getLong(0)
+    val maxUs = ev.selectExpr("max(ts_us)").head().getLong(0)
+    val flushUs = maxUs + 72L * 3600 * 1000000
+
+    val base = Files.createTempDirectory("mfs-ss")
+    val tblA = base.resolve("a").toString
+    val tblB = base.resolve("b").toString
+    val ckpt = base.resolve("ckpt").toString
+    ManifestLog.write(evA.filter(col("ts_us") < cutUs), "user_id", tblA, files = 2)
+    ManifestLog.write(evB.filter(col("ts_us") < cutUs), "user_id", tblB, files = 2)
+
+    def src(tbl: String) = ManifestFollowSource.stream(spark, tbl, fromVersion = 1)
+      .drop(ManifestFollowSource.VersionCol)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+    def composed(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val joined = a.as("a").join(b.as("b"),
+        expr("a.user_id = b.user_id AND " +
+          "b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES"))
+        .select(col("a.user_id").as("user_id"), col("a.ts").as("ts"),
+          col("b.event_id").as("b_event"))
+      joined.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count("*").as("pairs"), sum("b_event").as("b_sum"))
+        .select(col("window.start").as("ws"), col("user_id"),
+          col("pairs"), col("b_sum"))
+    }
+    val out = base.resolve("out").toString
+    def start() = composed(src(tblA), src(tblB))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // life 1: first waves flow; KILL
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // both upstreams keep landing while the consumer is down — the
+    // late wave plus the far-future flush rows that close every
+    // real window on both watermarks
+    ManifestLog.append(evA.filter(col("ts_us") >= cutUs), "user_id", tblA, files = 1)
+    ManifestLog.append(evB.filter(col("ts_us") >= cutUs), "user_id", tblB, files = 1)
+    val flush = spark.range(1).select(
+      lit(-1L).as("event_id"), lit(-1L).as("user_id"), lit(flushUs).as("ts_us"))
+    ManifestLog.append(flush, "user_id", tblA, files = 1)
+    ManifestLog.append(flush, "user_id", tblB, files = 1)
+    // life 2: fresh query, same checkpoint
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).filter(col("user_id") =!= -1L)
+      .collect().map(_.toString).sorted.toSeq
+    // the batch differential: same join + window over the full tables
+    val batch = composed(
+        ManifestLog.read(spark, tblA).withColumn("ts", timestamp_micros(col("ts_us"))),
+        ManifestLog.read(spark, tblB).withColumn("ts", timestamp_micros(col("ts_us"))))
+      .filter(col("user_id") =!= -1L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty, "stream-stream composition emitted nothing")
+    assert(got == batch,
+      s"stream-stream composition diverged: ${got.size} streamed rows vs ${batch.size} batch")
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N versions; the rewind still drains completely") {
     val dir = Files.createTempDirectory("mfs-mvpt").toString
     ManifestLog.write(li.limit(30), "l_orderkey", dir, files = 1)
