@@ -54,6 +54,20 @@ object TextQueries {
     */
   val Blocklist: Seq[String] = Seq("error", "slow", "dup")
 
+  /** Quality-classifier geometry (`text_quality_classifier`): hashed
+    * unigram+bigram features in `QcBuckets` buckets, fixed-point
+    * milli-unit weights `w(b) = (b·QcMult mod 2001) − 1000`, bias in
+    * micro-units. The weight FORMULA stands in for a trained
+    * fastText/DCLM checkpoint (shipped-constant rule — the oracle
+    * interpolates the same formula); the inference path treats the
+    * materialized array as opaque model data.
+    */
+  val QcBuckets = 4096
+  val QcMult = 2654435761L
+  val QcBiasMicro = -50000L
+  private lazy val qcWeights: Array[Long] =
+    Array.tabulate(QcBuckets)(b => (b.toLong * QcMult) % 2001L - 1000L)
+
   /** Misra-Gries counters per language for `text_heavy_hitters`;
     * Verify's invariant derives its error bound n/(k+1) from THIS
     * constant (shipped-constant rule).
@@ -1316,6 +1330,42 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("h_fp"),
           (col("h_fp").cast("double") / (col("n_tokens") * Fp)).as("entropy"))
         .orderBy("doc_id")
+    },
+
+    // Quality-classifier scoring — the fastText/DCLM tier of the
+    // curation battery, next to the Gopher rules and the perplexity
+    // proxy: a hashed-n-gram LINEAR model. Unigram + bigram features
+    // hash into QcBuckets; the score is one per-row integer dot
+    // against a fixed-point weight vector that ships WITH THE PLAN
+    // (the broadcast-model inference shape: every executor holds the
+    // whole weight array — 32 KB here, executor-memory-sized even at
+    // fastText's 2M-bucket production width — and scoring is a single
+    // array pass per document: no explode, no weight-table join, no
+    // shuffle; the only shuffle in the plan is the output ORDER BY).
+    // All-integer mean + ONE rounded sigmoid keeps score, probability
+    // and verdict hash-exact cross-engine.
+    "text_quality_classifier" -> { (s, d) =>
+      val w = typedlit(qcWeights)
+      docs(s, d)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .withColumn("feats",
+          concat(col("toks"), graft.functions.TextFunctions.shingles(col("toks"), 2)))
+        .withColumn("n_feats", size(col("feats")).cast("long"))
+        .withColumn("sum_w", aggregate(col("feats"), lit(0L),
+          (acc, f) => acc + element_at(w,
+            (graft.functions.TextFunctions.tokenHash(f) % QcBuckets).cast("int") + 1)))
+        .withColumn("score_micro",
+          when(col("n_feats") === 0, lit(-1000000L + QcBiasMicro))
+            .otherwise(expr(
+              s"((sum_w + 1000 * n_feats) * 1000) div n_feats - 1000000 + $QcBiasMicro"))
+            .cast("long"))
+        .withColumn("p_milli",
+          floor(lit(1000.0) / (lit(1.0) + exp(-col("score_micro") / lit(1000000.0))) + 0.5)
+            .cast("long"))
+        .withColumn("verdict",
+          when(col("score_micro") >= 0, lit("keep")).otherwise(lit("drop")))
+        .select("doc_id", "n_feats", "score_micro", "p_milli", "verdict")
+        .orderBy("doc_id")
     }
   )
 
@@ -1993,6 +2043,24 @@ object TextQueries {
          |  FROM dc JOIN nd USING (doc_id))
          |SELECT doc_id, n AS n_tokens, CAST(SUM(c * surp_fp) AS BIGINT) AS h_fp,
          |  CAST(SUM(c * surp_fp) AS DOUBLE) / (n * 1000000.0) AS entropy
-         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    "text_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+         |    list_sum(list_transform(feats,
+         |      s -> ((${thSql("s")} % $QcBuckets) * $QcMult) % 2001 - 1000)) AS sum_w
+         |  FROM (SELECT doc_id, list_concat(toks, ${shinglesSql(2)}) AS feats
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
+         |sc AS (
+         |  SELECT doc_id, n_feats,
+         |    CAST(CASE WHEN n_feats = 0 THEN ${-1000000L + QcBiasMicro}
+         |         ELSE ((sum_w + 1000 * n_feats) * 1000) // n_feats - 1000000 + $QcBiasMicro
+         |         END AS BIGINT) AS score_micro
+         |  FROM f)
+         |SELECT doc_id, n_feats, score_micro,
+         |  CAST(floor(1000.0 / (1.0 + exp(-score_micro / 1000000.0)) + 0.5) AS BIGINT) AS p_milli,
+         |  CASE WHEN score_micro >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 }
