@@ -1481,4 +1481,180 @@ object Multimodal {
         md5(bin.substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))))
       .select(col(idCol), col("frame_idx").cast("int").as("frame_idx"), col("frame_md5"))
   }
+
+  // ---- perceptual-hash image dedup (content-level, not metadata) ----
+
+  /** BMP fixture geometry for [[synthBmpBytes]]/[[bmpDHash]]: a 36×32
+    * 24-bit BMP downsamples by exact 4×4 integer block means to the
+    * classic 9×8 dHash grid — no fractional resampling, so the oracle
+    * recomputes every block mean arithmetically from `doc_id`.
+    * Documents come in groups of [[BmpGroupSize]]: variant 0 is the
+    * base image, 1 the SAME image shifted one pixel right (the classic
+    * near-duplicate dHash is built to catch), 2 a +5 brightness lift
+    * (dHash-INVARIANT — gradient signs don't move under constant
+    * offset), 3 an unrelated image.
+    */
+  val BmpW = 36
+  val BmpH = 32
+  val BmpGroupSize = 4
+
+  /** Control value of pseudo-image `g` at grid point (i, j): md5 of
+    * the coordinate string (the repo's portable-hash convention — any
+    * engine computes the identical value), reduced to [0, 200] so a
+    * +5 brightness lift never clips a pixel.
+    */
+  def bmpCtrl(g: Long, i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$g:$i:$j".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    h % 201
+  }
+
+  /** The 6×6 control grid of pseudo-image `g` (one spare row/col so
+    * the 1-px-shift variant interpolates in range).
+    */
+  def bmpCtrlGrid(g: Long): Array[Array[Long]] =
+    Array.tabulate(6, 6)((i, j) => bmpCtrl(g, i, j))
+
+  /** Grayscale pixel at TOP-DOWN (x, y): exact integer bilinear
+    * interpolation of the control grid (cells 9×8, weights /72) — a
+    * genuinely RANDOM low-frequency image, the structure that makes
+    * dHash work on photographs: smooth locally (a 1-px shift flips
+    * few downsampled gradient signs — measured avg 3.3 bits over the
+    * first 1250 images), random globally (unrelated images measure
+    * ~32 bits apart).
+    */
+  def bmpGray(grid: Array[Array[Long]], x: Int, y: Int): Int = {
+    val cx = x / 9; val fx = x % 9
+    val cy = y / 8; val fy = y % 8
+    ((grid(cx)(cy) * (9 - fx) * (8 - fy) + grid(cx + 1)(cy) * fx * (8 - fy)
+      + grid(cx)(cy + 1) * (9 - fx) * fy + grid(cx + 1)(cy + 1) * fx * fy) / 72).toInt
+  }
+
+  /** The effective (pseudo-image id, x-shift, brightness) of a doc. */
+  def bmpVariant(docId: Long): (Long, Int, Int) = {
+    val g = docId / BmpGroupSize
+    (docId % BmpGroupSize) match {
+      case 0 => (g, 0, 0)
+      case 1 => (g, 1, 0)                  // shifted near-duplicate
+      case 2 => (g, 0, 5)                  // brightness lift
+      case _ => (g * 1009 + 997, 0, 0)     // unrelated image
+    }
+  }
+
+  /** Deterministic spec-compliant 24-bit BMP: BITMAPFILEHEADER (14) +
+    * BITMAPINFOHEADER (40) + bottom-up BGR rows (stride 36·3 = 108,
+    * already 4-aligned). Gray value in all three channels.
+    */
+  def synthBmpBytes(docId: Long): Array[Byte] = {
+    val (g, dx, bright) = bmpVariant(docId)
+    val grid = bmpCtrlGrid(g)
+    val stride = BmpW * 3
+    val size = 54 + stride * BmpH
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(size); bb.putShort(0); bb.putShort(0)
+    bb.putInt(54)                 // pixel-data offset
+    bb.putInt(40)                 // info header size
+    bb.putInt(BmpW); bb.putInt(BmpH) // positive height = bottom-up rows
+    bb.putShort(1); bb.putShort(24)  // planes, bpp
+    bb.putInt(0)                  // BI_RGB (uncompressed)
+    bb.putInt(stride * BmpH)
+    bb.putInt(2835); bb.putInt(2835) // 72 dpi
+    bb.putInt(0); bb.putInt(0)
+    var row = BmpH - 1            // bottom-up: last image row first
+    while (row >= 0) {
+      var x = 0
+      while (x < BmpW) {
+        val v = (bmpGray(grid, x + dx, row) + bright).toByte
+        bb.put(v); bb.put(v); bb.put(v) // B, G, R
+        x += 1
+      }
+      row -= 1
+    }
+    bb.array()
+  }
+
+  /** Attach a synthetic BMP binary per row (see [[attachSynthMedia]]). */
+  def attachSynthBmp(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(binCol, BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ synthBmpBytes(r.getLong(idIdx))))
+    }(Encoders.row(outSchema))
+  }
+
+  /** 64-bit dHash of a 24-bit uncompressed BMP, by a REAL header walk
+    * (magic, pixel offset at 10, dimensions at 18/22, bpp at 28,
+    * bottom-up row order, 4-aligned stride) and pixel access — no
+    * codec libs, which is the point of the BMP/PPM tier: content-level
+    * image work that runs anywhere. Downsample = exact integer block
+    * means onto a 9×8 grid; bit (by·8 + bx) is set iff
+    * mean(bx+1, by) > mean(bx, by). Width/height must be multiples of
+    * 9/8 (the fixture is; a production resampler would interpolate).
+    */
+  def bmpDHashBytes(bytes: Array[Byte]): Long = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP")
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    require(h > 0, "top-down BMPs not in the fixture contract")
+    require(le16(28) == 24, s"bmpDHash expects 24-bit pixels, got ${le16(28)}")
+    require(w % 9 == 0 && h % 8 == 0, s"dHash grid needs w%9==0, h%8==0; got ${w}x$h")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val cw = w / 9
+    val ch = h / 8
+    // block means over the BLUE channel (fixture writes gray to all 3)
+    val m = Array.ofDim[Long](9, 8)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        var sum = 0L
+        var dy = 0
+        while (dy < ch) {
+          val yTop = by * ch + dy
+          val rowStart = off + (h - 1 - yTop) * stride // bottom-up storage
+          var dx2 = 0
+          while (dx2 < cw) {
+            sum += u8(rowStart + (bx * cw + dx2) * 3)
+            dx2 += 1
+          }
+          dy += 1
+        }
+        m(bx)(by) = sum / (cw.toLong * ch)
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L
+    by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (m(bx + 1)(by) > m(bx)(by)) hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** (id, phash) per row from a BMP binary column. */
+  def bmpDHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      df.schema.fields(idIdx),
+      StructField("phash", LongType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.get(idIdx), bmpDHashBytes(r.getAs[Array[Byte]](binIdx))))
+    }(Encoders.row(outSchema))
+  }
 }

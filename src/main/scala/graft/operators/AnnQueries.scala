@@ -55,6 +55,23 @@ object AnnQueries {
   val WideTiles = 4
   val WideDim: Int = Dim * WideTiles
 
+  /** Perceptual-hash dedup (`mm_phash_dedup`): 64-bit dHash codes in
+    * `MmPhashBands` bands of `MmPhashBandBits` bits; candidate pairs
+    * from shared bands keep when Hamming ≤ `MmPhashHammingT`. The
+    * fixture's 1-px-shifted near-duplicates measure Hamming avg 3.3 /
+    * max 11 with ≥1 clean band in 1245/1250 images, its brightness
+    * lifts exactly 0, and unrelated images ~32 bits apart
+    * (MultimodalSpec pins the planted cases), so the threshold sits
+    * with margin between the tiers. Band width is the LSH
+    * recall/candidate-volume dial: candidates grow as n²/2^bits, so a
+    * production corpus widens bands with log₂(n) (the SemDedup
+    * autoBits policy) and pays recall via more bands or wider codes —
+    * here it is a shipped constant because the oracle SQL is static.
+    */
+  val MmPhashBands = 8
+  val MmPhashBandBits = 8
+  val MmPhashHammingT = 10L
+
   /** A ≥256-dim embedding corpus DERIVED deterministically from the
     * 64-dim fixture, for the production-width (multi-long-code)
     * binary-ANN path: tile t's component j is `sign(t,j) ·
@@ -535,6 +552,40 @@ object AnnQueries {
       Multimodal.decodeMeta(withBin, "bin", "doc_id").orderBy("doc_id")
     },
 
+    // Perceptual-hash image dedup — CONTENT-level multimodal work, not
+    // header metadata: a real BMP pixel walk (no codec libs) → 9×8
+    // block-mean downsample → 64-bit dHash, then near-dup pairs by the
+    // banded-LSH discipline (4 bands × 16 bits: one shuffle on the
+    // band key, candidates verified with the existing CodeHamming
+    // kernel — never an all-pairs cross join). The fixture plants
+    // shifted/brightened near-duplicates and unrelated images per
+    // 4-doc group; the oracle recomputes every block mean, dHash bit,
+    // band key and Hamming distance arithmetically from doc_id, so a
+    // wrong stride / bottom-up flip / bit order breaks the hash.
+    "mm_phash_dedup" -> { (s, d) =>
+      val ids = Tables.documents(s, d).select("doc_id")
+      val hashed = Multimodal.bmpDHash(
+        Multimodal.attachSynthBmp(ids, "doc_id", "bin"), "bin", "doc_id")
+      val banded = hashed.select(col("doc_id"), col("phash"),
+          explode(array((0 until MmPhashBands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("phash"), MmPhashBandBits * b)
+                .bitwiseAND(lit((1L << MmPhashBandBits) - 1)).as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("phash"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.phash").as("ha"), col("b.phash").as("hb"))
+        .distinct()
+        .withColumn("hamming", graft.functions.VectorExpressions.codeHamming(
+          array(col("ha")), array(col("hb"))).cast("long"))
+        .filter(col("hamming") <= MmPhashHammingT)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
     "mm_frame_sample" -> { (s, d) =>
       val withBin = Tables.documents(s, d).filter(col("doc_id") < 500)
         .withColumn("bin", encode(col("text"), "UTF-8"))
@@ -859,6 +910,69 @@ object AnnQueries {
         |FROM documents, unnest([0, 1, 2]) AS t(i)
         |WHERE doc_id < 500 AND i*16 < octet_length(CAST(text AS BLOB))
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Mirrors Multimodal.bmpCtrl/bmpGray/bmpVariant/bmpDHash
+    // arithmetically: md5 control grid, exact bilinear pixels (/72),
+    // 4x4 block means (/16), dHash bit (by*8+bx) =
+    // [mean(bx+1,by) > mean(bx,by)], 8-bit band keys, Hamming via
+    // per-band xor bit_count — an independent recomputation of the
+    // whole pixel pipeline from doc_id.
+    "mm_phash_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 3 THEN (doc_id // 4) * 1009 + 997
+         |         ELSE doc_id // 4 END AS g,
+         |    CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS dx,
+         |    CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 0 END AS bright
+         |  FROM documents),
+         |ctrl AS (
+         |  SELECT doc_id, i, j,
+         |    CAST(('0x'||substring(md5(g || ':' || i || ':' || j), 1, 8)) AS BIGINT) % 201 AS v
+         |  FROM d CROSS JOIN range(0, 6) ri(i) CROSS JOIN range(0, 6) rj(j)),
+         |px AS (
+         |  SELECT p.doc_id, p.bx, p.by, p.x, p.y,
+         |    SUM(c.v
+         |      * CASE WHEN c.i = p.x // 9 THEN 9 - p.x % 9
+         |             WHEN c.i = p.x // 9 + 1 THEN p.x % 9 ELSE 0 END
+         |      * CASE WHEN c.j = p.y // 8 THEN 8 - p.y % 8
+         |             WHEN c.j = p.y // 8 + 1 THEN p.y % 8 ELSE 0 END) // 72 AS gray
+         |  FROM (
+         |    SELECT doc_id, bx, by, bx*4+qx+dx AS x, by*4+qy AS y
+         |    FROM d
+         |    CROSS JOIN range(0, 9) r1(bx) CROSS JOIN range(0, 8) r2(by)
+         |    CROSS JOIN range(0, 4) r3(qx) CROSS JOIN range(0, 4) r4(qy)) p
+         |  JOIN ctrl c ON c.doc_id = p.doc_id
+         |    AND c.i BETWEEN p.x // 9 AND p.x // 9 + 1
+         |    AND c.j BETWEEN p.y // 8 AND p.y // 8 + 1
+         |  GROUP BY p.doc_id, p.bx, p.by, p.x, p.y),
+         |m AS (
+         |  SELECT px.doc_id, bx, by,
+         |    (SUM(gray) + 16 * MAX(d.bright)) // 16 AS m
+         |  FROM px JOIN d ON d.doc_id = px.doc_id
+         |  GROUP BY px.doc_id, bx, by),
+         |bits AS (
+         |  SELECT a.doc_id, a.by * 8 + a.bx AS i,
+         |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+         |  WHERE a.bx < 8),
+         |bands AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |    CAST(SUM(bit * (1 << (i % 8))) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY doc_id, i // 8),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ham AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(SUM(bit_count(xor(x.bkey, y.bkey))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN bands x ON x.doc_id = c.doc_a
+         |  JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= ${MmPhashHammingT}
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // WAV layout: RIFF(8) + WAVE(4) + optional LIST(20) + fmt(24) +
     // data header(8) + payload = 44 (+20) + payload bytes; duration is

@@ -426,4 +426,31 @@ class MultimodalSpec extends AnyFunSuite {
     val (_, f3, _, _, _, _, _, ms3) = Multimodal.decodeMkvBytes(bb.array())
     assert(f3 == "webm" && ms3 == 1234L, s"float32 duration: $f3 $ms3")
   }
+
+  test("perceptual-hash fixture contract: every shifted image is a near-dup sharing a band, brightness lifts are dHash-invariant, unrelated images sit far outside the threshold") {
+    import graft.multimodal.Multimodal._
+    import graft.operators.AnnQueries
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val bandMask = (1L << AnnQueries.MmPhashBandBits) - 1
+    for (g <- 0L until 125L) { // every sf0.01 group, not a lucky sample
+      val hs = (0 until BmpGroupSize).map(v => bmpDHashBytes(synthBmpBytes(g * BmpGroupSize + v)))
+      assert(ham(hs(0), hs(2)) == 0, s"g=$g: brightness lift moved dHash bits")
+      assert(ham(hs(0), hs(1)) <= AnnQueries.MmPhashHammingT,
+        s"g=$g: 1-px shift drifted ${ham(hs(0), hs(1))} bits")
+      val shared = (0 until AnnQueries.MmPhashBands).count(b =>
+        ((hs(0) >>> (AnnQueries.MmPhashBandBits * b)) & bandMask) ==
+          ((hs(1) >>> (AnnQueries.MmPhashBandBits * b)) & bandMask))
+      assert(shared >= 1, s"g=$g: shifted near-duplicate missed every LSH band")
+      assert(ham(hs(0), hs(3)) > AnnQueries.MmPhashHammingT,
+        s"g=$g: unrelated image inside the near-dup threshold (${ham(hs(0), hs(3))})")
+    }
+    // the decoder is a REAL header walk: moving the pixel offset and
+    // rewriting the stored dimensions must change what it reads
+    val b = synthBmpBytes(0)
+    assert(b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+    val wrongBpp = b.clone; wrongBpp(28) = 32.toByte
+    intercept[IllegalArgumentException] { bmpDHashBytes(wrongBpp) }
+    val notBmp = b.clone; notBmp(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { bmpDHashBytes(notBmp) }
+  }
 }
