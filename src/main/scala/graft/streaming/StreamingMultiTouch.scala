@@ -52,11 +52,14 @@ object StreamingMultiTouch {
         col("value").cast("double"))
       .as[(Long, String, Long, Long, Double)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[List[(Long, Boolean)], AttributedCredit](
+      .flatMapGroupsWithState[Vector[(Long, Boolean)], AttributedCredit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user, rows, state: GroupState[List[(Long, Boolean)]]) =>
+        (user, rows, state: GroupState[Vector[(Long, Boolean)]]) =>
           // (touch ts_us, isClick), oldest first
-          var touches = state.getOption.getOrElse(Nil)
+          // Vector, not List: append and length are effectively O(1), so a
+          // user riding the MaxTouches cap costs O(n) per micro-batch
+          // instead of the O(n^2) a List append-walk would
+          var touches = state.getOption.getOrElse(Vector.empty[(Long, Boolean)])
           val out = Seq.newBuilder[AttributedCredit]
           rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach {
             case (_, et, us, eid, v) =>
