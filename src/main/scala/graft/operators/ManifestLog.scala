@@ -744,6 +744,51 @@ object ManifestLog {
     }
   }
 
+  /** The stats column the table is keyed on (None = no table yet) —
+    * the write face's way to key an append without the caller
+    * restating it.
+    */
+  def statsColumn(spark: SparkSession, path: String): Option[String] =
+    readMetaLines(spark, path).collectFirst {
+      case l if l.startsWith("statsCol=") => l.stripPrefix("statsCol=").trim
+    }
+
+  /** REPLACE the table's contents as a NEW VERSION (Delta's
+    * `mode("overwrite")` semantics): fresh range-clustered files,
+    * snapshot head+1 lists ONLY them. History is never rewritten —
+    * every older version still time-travels until [[vacuum]] reclaims
+    * its files — and the commit composes under the same CAS retry as
+    * [[append]]. A replace is a file-removing version, so strict
+    * table-tailing consumers throw at it by design ([[follow]]).
+    * On a path with no table yet this is exactly [[write]].
+    */
+  def replace(df: DataFrame, statsCol: String, path: String, files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    if (currentVersion(spark, path) == 0) return write(df, statsCol, path, files)
+    checkStatsCol(spark, path, statsCol)
+    val batchDir = newBatchDir(path)
+    df.repartitionByRange(files, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.parquet(batchDir)
+    val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+    try enforceConstraints(spark, path, fresh)
+    catch { case e: Throwable =>
+      fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+      throw e
+    }
+    val st = statsOfRewrite(spark, path, fresh, statsCol)
+    val freshRows = st.collect().toSeq
+    var committed = false
+    while (!committed) {
+      val v = currentVersion(spark, path)
+      headRows(spark, path, v) match {
+        case None    => () // crashed head repaired — re-read and retry
+        case Some(_) => committed = tryCommit(spark, path, v + 1, freshRows, st.schema)
+      }
+    }
+  }
+
   /** Compact the current version's sub-target files into
     * range-clustered outputs — snapshot v+1 swaps the small files for
     * the repacked ones, but the ORIGINALS STAY ON DISK so every older

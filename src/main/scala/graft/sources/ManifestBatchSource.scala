@@ -4,16 +4,18 @@ import java.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.ManifestLog
 
 /** The BATCH SQL face of a [[graft.operators.ManifestLog]] table — the
-  * read path for every non-Scala consumer (the Delta
+  * read AND write path for every non-Scala consumer (the Delta
   * `spark.read.format("delta").option("versionAsOf", …)` shape):
   *
   * {{{
@@ -22,7 +24,23 @@ import graft.operators.ManifestLog
   *   .option("versionAsOf", "3")        // or timestampAsOf
   *   .load()
   *   .createOrReplaceTempView("t")      // → plain SQL from here
+  *
+  * df.write.format("graft.sources.ManifestBatchSource")
+  *   .option("path", dir)
+  *   .option("statsCol", "doc_id")      // needed only for a NEW table
+  *   .mode("append")                    // versioned append (or bootstrap)
+  *   .save()                            // mode("overwrite") = versioned replace
   * }}}
+  *
+  * Writes go through the V1Write bridge into the EXISTING commit
+  * machinery — range-clustered file writes, stats, constraint
+  * enforcement, the pointer CAS with compose-on-conflict retries —
+  * so a `df.write` append is byte-identical to [[ManifestLog.append]]
+  * and `mode("overwrite")` is [[ManifestLog.replace]] (a new version
+  * listing only the fresh files; older versions still time-travel).
+  * The bridge hands the driver the whole DataFrame, which is exactly
+  * where those operators start anyway — the heavy distributed write
+  * inside them is Spark's own parquet path.
   *
   * Semantics are exactly [[ManifestLog.read]] / [[ManifestLog.readAsOf]]:
   * the chosen snapshot's file list, MOR deletion vectors APPLIED,
@@ -58,8 +76,14 @@ class ManifestBatchSource extends TableProvider {
     val path = opts.get("path")
     val spark = SparkSession.active
     new ManifestBatchTable(path,
-      ManifestBatchSource.resolveVersion(spark, path, opts), schema)
+      ManifestBatchSource.resolveVersion(spark, path, opts), schema,
+      Option(opts.get("statsCol")),
+      Option(opts.get("files")).map(_.toInt))
   }
+
+  // writes hand their schema in from the incoming DataFrame — a fresh
+  // table has nothing to infer against
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object ManifestBatchSource {
@@ -95,20 +119,52 @@ object ManifestBatchSource {
 }
 
 private[sources] class ManifestBatchTable(path: String, version: Int,
-                                          schema0: StructType)
-    extends Table with SupportsRead {
+                                          schema0: StructType,
+                                          statsColOpt: Option[String],
+                                          filesOpt: Option[Int])
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "manifest batch source needs a 'path' option")
 
   override def name(): String = s"manifest($path@v$version)"
   override def schema(): StructType = schema0
+  // BATCH_WRITE is what DataFrameWriter.save gates the V2 path on;
+  // the V1Write returned below still routes to the V1-bridge exec
+  // (the JDBC-connector discipline), and TRUNCATE admits
+  // mode("overwrite") as truncate+append
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toBatch: Batch = new ManifestBatchScan(path, version, schema0)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              val sc = statsColOpt
+                .orElse(ManifestLog.statsColumn(spark, path))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"writing a NEW manifest table at $path needs a 'statsCol' option " +
+                    "(the range-clustering / upsert key column)"))
+              if (overwrite || legacyOverwrite)
+                ManifestLog.replace(data, sc, path, filesOpt.getOrElse(32))
+              else if (ManifestLog.currentVersion(spark, path) == 0)
+                ManifestLog.write(data, sc, path, filesOpt.getOrElse(32))
+              else
+                ManifestLog.append(data, sc, path, filesOpt.getOrElse(8))
+            }
+          }
       }
     }
 }

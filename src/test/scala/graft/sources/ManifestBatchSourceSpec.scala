@@ -84,4 +84,55 @@ class ManifestBatchSourceSpec extends AnyFunSuite {
         .option("timestampAsOf", "12345").load()
     }
   }
+
+  test("write face: df.write append bootstraps then composes versions, overwrite is a versioned replace, constraints still gate — all via the existing commit machinery") {
+    val dir = Files.createTempDirectory("mbs-write").toString
+    val fmt = classOf[ManifestBatchSource].getName
+
+    // bootstrap: append on a fresh path needs the statsCol option
+    li.limit(50).write.format(fmt)
+      .option("path", dir).option("statsCol", "l_orderkey")
+      .mode("append").save()
+    assert(ManifestLog.currentVersion(spark, dir) == 1)
+    assert(ManifestLog.statsColumn(spark, dir).contains("l_orderkey"))
+
+    // subsequent append takes the key from table meta — no option
+    li.limit(80).except(li.limit(50)).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    assert(ManifestLog.currentVersion(spark, dir) == 2)
+    assert(canon(ManifestBatchSource.read(spark, dir)) ==
+      canon(ManifestLog.read(spark, dir)))
+    assert(ManifestLog.read(spark, dir).count() == 80)
+
+    // CHECK constraints gate face writes like native appends: the
+    // violating batch publishes neither a version nor orphans
+    ManifestLog.addConstraint(spark, dir, "qty_pos", "l_quantity > 0")
+    val bad = spark.range(1).select(
+      lit(999999L).as("l_orderkey"), lit(1L).as("l_partkey"),
+      lit(-5.0).as("l_quantity"))
+    intercept[Exception] {
+      bad.write.format(fmt).option("path", dir).mode("append").save()
+    }
+    assert(ManifestLog.currentVersion(spark, dir) == 2,
+      "a violating face write published a version")
+
+    // overwrite = versioned REPLACE: head lists only the new rows,
+    // every older version still time-travels
+    li.limit(20).write.format(fmt)
+      .option("path", dir).mode("overwrite").save()
+    assert(ManifestLog.currentVersion(spark, dir) == 3)
+    assert(ManifestBatchSource.read(spark, dir).count() == 20)
+    assert(ManifestLog.read(spark, dir, version = 2).count() == 80)
+    val label = ManifestLog.history(spark, dir)
+      .filter(col("version") === 3).head().getString(2)
+    assert(label == "rewrite", s"replace labeled '$label'")
+
+    // a strict table-tailing consumer refuses the replace version by
+    // name — rewritten data must never silently re-deliver
+    val ck = Files.createTempDirectory("mbs-write-ck").toString
+    val ex = intercept[IllegalStateException] {
+      ManifestLog.follow(spark, dir, ck, fromVersion = 1) { (_, _) => () }
+    }
+    assert(ex.getMessage.contains("v3"), ex.getMessage)
+  }
 }
