@@ -68,7 +68,8 @@ object ScaleBench {
     "retrieval_hybrid_rrf_ann", "ev_attribution_last_touch",
     "emb_ann_binary_wide", "ev_attribution_linear", "ev_attribution_time_decay",
     "dedup_semantic_seq",
-    "text_quality_classifier", "lake_sql_read", "mm_phash_dedup")
+    "text_quality_classifier", "lake_sql_read", "mm_phash_dedup",
+    "mm_phash_incremental")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

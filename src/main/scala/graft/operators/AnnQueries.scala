@@ -72,6 +72,88 @@ object AnnQueries {
   val MmPhashBandBits = 8
   val MmPhashHammingT = 10L
 
+  /** Probe a (doc_id, phash) code index with a crawl batch's codes —
+    * the image arm of the incremental-dedup family. Candidates come
+    * from the 8×8 banded keys; the index side joins against a
+    * BROADCAST of the (small) batch's band keys, so the admitted
+    * index is scan-only at any corpus size; each batch doc admits as
+    * 'dup' of its best (lowest Hamming, then lowest id) match within
+    * [[MmPhashHammingT]], else 'fresh'.
+    */
+  def phashProbeIndex(index: DataFrame, batch: DataFrame): DataFrame = {
+    def banded(df: DataFrame, idAs: String, phAs: String) =
+      df.select(col("doc_id").as(idAs), col("phash").as(phAs),
+          explode(array((0 until MmPhashBands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("phash"), MmPhashBandBits * b)
+                .bitwiseAND(lit((1L << MmPhashBandBits) - 1)).as("bkey"))): _*)).as("bb"))
+        .select(col(idAs), col(phAs), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded(index, "cdoc", "cph")
+      .join(broadcast(banded(batch, "bdoc", "bph")), Seq("band", "bkey"))
+      .select("bdoc", "bph", "cdoc", "cph").distinct()
+    val best = cand
+      .withColumn("hamming", graft.functions.VectorExpressions.codeHamming(
+        array(col("bph")), array(col("cph"))).cast("long"))
+      .filter(col("hamming") <= MmPhashHammingT)
+      .groupBy("bdoc")
+      .agg(min(struct(col("hamming"), col("cdoc"))).as("m"))
+      .select(col("bdoc"), col("m.cdoc").as("dup_of"), col("m.hamming").as("hamming"))
+    batch.select(col("doc_id"))
+      .join(best, col("doc_id") === col("bdoc"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("fresh")).otherwise(lit("dup")).as("status"),
+        col("dup_of"), col("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTE chain: doc_id → variant → md5 control grid →
+    * bilinear pixels → block means → dHash bits → 8-bit band keys.
+    * Interpolated into both phash oracles so they recompute the SAME
+    * pixel pipeline.
+    */
+  private val phashBandsCte: String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 3 THEN (doc_id // 4) * 1009 + 997
+       |         ELSE doc_id // 4 END AS g,
+       |    CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS dx,
+       |    CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 0 END AS bright
+       |  FROM documents),
+       |ctrl AS (
+       |  SELECT doc_id, i, j,
+       |    CAST(('0x'||substring(md5(g || ':' || i || ':' || j), 1, 8)) AS BIGINT) % 201 AS v
+       |  FROM d CROSS JOIN range(0, 6) ri(i) CROSS JOIN range(0, 6) rj(j)),
+       |px AS (
+       |  SELECT p.doc_id, p.bx, p.by, p.x, p.y,
+       |    SUM(c.v
+       |      * CASE WHEN c.i = p.x // 9 THEN 9 - p.x % 9
+       |             WHEN c.i = p.x // 9 + 1 THEN p.x % 9 ELSE 0 END
+       |      * CASE WHEN c.j = p.y // 8 THEN 8 - p.y % 8
+       |             WHEN c.j = p.y // 8 + 1 THEN p.y % 8 ELSE 0 END) // 72 AS gray
+       |  FROM (
+       |    SELECT doc_id, bx, by, bx*4+qx+dx AS x, by*4+qy AS y
+       |    FROM d
+       |    CROSS JOIN range(0, 9) r1(bx) CROSS JOIN range(0, 8) r2(by)
+       |    CROSS JOIN range(0, 4) r3(qx) CROSS JOIN range(0, 4) r4(qy)) p
+       |  JOIN ctrl c ON c.doc_id = p.doc_id
+       |    AND c.i BETWEEN p.x // 9 AND p.x // 9 + 1
+       |    AND c.j BETWEEN p.y // 8 AND p.y // 8 + 1
+       |  GROUP BY p.doc_id, p.bx, p.by, p.x, p.y),
+       |m AS (
+       |  SELECT px.doc_id, bx, by,
+       |    (SUM(gray) + 16 * MAX(d.bright)) // 16 AS m
+       |  FROM px JOIN d ON d.doc_id = px.doc_id
+       |  GROUP BY px.doc_id, bx, by),
+       |bits AS (
+       |  SELECT a.doc_id, a.by * 8 + a.bx AS i,
+       |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+       |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+       |  WHERE a.bx < 8),
+       |bands AS (
+       |  SELECT doc_id, i // 8 AS band,
+       |    CAST(SUM(bit * (1 << (i % 8))) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY doc_id, i // 8)""".stripMargin
+
   /** A ≥256-dim embedding corpus DERIVED deterministically from the
     * 64-dim fixture, for the production-width (multi-long-code)
     * binary-ANN path: tile t's component j is `sign(t,j) ·
@@ -592,6 +674,26 @@ object AnnQueries {
       Multimodal.sampleFrames(withBin, "bin", "doc_id", 3).orderBy("doc_id", "frame_idx")
     },
 
+    // Incremental perceptual-hash dedup — the image arm of the
+    // incremental-index discipline (dedup_incremental /
+    // dedup_incremental_minhash): the 30% of docs with doc_id%10<3
+    // play the incoming crawl batch, the rest the admitted corpus
+    // whose (doc_id, phash) code index is persisted in production
+    // (MultimodalSpec pins the parquet round trip; the oracle needs
+    // it in-query). Candidates come from the SAME 8×8 banded keys —
+    // the corpus side joins against a BROADCAST of the batch's band
+    // keys, so at 100 TB the admitted-code index is scan-only, never
+    // shuffled — and each batch doc admits as 'dup' of its best
+    // (lowest Hamming, then lowest id) corpus match within the
+    // threshold, else 'fresh'.
+    "mm_phash_incremental" -> { (s, d) =>
+      val ids = Tables.documents(s, d).select("doc_id")
+      val hashed = Multimodal.bmpDHash(
+        Multimodal.attachSynthBmp(ids, "doc_id", "bin"), "bin", "doc_id")
+      phashProbeIndex(hashed.filter(col("doc_id") % 10 >= 3),
+        hashed.filter(col("doc_id") % 10 < 3))
+    },
+
     // Multimodal audio: spec-compliant synthetic WAV/RIFF binaries
     // (channels/rate by doc_id arithmetic, every third with a LIST
     // chunk before fmt so the decoder must walk chunks) decoded by the
@@ -918,47 +1020,7 @@ object AnnQueries {
     // per-band xor bit_count — an independent recomputation of the
     // whole pixel pipeline from doc_id.
     "mm_phash_dedup" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 4 = 3 THEN (doc_id // 4) * 1009 + 997
-         |         ELSE doc_id // 4 END AS g,
-         |    CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS dx,
-         |    CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 0 END AS bright
-         |  FROM documents),
-         |ctrl AS (
-         |  SELECT doc_id, i, j,
-         |    CAST(('0x'||substring(md5(g || ':' || i || ':' || j), 1, 8)) AS BIGINT) % 201 AS v
-         |  FROM d CROSS JOIN range(0, 6) ri(i) CROSS JOIN range(0, 6) rj(j)),
-         |px AS (
-         |  SELECT p.doc_id, p.bx, p.by, p.x, p.y,
-         |    SUM(c.v
-         |      * CASE WHEN c.i = p.x // 9 THEN 9 - p.x % 9
-         |             WHEN c.i = p.x // 9 + 1 THEN p.x % 9 ELSE 0 END
-         |      * CASE WHEN c.j = p.y // 8 THEN 8 - p.y % 8
-         |             WHEN c.j = p.y // 8 + 1 THEN p.y % 8 ELSE 0 END) // 72 AS gray
-         |  FROM (
-         |    SELECT doc_id, bx, by, bx*4+qx+dx AS x, by*4+qy AS y
-         |    FROM d
-         |    CROSS JOIN range(0, 9) r1(bx) CROSS JOIN range(0, 8) r2(by)
-         |    CROSS JOIN range(0, 4) r3(qx) CROSS JOIN range(0, 4) r4(qy)) p
-         |  JOIN ctrl c ON c.doc_id = p.doc_id
-         |    AND c.i BETWEEN p.x // 9 AND p.x // 9 + 1
-         |    AND c.j BETWEEN p.y // 8 AND p.y // 8 + 1
-         |  GROUP BY p.doc_id, p.bx, p.by, p.x, p.y),
-         |m AS (
-         |  SELECT px.doc_id, bx, by,
-         |    (SUM(gray) + 16 * MAX(d.bright)) // 16 AS m
-         |  FROM px JOIN d ON d.doc_id = px.doc_id
-         |  GROUP BY px.doc_id, bx, by),
-         |bits AS (
-         |  SELECT a.doc_id, a.by * 8 + a.bx AS i,
-         |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
-         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
-         |  WHERE a.bx < 8),
-         |bands AS (
-         |  SELECT doc_id, i // 8 AS band,
-         |    CAST(SUM(bit * (1 << (i % 8))) AS BIGINT) AS bkey
-         |  FROM bits GROUP BY doc_id, i // 8),
+      s"""WITH $phashBandsCte,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -973,6 +1035,32 @@ object AnnQueries {
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= ${MmPhashHammingT}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "mm_phash_incremental" ->
+      s"""WITH $phashBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+         |  FROM bands b JOIN bands c
+         |    ON b.band = c.band AND b.bkey = c.bkey
+         |  WHERE b.doc_id % 10 < 3 AND c.doc_id % 10 >= 3),
+         |ham AS (
+         |  SELECT p.bdoc, p.cdoc,
+         |    CAST(SUM(bit_count(xor(x.bkey, y.bkey))) AS BIGINT) AS hamming
+         |  FROM cand p
+         |  JOIN bands x ON x.doc_id = p.bdoc
+         |  JOIN bands y ON y.doc_id = p.cdoc AND y.band = x.band
+         |  GROUP BY p.bdoc, p.cdoc),
+         |best AS (
+         |  SELECT bdoc, cdoc, hamming,
+         |    ROW_NUMBER() OVER (PARTITION BY bdoc ORDER BY hamming, cdoc) AS rn
+         |  FROM ham WHERE hamming <= ${MmPhashHammingT})
+         |SELECT d.doc_id,
+         |  CASE WHEN s.cdoc IS NULL THEN 'fresh' ELSE 'dup' END AS status,
+         |  s.cdoc AS dup_of, s.hamming
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) s ON s.bdoc = d.doc_id
+         |WHERE d.doc_id % 10 < 3
+         |ORDER BY d.doc_id""".stripMargin,
 
     // WAV layout: RIFF(8) + WAVE(4) + optional LIST(20) + fmt(24) +
     // data header(8) + payload = 44 (+20) + payload bytes; duration is

@@ -453,4 +453,28 @@ class MultimodalSpec extends AnyFunSuite {
     val notBmp = b.clone; notBmp(0) = 'X'.toByte
     intercept[IllegalArgumentException] { bmpDHashBytes(notBmp) }
   }
+
+  test("incremental phash admission probes a PERSISTED code index identically to the in-query corpus codes") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("mm_phash_incremental")(spark, d)
+      .collect().map(_.toString).toSeq
+    // production shape: the admitted corpus's (doc_id, phash) codes
+    // live in parquet, written once at admission — recompute nothing
+    val ids = spark.read.parquet(s"$d/documents.parquet").select("doc_id")
+    val hashed = graft.multimodal.Multimodal.bmpDHash(
+      graft.multimodal.Multimodal.attachSynthBmp(ids, "doc_id", "bin"), "bin", "doc_id")
+    val idxDir = java.nio.file.Files.createTempDirectory("phash-idx").toString
+    hashed.filter(col("doc_id") % 10 >= 3).write.mode("overwrite").parquet(idxDir)
+    val viaIndex = graft.operators.AnnQueries.phashProbeIndex(
+        spark.read.parquet(idxDir),
+        hashed.filter(col("doc_id") % 10 < 3))
+      .collect().map(_.toString).toSeq
+    assert(viaIndex == expected,
+      "persisted-index probe diverged from the in-query corpus codes")
+  }
 }
