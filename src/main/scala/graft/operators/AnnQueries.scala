@@ -80,16 +80,20 @@ object AnnQueries {
     * 'dup' of its best (lowest Hamming, then lowest id) match within
     * [[MmPhashHammingT]], else 'fresh'.
     */
+  /** One row per (doc, band): the LSH keys of a (doc_id, phash) code
+    * frame — per-row explode, stream-safe.
+    */
+  private[graft] def phashBanded(df: DataFrame, idAs: String, phAs: String): DataFrame =
+    df.select(col("doc_id").as(idAs), col("phash").as(phAs),
+        explode(array((0 until MmPhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), MmPhashBandBits * b)
+              .bitwiseAND(lit((1L << MmPhashBandBits) - 1)).as("bkey"))): _*)).as("bb"))
+      .select(col(idAs), col(phAs), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
   def phashProbeIndex(index: DataFrame, batch: DataFrame): DataFrame = {
-    def banded(df: DataFrame, idAs: String, phAs: String) =
-      df.select(col("doc_id").as(idAs), col("phash").as(phAs),
-          explode(array((0 until MmPhashBands).map(b =>
-            struct(lit(b).as("band"),
-              shiftrightunsigned(col("phash"), MmPhashBandBits * b)
-                .bitwiseAND(lit((1L << MmPhashBandBits) - 1)).as("bkey"))): _*)).as("bb"))
-        .select(col(idAs), col(phAs), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = banded(index, "cdoc", "cph")
-      .join(broadcast(banded(batch, "bdoc", "bph")), Seq("band", "bkey"))
+    val cand = phashBanded(index, "cdoc", "cph")
+      .join(broadcast(phashBanded(batch, "bdoc", "bph")), Seq("band", "bkey"))
       .select("bdoc", "bph", "cdoc", "cph").distinct()
     val best = cand
       .withColumn("hamming", graft.functions.VectorExpressions.codeHamming(
