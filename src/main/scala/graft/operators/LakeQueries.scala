@@ -34,7 +34,7 @@ object LakeQueries {
     "lake_sql_read" ->
       """SELECT l_returnflag,
         |       COUNT(*) AS n,
-        |       SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem
         |WHERE l_orderkey % 10 <> 3
         |GROUP BY l_returnflag

@@ -116,6 +116,39 @@ object ManifestBatchSource {
         case _: IllegalArgumentException => java.time.Instant.parse(s).toEpochMilli
       }
     }
+
+  /** Planned-file count of the most recent batch scan — test-visible,
+    * like ManifestLog.payloadReads, so specs can pin file skipping.
+    */
+  private[graft] val lastPlannedFiles = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Is `f` a range/equality predicate on the stats column with a
+    * zone-map-comparable literal?
+    */
+  private[sources] def isKeyRangeFilter(f: org.apache.spark.sql.sources.Filter,
+                                        key: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    def comparable(v: Any): Boolean = v.isInstanceOf[Number] || v.isInstanceOf[String]
+    f match {
+      case EqualTo(a, v)            => a == key && comparable(v)
+      case GreaterThan(a, v)        => a == key && comparable(v)
+      case GreaterThanOrEqual(a, v) => a == key && comparable(v)
+      case LessThan(a, v)           => a == key && comparable(v)
+      case LessThanOrEqual(a, v)    => a == key && comparable(v)
+      case _                        => false
+    }
+  }
+
+  /** Widening comparison between a manifest bound and a filter
+    * literal (same lattice as the manifest's own pruners).
+    */
+  private[sources] def cmpA(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long)       => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0 // incomparable: never skip a file on it
+  }
 }
 
 private[sources] class ManifestBatchTable(path: String, version: Int,
@@ -136,12 +169,7 @@ private[sources] class ManifestBatchTable(path: String, version: Int,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def toBatch: Batch = new ManifestBatchScan(path, version, schema0)
-      }
-    }
+    new ManifestBatchScanBuilder(path, version, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -169,14 +197,83 @@ private[sources] class ManifestBatchTable(path: String, version: Int,
     }
 }
 
+/** Scan builder with the two scale levers a 100 TB table needs from
+  * its SQL face:
+  *
+  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the
+  *     partition readers project each file to the requested columns
+  *     by name (schema-evolution-safe), so a 2-column SELECT never
+  *     decodes the other column chunks;
+  *   - FILE SKIPPING ([[org.apache.spark.sql.connector.read.SupportsPushDownFilters]]):
+  *     range/equality predicates on the table's stats column prune
+  *     whole files against the snapshot's per-file lo/hi BEFORE any
+  *     partition is planned — the manifest zone maps surfacing
+  *     through `spark.read`/SQL exactly like the Scala
+  *     [[ManifestLog.readPrunedAt]]. Every filter stays residual
+  *     (Spark still evaluates rows); pruning only shrinks the file
+  *     list, so correctness never depends on it.
+  */
+private[sources] class ManifestBatchScanBuilder(path: String, version: Int,
+                                                full: StructType)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var required: StructType = full
+  private var keyFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(
+      requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val key = ManifestLog.statsColumn(SparkSession.active, path)
+    keyFilters = key
+      .map(k => filters.filter(f => ManifestBatchSource.isKeyRangeFilter(f, k)))
+      .getOrElse(Array.empty)
+    filters // all residual — file skipping only, rows still filtered by Spark
+  }
+
+  override def pushedFilters(): Array[Filter] = keyFilters
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch =
+      new ManifestBatchScan(path, version, required, keyFilters)
+    // surfaced in explain/plan strings so zone-map file skipping is
+    // discoverable, not silent
+    override def description(): String =
+      s"manifest($path@v$version) PushedFilters: [${keyFilters.mkString(", ")}]"
+  }
+}
+
 private[sources] class ManifestBatchScan(path: String, version: Int,
-                                         schema0: StructType) extends Batch {
+                                         schema0: StructType,
+                                         keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Batch {
+  import org.apache.spark.sql.sources._
+
   private def spark = SparkSession.active
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ManifestLog.snapshot(spark, path, version).collect()
-      .map(r => ManifestBatchPartition(r.getString(0), r.getString(4),
-        schema0.json): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = ManifestLog.snapshot(spark, path, version).collect()
+    val kept = snap.filter { r =>
+      val lo = r.get(1); val hi = r.get(2)
+      lo == null || hi == null || keyFilters.forall {
+        case EqualTo(_, v)            => ManifestBatchSource.cmpA(hi, v) >= 0 &&
+                                         ManifestBatchSource.cmpA(lo, v) <= 0
+        case GreaterThan(_, v)        => ManifestBatchSource.cmpA(hi, v) > 0
+        case GreaterThanOrEqual(_, v) => ManifestBatchSource.cmpA(hi, v) >= 0
+        case LessThan(_, v)           => ManifestBatchSource.cmpA(lo, v) < 0
+        case LessThanOrEqual(_, v)    => ManifestBatchSource.cmpA(lo, v) <= 0
+        case _                        => true
+      }
+    }
+    ManifestBatchSource.lastPlannedFiles.set(kept.length)
+    kept.map(r => ManifestBatchPartition(r.getString(0), r.getString(4),
+      schema0.json): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestBatchReaderFactory(

@@ -261,6 +261,27 @@ case class ManifestFollowReaderFactory(conf: SerializableHadoopConf)
   * row indexes; Group reads are sequential, so the running row counter
   * IS `_metadata.row_index`).
   */
+/** [[org.apache.parquet.hadoop.example.GroupReadSupport]] restricted
+  * to the named columns: the requested projection intersects the
+  * FILE's own schema by name in `init`, so column pruning works on
+  * every file regardless of its schema-evolution vintage and parquet
+  * skips the unrequested column chunks entirely.
+  */
+private[sources] class ProjectingGroupReadSupport(names: Set[String])
+    extends org.apache.parquet.hadoop.example.GroupReadSupport {
+  override def init(context: org.apache.parquet.hadoop.api.InitContext)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    import scala.jdk.CollectionConverters._
+    val full = context.getFileSchema
+    val kept0 = full.getFields.asScala.filter(f => names.contains(f.getName))
+    // a count(*)-style scan prunes to NO stored columns — keep the
+    // first file column so the row cadence (and DV positions) survive
+    val kept = if (kept0.nonEmpty) kept0 else full.getFields.asScala.take(1)
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+      new org.apache.parquet.schema.MessageType(full.getName, kept.asJava))
+  }
+}
+
 private[sources] class ManifestGroupRowReader(
     file: String, target: StructType,
     hadoopConf: org.apache.hadoop.conf.Configuration,
@@ -270,7 +291,7 @@ private[sources] class ManifestGroupRowReader(
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+    .builder(new ProjectingGroupReadSupport(target.fieldNames.toSet),
       new org.apache.hadoop.fs.Path(file))
     .withConf(hadoopConf)
     .build()

@@ -85,6 +85,39 @@ class ManifestBatchSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("scale levers: SELECTed columns prune the scan output and key-range predicates skip whole files off the snapshot stats") {
+    val dir = Files.createTempDirectory("mbs-prune").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 8)
+
+    // column pruning: the DSv2 scan's output is exactly the projection
+    val narrow = ManifestBatchSource.read(spark, dir).select("l_quantity")
+    val leafOut = narrow.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(leafOut == Seq("l_quantity"), s"scan output not pruned: $leafOut")
+    assert(narrow.count() == li.count())
+
+    // file skipping: a selective key predicate plans a SUBSET of the
+    // 8 range-clustered files, and row results are untouched
+    val keys = li.select("l_orderkey").distinct()
+      .orderBy("l_orderkey").limit(10).collect().map(_.getLong(0))
+    val cut = keys.last
+    val filtered = ManifestBatchSource.read(spark, dir)
+      .filter(col("l_orderkey") <= cut)
+    val expected = li.filter(col("l_orderkey") <= cut).count()
+    assert(filtered.count() == expected)
+    val planned = ManifestBatchSource.lastPlannedFiles.get()
+    assert(planned >= 1 && planned < 8,
+      s"key-range predicate should skip files: planned $planned of 8")
+    // and an unconstrained scan still plans them all
+    ManifestBatchSource.read(spark, dir).count()
+    assert(ManifestBatchSource.lastPlannedFiles.get() == 8)
+    // the pushed filter is visible in the plan (zone-map pruning is
+    // discoverable, not silent)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters") ||
+      filtered.queryExecution.toString.contains("LessThanOrEqual"),
+      "pushed key filter not surfaced in the plan")
+  }
+
   test("write face: df.write append bootstraps then composes versions, overwrite is a versioned replace, constraints still gate — all via the existing commit machinery") {
     val dir = Files.createTempDirectory("mbs-write").toString
     val fmt = classOf[ManifestBatchSource].getName
