@@ -421,6 +421,66 @@ object EventQueries {
         .orderBy("channel")
     },
 
+    // POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution —
+    // the fourth member of the family, same single per-user window
+    // pass: the first and last touch channels come from min/max over
+    // the SAME RANGE frame as the counts (touch identity packed into
+    // one BIGINT, us·4 + channel code, so min/max are plain integer
+    // aggregates — portable, and a same-timestamp click/view pair
+    // still orders deterministically). Integer endpoint boost: first
+    // and last weigh 2(k−2) each, middles 1 — exactly 40%/20%/40% at
+    // k ≥ 3, even split at k ≤ 2 — so every credit is
+    // (vc·10000·w_ch) div w_tot in BIGINTs, mirrored termwise.
+    "ev_attribution_u_shape" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400000000L
+      val e = ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-7 * DayUs, -1)
+      val touchKey = when(col("event_type") === "click", col("ts_us") * 4 + 1)
+        .when(col("event_type") === "view", col("ts_us") * 4 + 2)
+      val p = e.select(col("*"),
+          count(when(col("event_type") === "click", 1)).over(w).as("n_click"),
+          count(when(col("event_type") === "view", 1)).over(w).as("n_view"),
+          min(touchKey).over(w).as("first_k"),
+          max(touchKey).over(w).as("last_k"))
+        .filter(col("event_type") === "purchase")
+        .withColumn("vc", floor(col("value") * 100.0 + 0.5).cast("long"))
+        .withColumn("k", col("n_click") + col("n_view"))
+        .withColumn("f", when(col("k") >= 3, (col("k") - 2) * 2).otherwise(lit(1L)))
+        .withColumn("fc", (col("first_k") % 4 === 1).cast("long"))
+        .withColumn("lc", (col("last_k") % 4 === 1).cast("long"))
+        .withColumn("w_click",
+          when(col("k") === 0, lit(0L))
+            .when(col("k") === 1, col("f") * col("fc"))
+            .otherwise(col("f") * (col("fc") + col("lc")) +
+              when(col("k") >= 3,
+                col("n_click") - col("fc") - col("lc")).otherwise(lit(0L))))
+        .withColumn("w_view",
+          when(col("k") === 0, lit(0L))
+            .when(col("k") === 1, col("f") * (lit(1L) - col("fc")))
+            .otherwise(col("f") * (lit(2L) - col("fc") - col("lc")) +
+              when(col("k") >= 3,
+                col("n_view") - (lit(1L) - col("fc")) - (lit(1L) - col("lc")))
+                .otherwise(lit(0L))))
+        .withColumn("w_tot",
+          when(col("k") <= 1, col("f"))
+            .otherwise(col("f") * 2 +
+              when(col("k") >= 3, col("k") - 2).otherwise(lit(0L))))
+      val arms = array(
+        when(col("w_click") > 0, struct(lit("click").as("channel"),
+          expr("(vc * 10000 * w_click) div w_tot").as("credit_fp"))),
+        when(col("w_view") > 0, struct(lit("view").as("channel"),
+          expr("(vc * 10000 * w_view) div w_tot").as("credit_fp"))),
+        when(col("k") === 0, struct(lit("direct").as("channel"),
+          expr("vc * 10000").as("credit_fp"))))
+      p.select(explode(filter(arms, x => x.isNotNull)).as("a"))
+        .groupBy(col("a.channel").as("channel"))
+        .agg(count(lit(1)).as("n_credited"), sum("a.credit_fp").as("credit_fp"))
+        .orderBy("channel")
+    },
+
     "ev_interval_join" -> { (s, d) =>
       val BinUs = 3600L * 1000000L
       val sess = sessionTable(s, d)
@@ -998,6 +1058,51 @@ object EventQueries {
          |  SELECT 'view', (vc * 10000 * n_view) // n_tot FROM p WHERE n_view > 0
          |  UNION ALL
          |  SELECT 'direct', vc * 10000 FROM p WHERE n_tot = 0)
+         |SELECT channel, COUNT(*) AS n_credited,
+         |  CAST(SUM(credit_fp) AS BIGINT) AS credit_fp
+         |FROM arms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_attribution_u_shape" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, $tsUs AS us, value FROM events),
+         |cnt AS (
+         |  SELECT user_id, event_type, us, value,
+         |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w7 AS n_click,
+         |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w7 AS n_view,
+         |    MIN(CASE WHEN event_type = 'click' THEN us * 4 + 1
+         |             WHEN event_type = 'view' THEN us * 4 + 2 END) OVER w7 AS first_k,
+         |    MAX(CASE WHEN event_type = 'click' THEN us * 4 + 1
+         |             WHEN event_type = 'view' THEN us * 4 + 2 END) OVER w7 AS last_k
+         |  FROM e
+         |  WINDOW w7 AS (PARTITION BY user_id ORDER BY us
+         |                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+         |p AS (
+         |  SELECT vc, k, f, fc, lc, n_click, n_view,
+         |    CASE WHEN k = 0 THEN 0
+         |         WHEN k = 1 THEN f * fc
+         |         ELSE f * (fc + lc) +
+         |           CASE WHEN k >= 3 THEN n_click - fc - lc ELSE 0 END END AS w_click,
+         |    CASE WHEN k = 0 THEN 0
+         |         WHEN k = 1 THEN f * (1 - fc)
+         |         ELSE f * (2 - fc - lc) +
+         |           CASE WHEN k >= 3 THEN n_view - (1 - fc) - (1 - lc) ELSE 0 END END AS w_view,
+         |    CASE WHEN k <= 1 THEN f
+         |         ELSE 2 * f + CASE WHEN k >= 3 THEN k - 2 ELSE 0 END END AS w_tot
+         |  FROM (
+         |    SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         |      n_click, n_view, n_click + n_view AS k,
+         |      CASE WHEN n_click + n_view >= 3
+         |           THEN (n_click + n_view - 2) * 2 ELSE 1 END AS f,
+         |      CASE WHEN first_k % 4 = 1 THEN 1 ELSE 0 END AS fc,
+         |      CASE WHEN last_k % 4 = 1 THEN 1 ELSE 0 END AS lc
+         |    FROM cnt WHERE event_type = 'purchase')),
+         |arms AS (
+         |  SELECT 'click' AS channel, (vc * 10000 * w_click) // w_tot AS credit_fp
+         |    FROM p WHERE w_click > 0
+         |  UNION ALL
+         |  SELECT 'view', (vc * 10000 * w_view) // w_tot FROM p WHERE w_view > 0
+         |  UNION ALL
+         |  SELECT 'direct', vc * 10000 FROM p WHERE k = 0)
          |SELECT channel, COUNT(*) AS n_credited,
          |  CAST(SUM(credit_fp) AS BIGINT) AS credit_fp
          |FROM arms GROUP BY 1 ORDER BY 1""".stripMargin,
