@@ -42,7 +42,19 @@ object StreamingMultiTouch {
   val MaxTouches: Int = 65536
 
   /** `decay = false` → linear weights, `true` → per-day halving. */
-  def creditStream(events: DataFrame, decay: Boolean): Dataset[AttributedCredit] = {
+  def creditStream(events: DataFrame, decay: Boolean): Dataset[AttributedCredit] =
+    credits(events, if (decay) "decay" else "linear")
+
+  /** Position-based (U-shaped, 40/20/40) credits — the streaming twin
+    * of `ev_attribution_u_shape`: first/last touch resolve by the
+    * batch query's packed `us·4 + channel-code` min/max (so a
+    * same-timestamp click/view pair breaks the tie identically), and
+    * the endpoint boost is the same integer 2(k−2)/1/2(k−2) scheme.
+    */
+  def creditStreamU(events: DataFrame): Dataset[AttributedCredit] =
+    credits(events, "ushape")
+
+  private def credits(events: DataFrame, model: String): Dataset[AttributedCredit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
@@ -67,11 +79,33 @@ object StreamingMultiTouch {
               if (et == "purchase") {
                 val vc = math.floor(v * 100.0 + 0.5).toLong
                 var wClick = 0L; var wView = 0L
-                touches.foreach { case (t, isClick) =>
+                if (model == "ushape") {
+                  val valid = touches.filter { case (t, _) =>
+                    val o = us - t; o >= 1 && o <= WindowUs
+                  }
+                  val k = valid.length.toLong
+                  if (k > 0) {
+                    // the batch query's packed-key tie discipline
+                    val keys = valid.map { case (t, isClick) =>
+                      t * 4 + (if (isClick) 1L else 2L)
+                    }
+                    val fc = if (keys.min % 4 == 1) 1L else 0L
+                    val lc = if (keys.max % 4 == 1) 1L else 0L
+                    val nClick = valid.count(_._2).toLong
+                    val f = if (k >= 3) 2L * (k - 2) else 1L
+                    if (k == 1) { wClick = f * fc; wView = f * (1 - fc) }
+                    else {
+                      val midC = if (k >= 3) nClick - fc - lc else 0L
+                      val midV = if (k >= 3) (k - nClick) - (1 - fc) - (1 - lc) else 0L
+                      wClick = f * (fc + lc) + midC
+                      wView = f * (2 - fc - lc) + midV
+                    }
+                  }
+                } else touches.foreach { case (t, isClick) =>
                   val offset = us - t
                   if (offset >= 1 && offset <= WindowUs) {
                     val w =
-                      if (!decay) 1L
+                      if (model == "linear") 1L
                       else 1L << (6 - ((offset - 1) / DayUs)).toInt
                     if (isClick) wClick += w else wView += w
                   }

@@ -67,6 +67,40 @@ class StreamingMultiTouchSpec extends AnyFunSuite {
       "decay rollup depends on micro-batch chopping")
   }
 
+  private def choppedRollupU(name: String, nChunks: Int): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        col("value"))
+      .as[(Long, String, Long, Long, Double)].collect()
+      .sortBy(r => (r._3, r._4))
+    val mem = MemoryStream[(Long, String, Long, Long, Double)]
+    val out = StreamingMultiTouch.creditStreamU(
+      mem.toDF().toDF("user_id", "event_type", "ts_us", "event_id", "value"))
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / nChunks + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n"), sum("credit_fp").as("fp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("streaming U-shape rollup equals batch ev_attribution_u_shape across choppings") {
+    val expected = graft.SparkEntry.queries("ev_attribution_u_shape")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(expected.size >= 2, s"fixture too thin: $expected")
+    assert(choppedRollupU("mt_u3", 3) == expected)
+    assert(choppedRollupU("mt_u7", 7) == expected,
+      "U-shape rollup depends on micro-batch chopping")
+  }
+
   test("weights and window edges: even split, per-day halving, same-ts exclusion, 7-day expiry, window-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
