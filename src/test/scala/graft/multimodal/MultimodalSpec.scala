@@ -444,6 +444,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ham(hs(0), hs(3)) > AnnQueries.MmPhashHammingT,
         s"g=$g: unrelated image inside the near-dup threshold (${ham(hs(0), hs(3))})")
     }
+    // the WIDE tier (128-bit dHash ‖ aHash, 16-bit bands, T=16): same
+    // contract at the corpus-scale band width, with the recall
+    // tradeoff pinned honestly — at most 3 of 125 planted shifts may
+    // miss every band (the measured cost of 256× fewer candidates)
+    var wideMissed = 0
+    for (g <- 0L until 125L) {
+      val ws = (0 until BmpGroupSize).map(v => bmpDHash128Bytes(synthBmpBytes(g * BmpGroupSize + v)))
+      def ham2(a: (Long, Long), b: (Long, Long)) =
+        java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+      assert(ham2(ws(0), ws(2)) == 0, s"g=$g: brightness moved the 128-bit code")
+      assert(ham2(ws(0), ws(1)) <= AnnQueries.MmPhashWideHammingT,
+        s"g=$g: wide shift drifted ${ham2(ws(0), ws(1))} bits")
+      assert(ham2(ws(0), ws(3)) > AnnQueries.MmPhashWideHammingT,
+        s"g=$g: unrelated inside the wide threshold (${ham2(ws(0), ws(3))})")
+      def band(p: (Long, Long), k: Int): Long =
+        if (k < 4) (p._1 >>> (16 * k)) & 0xFFFF else (p._2 >>> (16 * (k - 4))) & 0xFFFF
+      if (!(0 until 8).exists(k => band(ws(0), k) == band(ws(1), k))) wideMissed += 1
+    }
+    assert(wideMissed <= 3, s"wide-band recall regressed: $wideMissed/125 shifts missed")
+
     // the decoder is a REAL header walk: moving the pixel offset and
     // rewriting the stored dimensions must change what it reads
     val b = synthBmpBytes(0)
