@@ -753,6 +753,15 @@ object ManifestLog {
       case l if l.startsWith("statsCol=") => l.stripPrefix("statsCol=").trim
     }
 
+  /** The second (Hilbert-clustering) stats column, when the table was
+    * written with [[writeClustered]] — the other zone-map dimension
+    * the SQL face can skip files on.
+    */
+  def statsColumn2(spark: SparkSession, path: String): Option[String] =
+    readMetaLines(spark, path).collectFirst {
+      case l if l.startsWith("statsCol2=") => l.stripPrefix("statsCol2=").trim
+    }
+
   /** REPLACE the table's contents as a NEW VERSION (Delta's
     * `mode("overwrite")` semantics): fresh range-clustered files,
     * snapshot head+1 lists ONLY them. History is never rewritten —

@@ -131,6 +131,7 @@ object ManifestBatchSource {
     def comparable(v: Any): Boolean = v.isInstanceOf[Number] || v.isInstanceOf[String]
     f match {
       case EqualTo(a, v)            => a == key && comparable(v)
+      case In(a, vs)                => a == key && vs.nonEmpty && vs.forall(comparable)
       case GreaterThan(a, v)        => a == key && comparable(v)
       case GreaterThanOrEqual(a, v) => a == key && comparable(v)
       case LessThan(a, v)           => a == key && comparable(v)
@@ -222,53 +223,70 @@ private[sources] class ManifestBatchScanBuilder(path: String, version: Int,
 
   private var required: StructType = full
   private var keyFilters: Array[Filter] = Array.empty
+  private var key2Filters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
       requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val key = ManifestLog.statsColumn(SparkSession.active, path)
+    val spark = SparkSession.active
+    val key = ManifestLog.statsColumn(spark, path)
     keyFilters = key
+      .map(k => filters.filter(f => ManifestBatchSource.isKeyRangeFilter(f, k)))
+      .getOrElse(Array.empty)
+    // clustered tables carry a SECOND zone-map dimension (lo2/hi2) —
+    // predicates on it skip files too (readPruned2's rule: a NULL
+    // range survives, never skips)
+    val key2 = ManifestLog.statsColumn2(spark, path)
+    key2Filters = key2
       .map(k => filters.filter(f => ManifestBatchSource.isKeyRangeFilter(f, k)))
       .getOrElse(Array.empty)
     filters // all residual — file skipping only, rows still filtered by Spark
   }
 
-  override def pushedFilters(): Array[Filter] = keyFilters
+  override def pushedFilters(): Array[Filter] = keyFilters ++ key2Filters
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
     override def toBatch: Batch =
-      new ManifestBatchScan(path, version, required, keyFilters)
+      new ManifestBatchScan(path, version, required, keyFilters, key2Filters)
     // surfaced in explain/plan strings so zone-map file skipping is
     // discoverable, not silent
     override def description(): String =
-      s"manifest($path@v$version) PushedFilters: [${keyFilters.mkString(", ")}]"
+      s"manifest($path@v$version) PushedFilters: [${(keyFilters ++ key2Filters).mkString(", ")}]"
   }
 }
 
 private[sources] class ManifestBatchScan(path: String, version: Int,
                                          schema0: StructType,
-                                         keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                                         keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                                         key2Filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Batch {
   import org.apache.spark.sql.sources._
 
   private def spark = SparkSession.active
 
+  private def rangeSurvives(lo: Any, hi: Any, fs: Array[Filter]): Boolean =
+    lo == null || hi == null || fs.forall {
+      case EqualTo(_, v)            => ManifestBatchSource.cmpA(hi, v) >= 0 &&
+                                       ManifestBatchSource.cmpA(lo, v) <= 0
+      case In(_, vs)                => vs.exists(v =>
+                                         ManifestBatchSource.cmpA(hi, v) >= 0 &&
+                                         ManifestBatchSource.cmpA(lo, v) <= 0)
+      case GreaterThan(_, v)        => ManifestBatchSource.cmpA(hi, v) > 0
+      case GreaterThanOrEqual(_, v) => ManifestBatchSource.cmpA(hi, v) >= 0
+      case LessThan(_, v)           => ManifestBatchSource.cmpA(lo, v) < 0
+      case LessThanOrEqual(_, v)    => ManifestBatchSource.cmpA(lo, v) <= 0
+      case _                        => true
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = ManifestLog.snapshot(spark, path, version).collect()
     val kept = snap.filter { r =>
-      val lo = r.get(1); val hi = r.get(2)
-      lo == null || hi == null || keyFilters.forall {
-        case EqualTo(_, v)            => ManifestBatchSource.cmpA(hi, v) >= 0 &&
-                                         ManifestBatchSource.cmpA(lo, v) <= 0
-        case GreaterThan(_, v)        => ManifestBatchSource.cmpA(hi, v) > 0
-        case GreaterThanOrEqual(_, v) => ManifestBatchSource.cmpA(hi, v) >= 0
-        case LessThan(_, v)           => ManifestBatchSource.cmpA(lo, v) < 0
-        case LessThanOrEqual(_, v)    => ManifestBatchSource.cmpA(lo, v) <= 0
-        case _                        => true
-      }
+      rangeSurvives(r.get(1), r.get(2), keyFilters) &&
+        rangeSurvives(if (r.isNullAt(5)) null else r.getLong(5),
+          if (r.isNullAt(6)) null else r.getLong(6), key2Filters)
     }
     ManifestBatchSource.lastPlannedFiles.set(kept.length)
     kept.map(r => ManifestBatchPartition(r.getString(0), r.getString(4),

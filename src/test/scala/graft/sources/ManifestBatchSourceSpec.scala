@@ -116,6 +116,24 @@ class ManifestBatchSourceSpec extends AnyFunSuite {
     assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters") ||
       filtered.queryExecution.toString.contains("LessThanOrEqual"),
       "pushed key filter not surfaced in the plan")
+
+    // IN lists skip on the key too
+    val inCount = ManifestBatchSource.read(spark, dir)
+      .filter(col("l_orderkey").isin(keys.take(3).map(Long.box): _*)).count()
+    assert(inCount == li.filter(col("l_orderkey").isin(keys.take(3).map(Long.box): _*)).count())
+    assert(ManifestBatchSource.lastPlannedFiles.get() < 8,
+      "IN-list key predicate should skip files")
+
+    // clustered tables skip on the SECOND zone-map dimension as well
+    val cdir = Files.createTempDirectory("mbs-prune2").toString
+    ManifestLog.writeClustered(li, "l_orderkey", "l_partkey", cdir, files = 8)
+    val pkeys = li.select("l_partkey").distinct()
+      .orderBy("l_partkey").limit(5).collect().map(_.getLong(0))
+    val c2 = ManifestBatchSource.read(spark, cdir)
+      .filter(col("l_partkey") <= pkeys.last)
+    assert(c2.count() == li.filter(col("l_partkey") <= pkeys.last).count())
+    assert(ManifestBatchSource.lastPlannedFiles.get() < 8,
+      "second-dimension predicate should skip clustered files")
   }
 
   test("write face: df.write append bootstraps then composes versions, overwrite is a versioned replace, constraints still gate — all via the existing commit machinery") {
