@@ -69,7 +69,8 @@ object ScaleBench {
     "emb_ann_binary_wide", "ev_attribution_linear", "ev_attribution_time_decay",
     "dedup_semantic_seq",
     "text_quality_classifier", "lake_sql_read", "mm_phash_dedup",
-    "mm_phash_incremental", "ev_attribution_u_shape", "mm_phash_dedup_wide")
+    "mm_phash_incremental", "ev_attribution_u_shape", "mm_phash_dedup_wide",
+    "lake_time_travel")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

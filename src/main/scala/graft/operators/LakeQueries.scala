@@ -27,7 +27,8 @@ import graft.sources.{ManifestBatchSource, Tables}
 object LakeQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_sql_read" -> ((s, dir) => lakeSqlRead(s, dir))
+    "lake_sql_read" -> ((s, dir) => lakeSqlRead(s, dir)),
+    "lake_time_travel" -> ((s, dir) => lakeTimeTravel(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -38,8 +39,52 @@ object LakeQueries {
         |FROM lineitem
         |WHERE l_orderkey % 10 <> 3
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "lake_time_travel" ->
+      """SELECT 'v1' AS v_tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT 'v2', COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT 'v3_head', COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |FROM lineitem
+        |WHERE l_orderkey % 4 IN (0, 1) AND l_orderkey % 20 <> 0
+        |ORDER BY v_tag""".stripMargin
   )
+
+  /** Time travel through the SQL face, oracle-gated: build
+    * write(v1: orders ≡0 mod 4) → append(v2: +≡1) → MOR delete
+    * (v3: −(≡0 mod 20)), then read v1, v2 and the head BY VERSION
+    * OPTION and aggregate each — the oracle reconstructs all three
+    * states as WHERE clauses over the raw parquet, so a version
+    * resolving to the wrong file list (or DVs leaking across
+    * versions) breaks the hash, not just a spec.
+    */
+  private def lakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val tbl = s"/tmp/graft_lake_tt/${new java.io.File(dir).getName}"
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ManifestLog.write(li.filter(col("l_orderkey") % 4 === 0), "l_orderkey", tbl, files = 4)
+    ManifestLog.append(li.filter(col("l_orderkey") % 4 === 1), "l_orderkey", tbl, files = 2)
+    ManifestLog.deleteMor(
+      li.filter(col("l_orderkey") % 20 === 0).select("l_orderkey").distinct(),
+      "l_orderkey", tbl)
+    def agg(tag: String, versionAsOf: Int) =
+      ManifestBatchSource.read(spark, tbl, versionAsOf = versionAsOf)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(lit(tag).as("v_tag"), col("n"), col("qty"))
+    agg("v1", 1).unionByName(agg("v2", 2)).unionByName(agg("v3_head", -1))
+      .orderBy("v_tag")
+  }
 
   private def lakeSqlRead(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

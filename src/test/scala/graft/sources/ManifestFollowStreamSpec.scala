@@ -240,6 +240,49 @@ class ManifestFollowStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(codeDir).count() == emb.count())
   }
 
+  test("composition: an image crawl TABLE (binary column) tails through the DSv2 source into streaming phash admission; verdicts equal the batch probe across kill/restart") {
+    import graft.multimodal.Multimodal
+    import graft.operators.AnnQueries
+    val ids = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    val hashedAll = Multimodal.bmpDHash(
+      Multimodal.attachSynthBmp(ids, "doc_id", "bin"), "bin", "doc_id")
+    val index = hashedAll.filter(col("doc_id") % 10 >= 3).persist()
+    val batch = hashedAll.filter(col("doc_id") % 10 < 3)
+    val expected = AnnQueries.phashProbeIndex(index, batch)
+      .collect().map(_.toString).sorted.toSeq
+
+    // the crawl table holds the raw image BYTES — the binary column
+    // travels through the manifest commit AND the follow source's
+    // executor-side parquet walk
+    val imgs = Multimodal.attachSynthBmp(
+      ids.filter(col("doc_id") % 10 < 3), "doc_id", "bin")
+    val mid = ids.filter(col("doc_id") % 10 < 3)
+      .selectExpr("percentile_approx(doc_id, 0.5)").head().getLong(0)
+    val base = Files.createTempDirectory("mfs-img")
+    val tbl = base.resolve("crawl").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def start() = graft.streaming.StreamingPhash.probeIndexStream(index,
+        ManifestFollowSource.stream(spark, tbl, fromVersion = 1)
+          .drop(ManifestFollowSource.VersionCol))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    ManifestLog.write(imgs.filter(col("doc_id") <= mid), "doc_id", tbl, files = 2)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // the crawler keeps landing images while the consumer is down
+    ManifestLog.append(imgs.filter(col("doc_id") > mid), "doc_id", tbl, files = 2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == expected,
+      s"table-tailed image admission diverged: ${got.size} vs batch ${expected.size}")
+    index.unpersist()
+  }
+
   test("stream-stream composition: two follow sources through a watermarked interval join into a windowed aggregation equal the batch plan, across kill/restart") {
     // the two-tails end state: a fact tail joined to a late-arriving
     // second tail with Spark's own stateful join machinery, then a
