@@ -239,24 +239,35 @@ object Verify {
 
       // agg_incremental_distinct: rows-only by design (DataSketches
       // estimates have no DuckDB counterpart). Two-part stand-in:
-      // (1) the shipped union-of-shard-sketches estimate must EQUAL a
-      //     one-shot single-pass sketch over all rows (HLL registers
-      //     are per-register maxes — sharding cannot change them);
+      // (1) the shipped union-of-shard-sketches estimate must TRACK a
+      //     one-shot single-pass sketch over all rows within 1%. The
+      //     r17 version demanded exact equality — true only while a
+      //     group's sketch stays in coupon (LIST/SET) mode: once dense,
+      //     a STREAMED sketch estimates with the HIP estimator while a
+      //     UNION-merged one is out-of-order and uses the composite
+      //     estimator, so the two legitimately differ by a fraction of
+      //     a percent on identical registers (found by running this
+      //     gate at sf0.1, where one event_type crosses dense; at
+      //     sf0.01 every group is coupon-exact and the diff is 0);
       // (2) estimates track exact distinct counts within 5%.
-      val (incEqOneShot, incMaxRelErr) = {
+      val (incUnionRelDiff, incMaxRelErr) = {
         val got = graft.SparkEntry.queries("agg_incremental_distinct")(spark, sfDir)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val evs = graft.sources.Tables.events(spark, sfDir)
         val oneShot = evs.groupBy("event_type")
           .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val unionDiff = oneShot.map { case (k, est) =>
+          math.abs(got.getOrElse(k, 0L) - est).toDouble / math.max(est, 1L) }
         val exact = evs.groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val rel = exact.map { case (k, n) =>
           math.abs(got.getOrElse(k, 0L) - n).toDouble / math.max(n, 1L) }
-        (got == oneShot, if (rel.isEmpty) 0.0 else rel.max)
+        (if (unionDiff.isEmpty) 0.0 else unionDiff.max,
+          if (rel.isEmpty) 0.0 else rel.max)
       }
+      val incUnionCeil = 0.01
       val incErrCeil = 0.05
 
       // agg_user_overlap: rows-only by design (theta estimates have no
@@ -504,8 +515,9 @@ object Verify {
          | "agg_approx_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $maxErr,
          | "ceiling": $errCeil, "pass": ${maxErr <= errCeil}},
          | "agg_incremental_distinct": {"metric": "max_group_rel_err_vs_exact", "value": $incMaxRelErr,
-         | "ceiling": $incErrCeil, "union_equals_one_shot": $incEqOneShot,
-         | "pass": ${incEqOneShot && incMaxRelErr <= incErrCeil}},
+         | "ceiling": $incErrCeil, "union_vs_one_shot_max_rel": $incUnionRelDiff,
+         | "union_ceiling": $incUnionCeil,
+         | "pass": ${incUnionRelDiff <= incUnionCeil && incMaxRelErr <= incErrCeil}},
          | "agg_user_overlap": {"metric": "max_pair_rel_err_vs_exact_intersection", "value": $overlapMaxRelErr,
          | "ceiling": $overlapCeil, "pass": ${overlapMaxRelErr <= overlapCeil}},
          | "agg_approx_quantile": {"metric": "max_rank_err_vs_target", "value": $maxRankErr,

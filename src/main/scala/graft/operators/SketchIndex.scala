@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   * (group, shard), the query side reads ~(groups × shards) KILOBYTES.
   *
   * HLL register state is a per-register MAX over hashed inputs, so
-  * sketches are insertion-order- and partition-independent, union is
-  * associative/commutative/idempotent, and the union-of-shards
-  * estimate is deterministic and equals the one-shot whole-corpus
-  * estimate at the same lgK (IncrementalSketchSpec pins both; the
-  * idempotence also means re-ingesting an overlapping shard never
-  * double-counts — the property plain per-shard COUNT DISTINCT sums
-  * lack).
+  * sketches are insertion-order- and partition-independent and union
+  * is associative/commutative/idempotent — re-ingesting an
+  * overlapping shard never double-counts, the property plain
+  * per-shard COUNT DISTINCT sums lack. The union-of-shards ESTIMATE,
+  * though, equals the one-shot whole-corpus estimate exactly only
+  * while the sketch stays in coupon (LIST/SET) mode: once dense, a
+  * streamed sketch uses DataSketches' HIP estimator while a
+  * union-merged one is out-of-order and uses the composite estimator,
+  * so identical registers read a fraction of a percent apart (first
+  * observed running the Verify gate at sf0.1). IncrementalSketchSpec
+  * pins coupon-mode exactness at its scale; the driver invariant
+  * bounds the dense-mode estimator gap at 1%.
   *
   * Reference scope: cdp has no sketch aggregates (its dedup is exact
   * per-window, reference src/step-functions.ts); this extends the
