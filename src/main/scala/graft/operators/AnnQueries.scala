@@ -651,7 +651,8 @@ object AnnQueries {
     // Perceptual-hash image dedup — CONTENT-level multimodal work, not
     // header metadata: a real BMP pixel walk (no codec libs) → 9×8
     // block-mean downsample → 64-bit dHash, then near-dup pairs by the
-    // banded-LSH discipline (4 bands × 16 bits: one shuffle on the
+    // banded-LSH discipline (MmPhashBands=8 bands × MmPhashBandBits=8
+    // bits; the wide tier below runs 4×16: one shuffle on the
     // band key, candidates verified with the existing CodeHamming
     // kernel — never an all-pairs cross join). The fixture plants
     // shifted/brightened near-duplicates and unrelated images per

@@ -744,6 +744,43 @@ object ManifestLog {
     }
   }
 
+  /** Does a manifest table live at `path` — either data versions or a
+    * DDL-declared (still empty) table? The SQL catalog's existence
+    * probe.
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean =
+    currentVersion(spark, path) > 0 || readMetaLines(spark, path).nonEmpty
+
+  /** DDL bootstrap (CREATE TABLE through the SQL catalog): declare the
+    * schema and stats key BEFORE any data lands. The declared schema
+    * serves reads/writes while the table is empty; the FIRST data
+    * write supersedes it (schema then lives in the snapshots, evolving
+    * under the widening lattice like any manifest table).
+    */
+  def initTable(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType,
+                statsCol: String): Unit = {
+    require(currentVersion(spark, path) == 0,
+      s"initTable on a table that already has data versions at $path")
+    require(schema.fieldNames.contains(statsCol),
+      s"statsCol '$statsCol' is not a column of the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val kept = readMetaLines(spark, path)
+      .filterNot(l => l.startsWith("statsCol=") || l.startsWith("ddlSchema="))
+    writeMetaLines(spark, path,
+      kept :+ s"statsCol=$statsCol" :+ s"ddlSchema=${schema.json}")
+  }
+
+  /** The DDL-declared schema of a created-but-still-empty table. */
+  def ddlSchema(spark: SparkSession,
+                path: String): Option[org.apache.spark.sql.types.StructType] =
+    readMetaLines(spark, path).collectFirst {
+      case l if l.startsWith("ddlSchema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("ddlSchema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
   /** The stats column the table is keyed on (None = no table yet) —
     * the write face's way to key an append without the caller
     * restating it.
@@ -1294,12 +1331,24 @@ object ManifestLog {
         val deleted = freshDead.count()
         if (deleted == 0L) return (0, 0L)
         // one DV batch per commit: each touched file's COMPLETE
-        // tombstone set (old ∪ fresh), clustered by file; sized off
-        // the position count so a billion-row erasure still fans out
+        // tombstone set (old ∪ fresh), RANGE-clustered by (file, pos)
+        // — contiguous file ranges per part file keep the parquet
+        // min/max stats on `file` tight, so the SQL face's
+        // per-partition DV probe footer-skips every part file that
+        // cannot hold its own tombstones (hash clustering would give
+        // each part a lexicographically wide [min, max] and defeat
+        // that pruning). Sized off BOTH the position count (a
+        // billion-row erasure still fans out) and the touched-file
+        // count (a broad erasure splits into per-few-files sidecars
+        // the probe can skip), capped so a small delete on a
+        // many-file table doesn't spray tiny files.
         val merged = freshDead.unionByName(existing).distinct()
         val dvDir = newBatchDir(path)
-        val nOut = math.max(1L, (deleted + 8000000L - 1) / 8000000L).toInt
-        merged.repartition(nOut, col("file")).sortWithinPartitions("file", "pos")
+        val nOut = math.max(
+          math.max(1L, (deleted + 8000000L - 1) / 8000000L),
+          math.min(touchFiles.size.toLong, 64L)).toInt
+        merged.repartitionByRange(nOut, col("file"), col("pos"))
+          .sortWithinPartitions("file", "pos")
           .write.parquet(dvDir)
         // only files that actually carry tombstones repoint (a file
         // whose stats range matched but held no key keeps its row
@@ -1667,8 +1716,18 @@ object ManifestLog {
             if (v == 1) Map.empty
             else carryDvs match {
               case Some((pv, m)) if pv == v - 1 => m
-              case _ => snapshot(spark, path, v - 1).collect()
-                .map(r => r.getString(0) -> r.getString(4)).toMap
+              case _ =>
+                // the predecessor itself may sit exactly on the vacuum
+                // horizon (v live, v−1 gone, no checkpoint coverage):
+                // raise the SAME named restart-from-a-fresh-checkpoint
+                // repair, not snapshotDir's misleading crashed-commit
+                // error
+                if (!liveVs(v - 1))
+                  throw new IllegalStateException(
+                    s"cannot replay $path v$v: its predecessor was vacuumed before " +
+                      "any log checkpoint covered it — restart from a fresh checkpoint")
+                snapshot(spark, path, v - 1).collect()
+                  .map(r => r.getString(0) -> r.getString(4)).toMap
             }
           val now = snapshot(spark, path, v).collect()
           val nowMap = now.map(r => r.getString(0) -> r.getString(4)).toMap
@@ -1800,6 +1859,17 @@ object ManifestLog {
     * versions BEFORE the truncation point still deliver and commit
     * the cursor first (followDeltas is lazy), so a later retry resumes
     * at the failure, not the start.
+    *
+    * LAG TOLERANCE is bounded by vacuum retention: once a version's
+    * snapshot pointer is vacuumed, the log checkpoint compresses its
+    * delta rows to a `truncated` marker (its added files may since
+    * have been rewritten — replaying from checkpoint deltas could
+    * deliver vanished or rewritten bytes), so a consumer whose cursor
+    * has fallen behind the vacuum horizon always gets the named
+    * restart-from-a-fresh-checkpoint error, even when a checkpoint
+    * once covered those versions. Operate like a Kafka retention
+    * window: keep consumer lag within `vacuum`'s retain setting, or
+    * don't vacuum past your slowest consumer.
     */
   def follow(spark: SparkSession, path: String, checkpoint: String,
              skipRewrites: Boolean = false, fromVersion: Int = -1,

@@ -50,8 +50,11 @@ import graft.operators.ManifestLog
   * Plan shape at scale: ONE input partition per live data file (plus
   * its dv pointer), so a 10k-file table reads with 10k-way
   * parallelism; each file's tombstone positions load once, executor-
-  * side, from the deleted-row-sized DV batch — never a driver-side
-  * anti-join. Options resolve on the DRIVER at `load()` (version
+  * side, from its OWN slice of the (file, pos)-range-clustered DV
+  * batch — part files and row groups holding other files' tombstones
+  * are skipped on footer stats, so a broad erasure never re-reads the
+  * whole tombstone set per partition. Options resolve on the DRIVER
+  * at `load()` (version
   * pinning is metadata), and the partition readers reuse the follow
   * source's aligning [[ManifestGroupRowReader]] with the session's
   * Hadoop configuration shipped along.
@@ -141,15 +144,97 @@ object ManifestBatchSource {
   }
 
   /** Widening comparison between a manifest bound and a filter
-    * literal (same lattice as the manifest's own pruners).
+    * literal (same lattice as the manifest's own pruners). None =
+    * incomparable — the CALLER must keep the file (encoding "unknown"
+    * as an integer would silently satisfy one strict-inequality arm
+    * and skip a live file the moment the literal lattice widens).
     */
-  private[sources] def cmpA(a: Any, b: Any): Int = (a, b) match {
-    case (x: java.lang.Long, y: java.lang.Long)       => java.lang.Long.compare(x, y)
-    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
-    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: String, y: String) => x.compareTo(y)
-    case _ => 0 // incomparable: never skip a file on it
+  private[sources] def cmpA(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: java.lang.Integer, y: java.lang.Integer) => Some(Integer.compare(x, y))
+    case (x: Number, y: Number) => Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
   }
+
+  /** Test-visible counters for the executor-side DV probe: part files
+    * actually opened for a data read vs skipped on footer stats alone
+    * (the payloadReads discipline — specs pin that a narrow probe
+    * after a broad erasure reads O(its own) DV bytes, not O(all)).
+    */
+  private[graft] val dvPartReads = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val dvPartSkips = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Characters a Hadoop `Path` → Spark `input_file_name()` round
+    * trip carries verbatim (never percent-encoded). Only when every
+    * char of a path is in this set do footer stats PROVE anything
+    * about it — an unsafe path may be stored percent-encoded, where
+    * lexicographic bounds on the stored form say nothing about the
+    * decoded form.
+    */
+  private[sources] def uriSafe(s: String): Boolean =
+    s.forall(c => (c.isLetterOrDigit && c < 128) || "/-_.~".contains(c))
+
+  private def uriPathOf(s: String): String =
+    try new java.net.URI(s).getPath catch { case _: Exception => null }
+
+  /** Sound can-drop rule for a DV row group's `file` column stats:
+    * true only when [minS, maxS] PROVABLY contains no string naming
+    * `filePath`. The proof obligations, any failure → keep:
+    *
+    *   - `filePath` is URI-safe, so its `input_file_name()` form is
+    *     `prefix + filePath` verbatim (Spark encodes only unsafe
+    *     chars — a safe path is never stored encoded, so no encoded
+    *     alias of it can hide inside the range);
+    *   - min and max carry their own path components verbatim under
+    *     ONE shared scheme prefix — then every string in [min, max]
+    *     starts with that prefix (strings between two strings share
+    *     their common prefix), and the candidate under it is unique.
+    *
+    * Then drop iff `prefix + filePath` sorts outside [minS, maxS].
+    * (DV batches are written by [[graft.operators.ManifestLog.deleteMor]]
+    * exclusively — every stored string IS an `input_file_name()`
+    * output, the invariant the second obligation leans on.)
+    */
+  private[sources] def dvRangeCanDrop(minS: String, maxS: String,
+                                      filePath: String): Boolean = {
+    if (minS == null || maxS == null || filePath == null || !uriSafe(filePath))
+      return false
+    val pMin = uriPathOf(minS)
+    val pMax = uriPathOf(maxS)
+    if (pMin == null || pMax == null) return false
+    if (!minS.endsWith(pMin) || !maxS.endsWith(pMax)) return false
+    val prefix = minS.dropRight(pMin.length)
+    if (prefix != maxS.dropRight(pMax.length)) return false
+    val candidate = prefix + filePath
+    candidate.compareTo(minS) < 0 || candidate.compareTo(maxS) > 0
+  }
+}
+
+/** Row-group + record filter on the DV batch's `file` column: keep()
+  * is the exact URI-path match (never wrong), canDrop() the provable
+  * footer-stats rule — pushed into the parquet reader so a surviving
+  * part file still skips the row groups that belong to OTHER files
+  * (the DV batch is range-clustered by (file, pos), so those bounds
+  * are tight).
+  */
+private[sources] class DvFilePredicate(filePath: String)
+    extends org.apache.parquet.filter2.predicate.UserDefinedPredicate[org.apache.parquet.io.api.Binary]
+    with Serializable {
+  import org.apache.parquet.io.api.Binary
+
+  override def keep(value: Binary): Boolean =
+    value != null &&
+      (try new java.net.URI(value.toStringUsingUTF8).getPath == filePath
+       catch { case _: java.net.URISyntaxException => false })
+
+  override def canDrop(
+      stats: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean =
+    ManifestBatchSource.dvRangeCanDrop(
+      stats.getMin.toStringUsingUTF8, stats.getMax.toStringUsingUTF8, filePath)
+
+  override def inverseCanDrop(
+      stats: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean = false
 }
 
 private[sources] class ManifestBatchTable(path: String, version: Int,
@@ -267,21 +352,29 @@ private[sources] class ManifestBatchScan(path: String, version: Int,
 
   private def spark = SparkSession.active
 
+  // every cmpA is consumed through forall, so an incomparable pair
+  // (None) reads as "survives" on EVERY arm — a file is only ever
+  // skipped on a PROVEN comparison
   private def rangeSurvives(lo: Any, hi: Any, fs: Array[Filter]): Boolean =
     lo == null || hi == null || fs.forall {
-      case EqualTo(_, v)            => ManifestBatchSource.cmpA(hi, v) >= 0 &&
-                                       ManifestBatchSource.cmpA(lo, v) <= 0
+      case EqualTo(_, v)            => ManifestBatchSource.cmpA(hi, v).forall(_ >= 0) &&
+                                       ManifestBatchSource.cmpA(lo, v).forall(_ <= 0)
       case In(_, vs)                => vs.exists(v =>
-                                         ManifestBatchSource.cmpA(hi, v) >= 0 &&
-                                         ManifestBatchSource.cmpA(lo, v) <= 0)
-      case GreaterThan(_, v)        => ManifestBatchSource.cmpA(hi, v) > 0
-      case GreaterThanOrEqual(_, v) => ManifestBatchSource.cmpA(hi, v) >= 0
-      case LessThan(_, v)           => ManifestBatchSource.cmpA(lo, v) < 0
-      case LessThanOrEqual(_, v)    => ManifestBatchSource.cmpA(lo, v) <= 0
+                                         ManifestBatchSource.cmpA(hi, v).forall(_ >= 0) &&
+                                         ManifestBatchSource.cmpA(lo, v).forall(_ <= 0))
+      case GreaterThan(_, v)        => ManifestBatchSource.cmpA(hi, v).forall(_ > 0)
+      case GreaterThanOrEqual(_, v) => ManifestBatchSource.cmpA(hi, v).forall(_ >= 0)
+      case LessThan(_, v)           => ManifestBatchSource.cmpA(lo, v).forall(_ < 0)
+      case LessThanOrEqual(_, v)    => ManifestBatchSource.cmpA(lo, v).forall(_ <= 0)
       case _                        => true
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // a CREATE TABLE'd but never-written table has no snapshot yet
+    if (version < 1) {
+      ManifestBatchSource.lastPlannedFiles.set(0)
+      return Array.empty
+    }
     val snap = ManifestLog.snapshot(spark, path, version).collect()
     val kept = snap.filter { r =>
       rangeSurvives(r.get(1), r.get(2), keyFilters) &&
@@ -313,9 +406,20 @@ case class ManifestBatchReaderFactory(conf: SerializableHadoopConf)
   }
 
   /** This file's tombstoned row indexes from its DV batch (executor-
-    * side, deleted-row-sized). DV rows name files by the scan-time
-    * `input_file_name()` URI, the snapshot by the commit-time path —
-    * compare by filesystem path component, which both share.
+    * side). DV rows name files by the scan-time `input_file_name()`
+    * URI, the snapshot by the commit-time path — compare by
+    * filesystem path component, which both share.
+    *
+    * Scale shape: the batch is range-clustered by (file, pos), so a
+    * partition's own tombstones live in ONE contiguous slice of it.
+    * Every part file is probed on its FOOTER stats first ([[dvPartCanSkip]])
+    * and skipped without a data read when it provably holds none of
+    * this file's rows; a surviving part is read WITH the same
+    * predicate pushed ([[DvFilePredicate]]) so foreign row groups
+    * inside it drop on their stats too. A broad `deleteMor` across F
+    * files therefore costs each of the F partitions O(its own DV
+    * slice) + O(parts) footer reads — not F re-reads of the whole
+    * tombstone set.
     */
   private def deadPositions(file: String, dv: String): util.Set[java.lang.Long] = {
     if (dv == null) return null
@@ -324,29 +428,64 @@ case class ManifestBatchReaderFactory(conf: SerializableHadoopConf)
     val dead = new util.HashSet[java.lang.Long]()
     val dvPath = new org.apache.hadoop.fs.Path(dv)
     val fs = dvPath.getFileSystem(conf.value)
+    val filter = org.apache.parquet.filter2.compat.FilterCompat.get(
+      org.apache.parquet.filter2.predicate.FilterApi.userDefined(
+        org.apache.parquet.filter2.predicate.FilterApi.binaryColumn("file"),
+        new DvFilePredicate(filePath)))
     fs.listStatus(dvPath).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .foreach { s =>
-        val r = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), s.getPath)
-          .withConf(conf.value)
-          .build()
-        try {
-          var g: Group = r.read()
-          while (g != null) {
-            val gt = g.getType
-            val fIdx = gt.getFieldIndex("file")
-            val pIdx = gt.getFieldIndex("pos")
-            if (g.getFieldRepetitionCount(fIdx) > 0 &&
-                g.getFieldRepetitionCount(pIdx) > 0) {
-              val f = g.getBinary(fIdx, 0).toStringUsingUTF8
-              if (new java.net.URI(f).getPath == filePath)
-                dead.add(g.getLong(pIdx, 0))
+        if (dvPartCanSkip(s.getPath, filePath)) {
+          ManifestBatchSource.dvPartSkips.incrementAndGet()
+        } else {
+          ManifestBatchSource.dvPartReads.incrementAndGet()
+          val r = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), s.getPath)
+            .withConf(conf.value)
+            .withFilter(filter)
+            .build()
+          try {
+            var g: Group = r.read()
+            while (g != null) {
+              val gt = g.getType
+              val fIdx = gt.getFieldIndex("file")
+              val pIdx = gt.getFieldIndex("pos")
+              if (g.getFieldRepetitionCount(fIdx) > 0 &&
+                  g.getFieldRepetitionCount(pIdx) > 0) {
+                val f = g.getBinary(fIdx, 0).toStringUsingUTF8
+                if (new java.net.URI(f).getPath == filePath)
+                  dead.add(g.getLong(pIdx, 0))
+              }
+              g = r.read()
             }
-            g = r.read()
-          }
-        } finally r.close()
+          } finally r.close()
+        }
       }
     dead
+  }
+
+  /** Footer-stats probe: true when EVERY row group's `file` min/max
+    * proves this partition's file is absent — the part file then
+    * costs one footer read, never a data read. Missing or non-binary
+    * stats keep the part (correctness never depends on pruning).
+    */
+  private def dvPartCanSkip(p: org.apache.hadoop.fs.Path, filePath: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      fr.getFooter.getBlocks.asScala.forall { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "file").exists { c =>
+          c.getStatistics match {
+            case s: org.apache.parquet.column.statistics.BinaryStatistics
+                if !s.isEmpty && s.hasNonNullValue =>
+              ManifestBatchSource.dvRangeCanDrop(
+                s.genericGetMin.toStringUsingUTF8,
+                s.genericGetMax.toStringUsingUTF8, filePath)
+            case _ => false
+          }
+        }
+      }
+    } finally fr.close()
   }
 }

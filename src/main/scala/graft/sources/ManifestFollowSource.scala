@@ -60,6 +60,13 @@ import graft.operators.ManifestLog
   * Usage: `spark.readStream.format(classOf[ManifestFollowSource].getName)
   * .option("path", dir).option("fromVersion", "1").load()` or
   * [[ManifestFollowSource.stream]].
+  *
+  * LAG TOLERANCE mirrors [[ManifestLog.follow]]: a stream whose
+  * checkpointed offset falls behind the table's vacuum horizon gets
+  * the named restart-from-a-fresh-checkpoint error (vacuum compresses
+  * expired versions' checkpoint deltas to `truncated` markers) — keep
+  * trigger cadence within the table's vacuum retention, the Kafka
+  * retention-window discipline.
   */
 class ManifestFollowSource extends TableProvider {
 

@@ -136,6 +136,44 @@ class ManifestBatchSourceSpec extends AnyFunSuite {
       "second-dimension predicate should skip clustered files")
   }
 
+  test("DV probe is O(own tombstones): after a broad MOR delete across 100 files, a 2-file probe footer-skips nearly every DV sidecar part") {
+    val dir = Files.createTempDirectory("mbs-dv").toString
+    ManifestLog.write(li, "l_orderkey", dir, files = 100)
+    // broad erasure: every third order key — tombstones land in ALL files
+    val keys = ManifestLog.read(spark, dir).select("l_orderkey")
+      .distinct().filter(col("l_orderkey") % 3 === 0)
+    val (repointed, deleted) = ManifestLog.deleteMor(keys, "l_orderkey", dir)
+    assert(repointed == 100 && deleted > 0,
+      s"fixture: the erasure must touch all 100 files, touched $repointed")
+    // the DV batch fans out into range-clustered sidecar parts
+    val dvDir = ManifestLog.snapshot(spark, dir).select("dv").head().getString(0)
+    val dvParts = spark.read.parquet(dvDir).inputFiles.length
+    assert(dvParts >= 32, s"broad erasure should fan the DV batch out, got $dvParts parts")
+
+    // narrow probe: a key range the zone maps resolve to the 2 lowest files
+    val hi2 = ManifestLog.snapshot(spark, dir).orderBy("lo").limit(2)
+      .collect().map(_.get(2).toString.toLong).max
+    ManifestBatchSource.dvPartReads.set(0)
+    ManifestBatchSource.dvPartSkips.set(0)
+    val probe = ManifestBatchSource.read(spark, dir).filter(col("l_orderkey") <= hi2)
+    assert(canon(probe) ==
+      canon(ManifestLog.read(spark, dir).filter(col("l_orderkey") <= hi2)),
+      "DV-pruned probe diverged from ManifestLog.read")
+    val plannedN = ManifestBatchSource.lastPlannedFiles.get()
+    assert(plannedN >= 1 && plannedN <= 3, s"zone maps should plan ~2 files, got $plannedN")
+    val reads = ManifestBatchSource.dvPartReads.get()
+    val skips = ManifestBatchSource.dvPartSkips.get()
+    // each planned partition's tombstones live in one contiguous slice:
+    // at most 2 sidecar parts (a boundary split), everything else is a
+    // footer-only skip — O(own DV bytes), not O(all)
+    assert(reads <= 2 * plannedN,
+      s"probe opened $reads DV parts for $plannedN files — reading foreign tombstones")
+    assert(reads + skips == plannedN * dvParts,
+      s"every DV part must be either skipped or read: $reads + $skips != $plannedN * $dvParts")
+    assert(skips >= plannedN * dvParts - 2 * plannedN,
+      s"footer pruning barely skipped anything: $skips of ${plannedN * dvParts}")
+  }
+
   test("write face: df.write append bootstraps then composes versions, overwrite is a versioned replace, constraints still gate — all via the existing commit machinery") {
     val dir = Files.createTempDirectory("mbs-write").toString
     val fmt = classOf[ManifestBatchSource].getName
