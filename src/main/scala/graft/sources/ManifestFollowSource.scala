@@ -389,6 +389,26 @@ private[sources] class ManifestGroupRowReader(
               case other => throw new IllegalStateException(
                 s"manifest-follow: timestamp column '${f.name}' with annotation $other unsupported")
             }
+          case (d: DecimalType, INT32 | INT64 | BINARY | FIXED_LEN_BYTE_ARRAY) =>
+            // decimals arrive as their unscaled integer in the FILE's
+            // own (precision, scale) annotation; realign to the table
+            // scale (the widening lattice, same as int promotion)
+            pt.getLogicalTypeAnnotation match {
+              case dec: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                val unscaled = prim match {
+                  case INT32 => java.math.BigInteger.valueOf(g.getInteger(idx, 0).toLong)
+                  case INT64 => java.math.BigInteger.valueOf(g.getLong(idx, 0))
+                  case _     => new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+                }
+                val out = org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(unscaled, dec.getScale))
+                if (!out.changePrecision(d.precision, d.scale))
+                  throw new IllegalStateException(
+                    s"manifest-follow: decimal '${f.name}' value overflows ${d.simpleString}")
+                out
+              case other => throw new IllegalStateException(
+                s"manifest-follow: decimal column '${f.name}' with annotation $other unsupported")
+            }
           case (dt, p) => throw new IllegalStateException(
             s"manifest-follow: column '${f.name}' $p -> ${dt.simpleString} unsupported — " +
               "use ManifestLog.follow")
