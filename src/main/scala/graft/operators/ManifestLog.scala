@@ -1430,14 +1430,17 @@ object ManifestLog {
   def diff(spark: SparkSession, path: String, vFrom: Int,
            vTo: Int): (DataFrame, DataFrame) = {
     // explicit versions only — snapshot()'s v<=0 latest-fallback would
-    // silently diff the wrong pair
-    require(vFrom >= 1 && vTo >= 1, s"diff needs explicit versions, got $vFrom -> $vTo")
+    // silently diff the wrong pair. vFrom = 0 is the EMPTY table (the
+    // pre-creation state), so diff(0, v) is a bootstrap: added = all of
+    // v's live rows, removed = nothing.
+    require(vFrom >= 0 && vTo >= 1, s"diff needs explicit versions, got $vFrom -> $vTo")
     // identity is (file, dv): a MOR delete changes no file list, only
     // a dv pointer — the pair-diff reads that file on both sides (old
     // DV vs merged DV) and EXCEPT-ALL leaves exactly the newly dead
     // rows; unchanged (file, dv) pairs are never read
     def fileDvs(v: Int): Map[String, String] =
-      snapshot(spark, path, v).collect()
+      if (v == 0) Map.empty
+      else snapshot(spark, path, v).collect()
         .map(r => r.getString(0) -> r.getString(4)).toMap
     val from = fileDvs(vFrom)
     val to = fileDvs(vTo)
@@ -1491,17 +1494,26 @@ object ManifestLog {
     * nothing. An upsert surfaces as delete+insert of the changed rows,
     * like Delta CDF without the update_pre/postimage refinement
     * (documented). Multiset semantics per version, same as diff.
+    *
+    * `afterVersion = 0` bootstraps from the EMPTY pre-creation state:
+    * the feed then opens with v1's rows as inserts (Delta's
+    * `startingVersion = 1`), so a consumer can build the table from
+    * the feed alone — the SQL face ([[graft.sources.ManifestBatchSource]])
+    * maps its inclusive `startingVersion` option straight onto this.
     */
   def changeFeed(spark: SparkSession, path: String,
                  afterVersion: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val fromV = afterVersion
-    require(fromV >= 1 && toV >= fromV, s"changeFeed needs 1 <= afterVersion <= toV, got $fromV..$toV")
+    require(fromV >= 0 && toV >= fromV && toV >= 1,
+      s"changeFeed needs 0 <= afterVersion <= toV, toV >= 1, got $fromV..$toV")
     val vs = versions(spark, path).filter(v => v > fromV && v <= toV)
     require(vs.nonEmpty || fromV == toV,
       s"no versions in ($fromV, $toV] under $path (vacuumed?)")
     val frames = vs.flatMap { v =>
-      require(versions(spark, path).contains(v - 1),
+      // v's predecessor is either the always-available empty table
+      // (v = 1) or a still-live snapshot
+      require(v == 1 || versions(spark, path).contains(v - 1),
         s"changeFeed cannot diff v$v: its predecessor was vacuumed")
       val (added, removed) = diff(spark, path, v - 1, v)
       Seq(

@@ -69,7 +69,12 @@ class ManifestBatchSource extends TableProvider {
     val path = options.get("path")
     require(path != null && path.nonEmpty, "manifest batch source needs a 'path' option")
     val spark = SparkSession.active
-    ManifestLog.read(spark, path,
+    if (ManifestBatchSource.isChangeFeed(options)) {
+      val (fromV, toV) = ManifestBatchSource.resolveCdcRange(spark, path, options)
+      // plan-analysis only (no execution): the feed's schema carries
+      // the widening-aligned union across the range + the CDF columns
+      ManifestLog.changeFeed(spark, path, fromV, toV).schema
+    } else ManifestLog.read(spark, path,
       ManifestBatchSource.resolveVersion(spark, path, options)).schema
   }
 
@@ -78,7 +83,10 @@ class ManifestBatchSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     val spark = SparkSession.active
-    new ManifestBatchTable(path,
+    if (ManifestBatchSource.isChangeFeed(opts)) {
+      val (fromV, toV) = ManifestBatchSource.resolveCdcRange(spark, path, opts)
+      new ManifestChangeFeedTable(path, fromV, toV, schema)
+    } else new ManifestBatchTable(path,
       ManifestBatchSource.resolveVersion(spark, path, opts), schema,
       Option(opts.get("statsCol")),
       Option(opts.get("files")).map(_.toInt))
@@ -99,6 +107,44 @@ object ManifestBatchSource {
     if (versionAsOf >= 1) r = r.option("versionAsOf", versionAsOf.toString)
     if (timestampAsOf != null) r = r.option("timestampAsOf", timestampAsOf)
     r.load()
+  }
+
+  /** CDC through the face: `readChangeFeed(spark, dir, startingVersion = 2)`
+    * (endingVersion −1 = head). Inclusive bounds, the Delta shape.
+    */
+  def readChangeFeed(spark: SparkSession, path: String, startingVersion: Int,
+                     endingVersion: Int = -1): DataFrame = {
+    var r = spark.read.format(classOf[ManifestBatchSource].getName)
+      .option("path", path)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", startingVersion.toString)
+    if (endingVersion >= 1) r = r.option("endingVersion", endingVersion.toString)
+    r.load()
+  }
+
+  private[sources] def isChangeFeed(opts: CaseInsensitiveStringMap): Boolean =
+    "true".equalsIgnoreCase(opts.get("readChangeFeed"))
+
+  /** Map the face's INCLUSIVE Delta-shaped `startingVersion` /
+    * `endingVersion` options onto [[ManifestLog.changeFeed]]'s
+    * exclusive-start cursor: (startingVersion − 1, endingVersion].
+    * `startingVersion = 1` bootstraps from the empty table (v1's rows
+    * arrive as inserts); `endingVersion` defaults to the current head.
+    */
+  private[sources] def resolveCdcRange(spark: SparkSession, path: String,
+                                       opts: CaseInsensitiveStringMap): (Int, Int) = {
+    require(opts.get("versionAsOf") == null && opts.get("timestampAsOf") == null,
+      "readChangeFeed and versionAsOf/timestampAsOf are mutually exclusive " +
+        "(the feed's range IS its version selection)")
+    val start = Option(opts.get("startingVersion")).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        "readChangeFeed needs a 'startingVersion' option (inclusive; 1 = from table creation)"))
+    require(start >= 1, s"startingVersion must be >= 1, got $start")
+    val end = Option(opts.get("endingVersion")).map(_.toInt)
+      .getOrElse(ManifestLog.currentVersion(spark, path))
+    require(end >= start,
+      s"endingVersion $end precedes startingVersion $start")
+    (start - 1, end)
   }
 
   private[sources] def resolveVersion(spark: SparkSession, path: String,
@@ -279,6 +325,59 @@ private[sources] class ManifestBatchTable(path: String, version: Int,
                 ManifestLog.append(data, sc, path, filesOpt.getOrElse(8))
             }
           }
+      }
+    }
+}
+
+/** The CDC face (`option("readChangeFeed", "true")`): a read-only
+  * table whose scan IS [[ManifestLog.changeFeed]], bridged through
+  * [[org.apache.spark.sql.connector.read.V1Scan]] — the read-side
+  * mirror of the write path's V1Write bridge. The bridge is the right
+  * shape here because a change feed is not a per-file map: each
+  * version's changes are an EXCEPT-ALL over its changed (file, dv)
+  * pairs — a genuinely distributed plan that Spark should own, not a
+  * partition-reader loop. buildScan hands back that plan's RDD
+  * lazily; the only driver-side work is the metadata-sized version
+  * walk changeFeed already does.
+  *
+  * Scale shape: cost is proportional to the CHANGED pairs in the
+  * range (an append costs its new files, a MOR delete its repointed
+  * files), never the table. No column pruning through this face —
+  * CDC output is change-sized, and the feed's schema is the
+  * widening-aligned union across the range, which pruning would
+  * complicate for no scan savings (the underlying diff must read
+  * full rows for identity anyway).
+  */
+private[sources] class ManifestChangeFeedTable(path: String, fromV: Int,
+                                               toV: Int, schema0: StructType)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.SQLContext
+  import org.apache.spark.sql.connector.read.V1Scan
+  import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+
+  override def name(): String = s"manifest_cdf($path@(v$fromV,v$toV])"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema0
+        override def description(): String = name()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = schema0
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              import org.apache.spark.sql.functions.col
+              // reselect in declared order: V1 bridge zips rows with
+              // readSchema positionally
+              ManifestLog.changeFeed(context.sparkSession, path, fromV, toV)
+                .select(schema0.fieldNames.toIndexedSeq.map(col): _*).rdd
+            }
+          }.asInstanceOf[T]
       }
     }
 }

@@ -224,4 +224,67 @@ class ManifestBatchSourceSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("v3"), ex.getMessage)
   }
+
+  test("readChangeFeed face == ManifestLog.changeFeed frame-for-frame across append/MOR-delete/merge/restore; startingVersion=1 bootstraps; net identity rebuilds the head") {
+    val dir = Files.createTempDirectory("mbs-cdc").toString
+    ManifestLog.write(li.limit(80), "l_orderkey", dir, files = 2)                          // v1
+    ManifestLog.append(li.limit(120).except(li.limit(80)), "l_orderkey", dir, files = 2)   // v2
+    val keys = ManifestLog.read(spark, dir).select("l_orderkey").distinct().limit(5)
+    val (_, deleted) = ManifestLog.deleteMor(keys, "l_orderkey", dir)                      // v3
+    assert(deleted > 0L, "fixture: the MOR delete must tombstone rows")
+    val upd = ManifestLog.read(spark, dir)
+      .orderBy("l_orderkey", "l_partkey").limit(3)
+      .withColumn("l_quantity", col("l_quantity") * 2)
+    val (rewrote, _) = ManifestLog.merge(upd, "l_orderkey", dir)                           // v4
+    assert(rewrote > 0, "fixture: the merge must rewrite at least one file")
+    ManifestLog.restore(spark, dir, 2)                                                     // v5
+    val head = ManifestLog.currentVersion(spark, dir)
+    assert(head == 5)
+
+    // frame-for-frame vs the Scala feed, every version kind in range:
+    // append (v2), MOR delete (v3), merge (v4), restore (v5)
+    assert(canon(ManifestBatchSource.readChangeFeed(spark, dir, startingVersion = 2)) ==
+      canon(ManifestLog.changeFeed(spark, dir, 1, head)),
+      "face CDC diverged from ManifestLog.changeFeed over the full range")
+    assert(canon(ManifestBatchSource.readChangeFeed(spark, dir, 3, endingVersion = 4)) ==
+      canon(ManifestLog.changeFeed(spark, dir, 2, 4)),
+      "face CDC diverged on a bounded subrange")
+
+    // startingVersion = 1: the feed opens with v1's rows as inserts
+    val boot = ManifestBatchSource.readChangeFeed(spark, dir, 1)
+    val body = boot.columns.filterNot(
+      c => c == "_change_type" || c == "_commit_version").toSeq
+    assert(canon(boot.filter(col("_commit_version") === 1)
+        .select(body.map(col): _*)) ==
+      canon(ManifestLog.read(spark, dir, version = 1)),
+      "bootstrap v1 inserts != v1 table state")
+    assert(boot.filter(col("_commit_version") === 1 &&
+      col("_change_type") === "delete").count() == 0)
+
+    // net identity: inserts ∖ deletes (multiset) over the whole feed
+    // rebuilds the head — the consumer-side replay guarantee
+    val net = boot.filter(col("_change_type") === "insert").select(body.map(col): _*)
+      .exceptAll(boot.filter(col("_change_type") === "delete").select(body.map(col): _*))
+    assert(canon(net) == canon(ManifestLog.read(spark, dir)),
+      "replaying the feed did not reconstruct the head")
+
+    // the face is plain SQL from here
+    boot.createOrReplaceTempView("graft_cdf_t")
+    val byType = spark.sql(
+      """SELECT _change_type, COUNT(*) AS n FROM graft_cdf_t
+        |GROUP BY _change_type ORDER BY _change_type""".stripMargin).collect()
+    assert(byType.map(_.getString(0)).toSeq == Seq("delete", "insert"))
+
+    // option validation: startingVersion required; time travel excluded
+    val fmt = classOf[ManifestBatchSource].getName
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", dir)
+        .option("readChangeFeed", "true").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", dir)
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .option("versionAsOf", "3").load()
+    }
+  }
 }
