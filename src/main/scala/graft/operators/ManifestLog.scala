@@ -115,7 +115,10 @@ object ManifestLog {
       val in = f.open(marker)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      if (content.nonEmpty) return Some(s"${logDir(path)}/$content")
+      // line 1 = payload name; later lines carry commit metadata (the
+      // streaming sink's txn marker) — never part of the payload path
+      if (content.nonEmpty)
+        return Some(s"${logDir(path)}/${content.linesIterator.next().trim}")
       tries += 1
       Thread.sleep(5)
     }
@@ -182,9 +185,14 @@ object ManifestLog {
     */
   private def tryCommit(spark: SparkSession, path: String, v: Int,
                         rows0: Seq[org.apache.spark.sql.Row],
-                        schema0: org.apache.spark.sql.types.StructType): Boolean = {
+                        schema0: org.apache.spark.sql.types.StructType,
+                        txn: Option[(String, Long)] = None): Boolean = {
     val (rows, schema) = harmonize(rows0, schema0)
     val payload = "s-" + java.util.UUID.randomUUID().toString.take(12)
+    // txn marker (streaming epoch idempotence) rides INSIDE the pointer
+    // file, so it is exactly as atomic and exactly as durable as the
+    // commit itself — no second write to crash between
+    val body = payload + txn.map { case (app, e) => s"\ntxn:$app:$e" }.getOrElse("")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"${logDir(path)}/$payload")
     val f = fs(spark, path)
@@ -202,11 +210,11 @@ object ManifestLog {
         val local = java.nio.file.Paths.get(f.makeQualified(marker).toUri.getPath)
         java.nio.file.Files.createFile(local) // throws FileAlreadyExists atomically
         java.nio.file.Files.write(local,
-          payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.WRITE)
       } else {
         val out = f.create(marker, false) // throws if v already exists
-        try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
       // a committer stalled past resolvePayload's repair grace between
@@ -742,6 +750,92 @@ object ManifestLog {
           committed = tryCommit(spark, path, v + 1, old ++ freshRows, st.schema)
       }
     }
+  }
+
+  /** The most recent streaming epoch `appId` committed into this
+    * table (Delta's SetTransaction/txnVersion discipline): walk the
+    * version pointers head→1 and return the first txn marker naming
+    * `appId`. Metadata-sized — one tiny pointer-file read per walked
+    * version, and in steady state the marker sits at or near the head.
+    * Markers expire WITH their versions at [[vacuum]], so epoch-replay
+    * protection holds exactly as long as the table's vacuum retention
+    * — the same lag contract [[follow]] already imposes on consumers.
+    */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val f = fs(spark, path)
+    versions(spark, path).reverseIterator.map { v =>
+      val marker = new org.apache.hadoop.fs.Path(vDir(path, v))
+      try {
+        if (f.getFileStatus(marker).isDirectory) None // legacy dir version
+        else {
+          val in = f.open(marker)
+          val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          content.linesIterator.drop(1).collectFirst {
+            case l if l.startsWith("txn:") =>
+              val bodyTxn = l.stripPrefix("txn:")
+              val i = bodyTxn.lastIndexOf(':')
+              (bodyTxn.take(i), bodyTxn.drop(i + 1).trim.toLong)
+          }.collect { case (app, e) if app == appId => e }
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    }.collectFirst { case Some(e) => e }
+  }
+
+  /** EPOCH-IDEMPOTENT append — the streaming write face's commit
+    * primitive (`df.writeStream.format(manifest)` routes here, epoch =
+    * the micro-batch id). Exactly [[append]] (bootstrapping the table
+    * on first contact), except the commit carries a `(appId, epoch)`
+    * txn marker and a replayed epoch is a VERSION-LEVEL NO-OP: if
+    * `appId` has already committed `epoch` (or later), nothing is
+    * written and no version is published — so foreachBatch's
+    * at-least-once replays collapse to exactly-once table versions.
+    * Returns true if the epoch committed, false for the no-op.
+    *
+    * The epoch screen re-runs INSIDE the CAS retry loop: two replays
+    * of the same epoch racing each other serialize on the version
+    * CAS, and the loser re-checks, sees the epoch recorded, deletes
+    * its orphaned batch files and aborts — never a double-append.
+    */
+  def appendStream(df: DataFrame, statsCol: String, path: String,
+                   files: Int, appId: String, epoch: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    require(appId.nonEmpty && !appId.contains('\n') && !appId.contains('\r'),
+      "txn appId must be a non-empty single-line string")
+    val spark = df.sparkSession
+    if (lastTxn(spark, path, appId).exists(_ >= epoch)) return false
+    if (currentVersion(spark, path) == 0) writeMeta(spark, path, statsCol)
+    checkStatsCol(spark, path, statsCol)
+    val batchDir = newBatchDir(path)
+    df.repartitionByRange(files, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.parquet(batchDir)
+    val fresh = listDataFiles(spark, batchDir).toSeq.sorted
+    try enforceConstraints(spark, path, fresh)
+    catch { case e: Throwable =>
+      fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+      throw e
+    }
+    val st = statsOfRewrite(spark, path, fresh, statsCol)
+    val freshRows = st.collect().toSeq
+    var committed = false
+    while (!committed) {
+      if (lastTxn(spark, path, appId).exists(_ >= epoch)) {
+        fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+        return false
+      }
+      val v = currentVersion(spark, path)
+      val old =
+        if (v == 0) Some(Seq.empty[org.apache.spark.sql.Row])
+        else headRows(spark, path, v)
+      old match {
+        case None      => () // crashed head repaired — re-read and retry
+        case Some(o) =>
+          committed = tryCommit(spark, path, v + 1, o ++ freshRows, st.schema,
+            txn = Some((appId, epoch)))
+      }
+    }
+    true
   }
 
   /** Does a manifest table live at `path` — either data versions or a

@@ -63,7 +63,37 @@ import graft.operators.ManifestLog
   * (session-zone-free SQL form) or ISO-8601 instants, mapped through
   * [[ManifestLog.versionAsOf]]'s monotone effective-timestamp rule.
   */
-class ManifestBatchSource extends TableProvider {
+class ManifestBatchSource extends TableProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
+
+  /** The STREAMING write face: `df.writeStream.format(manifest)
+    * .option("path", dir).option("checkpointLocation", ck)` — epoch-id
+    * idempotent through [[ManifestLog.appendStream]] (a replayed
+    * micro-batch is a version-level no-op, so at-least-once delivery
+    * collapses to exactly-once table versions). Spark routes streaming
+    * writes here because [[ManifestBatchTable]] deliberately does NOT
+    * claim STREAMING_WRITE: a manifest commit is a driver-side
+    * DataFrame operation (range-clustered write + stats + constraint
+    * gate + pointer CAS), so the V1 Sink bridge — one whole-batch
+    * DataFrame per epoch, the same cadence foreachBatch gives — is the
+    * honest integration, exactly like the batch face's V1Write bridge.
+    * Append mode only; Complete/Update want [[ManifestLog.replace]] /
+    * [[ManifestLog.merge]] semantics a user should choose explicitly
+    * via foreachBatch.
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"manifest streaming sink supports Append mode only, got $outputMode " +
+        "(Complete = ManifestLog.replace, Update = ManifestLog.merge — choose via foreachBatch)")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("manifest streaming sink needs a 'path' option"))
+    new ManifestStreamSink(path, parameters.get("statsCol"),
+      parameters.get("files").map(_.toInt).getOrElse(8),
+      parameters.get("txnAppId"))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
@@ -380,6 +410,42 @@ private[sources] class ManifestChangeFeedTable(path: String, fromV: Int,
           }.asInstanceOf[T]
       }
     }
+}
+
+/** V1 streaming sink for manifest tables (the DeltaSink shape): one
+  * whole-batch DataFrame per micro-batch, committed through
+  * [[ManifestLog.appendStream]] with (queryId, batchId) as the txn key
+  * — the epoch marker rides inside the version pointer, atomic with
+  * the commit, so a crash anywhere between sink success and Spark's
+  * offset commit replays into a version-level no-op. The incoming
+  * frame is re-planned as a batch frame first (it arrives streaming-
+  * flagged on the micro-batch's IncrementalExecution).
+  */
+private[sources] class ManifestStreamSink(path: String,
+                                          statsColOpt: Option[String],
+                                          files: Int,
+                                          txnAppIdOpt: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the query id is checkpoint-stable across restarts — exactly the
+    // replay-identity the txn marker needs; txnAppId overrides for
+    // several queries feeding one table (or direct use outside a query)
+    val appId = txnAppIdOpt
+      .orElse(Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+      .getOrElse(throw new IllegalArgumentException(
+        "manifest streaming sink: no streaming query id on this thread — pass a 'txnAppId' option"))
+    val sc = statsColOpt
+      .orElse(ManifestLog.statsColumn(spark, path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"streaming into a NEW manifest table at $path needs a 'statsCol' option " +
+          "(the range-clustering / upsert key column)"))
+    val batch = org.apache.spark.sql.graftbridge.ColumnBridge.asBatch(data)
+    ManifestLog.appendStream(batch, sc, path, files, appId, batchId)
+  }
+
+  override def toString: String = s"ManifestStreamSink[$path]"
 }
 
 /** Scan builder with the two scale levers a 100 TB table needs from

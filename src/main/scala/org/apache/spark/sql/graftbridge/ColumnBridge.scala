@@ -20,4 +20,17 @@ object ColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-plan a V1 streaming sink's `addBatch` frame as an honest BATCH
+    * DataFrame (the DeltaSink discipline): the incoming frame rides the
+    * micro-batch's IncrementalExecution and still carries the streaming
+    * flag, so `df.write` and batch-only operators refuse it. Take the
+    * already-planned physical rows and rebind them under a batch plan.
+    * Rows are buffered unsafe projections — copy before reuse.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+  }
 }
