@@ -70,7 +70,7 @@ object ScaleBench {
     "dedup_semantic_seq",
     "text_quality_classifier", "lake_sql_read", "mm_phash_dedup",
     "mm_phash_incremental", "ev_attribution_u_shape", "mm_phash_dedup_wide",
-    "lake_time_travel", "lake_change_feed")
+    "lake_time_travel", "lake_change_feed", "mm_phash_dedup_auto")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -415,6 +415,30 @@ object Verify {
         got == want
       }
 
+      // mm_phash_dedup_auto: rows-only by design (band offsets depend
+      // on a runtime corpus count) — the oracle stand-in is PAIR
+      // RECALL vs the PINNED wide tier (whose pairs ARE hash-checked
+      // against DuckDB's arithmetic pixel pipeline): the auto banding
+      // must re-find the oracle-checked near-dup set, and every pair
+      // it reports must sit within the shared Hamming threshold.
+      val (phashAutoRecall, phashAutoVerified, phashAutoBitsUsed) = {
+        val auto = graft.SparkEntry.queries("mm_phash_dedup_auto")(spark, sfDir)
+          .collect()
+        val wide = graft.SparkEntry.queries("mm_phash_dedup_wide")(spark, sfDir)
+          .collect()
+        val autoPairs = auto.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val widePairs = wide.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rec =
+          if (widePairs.isEmpty) 1.0
+          else widePairs.count(autoPairs).toDouble / widePairs.size
+        val okT = auto.forall(
+          _.getLong(2) <= graft.operators.AnnQueries.MmPhashWideHammingT)
+        val bits = graft.operators.AnnQueries.phashAutoBits(
+          graft.sources.Tables.cachedCount(spark, sfDir, "documents"))
+        (rec, okT, bits)
+      }
+      val phashAutoFloor = 0.9
+
       // agg_corr: the hi/lo split's cross-engine agreement assumes
       // NON-NEGATIVE measures (Spark `div` truncates toward zero,
       // DuckDB `//` floors — identical only on non-negatives). The
@@ -538,6 +562,10 @@ object Verify {
          | "pass": $semMatch},
          | "dedup_semantic_seq": {"metric": "admission_verdicts_equal_greedy_reference",
          | "pass": $semSeqMatch},
+         | "mm_phash_dedup_auto": {"metric": "pair_recall_vs_pinned_wide_tier_and_threshold",
+         | "value": $phashAutoRecall, "floor": $phashAutoFloor,
+         | "auto_band_bits": $phashAutoBitsUsed, "all_within_threshold": $phashAutoVerified,
+         | "pass": ${phashAutoRecall >= phashAutoFloor && phashAutoVerified}},
          | "emb_pca_project": {"metric": "max_projvar_vs_eigenvalue_err", "value": $varErr,
          | "ceiling": $pcaCeil, "ortho_err": $orthoErr, "eig_desc": $eigDesc,
          | "explained_variance_ratio": $pcaExplained, "explained_floor": $pcaExplFloor,

@@ -82,6 +82,40 @@ object AnnQueries {
     */
   val MmPhashWideHammingT = 16L
 
+  /** Band-bits policy for the AUTO phash tier (`mm_phash_dedup_auto`)
+    * — the SemDedup [[graft.ann.SemDedup.autoBits]] precedent applied
+    * to the image family: candidate volume grows as n²·B/2^bits, so
+    * holding expected per-key collisions near `target` means
+    * bits ≈ log₂(n / target). Clamped to [8, 16]: 8 is the narrow
+    * tier's recall-maximal width, 16 the widest slice the 128-bit
+    * code yields 8 disjoint bands from. The dial MOVES with the
+    * corpus — at sf0.01 it sits at 8 (maximum recall on a small
+    * fixture), at ~1.6 M images it reaches the wide tier's 16 — which
+    * is exactly what retires the n²/2^bits growth term without a
+    * hand-chosen constant.
+    */
+  def phashAutoBits(n: Long, target: Int = 24): Int =
+    math.max(8, math.min(16, math.ceil(
+      math.log(math.max(n.toDouble / target, 1.0)) / math.log(2.0)).toInt))
+
+  /** A `width`-bit slice of the 128-bit (ph1 ‖ ph2, ph1 low) code at
+    * bit `offset` — the auto tier's band key. Offsets may straddle the
+    * long boundary; all shifts are plan-time literals.
+    */
+  private[graft] def phashSlice128(ph1: org.apache.spark.sql.Column,
+                                   ph2: org.apache.spark.sql.Column,
+                                   offset: Int, width: Int): org.apache.spark.sql.Column = {
+    require(offset >= 0 && width >= 1 && width <= 62 && offset + width <= 128)
+    val mask = lit((1L << width) - 1)
+    if (offset + width <= 64)
+      shiftrightunsigned(ph1, offset).bitwiseAND(mask)
+    else if (offset >= 64)
+      shiftrightunsigned(ph2, offset - 64).bitwiseAND(mask)
+    else
+      shiftrightunsigned(ph1, offset)
+        .bitwiseOR(shiftleft(ph2, 64 - offset)).bitwiseAND(mask)
+  }
+
   /** Probe a (doc_id, phash) code index with a crawl batch's codes —
     * the image arm of the incremental-dedup family. Candidates come
     * from the 8×8 banded keys; the index side joins against a
@@ -704,6 +738,43 @@ object AnnQueries {
               struct(lit(b).as("band"),
                 shiftrightunsigned(if (b < 4) col("ph1") else col("ph2"),
                   16 * (b % 4)).bitwiseAND(lit(65535L)).as("bkey"))): _*)).as("bb"))
+          .select(col(idAs), col(p1), col(p2),
+            col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      banded("doc_a", "a1", "a2").join(banded("doc_b", "b1", "b2"),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "a1", "a2", "b1", "b2").distinct()
+        .withColumn("hamming", graft.functions.VectorExpressions.codeHamming(
+          array(col("a1"), col("a2")), array(col("b1"), col("b2"))).cast("long"))
+        .filter(col("hamming") <= MmPhashWideHammingT)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // AUTO-BANDED perceptual-hash dedup — the PRODUCTION
+    // parameterization of the family: band width auto-tunes to
+    // ~log2(n/24) (phashAutoBits, the dedup_semantic_auto precedent),
+    // so per-key candidate volume stays bounded as the corpus grows
+    // WITHOUT the wide tier's hand-chosen constants. Bands are
+    // floor(128/bits) disjoint bits-wide slices of the same
+    // dHash‖aHash code (at bits=16 this IS the wide tier's banding);
+    // candidates verify with the same multi-long CodeHamming at the
+    // wide threshold. Rows-only by design — runtime-count-dependent
+    // band offsets aren't SQL-mirrorable — with a pair-recall
+    // invariant vs the PINNED wide tier in Verify standing in for
+    // the oracle, like the ANN recall floors.
+    "mm_phash_dedup_auto" -> { (s, d) =>
+      val ids = Tables.documents(s, d).select("doc_id")
+      val bits = phashAutoBits(Tables.cachedCount(s, d, "documents"))
+      val bands = 128 / bits
+      val hashed = Multimodal.bmpDHash128(
+        Multimodal.attachSynthBmp(ids, "doc_id", "bin"), "bin", "doc_id")
+      def banded(idAs: String, p1: String, p2: String) =
+        hashed.select(col("doc_id").as(idAs), col("ph1").as(p1), col("ph2").as(p2),
+            explode(array((0 until bands).map(b =>
+              struct(lit(b).as("band"),
+                phashSlice128(col("ph1"), col("ph2"), b * bits, bits)
+                  .as("bkey"))): _*)).as("bb"))
           .select(col(idAs), col(p1), col(p2),
             col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       banded("doc_a", "a1", "a2").join(banded("doc_b", "b1", "b2"),

@@ -474,6 +474,50 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { bmpDHashBytes(notBmp) }
   }
 
+  test("auto-banded phash tier: the bits dial scales with n and clamps to [8,16]; slices reproduce the wide banding at 16 bits and straddle the long boundary correctly; at sf0.001 the auto pairs contain every wide pair within the threshold") {
+    import graft.operators.AnnQueries
+    // the policy: log2(n/24), clamped — 16 only at corpus scale
+    assert(AnnQueries.phashAutoBits(10) == 8 && AnnQueries.phashAutoBits(600) == 8)
+    assert(AnnQueries.phashAutoBits(60000) == 12)
+    assert(AnnQueries.phashAutoBits(600000) == 15)
+    assert(AnnQueries.phashAutoBits(2000000) == 16)
+    assert(AnnQueries.phashAutoBits(1L << 40) == 16, "must clamp at the wide tier")
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    import org.apache.spark.sql.functions._
+
+    // slice extraction vs reference arithmetic, incl. a straddling slice
+    val ph1 = 0x123456789ABCDEF0L
+    val ph2 = 0x0FEDCBA987654321L
+    val df = spark.range(1).select(lit(ph1).as("p1"), lit(ph2).as("p2"))
+    def sliceVal(o: Int, w: Int): Long =
+      df.select(AnnQueries.phashSlice128(col("p1"), col("p2"), o, w)).head().getLong(0)
+    for (k <- 0 until 8) { // bits=16 reproduces the wide tier's banding
+      val want = if (k < 4) (ph1 >>> (16 * k)) & 0xFFFF else (ph2 >>> (16 * (k - 4))) & 0xFFFF
+      assert(sliceVal(16 * k, 16) == want, s"band $k")
+    }
+    assert(sliceVal(60, 8) == (((ph1 >>> 60) | (ph2 << 4)) & 0xFF),
+      "straddling slice misassembled")
+    assert(sliceVal(120, 8) == ((ph2 >>> 56) & 0xFF))
+
+    // at sf0.001 the dial sits at 8 bits: bands are strict refinements
+    // of the wide tier's 16-bit slices, so every wide pair re-surfaces
+    // (the Verify invariant's recall is exactly 1 here) and every auto
+    // pair verifies within the shared threshold
+    val d = "/root/testdata/sf0.001"
+    val auto = graft.SparkEntry.queries("mm_phash_dedup_auto")(spark, d).collect()
+    val wide = graft.SparkEntry.queries("mm_phash_dedup_wide")(spark, d).collect()
+    val autoPairs = auto.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val widePairs = wide.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(widePairs.subsetOf(autoPairs),
+      s"auto tier lost ${widePairs.diff(autoPairs).size} wide pairs at 8-bit bands")
+    assert(auto.forall(_.getLong(2) <= AnnQueries.MmPhashWideHammingT))
+    assert(autoPairs.nonEmpty)
+  }
+
   test("incremental phash admission probes a PERSISTED code index identically to the in-query corpus codes") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
