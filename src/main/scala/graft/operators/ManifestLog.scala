@@ -143,6 +143,14 @@ object ManifestLog {
     readPayloadDir(spark, snapshotDir(spark, path, v))
   }
 
+  /** Snapshot type of the `xs` column: per-file (column, lo, hi)
+    * zone-map triples for every clustered axis PAST the second —
+    * always LONG bounds (integral clustering columns only, one
+    * canonical manifest type). NULL array or missing entry = unknown
+    * = the pruners keep the file.
+    */
+  private[operators] val XsSqlType = "array<struct<c:string,lo:bigint,hi:bigint>>"
+
   private def normalizeSnap(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     var out = df
@@ -154,7 +162,10 @@ object ManifestLog {
     if (!out.columns.contains("lo2"))
       out = out.withColumn("lo2", lit(null).cast("long"))
         .withColumn("hi2", lit(null).cast("long"))
-    out.select("file", "lo", "hi", "rows", "dv", "lo2", "hi2")
+    // xs: third+ clustered axes' triples (Hilbert-3/4 tables)
+    if (!out.columns.contains("xs"))
+      out = out.withColumn("xs", lit(null).cast(XsSqlType))
+    out.select("file", "lo", "hi", "rows", "dv", "lo2", "hi2", "xs")
   }
 
   /** Payload parquet reads — the unit the log-checkpoint design
@@ -388,6 +399,7 @@ object ManifestLog {
       .withColumn("dv", lit(null).cast("string"))
       .withColumn("lo2", lit(null).cast("long"))
       .withColumn("hi2", lit(null).cast("long"))
+      .withColumn("xs", lit(null).cast(XsSqlType))
   }
 
   /** The clustering (second stats) column registered for a table, if
@@ -396,6 +408,22 @@ object ManifestLog {
   private def statsCol2Of(spark: SparkSession, path: String): Option[String] =
     readMetaLines(spark, path)
       .collectFirst { case l if l.startsWith("statsCol2=") => l.stripPrefix("statsCol2=").trim }
+
+  /** Clustered axes PAST the second (Hilbert-3/4 tables) — the columns
+    * whose per-file (lo, hi) triples live in the snapshot's `xs`
+    * column. Empty on 1- and 2-axis tables.
+    */
+  private def statsColsXOf(spark: SparkSession, path: String): Seq[String] =
+    readMetaLines(spark, path)
+      .collectFirst { case l if l.startsWith("statsColsX=") =>
+        l.stripPrefix("statsColsX=").split(',').map(_.trim).filter(_.nonEmpty).toSeq }
+      .getOrElse(Seq.empty)
+
+  /** Public face of [[statsColsXOf]] — the SQL face's scan builder
+    * reads it to admit pushed predicates on every clustered axis.
+    */
+  def statsColumnsX(spark: SparkSession, path: String): Seq[String] =
+    statsColsXOf(spark, path)
 
   /** Fresh-file stats for a REWRITE (compact/merge/COW delete): on a
     * clustered table the rewriter has the rows in hand anyway, so it
@@ -410,7 +438,9 @@ object ManifestLog {
                              files: Seq[String], statsCol: String): DataFrame =
     statsCol2Of(spark, path) match {
       case Some(c2) if spark.read.parquet(files: _*).columns.contains(c2) =>
-        statsOf2(spark, files, statsCol, c2)
+        val xsCols = statsColsXOf(spark, path)
+          .filter(spark.read.parquet(files: _*).columns.contains)
+        statsOfN(spark, files, statsCol, c2, xsCols)
       case _ => statsOf(spark, files, statsCol)
     }
 
@@ -419,16 +449,36 @@ object ManifestLog {
     * type keeps every commit's snapshot schema stable).
     */
   private def statsOf2(spark: SparkSession, files: Seq[String],
-                       statsCol: String, statsCol2: String): DataFrame = {
+                       statsCol: String, statsCol2: String): DataFrame =
+    statsOfN(spark, files, statsCol, statsCol2, Seq.empty)
+
+  /** N-column stats: primary lo/hi, LONG lo2/hi2 for the second axis,
+    * and one (col, lo, hi) triple per FURTHER clustered axis in `xs` —
+    * all from the ONE pass over the fresh files the writer makes
+    * anyway. Empty `xsCols` keeps `xs` NULL (the 2-axis shape,
+    * byte-compatible with every pre-xs snapshot consumer).
+    */
+  private def statsOfN(spark: SparkSession, files: Seq[String],
+                       statsCol: String, statsCol2: String,
+                       xsCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(files: _*)
+    val base = spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
-        count(lit(1)).as("rows"),
-        min(col(statsCol2)).cast("long").as("lo2"),
-        max(col(statsCol2)).cast("long").as("hi2"))
+    val head = Seq(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+      count(lit(1)).as("rows"),
+      min(col(statsCol2)).cast("long").as("lo2"),
+      max(col(statsCol2)).cast("long").as("hi2"))
+    val agged =
+      if (xsCols.isEmpty)
+        base.agg(head.head, head.tail: _*)
+          .withColumn("xs", lit(null).cast(XsSqlType))
+      else base.agg(head.head, head.tail :+
+        array(xsCols.map(c => struct(lit(c).as("c"),
+          min(col(c)).cast("long").as("lo"),
+          max(col(c)).cast("long").as("hi"))): _*).as("xs"): _*)
+    agged
       .withColumn("dv", lit(null).cast("string"))
-      .select("file", "lo", "hi", "rows", "dv", "lo2", "hi2")
+      .select("file", "lo", "hi", "rows", "dv", "lo2", "hi2", "xs")
   }
 
   // ---- schema evolution: add-column AND type widening ----
@@ -632,19 +682,37 @@ object ManifestLog {
     * integral column (one canonical LONG manifest type).
     */
   def writeClustered(df: DataFrame, statsCol: String, statsCol2: String,
-                     path: String, files: Int = 32): Unit = {
+                     path: String, files: Int = 32): Unit =
+    writeClusteredN(df, Seq(statsCol, statsCol2), path, files)
+
+  /** Initial load clustered on the Hilbert curve of 2–4 axes, with a
+    * zone-map dimension in the manifest for EVERY axis: the primary
+    * keeps its typed lo/hi (it still routes merge/delete), the second
+    * its LONG lo2/hi2, and each further axis a (col, lo, hi) triple in
+    * the snapshot's `xs` column — so a Hilbert-3/4 clustered table
+    * file-skips on any clustered predicate through BOTH read paths
+    * ([[readPrunedN]] and the SQL face's pushed filters), not just the
+    * first two. All axes past the first must be integral.
+    */
+  def writeClusteredN(df: DataFrame, statsCols: Seq[String],
+                      path: String, files: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
+    require(statsCols.size >= 2 && statsCols.size <= 4,
+      s"clustered tables take 2-4 axes, got ${statsCols.size}")
+    require(statsCols.distinct.size == statsCols.size, "duplicate clustering axis")
     val spark = df.sparkSession
-    df.withColumn("__h", LayoutOps.hilbertValueN(df, Seq(statsCol, statsCol2)))
+    df.withColumn("__h", LayoutOps.hilbertValueN(df, statsCols))
       .repartitionByRange(files, col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")
       .write.mode("overwrite").parquet(path)
-    writeMeta(spark, path, statsCol)
-    writeMetaLines(spark, path,
-      readMetaLines(spark, path) :+ s"statsCol2=$statsCol2")
-    val st = statsOf2(spark, listDataFiles(spark, path).toSeq.sorted,
-      statsCol, statsCol2)
+    writeMeta(spark, path, statsCols.head)
+    val extra = s"statsCol2=${statsCols(1)}" +:
+      (if (statsCols.size > 2) Seq(s"statsColsX=${statsCols.drop(2).mkString(",")}")
+       else Seq.empty)
+    writeMetaLines(spark, path, readMetaLines(spark, path) ++ extra)
+    val st = statsOfN(spark, listDataFiles(spark, path).toSeq.sorted,
+      statsCols.head, statsCols(1), statsCols.drop(2))
     require(tryCommit(spark, path, 1, st.collect().toSeq, st.schema),
       s"concurrent initial write at $path")
   }
@@ -664,8 +732,9 @@ object ManifestLog {
     val statsCol2 = readMetaLines(spark, path)
       .collectFirst { case l if l.startsWith("statsCol2=") => l.stripPrefix("statsCol2=").trim }
       .getOrElse(sys.error(s"$path is not a clustered table (no statsCol2 meta)"))
+    val xsCols = statsColsXOf(spark, path)
     val batchDir = newBatchDir(path)
-    df.withColumn("__h", LayoutOps.hilbertValueN(df, Seq(statsCol, statsCol2)))
+    df.withColumn("__h", LayoutOps.hilbertValueN(df, statsCol +: statsCol2 +: xsCols))
       .repartitionByRange(files, col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")
@@ -676,7 +745,7 @@ object ManifestLog {
       fs(spark, path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
       throw e
     }
-    val st = statsOf2(spark, fresh, statsCol, statsCol2)
+    val st = statsOfN(spark, fresh, statsCol, statsCol2, xsCols)
     val freshRows = st.collect().toSeq
     var committed = false
     while (!committed) {
@@ -713,6 +782,57 @@ object ManifestLog {
       else readWithDv(spark, survivors.map(r => (r.getString(0), r.getString(4))))
         .filter(col(statsCol).between(lit(lo), lit(hi)) &&
           col(statsCol2).between(lit(lo2), lit(hi2)))
+    (df, survivors.size, snap.length)
+  }
+
+  /** N-predicate pruned scan: a file survives iff EVERY (column, lo,
+    * hi) predicate's zone-map range overlaps — the primary via its
+    * typed lo/hi, the second axis via lo2/hi2, any further clustered
+    * axis via its `xs` triple. Unknown stats (NULL range, missing xs
+    * entry, a column with no zone map at all) always KEEP the file —
+    * pruning only shrinks the list, correctness never depends on it.
+    * Residual filters apply on top; DVs applied. Returns
+    * (frame, survivors, total).
+    */
+  def readPrunedN(spark: SparkSession, path: String,
+                  preds: Seq[(String, Any, Any)],
+                  version: Int = -1): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readPrunedN needs at least one predicate")
+    val key = statsColumn(spark, path)
+    val key2 = statsCol2Of(spark, path)
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"clustered-axis bounds must be integral, got $other")
+    }
+    val snap = snapshot(spark, path, version).collect()
+    def xsOf(r: org.apache.spark.sql.Row): Map[String, (Long, Long)] =
+      if (r.isNullAt(7)) Map.empty
+      else r.getSeq[org.apache.spark.sql.Row](7)
+        .map(e => e.getString(0) -> (e.getLong(1), e.getLong(2))).toMap
+    val survivors = snap.filter { r =>
+      preds.forall { case (c, lo, hi) =>
+        if (key.contains(c))
+          cmp(r.get(2), lo) >= 0 && cmp(r.get(1), hi) <= 0
+        else if (key2.contains(c))
+          r.isNullAt(5) || (r.getLong(6) >= asLong(lo) && r.getLong(5) <= asLong(hi))
+        else xsOf(r).get(c).forall { case (flo, fhi) =>
+          fhi >= asLong(lo) && flo <= asLong(hi)
+        }
+      }
+    }.sortBy(_.getString(0)).toSeq
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    val df =
+      if (survivors.isEmpty)
+        readAligned(spark, snap.map(_.getString(0)).toSeq)
+          .filter(lit(false))
+      else readWithDv(spark, survivors.map(r => (r.getString(0), r.getString(4))))
+        .filter(residual)
     (df, survivors.size, snap.length)
   }
 

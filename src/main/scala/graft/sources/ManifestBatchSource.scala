@@ -474,6 +474,7 @@ private[sources] class ManifestBatchScanBuilder(path: String, version: Int,
   private var required: StructType = full
   private var keyFilters: Array[Filter] = Array.empty
   private var key2Filters: Array[Filter] = Array.empty
+  private var xsFilters: Array[(String, Filter)] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
@@ -492,26 +493,35 @@ private[sources] class ManifestBatchScanBuilder(path: String, version: Int,
     key2Filters = key2
       .map(k => filters.filter(f => ManifestBatchSource.isKeyRangeFilter(f, k)))
       .getOrElse(Array.empty)
+    // Hilbert-3/4 tables carry a triple per FURTHER axis in `xs` —
+    // every clustered predicate file-skips, not just the first two
+    xsFilters = ManifestLog.statsColumnsX(spark, path).toArray.flatMap { c =>
+      filters.filter(f => ManifestBatchSource.isKeyRangeFilter(f, c))
+        .map(c -> _)
+    }
     filters // all residual — file skipping only, rows still filtered by Spark
   }
 
-  override def pushedFilters(): Array[Filter] = keyFilters ++ key2Filters
+  override def pushedFilters(): Array[Filter] =
+    keyFilters ++ key2Filters ++ xsFilters.map(_._2)
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
     override def toBatch: Batch =
-      new ManifestBatchScan(path, version, required, keyFilters, key2Filters)
+      new ManifestBatchScan(path, version, required, keyFilters, key2Filters,
+        xsFilters)
     // surfaced in explain/plan strings so zone-map file skipping is
     // discoverable, not silent
     override def description(): String =
-      s"manifest($path@v$version) PushedFilters: [${(keyFilters ++ key2Filters).mkString(", ")}]"
+      s"manifest($path@v$version) PushedFilters: [${(keyFilters ++ key2Filters ++ xsFilters.map(_._2)).mkString(", ")}]"
   }
 }
 
 private[sources] class ManifestBatchScan(path: String, version: Int,
                                          schema0: StructType,
                                          keyFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                                         key2Filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                                         key2Filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                                         xsFilters: Array[(String, org.apache.spark.sql.sources.Filter)] = Array.empty)
     extends Batch {
   import org.apache.spark.sql.sources._
 
@@ -542,9 +552,20 @@ private[sources] class ManifestBatchScan(path: String, version: Int,
     }
     val snap = ManifestLog.snapshot(spark, path, version).collect()
     val kept = snap.filter { r =>
+      // xs: (col, lo, hi) triples of the 3rd+ clustered axes; a NULL
+      // array or a missing entry keeps the file (unknown, never skip)
+      val xs: Map[String, (Long, Long)] =
+        if (r.isNullAt(7)) Map.empty
+        else r.getSeq[org.apache.spark.sql.Row](7)
+          .map(e => e.getString(0) -> (e.getLong(1), e.getLong(2))).toMap
       rangeSurvives(r.get(1), r.get(2), keyFilters) &&
         rangeSurvives(if (r.isNullAt(5)) null else r.getLong(5),
-          if (r.isNullAt(6)) null else r.getLong(6), key2Filters)
+          if (r.isNullAt(6)) null else r.getLong(6), key2Filters) &&
+        xsFilters.groupBy(_._1).forall { case (c, fs) =>
+          xs.get(c).forall { case (flo, fhi) =>
+            rangeSurvives(flo, fhi, fs.map(_._2))
+          }
+        }
     }
     ManifestBatchSource.lastPlannedFiles.set(kept.length)
     kept.map(r => ManifestBatchPartition(r.getString(0), r.getString(4),

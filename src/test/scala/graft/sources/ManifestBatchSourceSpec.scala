@@ -225,6 +225,72 @@ class ManifestBatchSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("v3"), ex.getMessage)
   }
 
+  test("3-axis Hilbert table file-skips on EVERY clustered axis through the SQL face: each single-axis predicate plans a strict subset, the quarter-box is tighter still, values match unpruned, appends keep the triples alive") {
+    val dir = Files.createTempDirectory("mbs-3ax").toString
+    val li3 = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val axes = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    // 64 files = ~2 Hilbert bits per axis: every file's box spans about
+    // a quarter of each axis, so a corner predicate genuinely prunes
+    ManifestLog.writeClusteredN(li3.filter(col("l_orderkey") % 2 === 0),
+      axes, dir, files = 64)
+    val fmt = classOf[ManifestBatchSource].getName
+
+    // quarter-box bounds: the bottom quarter of each axis
+    val qs = axes.map(a => a ->
+      ManifestLog.read(spark, dir).stat.approxQuantile(a, Array(0.25), 0.0))
+    def face() = spark.read.format(fmt).option("path", dir).load()
+
+    def plannedFor(pred: org.apache.spark.sql.Column): (Int, Seq[String]) = {
+      ManifestBatchSource.lastPlannedFiles.set(-1)
+      val rows = face().filter(pred).collect().map(_.toString).sorted.toSeq
+      (ManifestBatchSource.lastPlannedFiles.get(), rows)
+    }
+    def check(tag: String, pred: org.apache.spark.sql.Column): Int = {
+      val total = ManifestLog.snapshot(spark, dir).count().toInt
+      val (planned, rows) = plannedFor(pred)
+      assert(planned >= 1 && planned < total,
+        s"$tag should zone-map-prune files: planned $planned of $total")
+      val want = ManifestLog.read(spark, dir).filter(pred)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows == want, s"$tag pruned scan diverged from the unpruned read")
+      planned
+    }
+
+    // each single-axis corner predicate prunes on ITS OWN zone map —
+    // including the third axis, which lives in the xs triples
+    val perAxis = qs.map { case (a, Array(q25)) =>
+      check(s"axis $a", col(a) <= lit(q25.toLong))
+    }
+    // the quarter-box (all three at once) plans a subset no larger
+    // than its tightest single axis
+    val box = qs.map { case (a, Array(q25)) =>
+      col(a) <= lit(q25.toLong) }.reduce(_ && _)
+    val boxPlanned = check("quarter-box", box)
+    assert(boxPlanned <= perAxis.min)
+
+    // the Scala read path prunes identically (readPrunedN) — its
+    // closed-interval predicates start at each axis's true minimum
+    val mins = axes.map(a => ManifestLog.read(spark, dir)
+      .agg(min(col(a)).cast("long")).head().getLong(0))
+    val preds = axes.zip(mins).zip(qs).map { case ((a, lo), (_, Array(q25))) =>
+      (a, lo: Any, q25.toLong: Any) }
+    val (prunedDf, survivors, total) = ManifestLog.readPrunedN(spark, dir, preds)
+    assert(survivors < total)
+    assert(canon(prunedDf) == canon(face().filter(box)))
+
+    // an appendClustered batch carries fresh xs triples — pruning
+    // stays alive after maintenance, and the values still match
+    ManifestLog.appendClustered(li3.filter(col("l_orderkey") % 2 === 1), dir, files = 4)
+    ManifestLog.snapshot(spark, dir).collect().foreach { r =>
+      assert(!r.isNullAt(7) && r.getSeq[org.apache.spark.sql.Row](7).size == 1,
+        "every file (initial + appended) must carry its 3rd-axis triple")
+    }
+    qs.foreach { case (a, Array(q25)) =>
+      check(s"post-append axis $a", col(a) <= lit(q25.toLong))
+    }
+  }
+
   test("readChangeFeed face == ManifestLog.changeFeed frame-for-frame across append/MOR-delete/merge/restore; startingVersion=1 bootstraps; net identity rebuilds the head") {
     val dir = Files.createTempDirectory("mbs-cdc").toString
     ManifestLog.write(li.limit(80), "l_orderkey", dir, files = 2)                          // v1
