@@ -84,19 +84,19 @@ object AnnQueries {
 
   /** Band-bits policy for the AUTO phash tier (`mm_phash_dedup_auto`)
     * — the SemDedup [[graft.ann.SemDedup.autoBits]] precedent applied
-    * to the image family: candidate volume grows as n²·B/2^bits, so
-    * holding expected per-key collisions near `target` means
-    * bits ≈ log₂(n / target). Clamped to [8, 16]: 8 is the narrow
-    * tier's recall-maximal width, 16 the widest slice the 128-bit
-    * code yields 8 disjoint bands from. The dial MOVES with the
-    * corpus — at sf0.01 it sits at 8 (maximum recall on a small
-    * fixture), at ~1.6 M images it reaches the wide tier's 16 — which
-    * is exactly what retires the n²/2^bits growth term without a
-    * hand-chosen constant.
+    * to the image family: random-pair candidates grow as n²·B/2^bits,
+    * so bits = ⌈log₂ n⌉ holds the expected candidate count LINEAR in
+    * n (≈ B·n) — the flat-at-scale invariant — with no hand-chosen
+    * constant. Clamped to [8, 16]: 8 is the narrow tier's
+    * recall-maximal width on a small corpus, 16 the widest slice the
+    * 128-bit code yields 8 disjoint bands from, so from ~33 k images
+    * the auto plan IS the measured-flat wide plan and below that it
+    * buys recall with candidate volume the small corpus can afford
+    * (the recall floor is Verify's standing invariant either way).
     */
-  def phashAutoBits(n: Long, target: Int = 24): Int =
+  def phashAutoBits(n: Long): Int =
     math.max(8, math.min(16, math.ceil(
-      math.log(math.max(n.toDouble / target, 1.0)) / math.log(2.0)).toInt))
+      math.log(math.max(n.toDouble, 2.0)) / math.log(2.0)).toInt))
 
   /** A `width`-bit slice of the 128-bit (ph1 ‖ ph2, ph1 low) code at
     * bit `offset` — the auto tier's band key. Offsets may straddle the

@@ -474,13 +474,14 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { bmpDHashBytes(notBmp) }
   }
 
-  test("auto-banded phash tier: the bits dial scales with n and clamps to [8,16]; slices reproduce the wide banding at 16 bits and straddle the long boundary correctly; at sf0.001 the auto pairs contain every wide pair within the threshold") {
+  test("auto-banded phash tier: the bits dial scales with n and clamps to [8,16]; slices reproduce the wide banding at 16 bits and straddle the long boundary correctly; at sf0.001 the auto pairs re-find the wide pairs within the threshold") {
     import graft.operators.AnnQueries
-    // the policy: log2(n/24), clamped — 16 only at corpus scale
-    assert(AnnQueries.phashAutoBits(10) == 8 && AnnQueries.phashAutoBits(600) == 8)
-    assert(AnnQueries.phashAutoBits(60000) == 12)
-    assert(AnnQueries.phashAutoBits(600000) == 15)
-    assert(AnnQueries.phashAutoBits(2000000) == 16)
+    // the policy: ceil(log2 n), clamped — linear expected candidates,
+    // converging to the wide tier's 16 bits from ~33k images up
+    assert(AnnQueries.phashAutoBits(10) == 8 && AnnQueries.phashAutoBits(250) == 8)
+    assert(AnnQueries.phashAutoBits(500) == 9)
+    assert(AnnQueries.phashAutoBits(5500) == 13)
+    assert(AnnQueries.phashAutoBits(50000) == 16)
     assert(AnnQueries.phashAutoBits(1L << 40) == 16, "must clamp at the wide tier")
 
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -503,17 +504,19 @@ class MultimodalSpec extends AnyFunSuite {
       "straddling slice misassembled")
     assert(sliceVal(120, 8) == ((ph2 >>> 56) & 0xFF))
 
-    // at sf0.001 the dial sits at 8 bits: bands are strict refinements
-    // of the wide tier's 16-bit slices, so every wide pair re-surfaces
-    // (the Verify invariant's recall is exactly 1 here) and every auto
-    // pair verifies within the shared threshold
+    // at sf0.001 (500 docs) the dial sits at 9 bits / 14 bands: the
+    // banding differs from the wide tier's, but the oracle-checked
+    // wide pair set must re-surface (the Verify invariant's recall at
+    // its floor 0.9 — measured ~1.0 here) and every auto pair
+    // verifies within the shared threshold
     val d = "/root/testdata/sf0.001"
     val auto = graft.SparkEntry.queries("mm_phash_dedup_auto")(spark, d).collect()
     val wide = graft.SparkEntry.queries("mm_phash_dedup_wide")(spark, d).collect()
     val autoPairs = auto.map(r => (r.getLong(0), r.getLong(1))).toSet
     val widePairs = wide.map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(widePairs.subsetOf(autoPairs),
-      s"auto tier lost ${widePairs.diff(autoPairs).size} wide pairs at 8-bit bands")
+    val recall = widePairs.count(autoPairs).toDouble / math.max(widePairs.size, 1)
+    assert(recall >= 0.9,
+      s"auto tier re-found only ${(recall * 100).round}% of the wide pairs")
     assert(auto.forall(_.getLong(2) <= AnnQueries.MmPhashWideHammingT))
     assert(autoPairs.nonEmpty)
   }
