@@ -112,13 +112,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }.toArray
   }
 
-  private def tableAt(ident: Identifier, version: Int): Table = {
+  private def tableAt(ident: Identifier, version: Int,
+                      pinned: Boolean = false): Table = {
     val path = tablePath(ident)
     val schema =
       if (version >= 1) ManifestLog.read(spark, path, version).schema
       else ManifestLog.ddlSchema(spark, path).getOrElse(new StructType())
     new ManifestBatchTable(path, version, schema,
-      ManifestLog.statsColumn(spark, path), None)
+      ManifestLog.statsColumn(spark, path), None, pinnedVersion = pinned)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -129,14 +130,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `SELECT ... FROM graft.t VERSION AS OF n`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    tableAt(ident, version.toInt)
+    tableAt(ident, version.toInt, pinned = true)
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     tableAt(ident,
-      ManifestLog.versionAsOf(spark, tablePath(ident), timestampMicros / 1000L))
+      ManifestLog.versionAsOf(spark, tablePath(ident), timestampMicros / 1000L),
+      pinned = true)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {

@@ -119,7 +119,9 @@ class ManifestBatchSource extends TableProvider
     } else new ManifestBatchTable(path,
       ManifestBatchSource.resolveVersion(spark, path, opts), schema,
       Option(opts.get("statsCol")),
-      Option(opts.get("files")).map(_.toInt))
+      Option(opts.get("files")).map(_.toInt),
+      pinnedVersion = opts.get("versionAsOf") != null ||
+        opts.get("timestampAsOf") != null)
   }
 
   // writes hand their schema in from the incoming DataFrame — a fresh
@@ -316,7 +318,8 @@ private[sources] class DvFilePredicate(filePath: String)
 private[sources] class ManifestBatchTable(path: String, version: Int,
                                           schema0: StructType,
                                           statsColOpt: Option[String],
-                                          filesOpt: Option[Int])
+                                          filesOpt: Option[Int],
+                                          pinnedVersion: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "manifest batch source needs a 'path' option")
 
@@ -325,13 +328,21 @@ private[sources] class ManifestBatchTable(path: String, version: Int,
   // BATCH_WRITE is what DataFrameWriter.save gates the V2 path on;
   // the V1Write returned below still routes to the V1-bridge exec
   // (the JDBC-connector discipline), and TRUNCATE admits
-  // mode("overwrite") as truncate+append
+  // mode("overwrite") as truncate+append. MICRO_BATCH_READ makes
+  // `spark.readStream.table("graft.t")` / `.format(manifest)` follow
+  // the table's appends through the SAME ManifestFollowStream the
+  // follow face runs (version-granular offsets, one partition per
+  // appended file) — minus the `_commit_version` stamp, which is not
+  // part of the table's schema (the dedicated follow format keeps it).
+  // STREAMING_WRITE stays deliberately absent: streaming writes route
+  // through the V1 sink bridge (see ManifestStreamSink).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestBatchScanBuilder(path, version, schema0)
+    new ManifestBatchScanBuilder(path, version, schema0, pinnedVersion, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -465,7 +476,10 @@ private[sources] class ManifestStreamSink(path: String,
   *     list, so correctness never depends on it.
   */
 private[sources] class ManifestBatchScanBuilder(path: String, version: Int,
-                                                full: StructType)
+                                                full: StructType,
+                                                pinnedVersion: Boolean = false,
+                                                options: CaseInsensitiveStringMap =
+                                                  CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -510,6 +524,25 @@ private[sources] class ManifestBatchScanBuilder(path: String, version: Int,
     override def toBatch: Batch =
       new ManifestBatchScan(path, version, required, keyFilters, key2Filters,
         xsFilters)
+    /** `spark.readStream.table("graft.t")` / `.format(manifest)`:
+      * the SAME version-offset MicroBatchStream as the follow face
+      * (one partition per appended file; follow-face options —
+      * fromVersion, maxVersionsPerTrigger, skipRewrites,
+      * ignoreDeletes — arrive as READ options), over the pruned
+      * column set. `_commit_version` is absent from a table schema,
+      * so the shared reader simply skips the stamp.
+      */
+    override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      require(!pinnedVersion,
+        s"cannot STREAM a version-pinned manifest table ($path@v$version): " +
+          "versionAsOf/timestampAsOf select one immutable snapshot — stream the live table")
+      new ManifestFollowStream(path,
+        Option(options.get("skipRewrites")).exists(_.toBoolean),
+        Option(options.get("ignoreDeletes")).exists(_.toBoolean),
+        Option(options.get("fromVersion")).map(_.toInt).getOrElse(-1),
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0),
+        required)
+    }
     // surfaced in explain/plan strings so zone-map file skipping is
     // discoverable, not silent
     override def description(): String =

@@ -131,4 +131,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.raw.nested")
     spark.sql("DROP NAMESPACE graft.raw")
   }
+
+  test("streaming READ through the catalog: readStream.table follows INSERTs across triggers; version-pinned reads refuse to stream") {
+    val base = Files.createTempDirectory("graft-cat-stream")
+    spark.sql("""CREATE TABLE graft.s (k BIGINT, v STRING)
+                 USING manifest TBLPROPERTIES ('statsCol' = 'k')""")
+    spark.sql("INSERT INTO graft.s VALUES (1, 'a'), (2, 'b')")            // v1
+    val q = spark.readStream.option("fromVersion", "1").table("graft.s")
+      .writeStream.format("memory").queryName("graft_cat_stream")
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("graft_cat_stream").count() == 2)
+    // the next SQL INSERT arrives as the next micro-batch
+    spark.sql("INSERT INTO graft.s VALUES (3, 'c'), (4, 'd')")            // v2
+    q.processAllAvailable()
+    assert(canon(spark.table("graft_cat_stream")) == canon(spark.table("graft.s")),
+      "streamed rows diverged from the table")
+    // a table's streaming schema IS the table schema — the
+    // version-stamped face stays the dedicated follow format
+    assert(!spark.table("graft_cat_stream").columns.contains("_commit_version"))
+    q.stop()
+
+    // a version-pinned read is one immutable snapshot — streaming it
+    // is refused with a named error
+    val ex = intercept[Exception] {
+      val q2 = spark.readStream.format(classOf[ManifestBatchSource].getName)
+        .option("path", s"$warehouse/s").option("versionAsOf", "1").load()
+        .writeStream.format("memory").queryName("graft_cat_stream_pinned")
+        .option("checkpointLocation", base.resolve("ck2").toString)
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msgs.contains("version-pinned"), msgs.take(300))
+    spark.sql("DROP TABLE graft.s")
+  }
 }
