@@ -973,17 +973,54 @@ object ManifestLog {
     */
   def initTable(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType,
-                statsCol: String): Unit = {
+                statsCol: String): Unit =
+    initTable(spark, path, schema, Seq(statsCol))
+
+  /** DDL bootstrap with DECLARED CLUSTERING: `statsCols.head` is the
+    * primary key column; 2–4 axes declare a Hilbert-clustered table —
+    * the FIRST data write through the SQL face then runs
+    * [[writeClusteredN]] and every axis gets its manifest zone-map
+    * dimension, so `CREATE TABLE ... TBLPROPERTIES('statsCols' =
+    * 'a,b,c')` + `INSERT INTO` yields multi-dimensional file skipping
+    * from pure SQL.
+    */
+  def initTable(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType,
+                statsCols: Seq[String]): Unit = {
     require(currentVersion(spark, path) == 0,
       s"initTable on a table that already has data versions at $path")
-    require(schema.fieldNames.contains(statsCol),
-      s"statsCol '$statsCol' is not a column of the declared schema " +
-        s"(${schema.fieldNames.mkString(", ")})")
+    require(statsCols.nonEmpty && statsCols.size <= 4 &&
+      statsCols.distinct.size == statsCols.size,
+      s"statsCols takes 1-4 distinct columns, got ${statsCols.mkString(", ")}")
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"statsCols column '$c' is not a column of the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.types._
+    statsCols.drop(1).foreach { c =>
+      val dt = schema(c).dataType
+      require(dt == IntegerType || dt == LongType || dt == ShortType,
+        s"clustering axis '$c' must be integral (one canonical LONG manifest type), " +
+          s"got ${dt.simpleString}")
+    }
     val kept = readMetaLines(spark, path)
-      .filterNot(l => l.startsWith("statsCol=") || l.startsWith("ddlSchema="))
+      .filterNot(l => l.startsWith("statsCol=") || l.startsWith("ddlSchema=") ||
+        l.startsWith("ddlStatsCols="))
+    val cluster =
+      if (statsCols.size >= 2) Seq(s"ddlStatsCols=${statsCols.mkString(",")}")
+      else Seq.empty
     writeMetaLines(spark, path,
-      kept :+ s"statsCol=$statsCol" :+ s"ddlSchema=${schema.json}")
+      (kept :+ s"statsCol=${statsCols.head}" :+ s"ddlSchema=${schema.json}") ++ cluster)
   }
+
+  /** The DDL-declared clustering axes of a created-but-still-empty
+    * table (empty once data lands — the clustering then lives in
+    * statsCol2/statsColsX meta written by [[writeClusteredN]]).
+    */
+  def ddlStatsCols(spark: SparkSession, path: String): Seq[String] =
+    readMetaLines(spark, path).collectFirst {
+      case l if l.startsWith("ddlStatsCols=") =>
+        l.stripPrefix("ddlStatsCols=").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
 
   /** The DDL-declared schema of a created-but-still-empty table. */
   def ddlSchema(spark: SparkSession,

@@ -162,10 +162,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (ManifestLog.currentVersion(spark, path) == 0) {
       require(schema.nonEmpty,
         s"CREATE TABLE ${ident.name()} needs columns (or point LOCATION at an existing manifest table)")
-      val statsCol = Option(props.get("statsCol"))
-        .orElse(Option(props.get(TableCatalog.OPTION_PREFIX + "statsCol")))
-        .getOrElse(schema.fieldNames.head)
-      ManifestLog.initTable(spark, path, schema, statsCol)
+      // 'statsCols' = 'a,b,c' declares a Hilbert-clustered table (2-4
+      // axes, each with its own zone-map dimension); 'statsCol' the
+      // plain single-key form
+      val statsCols = Option(props.get("statsCols"))
+        .orElse(Option(props.get(TableCatalog.OPTION_PREFIX + "statsCols")))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq(Option(props.get("statsCol"))
+          .orElse(Option(props.get(TableCatalog.OPTION_PREFIX + "statsCol")))
+          .getOrElse(schema.fieldNames.head)))
+      ManifestLog.initTable(spark, path, schema, statsCols)
     }
     tableAt(ident, ManifestLog.currentVersion(spark, path))
   }

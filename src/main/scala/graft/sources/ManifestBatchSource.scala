@@ -360,8 +360,19 @@ private[sources] class ManifestBatchTable(path: String, version: Int,
                     "(the range-clustering / upsert key column)"))
               if (overwrite || legacyOverwrite)
                 ManifestLog.replace(data, sc, path, filesOpt.getOrElse(32))
-              else if (ManifestLog.currentVersion(spark, path) == 0)
-                ManifestLog.write(data, sc, path, filesOpt.getOrElse(32))
+              else if (ManifestLog.currentVersion(spark, path) == 0) {
+                // a DDL-declared clustered table's FIRST write lays the
+                // Hilbert order down and records every axis's zone map
+                val axes = ManifestLog.ddlStatsCols(spark, path)
+                if (axes.size >= 2)
+                  ManifestLog.writeClusteredN(data, axes, path, filesOpt.getOrElse(32))
+                else
+                  ManifestLog.write(data, sc, path, filesOpt.getOrElse(32))
+              } else if (ManifestLog.statsColumn2(spark, path).isDefined)
+                // appends into a clustered table keep the layout: the
+                // batch Hilbert-orders over ALL registered axes and
+                // lands with fresh per-axis stats
+                ManifestLog.appendClustered(data, path, filesOpt.getOrElse(8))
               else
                 ManifestLog.append(data, sc, path, filesOpt.getOrElse(8))
             }

@@ -132,6 +132,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP NAMESPACE graft.raw")
   }
 
+  test("clustered tables from pure SQL DDL: statsCols declares 2-4 Hilbert axes, the first INSERT lays the layout down, every axis file-skips, appends keep the triples alive") {
+    li.limit(2000).createOrReplaceTempView("cl_src")
+    spark.sql("""CREATE TABLE graft.cl (
+                   l_orderkey BIGINT, l_partkey BIGINT, l_quantity DECIMAL(12,2))
+                 USING manifest TBLPROPERTIES ('statsCols' = 'l_orderkey,l_partkey')""")
+    spark.sql("INSERT INTO graft.cl SELECT * FROM cl_src")                 // v1, clustered
+    val path = s"$warehouse/cl"
+    assert(ManifestLog.statsColumn(spark, path).contains("l_orderkey"))
+    assert(ManifestLog.statsColumn2(spark, path).contains("l_partkey"),
+      "the DDL-declared second axis must register at first write")
+    assert(canon(spark.table("graft.cl")) == canon(ManifestLog.read(spark, path)))
+
+    // the SECOND axis prunes files from pure SQL
+    val total = ManifestLog.snapshot(spark, path).count().toInt
+    assert(total > 1)
+    val q25 = ManifestLog.read(spark, path)
+      .stat.approxQuantile("l_partkey", Array(0.25), 0.0).head.toLong
+    ManifestBatchSource.lastPlannedFiles.set(-1)
+    val got = spark.sql(s"SELECT * FROM graft.cl WHERE l_partkey <= $q25")
+      .collect().map(_.toString).sorted.toSeq
+    val planned = ManifestBatchSource.lastPlannedFiles.get()
+    assert(planned >= 1 && planned < total,
+      s"second-axis predicate should prune: planned $planned of $total")
+    assert(got == ManifestLog.read(spark, path)
+      .filter(col("l_partkey") <= q25).collect().map(_.toString).sorted.toSeq)
+
+    // an INSERT INTO append routes through appendClustered — fresh
+    // files carry second-axis stats, pruning stays alive at v2
+    li.limit(2400).except(li.limit(2000)).createOrReplaceTempView("cl_more")
+    spark.sql("INSERT INTO graft.cl SELECT * FROM cl_more")                // v2
+    assert(ManifestLog.currentVersion(spark, path) == 2)
+    ManifestLog.snapshot(spark, path).collect().foreach { r =>
+      assert(!r.isNullAt(5), "every file (v1 + appended) must carry lo2/hi2")
+    }
+    ManifestBatchSource.lastPlannedFiles.set(-1)
+    spark.sql(s"SELECT * FROM graft.cl WHERE l_partkey <= $q25").collect()
+    assert(ManifestBatchSource.lastPlannedFiles.get() <
+      ManifestLog.snapshot(spark, path).count(),
+      "post-append second-axis pruning regressed")
+
+    // a non-integral clustering axis is refused at CREATE
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.cl_bad (a BIGINT, q DECIMAL(12,2))
+                   USING manifest TBLPROPERTIES ('statsCols' = 'a,q')""")
+    }
+    spark.sql("DROP TABLE graft.cl")
+  }
+
   test("streaming READ through the catalog: readStream.table follows INSERTs across triggers; version-pinned reads refuse to stream") {
     val base = Files.createTempDirectory("graft-cat-stream")
     spark.sql("""CREATE TABLE graft.s (k BIGINT, v STRING)
