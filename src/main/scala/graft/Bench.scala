@@ -134,6 +134,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()),
       "calib_spawn" -> (() => (1 to 24).foreach { _ =>
         new ProcessBuilder("/usr/bin/env", "true").start().waitFor()
+      }),
+      // the r19 adjudication's blind spot: the events scan + per-user
+      // timestamp window class (ev_*, sessionize-shaped q*) drifted
+      // ×1.4-1.6 on BOTH r18 and r19 code while the five probes above
+      // read flat — this probe times exactly that shape so r20+ can
+      // divide the class's drift out instead of re-running worktree
+      // A/Bs. Added r19; calibrationScale only ratios SHARED probes,
+      // so records before r19 stay comparable.
+      "calib_eventswindow" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+        graft.sources.Tables.events(spark, sfDir)
+          .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+          .write.format("noop").mode("overwrite").save()
       }))
     probes.map { case (name, f) =>
       f() // cold: JIT/codegen warmup
