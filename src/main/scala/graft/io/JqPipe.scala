@@ -24,10 +24,18 @@ object JqPipe {
     * thread feeds stdin while the caller drains stdout, so pipe
     * buffers can't deadlock. The iterator is fully lazy on the read
     * side.
+    *
+    * Deliberately NOT `--unbuffered` (unlike [[JqPool]], whose
+    * sentinel echo must arrive before EOF): the feeder closes stdin
+    * when the partition is exhausted, so jq's block-buffered stdout
+    * flushes on EOF and every line arrives — while a per-event program
+    * emitting millions of lines pays one write syscall per ~64 KB
+    * block instead of one flush per line (measured 2.5x on the
+    * pipeline_e2e_reduce pump, bytes identical).
     */
   def pipePartition(lines: Iterator[String], program: String,
                     prelude: Option[String] = None): Iterator[String] =
-    pipeCommand(lines, Seq("jq", "-cM", "--unbuffered", wrap(program, prelude)))
+    pipeCommand(lines, Seq("jq", "-cM", wrap(program, prelude)))
 
   /** Same persistent-subprocess contract for any line processor — the
     * jsonnet helper (`stream-jsonnet`-style: one jsonnet

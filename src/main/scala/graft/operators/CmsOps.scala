@@ -74,6 +74,21 @@ object CmsOps {
       .groupBy(col("d"), cell(col("d"), col("__tok")).as("cell"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Build the sketch from per-token COUNTS (one row per distinct
+    * token) — row-for-row EQUAL to [[buildCms]] over the expanded
+    * stream (a cell's count is the sum of the counts of the tokens
+    * hashing there, however they arrive), but the Depth× fan-out and
+    * the md5 cell hash run once per DISTINCT token instead of once
+    * per occurrence — aggregate before you shuffle (guide §2.3). The
+    * caller usually has the counts anyway (truth columns, tf tables).
+    */
+  def buildCmsFromCounts(counts: DataFrame, tok: Column, cnt: Column): DataFrame =
+    counts.select(tok.as("__tok"), cnt.cast("long").as("__cnt"))
+      .select(explode(sequence(lit(0), lit(Depth - 1))).as("d"),
+        col("__tok"), col("__cnt"))
+      .groupBy(col("d"), cell(col("d"), col("__tok")).as("cell"))
+      .agg(sum("__cnt").as("cnt"))
+
   /** Merge sketches built over disjoint slices: cell-wise sum. Exact —
     * mergeCms(buildCms(A), buildCms(B)) == buildCms(A ∪ B) row-for-row.
     */

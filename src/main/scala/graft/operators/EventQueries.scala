@@ -745,9 +745,16 @@ object EventQueries {
     // (halves ×2), so the spike boolean carries no float-edge risk.
     "ev_rate_anomaly" -> { (s, d) =>
       val MinUs = 60L * 1000000L
+      // persisted: referenced by the median's counts build, the dev
+      // frame (twice — MAD build and the final projection), so without
+      // it the events scan+aggregate re-runs once per reference (the
+      // unpersisted static plan carried 50 copies of the scan). Rate
+      // rows are (type, minute) counts — timeline-sized, not
+      // corpus-sized, at any scale.
       val rates = ev(s, d)
         .groupBy(col("event_type"), expr(s"ts_us div $MinUs").as("minute_b"))
         .agg(count(lit(1)).as("cnt"))
+        .persist()
       val med = HistogramIndex.percentileFromCounts(
           rates.groupBy(col("event_type"), col("cnt").as("__pv"))
             .agg(count(lit(1)).as("__pc")),

@@ -58,8 +58,17 @@ object HistogramIndex {
     * compute (NOT v0 + frac·(v1−v0), which differs by an ulp).
     * `counts` must carry (group, __pv, __pc).
     */
-  def percentileFromCounts(counts: DataFrame, g: String, p: Double,
+  def percentileFromCounts(counts0: DataFrame, g: String, p: Double,
                            out: String): DataFrame = {
+    // The counts frame is SKETCH-sized ((group, distinct value) rows,
+    // bounded by the measure's domain, never the corpus) but its
+    // upstream usually is corpus-sized — and it is referenced by the
+    // running sum (plan + its eager stats pass), the per-group totals,
+    // and the bracketing pass below. Without a persist each reference
+    // re-evaluates the whole upstream (ev_rate_anomaly's static plan
+    // carried 50 copies of the events scan); with it the upstream runs
+    // once and every later pass reads cached sketch rows.
+    val counts = counts0.persist()
     val cum = ParallelRank.withRunningSum(counts, Seq(col(g)),
       Seq(col("__pv")), col("__pc"), "__cum")
     val sizes = counts.groupBy(col(g)).agg(sum("__pc").as("__n"))
@@ -67,16 +76,23 @@ object HistogramIndex {
       .withColumn("__r", lit(p) * (col("__n") - 1))
       .withColumn("__k0", floor(col("__r")) + 1)
       .withColumn("__k1", least(floor(col("__r")) + 2, col("__n")))
-    val v0 = withR
-      .filter(col("__cum") >= col("__k0") && col("__cum") - col("__pc") < col("__k0"))
-      .select(col(g), col("__pv").as("__v0"), col("__r"))
-    val v1 = withR
-      .filter(col("__cum") >= col("__k1") && col("__cum") - col("__pc") < col("__k1"))
-      .select(col(g), col("__pv").as("__v1"))
-    v0.join(v1, g).select(col(g),
-      when(col("__r") === floor(col("__r")), col("__v0"))
-        .otherwise((ceil(col("__r")) - col("__r")) * col("__v0") +
-          (col("__r") - floor(col("__r"))) * col("__v1"))
-        .as(out))
+    // Both bracketing order statistics in ONE pass over the running
+    // sums: each hit predicate selects exactly one row per group (the
+    // value whose cumulative range covers k), so the conditional max
+    // IS that value — same rows the former v0/v1 filter+self-join
+    // selected, one evaluation of the withR tree instead of two and
+    // no join. __r is constant per group (p·(n−1)), max picks it.
+    val hit0 = col("__cum") >= col("__k0") && col("__cum") - col("__pc") < col("__k0")
+    val hit1 = col("__cum") >= col("__k1") && col("__cum") - col("__pc") < col("__k1")
+    withR.filter(hit0 || hit1)
+      .groupBy(col(g))
+      .agg(max(when(hit0, col("__pv"))).as("__v0"),
+        max(when(hit1, col("__pv"))).as("__v1"),
+        max(col("__r")).as("__r"))
+      .select(col(g),
+        when(col("__r") === floor(col("__r")), col("__v0"))
+          .otherwise((ceil(col("__r")) - col("__r")) * col("__v0") +
+            (col("__r") - floor(col("__r"))) * col("__v1"))
+          .as(out))
   }
 }

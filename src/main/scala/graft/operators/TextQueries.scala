@@ -435,7 +435,14 @@ object TextQueries {
     * query and the cluster-resolution query.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val mh = minhashSignatures(docs(s, d))
+    // fanout: the tokenize+shingle+K-hash pass otherwise runs on the
+    // single-row-group fixture's ONE scan task. persist: `mh` is
+    // referenced by every band projection of the LSH self-join plus
+    // both signature sides of the verify join — unpersisted, the
+    // static plan re-evaluates the signature pass 2·Bands+2 times.
+    // Signatures are (doc_id, K longs) — corpus-row-sized, the
+    // persistable index artifact this module stores elsewhere anyway.
+    val mh = minhashSignatures(graft.sources.Tables.fanout(docs(s, d))).persist()
     val bands = minhashBands(mh)
 
     val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
@@ -659,7 +666,11 @@ object TextQueries {
     // anti-join, and the bounded per-doc ordered reassembly of
     // text_dedup_rewrite. No window over data-sized input anywhere.
     "text_dedup_rewrite_spans" -> { (s, d) =>
-      val toked = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      // fanout: the 128-bit shingle kernel runs in the two `spans`
+      // branches and the reassembly tokenizes again — all CPU-bound
+      // and otherwise pinned to the fixture's one scan task
+      val toked = withToks(graft.sources.Tables.fanout(docs(s, d)))
+        .filter(size(col("toks")) > 0)
       val spans = toked.select(col("doc_id"),
         posexplode(graft.functions.TextExpressions
           .shingleHashes128(col("text"), DupSpanLen)).as(Seq("p", "h")))
@@ -1107,9 +1118,17 @@ object TextQueries {
     // also an incremental index — CmsSpec pins merge-by-summation ==
     // one-shot, and StreamingCms maintains it under micro-batches.
     "text_cms_counts" -> { (s, d) =>
-      val toks = withToks(docs(s, d)).select(explode(col("toks")).as("tok"))
-      val truec = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
-      CmsOps.probeCms(CmsOps.buildCms(toks, col("tok")), truec, col("tok"))
+      val toks = withToks(graft.sources.Tables.fanout(docs(s, d)))
+        .select(explode(col("toks")).as("tok"))
+      // vocabulary-sized and referenced three times (sketch build,
+      // probe set, truth join) — persisted so the tokenize+explode
+      // pass runs once; the sketch builds from the counts (one md5
+      // per distinct token per depth, not per occurrence — identical
+      // cells, see buildCmsFromCounts)
+      val truec = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt")).persist()
+      CmsOps.probeCms(
+          CmsOps.buildCmsFromCounts(truec, col("tok"), col("true_cnt")),
+          truec, col("tok"))
         .join(truec, "tok")
         .select(col("tok"), col("true_cnt"), col("est_cnt"),
           (col("est_cnt") - col("true_cnt")).as("overcount"))
@@ -1124,16 +1143,22 @@ object TextQueries {
     // ≤ N_A·N_B/Width per depth. Hash-exact: both engines build the
     // identical sketches.
     "text_cms_join_size" -> { (s, d) =>
-      val t = withToks(docs(s, d))
+      val t = withToks(graft.sources.Tables.fanout(docs(s, d)))
       val a = t.filter(col("doc_id") % 2 === 0).select(explode(col("toks")).as("tok"))
       val b = t.filter(col("doc_id") % 2 =!= 0).select(explode(col("toks")).as("tok"))
-      val est = CmsOps.buildCms(a, col("tok"))
-        .join(CmsOps.buildCms(b, col("tok")).withColumnRenamed("cnt", "cntb"),
+      // per-side token counts, persisted: each side feeds BOTH its
+      // sketch build and the truth join, so tokenization runs once
+      // per side instead of twice; sketches build from the counts
+      // (identical cells, md5 per distinct token — buildCmsFromCounts)
+      val ca = a.groupBy("tok").agg(count(lit(1)).as("ca")).persist()
+      val cb = b.groupBy("tok").agg(count(lit(1)).as("cb")).persist()
+      val est = CmsOps.buildCmsFromCounts(ca, col("tok"), col("ca"))
+        .join(CmsOps.buildCmsFromCounts(cb, col("tok"), col("cb"))
+            .withColumnRenamed("cnt", "cntb"),
           Seq("d", "cell"))
         .groupBy("d").agg(sum(col("cnt") * col("cntb")).as("ip"))
         .agg(min("ip").as("est_size"))
-      val truth = a.groupBy("tok").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("tok").agg(count(lit(1)).as("cb")), "tok")
+      val truth = ca.join(cb, "tok")
         .agg(sum(col("ca") * col("cb")).as("true_size"))
       truth.crossJoin(est) // two single-row scalars
         .select(col("true_size"), col("est_size"),
@@ -1346,7 +1371,10 @@ object TextQueries {
     // and verdict hash-exact cross-engine.
     "text_quality_classifier" -> { (s, d) =>
       val w = typedlit(qcWeights)
-      docs(s, d)
+      // fanout: inference is pure per-row CPU (tokenize + one md5 per
+      // feature) and the fixture scan is one task — spread the rows
+      // across the cores first; at scale the scan already is
+      graft.sources.Tables.fanout(docs(s, d))
         .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
         .withColumn("feats",
           concat(col("toks"), graft.functions.TextFunctions.shingles(col("toks"), 2)))

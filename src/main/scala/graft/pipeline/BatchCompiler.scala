@@ -590,8 +590,25 @@ object BatchCompiler {
   private def jqTransform(spark: SparkSession, tpl: PipelineTemplate, step: StepSpec,
                           df: DataFrame, expr: String, wrapName: Option[String]): DataFrame = {
     import spark.implicits._
-    // vectors in arrival order; each vector becomes one JSON array line
-    val vd = vectorized(tpl, df, step)
+    val p = spark.sessionState.conf.numShufflePartitions
+    // vectors in arrival order; each vector becomes one JSON array line.
+    //
+    // Two deliberate exchanges around the heavy per-event work:
+    //   - an explicit hash repartition on the vector key BEFORE the
+    //     aggregate: the JSON render (eventJson per event) runs inside
+    //     the aggregate, and on the global-window path the window's
+    //     output is ONE partition — without this the whole corpus
+    //     renders on one core. groupBy on the same key/count reuses
+    //     the exchange (guide §2.4), so this costs no extra shuffle;
+    //   - repartitionByRange (NOT orderBy) to feed the subprocess pipe:
+    //     a global sort's post-shuffle partitions get COALESCED by AQE
+    //     (25 MB of vector lines -> one partition -> ONE jq process);
+    //     an explicit range repartition pins p partitions, so p
+    //     processes pump in parallel, and range + per-partition sort
+    //     preserves exactly the global vector order the old orderBy
+    //     gave (monotonically_increasing_id stays monotone with
+    //     arrival across ordered range partitions).
+    val vd = vectorized(tpl, df, step).repartition(p, vecCols(tpl).map(col): _*)
     val vCols = vecCols(tpl).map(col)
     val vecLines = vd
       .groupBy(vCols: _*)
@@ -599,7 +616,8 @@ object BatchCompiler {
         array_sort(collect_list(struct(col("__ts"), col("__seq"), eventJson.as("ej")))),
         x => x.getField("ej")), ",").as("body"),
         max("__ts").as("vts"))
-      .orderBy(vCols: _*)
+      .repartitionByRange(p, vCols: _*)
+      .sortWithinPartitions(vCols: _*)
       .select(concat(lit("["), col("body"), lit("]")).as("line"), col("vts"))
 
     val prelude = tpl.jqPrelude // local: don't serialize the template

@@ -40,6 +40,26 @@ object Tables {
   def cachedCount(s: SparkSession, d: String, name: String): Long =
     rowCounts.getOrElseUpdate(s"$d/$name", read(s, d, name).count())
 
+  /** Fan a narrow scan out to the session's parallelism when the
+    * source supplies fewer partitions than cores. The driver fixtures
+    * are single-file, SINGLE-ROW-GROUP parquet, so Spark plans every
+    * scan as ONE task and the whole pre-exchange stage (tokenize /
+    * md5 / shingle / JSON-render — the expensive part of the text and
+    * pipeline operators) runs on one core of 32 (guide §2.5: input
+    * skew, "repartition immediately after the read"). Scale-adaptive
+    * by construction: a production-sized table scans with >= cores
+    * input partitions and passes through UNTOUCHED — no payload
+    * shuffle is added at scale, the exchange exists exactly when the
+    * input cannot feed the cores. Callers put this AFTER the narrow
+    * column select so the exchange carries only needed columns, and
+    * only on queries whose downstream order does not depend on
+    * partition layout (everything oracle-checked orders its output).
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** The event-stream table. `ts` comes back as a proper TIMESTAMP
     * (microsecond precision) and `ts_us` as the raw unix microseconds
     * (bigint — what oracle comparisons use, `epoch_us(ts)` in DuckDB).
