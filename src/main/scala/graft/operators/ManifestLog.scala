@@ -177,7 +177,218 @@ object ManifestLog {
 
   private def readPayloadDir(spark: SparkSession, dir: String): DataFrame = {
     payloadReads.incrementAndGet()
-    normalizeSnap(spark.read.parquet(dir))
+    readPayloadRowsDriver(spark, dir) match {
+      case Some((rows, schema)) =>
+        import scala.jdk.CollectionConverters._
+        normalizeSnap(spark.createDataFrame(rows.asJava, schema))
+      case None => normalizeSnap(spark.read.parquet(dir))
+    }
+  }
+
+  // ---- driver-side payload parquet I/O ----
+  //
+  // A snapshot payload is KILOBYTES at any table size (one row per
+  // live file; the class doc's "every planning decision here is
+  // driver-side metadata work"). Routing it through spark.read /
+  // DataFrame.write costs a schema-inference pass plus a distributed
+  // job per access — the lake queries spent more wall time scheduling
+  // metadata jobs than scanning data. Both directions now use the
+  // parquet example Group API on the driver: reads return LocalRelation
+  // frames (collect/join/broadcast without a cluster round trip),
+  // commits write their payload file in driver microseconds. Any
+  // payload outside the manifest type lattice (int/long/float/double/
+  // string lo-hi, the standard 3-level xs list) falls back to the
+  // Spark path unchanged — correctness never depends on the fast path.
+
+  private val StringAnnotation =
+    org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+
+  /** Map a manifest-lattice parquet primitive to its Spark type; None
+    * = outside the lattice (timestamps, decimals, dates — legacy or
+    * exotic payloads) → the caller falls back to spark.read.
+    */
+  private def latticeType(t: org.apache.parquet.schema.Type)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!t.isPrimitive) return None
+    val p = t.asPrimitiveType()
+    (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+      case (INT32, null)              => Some(IntegerType)
+      case (INT64, null)              => Some(LongType)
+      case (FLOAT, null)              => Some(FloatType)
+      case (DOUBLE, null)             => Some(DoubleType)
+      case (BINARY, StringAnnotation) => Some(StringType)
+      case _                          => None
+    }
+  }
+
+  /** Read a payload dir's rows on the driver. None = fall back to the
+    * Spark reader (unknown schema shape, unreadable file).
+    */
+  private def readPayloadRowsDriver(spark: SparkSession, dir: String)
+      : Option[(Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val conf = spark.sessionState.newHadoopConf()
+      val f = p.getFileSystem(conf)
+      val parts = f.listStatus(p).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      if (parts.isEmpty) return None
+
+      var schema: StructType = null
+      var fields: Seq[(String, DataType)] = null
+      val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+      for (part <- parts) {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), part.getPath)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          // schema from the footer even when the part holds no rows
+          val mt = org.apache.parquet.hadoop.ParquetFileReader
+            .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part.getPath, conf))
+          val msgType = try mt.getFooter.getFileMetaData.getSchema finally mt.close()
+          val partFields: Seq[(String, DataType)] = msgType.getFields.asScala.toSeq.map { t =>
+            val dt: DataType =
+              if (t.isPrimitive) latticeType(t).getOrElse(return None)
+              else {
+                // the xs list: optional group (LIST) { repeated group {
+                // optional group { c: string, lo: int64, hi: int64 } } }
+                if (t.asGroupType().getFieldCount != 1) return None
+                val rep = t.asGroupType().getType(0)
+                if (rep.isPrimitive || rep.asGroupType().getFieldCount != 1) return None
+                val el = rep.asGroupType().getType(0)
+                if (el.isPrimitive) return None
+                val eg = el.asGroupType()
+                val efs = eg.getFields.asScala.toSeq
+                  .map(ft => StructField(ft.getName, latticeType(ft).getOrElse(return None)))
+                ArrayType(StructType(efs))
+              }
+            t.getName -> dt
+          }
+          if (schema == null) {
+            fields = partFields
+            schema = StructType(partFields.map { case (n, dt) => StructField(n, dt) })
+          } else if (partFields != fields) return None
+
+          while (g != null) {
+            val vals = fields.zipWithIndex.map { case ((name, dt), i) =>
+              if (g.getFieldRepetitionCount(i) == 0) null
+              else dt match {
+                case IntegerType => g.getInteger(i, 0)
+                case LongType    => g.getLong(i, 0)
+                case FloatType   => g.getFloat(i, 0)
+                case DoubleType  => g.getDouble(i, 0)
+                case StringType  => g.getBinary(i, 0).toStringUsingUTF8
+                case ArrayType(StructType(efs), _) =>
+                  val lst = g.getGroup(i, 0)
+                  (0 until lst.getFieldRepetitionCount(0)).map { j =>
+                    val wrap = lst.getGroup(0, j)
+                    val el = wrap.getGroup(0, 0)
+                    org.apache.spark.sql.Row.fromSeq(efs.toSeq.zipWithIndex.map {
+                      case (ef, k) =>
+                        if (el.getFieldRepetitionCount(k) == 0) null
+                        else ef.dataType match {
+                          case LongType   => el.getLong(k, 0)
+                          case IntegerType => el.getInteger(k, 0)
+                          case StringType => el.getBinary(k, 0).toStringUsingUTF8
+                          case _          => return None
+                        }
+                    })
+                  }
+                case _ => return None
+              }
+            }
+            rows += org.apache.spark.sql.Row.fromSeq(vals)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      Some((rows.result(), schema))
+    } catch { case _: Exception => None }
+  }
+
+  /** Write a payload's rows as ONE parquet part on the driver. False =
+    * schema outside the manifest lattice — caller uses the Spark
+    * writer. The layout (standard 3-level xs list, string-annotated
+    * binaries) is exactly what the Spark writer produces, so either
+    * reader reads either writer's payloads.
+    */
+  private def writePayloadDriver(spark: SparkSession, dir: String,
+                                 rows: Seq[org.apache.spark.sql.Row],
+                                 schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def primOf(dt: DataType, name: String): Option[org.apache.parquet.schema.Type] = dt match {
+      case IntegerType => Some(Types.optional(INT32).named(name))
+      case LongType    => Some(Types.optional(INT64).named(name))
+      case FloatType   => Some(Types.optional(FLOAT).named(name))
+      case DoubleType  => Some(Types.optional(DOUBLE).named(name))
+      case StringType  => Some(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name))
+      case _           => None
+    }
+    val fieldTypes = schema.fields.map { sf =>
+      sf.dataType match {
+        case ArrayType(StructType(efs), _) =>
+          var eb = Types.optionalGroup()
+          for (ef <- efs) eb = eb.addField(primOf(ef.dataType, ef.name).getOrElse(return false))
+          Types.optionalList().element(eb.named("element")).named(sf.name)
+        case dt => primOf(dt, sf.name).getOrElse(return false)
+      }
+    }
+    val msgType = fieldTypes
+      .foldLeft(Types.buildMessage()
+        : Types.GroupBuilder[org.apache.parquet.schema.MessageType])(_.addField(_))
+      .named("spark_schema")
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      dirPath.getFileSystem(conf).mkdirs(dirPath)
+      val file = new org.apache.hadoop.fs.Path(dir, "part-00000.parquet")
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        .withConf(conf).withType(msgType).build()
+      val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+      try {
+        for (r <- rows) {
+          val g = fac.newGroup()
+          schema.fields.zipWithIndex.foreach { case (sf, i) =>
+            val v = r.get(i)
+            if (v != null) sf.dataType match {
+              case IntegerType => g.add(sf.name, v.asInstanceOf[Int])
+              case LongType    => g.add(sf.name, v.asInstanceOf[Number].longValue())
+              case FloatType   => g.add(sf.name, v.asInstanceOf[Float])
+              case DoubleType  => g.add(sf.name, v.asInstanceOf[Double])
+              case StringType  => g.add(sf.name, v.asInstanceOf[String])
+              case ArrayType(StructType(efs), _) =>
+                val lg = g.addGroup(sf.name)
+                v.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]].foreach { er =>
+                  val el = lg.addGroup(0).addGroup(0)
+                  efs.toSeq.zipWithIndex.foreach { case (ef, k) =>
+                    val ev = er.get(k)
+                    if (ev != null) ef.dataType match {
+                      case LongType    => el.add(ef.name, ev.asInstanceOf[Number].longValue())
+                      case IntegerType => el.add(ef.name, ev.asInstanceOf[Int])
+                      case StringType  => el.add(ef.name, ev.asInstanceOf[String])
+                      case _           => ()
+                    }
+                  }
+                }
+              case _ => ()
+            }
+          }
+          w.write(g)
+        }
+      } finally w.close()
+      true
+    } catch { case _: Exception => false }
   }
 
   /** Head snapshot rows for the commit retry loops: None = the head
@@ -204,8 +415,11 @@ object ManifestLog {
     // file, so it is exactly as atomic and exactly as durable as the
     // commit itself — no second write to crash between
     val body = payload + txn.map { case (app, e) => s"\ntxn:$app:$e" }.getOrElse("")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"${logDir(path)}/$payload")
+    // payload write is driver-side metadata work (kilobytes); the
+    // Spark writer is the fallback for out-of-lattice schemas
+    if (!writePayloadDriver(spark, s"${logDir(path)}/$payload", rows, schema))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"${logDir(path)}/$payload")
     val f = fs(spark, path)
     val marker = new org.apache.hadoop.fs.Path(vDir(path, v))
     try {
@@ -390,7 +604,17 @@ object ManifestLog {
       s"table at $path is keyed on '${stored.get}', not '$statsCol'")
   }
 
-  private def statsOf(spark: SparkSession, files: Seq[String], statsCol: String): DataFrame = {
+  private[operators] def statsOf(spark: SparkSession, files: Seq[String], statsCol: String): DataFrame =
+    footerStats(spark, files, statsCol, None, Seq.empty)
+      .getOrElse(statsOfScan(spark, files, statsCol))
+
+  /** The distributed fallback stats pass: re-read the written files
+    * and aggregate per file. Only runs when [[footerStats]] cannot
+    * PROVE exact bounds from the parquet footers (exotic key type,
+    * missing statistics) — for the common int/long/string keys the
+    * footer path answers without re-reading a data byte.
+    */
+  private[operators] def statsOfScan(spark: SparkSession, files: Seq[String], statsCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
@@ -400,6 +624,143 @@ object ManifestLog {
       .withColumn("lo2", lit(null).cast("long"))
       .withColumn("hi2", lit(null).cast("long"))
       .withColumn("xs", lit(null).cast(XsSqlType))
+  }
+
+  /** Per-file commit stats from parquet FOOTERS — metadata reads on
+    * the driver instead of a full distributed RE-READ of the bytes the
+    * commit just wrote (at 100 TB the scan pass doubles every load's
+    * I/O; the footers were written for exactly this). Exactness rules,
+    * any failure → None and the caller falls back to [[statsOfScan]]:
+    *
+    *   - int32/int64/required-string columns only. parquet-mr writes
+    *     column-chunk min/max untruncated by default and these types
+    *     have total orders, so footer bounds ARE the exact min/max
+    *     (float/double are refused: NaN poisons their stats contract);
+    *   - every row group must carry statistics with a known null
+    *     count; an all-null group contributes no bounds (the Spark
+    *     aggregate's min/max skip nulls the same way);
+    *   - `rows` is the footer row count — exact by definition.
+    *
+    * The per-file key is the same `input_file_name()` string the scan
+    * path would produce (SparkPath.urlEncoded of the listed path), so
+    * snapshot rows are byte-identical either way —
+    * FooterStatsSpec pins footer rows == scan rows on written tables.
+    * lo2/hi2 and each xs axis read the same way (integral by
+    * construction — initTable/writeClusteredN enforce it).
+    */
+  private[operators] def footerStats(spark: SparkSession, files: Seq[String],
+                          statsCol: String, statsCol2: Option[String],
+                          xsCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (files.isEmpty) return None
+    val conf = spark.sessionState.newHadoopConf()
+
+    // (lo, hi) of one column across one file's row groups; Left(dt) on
+    // the first unprovable footer makes the whole pass fall back
+    def bounds(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+               col: String): Option[(Any, Any, DataType)] = {
+      import scala.jdk.CollectionConverters._
+      val mt = footer.getFileMetaData.getSchema
+      if (!mt.containsField(col)) return None
+      val tp = mt.getType(Seq(col): _*)
+      if (!tp.isPrimitive) return None
+      val prim = tp.asPrimitiveType()
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val dt: DataType = prim.getPrimitiveTypeName match {
+        case INT32 => IntegerType
+        case INT64 => LongType
+        case BINARY
+            if prim.getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.stringType() => StringType
+        case _ => return None
+      }
+      var lo: Any = null
+      var hi: Any = null
+      for (b <- footer.getBlocks.asScala) {
+        val cc = b.getColumns.asScala.find(_.getPath.toDotString == col)
+          .getOrElse(return None)
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty || st.isNumNullsSet == false) return None
+        if (st.getNumNulls < b.getRowCount) {
+          if (!st.hasNonNullValue) return None
+          val (bLo, bHi) = dt match {
+            case IntegerType =>
+              val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+              (s.getMin, s.getMax)
+            case LongType =>
+              val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+              (s.getMin, s.getMax)
+            case StringType =>
+              val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+              (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+          }
+          def cmpLt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Int, y: Int)       => x < y
+            case (x: Long, y: Long)     => x < y
+            case (x: String, y: String) => x < y
+            case _                      => false
+          }
+          if (lo == null || cmpLt(bLo, lo)) lo = bLo
+          if (hi == null || cmpLt(hi, bHi)) hi = bHi
+        }
+      }
+      Some((lo, hi, dt))
+    }
+
+    def asLongOpt(v: Any): Option[Any] = v match {
+      case null    => Some(null)
+      case i: Int  => Some(i.toLong)
+      case l: Long => Some(l)
+      case _       => None
+    }
+
+    val rowsB = Seq.newBuilder[org.apache.spark.sql.Row]
+    var keyDt: DataType = null
+    for (f <- files) {
+      val p = new org.apache.hadoop.fs.Path(f)
+      val footer =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        } catch { case _: Exception => return None }
+      import scala.jdk.CollectionConverters._
+      val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
+      val (lo, hi, dt) = bounds(footer, statsCol).getOrElse(return None)
+      if (keyDt == null) keyDt = dt
+      else if (keyDt != dt) return None // mixed physical types: let the scan widen
+      val lohi2: (Any, Any) = statsCol2 match {
+        case None => (null, null)
+        case Some(c2) =>
+          val (l2, h2, _) = bounds(footer, c2).getOrElse(return None)
+          (asLongOpt(l2).getOrElse(return None), asLongOpt(h2).getOrElse(return None))
+      }
+      val xs: Any =
+        if (xsCols.isEmpty) null
+        else xsCols.map { c =>
+          val (l, h, _) = bounds(footer, c).getOrElse(return None)
+          org.apache.spark.sql.Row(c,
+            asLongOpt(l).getOrElse(return None), asLongOpt(h).getOrElse(return None))
+        }
+      // the same string the scan path's input_file_name() yields for
+      // this file — snapshot keys must be form-identical either way
+      val fileKey = org.apache.spark.paths.SparkPath
+        .fromPath(p.getFileSystem(conf).makeQualified(p)).urlEncoded
+      rowsB += org.apache.spark.sql.Row(
+        fileKey, lo, hi, nRows, null, lohi2._1, lohi2._2, xs)
+    }
+    val xsDt = DataType.fromDDL(XsSqlType)
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("lo", keyDt),
+      StructField("hi", keyDt),
+      StructField("rows", LongType, nullable = false),
+      StructField("dv", StringType),
+      StructField("lo2", LongType),
+      StructField("hi2", LongType),
+      StructField("xs", xsDt)))
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(rowsB.result().asJava, schema))
   }
 
   /** The clustering (second stats) column registered for a table, if
@@ -434,13 +795,16 @@ object ManifestLog {
     * the column (a schema-evolution edge — NULL stays the safe
     * unknown).
     */
-  private def statsOfRewrite(spark: SparkSession, path: String,
+  private[operators] def statsOfRewrite(spark: SparkSession, path: String,
                              files: Seq[String], statsCol: String): DataFrame =
     statsCol2Of(spark, path) match {
-      case Some(c2) if spark.read.parquet(files: _*).columns.contains(c2) =>
-        val xsCols = statsColsXOf(spark, path)
-          .filter(spark.read.parquet(files: _*).columns.contains)
-        statsOfN(spark, files, statsCol, c2, xsCols)
+      case Some(c2) =>
+        // one schema-inference pass for both column probes
+        val cols = spark.read.parquet(files: _*).columns
+        if (cols.contains(c2))
+          statsOfN(spark, files, statsCol, c2,
+            statsColsXOf(spark, path).filter(cols.contains))
+        else statsOf(spark, files, statsCol)
       case _ => statsOf(spark, files, statsCol)
     }
 
@@ -458,9 +822,15 @@ object ManifestLog {
     * anyway. Empty `xsCols` keeps `xs` NULL (the 2-axis shape,
     * byte-compatible with every pre-xs snapshot consumer).
     */
-  private def statsOfN(spark: SparkSession, files: Seq[String],
+  private[operators] def statsOfN(spark: SparkSession, files: Seq[String],
                        statsCol: String, statsCol2: String,
-                       xsCols: Seq[String]): DataFrame = {
+                       xsCols: Seq[String]): DataFrame =
+    footerStats(spark, files, statsCol, Some(statsCol2), xsCols)
+      .getOrElse(statsOfNScan(spark, files, statsCol, statsCol2, xsCols))
+
+  private[operators] def statsOfNScan(spark: SparkSession, files: Seq[String],
+                           statsCol: String, statsCol2: String,
+                           xsCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
@@ -1863,7 +2233,7 @@ object ManifestLog {
     val startV = prev.map(_._1).getOrElse(0)
     if (head <= startV) return startV
     val prevRows0 = prev
-      .map(p => spark.read.schema(ckptSchema).parquet(p._2).collect().toSeq)
+      .map(p => readCkptRows(spark, p._2))
       .getOrElse(Seq.empty)
     val allVs = versions(spark, path)
     val live = allVs.filter(v => v > startV && v <= head)
@@ -1932,9 +2302,10 @@ object ManifestLog {
     // the deltas — the same visibility discipline as the pointer CAS
     val name = f"ckpt-v${live.last}%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = s"${logDir(path)}/.tmp-$name"
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(prevRows ++ buf, 1), ckptSchema)
-      .coalesce(1).write.parquet(tmp)
+    if (!writePayloadDriver(spark, tmp, (prevRows ++ buf).toSeq, ckptSchema))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(prevRows ++ buf, 1), ckptSchema)
+        .coalesce(1).write.parquet(tmp)
     f.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"${logDir(path)}/$name"))
     live.last
@@ -2007,11 +2378,21 @@ object ManifestLog {
   /** Checkpoint rows grouped by version (one parquet read), for the
     * chain walks. Empty when no checkpoint exists.
     */
+  /** Checkpoint rows, driver-side with the Spark reader as fallback
+    * (same discipline as the snapshot payloads — a checkpoint is
+    * churn-sized metadata, never worth a distributed job).
+    */
+  private def readCkptRows(spark: SparkSession,
+                           dir: String): Seq[org.apache.spark.sql.Row] =
+    readPayloadRowsDriver(spark, dir) match {
+      case Some((rows, _)) => rows
+      case None => spark.read.schema(ckptSchema).parquet(dir).collect().toSeq
+    }
+
   private def ckptByVersion(spark: SparkSession,
                             path: String): Map[Int, Seq[org.apache.spark.sql.Row]] =
     latestCkpt(spark, path)
-      .map(p => spark.read.schema(ckptSchema).parquet(p._2)
-        .collect().toSeq.groupBy(_.getInt(0)))
+      .map(p => readCkptRows(spark, p._2).groupBy(_.getInt(0)))
       .getOrElse(Map.empty)
 
   /** DESCRIBE HISTORY: one row per version — commit instant (pointer
@@ -2237,7 +2618,14 @@ object ManifestLog {
     // a retained version that resolves to None was a crashed commit
     // (repaired by resolvePayload) — skip it rather than fail the sweep
     val keepDirs = keepVs.flatMap(v => resolvePayload(spark, path, v))
-    val keepSnaps = keepDirs.map(dir => normalizeSnap(spark.read.parquet(dir)).collect())
+    val keepSnaps = keepDirs.map { dir =>
+      import scala.jdk.CollectionConverters._
+      readPayloadRowsDriver(spark, dir) match {
+        case Some((rows, schema)) =>
+          normalizeSnap(spark.createDataFrame(rows.asJava, schema)).collect()
+        case None => normalizeSnap(spark.read.parquet(dir)).collect()
+      }
+    }
     val live: Set[String] = keepSnaps.flatten.map(_.getString(0)).toSet
     // deletion-vector batches referenced by a retained snapshot are as
     // live as the data files they tombstone — the dv column names the
