@@ -160,7 +160,7 @@ object CurationQueries {
     // addresses. Pure per-row regex work — at 100 TB this is a single
     // codegen'd scan, no shuffle but the final presentation sort.
     "text_redact_pii" -> { (s, d) =>
-      docs(s, d)
+      graft.sources.Tables.fanout(docs(s, d))
         .withColumn("pii", expr(piiSqlExpr))
         .select(
           col("doc_id"),
@@ -184,7 +184,7 @@ object CurationQueries {
     // row — fine on 50-token rows, hopeless on a real 100k-token
     // document — so the aggregate shape is the 100-TB one.
     "text_repetition" -> { (s, d) =>
-      val base = docs(s, d)
+      val base = graft.sources.Tables.fanout(docs(s, d))
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"), col("toks"))
@@ -230,7 +230,7 @@ object CurationQueries {
     // this shape scans the corpus twice (bench subset + candidates)
     // and shuffles the candidate grams once.
     "text_contamination" -> { (s, d) =>
-      def grams(df: DataFrame) = df
+      def grams(df: DataFrame) = graft.sources.Tables.fanout(df)
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
         .distinct()

@@ -1838,8 +1838,14 @@ object ManifestLog {
     checkStatsCol(spark, path, statsCol)
     val keys = keys0.select(col(statsCol)).distinct().persist()
     try {
-      if (keys.isEmpty) return (0, 0L)
-      require(keys.filter(col(statsCol).isNull).isEmpty,
+      // one aggregate answers emptiness, the NULL-key screen AND the
+      // key range (previously three separate driver actions over the
+      // same frame); count(lit(1)) counts null keys too
+      val kstats = keys.agg(count(lit(1)).as("n"),
+        sum(when(col(statsCol).isNull, 1L).otherwise(0L)).as("nnull"),
+        min(col(statsCol)).as("kmin"), max(col(statsCol)).as("kmax")).head()
+      if (kstats.getLong(0) == 0L) return (0, 0L)
+      require(kstats.getLong(1) == 0L,
         s"delete keys carry NULL '$statsCol' — a null key never matches any row")
       val snapRows = snapshot(spark, path, v).collect().toSeq
       val statsDf = snapshot(spark, path, v)
@@ -1871,8 +1877,7 @@ object ManifestLog {
       val freshRows =
         if (fresh.isEmpty) Seq.empty[org.apache.spark.sql.Row]
         else statsOfRewrite(spark, path, fresh, statsCol).collect().toSeq
-      val Array(kmin, kmax) = keys
-        .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
+      val (kmin, kmax) = (kstats.get(2), kstats.get(3))
       val schema = snapshot(spark, path, v).schema
       commitKeyedRewrite(spark, path, "delete",
         touch.map(r => r.getString(0) -> r.getString(4)).toMap,
@@ -1917,8 +1922,14 @@ object ManifestLog {
     checkStatsCol(spark, path, statsCol)
     val keys = keys0.select(col(statsCol)).distinct().persist()
     try {
-      if (keys.isEmpty) return (0, 0L)
-      require(keys.filter(col(statsCol).isNull).isEmpty,
+      // one aggregate answers emptiness, the NULL-key screen AND the
+      // key range (previously three separate driver actions over the
+      // same frame); count(lit(1)) counts null keys too
+      val kstats = keys.agg(count(lit(1)).as("n"),
+        sum(when(col(statsCol).isNull, 1L).otherwise(0L)).as("nnull"),
+        min(col(statsCol)).as("kmin"), max(col(statsCol)).as("kmax")).head()
+      if (kstats.getLong(0) == 0L) return (0, 0L)
+      require(kstats.getLong(1) == 0L,
         s"deleteMor keys carry NULL '$statsCol' — a null key never matches any row")
       val snapRows = snapshot(spark, path, v).collect().toSeq
       val statsDf = snapshot(spark, path, v)
@@ -1947,7 +1958,10 @@ object ManifestLog {
               org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType))))
         else spark.read.parquet(oldDvs: _*).select("file", "pos")
           .filter(col("file").isin(touchFiles: _*))
-      val freshDead = hits.exceptAll(existing).persist()
+      // first delete on these files: no existing tombstones, so the
+      // EXCEPT-ALL (and the union∪distinct below) against a provably
+      // empty side is the identity — skip the shuffles they would plan
+      val freshDead = (if (oldDvs.isEmpty) hits else hits.exceptAll(existing)).persist()
       try {
         val deleted = freshDead.count()
         if (deleted == 0L) return (0, 0L)
@@ -1963,7 +1977,12 @@ object ManifestLog {
         // count (a broad erasure splits into per-few-files sidecars
         // the probe can skip), capped so a small delete on a
         // many-file table doesn't spray tiny files.
-        val merged = freshDead.unionByName(existing).distinct()
+        // hits' (file, pos) rows are unique by construction (one scan
+        // row per position, semi-join never duplicates), so with no
+        // existing DVs the merged tombstone set IS freshDead
+        val merged =
+          if (oldDvs.isEmpty) freshDead
+          else freshDead.unionByName(existing).distinct()
         val dvDir = newBatchDir(path)
         val nOut = math.max(
           math.max(1L, (deleted + 8000000L - 1) / 8000000L),
@@ -1977,8 +1996,7 @@ object ManifestLog {
         val withDead = merged.select("file").distinct()
           .collect().map(_.getString(0)).toSet
         val plannedDv = touch.map(r => r.getString(0) -> r.getString(4)).toMap
-        val Array(kmin, kmax) = keys
-          .agg(min(col(statsCol)), max(col(statsCol))).head().toSeq.toArray
+        val (kmin, kmax) = (kstats.get(2), kstats.get(3))
         val snapFiles = snapRows.map(_.getString(0)).toSet
         val schema = snapshot(spark, path, v).schema
         var committed = false
@@ -2089,8 +2107,17 @@ object ManifestLog {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    (align(newRows).exceptAll(align(oldRows)),
-      align(oldRows).exceptAll(align(newRows)))
+    // a side with NO changed pairs is the empty frame by construction
+    // (readOr's lit(false) filter) — EXCEPT-ALL against it is the
+    // identity, so skip the shuffle it would otherwise plan: a pure
+    // append's (and the v1 bootstrap's) feed frames are then plain
+    // reads of the new files, and only a genuine rewrite/MOR version
+    // pays the pair-diff
+    if (onlyFrom.isEmpty || onlyTo.isEmpty)
+      (align(newRows), align(oldRows))
+    else
+      (align(newRows).exceptAll(align(oldRows)),
+        align(oldRows).exceptAll(align(newRows)))
   }
 
   /** CHANGE FEED over a version range (Delta's table_changes /

@@ -637,7 +637,7 @@ object TextQueries {
     // a per-GROUP array sort (bounded by doc length), never a
     // per-partition data sort.
     "text_dedup_rewrite" -> { (s, d) =>
-      val chunks = chunkRows(docs(s, d))
+      val chunks = chunkRows(graft.sources.Tables.fanout(docs(s, d)))
         .withColumn("n_ctoks", size(split(col("chunk"), " ")).cast("long"))
       val firsts = chunks.groupBy("chunk")
         .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
@@ -712,7 +712,7 @@ object TextQueries {
     // the corpus side never shuffles. Streaming arm:
     // streaming/StreamingDedup.probeChunkIndexStream.
     "dedup_incremental_chunks" -> { (s, d) =>
-      val all = docs(s, d)
+      val all = graft.sources.Tables.fanout(docs(s, d))
       val index = buildChunkIndex(all.filter(col("doc_id") % 10 >= 3))
       probeChunkIndex(index, chunkRows(all.filter(col("doc_id") % 10 < 3)))
         .groupBy("doc_id")
@@ -770,7 +770,7 @@ object TextQueries {
     // that admits a daily crawl against a 100-TB corpus without
     // re-shuffling it.
     "dedup_incremental_minhash" -> { (s, d) =>
-      val all = docs(s, d)
+      val all = graft.sources.Tables.fanout(docs(s, d))
       val batch = all.filter(col("doc_id") % 10 < 3)
       val (idxBands, idxSigs) = buildMinhashIndex(all.filter(col("doc_id") % 10 >= 3))
       probeMinhashIndex(idxBands, idxSigs, batch)
@@ -951,7 +951,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val TopN = 10
       val Salt = 64
-      val counts = withToks(docs(s, d))
+      val counts = withToks(graft.sources.Tables.fanout(docs(s, d)))
         .select(col("lang"), explode(shingles(col("toks"), 2)).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       val byBucket = Window.partitionBy(col("lang"), pmod(xxhash64(col("gram")), lit(Salt)))
@@ -1007,7 +1007,7 @@ object TextQueries {
     // starts colliding at ~80k distinct spans (birthday bound), well
     // below one large document's span count.
     "text_dup_spans" -> { (s, d) =>
-      docs(s, d)
+      graft.sources.Tables.fanout(docs(s, d))
         .select(col("doc_id"),
           explode(graft.functions.TextExpressions.shingleHashes128(col("text"), DupSpanLen))
             .as("h"))
@@ -1036,7 +1036,7 @@ object TextQueries {
     // quantile sketch).
     "text_heavy_hitters" -> { (s, d) =>
       val hh = udaf(new graft.functions.HeavyHittersAgg(HHCounters))
-      withToks(docs(s, d))
+      withToks(graft.sources.Tables.fanout(docs(s, d)))
         .select(col("lang"), explode(col("toks")).as("tok"))
         .groupBy("lang").agg(hh(col("tok")).as("summary"))
         .select(col("lang"), explode(col("summary")).as(Seq("token", "approx_cnt")))
@@ -1053,7 +1053,7 @@ object TextQueries {
     // single document's vocabulary.
     "text_tfidf_topk" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val base = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val base = withToks(graft.sources.Tables.fanout(docs(s, d))).filter(size(col("toks")) > 0)
       val dc = base.select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       // every non-empty doc contributes >= 1 word, so the doc count is a
@@ -1175,7 +1175,7 @@ object TextQueries {
     // libm. Shape: one conditional-count aggregate per (lang, token),
     // broadcast per-lang totals, one summing aggregate.
     "text_drift_tvd" -> { (s, d) =>
-      val t = withToks(docs(s, d))
+      val t = withToks(graft.sources.Tables.fanout(docs(s, d)))
         .select(col("lang"), (col("doc_id") % 10 < 3).as("is_new"),
           explode(col("toks")).as("tok"))
       val counts = t.groupBy("lang", "tok").agg(
@@ -1223,7 +1223,7 @@ object TextQueries {
     // ratio is one IEEE double division of exact integer counts,
     // bit-identical in both engines.
     "text_novelty" -> { (s, d) =>
-      val t = withToks(docs(s, d))
+      val t = withToks(graft.sources.Tables.fanout(docs(s, d)))
       val bg = t.filter(col("doc_id") % 10 < 3)
         .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
         .distinct()
@@ -1282,7 +1282,7 @@ object TextQueries {
     // driver), never a single-task sort.
     "text_pmi_bigrams" -> { (s, d) =>
       val MinCnt = 5
-      val toks = withToks(docs(s, d)).select(col("toks"))
+      val toks = withToks(graft.sources.Tables.fanout(docs(s, d))).select(col("toks"))
       val uni = toks.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val nb = toks.select(
@@ -1314,7 +1314,7 @@ object TextQueries {
     // reduce per doc_id. No driver state, no collects.
     "text_perplexity" -> { (s, d) =>
       val Fp = 1e6
-      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val dc = withToks(graft.sources.Tables.fanout(docs(s, d))).filter(size(col("toks")) > 0)
         .select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       val vocab = dc.groupBy("w").agg(sum("c").as("cw"))
@@ -1342,7 +1342,7 @@ object TextQueries {
     // total, and a join that reuses the doc_id partitioning.
     "text_entropy" -> { (s, d) =>
       val Fp = 1e6
-      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
+      val dc = withToks(graft.sources.Tables.fanout(docs(s, d))).filter(size(col("toks")) > 0)
         .select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       val nd = dc.groupBy("doc_id").agg(sum("c").as("n"))
