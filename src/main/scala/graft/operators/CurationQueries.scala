@@ -184,7 +184,7 @@ object CurationQueries {
     // row — fine on 50-token rows, hopeless on a real 100k-token
     // document — so the aggregate shape is the 100-TB one.
     "text_repetition" -> { (s, d) =>
-      val base = graft.sources.Tables.fanout(docs(s, d))
+      val base = docs(s, d)
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"), col("toks"))

@@ -29,14 +29,9 @@ object IngestQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** events → NDJSON event lines `{"n":"app.<type>","d":{"event_id":…,"k":…}}`.
-    * fanout first: the JSON render is per-row CPU and the fixture scan
-    * is one task — the select sits ABOVE the fanout exchange so the
-    * render runs core-wide (each replay then shapes its spool with its
-    * own repartition, which renders nothing).
-    */
+  /** events → NDJSON event lines `{"n":"app.<type>","d":{"event_id":…,"k":…}}`. */
   private def eventLines(s: SparkSession, d: String): DataFrame =
-    Tables.fanout(Tables.events(s, d)).select(to_json(struct(
+    Tables.events(s, d).select(to_json(struct(
       concat(lit("app."), col("event_type")).as("n"),
       struct(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k")).as("d")
@@ -66,13 +61,7 @@ object IngestQueries {
     "ev_tail_replay" -> { (s, d) =>
       val dir = Files.createTempDirectory("graft-tailrep")
       val out = dir.resolve("events").toString
-      // repartition(1), NOT coalesce(1): coalesce pulls the whole JSON
-      // render onto the single write task; the shuffle renders on every
-      // core and the one task just writes. Line order in the spool file
-      // changes with fetch order, which the replay is insensitive to by
-      // construction (replayed() orders by event_id, and the tail
-      // source's chopping invariance is spec-pinned separately).
-      eventLines(s, d).repartition(1).write.mode("overwrite").text(out)
+      eventLines(s, d).coalesce(1).write.mode("overwrite").text(out)
       val part = Files.list(Paths.get(out)).filter(_.getFileName.toString.startsWith("part-"))
         .findFirst().get().toString
       val table = s"tailrep_${System.nanoTime()}"

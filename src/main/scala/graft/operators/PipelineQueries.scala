@@ -45,11 +45,11 @@ object PipelineQueries {
 
   private def runPipeline(yaml: String)(s: SparkSession, d: String): DataFrame = {
       val ev = Tables.events(s, d)
-      val input = Tables.fanout(ev.select(
+      val input = ev.select(
         col("event_type").as("n"),
         col("props").as("d"),
         col("event_id").as("__seq"),
-        (col("ts_us") / lit(1e6)).as("arrival")))
+        (col("ts_us") / lit(1e6)).as("arrival"))
       val tpl = Spec.parseYaml(yaml)
       val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
       val out = BatchCompiler.compile(s, tpl, stamped).output
@@ -211,11 +211,11 @@ object PipelineQueries {
 
   private def runSortbyPipeline(yaml: String)(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val input = Tables.fanout(ev.select(
+    val input = ev.select(
       col("event_type").as("n"),
       col("props").as("d"),
       col("event_id").as("__seq"),
-      (col("ts_us") / lit(1e6)).as("arrival")))
+      (col("ts_us") / lit(1e6)).as("arrival"))
     val tpl = Spec.parseYaml(yaml)
     val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
     val out = BatchCompiler.compile(s, tpl, stamped).output
@@ -275,11 +275,11 @@ object PipelineQueries {
 
     "pipeline_e2e_jsonnet" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val input = Tables.fanout(ev.select(
+      val input = ev.select(
         col("event_type").as("n"),
         col("props").as("d"),
         col("event_id").as("__seq"),
-        (col("ts_us") / lit(1e6)).as("arrival")))
+        (col("ts_us") / lit(1e6)).as("arrival"))
       val tpl = Spec.parseYaml(jsonnetYaml)
       val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
       val out = BatchCompiler.compile(s, tpl, stamped).output
@@ -305,11 +305,11 @@ object PipelineQueries {
     // against the jq binary on random programs)
     "pipeline_e2e_limit" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val input = Tables.fanout(ev.select(
+      val input = ev.select(
         col("event_type").as("n"),
         col("props").as("d"),
         col("event_id").as("__seq"),
-        (col("ts_us") / lit(1e6)).as("arrival")))
+        (col("ts_us") / lit(1e6)).as("arrival"))
       val tpl = Spec.parseYaml(limitYaml)
       val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
       val out = BatchCompiler.compile(s, tpl, stamped).output
@@ -332,11 +332,11 @@ object PipelineQueries {
     // per-name windows (the scalable replay path), real jq subprocess
     "pipeline_e2e_keyed" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val input = Tables.fanout(ev.select(
+      val input = ev.select(
         col("event_type").as("n"),
         col("props").as("d"),
         col("event_id").as("__seq"),
-        (col("ts_us") / lit(1e6)).as("arrival")))
+        (col("ts_us") / lit(1e6)).as("arrival"))
       val tpl = Spec.parseYaml(keyedYaml)
       val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
       val out = BatchCompiler.compile(s, tpl, stamped).output
@@ -350,11 +350,11 @@ object PipelineQueries {
 
     "pipeline_e2e" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val input = Tables.fanout(ev.select(
+      val input = ev.select(
         col("event_type").as("n"),
         col("props").as("d"),
         col("event_id").as("__seq"),
-        (col("ts_us") / lit(1e6)).as("arrival")))
+        (col("ts_us") / lit(1e6)).as("arrival"))
       val tpl = Spec.parseYaml(pipelineYaml)
       val stamped = BatchCompiler.stampInput(tpl, input, col("arrival"))
       val out = BatchCompiler.compile(s, tpl, stamped).output

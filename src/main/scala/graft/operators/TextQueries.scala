@@ -435,14 +435,13 @@ object TextQueries {
     * query and the cluster-resolution query.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // fanout: the tokenize+shingle+K-hash pass otherwise runs on the
-    // single-row-group fixture's ONE scan task. persist: `mh` is
+    // persist: `mh` is
     // referenced by every band projection of the LSH self-join plus
     // both signature sides of the verify join — unpersisted, the
     // static plan re-evaluates the signature pass 2·Bands+2 times.
     // Signatures are (doc_id, K longs) — corpus-row-sized, the
     // persistable index artifact this module stores elsewhere anyway.
-    val mh = minhashSignatures(graft.sources.Tables.fanout(docs(s, d))).persist()
+    val mh = minhashSignatures(docs(s, d)).persist()
     val bands = minhashBands(mh)
 
     val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
@@ -637,7 +636,7 @@ object TextQueries {
     // a per-GROUP array sort (bounded by doc length), never a
     // per-partition data sort.
     "text_dedup_rewrite" -> { (s, d) =>
-      val chunks = chunkRows(graft.sources.Tables.fanout(docs(s, d)))
+      val chunks = chunkRows(docs(s, d))
         .withColumn("n_ctoks", size(split(col("chunk"), " ")).cast("long"))
       val firsts = chunks.groupBy("chunk")
         .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
@@ -666,11 +665,7 @@ object TextQueries {
     // anti-join, and the bounded per-doc ordered reassembly of
     // text_dedup_rewrite. No window over data-sized input anywhere.
     "text_dedup_rewrite_spans" -> { (s, d) =>
-      // fanout: the 128-bit shingle kernel runs in the two `spans`
-      // branches and the reassembly tokenizes again — all CPU-bound
-      // and otherwise pinned to the fixture's one scan task
-      val toked = withToks(graft.sources.Tables.fanout(docs(s, d)))
-        .filter(size(col("toks")) > 0)
+      val toked = withToks(docs(s, d)).filter(size(col("toks")) > 0)
       val spans = toked.select(col("doc_id"),
         posexplode(graft.functions.TextExpressions
           .shingleHashes128(col("text"), DupSpanLen)).as(Seq("p", "h")))
@@ -712,7 +707,7 @@ object TextQueries {
     // the corpus side never shuffles. Streaming arm:
     // streaming/StreamingDedup.probeChunkIndexStream.
     "dedup_incremental_chunks" -> { (s, d) =>
-      val all = graft.sources.Tables.fanout(docs(s, d))
+      val all = docs(s, d)
       val index = buildChunkIndex(all.filter(col("doc_id") % 10 >= 3))
       probeChunkIndex(index, chunkRows(all.filter(col("doc_id") % 10 < 3)))
         .groupBy("doc_id")
@@ -770,7 +765,7 @@ object TextQueries {
     // that admits a daily crawl against a 100-TB corpus without
     // re-shuffling it.
     "dedup_incremental_minhash" -> { (s, d) =>
-      val all = graft.sources.Tables.fanout(docs(s, d))
+      val all = docs(s, d)
       val batch = all.filter(col("doc_id") % 10 < 3)
       val (idxBands, idxSigs) = buildMinhashIndex(all.filter(col("doc_id") % 10 >= 3))
       probeMinhashIndex(idxBands, idxSigs, batch)
@@ -951,7 +946,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val TopN = 10
       val Salt = 64
-      val counts = withToks(graft.sources.Tables.fanout(docs(s, d)))
+      val counts = withToks(docs(s, d))
         .select(col("lang"), explode(shingles(col("toks"), 2)).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       val byBucket = Window.partitionBy(col("lang"), pmod(xxhash64(col("gram")), lit(Salt)))
@@ -1007,7 +1002,7 @@ object TextQueries {
     // starts colliding at ~80k distinct spans (birthday bound), well
     // below one large document's span count.
     "text_dup_spans" -> { (s, d) =>
-      graft.sources.Tables.fanout(docs(s, d))
+      docs(s, d)
         .select(col("doc_id"),
           explode(graft.functions.TextExpressions.shingleHashes128(col("text"), DupSpanLen))
             .as("h"))
@@ -1036,7 +1031,7 @@ object TextQueries {
     // quantile sketch).
     "text_heavy_hitters" -> { (s, d) =>
       val hh = udaf(new graft.functions.HeavyHittersAgg(HHCounters))
-      withToks(graft.sources.Tables.fanout(docs(s, d)))
+      withToks(docs(s, d))
         .select(col("lang"), explode(col("toks")).as("tok"))
         .groupBy("lang").agg(hh(col("tok")).as("summary"))
         .select(col("lang"), explode(col("summary")).as(Seq("token", "approx_cnt")))
@@ -1053,7 +1048,7 @@ object TextQueries {
     // single document's vocabulary.
     "text_tfidf_topk" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val base = withToks(graft.sources.Tables.fanout(docs(s, d))).filter(size(col("toks")) > 0)
+      val base = withToks(docs(s, d)).filter(size(col("toks")) > 0)
       val dc = base.select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       // every non-empty doc contributes >= 1 word, so the doc count is a
@@ -1118,8 +1113,7 @@ object TextQueries {
     // also an incremental index — CmsSpec pins merge-by-summation ==
     // one-shot, and StreamingCms maintains it under micro-batches.
     "text_cms_counts" -> { (s, d) =>
-      val toks = withToks(graft.sources.Tables.fanout(docs(s, d)))
-        .select(explode(col("toks")).as("tok"))
+      val toks = withToks(docs(s, d)).select(explode(col("toks")).as("tok"))
       // vocabulary-sized and referenced three times (sketch build,
       // probe set, truth join) — persisted so the tokenize+explode
       // pass runs once; the sketch builds from the counts (one md5
@@ -1143,7 +1137,7 @@ object TextQueries {
     // ≤ N_A·N_B/Width per depth. Hash-exact: both engines build the
     // identical sketches.
     "text_cms_join_size" -> { (s, d) =>
-      val t = withToks(graft.sources.Tables.fanout(docs(s, d)))
+      val t = withToks(docs(s, d))
       val a = t.filter(col("doc_id") % 2 === 0).select(explode(col("toks")).as("tok"))
       val b = t.filter(col("doc_id") % 2 =!= 0).select(explode(col("toks")).as("tok"))
       // per-side token counts, persisted: each side feeds BOTH its
@@ -1175,7 +1169,7 @@ object TextQueries {
     // libm. Shape: one conditional-count aggregate per (lang, token),
     // broadcast per-lang totals, one summing aggregate.
     "text_drift_tvd" -> { (s, d) =>
-      val t = withToks(graft.sources.Tables.fanout(docs(s, d)))
+      val t = withToks(docs(s, d))
         .select(col("lang"), (col("doc_id") % 10 < 3).as("is_new"),
           explode(col("toks")).as("tok"))
       val counts = t.groupBy("lang", "tok").agg(
@@ -1223,7 +1217,7 @@ object TextQueries {
     // ratio is one IEEE double division of exact integer counts,
     // bit-identical in both engines.
     "text_novelty" -> { (s, d) =>
-      val t = withToks(graft.sources.Tables.fanout(docs(s, d)))
+      val t = withToks(docs(s, d))
       val bg = t.filter(col("doc_id") % 10 < 3)
         .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
         .distinct()
@@ -1282,7 +1276,7 @@ object TextQueries {
     // driver), never a single-task sort.
     "text_pmi_bigrams" -> { (s, d) =>
       val MinCnt = 5
-      val toks = withToks(graft.sources.Tables.fanout(docs(s, d))).select(col("toks"))
+      val toks = withToks(docs(s, d)).select(col("toks"))
       val uni = toks.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val nb = toks.select(
@@ -1314,7 +1308,7 @@ object TextQueries {
     // reduce per doc_id. No driver state, no collects.
     "text_perplexity" -> { (s, d) =>
       val Fp = 1e6
-      val dc = withToks(graft.sources.Tables.fanout(docs(s, d))).filter(size(col("toks")) > 0)
+      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
         .select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       val vocab = dc.groupBy("w").agg(sum("c").as("cw"))
@@ -1342,7 +1336,7 @@ object TextQueries {
     // total, and a join that reuses the doc_id partitioning.
     "text_entropy" -> { (s, d) =>
       val Fp = 1e6
-      val dc = withToks(graft.sources.Tables.fanout(docs(s, d))).filter(size(col("toks")) > 0)
+      val dc = withToks(docs(s, d)).filter(size(col("toks")) > 0)
         .select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       val nd = dc.groupBy("doc_id").agg(sum("c").as("n"))

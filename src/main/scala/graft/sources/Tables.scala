@@ -56,6 +56,10 @@ object Tables {
     * partition layout (everything oracle-checked orders its output).
     */
   def fanout(df: DataFrame): DataFrame = {
+    // conf-gated (default on) so the effect is A/B-able INSIDE one
+    // session — on a container with drifting external load, an
+    // interleaved same-JVM toggle is the only honest comparison
+    if (df.sparkSession.conf.get("graft.fanout", "true") == "false") return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
